@@ -1,0 +1,47 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet tables (see TESTDATA.md). */
+object Tables {
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects by default; read it as a long and normalize to
+    * microsecond TimestampType (truncation matches DuckDB's floor-epoch).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = load(spark, dir, "events")
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    else df
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** The synthetic Whisper/Carbon metric stream derived from `events`
+    * (SURVEY.md §3): one datapoint per event with a Graphite-style
+    * dot-path. Epoch seconds as BIGINT keep the DuckDB oracle free of
+    * timestamp precision/zone ambiguity.
+    *
+    * Mirrors the reference's metric naming `<host>.<dev>.<srv>.<var>`
+    * (/root/reference/L_DataWatcher.lua:72-73).
+    */
+  def metrics(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      concat(lit("vera.u"), col("user_id"), lit("."), col("event_type")).as("path"),
+      col("ts").cast("long").as("ts"),
+      col("value").as("value")
+    )
+}

@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Dev-only harness emulating the driver's correctness gate:
+runs Verify output parquet vs oracle_sql.json in DuckDB and compares
+row counts, schemas (column names) and value hashes.
+
+NOT part of the Spark library (driver-side tooling only).
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 4)
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        pq = os.path.join(out_dir, name)
+        files = glob.glob(os.path.join(pq, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            got = con.execute(f"SELECT * FROM '{files[0]}'").fetchall()
+            got_cols = [d[0] for d in con.description]
+            want = con.execute(oracles[name]).fetchall()
+            want_cols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        if sorted(got_cols) != sorted(want_cols):
+            print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(want_cols)}")
+            n_fail += 1
+            continue
+        # driver sorts columns by name before hashing values
+        gi = [got_cols.index(c) for c in sorted(got_cols)]
+        wi = [want_cols.index(c) for c in sorted(want_cols)]
+        g = sorted(tuple(norm(r[i]) for i in gi) for r in got)
+        w = sorted(tuple(norm(r[i]) for i in wi) for r in want)
+        if len(g) != len(w):
+            print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+            n_fail += 1
+        elif g != w:
+            diffs = [(a, b) for a, b in zip(g, w) if a != b][:3]
+            print(f"FAIL {name}: values differ, e.g. {diffs}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(g)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
