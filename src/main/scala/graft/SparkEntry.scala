@@ -2,6 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.ops.Relational
+import graft.tsdb.{Queries => T}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
   * inventory each entry maps to.
@@ -19,13 +20,172 @@ object SparkEntry {
     "q3_join" -> ((s, dir) => Relational.q3Join(s, dir)),
     "q5_multijoin" -> ((s, dir) => Relational.q5MultiJoin(s, dir)),
     "topk_window" -> ((s, dir) => Relational.topkWindow(s, dir)),
-    "event_sessionize" -> ((s, dir) => Relational.eventSessionize(s, dir))
+    "event_sessionize" -> ((s, dir) => Relational.eventSessionize(s, dir)),
+    // A. Carbon ingest
+    "carbon_parse" -> ((s, dir) => T.carbonParse(s, dir)),
+    "carbon_rewrite" -> ((s, dir) => T.carbonRewrite(s, dir)),
+    "schema_match" -> ((s, dir) => T.schemaMatch(s, dir)),
+    "watch_translate" -> ((s, dir) => T.watchTranslate(s, dir)),
+    // B. Whisper TSDB core
+    "ts_rollup_avg" -> ((s, dir) => T.rollup(s, dir, "average")),
+    "ts_rollup_sum" -> ((s, dir) => T.rollup(s, dir, "sum")),
+    "ts_rollup_last" -> ((s, dir) => T.rollup(s, dir, "last")),
+    "ts_rollup_max" -> ((s, dir) => T.rollup(s, dir, "max")),
+    "ts_rollup_min" -> ((s, dir) => T.rollup(s, dir, "min")),
+    "ts_xff" -> ((s, dir) => T.xff(s, dir)),
+    "ts_multi_archive" -> ((s, dir) => T.multiArchive(s, dir)),
+    "ts_fetch" -> ((s, dir) => T.fetch(s, dir)),
+    "ts_info" -> ((s, dir) => T.info(s, dir)),
+    // C. Graphite metrics API
+    "metrics_find" -> ((s, dir) => T.metricsFind(s, dir)),
+    "metrics_expand" -> ((s, dir) => T.metricsExpand(s, dir)),
+    "metrics_index" -> ((s, dir) => T.metricsIndex(s, dir)),
+    "series_expand" -> ((s, dir) => T.seriesExpand(s, dir)),
+    "render_csv" -> ((s, dir) => T.renderCsv(s, dir)),
+    "render_json" -> ((s, dir) => T.renderJson(s, dir)),
+    // D. dataMine bridge
+    "dm_resample" -> ((s, dir) => T.dmResample(s, dir)),
+    "dm_weekly" -> ((s, dir) => T.dmWeekly(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** Shared DuckDB CTE: the synthetic metric namespace (SURVEY.md §3). */
+  private val M =
+    """m AS (SELECT 'vera.u'||user_id||'.'||event_type AS path,
+      | CAST(floor(epoch(ts)) AS BIGINT) AS ts, value FROM events)""".stripMargin
+  private val MD =
+    """md AS (SELECT 'vera.'||event_type AS path,
+      | CAST(floor(epoch(ts)) AS BIGINT) AS ts, value FROM events)""".stripMargin
+
+  private def rollupOracle(valueExpr: String): String =
+    s"""WITH $M
+       |SELECT path, ts - ts%3600 AS bucket, $valueExpr AS value,
+       | count(*) AS npoints
+       |FROM m GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  /** The B8 fetch pipeline as DuckDB CTEs (shared by ts_fetch / render_csv). */
+  private val FetchCte =
+    s"""$M,
+       |f AS (SELECT * FROM m WHERE regexp_matches(path, '^vera\\.u1[^.]\\.click$$')),
+       |a1 AS (SELECT path, ts - ts%600 AS bucket, avg(value) AS value FROM f GROUP BY 1,2),
+       |a2 AS (SELECT path, bucket - bucket%3600 AS bucket, avg(value) AS value FROM a1 GROUP BY 1,2),
+       |p AS (SELECT DISTINCT path FROM f),
+       |g AS (SELECT p.path, s.t FROM p CROSS JOIN generate_series(1706097600, 1706659200, 3600) AS s(t))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // ---- A. Carbon ingest ----
+    "carbon_parse" ->
+      s"""WITH $M
+         |SELECT path, round(value,4) AS value,
+         | CASE WHEN ts % 2 = 0 THEN ts ELSE 1706659200 END AS ts
+         |FROM m ORDER BY 1, 3, 2""".stripMargin,
+    "carbon_rewrite" ->
+      s"""WITH $M,
+         |pre AS (SELECT CASE
+         |  WHEN regexp_matches(path, '^vera\\.u1\\.') THEN regexp_replace(path, '^vera\\.u1\\.', 'vera.user-one.')
+         |  WHEN regexp_matches(path, '^vera\\.u2\\.') THEN regexp_replace(path, '^vera\\.u2\\.', 'vera.user-two.')
+         |  ELSE path END AS path FROM m),
+         |post AS (SELECT CASE
+         |  WHEN regexp_matches(path, '\\.click$$') THEN regexp_replace(path, '\\.click$$', '.clicks')
+         |  ELSE path END AS path FROM pre)
+         |SELECT path, count(*) AS n FROM post GROUP BY 1 ORDER BY 1""".stripMargin,
+    "schema_match" ->
+      s"""WITH $M, p AS (SELECT DISTINCT path FROM m)
+         |SELECT path,
+         | CASE WHEN regexp_matches(path, '.*\\.click$$') THEN 'clicks'
+         |      WHEN regexp_matches(path, '^vera\\.u\\d\\.') THEN 'single_digit'
+         |      ELSE 'default' END AS schema_name,
+         | CASE WHEN regexp_matches(path, '.*\\.click$$') THEN '1m:1d,10m:7d'
+         |      WHEN regexp_matches(path, '^vera\\.u\\d\\.') THEN '10s:1h'
+         |      ELSE '1h:30d' END AS retentions,
+         | CASE WHEN regexp_matches(path, '.*\\.click$$') THEN 'sum'
+         |      WHEN regexp_matches(path, '^vera\\.u\\d\\.') THEN 'last'
+         |      ELSE 'average' END AS agg_method,
+         | CASE WHEN regexp_matches(path, '.*\\.click$$') THEN CAST(0.3 AS DOUBLE)
+         |      WHEN regexp_matches(path, '^vera\\.u\\d\\.') THEN CAST(0.1 AS DOUBLE)
+         |      ELSE CAST(0.5 AS DOUBLE) END AS xff
+         |FROM p ORDER BY 1""".stripMargin,
+    "watch_translate" ->
+      """SELECT CASE WHEN event_type='click' THEN '1'
+        |            WHEN event_type='view' THEN '2'
+        |            WHEN event_type='purchase' THEN '3'
+        |            ELSE 'unknown' END AS code, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ---- B. Whisper TSDB core ----
+    "ts_rollup_avg" -> rollupOracle("round(avg(value) - 1e-9,4)"),
+    "ts_rollup_sum" -> rollupOracle("round(sum(value) - 1e-9,4)"),
+    "ts_rollup_last" -> rollupOracle("round((max(struct_pack(t := ts, v := value))).v - 1e-9,4)"),
+    "ts_rollup_max" -> rollupOracle("round(max(value) - 1e-9,4)"),
+    "ts_rollup_min" -> rollupOracle("round(min(value) - 1e-9,4)"),
+    "ts_xff" ->
+      s"""WITH $MD,
+         |fin AS (SELECT path, ts - ts%600 AS bucket, avg(value) AS value FROM md GROUP BY 1,2)
+         |SELECT path, bucket - bucket%3600 AS bucket, round(avg(value) - 1e-9,4) AS value,
+         | count(*) AS npoints
+         |FROM fin GROUP BY 1,2 HAVING count(*) >= 3.0 ORDER BY 1,2""".stripMargin,
+    "ts_multi_archive" ->
+      s"""WITH $MD,
+         |a1 AS (SELECT path, ts - ts%600 AS bucket, avg(value) AS value FROM md GROUP BY 1,2),
+         |a2 AS (SELECT path, bucket - bucket%3600 AS bucket, avg(value) AS value FROM a1 GROUP BY 1,2)
+         |SELECT path, bucket - bucket%86400 AS bucket, round(avg(value) - 1e-9,4) AS value,
+         | count(*) AS npoints
+         |FROM a2 GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "ts_fetch" ->
+      s"""WITH $FetchCte
+         |SELECT g.path, g.t, round(a2.value - 1e-9,4) AS value
+         |FROM g LEFT JOIN a2 ON g.path = a2.path AND g.t = a2.bucket
+         |ORDER BY 1,2""".stripMargin,
+    "ts_info" ->
+      s"""WITH $M
+         |SELECT path, min(ts) AS earliest, max(ts) AS latest, count(*) AS n
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ---- C. Graphite metrics API ----
+    "metrics_find" ->
+      s"""WITH $M, p AS (SELECT DISTINCT path FROM m),
+         |f1 AS (SELECT DISTINCT 'vera.'||split_part(path,'.',2) AS path,
+         |  split_part(path,'.',2) AS name, CAST(0 AS BIGINT) AS is_leaf, 'vera.*' AS q FROM p),
+         |f2 AS (SELECT path, split_part(path,'.',3) AS name, CAST(1 AS BIGINT) AS is_leaf,
+         |  'vera.u1.*' AS q FROM p WHERE regexp_matches(path, '^vera\\.u1\\.[^.]+$$'))
+         |SELECT q, path, name, is_leaf FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2) t
+         |ORDER BY 1, 2, 4""".stripMargin,
+    "metrics_expand" ->
+      s"""WITH $M, p AS (SELECT DISTINCT path FROM m),
+         |e1 AS (SELECT DISTINCT 'vera.'||split_part(path,'.',2)||'.' AS path, 'vera.*' AS q FROM p),
+         |e2 AS (SELECT DISTINCT path, 'vera.u{1,2,3}.*' AS q FROM p
+         |  WHERE regexp_matches(path, '^vera\\.u(1|2|3)\\.[^.]+$$'))
+         |SELECT path, q FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2) t ORDER BY 2, 1""".stripMargin,
+    "metrics_index" ->
+      s"""WITH $M SELECT DISTINCT path FROM m ORDER BY 1""".stripMargin,
+    "series_expand" ->
+      """SELECT * FROM (VALUES
+        | (CAST(0 AS BIGINT),'host.a.cpu0.load'),(CAST(1 AS BIGINT),'host.a.cpu1.load'),
+        | (CAST(2 AS BIGINT),'host.a.cpu2.load'),(CAST(3 AS BIGINT),'host.b.cpu0.load'),
+        | (CAST(4 AS BIGINT),'host.b.cpu1.load'),(CAST(5 AS BIGINT),'host.b.cpu2.load'))
+        | AS t(idx, series) ORDER BY idx""".stripMargin,
+    "render_csv" ->
+      s"""WITH $FetchCte
+         |SELECT g.path AS target,
+         | strftime(make_timestamp(g.t*1000000), '%Y-%m-%d %H:%M:%S') AS ts_str,
+         | round(a2.value - 1e-9,4) AS value
+         |FROM g LEFT JOIN a2 ON g.path = a2.path AND g.t = a2.bucket
+         |ORDER BY 1, 2""".stripMargin,
+    // ---- D. dataMine bridge ----
+    "dm_resample" ->
+      s"""WITH $M,
+         |pts AS (SELECT ts AS pt, max(value) AS value FROM m
+         |  WHERE path = 'vera.u42.click' GROUP BY 1),
+         |grid AS (SELECT CAST(floor(1704067200 + s.i*25920.0 + 0.5) AS BIGINT) AS t
+         |  FROM generate_series(0,100) AS s(i))
+         |SELECT grid.t, round(pts.value,4) AS value
+         |FROM grid ASOF LEFT JOIN pts ON pts.pt <= grid.t
+         |ORDER BY 1""".stripMargin,
+    "dm_weekly" ->
+      s"""WITH $M
+         |SELECT path, CAST(floor(ts/604800) AS BIGINT) AS week, count(*) AS n,
+         | round(avg(value) - 1e-9,4) AS avg_value
+         |FROM m GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),4) AS sum_qty,

@@ -44,4 +44,15 @@ object Tables {
       col("ts").cast("long").as("ts"),
       col("value").as("value")
     )
+
+  /** Denser variant (5 paths instead of 750): rollup cascades and
+    * xFilesFactor gates need buckets with multiple points to be
+    * meaningful at sf0.01's event density.
+    */
+  def metricsDense(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      concat(lit("vera."), col("event_type")).as("path"),
+      col("ts").cast("long").as("ts"),
+      col("value").as("value")
+    )
 }

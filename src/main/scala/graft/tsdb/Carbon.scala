@@ -1,0 +1,68 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Carbon ingest pipeline: plaintext parsing, rewrite rules, and
+  * storage-schema / storage-aggregation rule matching
+  * (/root/reference/L_DataCache.lua).
+  */
+object Carbon {
+
+  /** One regex rule: first match wins, applied once. */
+  final case class Rule(pattern: String, replacement: String)
+
+  /** Schema / aggregation rule (storage-schemas.conf style). */
+  final case class SchemaRule(name: String, pattern: String, retentions: String,
+                              aggregationMethod: String = "average", xFilesFactor: Double = 0.5)
+
+  /** Parse Whisper plaintext `"path value [timestamp]"` lines
+    * (L_DataCache.lua:164-166); a missing timestamp falls back to `now`.
+    * Input: a DataFrame with a `line` string column.
+    */
+  def parse(lines: DataFrame, now: Long): DataFrame = {
+    val pat = "^(\\S+)\\s+(\\S+)\\s*(\\S*)"
+    lines.select(
+      regexp_extract(col("line"), pat, 1).as("path"),
+      regexp_extract(col("line"), pat, 2).as("v_raw"),
+      regexp_extract(col("line"), pat, 3).as("t_raw"))
+      .select(
+        col("path"),
+        // try_cast: malformed values → null row-drop, not an ANSI error
+        expr("try_cast(v_raw AS double)").as("value"),
+        coalesce(expr("try_cast(t_raw AS bigint)"), lit(now)).as("ts"))
+      .filter(col("path") =!= "" && col("value").isNotNull)
+  }
+
+  /** Apply rewrite rules: the first rule whose pattern matches rewrites
+    * the path, remaining rules are skipped (L_DataCache.lua:123-129).
+    * Anchored patterns keep regexp_replace to a single application.
+    */
+  def rewrite(path: Column, rules: Seq[Rule]): Column =
+    coalesce(rules.map(r =>
+      when(path.rlike(r.pattern), regexp_replace(path, r.pattern, r.replacement))) :+ path: _*)
+
+  /** [pre] then [post] rewrite passes (L_DataCache.lua:167-172). */
+  def rewritePrePost(path: Column, pre: Seq[Rule], post: Seq[Rule]): Column =
+    rewrite(rewrite(path, pre), post)
+
+  /** First-match storage rule lookup (L_DataCache.lua:70-75): returns
+    * (schema_name, retentions, agg_method, xff) columns for a path.
+    */
+  def schemaMatch(path: Column, schemas: Seq[SchemaRule], default: SchemaRule): Seq[Column] = {
+    def pick[T](f: SchemaRule => T, lift: T => Column): Column =
+      coalesce(schemas.map(r => when(path.rlike(r.pattern), lift(f(r)))) :+ lift(f(default)): _*)
+    Seq(
+      pick[String](_.name, lit).as("schema_name"),
+      pick[String](_.retentions, lit).as("retentions"),
+      pick[String](_.aggregationMethod, lit).as("agg_method"),
+      pick[Double](_.xFilesFactor, lit).as("xff"))
+  }
+
+  /** Symbolic value translation (L_DataWatcher.lua:152-156): a lookup
+    * table maps string values to numeric codes, anything unmapped
+    * becomes 'unknown'.
+    */
+  def translate(value: Column, table: Map[String, String]): Column =
+    coalesce(table.map { case (k, v) => when(value === k, lit(v)) }.toSeq :+ lit("unknown"): _*)
+}

@@ -1,0 +1,71 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Whisper fetch(from, until): clamp the request window, select the
+  * highest-precision archive that still covers `from`, quantize the
+  * bounds to its grid, and return a **dense** series — one row per grid
+  * interval per path, value null where no point exists
+  * (/root/reference/L_DataWhisper.lua:356-411,525-552).
+  *
+  * The dense grid is sequence+explode over the matched paths (no driver
+  * loop); the archive join is an equi-join on (path, bucket). At scale
+  * the path filter is pushed into the scan before any shuffle.
+  */
+object Fetch {
+
+  final case class Clamped(from: Long, until: Long, archive: Retention.Archive)
+
+  /** Window clamping + archive selection (L_DataWhisper.lua:525-549).
+    * Returns None when the range is entirely in the future or beyond
+    * retention.
+    */
+  def select(spec: Seq[Retention.Archive], fromTime: Long, untilTime0: Long,
+             now: Long): Option[Clamped] = {
+    require(fromTime <= untilTime0, s"Invalid time interval: from $fromTime after until $untilTime0")
+    def oldest(a: Retention.Archive): Long =
+      (now - now % a.secondsPerPoint) - a.retention + a.secondsPerPoint
+    val oldestTime = oldest(spec.last)
+    if (fromTime > now || untilTime0 < oldestTime) None
+    else {
+      val from = math.max(fromTime, oldestTime)
+      val until = math.min(untilTime0, now)
+      val archive = spec.find(a => oldest(a) <= from).getOrElse(spec.last)
+      Some(Clamped(from, until, archive))
+    }
+  }
+
+  /** Dense fetch over a pre-built archive DataFrame (path, bucket, value).
+    * The grid derives from the archive itself, so the join side is
+    * re-aliased to keep attribute ids distinct (self-join safety).
+    */
+  def fetchDense(spark: SparkSession, archive: DataFrame, step: Long,
+                 from: Long, until: Long): DataFrame = {
+    val fromQ = from - from % step
+    val untilQ = until - until % step
+    val grid = archive.select(col("path")).distinct()
+      .select(col("path"), explode(sequence(lit(fromQ), lit(untilQ), lit(step))).as("t"))
+    val arch = archive.select(col("path").as("a_path"), col("bucket"), col("value"))
+    grid.join(arch, col("path") === col("a_path") && col("t") === col("bucket"), "left")
+      .select(col("path"), col("t"), col("value"))
+  }
+
+  /** End-to-end fetch for a glob target over raw metrics: filter paths
+    * (scan-pushed rlike), build the archive cascade, select the archive
+    * for the window, return the dense series.
+    */
+  def fetch(spark: SparkSession, metrics: DataFrame, target: String,
+            spec: Seq[Retention.Archive], method: String, xff: Double,
+            fromTime: Long, untilTime: Long, now: Long): DataFrame = {
+    val regex = Glob.queryToRegex(target, allowDeeper = false)
+    val matched = metrics.filter(col("path").rlike(regex))
+    select(spec, fromTime, untilTime, now) match {
+      case None => spark.emptyDataFrame
+      case Some(Clamped(from, until, archive)) =>
+        val idx = spec.indexOf(archive)
+        val arch = Rollup.archives(matched, spec.take(idx + 1), method, xff).last
+        fetchDense(spark, arch, archive.secondsPerPoint, from, until)
+    }
+  }
+}

@@ -1,0 +1,207 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Driver-verifiable query entry points for the tsdb operator family
+  * (SURVEY.md §2 groups A-D). Each def backs one `SparkEntry.queries`
+  * entry with a DuckDB oracle; constants (NOW, windows, rule sets) are
+  * pinned so both sides compute on identical inputs.
+  */
+object Queries {
+
+  /** Pinned "now": just past the sf data's max event ts (1706659032),
+    * divisible by 3600 and 86400 so quantization is exact.
+    */
+  val Now = 1706659200L
+
+  /** Tie-break guard for `round(x, 4)` on averaged values: the event
+    * values carry 2 decimals, so small-k averages land *exactly* on
+    * `.xxxx5` rounding boundaries where Spark's and DuckDB's summation
+    * order decides the direction. True values here are S/k with k ≤ 24,
+    * so any non-boundary value is ≥ ~2e-6 from a boundary — subtracting
+    * 1e-9 on BOTH sides settles exact boundaries downward without
+    * touching anything else. Check-projection only, not operator
+    * semantics.
+    */
+  val Eps = 1e-9
+
+  // ---- A. Carbon ingest -------------------------------------------------
+
+  /** A1: format metrics as plaintext lines (every other line omits the
+    * timestamp) and round-trip through Carbon.parse — missing ts must
+    * fall back to `Now`.
+    */
+  def carbonParse(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.metrics(spark, dir).select(
+      concat(
+        col("path"), lit(" "), col("value").cast("string"),
+        when(col("ts") % 2 === 0, concat(lit(" "), col("ts").cast("string")))
+          .otherwise(lit(""))).as("line"))
+    Carbon.parse(lines, Now)
+      .select(col("path"), round(col("value"), 4).as("value"), col("ts"))
+      .orderBy(col("path"), col("ts"), col("value"))
+  }
+
+  val preRules = Seq(
+    Carbon.Rule("^vera\\.u1\\.", "vera.user-one."),
+    Carbon.Rule("^vera\\.u2\\.", "vera.user-two."))
+  val postRules = Seq(Carbon.Rule("\\.click$", ".clicks"))
+
+  /** A2: [pre] then [post] first-match rewrite passes over the path
+    * namespace; count per rewritten path.
+    */
+  def carbonRewrite(spark: SparkSession, dir: String): DataFrame =
+    Tables.metrics(spark, dir)
+      .select(Carbon.rewritePrePost(col("path"), preRules, postRules).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("path"))
+
+  val schemaRules = Seq(
+    Carbon.SchemaRule("clicks", ".*\\.click$", "1m:1d,10m:7d", "sum", 0.3),
+    Carbon.SchemaRule("single_digit", "^vera\\.u\\d\\.", "10s:1h", "last", 0.1))
+  val defaultRule = Carbon.SchemaRule("default", "", "1h:30d", "average", 0.5)
+
+  /** A3: first-match storage-schema rule per distinct path. */
+  def schemaMatch(spark: SparkSession, dir: String): DataFrame = {
+    val paths = Tables.metrics(spark, dir).select(col("path")).distinct()
+    paths
+      .select(col("path") +: Carbon.schemaMatch(col("path"), schemaRules, defaultRule): _*)
+      .orderBy(col("path"))
+  }
+
+  val translations = Map("click" -> "1", "view" -> "2", "purchase" -> "3")
+
+  /** A4: symbolic value translation with 'unknown' fallback. */
+  def watchTranslate(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(Carbon.translate(col("event_type"), translations).as("code"))
+      .groupBy(col("code")).agg(count(lit(1)).as("n"))
+      .orderBy(col("code"))
+
+  // ---- B. Whisper TSDB core ---------------------------------------------
+
+  /** B1-B5: one-level rollup of the full metric namespace at 1h. */
+  def rollup(spark: SparkSession, dir: String, method: String): DataFrame =
+    Rollup.rollup(Tables.metrics(spark, dir), 3600L, method)
+      .select(col("path"), col("bucket"),
+        round(col("value") - Eps, 4).as("value"), col("npoints"))
+      .orderBy(col("path"), col("bucket"))
+
+  /** B6: 10m→1h propagation gated by xFilesFactor 0.5 (needs ≥3 of 6
+    * finer slots) over the dense namespace.
+    */
+  def xff(spark: SparkSession, dir: String): DataFrame = {
+    val finest = Rollup.rollup(Tables.metricsDense(spark, dir), 600L, "average")
+    Rollup.propagate(finest, 600L, 3600L, "average", 0.5)
+      .select(col("path"), col("bucket"),
+        round(col("value") - Eps, 4).as("value"), col("npoints"))
+      .orderBy(col("path"), col("bucket"))
+  }
+
+  /** B7: full cascade 10m→1h→1d; the 1d archive is the output. Each
+    * level consumes the previous (60× then 24× smaller), not raw.
+    */
+  def multiArchive(spark: SparkSession, dir: String): DataFrame = {
+    val spec = Retention.parse("10m:1d,1h:7d,1d:60d")
+    Rollup.archives(Tables.metricsDense(spark, dir), spec, "average", 0.0).last
+      .select(col("path"), col("bucket"),
+        round(col("value") - Eps, 4).as("value"), col("npoints"))
+      .orderBy(col("path"), col("bucket"))
+  }
+
+  val fetchFrom = 1706100000L
+
+  /** B8: end-to-end fetch — glob target, archive selection (the 7-day
+    * window lands in the 1h archive), dense null-gapped grid.
+    */
+  def fetch(spark: SparkSession, dir: String): DataFrame =
+    Fetch.fetch(spark, Tables.metrics(spark, dir), "vera.u1?.click",
+      Retention.parse("10m:1d,1h:7d,1d:60d"), "average", 0.0,
+      fetchFrom, Now, Now)
+      .select(col("path"), col("t"), round(col("value") - Eps, 4).as("value"))
+      .orderBy(col("path"), col("t"))
+
+  /** B9: per-metric interval metadata (L_DataFinders.lua:86-109). */
+  def info(spark: SparkSession, dir: String): DataFrame =
+    Tables.metrics(spark, dir)
+      .groupBy(col("path"))
+      .agg(min(col("ts")).as("earliest"), max(col("ts")).as("latest"),
+        count(lit(1)).as("n"))
+      .orderBy(col("path"))
+
+  // ---- C. Graphite metrics API ------------------------------------------
+
+  private def paths(spark: SparkSession, dir: String): DataFrame =
+    Tables.metrics(spark, dir).select(col("path")).distinct()
+
+  /** C1: one-level tree find for a branch query and a leaf query. */
+  def metricsFind(spark: SparkSession, dir: String): DataFrame = {
+    val p = paths(spark, dir)
+    MetricTree.find(p, "vera.*").withColumn("q", lit("vera.*"))
+      .unionByName(MetricTree.find(p, "vera.u1.*").withColumn("q", lit("vera.u1.*")))
+      .orderBy(col("q"), col("path"), col("is_leaf"))
+  }
+
+  /** C2: /metrics/expand — branches keep a trailing dot. */
+  def metricsExpand(spark: SparkSession, dir: String): DataFrame = {
+    val p = paths(spark, dir)
+    MetricTree.expand(p, "vera.*", leavesOnly = false).withColumn("q", lit("vera.*"))
+      .unionByName(
+        MetricTree.expand(p, "vera.u{1,2,3}.*", leavesOnly = false)
+          .withColumn("q", lit("vera.u{1,2,3}.*")))
+      .orderBy(col("q"), col("path"))
+  }
+
+  /** C3: /metrics/index.json — every leaf path, sorted. */
+  def metricsIndex(spark: SparkSession, dir: String): DataFrame =
+    MetricTree.index(paths(spark, dir))
+
+  /** C4: brace expansion (rows-only; the ScalaTest spec checks order). */
+  def seriesExpand(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Glob.expandBraces("host.{a,b}.cpu{0,1,2}.load").zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("idx", "series")
+      .orderBy(col("idx"))
+  }
+
+  /** C5: csv render of the B8 fetch. */
+  def renderCsv(spark: SparkSession, dir: String): DataFrame =
+    Render.csv(
+      Fetch.fetch(spark, Tables.metrics(spark, dir), "vera.u1?.click",
+        Retention.parse("10m:1d,1h:7d,1d:60d"), "average", 0.0,
+        fetchFrom, Now, Now)
+        .withColumn("value", col("value") - Eps))
+
+  /** C6: json render of the B8 fetch (rows-only; ScalaTest covers the
+    * datapoint array shape).
+    */
+  def renderJson(spark: SparkSession, dir: String): DataFrame =
+    Render.json(
+      Fetch.fetch(spark, Tables.metrics(spark, dir), "vera.u1?.click",
+        Retention.parse("10m:1d,1h:7d,1d:60d"), "average", 0.0,
+        fetchFrom, Now, Now))
+
+  // ---- D. dataMine bridge -----------------------------------------------
+
+  val dmT1 = 1704067200L
+  val dmN = 101
+
+  /** D1: uniform 101-point grid over the full month for one channel;
+    * value = last sample ≤ grid time (DuckDB ASOF oracle).
+    */
+  def dmResample(spark: SparkSession, dir: String): DataFrame = {
+    val points = Tables.metrics(spark, dir)
+      .filter(col("path") === "vera.u42.click")
+      .select(col("ts"), col("value"))
+    Datamine.resample(points, Datamine.gridTimes(dmT1, Now, dmN))
+      .select(col("t"), round(col("value"), 4).as("value"))
+      .orderBy(col("t"))
+  }
+
+  /** D2: weekly partition bucketing + per-week stats. */
+  def dmWeekly(spark: SparkSession, dir: String): DataFrame =
+    Datamine.weekly(Tables.metrics(spark, dir))
+}

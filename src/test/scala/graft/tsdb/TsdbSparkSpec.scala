@@ -1,0 +1,133 @@
+package graft.tsdb
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** DataFrame-level specs for the Whisper/Carbon/Graphite/dataMine
+  * operators on tiny in-memory inputs with hand-computed expectations.
+  */
+class TsdbSparkSpec extends SparkSpec {
+  import spark.implicits._
+
+  def metrics = Seq(
+    ("a.x.v", 0L, 1.0), ("a.x.v", 30L, 3.0), ("a.x.v", 60L, 5.0),
+    ("a.x.v", 130L, 7.0), ("a.y.v", 10L, 10.0), ("b.z", 65L, 2.0)
+  ).toDF("path", "ts", "value")
+
+  test("rollup methods (B1-B5)") {
+    def roll(m: String) =
+      Rollup.rollup(metrics, 60L, m)
+        .orderBy("path", "bucket")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(roll("average") == Seq(
+      ("a.x.v", 0L, 2.0, 2L), ("a.x.v", 60L, 5.0, 1L), ("a.x.v", 120L, 7.0, 1L),
+      ("a.y.v", 0L, 10.0, 1L), ("b.z", 60L, 2.0, 1L)))
+    assert(roll("sum").head == ("a.x.v", 0L, 4.0, 2L))
+    assert(roll("last").head == ("a.x.v", 0L, 3.0, 2L))
+    assert(roll("max").head == ("a.x.v", 0L, 3.0, 2L))
+    assert(roll("min").head == ("a.x.v", 0L, 1.0, 2L))
+  }
+
+  test("xFilesFactor gates propagation (B6)") {
+    val fine = Rollup.rollup(metrics.filter($"path" === "a.x.v"), 60L, "average")
+    // 3 of 2 expected... bucket 0 of step 120 has slots {0,60} = 2/2,
+    // bucket 120 has {120} = 1/2
+    val strict = Rollup.propagate(fine, 60L, 120L, "average", 1.0)
+      .orderBy("bucket").collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(strict.toSeq == Seq((0L, 3.5))) // avg(avg(1,3), avg(5)) = avg(2,5)
+    val loose = Rollup.propagate(fine, 60L, 120L, "average", 0.5)
+      .orderBy("bucket").collect().map(r => r.getLong(1))
+    assert(loose.toSeq == Seq(0L, 120L))
+  }
+
+  test("fetch returns a dense null-gapped grid (B8)") {
+    val spec = Retention.parse("1m:1h,10m:6h")
+    val out = Fetch.fetch(spark, metrics, "a.*.v", spec, "average", 0.0,
+      0L, 180L, 200L)
+      .orderBy("path", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+    // 1m archive selected; grid 0,60,120,180 per path
+    assert(out.toSeq == Seq(
+      ("a.x.v", 0L, 2.0), ("a.x.v", 60L, 5.0), ("a.x.v", 120L, 7.0), ("a.x.v", 180L, null),
+      ("a.y.v", 0L, 10.0), ("a.y.v", 60L, null), ("a.y.v", 120L, null), ("a.y.v", 180L, null)))
+  }
+
+  test("fetch archive selection falls to coarser archive (B8)") {
+    val spec = Retention.parse("1m:1h,10m:6h")
+    // from is older than the 1m archive's retention (3600s) → 10m archive
+    val now = 7200L
+    val sel = Fetch.select(spec, 100L, now, now)
+    assert(sel.get.archive.secondsPerPoint == 600L)
+    // entirely-future window → None
+    assert(Fetch.select(spec, now + 100, now + 200, now).isEmpty)
+  }
+
+  test("metric tree find/expand/index (C1-C3)") {
+    val paths = metrics.select("path").distinct()
+    val find = MetricTree.find(paths, "a.*")
+      .orderBy("path", "is_leaf").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(find.toSeq == Seq(("a.x", "x", 0L), ("a.y", "y", 0L)))
+    val leaves = MetricTree.find(paths, "*.*.v")
+      .orderBy("path").collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(leaves.toSeq == Seq(("a.x.v", 1L), ("a.y.v", 1L)))
+    val exp = MetricTree.expand(paths, "a.*", leavesOnly = false)
+      .orderBy("path").collect().map(_.getString(0))
+    assert(exp.toSeq == Seq("a.x.", "a.y."))
+    assert(MetricTree.index(paths).collect().map(_.getString(0)).toSeq ==
+      Seq("a.x.v", "a.y.v", "b.z"))
+  }
+
+  test("a node can be both leaf and branch (C1)") {
+    val paths = Seq("a.x", "a.x.deep").toDF("path")
+    val find = MetricTree.find(paths, "a.*")
+      .orderBy("path", "is_leaf").collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    assert(find.toSeq == Seq(("a.x", 0L), ("a.x", 1L)))
+  }
+
+  test("carbon parse handles missing timestamps (A1)") {
+    val lines = Seq("a.b 1.5 100", "c.d 2", "bogus", "e.f nan 3").toDF("line")
+    val out = Carbon.parse(lines, 999L)
+      .orderBy("path").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    // "bogus" (no value) is dropped; "nan" casts to NaN (valid double)
+    assert(out.length == 3)
+    assert(out(0) == ("a.b", 1.5, 100L))
+    assert(out(1) == ("c.d", 2.0, 999L))
+    assert(out(2)._1 == "e.f" && out(2)._2.isNaN)
+  }
+
+  test("carbon rewrite is first-match-only per pass (A2)") {
+    val rules = Seq(Carbon.Rule("^a\\.", "A."), Carbon.Rule("^A\\.", "ZZZ."))
+    val out = Seq("a.b", "x.y").toDF("p")
+      .select(Carbon.rewrite(col("p"), rules).as("p"))
+      .orderBy("p").collect().map(_.getString(0))
+    // first rule matched a.b → A.b; second rule NOT applied after a match
+    assert(out.toSeq == Seq("A.b", "x.y"))
+  }
+
+  test("datamine resample: last sample ≤ grid time (D1)") {
+    val pts = Seq((10L, 1.0), (10L, 0.5), (25L, 2.0)).toDF("ts", "value")
+    val out = Datamine.resample(pts, Seq(0L, 10L, 20L, 30L))
+      .orderBy("t").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getDouble(1)))
+    // dup ts=10 deduped to max=1.0; t=0 precedes first sample → null
+    assert(out.toSeq == Seq((0L, null), (10L, 1.0), (20L, 1.0), (30L, 2.0)))
+  }
+
+  test("datamine filter: offset then clamp (D1)") {
+    val out = Datamine.filter(Seq(1.0, 5.0, 9.0).toDF("value"), 1.0, 3.0, 8.0)
+      .collect().map(_.getDouble(0))
+    assert(out.toSeq == Seq(3.0, 6.0, 8.0))
+  }
+
+  test("render json datapoint arrays are ordered (C6)") {
+    val fetched = Seq(("p", 60L, Some(2.0)), ("p", 0L, Some(1.0)), ("p", 120L, None))
+      .toDF("path", "t", "value")
+    val out = Render.json(fetched).collect()
+    assert(out.length == 1)
+    val js = out(0).getString(1)
+    assert(js == """[{"t":0,"v":1.0},{"t":60,"v":2.0},{"t":120}]""")
+  }
+}
