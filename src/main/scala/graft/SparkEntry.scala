@@ -3,6 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.ops.Relational
 import graft.tsdb.{Queries => T}
+import graft.ops.{LlmQueries => L}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
   * inventory each entry maps to.
@@ -45,7 +46,19 @@ object SparkEntry {
     "render_json" -> ((s, dir) => T.renderJson(s, dir)),
     // D. dataMine bridge
     "dm_resample" -> ((s, dir) => T.dmResample(s, dir)),
-    "dm_weekly" -> ((s, dir) => T.dmWeekly(s, dir))
+    "dm_weekly" -> ((s, dir) => T.dmWeekly(s, dir)),
+    // F. LLM-pipeline operators
+    "dedup_exact" -> ((s, dir) => L.dedupExact(s, dir)),
+    "dedup_ngram_jaccard" -> ((s, dir) => L.dedupNgramJaccard(s, dir)),
+    "dedup_minhash" -> ((s, dir) => L.dedupMinhash(s, dir)),
+    "dedup_simhash" -> ((s, dir) => L.dedupSimhash(s, dir)),
+    "ann_cosine_topk" -> ((s, dir) => L.annCosineTopk(s, dir)),
+    "ann_lsh" -> ((s, dir) => L.annLsh(s, dir)),
+    "text_langid" -> ((s, dir) => L.textLangid(s, dir)),
+    "text_quality" -> ((s, dir) => L.textQuality(s, dir)),
+    "text_tokens" -> ((s, dir) => L.textTokens(s, dir)),
+    "text_fingerprint" -> ((s, dir) => L.textFingerprint(s, dir)),
+    "embed_norm_stats" -> ((s, dir) => L.embedNormStats(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -74,7 +87,116 @@ object SparkEntry {
        |p AS (SELECT DISTINCT path FROM f),
        |g AS (SELECT p.path, s.t FROM p CROSS JOIN generate_series(1706097600, 1706659200, 3600) AS s(t))""".stripMargin
 
+  /** Shared DuckDB CTEs for the documents table: tokens + distinct
+    * 3-word shingles (mirrors graft.text.TextFns).
+    */
+  private val TK =
+    """tk AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents)"""
+  private val SHD =
+    """shd AS (SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id, tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS shingle
+      |  FROM (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks,1) AS pos FROM tk)
+      |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) s
+      | WHERE shingle IS NOT NULL)""".stripMargin
+
+  /** MinHash params / stopword dict rendered from the same Scala
+    * constants the Spark plans use — single source of truth.
+    */
+  private val MinhashValues = graft.dedup.Dedup.minhashParams
+    .map { case (i, a, b) => s"($i,$a,$b)" }.mkString(",")
+  private val StopwordValues = graft.text.TextFns.stopwords.toSeq.sortBy(_._1)
+    .flatMap { case (l, ws) => ws.map(w => s"('$l','$w')") }.mkString(",")
+  private val EnStopwordList = graft.text.TextFns.stopwords("en")
+    .map(w => s"'$w'").mkString(", ")
+
   def oracleSql: Map[String, String] = Map(
+    // ---- F. LLM-pipeline operators ----
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $TK, $SHD,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS i
+         |  FROM shd a JOIN shd b ON a.shingle=b.shingle AND a.doc_id<b.doc_id GROUP BY 1,2)
+         |SELECT x, y, round(i*1.0/(sa.n+sb.n-i) - 1e-9, 4) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.doc_id=x JOIN sizes sb ON sb.doc_id=y
+         |WHERE i*1.0/(sa.n+sb.n-i) >= 0.8 ORDER BY 1,2""".stripMargin,
+    "dedup_minhash" ->
+      s"""WITH $TK, $SHD,
+         |h AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,15))::BIGINT % 2147483647 AS hv FROM shd),
+         |params(i,a,b) AS (VALUES $MinhashValues),
+         |sigs AS (SELECT doc_id, i, min((a*hv+b)%2147483647) AS mh
+         |  FROM h CROSS JOIN params GROUP BY 1,2),
+         |bands AS (SELECT doc_id, i//3 AS band,
+         |  md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS bh FROM sigs GROUP BY 1,2)
+         |SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+         |FROM bands a JOIN bands b ON a.band=b.band AND a.bh=b.bh AND a.doc_id<b.doc_id
+         |ORDER BY 1,2""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH $TK,
+         |td AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM tk),
+         |th AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM td),
+         |sums AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM th CROSS JOIN generate_series(0,59) AS g(j) GROUP BY 1,2),
+         |sim AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0::BIGINT END) AS BIGINT) AS simhash
+         |  FROM sums GROUP BY 1),
+         |bands AS (SELECT doc_id, simhash, band, (simhash >> (band*15)) & 32767 AS bv
+         |  FROM sim CROSS JOIN generate_series(0,3) AS gb(band))
+         |SELECT DISTINCT a.doc_id AS x, b.doc_id AS y,
+         | CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM bands a JOIN bands b ON a.band=b.band AND a.bv=b.bv AND a.doc_id<b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6 ORDER BY 1,2""".stripMargin,
+    "ann_cosine_topk" ->
+      """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS qe, nrm AS qn FROM n WHERE vec_id < 10),
+        |scored AS (SELECT q.q_id, v.vec_id, list_dot_product(q.qe, v.emb)/(q.qn*v.nrm) AS cos
+        |  FROM n v CROSS JOIN q WHERE v.vec_id <> q.q_id),
+        |rk AS (SELECT q_id, vec_id, cos,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY round(cos,6) DESC, vec_id) AS rk FROM scored)
+        |SELECT q_id, rk, vec_id, round(cos,4) AS cos FROM rk WHERE rk <= 5
+        |ORDER BY q_id, rk""".stripMargin,
+    "text_langid" ->
+      s"""WITH $TK,
+         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+         |dict(lang_cand, word) AS (VALUES $StopwordValues),
+         |hits AS (SELECT doc_id, lang_cand, count(*) AS hits FROM tok
+         |  JOIN dict ON tok = word GROUP BY 1,2),
+         |best AS (SELECT doc_id, lang_cand, hits,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_cand) AS rk FROM hits)
+         |SELECT d.doc_id, coalesce(b.lang_cand, 'unknown') AS pred_lang,
+         | coalesce(b.hits, 0::BIGINT) AS hits
+         |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON d.doc_id = b.doc_id
+         |ORDER BY 1""".stripMargin,
+    "text_quality" ->
+      s"""WITH $TK
+         |SELECT doc_id,
+         | CAST(len(toks) AS BIGINT) AS n_tokens,
+         | round(1.0 - len(list_distinct(toks))*1.0/len(toks) - 1e-9, 4) AS dup_ratio,
+         | round(len(list_filter(toks, x -> x IN ($EnStopwordList)))*1.0/len(toks) - 1e-9, 4) AS stopword_ratio,
+         | round(0.3*least(len(toks)*1.0/100, 1.0)
+         |     + 0.3*(len(list_distinct(toks))*1.0/len(toks))
+         |     + 0.2*(len(list_filter(toks, x -> x IN ($EnStopwordList)))*1.0/len(toks))
+         |     + 0.2*least((length(text) - (len(toks)-1))*1.0/len(toks)/10.0, 1.0) - 1e-9, 4) AS score
+         |FROM tk ORDER BY 1""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS re_tokens
+        |FROM documents ORDER BY 1""".stripMargin,
+    "text_fingerprint" ->
+      s"""WITH $TK,
+         |t AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks,1) AS pos FROM tk)
+         |SELECT doc_id,
+         | CAST(sum(((('0x'||substr(md5(tok),1,15))::BIGINT % 1000000007) * pos) % 1000000007) % 1000000007 AS BIGINT) AS fp
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "embed_norm_stats" ->
+      """WITH n AS (SELECT label,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings)
+        |SELECT label, count(*) AS n, round(avg(nrm) - 1e-9, 4) AS avg_norm,
+        | round(min(nrm), 4) AS min_norm, round(max(nrm), 4) AS max_norm
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
     // ---- A. Carbon ingest ----
     "carbon_parse" ->
       s"""WITH $M

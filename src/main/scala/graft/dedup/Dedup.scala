@@ -1,0 +1,120 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFns._
+
+/** Document deduplication operators (SURVEY.md §2.F1-F4).
+  *
+  * Every candidate-generation step goes through a bucketing key
+  * (content hash, shingle, band signature) so the pairwise work is an
+  * equi-join shuffled by bucket — never an O(n²) cross join. That is
+  * the property that holds at 100 TB: the only all-pairs computation
+  * happens *within* buckets that true near-duplicates must share.
+  */
+object Dedup {
+
+  /** F1: exact dedup by md5(text); keeper = min doc_id per group. */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("content_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+      .orderBy(col("keep_id"))
+
+  /** Distinct (doc_id, shingle) pairs for docs with ≥3 tokens. */
+  def docShingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(shingles3(col("toks"))).as("shingle"))
+
+  /** F2: pairwise Jaccard over 3-word shingles via shingle equi-join.
+    * intersection counts come from the join; union = |A|+|B|−∩.
+    */
+  def ngramJaccard(docs: DataFrame, tau: Double): DataFrame = {
+    val sh = docShingles(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("sa"), col("x") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("y") === col("sb.doc_id"))
+      .withColumn("jaccard", col("i") / (col("sa.n") + col("sb.n") - col("i")))
+      .filter(col("jaccard") >= tau)
+      // -1e-9 before round: integer-ratio values can sit exactly on
+      // .xxxx5 boundaries (graft.tsdb.Queries.Eps rationale)
+      .select(col("x"), col("y"), round(col("jaccard") - 1e-9, 4).as("jaccard"))
+      .orderBy(col("x"), col("y"))
+  }
+
+  /** Fixed, engine-portable MinHash parameters: k=12 permutations
+    * h_i(x) = (a_i·x + b_i) mod P31, banded 4×3 for LSH.
+    */
+  val minhashParams: Seq[(Int, Long, Long)] =
+    (0 until 12).map(i => (i, 1000003L * (i + 1) + 17L, 7919L * (i + 1) + 13L))
+  val bandRows = 3
+
+  /** F3: MinHash signature + LSH banding → candidate pairs. Docs agree
+    * on a band iff all `bandRows` signature slots match; the band
+    * signature join is the scale path (shuffle keyed by band hash).
+    */
+  def minhashLsh(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val params = broadcast(minhashParams.toDF("i", "a", "b"))
+    val h = docShingles(docs).select(col("doc_id"), h31(col("shingle")).as("hv"))
+    val sigs = h.crossJoin(params)
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min((col("a") * col("hv") + col("b")) % P31).as("mh"))
+    val bands = sigs
+      .groupBy(col("doc_id"), floor(col("i") / bandRows).as("band"))
+      .agg(expr("md5(concat_ws(',', transform(sort_array(collect_list(struct(i, mh))), s -> cast(s.mh AS string))))").as("bh"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
+      .distinct()
+      .orderBy(col("x"), col("y"))
+  }
+
+  /** F4: 60-bit SimHash (md5-derived token hashes keep the DuckDB
+    * oracle bit-identical) + 4×15-bit band blocking; pairs within
+    * hamming ≤ maxHamming. Bit sums use an explode over 60 positions —
+    * one shuffle keyed by (doc, bit).
+    */
+  def simhash(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val th = docs
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .select(col("doc_id"), h60(col("tok")).as("h"))
+    val bits = broadcast(spark.range(60).toDF("j"))
+    val sums = th.crossJoin(bits)
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(when(expr("(h >> cast(j AS int)) & 1") === 1, 1).otherwise(-1)).as("s"))
+    sums
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, cast(j AS int))")).otherwise(0L)).as("simhash"))
+  }
+
+  def simhashPairs(spark: SparkSession, docs: DataFrame, maxHamming: Int): DataFrame = {
+    import spark.implicits._
+    val sim = simhash(spark, docs)
+    val bandIdx = broadcast(spark.range(4).toDF("band"))
+    val bands = sim.crossJoin(bandIdx)
+      .select(col("doc_id"), col("simhash"), col("band"),
+        expr("(simhash >> cast(band*15 AS int)) & 32767").as("bv"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy(col("x"), col("y"))
+  }
+}

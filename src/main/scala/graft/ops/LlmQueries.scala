@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.similarity.Ann
+import graft.text.Analysis
+
+/** Driver-verifiable entry points for the LLM-pipeline operator family
+  * (SURVEY.md §2.F) over the `documents` / `embeddings` tables.
+  */
+object LlmQueries {
+
+  val JaccardTau = 0.8
+  val SimhashMaxHamming = 6
+  val AnnK = 5
+  val AnnQueryMax = 10 // query subset: vec_id < 10
+  val LshPlanes = 8
+  val EmbedDim = 64
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir))
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(Tables.documents(spark, dir), JaccardTau)
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(spark, Tables.documents(spark, dir))
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(spark, Tables.documents(spark, dir), SimhashMaxHamming)
+
+  def annCosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Ann.bruteTopK(e.filter(col("vec_id") < AnnQueryMax), e, AnnK)
+  }
+
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Ann.lshTopK(e.filter(col("vec_id") < AnnQueryMax), e, AnnK, LshPlanes, EmbedDim)
+  }
+
+  def textLangid(spark: SparkSession, dir: String): DataFrame =
+    Analysis.langId(spark, Tables.documents(spark, dir))
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    Analysis.quality(Tables.documents(spark, dir))
+
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Analysis.tokenCounts(Tables.documents(spark, dir))
+
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Analysis.fingerprint(Tables.documents(spark, dir))
+
+  def embedNormStats(spark: SparkSession, dir: String): DataFrame =
+    Ann.normStats(Tables.embeddings(spark, dir))
+}

@@ -1,0 +1,120 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §2.F5-F6).
+  *
+  * Baseline: brute-force cosine top-k for a bounded query subset — the
+  * query side broadcasts, so the big side streams through one codegen'd
+  * stage with no shuffle. Scale path: random-hyperplane LSH buckets →
+  * the candidate join is an equi-join on bucket id.
+  */
+object Ann {
+
+  /** Float→double element sum in array order (deterministic, matches
+    * the DuckDB oracle's double arithmetic).
+    */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(e: Column): Column =
+    sqrt(aggregate(e, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** F5: exact cosine top-k of `vecs` for each query in `queries`
+    * (both (vec_id, embedding)). Rank on round(cos,6) with vec_id
+    * tie-break so ordering is engine-stable.
+    */
+  def bruteTopK(queries: DataFrame, vecs: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col("vec_id").as("q_id"), col("embedding").as("qe"), norm(col("embedding")).as("qn")))
+    val v = vecs.select(
+      col("vec_id"), col("embedding").as("ve"), norm(col("embedding")).as("vn"))
+    val scored = v.crossJoin(q)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("qe"), col("ve")) / (col("qn") * col("vn")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component (p, d) =
+    * (h60("p_d") mod 2001 − 1000) / 1000 ∈ [−1, 1]. md5-derived so any
+    * engine (or the ScalaTest spec) regenerates the same planes.
+    */
+  def planeComponent(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${p}_${d}".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    ((h % 2001) - 1000) / 1000.0
+  }
+
+  def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map(p => (0 until dim).map(d => planeComponent(p, d)))
+
+  /** LSH bucket id: sign bit of the dot product with each hyperplane. */
+  def bucket(e: Column, pls: Seq[Seq[Double]]): Column =
+    pls.zipWithIndex.map { case (pl, idx) =>
+      val planeArr = array(pl.map(lit): _*)
+      when(dot(e, planeArr) >= 0, lit(1L << idx)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Per-table bucket ids: table t hashes with planes [t·r, t·r+r).
+    * Multiple small tables instead of one strict bucket — a neighbor
+    * only needs to collide in ONE table, which is what keeps recall
+    * usable while each table's join stays a bucket equi-join.
+    */
+  def tableBuckets(e: Column, pls: Seq[Seq[Double]], nTables: Int): Column = {
+    val perTable = pls.size / nTables
+    array((0 until nTables).map(t =>
+      bucket(e, pls.slice(t * perTable, (t + 1) * perTable))): _*)
+  }
+
+  /** F6: LSH top-k — candidates are vectors sharing any hash table's
+    * bucket with the query; only those get scored. At scale each table
+    * is a shuffle on (table, bucket) instead of a full cross join.
+    */
+  def lshTopK(queries: DataFrame, vecs: DataFrame, k: Int,
+              nPlanes: Int, dim: Int, nTables: Int = 4): DataFrame = {
+    val pls = planes(nPlanes, dim)
+    val q = broadcast(queries.select(
+      col("vec_id").as("q_id"), col("embedding").as("qe"),
+      norm(col("embedding")).as("qn"),
+      posexplode(tableBuckets(col("embedding"), pls, nTables)).as(Seq("qt", "qb"))))
+    val v = vecs.select(
+      col("vec_id"), col("embedding").as("ve"), norm(col("embedding")).as("vn"),
+      posexplode(tableBuckets(col("embedding"), pls, nTables)).as(Seq("vt", "vb")))
+    val scored = v.join(q,
+        col("qt") === col("vt") && col("qb") === col("vb") &&
+          col("vec_id") =!= col("q_id"))
+      .dropDuplicates("q_id", "vec_id")
+      .withColumn("cos", dot(col("qe"), col("ve")) / (col("qn") * col("vn")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** F11: per-label L2-norm statistics over the embedding column. */
+  def normStats(vecs: DataFrame): DataFrame =
+    vecs
+      .select(col("label"), norm(col("embedding")).as("nrm"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("nrm")) - 1e-9, 4).as("avg_norm"),
+        round(min(col("nrm")), 4).as("min_norm"),
+        round(max(col("nrm")), 4).as("max_norm"))
+      .orderBy(col("label"))
+}

@@ -1,0 +1,123 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.dedup.Dedup
+import graft.similarity.Ann
+import graft.text.{Analysis, TextFns}
+
+/** Specs for the LLM-pipeline operators (SURVEY.md §2.F) on tiny
+  * hand-computed inputs.
+  */
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("h60 matches the portable md5 definition") {
+    // ('0x'||substr(md5('hello'),1,15))::BIGINT in DuckDB
+    val v = Seq("hello").toDF("s").select(TextFns.h60(col("s"))).head.getLong(0)
+    assert(v == 419982666956583591L)
+  }
+
+  def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (3L, "completely different words entirely unrelated content here now")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min doc_id per content hash (F1)") {
+    val out = Dedup.exact(docs).collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 2L), (1L, 1L), (3L, 1L)))
+  }
+
+  test("ngram jaccard finds near-dups via shingle join (F2)") {
+    val out = Dedup.ngramJaccard(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 9 tokens → 7 shingles; docs 0/1 share 6 of 8 distinct → 0.75
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(out.find(t => t._1 == 0L && t._2 == 2L).get._3 == 1.0)
+    assert(math.abs(out.head._3 - 0.75) < 1e-9)
+  }
+
+  test("minhash LSH surfaces exact and near dups, not unrelated docs (F3)") {
+    val out = Dedup.minhashLsh(spark, docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.contains((0L, 2L))) // identical docs agree on every band
+    assert(!out.exists(t => t._1 == 3L || t._2 == 3L))
+  }
+
+  test("simhash: identical docs at hamming 0, unrelated docs excluded (F4)") {
+    val out = Dedup.simhashPairs(spark, docs, 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.find(t => t._1 == 0L && t._2 == 2L).get._3 == 0L)
+    assert(!out.exists(t => t._1 == 3L || t._2 == 3L))
+  }
+
+  def vecs = Seq(
+    (0L, Array(1.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f), 0),
+    (2L, Array(0.0f, 1.0f), 1),
+    (3L, Array(-1.0f, 0.0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("brute-force cosine top-k ranks by similarity (F5)") {
+    val out = Ann.bruteTopK(vecs.filter($"vec_id" === 0), vecs, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 1, 1L), (0L, 2, 2L), (0L, 3, 3L)))
+  }
+
+  test("lsh top-k only scores same-bucket candidates (F6)") {
+    val out = Ann.lshTopK(vecs.filter($"vec_id" === 0), vecs, 3, 4, 2).collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    // opposite vector (-1,0) disagrees on every hyperplane sign → excluded
+    assert(!out.exists(_._2 == 3L))
+    assert(out.nonEmpty && out.head._2 == 1L)
+  }
+
+  test("lsh recall vs brute force on real embeddings (F6)") {
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter($"vec_id" < 5)
+    val brute = Ann.bruteTopK(q, e, 5).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Ann.lshTopK(q, e, 5, 8, 64).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.2, s"recall $recall too low")
+  }
+
+  test("language id: stopword argmax with unknown fallback (F7)") {
+    val d = Seq(
+      (0L, "der hund und die katze ist ein tier"),
+      (1L, "the cat and the dog is on a mat"),
+      (2L, "xyzzy plugh qwerty")
+    ).toDF("doc_id", "text")
+    val out = Analysis.langId(spark, d).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((0L, "de"), (1L, "en"), (2L, "unknown")))
+  }
+
+  test("quality: dup ratio and stopword ratio (F8)") {
+    val d = Seq((0L, "the the the the")).toDF("doc_id", "text")
+    val r = Analysis.quality(d).head
+    assert(r.getLong(1) == 4L) // n_tokens
+    assert(r.getDouble(2) == 0.75) // dup_ratio: 1 distinct of 4
+    assert(r.getDouble(3) == 1.0) // all stopwords
+  }
+
+  test("token counts: whitespace vs regex (F9)") {
+    val d = Seq((0L, "ab 12 x!y")).toDF("doc_id", "text")
+    val r = Analysis.tokenCounts(d).head
+    assert(r.getLong(1) == 3L)
+    assert(r.getLong(2) == 5L) // ab | 12 | x | ! | y
+  }
+
+  test("fingerprint is order-sensitive and deterministic (F10)") {
+    val d = Seq((0L, "a b c"), (1L, "c b a"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = Analysis.fingerprint(d).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out(0)._2 == out(2)._2)
+    assert(out(0)._2 != out(1)._2)
+  }
+
+  test("embed norm stats per label (F11)") {
+    val out = Ann.normStats(vecs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((0, 2L, 0.9528), (1, 2L, 1.0)))
+    // avg(|(1,0)|=1, |(0.9,0.1)|=0.90554) = 0.95277
+  }
+}
