@@ -58,7 +58,11 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => L.textQuality(s, dir)),
     "text_tokens" -> ((s, dir) => L.textTokens(s, dir)),
     "text_fingerprint" -> ((s, dir) => L.textFingerprint(s, dir)),
-    "embed_norm_stats" -> ((s, dir) => L.embedNormStats(s, dir))
+    "embed_norm_stats" -> ((s, dir) => L.embedNormStats(s, dir)),
+    // G. streaming (batch twin) + F12 multimodal plumbing
+    "stream_rollup" -> ((s, dir) => T.streamRollup(s, dir)),
+    "multimodal_pipeline" -> ((s, dir) =>
+      graft.multimodal.BinaryPipeline.pipelineSummary(s, graft.core.Tables.documents(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -110,6 +114,12 @@ object SparkEntry {
     .map(w => s"'$w'").mkString(", ")
 
   def oracleSql: Map[String, String] = Map(
+    // ---- G. streaming batch twin ----
+    "stream_rollup" ->
+      s"""WITH $M
+         |SELECT path, ts - ts%600 AS bucket, round(avg(value) - 1e-9,4) AS value,
+         | count(*) AS npoints
+         |FROM m GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     // ---- F. LLM-pipeline operators ----
     "dedup_exact" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS n

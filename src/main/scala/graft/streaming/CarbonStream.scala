@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.tsdb.{Carbon, Rollup}
+
+/** Structured-Streaming re-expression of the carbon-cache ingest loop
+  * (/root/reference/L_DataCache.lua:161-200): plaintext lines → parse →
+  * event-time watermark → windowed rollup aggregation.
+  *
+  * The same plan builds from a batch OR streaming source (`lines` from
+  * `readStream` vs `read`): in streaming mode the watermark bounds
+  * state for the windowed agg (map-side partial agg + state store
+  * keyed by (path, window) — exactly the cache's per-metric buffer,
+  * but distributed and fault-tolerant).
+  */
+object CarbonStream {
+
+  /** Rollup of a line stream at `step`-second windows. `window()` start
+    * is epoch-aligned, so batch output equals `Rollup.rollup` buckets.
+    */
+  def rollupStream(lines: DataFrame, step: Long, method: String, now: Long,
+                   watermark: String = "1 hour"): DataFrame = {
+    val parsed = Carbon.parse(lines, now)
+      .withColumn("event_time", timestamp_seconds(col("ts")))
+    val withWm =
+      if (parsed.isStreaming) parsed.withWatermark("event_time", watermark)
+      else parsed
+    withWm
+      .groupBy(col("path"), window(col("event_time"), s"$step seconds"))
+      .agg(
+        Rollup.aggExpr(method, col("ts"), col("value")).as("value"),
+        count(lit(1)).as("npoints"))
+      .select(col("path"),
+        col("window.start").cast("long").as("bucket"),
+        col("value"), col("npoints"))
+  }
+
+  /** Streaming dedup of parsed datapoints: drop (path, ts) repeats
+    * within the watermark horizon (G2).
+    */
+  def dedupStream(lines: DataFrame, now: Long, watermark: String = "1 hour"): DataFrame = {
+    val parsed = Carbon.parse(lines, now)
+      .withColumn("event_time", timestamp_seconds(col("ts")))
+    val withWm =
+      if (parsed.isStreaming) parsed.withWatermark("event_time", watermark)
+      else parsed
+    withWm.dropDuplicates("path", "ts")
+  }
+}

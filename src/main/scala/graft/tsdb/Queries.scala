@@ -204,4 +204,19 @@ object Queries {
   /** D2: weekly partition bucketing + per-week stats. */
   def dmWeekly(spark: SparkSession, dir: String): DataFrame =
     Datamine.weekly(Tables.metrics(spark, dir))
+
+  /** G1 batch twin: the streaming carbon-cache plan (parse → windowed
+    * rollup) run over a batch line source — identical plan shape to the
+    * readStream version, so the DuckDB oracle verifies the streaming
+    * logic's semantics.
+    */
+  def streamRollup(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.metrics(spark, dir).select(
+      concat(col("path"), lit(" "), col("value").cast("string"),
+        lit(" "), col("ts").cast("string")).as("line"))
+    graft.streaming.CarbonStream.rollupStream(lines, 600L, "average", Now)
+      .select(col("path"), col("bucket"),
+        round(col("value") - Eps, 4).as("value"), col("npoints"))
+      .orderBy(col("path"), col("bucket"))
+  }
 }
