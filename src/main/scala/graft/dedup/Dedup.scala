@@ -83,21 +83,21 @@ object Dedup {
 
   /** F4: 60-bit SimHash (md5-derived token hashes keep the DuckDB
     * oracle bit-identical) + 4×15-bit band blocking; pairs within
-    * hamming ≤ maxHamming. Bit sums use an explode over 60 positions —
-    * one shuffle keyed by (doc, bit).
+    * hamming ≤ maxHamming. All 60 bit-sums are aggregate expressions in
+    * ONE groupBy(doc) — a single map-side-combined shuffle over the
+    * token rows, not a 60× explode.
     */
   def simhash(spark: SparkSession, docs: DataFrame): DataFrame = {
-    import spark.implicits._
     val th = docs
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
       .select(col("doc_id"), h60(col("tok")).as("h"))
-    val bits = broadcast(spark.range(60).toDF("j"))
-    val sums = th.crossJoin(bits)
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(when(expr("(h >> cast(j AS int)) & 1") === 1, 1).otherwise(-1)).as("s"))
-    sums
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, cast(j AS int))")).otherwise(0L)).as("simhash"))
+    val bitSums = (0 until 60).map(j =>
+      sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"s$j"))
+    val simBits = (0 until 60).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+    th.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), simBits.reduce(_ + _).as("simhash"))
   }
 
   def simhashPairs(spark: SparkSession, docs: DataFrame, maxHamming: Int): DataFrame = {
