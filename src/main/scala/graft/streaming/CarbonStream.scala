@@ -37,6 +37,22 @@ object CarbonStream {
         col("value"), col("npoints"))
   }
 
+  /** Ingest sink: parsed datapoints land as day-partitioned parquet —
+    * the same layout `graft.tsdb.MetricStore` fetches with partition
+    * pruning. Returns the started query (caller awaits/stops).
+    */
+  def ingestSink(lines: DataFrame, now: Long, dir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val parsed = Carbon.parse(lines, now)
+      .withColumn("day", col("ts") - col("ts") % 86400L)
+    parsed.writeStream
+      .partitionBy("day")
+      .option("checkpointLocation", checkpoint)
+      .format("parquet")
+      .option("path", dir)
+      .start()
+  }
+
   /** Streaming dedup of parsed datapoints: drop (path, ts) repeats
     * within the watermark horizon (G2).
     */

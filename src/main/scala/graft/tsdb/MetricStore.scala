@@ -1,0 +1,72 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized metric storage — the 100 TB posture (SURVEY.md §6).
+  *
+  * Raw points and each rollup archive persist as parquet partitioned by
+  * day bucket, so a fetch prunes partitions by time range before any IO,
+  * and the path predicate reaches the parquet scan: globs compile to an
+  * `rlike` PLUS a literal-prefix `startswith` conjunct — parquet can't
+  * push regexes, but it pushes StringStartsWith, which covers the
+  * common `host.cpu.*`-shaped queries' IO.
+  */
+object MetricStore {
+
+  val DaySeconds = 86400L
+
+  /** Day-partitioned write of raw (path, ts, value) points. Repartition
+    * by day first so each partition directory gets one task's files,
+    * not numPartitions tiny ones.
+    */
+  def writeMetrics(metrics: DataFrame, dir: String): Unit =
+    metrics
+      .withColumn("day", col("ts") - col("ts") % DaySeconds)
+      .repartition(col("day"))
+      .write.partitionBy("day").mode("overwrite").parquet(dir)
+
+  /** Materialize the whole archive cascade under `root/step=<s>/`,
+    * each level day-partitioned and derived from the previous level.
+    */
+  def writeArchives(metrics: DataFrame, spec: Seq[Retention.Archive],
+                    method: String, xff: Double, root: String): Unit =
+    Rollup.archives(metrics, spec, method, xff).zip(spec).foreach {
+      case (archive, a) =>
+        archive
+          .withColumn("day", col("bucket") - col("bucket") % DaySeconds)
+          .repartition(col("day"))
+          .write.partitionBy("day").mode("overwrite")
+          .parquet(s"$root/step=${a.secondsPerPoint}")
+    }
+
+  /** Glob → scan-pushable predicate: rlike for exactness, plus the
+    * glob's literal prefix as a startswith conjunct (pushed as
+    * StringStartsWith; EqualTo when the glob has no metacharacters).
+    */
+  def pathPredicate(target: String): Column = {
+    val metaIdx = target.indexWhere(c => "*?{".indexOf(c) >= 0)
+    val exact = col("path").rlike(Glob.queryToRegex(target, allowDeeper = false))
+    if (metaIdx < 0) col("path") === target
+    else if (metaIdx > 0) col("path").startsWith(target.substring(0, metaIdx)) && exact
+    else exact
+  }
+
+  /** Fetch from the materialized store: archive selection as in
+    * Fetch.select, then a pruned scan of just that archive level and
+    * day range, then the dense grid join.
+    */
+  def fetchStored(spark: SparkSession, root: String, spec: Seq[Retention.Archive],
+                  target: String, fromTime: Long, untilTime: Long, now: Long): DataFrame =
+    Fetch.select(spec, fromTime, untilTime, now) match {
+      case None => spark.emptyDataFrame
+      case Some(Fetch.Clamped(from, until, archive)) =>
+        val step = archive.secondsPerPoint
+        val fromQ = from - from % step
+        val untilQ = until - until % step
+        val scan = spark.read.parquet(s"$root/step=$step")
+          .filter(col("day").between(fromQ - fromQ % DaySeconds, untilQ)) // partition pruning
+          .filter(pathPredicate(target))
+        Fetch.fetchDense(spark, scan, step, from, until)
+    }
+}

@@ -48,6 +48,24 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("ingest sink lands day-partitioned parquet") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val source = MemoryStream[String]
+    val query = CarbonStream.ingestSink(source.toDF().toDF("line"), 999L,
+      s"$dir/data", s"$dir/ckpt")
+    try {
+      source.addData("a.b 1.0 100", "c.d 2.0 90000")
+      query.processAllAvailable()
+    } finally query.stop()
+    val out = spark.read.parquet(s"$dir/data")
+    assert(out.count() == 2)
+    // partition directories by day bucket: 0 and 86400
+    // partition values come back type-inferred from directory names
+    val days = out.selectExpr("cast(day AS bigint)").distinct().collect().map(_.getLong(0)).sorted
+    assert(days.toSeq == Seq(0L, 86400L))
+  }
+
   test("batch and streaming rollup plans agree (G1)") {
     implicit val sqlCtx = spark.sqlContext
     val lines = Seq("a.b 1.0 100", "a.b 3.0 130", "a.b 5.0 700").toDF("line")
