@@ -61,17 +61,22 @@ object Dedup {
   /** F3: MinHash signature + LSH banding → candidate pairs. Docs agree
     * on a band iff all `bandRows` signature slots match; the band
     * signature join is the scale path (shuffle keyed by band hash).
+    * All 12 signature slots are min-aggregates in ONE groupBy(doc) —
+    * a single map-side-combined shuffle, not a 12× params cross join.
     */
   def minhashLsh(spark: SparkSession, docs: DataFrame): DataFrame = {
-    import spark.implicits._
-    val params = broadcast(minhashParams.toDF("i", "a", "b"))
     val h = docShingles(docs).select(col("doc_id"), h31(col("shingle")).as("hv"))
-    val sigs = h.crossJoin(params)
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min((col("a") * col("hv") + col("b")) % P31).as("mh"))
-    val bands = sigs
-      .groupBy(col("doc_id"), floor(col("i") / bandRows).as("band"))
-      .agg(expr("md5(concat_ws(',', transform(sort_array(collect_list(struct(i, mh))), s -> cast(s.mh AS string))))").as("bh"))
+    val slotAggs = minhashParams.map { case (i, a, b) =>
+      min((lit(a) * col("hv") + lit(b)) % P31).as(s"mh$i")
+    }
+    val sigRow = h.groupBy(col("doc_id")).agg(slotAggs.head, slotAggs.tail: _*)
+    val nBands = minhashParams.size / bandRows
+    val bandCols = (0 until nBands).map { b =>
+      md5(concat_ws(",",
+        (0 until bandRows).map(r => col(s"mh${b * bandRows + r}").cast("string")): _*))
+    }
+    val bands = sigRow
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
