@@ -37,6 +37,8 @@ object SparkEntry {
     "ts_multi_archive" -> ((s, dir) => T.multiArchive(s, dir)),
     "ts_fetch" -> ((s, dir) => T.fetch(s, dir)),
     "ts_info" -> ((s, dir) => T.info(s, dir)),
+    "ts_upsert" -> ((s, dir) => T.upsert(s, dir)),
+    "carbon_e2e" -> ((s, dir) => T.carbonE2e(s, dir)),
     // C. Graphite metrics API
     "metrics_find" -> ((s, dir) => T.metricsFind(s, dir)),
     "metrics_expand" -> ((s, dir) => T.metricsExpand(s, dir)),
@@ -273,6 +275,38 @@ object SparkEntry {
       s"""WITH $M
          |SELECT path, min(ts) AS earliest, max(ts) AS latest, count(*) AS n
          |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ts_upsert" ->
+      s"""WITH $M,
+         |inc AS (SELECT path, ts, value*2 AS value FROM m WHERE ts % 3 = 0),
+         |u AS (SELECT path, ts, value, 0 AS src FROM m
+         |      UNION ALL SELECT path, ts, value, 1 AS src FROM inc)
+         |SELECT path, ts, round((max(struct_pack(s := src, v := value))).v, 4) AS value
+         |FROM u GROUP BY 1,2 ORDER BY 1,2,3""".stripMargin,
+    "carbon_e2e" ->
+      s"""WITH $M,
+         |rew AS (SELECT CASE
+         |   WHEN regexp_matches(path, '^vera\\.u1\\.') THEN regexp_replace(path, '^vera\\.u1\\.', 'vera.user-one.')
+         |   WHEN regexp_matches(path, '^vera\\.u2\\.') THEN regexp_replace(path, '^vera\\.u2\\.', 'vera.user-two.')
+         |   ELSE path END AS p1, ts, value FROM m),
+         |rw AS (SELECT CASE
+         |   WHEN regexp_matches(p1, '\\.click$$') THEN regexp_replace(p1, '\\.click$$', '.clicks')
+         |   ELSE p1 END AS path, ts, value FROM rew),
+         |ruled AS (SELECT path, ts, value,
+         |  CASE WHEN regexp_matches(path, '.*\\.clicks$$') THEN 'sum'
+         |       WHEN regexp_matches(path, '^vera\\.user-(one|two)\\.') THEN 'last'
+         |       ELSE 'average' END AS agg_method,
+         |  CASE WHEN regexp_matches(path, '.*\\.clicks$$') THEN 60
+         |       WHEN regexp_matches(path, '^vera\\.user-(one|two)\\.') THEN 10
+         |       ELSE 3600 END AS step
+         | FROM rw)
+         |SELECT path, ts - ts%step AS bucket, agg_method,
+         | round(CASE agg_method
+         |   WHEN 'sum' THEN sum(value)
+         |   WHEN 'last' THEN (max(struct_pack(t := ts, v := value))).v
+         |   ELSE avg(value) END - 1e-9, 4) AS value,
+         | count(*) AS npoints
+         |FROM ruled GROUP BY path, ts - ts%step, agg_method
+         |ORDER BY 1,2""".stripMargin,
     // ---- C. Graphite metrics API ----
     "metrics_find" ->
       s"""WITH $M, p AS (SELECT DISTINCT path FROM m),

@@ -205,6 +205,61 @@ object Queries {
   def dmWeekly(spark: SparkSession, dir: String): DataFrame =
     Datamine.weekly(Tables.metrics(spark, dir))
 
+  /** B11: Whisper slot-overwrite (upsert) — incoming rewrites of every
+    * 3rd-second point override the stored values, last-write-wins.
+    */
+  def upsert(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.metrics(spark, dir)
+    val incoming = m.filter(col("ts") % 3 === 0)
+      .withColumn("value", col("value") * 2)
+    Rollup.upsert(m, incoming)
+      .select(col("path"), col("ts"), round(col("value"), 4).as("value"))
+      .orderBy(col("path"), col("ts"), col("value"))
+  }
+
+  /** Rule set for the end-to-end pipeline: patterns match the
+    * *rewritten* namespace (rewrite precedes schema match on ingest,
+    * L_DataCache.lua:161-200).
+    */
+  val e2eRules = Seq(
+    Carbon.SchemaRule("clicks", ".*\\.clicks$", "1m:1d,10m:7d", "sum", 0.3),
+    Carbon.SchemaRule("users12", "^vera\\.user-(one|two)\\.", "10s:1h", "last", 0.1))
+
+  /** A5/e2e: the whole carbon-cache ingest path in one plan — plaintext
+    * parse → [pre]/[post] rewrite → first-match storage schema → rollup
+    * at each rule's own finest resolution and aggregation method.
+    */
+  def carbonE2e(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.metrics(spark, dir).select(
+      concat(col("path"), lit(" "), col("value").cast("string"),
+        lit(" "), col("ts").cast("string")).as("line"))
+    val parsed = Carbon.parse(lines, Now)
+      .withColumn("path", Carbon.rewritePrePost(col("path"), preRules, postRules))
+    def pickStep(): org.apache.spark.sql.Column =
+      coalesce(e2eRules.map(r =>
+        when(col("path").rlike(r.pattern),
+          lit(Retention.parse(r.retentions).head.secondsPerPoint))) :+
+        lit(Retention.parse(defaultRule.retentions).head.secondsPerPoint): _*)
+    val withRule = parsed
+      .select(col("path") +: col("ts") +: col("value") +:
+        Carbon.schemaMatch(col("path"), e2eRules, defaultRule): _*)
+      .withColumn("step", pickStep())
+    withRule
+      .groupBy(col("path"), col("agg_method"),
+        (col("ts") - col("ts") % col("step")).as("bucket"))
+      .agg(
+        sum(col("value")).as("sumv"), avg(col("value")).as("avgv"),
+        max(struct(col("ts").as("t"), col("value").as("v"))).getField("v").as("lastv"),
+        count(lit(1)).as("npoints"))
+      .select(col("path"), col("bucket"), col("agg_method"),
+        round(
+          when(col("agg_method") === "sum", col("sumv"))
+            .when(col("agg_method") === "last", col("lastv"))
+            .otherwise(col("avgv")) - Eps, 4).as("value"),
+        col("npoints"))
+      .orderBy(col("path"), col("bucket"))
+  }
+
   /** G1 batch twin: the streaming carbon-cache plan (parse → windowed
     * rollup) run over a batch line source — identical plan shape to the
     * readStream version, so the DuckDB oracle verifies the streaming

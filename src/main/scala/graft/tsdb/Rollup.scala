@@ -61,6 +61,19 @@ object Rollup {
       .filter(col("npoints") >= lit(xff * expected))
   }
 
+  /** Whisper update semantics: writing a point into an occupied slot
+    * overwrites it (L_DataWhisper.lua:331-354 — the slot write is
+    * unconditional). Batch re-expression: last-write-wins per
+    * (path, ts), where `incoming` beats `existing` and value breaks
+    * remaining ties deterministically.
+    */
+  def upsert(existing: DataFrame, incoming: DataFrame): DataFrame =
+    existing.withColumn("src", lit(0))
+      .unionByName(incoming.withColumn("src", lit(1)))
+      .groupBy(col("path"), col("ts"))
+      .agg(max(struct(col("src").as("s"), col("value").as("v")))
+        .getField("v").as("value"))
+
   /** Full archive chain for a retention spec: finest level from raw,
     * each further level propagated from the previous.
     */

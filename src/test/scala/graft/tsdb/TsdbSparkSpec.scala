@@ -40,6 +40,14 @@ class TsdbSparkSpec extends SparkSpec {
     assert(loose.toSeq == Seq(0L, 120L))
   }
 
+  test("upsert: incoming slot writes override stored points (B11)") {
+    val existing = Seq(("a", 10L, 1.0), ("a", 20L, 2.0)).toDF("path", "ts", "value")
+    val incoming = Seq(("a", 10L, 9.0), ("a", 30L, 3.0)).toDF("path", "ts", "value")
+    val out = Rollup.upsert(existing, incoming)
+      .orderBy("path", "ts").collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((10L, 9.0), (20L, 2.0), (30L, 3.0)))
+  }
+
   test("fetch returns a dense null-gapped grid (B8)") {
     val spec = Retention.parse("1m:1h,10m:6h")
     val out = Fetch.fetch(spark, metrics, "a.*.v", spec, "average", 0.0,
