@@ -51,6 +51,34 @@ object Dedup {
       .orderBy(col("x"), col("y"))
   }
 
+  /** Scale-path variant of ngramJaccard: shingles appearing in more
+    * than `maxDf` documents are dropped before the pair join. At 100 TB
+    * stop-shingles dominate join fan-out (a shingle in d docs yields
+    * d²/2 candidate pairs) while contributing nothing discriminative;
+    * a pair at Jaccard ≥ τ shares many shingles, so it survives unless
+    * ALL its shared shingles are high-frequency. Documented
+    * approximation — the exact operator stays `ngramJaccard`.
+    */
+  def ngramJaccardCapped(docs: DataFrame, tau: Double, maxDf: Int): DataFrame = {
+    val sh = docShingles(docs)
+    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("shingle"))
+    val shCapped = sh.join(rare, "shingle")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = shCapped.as("a")
+      .join(shCapped.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("sa"), col("x") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("y") === col("sb.doc_id"))
+      .withColumn("jaccard", col("i") / (col("sa.n") + col("sb.n") - col("i")))
+      .filter(col("jaccard") >= tau)
+      .select(col("x"), col("y"), round(col("jaccard") - 1e-9, 4).as("jaccard"))
+      .orderBy(col("x"), col("y"))
+  }
+
   /** Fixed, engine-portable MinHash parameters: k=12 permutations
     * h_i(x) = (a_i·x + b_i) mod P31, banded 4×3 for LSH.
     */

@@ -1,0 +1,43 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The graphite_cgi request surface as a library facade
+  * (/root/reference/graphite_cgi.lua:398-407 dispatch table): a user of
+  * the reference's HTTP API calls these with the same parameters the
+  * URL would carry.
+  */
+object Api {
+
+  /** /render?target=...&from=...&until=...&format=csv|json
+    * (graphite_cgi.lua:383-396): times accept relative (`-2d`) or
+    * ISO-8601 forms; `from` defaults to -24h, `until` to now.
+    */
+  def render(spark: SparkSession, metrics: DataFrame, target: String,
+             from: Option[String], until: Option[String], format: String,
+             spec: Seq[Retention.Archive], method: String, xff: Double,
+             now: Long): DataFrame = {
+    val fromT = from.flatMap(TimeParse.getTime(_, now)).getOrElse(now - 24 * 3600)
+    val untilT = until.flatMap(TimeParse.getTime(_, now)).getOrElse(now)
+    val fetched = Glob.expandBraces(target)
+      .map(t => Fetch.fetch(spark, metrics, t, spec, method, xff, fromT, untilT, now))
+      .reduce(_ unionByName _)
+    format match {
+      case "csv" => Render.csv(fetched)
+      case "json" => Render.json(fetched)
+      case other => throw new IllegalArgumentException(s"unsupported format $other")
+    }
+  }
+
+  /** /metrics/find?query=... → (path, name, is_leaf). */
+  def find(paths: DataFrame, query: String): DataFrame =
+    Glob.expandBraces(query).map(MetricTree.find(paths, _)).reduce(_ unionByName _).distinct()
+
+  /** /metrics/expand?query=...&leavesOnly=0|1 */
+  def expand(paths: DataFrame, query: String, leavesOnly: Boolean): DataFrame =
+    Glob.expandBraces(query).map(MetricTree.expand(paths, _, leavesOnly))
+      .reduce(_ unionByName _).distinct()
+
+  /** /metrics/index.json */
+  def index(paths: DataFrame): DataFrame = MetricTree.index(paths)
+}

@@ -39,6 +39,17 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(out.head._3 - 0.75) < 1e-9)
   }
 
+  test("df-capped jaccard equals exact at high cap, subsets at low cap (F2)") {
+    val exact = Dedup.ngramJaccard(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val highCap = Dedup.ngramJaccardCapped(docs, 0.5, maxDf = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(highCap == exact)
+    val lowCap = Dedup.ngramJaccardCapped(docs, 0.5, maxDf = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lowCap.subsetOf(exact))
+  }
+
   test("minhash LSH surfaces exact and near dups, not unrelated docs (F3)") {
     val out = Dedup.minhashLsh(spark, docs).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.contains((0L, 2L))) // identical docs agree on every band
