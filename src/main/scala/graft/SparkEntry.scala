@@ -48,6 +48,7 @@ object SparkEntry {
     "render_json" -> ((s, dir) => T.renderJson(s, dir)),
     // D. dataMine bridge
     "dm_resample" -> ((s, dir) => T.dmResample(s, dir)),
+    "dm_resample_all" -> ((s, dir) => T.dmResampleAll(s, dir)),
     "dm_weekly" -> ((s, dir) => T.dmWeekly(s, dir)),
     // F. LLM-pipeline operators
     "dedup_exact" -> ((s, dir) => L.dedupExact(s, dir)),
@@ -347,6 +348,15 @@ object SparkEntry {
          |SELECT grid.t, round(pts.value,4) AS value
          |FROM grid ASOF LEFT JOIN pts ON pts.pt <= grid.t
          |ORDER BY 1""".stripMargin,
+    "dm_resample_all" ->
+      s"""WITH $MD,
+         |pts AS (SELECT path, ts AS pt, max(value) AS value FROM md GROUP BY 1,2),
+         |grid AS (SELECT p.path, CAST(floor(1704067200 + s.i*25920.0 + 0.5) AS BIGINT) AS t
+         |  FROM (SELECT DISTINCT path FROM md) p
+         |  CROSS JOIN generate_series(0,100) AS s(i))
+         |SELECT grid.path, grid.t, round(pts.value,4) AS value
+         |FROM grid ASOF LEFT JOIN pts ON pts.path = grid.path AND pts.pt <= grid.t
+         |ORDER BY 1,2""".stripMargin,
     "dm_weekly" ->
       s"""WITH $M
          |SELECT path, CAST(floor(ts/604800) AS BIGINT) AS week, count(*) AS n,

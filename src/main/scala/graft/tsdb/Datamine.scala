@@ -44,6 +44,29 @@ object Datamine {
       .select(col("t"), col("v").as("value"))
   }
 
+  /** All-channels resample: same last-sample-≤-t semantics, windowed
+    * PER PATH — the scale path (one sort per path partition, shuffle
+    * keyed by path; the single-channel `resample` keeps the reference's
+    * one-channel cursor shape).
+    */
+  def resampleAll(points: DataFrame, grid: Seq[Long]): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val pts = points
+      .groupBy(col("path"), col("ts")).agg(max(col("value")).as("value"))
+      .select(col("path"), col("ts").as("t"), col("value"), lit(0).as("is_grid"))
+    val gridDf = points.select(col("path")).distinct()
+      .crossJoin(grid.toDF("t"))
+      .select(col("path"), col("t"), lit(null).cast("double").as("value"),
+        lit(1).as("is_grid"))
+    val w = Window.partitionBy(col("path")).orderBy(col("t"), col("is_grid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.unionByName(gridDf)
+      .withColumn("v", last(col("value"), ignoreNulls = true).over(w))
+      .filter(col("is_grid") === 1)
+      .select(col("path"), col("t"), col("v").as("value"))
+  }
+
   /** dataMine per-channel filter: offset then clamp to [lower, upper]
     * (L_DataMineServer.lua:166-183); nulls pass through.
     */

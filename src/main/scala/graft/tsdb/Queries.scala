@@ -201,6 +201,15 @@ object Queries {
       .orderBy(col("t"))
   }
 
+  /** D1b: all-channel resample over the dense namespace — per-path
+    * windows, DuckDB ASOF-with-equality oracle.
+    */
+  def dmResampleAll(spark: SparkSession, dir: String): DataFrame =
+    Datamine.resampleAll(Tables.metricsDense(spark, dir),
+      Datamine.gridTimes(dmT1, Now, dmN))
+      .select(col("path"), col("t"), round(col("value"), 4).as("value"))
+      .orderBy(col("path"), col("t"))
+
   /** D2: weekly partition bucketing + per-week stats. */
   def dmWeekly(spark: SparkSession, dir: String): DataFrame =
     Datamine.weekly(Tables.metrics(spark, dir))
