@@ -1,0 +1,76 @@
+package graft.tsdb
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import scala.util.Try
+
+/** Property tests: the glob compiler against an independent naive
+  * matcher, and the retention parser/formatter roundtrip over randomly
+  * generated valid archive chains.
+  */
+object GlobProps extends Properties("Glob") {
+
+  // independent reference implementation of component glob matching
+  private def compMatch(g: String, s: String): Boolean =
+    if (g.isEmpty) s.isEmpty
+    else g.head match {
+      case '*' => (0 to s.length).exists(i => compMatch(g.tail, s.drop(i)))
+      case '?' => s.nonEmpty && compMatch(g.tail, s.tail)
+      case '{' =>
+        val close = g.indexOf('}')
+        g.substring(1, close).split(",").filter(_.nonEmpty)
+          .exists(a => compMatch(a + g.substring(close + 1), s))
+      case c => s.nonEmpty && s.head == c && compMatch(g.tail, s.tail)
+    }
+
+  private def globMatch(q: String, p: String): Boolean = {
+    val qs = q.split("\\.", -1)
+    val ps = p.split("\\.", -1)
+    qs.length == ps.length && qs.zip(ps).forall { case (g, s) => compMatch(g, s) }
+  }
+
+  private val comp = Gen.oneOf("a", "b", "ab", "ba", "aab")
+  private val globComp = Gen.oneOf("*", "?", "a", "b", "ab", "a*", "*b", "?b", "{a,b}", "{ab,b}a")
+  private val path = Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, comp)).map(_.mkString("."))
+  private val query = Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, globComp)).map(_.mkString("."))
+
+  property("compiled regex agrees with naive matcher") =
+    forAll(query, path) { (q, p) =>
+      p.matches(Glob.queryToRegex(q, allowDeeper = false)) == globMatch(q, p)
+    }
+
+  // brace-only queries (no * / ?) expand into literal paths — each
+  // expansion must be brace-free and matched by the original query
+  private val braceComp = Gen.oneOf("a", "ab", "{a,b}", "{ab,b}a", "b{a,ab}")
+  private val braceQuery = Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, braceComp)).map(_.mkString("."))
+
+  property("brace expansions are literal paths matched by the original query") =
+    forAll(braceQuery) { q =>
+      val re = Glob.queryToRegex(q, allowDeeper = false)
+      val exp = Glob.expandBraces(q)
+      exp.nonEmpty && exp.forall(e => !e.contains("{") && e.matches(re))
+    }
+}
+
+object RetentionProps extends Properties("Retention") {
+
+  private val archive: Gen[Retention.Archive] = for {
+    step <- Gen.oneOf(1L, 2L, 5L, 10L, 30L, 60L, 300L, 600L, 3600L, 86400L)
+    points <- Gen.choose(1L, 500L)
+  } yield Retention.Archive(step, points)
+
+  private val validChain: Gen[Seq[Retention.Archive]] =
+    Gen.choose(1, 3)
+      .flatMap(n => Gen.listOfN(n, archive))
+      .map(as => Try(Retention.validate(as)).toOption)
+      .suchThat(_.isDefined).map(_.get)
+
+  property("format∘parse is identity on valid chains") =
+    forAll(validChain) { as => Retention.parse(Retention.format(as)) == as }
+
+  property("parse result is sorted by precision") =
+    forAll(validChain) { as =>
+      val steps = Retention.parse(Retention.format(as)).map(_.secondsPerPoint)
+      steps == steps.sorted
+    }
+}
