@@ -186,8 +186,8 @@ object SparkEntry {
       s"""WITH $TK
          |SELECT doc_id,
          | CAST(len(toks) AS BIGINT) AS n_tokens,
-         | round(1.0 - len(list_distinct(toks))*1.0/len(toks) - 1e-9, 4) AS dup_ratio,
-         | round(len(list_filter(toks, x -> x IN ($EnStopwordList)))*1.0/len(toks) - 1e-9, 4) AS stopword_ratio,
+         | round(1.0 - len(list_distinct(toks))*1.0/len(toks) - 1e-9, 4) + 0.0 AS dup_ratio,
+         | round(len(list_filter(toks, x -> x IN ($EnStopwordList)))*1.0/len(toks) - 1e-9, 4) + 0.0 AS stopword_ratio,
          | round(0.3*least(len(toks)*1.0/100, 1.0)
          |     + 0.3*(len(list_distinct(toks))*1.0/len(toks))
          |     + 0.2*(len(list_filter(toks, x -> x IN ($EnStopwordList)))*1.0/len(toks))
@@ -411,7 +411,7 @@ object SparkEntry {
         |  t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap
         | FROM e)
         |SELECT user_id,
-        | sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+        | CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         | count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
   )

@@ -77,7 +77,7 @@ object Relational {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 2)
       .select(
-        col("o_custkey"), col("rk"), col("o_orderkey"),
+        col("o_custkey"), col("rk").cast("long").as("rk"), col("o_orderkey"),
         round(col("o_totalprice"), 4).as("totalprice"))
       .orderBy(col("o_custkey"), col("rk"))
   }

@@ -41,7 +41,8 @@ object Ann {
     scored
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk"), col("vec_id"), round(col("cos"), 4).as("cos"))
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id"),
+        round(col("cos"), 4).as("cos"))
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -103,7 +104,8 @@ object Ann {
     scored
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk"), col("vec_id"), round(col("cos"), 4).as("cos"))
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id"),
+        round(col("cos"), 4).as("cos"))
       .orderBy(col("q_id"), col("rk"))
   }
 

@@ -7,15 +7,17 @@ NOT part of the Spark library (driver-side tooling only).
 
 Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
 """
-import sys, json, glob, os
+import sys, json, glob, os, struct
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
 def norm(v):
+    # Driver's hash is byte-representation-sensitive: -0.0 != 0.0 there.
+    # Compare the IEEE bytes of the rounded double, not its numeric value.
     if isinstance(v, float):
-        return round(v, 4)
+        return struct.pack("<d", round(v, 4)).hex()
     return v
 
 
@@ -43,6 +45,19 @@ def main(sf_dir, out_dir):
             continue
         if sorted(got_cols) != sorted(want_cols):
             print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(want_cols)}")
+            n_fail += 1
+            continue
+        # type check: DuckDB sum(INTEGER) yields HUGEINT (int128) which the
+        # driver's representation-sensitive hash distinguishes from BIGINT
+        gt = dict(
+            (r[0], r[1]) for r in
+            con.execute(f"DESCRIBE SELECT * FROM '{files[0]}'").fetchall())
+        wt = dict(
+            (r[0], r[1]) for r in
+            con.execute(f"DESCRIBE {oracles[name]}").fetchall())
+        tdiff = [(c, gt.get(c), wt.get(c)) for c in gt if gt.get(c) != wt.get(c)]
+        if tdiff:
+            print(f"FAIL {name}: column types differ: {tdiff}")
             n_fail += 1
             continue
         # driver sorts columns by name before hashing values
