@@ -21,7 +21,11 @@ object Tables {
     * microsecond TimestampType (truncation matches DuckDB's floor-epoch).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Session builders (Verify/Bench/specs) set this up front; the guarded
+    // set here only covers externally-built sessions, without re-mutating
+    // session state on every load.
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(spark, dir, "events")
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))

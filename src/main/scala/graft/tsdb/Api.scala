@@ -29,13 +29,23 @@ object Api {
     }
   }
 
+  /** Braces whose alternatives stay within one path component compile
+    * into the single find regex — one scan instead of one scan per
+    * expansion. Only dotted alternatives (rare) need real expansion.
+    */
+  private def bracesNeedExpansion(query: String): Boolean =
+    """\{[^}]*\.[^}]*\}""".r.findFirstIn(query).isDefined
+
   /** /metrics/find?query=... → (path, name, is_leaf). */
   def find(paths: DataFrame, query: String): DataFrame =
-    Glob.expandBraces(query).map(MetricTree.find(paths, _)).reduce(_ unionByName _).distinct()
+    if (!bracesNeedExpansion(query)) MetricTree.find(paths, query)
+    else Glob.expandBraces(query).map(MetricTree.find(paths, _))
+      .reduce(_ unionByName _).distinct()
 
   /** /metrics/expand?query=...&leavesOnly=0|1 */
   def expand(paths: DataFrame, query: String, leavesOnly: Boolean): DataFrame =
-    Glob.expandBraces(query).map(MetricTree.expand(paths, _, leavesOnly))
+    if (!bracesNeedExpansion(query)) MetricTree.expand(paths, query, leavesOnly)
+    else Glob.expandBraces(query).map(MetricTree.expand(paths, _, leavesOnly))
       .reduce(_ unionByName _).distinct()
 
   /** /metrics/index.json */

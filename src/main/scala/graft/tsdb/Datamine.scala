@@ -19,53 +19,67 @@ object Datamine {
     (0 until n).map(i => math.floor(t1 + i * dt + 0.5).toLong)
   }
 
-  /** Resample one channel to the grid: value at grid time t = latest
-    * sample with ts <= t (L_DataMineServer.lua:148-164), null before the
-    * first sample. Implemented as the union + running-last-value window
-    * (a single sort per channel — scales by partitioning on path), not a
-    * per-point lookup.
+  /** Grid-bucket index for a point timestamp: the smallest i with
+    * grid(i) >= ts, null when ts lies beyond the last grid time.
     *
-    * Points are first deduplicated per second via deterministic max
-    * (the reference's cursor sees one value per timestamp).
+    * Pure codegen arithmetic: an initial guess from the uniform grid
+    * spacing, then a ±2 candidate window validated against the actual
+    * grid times (covers the floor(+0.5) rounding of `gridTimes` plus
+    * the spacing reconstructed from the grid endpoints). Requires a
+    * uniform `gridTimes`-shaped grid with spacing ≥ 1s.
     */
-  def resample(points: DataFrame, grid: Seq[Long]): DataFrame = {
-    val spark = points.sparkSession
-    import spark.implicits._
-    val pts = points
-      .groupBy(col("ts")).agg(max(col("value")).as("value"))
-      .select(col("ts").as("t"), col("value"), lit(0).as("is_grid"))
-    val gridDf = grid.toDF("t").select(col("t"),
-      lit(null).cast("double").as("value"), lit(1).as("is_grid"))
-    val w = Window.orderBy(col("t"), col("is_grid"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    pts.unionByName(gridDf)
-      .withColumn("v", last(col("value"), ignoreNulls = true).over(w))
-      .filter(col("is_grid") === 1)
-      .select(col("t"), col("v").as("value"))
+  private def bucketOf(ts: org.apache.spark.sql.Column, grid: Seq[Long]): org.apache.spark.sql.Column = {
+    val n = grid.size
+    val dt = if (n > 1) (grid.last - grid.head).toDouble / (n - 1) else 1.0
+    require(n == 1 || dt >= 1.0, s"grid spacing $dt below 1s")
+    val gridArr = array(grid.map(lit(_)): _*)
+    val guess = ceil((ts.cast("double") - grid.head.toDouble - 0.5) / dt).cast("int")
+    val gc = greatest(least(guess, lit(n - 1)), lit(0))
+    (-2 to 2).map { d =>
+      val j = gc + d
+      when(j >= 0 && j <= n - 1 && element_at(gridArr, j + 1) >= ts, j)
+    }.reduceLeft(coalesce(_, _)) // candidates ascend, so coalesce = smallest match
   }
 
-  /** All-channels resample: same last-sample-≤-t semantics, windowed
-    * PER PATH — the scale path (one sort per path partition, shuffle
-    * keyed by path; the single-channel `resample` keeps the reference's
-    * one-channel cursor shape).
+  /** Shared bucketed as-of plan over (path, ts, value): last point per
+    * (path, bucket) in ONE map-side-combined groupBy — max(struct(ts,
+    * value)) is "value at latest ts, max-value tie-break", identical to
+    * the reference cursor's dedup-per-second-then-last — then a
+    * carry-forward window over the grid-sized rows only (n_grid rows
+    * per path, never the raw points). No global sort anywhere: a
+    * billion-point channel costs one shuffle keyed (path, bucket).
     */
-  def resampleAll(points: DataFrame, grid: Seq[Long]): DataFrame = {
-    val spark = points.sparkSession
-    import spark.implicits._
-    val pts = points
-      .groupBy(col("path"), col("ts")).agg(max(col("value")).as("value"))
-      .select(col("path"), col("ts").as("t"), col("value"), lit(0).as("is_grid"))
+  private def resampleBucketed(points: DataFrame, grid: Seq[Long]): DataFrame = {
+    val gridArr = array(grid.map(lit(_)): _*)
+    val lastPer = points
+      .withColumn("b", bucketOf(col("ts"), grid))
+      .filter(col("b").isNotNull)
+      .groupBy(col("path"), col("b"))
+      .agg(max(struct(col("ts"), col("value"))).getField("value").as("value"))
     val gridDf = points.select(col("path")).distinct()
-      .crossJoin(grid.toDF("t"))
-      .select(col("path"), col("t"), lit(null).cast("double").as("value"),
-        lit(1).as("is_grid"))
-    val w = Window.partitionBy(col("path")).orderBy(col("t"), col("is_grid"))
+      .select(col("path"), posexplode(gridArr).as(Seq("b", "t")))
+    val w = Window.partitionBy(col("path")).orderBy(col("b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    pts.unionByName(gridDf)
+    gridDf.join(lastPer, Seq("path", "b"), "left")
       .withColumn("v", last(col("value"), ignoreNulls = true).over(w))
-      .filter(col("is_grid") === 1)
       .select(col("path"), col("t"), col("v").as("value"))
   }
+
+  /** Resample one channel to the grid: value at grid time t = latest
+    * sample with ts <= t (L_DataMineServer.lua:148-164), null before
+    * the first sample. Range-bucketed as-of join — see
+    * `resampleBucketed`; the carry-forward window touches only the
+    * n-point grid, never one task per channel history.
+    */
+  def resample(points: DataFrame, grid: Seq[Long]): DataFrame =
+    resampleBucketed(points.select(lit("").as("path"), col("ts"), col("value")), grid)
+      .select(col("t"), col("value"))
+
+  /** All-channels resample: same last-sample-≤-t semantics, one shuffle
+    * keyed (path, bucket) — the scale path.
+    */
+  def resampleAll(points: DataFrame, grid: Seq[Long]): DataFrame =
+    resampleBucketed(points.select(col("path"), col("ts"), col("value")), grid)
 
   /** dataMine per-channel filter: offset then clamp to [lower, upper]
     * (L_DataMineServer.lua:166-183); nulls pass through.

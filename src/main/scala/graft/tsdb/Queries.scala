@@ -134,8 +134,14 @@ object Queries {
 
   // ---- C. Graphite metrics API ------------------------------------------
 
+  /** Distinct-path set backing the metrics API. Cached: find/expand
+    * union one branch per glob query, and without the cache each branch
+    * re-runs the full events scan + distinct (the path set itself is
+    * metadata-sized). Identical plans share one cache entry across
+    * calls.
+    */
   private def paths(spark: SparkSession, dir: String): DataFrame =
-    Tables.metrics(spark, dir).select(col("path")).distinct()
+    Tables.metrics(spark, dir).select(col("path")).distinct().cache()
 
   /** C1: one-level tree find for a branch query and a leaf query. */
   def metricsFind(spark: SparkSession, dir: String): DataFrame = {
