@@ -36,6 +36,7 @@ object SparkEntry {
     "ts_xff" -> ((s, dir) => T.xff(s, dir)),
     "ts_multi_archive" -> ((s, dir) => T.multiArchive(s, dir)),
     "ts_fetch" -> ((s, dir) => T.fetch(s, dir)),
+    "ts_fetch_stored" -> ((s, dir) => T.fetchStored(s, dir)),
     "ts_info" -> ((s, dir) => T.info(s, dir)),
     "ts_upsert" -> ((s, dir) => T.upsert(s, dir)),
     "carbon_e2e" -> ((s, dir) => T.carbonE2e(s, dir)),
@@ -268,6 +269,12 @@ object SparkEntry {
          | count(*) AS npoints
          |FROM a2 GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "ts_fetch" ->
+      s"""WITH $FetchCte
+         |SELECT g.path, g.t, round(a2.value - 1e-9,4) AS value
+         |FROM g LEFT JOIN a2 ON g.path = a2.path AND g.t = a2.bucket
+         |ORDER BY 1,2""".stripMargin,
+    // the materialized-store fetch must agree with the in-plan fetch
+    "ts_fetch_stored" ->
       s"""WITH $FetchCte
          |SELECT g.path, g.t, round(a2.value - 1e-9,4) AS value
          |FROM g LEFT JOIN a2 ON g.path = a2.path AND g.t = a2.bucket

@@ -17,7 +17,8 @@ object ExplainAudit {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val names =
       if (args.length > 1) args.drop(1).toSeq
-      else Seq("q1_agg", "q3_join", "q5_multijoin", "ts_fetch", "dedup_minhash", "ann_cosine_topk")
+      else Seq("q1_agg", "q3_join", "q5_multijoin", "ts_fetch", "ts_fetch_stored",
+        "dm_resample", "dedup_minhash", "ann_cosine_topk")
     for (name <- names) {
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.explainString(FormattedMode)

@@ -41,10 +41,21 @@ object Fetch {
     * re-aliased to keep attribute ids distinct (self-join safety).
     */
   def fetchDense(spark: SparkSession, archive: DataFrame, step: Long,
-                 from: Long, until: Long): DataFrame = {
+                 from: Long, until: Long): DataFrame =
+    fetchDensePaths(archive.select(col("path")).distinct(), archive, step, from, until)
+
+  /** Dense fetch where the grid's path set comes from an explicit paths
+    * DataFrame (one `path` column) — a metric *index*, independent of
+    * which paths happen to have data inside the window. A Whisper file
+    * exists (and fetch returns all-null) even when the range is empty
+    * (L_DataWhisper.lua:525-552); deriving the grid from a time-pruned
+    * scan would silently drop idle metrics.
+    */
+  def fetchDensePaths(pathsDf: DataFrame, archive: DataFrame, step: Long,
+                      from: Long, until: Long): DataFrame = {
     val fromQ = from - from % step
     val untilQ = until - until % step
-    val grid = archive.select(col("path")).distinct()
+    val grid = pathsDf.select(col("path")).distinct()
       .select(col("path"), explode(sequence(lit(fromQ), lit(untilQ), lit(step))).as("t"))
     val arch = archive.select(col("path").as("a_path"), col("bucket"), col("value"))
     grid.join(arch, col("path") === col("a_path") && col("t") === col("bucket"), "left")

@@ -27,10 +27,13 @@ object MetricStore {
       .write.partitionBy("day").mode("overwrite").parquet(dir)
 
   /** Materialize the whole archive cascade under `root/step=<s>/`,
-    * each level day-partitioned and derived from the previous level.
+    * each level day-partitioned and derived from the previous level,
+    * plus the metric path index at `root/paths` (the finder tree's
+    * backing set — metadata-sized even at 100 TB, and the source of a
+    * fetch's grid so idle metrics still return their null rows).
     */
   def writeArchives(metrics: DataFrame, spec: Seq[Retention.Archive],
-                    method: String, xff: Double, root: String): Unit =
+                    method: String, xff: Double, root: String): Unit = {
     Rollup.archives(metrics, spec, method, xff).zip(spec).foreach {
       case (archive, a) =>
         archive
@@ -39,6 +42,9 @@ object MetricStore {
           .write.partitionBy("day").mode("overwrite")
           .parquet(s"$root/step=${a.secondsPerPoint}")
     }
+    metrics.select(col("path")).distinct().coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/paths")
+  }
 
   /** Glob → scan-pushable predicate: rlike for exactness, plus the
     * glob's literal prefix as a startswith conjunct (pushed as
@@ -54,7 +60,10 @@ object MetricStore {
 
   /** Fetch from the materialized store: archive selection as in
     * Fetch.select, then a pruned scan of just that archive level and
-    * day range, then the dense grid join.
+    * day range, then the dense grid join. The grid's path set comes
+    * from the path index (glob pushed as StringStartsWith there too),
+    * NOT the day-pruned scan — an idle metric still yields its null
+    * rows, matching Fetch.fetch and the reference's Whisper semantics.
     */
   def fetchStored(spark: SparkSession, root: String, spec: Seq[Retention.Archive],
                   target: String, fromTime: Long, untilTime: Long, now: Long): DataFrame =
@@ -64,9 +73,10 @@ object MetricStore {
         val step = archive.secondsPerPoint
         val fromQ = from - from % step
         val untilQ = until - until % step
+        val pathsDf = spark.read.parquet(s"$root/paths").filter(pathPredicate(target))
         val scan = spark.read.parquet(s"$root/step=$step")
           .filter(col("day").between(fromQ - fromQ % DaySeconds, untilQ)) // partition pruning
           .filter(pathPredicate(target))
-        Fetch.fetchDense(spark, scan, step, from, until)
+        Fetch.fetchDensePaths(pathsDf, scan, step, from, until)
     }
 }

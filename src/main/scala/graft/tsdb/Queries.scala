@@ -124,6 +124,30 @@ object Queries {
       .select(col("path"), col("t"), round(col("value") - Eps, 4).as("value"))
       .orderBy(col("path"), col("t"))
 
+  /** B8-stored: the SAME fetch as `fetch`, but through the materialized
+    * day-partitioned MetricStore — the production 100 TB posture
+    * (SURVEY.md §6): the path glob reaches the parquet scan as a
+    * StringStartsWith pushed filter and the time range prunes day
+    * partitions before any IO. Shares the ts_fetch oracle: both paths
+    * must agree with DuckDB and with each other.
+    */
+  def fetchStored(spark: SparkSession, dir: String): DataFrame = {
+    val spec = Retention.parse("10m:1d,1h:7d,1d:60d")
+    val root = java.nio.file.Paths.get(
+      "target", "graft_store", dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      .toAbsolutePath.toString
+    // write-once / fetch-many, like production: the marker is written only
+    // after a complete materialization, so a crashed write is redone
+    val marker = java.nio.file.Paths.get(root, "_GRAFT_STORE_OK")
+    if (!java.nio.file.Files.exists(marker)) {
+      MetricStore.writeArchives(Tables.metrics(spark, dir), spec, "average", 0.0, root)
+      java.nio.file.Files.writeString(marker, spec.map(_.toString).mkString(","))
+    }
+    MetricStore.fetchStored(spark, root, spec, "vera.u1?.click", fetchFrom, Now, Now)
+      .select(col("path"), col("t"), round(col("value") - Eps, 4).as("value"))
+      .orderBy(col("path"), col("t"))
+  }
+
   /** B9: per-metric interval metadata (L_DataFinders.lua:86-109). */
   def info(spark: SparkSession, dir: String): DataFrame =
     Tables.metrics(spark, dir)
