@@ -37,6 +37,8 @@ object SparkEntry {
     "ts_multi_archive" -> ((s, dir) => T.multiArchive(s, dir)),
     "ts_fetch" -> ((s, dir) => T.fetch(s, dir)),
     "ts_fetch_stored" -> ((s, dir) => T.fetchStored(s, dir)),
+    "ts_fetch_sum_zero" -> ((s, dir) => T.fetchSumZero(s, dir)),
+    "ts_fetch_last_hold" -> ((s, dir) => T.fetchLastHold(s, dir)),
     "ts_info" -> ((s, dir) => T.info(s, dir)),
     "ts_upsert" -> ((s, dir) => T.upsert(s, dir)),
     "carbon_e2e" -> ((s, dir) => T.carbonE2e(s, dir)),
@@ -86,14 +88,18 @@ object SparkEntry {
        | count(*) AS npoints
        |FROM m GROUP BY 1,2 ORDER BY 1,2""".stripMargin
 
-  /** The B8 fetch pipeline as DuckDB CTEs (shared by ts_fetch / render_csv). */
-  private val FetchCte =
+  /** The B8 fetch pipeline as DuckDB CTEs (shared by ts_fetch / render_csv),
+    * parameterized on the per-level aggregate (avg for method=average,
+    * sum for sum, last-point-in-bucket for last).
+    */
+  private def fetchCteAgg(a1Expr: String, a2Expr: String): String =
     s"""$M,
        |f AS (SELECT * FROM m WHERE regexp_matches(path, '^vera\\.u1[^.]\\.click$$')),
-       |a1 AS (SELECT path, ts - ts%600 AS bucket, avg(value) AS value FROM f GROUP BY 1,2),
-       |a2 AS (SELECT path, bucket - bucket%3600 AS bucket, avg(value) AS value FROM a1 GROUP BY 1,2),
+       |a1 AS (SELECT path, ts - ts%600 AS bucket, $a1Expr AS value FROM f GROUP BY 1,2),
+       |a2 AS (SELECT path, bucket - bucket%3600 AS bucket, $a2Expr AS value FROM a1 GROUP BY 1,2),
        |p AS (SELECT DISTINCT path FROM f),
        |g AS (SELECT p.path, s.t FROM p CROSS JOIN generate_series(1706097600, 1706659200, 3600) AS s(t))""".stripMargin
+  private val FetchCte = fetchCteAgg("avg(value)", "avg(value)")
 
   /** Shared DuckDB CTEs for the documents table: tokens + distinct
     * 3-word shingles (mirrors graft.text.TextFns).
@@ -277,6 +283,24 @@ object SparkEntry {
     "ts_fetch_stored" ->
       s"""WITH $FetchCte
          |SELECT g.path, g.t, round(a2.value - 1e-9,4) AS value
+         |FROM g LEFT JOIN a2 ON g.path = a2.path AND g.t = a2.bucket
+         |ORDER BY 1,2""".stripMargin,
+    // method=sum: gaps read as zero (L_DataGraph.lua:173); `+ 0.0`
+    // normalizes DuckDB's round(0 - eps) = -0.0 to the +0.0 Spark writes
+    "ts_fetch_sum_zero" ->
+      s"""WITH ${fetchCteAgg("sum(value)", "sum(value)")}
+         |SELECT g.path, g.t, round(COALESCE(a2.value, 0.0) - 1e-9,4) + 0.0 AS value
+         |FROM g LEFT JOIN a2 ON g.path = a2.path AND g.t = a2.bucket
+         |ORDER BY 1,2""".stripMargin,
+    // method=last: gaps hold the previous value (L_DataGraph.lua:173);
+    // leading gaps (nothing to hold yet) stay null
+    "ts_fetch_last_hold" ->
+      s"""WITH ${fetchCteAgg(
+              "(max(struct_pack(t := ts, v := value))).v",
+              "(max(struct_pack(t := bucket, v := value))).v")}
+         |SELECT g.path, g.t, round(last_value(a2.value IGNORE NULLS) OVER (
+         |  PARTITION BY g.path ORDER BY g.t
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1e-9,4) AS value
          |FROM g LEFT JOIN a2 ON g.path = a2.path AND g.t = a2.bucket
          |ORDER BY 1,2""".stripMargin,
     "ts_info" ->

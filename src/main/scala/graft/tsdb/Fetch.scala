@@ -1,6 +1,7 @@
 package graft.tsdb
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Whisper fetch(from, until): clamp the request window, select the
@@ -62,9 +63,42 @@ object Fetch {
       .select(col("path"), col("t"), col("value"))
   }
 
+  /** Missing-value policy implied by the aggregation method
+    * (L_DataGraph.lua:172-173): `average` leaves gaps null, `sum` reads
+    * a gap as zero, `last`/`max`/`min` hold the previous value. A
+    * *query-semantics* feature in the reference, not presentation: the
+    * returned values differ by method.
+    */
+  def gapPolicy(method: String): String = method match {
+    case "sum"                  => "zero"
+    case "last" | "max" | "min" => "hold"
+    case _                      => "null"
+  }
+
+  /** Drawing mode implied by the aggregation method (L_DataGraph.lua:172):
+    * `average` connects points, everything else is a staircase.
+    */
+  def drawMode(method: String): String =
+    if (method == "average") "connected" else "staircase"
+
+  /** Apply a gap policy to a dense (path, t, value) series. `hold` is a
+    * per-path carry-forward window — the partition is one metric's rows
+    * inside one fetch window (grid-sized, thousands of rows at most), so
+    * the sort never concentrates the dataset on one task.
+    */
+  def fillGaps(dense: DataFrame, policy: String): DataFrame = policy match {
+    case "zero" => dense.withColumn("value", coalesce(col("value"), lit(0.0)))
+    case "hold" =>
+      val w = Window.partitionBy(col("path")).orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dense.withColumn("value", last(col("value"), ignoreNulls = true).over(w))
+    case _ => dense
+  }
+
   /** End-to-end fetch for a glob target over raw metrics: filter paths
     * (scan-pushed rlike), build the archive cascade, select the archive
-    * for the window, return the dense series.
+    * for the window, return the dense series with the method's gap
+    * policy applied.
     */
   def fetch(spark: SparkSession, metrics: DataFrame, target: String,
             spec: Seq[Retention.Archive], method: String, xff: Double,
@@ -76,7 +110,8 @@ object Fetch {
       case Some(Clamped(from, until, archive)) =>
         val idx = spec.indexOf(archive)
         val arch = Rollup.archives(matched, spec.take(idx + 1), method, xff).last
-        fetchDense(spark, arch, archive.secondsPerPoint, from, until)
+        fillGaps(fetchDense(spark, arch, archive.secondsPerPoint, from, until),
+          gapPolicy(method))
     }
   }
 }

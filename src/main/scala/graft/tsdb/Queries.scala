@@ -148,6 +148,29 @@ object Queries {
       .orderBy(col("path"), col("t"))
   }
 
+  /** B8-gapfill: the same window fetched with method=sum — a gap means
+    * "nothing accumulated", so it reads as zero (L_DataGraph.lua:173:
+    * sum→zero). The oracle normalizes its round's -0.0 with `+ 0.0`
+    * (DuckDB round(0 - eps) is negative zero; Spark's is positive).
+    */
+  def fetchSumZero(spark: SparkSession, dir: String): DataFrame =
+    Fetch.fetch(spark, Tables.metrics(spark, dir), "vera.u1?.click",
+      Retention.parse("10m:1d,1h:7d,1d:60d"), "sum", 0.0,
+      fetchFrom, Now, Now)
+      .select(col("path"), col("t"), round(col("value") - Eps, 4).as("value"))
+      .orderBy(col("path"), col("t"))
+
+  /** B8-gapfill: method=last holds the previous value across gaps
+    * (L_DataGraph.lua:173: last→hold); leading gaps with nothing to
+    * hold stay null.
+    */
+  def fetchLastHold(spark: SparkSession, dir: String): DataFrame =
+    Fetch.fetch(spark, Tables.metrics(spark, dir), "vera.u1?.click",
+      Retention.parse("10m:1d,1h:7d,1d:60d"), "last", 0.0,
+      fetchFrom, Now, Now)
+      .select(col("path"), col("t"), round(col("value") - Eps, 4).as("value"))
+      .orderBy(col("path"), col("t"))
+
   /** B9: per-metric interval metadata (L_DataFinders.lua:86-109). */
   def info(spark: SparkSession, dir: String): DataFrame =
     Tables.metrics(spark, dir)

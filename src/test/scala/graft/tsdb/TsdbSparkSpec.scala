@@ -60,6 +60,23 @@ class TsdbSparkSpec extends SparkSpec {
       ("a.y.v", 0L, 10.0), ("a.y.v", 60L, null), ("a.y.v", 120L, null), ("a.y.v", 180L, null)))
   }
 
+  test("gap policy follows the aggregation method (L_DataGraph.lua:172-173)") {
+    assert(Fetch.gapPolicy("average") == "null")
+    assert(Fetch.gapPolicy("sum") == "zero")
+    assert(Seq("last", "max", "min").forall(Fetch.gapPolicy(_) == "hold"))
+    assert(Fetch.drawMode("average") == "connected")
+    assert(Fetch.drawMode("sum") == "staircase")
+    val spec = Retention.parse("1m:1h,10m:6h")
+    def vals(method: String): Seq[Any] =
+      Fetch.fetch(spark, metrics, "a.*.v", spec, method, 0.0, 0L, 180L, 200L)
+        .orderBy("path", "t").collect()
+        .map(r => if (r.isNullAt(2)) null else r.getDouble(2)).toSeq
+    // a.y.v has one point (t=0) then gaps: sum → zeros, last → held value
+    assert(vals("sum").drop(4) == Seq(10.0, 0.0, 0.0, 0.0))
+    assert(vals("last").drop(4) == Seq(10.0, 10.0, 10.0, 10.0))
+    assert(vals("average").drop(4) == Seq(10.0, null, null, null))
+  }
+
   test("fetch archive selection falls to coarser archive (B8)") {
     val spec = Retention.parse("1m:1h,10m:6h")
     // from is older than the 1m archive's retention (3600s) → 10m archive
