@@ -44,6 +44,8 @@ object SparkEntry {
     "carbon_e2e" -> ((s, dir) => T.carbonE2e(s, dir)),
     // C. Graphite metrics API
     "metrics_find" -> ((s, dir) => T.metricsFind(s, dir)),
+    "metrics_find_treejson" -> ((s, dir) => T.metricsFindTreejson(s, dir)),
+    "metrics_find_completer" -> ((s, dir) => T.metricsFindCompleter(s, dir)),
     "metrics_expand" -> ((s, dir) => T.metricsExpand(s, dir)),
     "metrics_index" -> ((s, dir) => T.metricsIndex(s, dir)),
     "series_expand" -> ((s, dir) => T.seriesExpand(s, dir)),
@@ -348,6 +350,25 @@ object SparkEntry {
          |  'vera.u1.*' AS q FROM p WHERE regexp_matches(path, '^vera\\.u1\\.[^.]+$$'))
          |SELECT q, path, name, is_leaf FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2) t
          |ORDER BY 1, 2, 4""".stripMargin,
+    "metrics_find_treejson" ->
+      s"""WITH $M, p AS (SELECT DISTINCT path FROM m),
+         |f1 AS (SELECT DISTINCT 'vera.'||split_part(path,'.',2) AS path,
+         |  split_part(path,'.',2) AS name, CAST(0 AS BIGINT) AS is_leaf, 'vera.*' AS q FROM p),
+         |f2 AS (SELECT path, split_part(path,'.',3) AS name, CAST(1 AS BIGINT) AS is_leaf,
+         |  'vera.u1.*' AS q FROM p WHERE regexp_matches(path, '^vera\\.u1\\.[^.]+$$'))
+         |SELECT 1 - is_leaf AS allow_children, 1 - is_leaf AS expandable,
+         |  is_leaf AS leaf, path AS id, name AS text, q
+         |FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2) t
+         |ORDER BY q, id, leaf""".stripMargin,
+    "metrics_find_completer" ->
+      s"""WITH $M, p AS (SELECT DISTINCT path FROM m),
+         |f1 AS (SELECT DISTINCT 'vera.'||split_part(path,'.',2) AS path,
+         |  split_part(path,'.',2) AS name, CAST(0 AS BIGINT) AS is_leaf, 'vera.*' AS q FROM p),
+         |f2 AS (SELECT path, split_part(path,'.',3) AS name, CAST(1 AS BIGINT) AS is_leaf,
+         |  'vera.u1.*' AS q FROM p WHERE regexp_matches(path, '^vera\\.u1\\.[^.]+$$'))
+         |SELECT is_leaf, CASE WHEN is_leaf = 1 THEN path ELSE path||'.' END AS path, name, q
+         |FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2) t
+         |ORDER BY q, path, is_leaf""".stripMargin,
     "metrics_expand" ->
       s"""WITH $M, p AS (SELECT DISTINCT path FROM m),
          |e1 AS (SELECT DISTINCT 'vera.'||split_part(path,'.',2)||'.' AS path, 'vera.*' AS q FROM p),

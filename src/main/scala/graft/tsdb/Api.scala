@@ -42,6 +42,18 @@ object Api {
     else Glob.expandBraces(query).map(MetricTree.find(paths, _))
       .reduce(_ unionByName _).distinct()
 
+  /** /metrics/find?query=...&format=treejson|completer — treejson is
+    * the default and what Grafana needs (graphite_cgi.lua:223,255-257).
+    * Relational node shape; Render.treejson / Render.completer produce
+    * the serialized documents (with the optional jsonp wrap).
+    */
+  def findFormat(paths: DataFrame, query: String,
+                 format: String = "treejson"): DataFrame = format match {
+    case "treejson"  => MetricTree.shapeTreejson(find(paths, query))
+    case "completer" => MetricTree.shapeCompleter(find(paths, query))
+    case other => throw new IllegalArgumentException(s"unsupported find format $other")
+  }
+
   /** /metrics/expand?query=...&leavesOnly=0|1 */
   def expand(paths: DataFrame, query: String, leavesOnly: Boolean): DataFrame =
     if (!bracesNeedExpansion(query)) MetricTree.expand(paths, query, leavesOnly)

@@ -39,6 +39,40 @@ object MetricTree {
         col("is_leaf"))
   }
 
+  /** /metrics/find?format=treejson — the DEFAULT find format, and the
+    * one Grafana consumes (graphite_cgi.lua:223-234): branches are
+    * expandable and allow children, leaves are leaves. A node that is
+    * both leaf and branch yields two rows, exactly as `find` does.
+    * (The serialized form adds a constant empty `context` object —
+    * Render.treejson.)
+    */
+  def findTreejson(paths: DataFrame, query: String): DataFrame =
+    shapeTreejson(find(paths, query))
+
+  /** Shape (path, name, is_leaf) nodes into treejson columns. */
+  def shapeTreejson(nodes: DataFrame): DataFrame =
+    nodes.select(
+      (lit(1L) - col("is_leaf")).as("allow_children"),
+      (lit(1L) - col("is_leaf")).as("expandable"),
+      col("is_leaf").as("leaf"),
+      col("path").as("id"),
+      col("name").as("text"))
+
+  /** /metrics/find?format=completer (graphite_cgi.lua:236-242): branch
+    * paths carry a trailing dot; the serialized form wraps rows in a
+    * `{"metrics": [...]}` object (graphite_cgi.lua:261, Render.completer).
+    */
+  def findCompleter(paths: DataFrame, query: String): DataFrame =
+    shapeCompleter(find(paths, query))
+
+  /** Shape (path, name, is_leaf) nodes into completer columns. */
+  def shapeCompleter(nodes: DataFrame): DataFrame =
+    nodes.select(
+      col("is_leaf"),
+      when(col("is_leaf") === 1L, col("path"))
+        .otherwise(concat(col("path"), lit("."))).as("path"),
+      col("name"))
+
   /** /metrics/expand: matching node paths at query depth; branches get a
     * trailing dot (graphite_cgi.lua:275-281).
     */

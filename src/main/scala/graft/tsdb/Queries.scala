@@ -198,6 +198,26 @@ object Queries {
       .orderBy(col("q"), col("path"), col("is_leaf"))
   }
 
+  /** C1-treejson: find in the default response shape — the one Grafana
+    * consumes (graphite_cgi.lua:223-234).
+    */
+  def metricsFindTreejson(spark: SparkSession, dir: String): DataFrame = {
+    val p = paths(spark, dir)
+    MetricTree.findTreejson(p, "vera.*").withColumn("q", lit("vera.*"))
+      .unionByName(MetricTree.findTreejson(p, "vera.u1.*").withColumn("q", lit("vera.u1.*")))
+      .orderBy(col("q"), col("id"), col("leaf"))
+  }
+
+  /** C1-completer: find in completer shape — trailing dot on branches
+    * (graphite_cgi.lua:236-242).
+    */
+  def metricsFindCompleter(spark: SparkSession, dir: String): DataFrame = {
+    val p = paths(spark, dir)
+    MetricTree.findCompleter(p, "vera.*").withColumn("q", lit("vera.*"))
+      .unionByName(MetricTree.findCompleter(p, "vera.u1.*").withColumn("q", lit("vera.u1.*")))
+      .orderBy(col("q"), col("path"), col("is_leaf"))
+  }
+
   /** C2: /metrics/expand — branches keep a trailing dot. */
   def metricsExpand(spark: SparkSession, dir: String): DataFrame = {
     val p = paths(spark, dir)

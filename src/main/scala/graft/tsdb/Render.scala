@@ -29,4 +29,45 @@ object Render {
         col("t").as("t"),
         round(col("value"), 4).as("v"))))).as("datapoints"))
       .orderBy(col("target"))
+
+  /** JSON string literal from a column: quote + escape backslash and
+    * double-quote (metric names carry no control characters).
+    */
+  private def jstr(c: org.apache.spark.sql.Column) =
+    concat(lit("\""),
+      regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
+      lit("\""))
+
+  /** Serialized treejson node objects (graphite_cgi.lua:226-234): one
+    * JSON document per node, with the constant empty `context` object
+    * the reference always emits.
+    */
+  def treejson(nodes: DataFrame): DataFrame =
+    nodes.select(concat(
+      lit("""{"allowChildren":"""), col("allow_children"),
+      lit(""","context":{},"expandable":"""), col("expandable"),
+      lit(""","id":"""), jstr(col("id")),
+      lit(""","leaf":"""), col("leaf"),
+      lit(""","text":"""), jstr(col("text")),
+      lit("}")).as("node"))
+      .orderBy(col("node"))
+
+  /** Serialized completer response: ONE `{"metrics":[...]}` document
+    * (graphite_cgi.lua:261). The aggregation is a single collect_list of
+    * already-shaped row objects — completer results are node lists at
+    * one tree level, metadata-sized by construction.
+    */
+  def completer(nodes: DataFrame): DataFrame =
+    nodes
+      .select(to_json(struct(col("is_leaf"), col("name"), col("path"))).as("j"))
+      .agg(concat(lit("""{"metrics":["""),
+        concat_ws(",", array_sort(collect_list(col("j")))), lit("]}")).as("doc"))
+
+  /** jsonp wrapping (graphite_cgi.lua:105-109): `callback(body)` around
+    * any single-column document DataFrame.
+    */
+  def jsonp(doc: DataFrame, callback: String): DataFrame = {
+    val c = doc.columns.head
+    doc.select(concat(lit(callback + "("), col(c), lit(")")).as(c))
+  }
 }

@@ -45,4 +45,33 @@ class ApiSpec extends SparkSpec {
     assert(Api.expand(paths, "{a,b}.*", leavesOnly = true).count() == 2)
     assert(Api.index(paths).collect().map(_.getString(0)).toSeq == Seq("a.x", "b.y"))
   }
+
+  test("find formats: treejson is default, completer adds trailing dots") {
+    val paths = Seq("a.x", "a.x.v").toDF("path")
+    // "a.x" is both a leaf and a branch → one row each
+    val tj = Api.findFormat(paths, "a.*").orderBy("leaf").collect()
+    assert(tj.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toSeq
+      == Seq((1L, 1L, 0L, "a.x", "x"), (0L, 0L, 1L, "a.x", "x")))
+    val cp = Api.findFormat(paths, "a.*", "completer").orderBy("is_leaf").collect()
+    assert(cp.map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((0L, "a.x."), (1L, "a.x")))
+    assertThrows[IllegalArgumentException](Api.findFormat(paths, "a.*", "nope"))
+  }
+
+  test("treejson/completer serialized documents and jsonp wrap") {
+    val paths = Seq("a.x", "a.x.v").toDF("path")
+    val tjDocs = Render.treejson(Api.findFormat(paths, "a.*"))
+      .collect().map(_.getString(0))
+    assert(tjDocs.contains(
+      """{"allowChildren":1,"context":{},"expandable":1,"id":"a.x","leaf":0,"text":"x"}"""))
+    assert(tjDocs.contains(
+      """{"allowChildren":0,"context":{},"expandable":0,"id":"a.x","leaf":1,"text":"x"}"""))
+    val cpDoc = Render.completer(Api.findFormat(paths, "a.*", "completer"))
+      .collect().map(_.getString(0))
+    assert(cpDoc.length == 1 && cpDoc(0) ==
+      """{"metrics":[{"is_leaf":0,"name":"x","path":"a.x."},{"is_leaf":1,"name":"x","path":"a.x"}]}""")
+    val wrapped = Render.jsonp(Render.completer(
+      Api.findFormat(paths, "a.*", "completer")), "cb").collect()
+    assert(wrapped(0).getString(0).startsWith("cb({") && wrapped(0).getString(0).endsWith(")"))
+  }
 }
