@@ -58,6 +58,7 @@ object SparkEntry {
     // F. LLM-pipeline operators
     "dedup_exact" -> ((s, dir) => L.dedupExact(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => L.dedupNgramJaccard(s, dir)),
+    "dedup_ngram_jaccard_capped" -> ((s, dir) => L.dedupNgramJaccardCapped(s, dir)),
     "dedup_minhash" -> ((s, dir) => L.dedupMinhash(s, dir)),
     "dedup_simhash" -> ((s, dir) => L.dedupSimhash(s, dir)),
     "ann_cosine_topk" -> ((s, dir) => L.annCosineTopk(s, dir)),
@@ -141,6 +142,19 @@ object SparkEntry {
          |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
          |inter AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS i
          |  FROM shd a JOIN shd b ON a.shingle=b.shingle AND a.doc_id<b.doc_id GROUP BY 1,2)
+         |SELECT x, y, round(i*1.0/(sa.n+sb.n-i) - 1e-9, 4) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.doc_id=x JOIN sizes sb ON sb.doc_id=y
+         |WHERE i*1.0/(sa.n+sb.n-i) >= 0.8 ORDER BY 1,2""".stripMargin,
+    // same pipeline with shingles above the df cap dropped before the
+    // pair join; jaccard still uses UNCAPPED set sizes (intersection is
+    // an under-count, never an over-count)
+    "dedup_ngram_jaccard_capped" ->
+      s"""WITH $TK, $SHD,
+         |rare AS (SELECT shingle FROM shd GROUP BY 1 HAVING count(*) <= ${graft.ops.LlmQueries.JaccardMaxDf}),
+         |shc AS (SELECT shd.doc_id, shd.shingle FROM shd JOIN rare USING (shingle)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS i
+         |  FROM shc a JOIN shc b ON a.shingle=b.shingle AND a.doc_id<b.doc_id GROUP BY 1,2)
          |SELECT x, y, round(i*1.0/(sa.n+sb.n-i) - 1e-9, 4) AS jaccard
          |FROM inter JOIN sizes sa ON sa.doc_id=x JOIN sizes sb ON sb.doc_id=y
          |WHERE i*1.0/(sa.n+sb.n-i) >= 0.8 ORDER BY 1,2""".stripMargin,

@@ -14,6 +14,9 @@ import graft.text.Analysis
 object LlmQueries {
 
   val JaccardTau = 0.8
+  // drops the top-percentile stop-shingles on the synthetic corpus (max
+  // df there is 7-9) — the knob that kills Σdf² join fan-out at 100 TB
+  val JaccardMaxDf = 5
   val SimhashMaxHamming = 6
   val AnnK = 5
   val AnnQueryMax = 10 // query subset: vec_id < 10
@@ -25,6 +28,12 @@ object LlmQueries {
 
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(Tables.documents(spark, dir), JaccardTau)
+
+  /** The 100 TB-shaped variant: stop-shingles with df > JaccardMaxDf
+    * are dropped before the pair join (Dedup.ngramJaccardCapped).
+    */
+  def dedupNgramJaccardCapped(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardCapped(Tables.documents(spark, dir), JaccardTau, JaccardMaxDf)
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(spark, Tables.documents(spark, dir))

@@ -50,6 +50,18 @@ class LlmSpec extends SparkSpec {
     assert(lowCap.subsetOf(exact))
   }
 
+  test("capped jaccard recall vs exact on real documents (F2-capped)") {
+    val d = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = Dedup.ngramJaccard(d, graft.ops.LlmQueries.JaccardTau).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.ngramJaccardCapped(d, graft.ops.LlmQueries.JaccardTau,
+      graft.ops.LlmQueries.JaccardMaxDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(exact)) // dropping shingles only under-counts
+    val recall = (exact & capped).size.toDouble / exact.size
+    assert(recall >= 0.75, s"recall $recall too low (${capped.size}/${exact.size})")
+  }
+
   test("minhash LSH surfaces exact and near dups, not unrelated docs (F3)") {
     val out = Dedup.minhashLsh(spark, docs).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.contains((0L, 2L))) // identical docs agree on every band
@@ -72,13 +84,13 @@ class LlmSpec extends SparkSpec {
 
   test("brute-force cosine top-k ranks by similarity (F5)") {
     val out = Ann.bruteTopK(vecs.filter($"vec_id" === 0), vecs, 3).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
-    assert(out.toSeq == Seq((0L, 1, 1L), (0L, 2, 2L), (0L, 3, 3L)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L)))
   }
 
   test("lsh top-k only scores same-bucket candidates (F6)") {
     val out = Ann.lshTopK(vecs.filter($"vec_id" === 0), vecs, 3, 4, 2).collect()
-      .map(r => (r.getInt(1), r.getLong(2)))
+      .map(r => (r.getLong(1), r.getLong(2)))
     // opposite vector (-1,0) disagrees on every hyperplane sign → excluded
     assert(!out.exists(_._2 == 3L))
     assert(out.nonEmpty && out.head._2 == 1L)
