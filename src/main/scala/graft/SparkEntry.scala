@@ -51,6 +51,7 @@ object SparkEntry {
     "series_expand" -> ((s, dir) => T.seriesExpand(s, dir)),
     "render_csv" -> ((s, dir) => T.renderCsv(s, dir)),
     "render_json" -> ((s, dir) => T.renderJson(s, dir)),
+    "render_svg" -> ((s, dir) => T.renderSvg(s, dir)),
     // D. dataMine bridge
     "dm_resample" -> ((s, dir) => T.dmResample(s, dir)),
     "dm_resample_all" -> ((s, dir) => T.dmResampleAll(s, dir)),

@@ -25,6 +25,8 @@ object Api {
     format match {
       case "csv" => Render.csv(fetched)
       case "json" => Render.json(fetched)
+      // svg is the reference's default render format (graphite_cgi.lua:389)
+      case "svg" => Render.svg(fetched, method, title = Some(target))
       case other => throw new IllegalArgumentException(s"unsupported format $other")
     }
   }

@@ -257,6 +257,17 @@ object Queries {
         Retention.parse("10m:1d,1h:7d,1d:60d"), "average", 0.0,
         fetchFrom, Now, Now))
 
+  /** C6-svg: svg render of the B8 fetch with method=last — exercises
+    * staircase mode + hold gap-fill (rows-only; ScalaTest covers the
+    * document structure).
+    */
+  def renderSvg(spark: SparkSession, dir: String): DataFrame =
+    Render.svg(
+      Fetch.fetch(spark, Tables.metrics(spark, dir), "vera.u1?.click",
+        Retention.parse("10m:1d,1h:7d,1d:60d"), "last", 0.0,
+        fetchFrom, Now, Now),
+      method = "last", title = Some("vera.u1?.click"))
+
   // ---- D. dataMine bridge -----------------------------------------------
 
   val dmT1 = 1704067200L

@@ -1,6 +1,7 @@
 package graft.tsdb
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graphite render output formats over a fetched dense series
@@ -69,5 +70,70 @@ object Render {
   def jsonp(doc: DataFrame, callback: String): DataFrame = {
     val c = doc.columns.head
     doc.select(concat(lit(callback + "("), col(c), lit(")")).as(c))
+  }
+
+  private def xmlEscape(c: org.apache.spark.sql.Column) =
+    regexp_replace(regexp_replace(regexp_replace(c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+
+  private val SvgPalette =
+    Seq("#3366cc", "#dc3912", "#ff9900", "#109618", "#990099", "#0099c6")
+
+  /** svg render format (L_DataGraph.lua:190-290): one polyline per
+    * series over the fetched dense grid. The drawing mode follows the
+    * aggregation method (L_DataGraph.lua:169-185): `average` connects
+    * points; every other method draws a staircase, realized exactly as
+    * the reference does — an extra point carrying the previous value at
+    * each new time (L_DataGraph.lua:245-252). Gap policy is applied by
+    * the fetch itself; remaining nulls (average mode, leading holds)
+    * are skipped, which IS gviz's interpolateNulls for connected mode.
+    *
+    * Distributed shape: per-series point assembly is one groupBy(path)
+    * with an array_sort'd collect_list — each group is one series
+    * inside one render window (grid-sized); the global x/y bounds are a
+    * 1-row broadcast. Only the final document concat sees one row per
+    * SERIES, never one row per point.
+    */
+  def svg(fetched: DataFrame, method: String, width: Int = 600,
+          height: Int = 500, title: Option[String] = None): DataFrame = {
+    val mode = Fetch.drawMode(method)
+    val pts = fetched.filter(col("value").isNotNull)
+      .select(col("path"), col("t").cast("double").as("t"),
+        col("value").cast("double").as("value"))
+    val withDups =
+      if (mode == "staircase") {
+        val w = Window.partitionBy(col("path")).orderBy(col("t"))
+        val dup = pts.withColumn("pv", lag(col("value"), 1).over(w))
+          .filter(col("pv").isNotNull)
+          // ord 0: the duplicate sorts BEFORE the real point at equal t
+          .select(col("path"), col("t"), col("pv").as("value"), lit(0).as("ord"))
+        pts.select(col("path"), col("t"), col("value"), lit(1).as("ord"))
+          .unionByName(dup)
+      } else pts.withColumn("ord", lit(1))
+    val bounds = withDups.agg(
+      min(col("t")).as("t0"), max(col("t")).as("t1"),
+      min(col("value")).as("v0"), max(col("value")).as("v1"))
+    val m = 40.0
+    val scaled = withDups.crossJoin(broadcast(bounds)).select(
+      col("path"), col("t"), col("ord"),
+      (lit(m) + (col("t") - col("t0"))
+        / greatest(col("t1") - col("t0"), lit(1e-9)) * (width - 2 * m)).as("x"),
+      (lit(height - m) - (col("value") - col("v0"))
+        / greatest(col("v1") - col("v0"), lit(1e-9)) * (height - 2 * m)).as("y"))
+    val polys = scaled
+      .groupBy(col("path"))
+      .agg(array_sort(collect_list(struct(col("t"), col("ord"), col("x"), col("y")))).as("pts"))
+      .select(concat(
+        lit("""<polyline fill="none" stroke-width="1.5" stroke=""""),
+        element_at(array(SvgPalette.map(lit): _*),
+          (abs(hash(col("path"))) % SvgPalette.size + 1).cast("int")),
+        lit("""" points=""""),
+        concat_ws(" ", expr("transform(pts, p -> format_string('%.1f,%.1f', p.x, p.y))")),
+        lit(""""><title>"""), xmlEscape(col("path")), lit("</title></polyline>")).as("poly"))
+    polys
+      .agg(concat_ws("", array_sort(collect_list(col("poly")))).as("body"))
+      .select(concat(
+        lit(s"""<svg xmlns="http://www.w3.org/2000/svg" width="$width" height="$height" viewBox="0 0 $width $height">"""),
+        lit(title.map(t => s"<title>${t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")}</title>").getOrElse("")),
+        col("body"), lit("</svg>")).as("svg"))
   }
 }

@@ -31,7 +31,7 @@ class ApiSpec extends SparkSpec {
 
   test("unknown format rejected; relative times accepted") {
     assertThrows[IllegalArgumentException] {
-      Api.render(spark, metrics, "a.*", None, None, "svg", spec, "average", 0.0, 120L)
+      Api.render(spark, metrics, "a.*", None, None, "png", spec, "average", 0.0, 120L)
     }
     // -min relative from, default until=now
     val out = Api.render(spark, metrics, "a.*", Some("-min"), None, "csv",
@@ -56,6 +56,30 @@ class ApiSpec extends SparkSpec {
     assert(cp.map(r => (r.getLong(0), r.getString(1))).toSeq
       == Seq((0L, "a.x."), (1L, "a.x")))
     assertThrows[IllegalArgumentException](Api.findFormat(paths, "a.*", "nope"))
+  }
+
+  test("svg render: polyline per series, staircase step duplication") {
+    // connected (average): 2 points for a.x, 1 for b.y — no duplicates
+    val conn = Api.render(spark, metrics, "*.*",
+      Some("1970-01-01T00:00:00"), Some("1970-01-01T00:02:00"), "svg",
+      spec, "average", 0.0, now = 120L).head.getString(0)
+    assert(conn.startsWith("<svg xmlns="))
+    assert(conn.endsWith("</svg>"))
+    assert(conn.contains("<title>*.*</title>"))
+    assert("<polyline ".r.findAllIn(conn).size == 2)
+    assert(conn.contains("<title>a.x</title>") && conn.contains("<title>b.y</title>"))
+    def seriesPoints(doc: String, path: String): Int = {
+      val re = ("""points="([^"]*)"><title>""" + java.util.regex.Pattern.quote(path)).r
+      """\d+\.\d,\d+\.\d""".r.findAllIn(re.findFirstMatchIn(doc).get.group(1)).size
+    }
+    // a.x has values at t=0 and t=60: connected → 2 coordinate pairs
+    assert(seriesPoints(conn, "a.x") == 2)
+    // staircase (method=last): hold fills t=120 for a.x (3 points) and
+    // each step adds the previous-value duplicate → 3 + 2 = 5 pairs
+    val stair = Api.render(spark, metrics, "a.*",
+      Some("1970-01-01T00:00:00"), Some("1970-01-01T00:02:00"), "svg",
+      spec, "last", 0.0, now = 120L).head.getString(0)
+    assert(seriesPoints(stair, "a.x") == 5)
   }
 
   test("treejson/completer serialized documents and jsonp wrap") {
