@@ -24,8 +24,10 @@ object ExplainAudit {
         .queryExecution.explainString(FormattedMode)
       val markers = plan.linesIterator.filter(l =>
         l.contains("PushedFilters") || l.contains("ReadSchema") ||
+          l.contains("PartitionFilters") ||
           l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
           l.contains("ShuffledHashJoin") || l.contains("BroadcastNestedLoopJoin") ||
+          l.contains("windowspecdefinition") ||
           (l.contains("Exchange") && !l.contains("Reuse"))).toSeq
       println(s"=== $name")
       markers.foreach(m => println("  " + m.trim.take(170)))
