@@ -61,6 +61,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) => L.dedupNgramJaccard(s, dir)),
     "dedup_ngram_jaccard_capped" -> ((s, dir) => L.dedupNgramJaccardCapped(s, dir)),
     "dedup_minhash" -> ((s, dir) => L.dedupMinhash(s, dir)),
+    "dedup_embed_cosine" -> ((s, dir) => L.dedupEmbedCosine(s, dir)),
+    "dedup_embed_cosine_lsh" -> ((s, dir) => L.dedupEmbedCosineLsh(s, dir)),
     "dedup_simhash" -> ((s, dir) => L.dedupSimhash(s, dir)),
     "ann_cosine_topk" -> ((s, dir) => L.annCosineTopk(s, dir)),
     "ann_lsh" -> ((s, dir) => L.annLsh(s, dir)),
@@ -184,6 +186,17 @@ object SparkEntry {
          | CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM bands a JOIN bands b ON a.band=b.band AND a.bv=b.bv AND a.doc_id<b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6 ORDER BY 1,2""".stripMargin,
+    // exact embedding-cosine near-dup pairs; the _lsh variant is the
+    // scale path (rows-only + recall spec — hyperplane sign thresholds
+    // are float-boundary-fragile across engines, so no SQL oracle)
+    "dedup_embed_cosine" ->
+      s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings)
+         |SELECT a.vec_id AS x, b.vec_id AS y,
+         |  round(list_dot_product(a.emb,b.emb)/(a.nrm*b.nrm) - 1e-9, 4) AS cos
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.emb,b.emb)/(a.nrm*b.nrm) >= ${graft.ops.LlmQueries.EmbedCosineTau}
+         |ORDER BY 1,2""".stripMargin,
     "ann_cosine_topk" ->
       """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),

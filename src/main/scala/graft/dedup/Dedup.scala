@@ -114,6 +114,55 @@ object Dedup {
       .orderBy(col("x"), col("y"))
   }
 
+  /** F13: embedding-cosine near-duplicate pairs, exact semantics — all
+    * (x < y) with cosine ≥ τ. This is the correctness baseline (the
+    * pair join is inherently quadratic); `embedCosineLshPairs` is the
+    * 100 TB path. Cosine arithmetic is the codegen'd FloatDot
+    * (float→double products, array-order sum) matching the DuckDB
+    * oracle's DOUBLE[] list_dot_product.
+    */
+  def embedCosinePairs(vecs: DataFrame, tau: Double): DataFrame = {
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.FloatDot.dot(a, b)
+    val n = vecs.select(col("vec_id"), col("embedding").as("e"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= tau)
+      .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"),
+        round(col("cos") - 1e-9, 4).as("cos"))
+      .orderBy(col("x"), col("y"))
+  }
+
+  /** F13-scale: cosine near-dup with candidates from shared
+    * random-hyperplane buckets (any of `nTables` tables, same planes as
+    * Ann.lshTopK), then the exact cosine filter. The pair join is a
+    * (table, bucket) equi-join — shuffle keyed by bucket, never an
+    * all-pairs cross join. Approximation only drops pairs (candidates
+    * are a subset); never adds false positives past the cosine filter.
+    */
+  def embedCosineLshPairs(vecs: DataFrame, tau: Double, nPlanes: Int,
+                          dim: Int, nTables: Int = 4): DataFrame = {
+    import graft.similarity.Ann
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.FloatDot.dot(a, b)
+    val pls = Ann.planes(nPlanes, dim)
+    val n = vecs.select(col("vec_id"), col("embedding").as("e"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
+      posexplode(Ann.tableBuckets(col("embedding"), pls, nTables)).as(Seq("t", "b")))
+    n.as("a").join(n.as("b"),
+        col("a.t") === col("b.t") && col("a.b") === col("b.b") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"),
+        col("a.e").as("xe"), col("b.e").as("ye"),
+        col("a.nrm").as("xn"), col("b.nrm").as("yn"))
+      .dropDuplicates("x", "y")
+      .withColumn("cos", dot(col("xe"), col("ye")) / (col("xn") * col("yn")))
+      .filter(col("cos") >= tau)
+      .select(col("x"), col("y"), round(col("cos") - 1e-9, 4).as("cos"))
+      .orderBy(col("x"), col("y"))
+  }
+
   /** F4: 60-bit SimHash (md5-derived token hashes keep the DuckDB
     * oracle bit-identical) + 4×15-bit band blocking; pairs within
     * hamming ≤ maxHamming. All 60 bit-sums are aggregate expressions in

@@ -35,6 +35,17 @@ object LlmQueries {
   def dedupNgramJaccardCapped(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardCapped(Tables.documents(spark, dir), JaccardTau, JaccardMaxDf)
 
+  // max pairwise cosine on the synthetic embeddings is ~0.51; 0.4
+  // yields a non-trivial pair set with >=1e-4 threshold margin
+  val EmbedCosineTau = 0.4
+
+  def dedupEmbedCosine(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embedCosinePairs(Tables.embeddings(spark, dir), EmbedCosineTau)
+
+  def dedupEmbedCosineLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embedCosineLshPairs(Tables.embeddings(spark, dir), EmbedCosineTau,
+      LshPlanes, EmbedDim)
+
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(spark, Tables.documents(spark, dir))
 

@@ -96,6 +96,26 @@ class LlmSpec extends SparkSpec {
     assert(out.nonEmpty && out.head._2 == 1L)
   }
 
+  test("embed cosine near-dup: exact pairs above tau (F13)") {
+    // (1,0)·(0.9,0.1)/(1·0.9055) = 0.9939; orthogonal and opposite excluded
+    val out = Dedup.embedCosinePairs(vecs, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((0L, 1L)))
+    assert(math.abs(out.head._3 - 0.9939) < 1e-9)
+  }
+
+  test("embed cosine LSH pairs: subset of exact with usable recall (F13-scale)") {
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val tau = graft.ops.LlmQueries.EmbedCosineTau
+    val exact = Dedup.embedCosinePairs(e, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embedCosineLshPairs(e, tau, 8, 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // cosine filter kills false positives
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low (${lsh.size}/${exact.size})")
+  }
+
   test("lsh recall vs brute force on real embeddings (F6)") {
     val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter($"vec_id" < 5)
