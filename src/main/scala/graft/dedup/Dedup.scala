@@ -103,8 +103,12 @@ object Dedup {
       md5(concat_ws(",",
         (0 until bandRows).map(r => col(s"mh${b * bandRows + r}").cast("string")): _*))
     }
+    // cache the per-doc band rows (nBands rows/doc — tiny): the self-join
+    // otherwise evaluates the whole signature aggregation twice, because
+    // the broadcast side's Exchange can't be reused against the shuffle side
     val bands = sigRow
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+      .cache()
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -147,17 +151,23 @@ object Dedup {
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       graft.functions.FloatDot.dot(a, b)
     val pls = Ann.planes(nPlanes, dim)
-    val n = vecs.select(col("vec_id"), col("embedding").as("e"),
-      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
+    // candidate join carries ONLY ids — the bucket self-join can fan out
+    // to many candidate rows, and shuffling 16-byte id pairs instead of
+    // two embedding payloads is what keeps it cheap; embeddings re-join
+    // AFTER the (x,y) dedup, from a per-doc (so broadcastable) side
+    val b = vecs.select(col("vec_id"),
       posexplode(Ann.tableBuckets(col("embedding"), pls, nTables)).as(Seq("t", "b")))
-    n.as("a").join(n.as("b"),
+    val cand = b.as("a").join(b.as("b"),
         col("a.t") === col("b.t") && col("a.b") === col("b.b") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"),
-        col("a.e").as("xe"), col("b.e").as("ye"),
-        col("a.nrm").as("xn"), col("b.nrm").as("yn"))
+      .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"))
       .dropDuplicates("x", "y")
-      .withColumn("cos", dot(col("xe"), col("ye")) / (col("xn") * col("yn")))
+    val n = vecs.select(col("vec_id"), col("embedding").as("e"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    cand
+      .join(n.as("na"), col("x") === col("na.vec_id"))
+      .join(n.as("nb"), col("y") === col("nb.vec_id"))
+      .withColumn("cos", dot(col("na.e"), col("nb.e")) / (col("na.nrm") * col("nb.nrm")))
       .filter(col("cos") >= tau)
       .select(col("x"), col("y"), round(col("cos") - 1e-9, 4).as("cos"))
       .orderBy(col("x"), col("y"))
@@ -184,11 +194,15 @@ object Dedup {
 
   def simhashPairs(spark: SparkSession, docs: DataFrame, maxHamming: Int): DataFrame = {
     import spark.implicits._
+    // cache per-doc band rows (4/doc): without it the self-join evaluates
+    // the 60-bit-sum aggregation twice (broadcast side can't reuse the
+    // shuffle side's exchange)
     val sim = simhash(spark, docs)
     val bandIdx = broadcast(spark.range(4).toDF("band"))
     val bands = sim.crossJoin(bandIdx)
       .select(col("doc_id"), col("simhash"), col("band"),
         expr("(simhash >> cast(band*15 AS int)) & 32767").as("bv"))
+      .cache()
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
