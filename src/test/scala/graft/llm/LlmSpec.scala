@@ -116,6 +116,23 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low (${lsh.size}/${exact.size})")
   }
 
+  test("embed cosine LSH at near-dup tau: planted duplicates recovered (F13-scale)") {
+    // production regime: near-dup tau (>=0.95) with SELECTIVE buckets
+    // (64 planes / 4 tables = 16 planes per table -> 65k buckets per
+    // table). The synthetic corpus has no true near-dups (max cos
+    // ~0.51), so plant one slightly-perturbed copy of every vector.
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding")
+    val planted = e.select(($"vec_id" + 100000L).as("vec_id"),
+      expr("transform(embedding, (v, i) -> cast(v * 1.01f + 0.02f * sin(i) as float))")
+        .as("embedding"))
+    val pairs = Dedup.embedCosineLshPairs(e.unionByName(planted), 0.95,
+      nPlanes = 64, dim = 64, nTables = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nPlantedFound = pairs.count { case (x, y) => y == x + 100000L }
+    assert(nPlantedFound >= 450, s"only $nPlantedFound/500 planted pairs found")
+  }
+
   test("lsh recall vs brute force on real embeddings (F6)") {
     val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter($"vec_id" < 5)
