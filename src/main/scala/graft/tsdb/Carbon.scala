@@ -21,16 +21,17 @@ object Carbon {
     * Input: a DataFrame with a `line` string column.
     */
   def parse(lines: DataFrame, now: Long): DataFrame = {
-    val pat = "^(\\S+)\\s+(\\S+)\\s*(\\S*)"
-    lines.select(
-      regexp_extract(col("line"), pat, 1).as("path"),
-      regexp_extract(col("line"), pat, 2).as("v_raw"),
-      regexp_extract(col("line"), pat, 3).as("t_raw"))
+    // ONE whitespace split per line (the previous three regexp_extract
+    // calls each re-matched the full pattern); dropping empty tokens
+    // mirrors the reference's UNANCHORED Lua pattern, which skips
+    // leading whitespace.
+    lines
+      .select(array_remove(split(col("line"), "\\s+"), "").as("toks"))
       .select(
-        col("path"),
+        coalesce(try_element_at(col("toks"), lit(1)), lit("")).as("path"),
         // try_cast: malformed values → null row-drop, not an ANSI error
-        expr("try_cast(v_raw AS double)").as("value"),
-        coalesce(expr("try_cast(t_raw AS bigint)"), lit(now)).as("ts"))
+        expr("try_cast(try_element_at(toks, 2) AS double)").as("value"),
+        coalesce(expr("try_cast(try_element_at(toks, 3) AS bigint)"), lit(now)).as("ts"))
       .filter(col("path") =!= "" && col("value").isNotNull)
   }
 
