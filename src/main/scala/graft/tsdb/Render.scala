@@ -78,6 +78,18 @@ object Render {
   private val SvgPalette =
     Seq("#3366cc", "#dc3912", "#ff9900", "#109618", "#990099", "#0099c6")
 
+  /** Render URL options the reference's svg renderer honors
+    * (L_DataGraph.lua:130-185,260-278): y-axis viewWindow clipping,
+    * area fill, per-series aliases, legend suppression.
+    */
+  final case class SvgOptions(width: Int = 600, height: Int = 500,
+                              title: Option[String] = None,
+                              yMin: Option[Double] = None,
+                              yMax: Option[Double] = None,
+                              areaMode: String = "none",
+                              aliases: Map[String, String] = Map.empty,
+                              hideLegend: Boolean = false)
+
   /** svg render format (L_DataGraph.lua:190-290): one polyline per
     * series over the fetched dense grid. The drawing mode follows the
     * aggregation method (L_DataGraph.lua:169-185): `average` connects
@@ -86,6 +98,11 @@ object Render {
     * each new time (L_DataGraph.lua:245-252). Gap policy is applied by
     * the fetch itself; remaining nulls (average mode, leading holds)
     * are skipped, which IS gviz's interpolateNulls for connected mode.
+    * areaMode≠none closes each series down to the x-axis as a filled
+    * polygon (AreaChart, L_DataGraph.lua:276-277); yMin/yMax clamp into
+    * the viewWindow (L_DataGraph.lua:271-273); aliases rename series
+    * (L_DataGraph.lua:198-203,220); the legend is a bottom text row
+    * unless hidden (L_DataGraph.lua:258-259).
     *
     * Distributed shape: per-series point assembly is one groupBy(path)
     * with an array_sort'd collect_list — each group is one series
@@ -94,11 +111,26 @@ object Render {
     * SERIES, never one row per point.
     */
   def svg(fetched: DataFrame, method: String, width: Int = 600,
-          height: Int = 500, title: Option[String] = None): DataFrame = {
+          height: Int = 500, title: Option[String] = None): DataFrame =
+    svg(fetched, method, SvgOptions(width, height, title))
+
+  def svg(fetched: DataFrame, method: String, opts: SvgOptions): DataFrame = {
+    val width = opts.width
+    val height = opts.height
     val mode = Fetch.drawMode(method)
+    val clamp: org.apache.spark.sql.Column => org.apache.spark.sql.Column = v =>
+      (opts.yMin, opts.yMax) match {
+        case (None, None) => v
+        case (lo, hi) => least(greatest(v, lit(lo.getOrElse(Double.MinValue))),
+          lit(hi.getOrElse(Double.MaxValue)))
+      }
+    val alias: org.apache.spark.sql.Column => org.apache.spark.sql.Column = p =>
+      if (opts.aliases.isEmpty) p
+      else coalesce((opts.aliases.map { case (k, v) =>
+        when(p === k, lit(v)) }.toSeq :+ p): _*)
     val pts = fetched.filter(col("value").isNotNull)
       .select(col("path"), col("t").cast("double").as("t"),
-        col("value").cast("double").as("value"))
+        clamp(col("value").cast("double")).as("value"))
     val withDups =
       if (mode == "staircase") {
         val w = Window.partitionBy(col("path")).orderBy(col("t"))
@@ -119,21 +151,41 @@ object Render {
         / greatest(col("t1") - col("t0"), lit(1e-9)) * (width - 2 * m)).as("x"),
       (lit(height - m) - (col("value") - col("v0"))
         / greatest(col("v1") - col("v0"), lit(1e-9)) * (height - 2 * m)).as("y"))
+    val color = element_at(array(SvgPalette.map(lit): _*),
+      (abs(hash(col("path"))) % SvgPalette.size + 1).cast("int"))
+    val pointsAttr =
+      concat_ws(" ", expr("transform(pts, p -> format_string('%.1f,%.1f', p.x, p.y))"))
+    // areaMode: close the series down to the x-axis (first/last x at the
+    // baseline) and fill translucently under the stroke line
+    val areaEl =
+      if (opts.areaMode == "none") lit("")
+      else concat(
+        lit("""<polygon stroke="none" fill-opacity="0.3" fill=""""), color,
+        lit("""" points=""""), pointsAttr,
+        format_string(s" %.1f,${height - m} %.1f,${height - m}",
+          element_at(col("pts"), -1).getField("x"),
+          element_at(col("pts"), 1).getField("x")),
+        lit("\"/>"))
     val polys = scaled
       .groupBy(col("path"))
       .agg(array_sort(collect_list(struct(col("t"), col("ord"), col("x"), col("y")))).as("pts"))
-      .select(concat(
-        lit("""<polyline fill="none" stroke-width="1.5" stroke=""""),
-        element_at(array(SvgPalette.map(lit): _*),
-          (abs(hash(col("path"))) % SvgPalette.size + 1).cast("int")),
-        lit("""" points=""""),
-        concat_ws(" ", expr("transform(pts, p -> format_string('%.1f,%.1f', p.x, p.y))")),
-        lit(""""><title>"""), xmlEscape(col("path")), lit("</title></polyline>")).as("poly"))
+      .select(col("path"), concat(
+        areaEl,
+        lit("""<polyline fill="none" stroke-width="1.5" stroke=""""), color,
+        lit("""" points=""""), pointsAttr,
+        lit(""""><title>"""), xmlEscape(alias(col("path"))), lit("</title></polyline>")).as("poly"),
+        concat(lit("""<tspan fill=""""), color, lit("""">■ """),
+          xmlEscape(alias(col("path"))), lit("</tspan> ")).as("legend_item"))
+    val legend =
+      if (opts.hideLegend) lit("")
+      else concat(lit(s"""<text x="${m.toInt}" y="${height - 8}" font-size="11">"""),
+        col("legend"), lit("</text>"))
     polys
-      .agg(concat_ws("", array_sort(collect_list(col("poly")))).as("body"))
+      .agg(concat_ws("", array_sort(collect_list(col("poly")))).as("body"),
+        concat_ws("", array_sort(collect_list(col("legend_item")))).as("legend"))
       .select(concat(
         lit(s"""<svg xmlns="http://www.w3.org/2000/svg" width="$width" height="$height" viewBox="0 0 $width $height">"""),
-        lit(title.map(t => s"<title>${t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")}</title>").getOrElse("")),
-        col("body"), lit("</svg>")).as("svg"))
+        lit(opts.title.map(t => s"<title>${t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")}</title>").getOrElse("")),
+        col("body"), legend, lit("</svg>")).as("svg"))
   }
 }

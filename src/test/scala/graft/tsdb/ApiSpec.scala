@@ -82,6 +82,23 @@ class ApiSpec extends SparkSpec {
     assert(seriesPoints(stair, "a.x") == 5)
   }
 
+  test("svg options: area fill, yMax clip, alias, legend") {
+    val fetched = Fetch.fetch(spark, metrics, "a.*", spec, "average", 0.0,
+      0L, 120L, 200L)
+    val doc = Render.svg(fetched, "average", Render.SvgOptions(
+      yMax = Some(2.0), areaMode = "all",
+      aliases = Map("a.x" -> "series one"))).head.getString(0)
+    assert(doc.contains("<polygon") && doc.contains("fill-opacity"))
+    assert(doc.contains("<title>series one</title>")) // alias applied
+    assert(doc.contains("■ series one"))              // legend row
+    // yMax=2.0 clamps both points (values 1.0 and 3.0 → 1.0 and 2.0);
+    // the larger value maps to the viewport top margin, y=40.0
+    assert(doc.contains(",40.0"))
+    val noLegend = Render.svg(fetched, "average", Render.SvgOptions(
+      hideLegend = true)).head.getString(0)
+    assert(!noLegend.contains("<text"))
+  }
+
   test("treejson/completer serialized documents and jsonp wrap") {
     val paths = Seq("a.x", "a.x.v").toDF("path")
     val tjDocs = Render.treejson(Api.findFormat(paths, "a.*"))
