@@ -70,6 +70,31 @@ object BinaryPipeline {
     ds.mapPartitions(_.grouped(DecodeBatchSize).flatMap(g => decodeBatch(g.toSeq)))
   }
 
+  /** Stubbed batched resize: payload byte-budget scales with the target
+    * pixel count (a real impl calls the codec's scaler on the batch);
+    * width/height metadata updated. Deterministic: every k-th byte kept.
+    */
+  private[multimodal] def resizeBatch(batch: Seq[MediaRecord],
+                                      w: Int, h: Int): Seq[MediaRecord] =
+    batch.map { r =>
+      val srcPx = math.max(1L, r.width.toLong * r.height)
+      val budget = math.min(r.payload.length.toLong,
+        math.max(1L, r.payload.length.toLong * (w.toLong * h) / srcPx)).toInt
+      val step = math.max(1, r.payload.length / math.max(1, budget))
+      val out = r.payload.indices.by(step).map(r.payload).toArray
+      r.copy(payload = out, width = w, height = h)
+    }
+
+  /** Resize to target dimensions — same partition-preserving batched
+    * shape as decodeFeatures (resize is a codec call in a real
+    * pipeline); composes with decodeFeatures/frameSample with no
+    * shuffle anywhere in the chain.
+    */
+  def resize(ds: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(DecodeBatchSize).flatMap(g => resizeBatch(g.toSeq, w, h)))
+  }
+
   /** Frame sampling for video payloads: one row per sampled frame index
     * (0, every, 2·every, …) — sequence+explode, no driver loop.
     */

@@ -40,6 +40,20 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.count() == 150)
   }
 
+  test("resize scales payload budget with target pixels, no shuffle") {
+    val m = mediaTable(spark, docs)
+    val small = resize(m, 8, 8)
+    val out = small.collect().sortBy(_.media_id)
+    assert(out.forall(r => r.width == 8 && r.height == 8))
+    // downscale: 8x8 = 64 px vs source >= 32x24 = 768 px → payload shrinks
+    val src = m.collect().sortBy(_.media_id)
+    assert(out.zip(src).forall { case (o, s) => o.payload.length <= s.payload.length })
+    assert(out.exists(_.payload.length > 0))
+    // composes with decode; the whole chain stays shuffle-free
+    val plan = decodeFeatures(small).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(300))
+  }
+
   test("frame sampling explodes sampled indices for video only") {
     val frames = frameSample(mediaTable(spark, docs), every = 2).collect()
       .map(r => (r.getLong(0), r.getInt(2)))
