@@ -42,6 +42,7 @@ object SparkEntry {
     "ts_info" -> ((s, dir) => T.info(s, dir)),
     "ts_upsert" -> ((s, dir) => T.upsert(s, dir)),
     "carbon_e2e" -> ((s, dir) => T.carbonE2e(s, dir)),
+    "watch_relay" -> ((s, dir) => T.watchRelay(s, dir)),
     // C. Graphite metrics API
     "metrics_find" -> ((s, dir) => T.metricsFind(s, dir)),
     "metrics_find_treejson" -> ((s, dir) => T.metricsFindTreejson(s, dir)),
@@ -337,6 +338,14 @@ object SparkEntry {
       s"""WITH $M
          |SELECT path, min(ts) AS earliest, max(ts) AS latest, count(*) AS n
          |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the stateful change-relay's batch twin: emit iff value differs
+    // from the previous (ts,value)-ordered point of the same path
+    "watch_relay" ->
+      s"""WITH $M,
+         |ch AS (SELECT path, ts, value,
+         |  lag(value) OVER (PARTITION BY path ORDER BY ts, value) AS pv FROM m)
+         |SELECT path, ts, value FROM ch
+         |WHERE pv IS NULL OR value <> pv ORDER BY 1, 2, 3""".stripMargin,
     "ts_upsert" ->
       s"""WITH $M,
          |inc AS (SELECT path, ts, value*2 AS value FROM m WHERE ts % 3 = 0),

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.tsdb.{Carbon, Rollup}
 
@@ -51,6 +52,46 @@ object CarbonStream {
       .format("parquet")
       .option("path", dir)
       .start()
+  }
+
+  final case class Point(path: String, ts: Long, value: Double)
+
+  /** G3: the Luup variable-watch relay as custom streaming state
+    * (L_DataWatcher.lua:92-156): `luup.variable_watch` fires its
+    * callback only when the watched variable's VALUE CHANGES, and the
+    * watcher relays just those points to carbon. Per-path state = the
+    * last relayed value (exactly the per-variable memory Luup keeps),
+    * held in `flatMapGroupsWithState`; a point is emitted iff its value
+    * differs from the state. Works identically over a batch Dataset
+    * (state starts empty per group) and a stream (state persists across
+    * micro-batches in the state store, keyed by path).
+    */
+  def changeRelay(points: Dataset[Point]): Dataset[Point] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.path)
+      .flatMapGroupsWithState[Double, Point](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, it, state: GroupState[Double]) =>
+          // micro-batch iterators are not time-ordered; order before
+          // change detection so "change" means change in ts order
+          val sorted = it.toArray.sortBy(p => (p.ts, p.value))
+          val out = Array.newBuilder[Point]
+          var last: Option[Double] = if (state.exists) Some(state.get) else None
+          for (p <- sorted) if (!last.contains(p.value)) {
+            out += p
+            last = Some(p.value)
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Line-level wrapper for changeRelay: parse plaintext, relay only
+    * value changes per path.
+    */
+  def watchRelayStream(lines: DataFrame, now: Long): Dataset[Point] = {
+    import lines.sparkSession.implicits._
+    changeRelay(Carbon.parse(lines, now).select("path", "ts", "value").as[Point])
   }
 
   /** Streaming dedup of parsed datapoints: drop (path, ts) repeats

@@ -171,6 +171,21 @@ object Queries {
       .select(col("path"), col("t"), round(col("value") - Eps, 4).as("value"))
       .orderBy(col("path"), col("t"))
 
+  /** G3 batch twin: the Luup variable-watch relay — only value CHANGES
+    * pass (L_DataWatcher.lua:92-156). Runs the actual
+    * flatMapGroupsWithState operator in batch mode; the oracle is the
+    * equivalent lag() filter (a suppressed row's value always equals
+    * the last emitted value, so "differs from last emitted" ==
+    * "differs from previous row").
+    */
+  def watchRelay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.streaming.CarbonStream.changeRelay(
+      Tables.metrics(spark, dir).as[graft.streaming.CarbonStream.Point])
+      .toDF()
+      .orderBy(col("path"), col("ts"), col("value"))
+  }
+
   /** B9: per-metric interval metadata (L_DataFinders.lua:86-109). */
   def info(spark: SparkSession, dir: String): DataFrame =
     Tables.metrics(spark, dir)

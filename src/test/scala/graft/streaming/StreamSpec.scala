@@ -48,6 +48,35 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("watch relay emits only value changes, state survives batches (G3)") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[String]
+    val out = CarbonStream.watchRelayStream(source.toDF().toDF("line"), 999L)
+    val query = out.writeStream
+      .format("memory").queryName("g3_watch").outputMode("append").start()
+    try {
+      source.addData("a.b 1.0 100", "a.b 1.0 110", "a.b 2.0 120")
+      query.processAllAvailable()
+      // 1.0 repeats ACROSS batches after 2.0? no — state now holds 2.0,
+      // so another 2.0 is suppressed and 1.0 is a change again
+      source.addData("a.b 2.0 130", "a.b 1.0 140")
+      query.processAllAvailable()
+      val rows = spark.table("g3_watch")
+        .orderBy("ts").collect().map(r => (r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq((100L, 1.0), (120L, 2.0), (140L, 1.0)))
+    } finally query.stop()
+  }
+
+  test("watch relay batch twin agrees (G3)") {
+    val pts = Seq(
+      CarbonStream.Point("a", 10L, 1.0), CarbonStream.Point("a", 20L, 1.0),
+      CarbonStream.Point("a", 30L, 2.0), CarbonStream.Point("b", 10L, 5.0)
+    ).toDS()
+    val out = CarbonStream.changeRelay(pts).collect()
+      .map(p => (p.path, p.ts, p.value)).sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(("a", 10L, 1.0), ("a", 30L, 2.0), ("b", 10L, 5.0)))
+  }
+
   test("ingest sink lands day-partitioned parquet") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
