@@ -104,9 +104,17 @@ object BinaryPipeline {
       .select(col("media_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(every))).as("frame_idx"))
 
-  /** Driver-checkable summary (rows-only): per-kind feature stats. */
+  /** Driver-checkable summary (rows-only): per-kind feature stats over
+    * the full chain — resize → batched decode — plus sampled-frame
+    * counts for video. The whole per-record chain is shuffle-free; the
+    * only exchanges are the two final per-kind aggregations.
+    */
   def pipelineSummary(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val feats = decodeFeatures(mediaTable(spark, docs))
+    val media = mediaTable(spark, docs)
+    val feats = decodeFeatures(resize(media, 16, 16))
+    val frames = frameSample(media, every = 2)
+      .groupBy(lit("video").as("kind"))
+      .agg(count(lit(1)).as("n_sampled_frames"))
     feats.toDF()
       .groupBy(col("kind"))
       .agg(
@@ -114,6 +122,8 @@ object BinaryPipeline {
         sum(col("n_bytes")).as("total_bytes"),
         round(avg(element_at(col("features"), 1)) - 1e-9, 4).as("avg_f0"),
         (sum(col("checksum")) % 1000000007L).as("checksum_agg"))
+      .join(frames, Seq("kind"), "left")
+      .withColumn("n_sampled_frames", coalesce(col("n_sampled_frames"), lit(0L)))
       .orderBy(col("kind"))
   }
 }

@@ -95,6 +95,43 @@ class StreamSpec extends SparkSpec {
     assert(days.toSeq == Seq(0L, 86400L))
   }
 
+  test("production loop: stream ingest -> archive store -> pruned fetch") {
+    import java.nio.file.Files
+    import graft.tsdb.{Fetch, MetricStore, Retention}
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-e2e").toString
+    val source = MemoryStream[String]
+    // 1. stream plaintext lines into the day-partitioned raw store
+    val q = CarbonStream.ingestSink(source.toDF().toDF("line"), 999L,
+      s"$tmp/raw", s"$tmp/ckpt")
+    try {
+      source.addData("a.x 1.0 100", "a.x 3.0 160", "a.y 5.0 90000")
+      q.processAllAvailable()
+    } finally q.stop()
+    // 2. materialize the archive cascade from the landed raw points
+    val spec = Retention.parse("1m:1d,1d:30d")
+    val raw = spark.read.parquet(s"$tmp/raw").select("path", "ts", "value")
+    MetricStore.writeArchives(raw, spec, "average", 0.0, s"$tmp/store")
+    // 3. fetch through the pruned/pushed-down path; a.y is idle in the
+    //    window but indexed, so it returns its null rows
+    val now = 300L
+    val got = MetricStore.fetchStored(spark, s"$tmp/store", spec, "a.*",
+      60L, now, now).orderBy("path", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      ("a.x", 60L, 1.0), ("a.x", 120L, 3.0), ("a.x", 180L, null),
+      ("a.x", 240L, null), ("a.x", 300L, null),
+      ("a.y", 60L, null), ("a.y", 120L, null), ("a.y", 180L, null),
+      ("a.y", 240L, null), ("a.y", 300L, null)))
+    // and the stored fetch agrees with the in-plan fetch over the raw data
+    val direct = Fetch.fetch(spark, raw, "a.*", spec, "average", 0.0,
+      60L, now, now).orderBy("path", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(direct.toSeq == got.toSeq)
+  }
+
   test("batch and streaming rollup plans agree (G1)") {
     implicit val sqlCtx = spark.sqlContext
     val lines = Seq("a.b 1.0 100", "a.b 3.0 130", "a.b 5.0 700").toDF("line")
