@@ -50,6 +50,19 @@ object GlobProps extends Properties("Glob") {
       val exp = Glob.expandBraces(q)
       exp.nonEmpty && exp.forall(e => !e.contains("{") && e.matches(re))
     }
+
+  // MetricStore.pathPredicate pushes the glob's literal prefix into the
+  // scan as a startswith conjunct — which is only sound if every true
+  // glob match carries that prefix
+  private def litPrefix(target: String): String = {
+    val i = target.indexWhere(c => "*?{".indexOf(c) >= 0)
+    if (i < 0) target else target.substring(0, i)
+  }
+
+  property("scan-pushed literal prefix never excludes a glob match") =
+    forAll(query, path) { (q, p) =>
+      !globMatch(q, p) || p.startsWith(litPrefix(q))
+    }
 }
 
 object RetentionProps extends Properties("Retention") {
