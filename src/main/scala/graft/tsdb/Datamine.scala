@@ -49,14 +49,17 @@ object Datamine {
     * per path, never the raw points). No global sort anywhere: a
     * billion-point channel costs one shuffle keyed (path, bucket).
     */
-  private def resampleBucketed(points: DataFrame, grid: Seq[Long]): DataFrame = {
+  private def resampleBucketed(points: DataFrame, grid: Seq[Long],
+                               pathsDf: Option[DataFrame] = None): DataFrame = {
     val gridArr = array(grid.map(lit(_)): _*)
     val lastPer = points
       .withColumn("b", bucketOf(col("ts"), grid))
       .filter(col("b").isNotNull)
       .groupBy(col("path"), col("b"))
       .agg(max(struct(col("ts"), col("value"))).getField("value").as("value"))
-    val gridDf = points.select(col("path")).distinct()
+    // an explicit path set (channel index) avoids re-scanning the raw
+    // points just to learn which channels exist
+    val gridDf = pathsDf.getOrElse(points.select(col("path")).distinct())
       .select(col("path"), posexplode(gridArr).as(Seq("b", "t")))
     val w = Window.partitionBy(col("path")).orderBy(col("b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -71,15 +74,22 @@ object Datamine {
     * `resampleBucketed`; the carry-forward window touches only the
     * n-point grid, never one task per channel history.
     */
-  def resample(points: DataFrame, grid: Seq[Long]): DataFrame =
-    resampleBucketed(points.select(lit("").as("path"), col("ts"), col("value")), grid)
+  def resample(points: DataFrame, grid: Seq[Long]): DataFrame = {
+    // single channel: the "path set" is one constant row, not a scan
+    val one = points.sparkSession.range(1).select(lit("").as("path"))
+    resampleBucketed(points.select(lit("").as("path"), col("ts"), col("value")),
+      grid, Some(one))
       .select(col("t"), col("value"))
+  }
 
   /** All-channels resample: same last-sample-≤-t semantics, one shuffle
-    * keyed (path, bucket) — the scale path.
+    * keyed (path, bucket) — the scale path. Pass the channel index as
+    * `pathsDf` when one exists (it's metadata-sized; rescanning raw
+    * points for it is the only reason this plan would read them twice).
     */
-  def resampleAll(points: DataFrame, grid: Seq[Long]): DataFrame =
-    resampleBucketed(points.select(col("path"), col("ts"), col("value")), grid)
+  def resampleAll(points: DataFrame, grid: Seq[Long],
+                  pathsDf: Option[DataFrame] = None): DataFrame =
+    resampleBucketed(points.select(col("path"), col("ts"), col("value")), grid, pathsDf)
 
   /** dataMine per-channel filter: offset then clamp to [lower, upper]
     * (L_DataMineServer.lua:166-183); nulls pass through.

@@ -303,11 +303,13 @@ object Queries {
   /** D1b: all-channel resample over the dense namespace — per-path
     * windows, DuckDB ASOF-with-equality oracle.
     */
-  def dmResampleAll(spark: SparkSession, dir: String): DataFrame =
-    Datamine.resampleAll(Tables.metricsDense(spark, dir),
-      Datamine.gridTimes(dmT1, Now, dmN))
+  def dmResampleAll(spark: SparkSession, dir: String): DataFrame = {
+    val dense = Tables.metricsDense(spark, dir)
+    Datamine.resampleAll(dense, Datamine.gridTimes(dmT1, Now, dmN),
+      pathsDf = Some(dense.select(col("path")).distinct().cache()))
       .select(col("path"), col("t"), round(col("value"), 4).as("value"))
       .orderBy(col("path"), col("t"))
+  }
 
   /** D2: weekly partition bucketing + per-week stats. */
   def dmWeekly(spark: SparkSession, dir: String): DataFrame =
