@@ -33,7 +33,10 @@ object Dedup {
     * intersection counts come from the join; union = |A|+|B|−∩.
     */
   def ngramJaccard(docs: DataFrame, tau: Double): DataFrame = {
-    val sh = docShingles(docs)
+    // cached: the plan references the shingle set three times (both
+    // join sides + sizes); without the cache each reference re-runs
+    // tokenize+explode over the corpus
+    val sh = docShingles(docs).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -60,7 +63,8 @@ object Dedup {
     * approximation — the exact operator stays `ngramJaccard`.
     */
   def ngramJaccardCapped(docs: DataFrame, tau: Double, maxDf: Int): DataFrame = {
-    val sh = docShingles(docs)
+    // four plan references (df counts, both capped sides, sizes)
+    val sh = docShingles(docs).cache()
     val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("shingle"))
     val shCapped = sh.join(rare, "shingle")
