@@ -131,7 +131,7 @@ object Render {
     val pts = fetched.filter(col("value").isNotNull)
       .select(col("path"), col("t").cast("double").as("t"),
         clamp(col("value").cast("double")).as("value"))
-    val withDups =
+    val withDups = (
       if (mode == "staircase") {
         val w = Window.partitionBy(col("path")).orderBy(col("t"))
         val dup = pts.withColumn("pv", lag(col("value"), 1).over(w))
@@ -141,6 +141,10 @@ object Render {
         pts.select(col("path"), col("t"), col("value"), lit(1).as("ord"))
           .unionByName(dup)
       } else pts.withColumn("ord", lit(1))
+    // cached: referenced by both the bounds aggregation and the scaled
+    // projection — without it the whole upstream fetch cascade runs
+    // twice. Grid-sized (points inside one render window), so tiny.
+    ).cache()
     val bounds = withDups.agg(
       min(col("t")).as("t0"), max(col("t")).as("t1"),
       min(col("value")).as("v0"), max(col("value")).as("v1"))
