@@ -109,7 +109,11 @@ object Fetch {
       case None => spark.emptyDataFrame
       case Some(Clamped(from, until, archive)) =>
         val idx = spec.indexOf(archive)
-        val arch = Rollup.archives(matched, spec.take(idx + 1), method, xff).last
+        // cached: fetchDense references the archive twice (grid path set
+        // + join side); uncached, the rollup cascade executes twice. The
+        // archive is bucket-level ((path, bucket) rows, far smaller than
+        // raw) and the default storage level spills to disk.
+        val arch = Rollup.archives(matched, spec.take(idx + 1), method, xff).last.cache()
         fillGaps(fetchDense(spark, arch, archive.secondsPerPoint, from, until),
           gapPolicy(method))
     }
