@@ -88,7 +88,13 @@ object Render {
                               yMax: Option[Double] = None,
                               areaMode: String = "none",
                               aliases: Map[String, String] = Map.empty,
-                              hideLegend: Boolean = false)
+                              hideLegend: Boolean = false,
+                              // overrides of the method-derived defaults
+                              // (L_DataGraph.lua:181-182)
+                              lineMode: Option[String] = None,
+                              drawNullAs: Option[String] = None,
+                              bgcolor: Option[String] = None,
+                              vtitle: Option[String] = None)
 
   /** svg render format (L_DataGraph.lua:190-290): one polyline per
     * series over the fetched dense grid. The drawing mode follows the
@@ -117,7 +123,13 @@ object Render {
   def svg(fetched: DataFrame, method: String, opts: SvgOptions): DataFrame = {
     val width = opts.width
     val height = opts.height
-    val mode = Fetch.drawMode(method)
+    val mode = opts.lineMode.getOrElse(Fetch.drawMode(method))
+    // drawNullAs overrides the fetch's method-derived gap policy at
+    // render time (re-fills the dense series before nulls are dropped)
+    val refetched = opts.drawNullAs match {
+      case Some(p) => Fetch.fillGaps(fetched, p)
+      case None => fetched
+    }
     val clamp: org.apache.spark.sql.Column => org.apache.spark.sql.Column = v =>
       (opts.yMin, opts.yMax) match {
         case (None, None) => v
@@ -128,7 +140,7 @@ object Render {
       if (opts.aliases.isEmpty) p
       else coalesce((opts.aliases.map { case (k, v) =>
         when(p === k, lit(v)) }.toSeq :+ p): _*)
-    val pts = fetched.filter(col("value").isNotNull)
+    val pts = refetched.filter(col("value").isNotNull)
       .select(col("path"), col("t").cast("double").as("t"),
         clamp(col("value").cast("double")).as("value"))
     val withDups = (
@@ -189,7 +201,13 @@ object Render {
         concat_ws("", array_sort(collect_list(col("legend_item")))).as("legend"))
       .select(concat(
         lit(s"""<svg xmlns="http://www.w3.org/2000/svg" width="$width" height="$height" viewBox="0 0 $width $height">"""),
-        lit(opts.title.map(t => s"<title>${t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")}</title>").getOrElse("")),
+        lit(opts.bgcolor.map(c => s"""<rect width="100%" height="100%" fill="$c"/>""").getOrElse("")),
+        lit(opts.title.map(t => s"<title>${esc(t)}</title>").getOrElse("")),
+        lit(opts.vtitle.map(t =>
+          s"""<text transform="rotate(-90)" x="${-height / 2}" y="14" text-anchor="middle" font-size="11">${esc(t)}</text>""").getOrElse("")),
         col("body"), legend, lit("</svg>")).as("svg"))
   }
+
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 }

@@ -99,6 +99,23 @@ class ApiSpec extends SparkSpec {
     assert(!noLegend.contains("<text"))
   }
 
+  test("svg option overrides: lineMode, drawNullAs, bgcolor, vtitle") {
+    val fetched = Fetch.fetch(spark, metrics, "a.*", spec, "average", 0.0,
+      0L, 120L, 200L)
+    // average mode normally connects with null gaps; override to
+    // staircase + hold: a.x gains the held t=120 point plus 2 step dups
+    val doc = Render.svg(fetched, "average", Render.SvgOptions(
+      lineMode = Some("staircase"), drawNullAs = Some("hold"),
+      bgcolor = Some("#fff"), vtitle = Some("load & temp"),
+      hideLegend = true)).head.getString(0)
+    assert(doc.contains("""<rect width="100%" height="100%" fill="#fff"/>"""))
+    assert(doc.contains("rotate(-90)") && doc.contains("load &amp; temp"))
+    val re = ("""points="([^"]*)"><title>a.x""").r
+    val n = """\d+\.\d,\d+\.\d""".r
+      .findAllIn(re.findFirstMatchIn(doc).get.group(1)).size
+    assert(n == 5, s"expected 5 coordinate pairs, got $n")
+  }
+
   test("treejson/completer serialized documents and jsonp wrap") {
     val paths = Seq("a.x", "a.x.v").toDF("path")
     val tjDocs = Render.treejson(Api.findFormat(paths, "a.*"))
