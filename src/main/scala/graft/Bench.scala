@@ -21,16 +21,37 @@ object Bench {
     // Sorted order → stable per-query attribution across rounds.
     // noop write executes the FULL plan (count() lets Catalyst prune
     // projects/sorts, understating materialization cost).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+    // Each query is timed up to 3× and reported as the per-query MIN:
+    // one-shot timings under background machine load swung >10× per
+    // query in r2 and made the artifact unusable for regression
+    // detection. The min measures the plan, not the driver's load; all
+    // samples ship in the JSON. Long queries (cumulative >60s) stop
+    // after 2 samples to bound the wall clock.
+    val samples = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = scala.collection.mutable.ArrayBuffer[Double]()
+      var budgetNs = 60e9
+      while (times.size < 3 && (times.size < 2 || budgetNs > 0)) {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        val dt = System.nanoTime() - t0
+        budgetNs -= dt
+        times += dt / 1e9
+      }
+      // per-query cache lifecycle: queries cache() intermediates (band
+      // rows, rollup archives); drop them so a 52-query session doesn't
+      // accumulate executor storage (VERDICT r2 #3 cache hygiene)
+      spark.catalog.clearCache()
+      name -> times.toSeq
+    }
+    val results = samples.map { case (n, ts) => n -> ts.min }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val ss = samples.map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$ss,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -42,6 +42,7 @@ object SparkEntry {
     "ts_info" -> ((s, dir) => T.info(s, dir)),
     "ts_upsert" -> ((s, dir) => T.upsert(s, dir)),
     "carbon_e2e" -> ((s, dir) => T.carbonE2e(s, dir)),
+    "carbon_e2e_conf" -> ((s, dir) => T.carbonE2eConf(s, dir)),
     "watch_relay" -> ((s, dir) => T.watchRelay(s, dir)),
     // C. Graphite metrics API
     "metrics_find" -> ((s, dir) => T.metricsFind(s, dir)),
@@ -65,6 +66,8 @@ object SparkEntry {
     "dedup_embed_cosine" -> ((s, dir) => L.dedupEmbedCosine(s, dir)),
     "dedup_embed_cosine_lsh" -> ((s, dir) => L.dedupEmbedCosineLsh(s, dir)),
     "dedup_simhash" -> ((s, dir) => L.dedupSimhash(s, dir)),
+    "dedup_simhash_capped" -> ((s, dir) => L.dedupSimhashCapped(s, dir)),
+    "dedup_simhash_clusters" -> ((s, dir) => L.dedupSimhashClusters(s, dir)),
     "ann_cosine_topk" -> ((s, dir) => L.annCosineTopk(s, dir)),
     "ann_lsh" -> ((s, dir) => L.annLsh(s, dir)),
     "text_langid" -> ((s, dir) => L.textLangid(s, dir)),
@@ -88,6 +91,35 @@ object SparkEntry {
   private val MD =
     """md AS (SELECT 'vera.'||event_type AS path,
       | CAST(floor(epoch(ts)) AS BIGINT) AS ts, value FROM events)""".stripMargin
+
+  /** carbon_e2e oracle — shared by carbon_e2e and carbon_e2e_conf (the
+    * conf variant parses the same rules from Graphite conf text).
+    */
+  private val CarbonE2eSql =
+    s"""WITH $M,
+       |rew AS (SELECT CASE
+       |   WHEN regexp_matches(path, '^vera\\.u1\\.') THEN regexp_replace(path, '^vera\\.u1\\.', 'vera.user-one.')
+       |   WHEN regexp_matches(path, '^vera\\.u2\\.') THEN regexp_replace(path, '^vera\\.u2\\.', 'vera.user-two.')
+       |   ELSE path END AS p1, ts, value FROM m),
+       |rw AS (SELECT CASE
+       |   WHEN regexp_matches(p1, '\\.click$$') THEN regexp_replace(p1, '\\.click$$', '.clicks')
+       |   ELSE p1 END AS path, ts, value FROM rew),
+       |ruled AS (SELECT path, ts, value,
+       |  CASE WHEN regexp_matches(path, '.*\\.clicks$$') THEN 'sum'
+       |       WHEN regexp_matches(path, '^vera\\.user-(one|two)\\.') THEN 'last'
+       |       ELSE 'average' END AS agg_method,
+       |  CASE WHEN regexp_matches(path, '.*\\.clicks$$') THEN 60
+       |       WHEN regexp_matches(path, '^vera\\.user-(one|two)\\.') THEN 10
+       |       ELSE 3600 END AS step
+       | FROM rw)
+       |SELECT path, ts - ts%step AS bucket, agg_method,
+       | round(CASE agg_method
+       |   WHEN 'sum' THEN sum(value)
+       |   WHEN 'last' THEN (max(struct_pack(t := ts, v := value))).v
+       |   ELSE avg(value) END - 1e-9, 4) AS value,
+       | count(*) AS npoints
+       |FROM ruled GROUP BY path, ts - ts%step, agg_method
+       |ORDER BY 1,2""".stripMargin
 
   private def rollupOracle(valueExpr: String): String =
     s"""WITH $M
@@ -119,6 +151,44 @@ object SparkEntry {
       |  FROM (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks,1) AS pos FROM tk)
       |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) s
       | WHERE shingle IS NOT NULL)""".stripMargin
+
+  /** The dedup_simhash signature pipeline as DuckDB CTEs (shared by the
+    * exact / capped / clusters variants): doc_id → 60-bit simhash.
+    */
+  private val SIM =
+    """td AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM tk),
+      |th AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM td),
+      |sums AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM th CROSS JOIN generate_series(0,59) AS g(j) GROUP BY 1,2),
+      |sim AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0::BIGINT END) AS BIGINT) AS simhash
+      |  FROM sums GROUP BY 1)""".stripMargin
+
+  /** The df-capped band-widening stage (Dedup.cappedBandKeys) as DuckDB
+    * CTEs. The key arithmetic is rendered from the SAME
+    * `Dedup.simhashKeyExpr` strings the Spark plan parses — portable
+    * `>> & | %`/CAST SQL, single source of truth.
+    */
+  private val SimhashCappedKeyed: String = {
+    val cap = graft.ops.LlmQueries.SimhashMaxDf
+    val n = graft.dedup.Dedup.simhashWidenLevels
+    val kCols = (0 to n).map(j => s"${graft.dedup.Dedup.simhashKeyExpr(j)} AS k$j").mkString(",\n  ")
+    val dfCols = (0 to n).map(j => s"count(*) OVER (PARTITION BY band, k$j) AS df$j").mkString(",\n  ")
+    val lvl = "CASE " + (0 until n).map(j => s"WHEN df$j <= $cap THEN $j").mkString(" ") + s" ELSE $n END"
+    val bkey = "CASE " + (0 until n).map(j => s"WHEN df$j <= $cap THEN k$j").mkString(" ") + s" ELSE k$n END"
+    s"""sigs AS (SELECT DISTINCT simhash FROM sim),
+       |bk AS (SELECT simhash, band,
+       |  $kCols
+       |  FROM sigs CROSS JOIN generate_series(0,3) AS gb(band)),
+       |dk AS (SELECT *,
+       |  $dfCols
+       |  FROM bk),
+       |keyed AS (SELECT simhash, band, $lvl AS lvl, $bkey AS bkey FROM dk),
+       |sigpairs AS (SELECT DISTINCT a.simhash AS s1, b.simhash AS s2,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |  FROM keyed a JOIN keyed b
+       |    ON a.band=b.band AND a.lvl=b.lvl AND a.bkey=b.bkey AND a.simhash < b.simhash
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= ${graft.ops.LlmQueries.SimhashMaxHamming})""".stripMargin
+  }
 
   /** MinHash params / stopword dict rendered from the same Scala
     * constants the Spark plans use — single source of truth.
@@ -175,18 +245,49 @@ object SparkEntry {
          |ORDER BY 1,2""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $TK,
-         |td AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM tk),
-         |th AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM td),
-         |sums AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-         |  FROM th CROSS JOIN generate_series(0,59) AS g(j) GROUP BY 1,2),
-         |sim AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0::BIGINT END) AS BIGINT) AS simhash
-         |  FROM sums GROUP BY 1),
+         |$SIM,
          |bands AS (SELECT doc_id, simhash, band, (simhash >> (band*15)) & 32767 AS bv
          |  FROM sim CROSS JOIN generate_series(0,3) AS gb(band))
          |SELECT DISTINCT a.doc_id AS x, b.doc_id AS y,
          | CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM bands a JOIN bands b ON a.band=b.band AND a.bv=b.bv AND a.doc_id<b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6 ORDER BY 1,2""".stripMargin,
+    // same pipeline over DISTINCT sigs with hot band buckets re-keyed by
+    // extra simhash bits until df ≤ cap (drop-only approximation;
+    // identical-sig pairs come from the intra-group expansion)
+    "dedup_simhash_capped" ->
+      s"""WITH $TK,
+         |$SIM,
+         |$SimhashCappedKeyed,
+         |cross_p AS (SELECT least(m1.doc_id, m2.doc_id) AS x,
+         |    greatest(m1.doc_id, m2.doc_id) AS y, p.hamming
+         |  FROM sigpairs p JOIN sim m1 ON m1.simhash = p.s1
+         |                  JOIN sim m2 ON m2.simhash = p.s2),
+         |intra AS (SELECT m1.doc_id AS x, m2.doc_id AS y, CAST(0 AS BIGINT) AS hamming
+         |  FROM sim m1 JOIN sim m2
+         |    ON m1.simhash = m2.simhash AND m1.doc_id < m2.doc_id)
+         |SELECT x, y, hamming
+         |FROM (SELECT * FROM cross_p UNION ALL SELECT * FROM intra) t
+         |ORDER BY 1,2""".stripMargin,
+    // star clustering over the capped candidate graph: each sig group's
+    // rep = min(doc_id); a group points at the smallest neighbouring rep
+    // (one-step min propagation, same rule in Spark)
+    "dedup_simhash_clusters" ->
+      s"""WITH $TK,
+         |$SIM,
+         |$SimhashCappedKeyed,
+         |groups AS (SELECT simhash, min(doc_id) AS rep FROM sim GROUP BY 1),
+         |oriented AS (SELECT CASE WHEN g1.rep < g2.rep THEN p.s2 ELSE p.s1 END AS simhash,
+         |    least(g1.rep, g2.rep) AS cand
+         |  FROM sigpairs p JOIN groups g1 ON g1.simhash = p.s1
+         |                  JOIN groups g2 ON g2.simhash = p.s2),
+         |roots AS (SELECT simhash, min(cand) AS root FROM oriented GROUP BY 1),
+         |clusters AS (SELECT g.simhash, coalesce(r.root, g.rep) AS cluster_id
+         |  FROM groups g LEFT JOIN roots r ON r.simhash = g.simhash)
+         |SELECT m.doc_id, c.cluster_id,
+         | CASE WHEN m.doc_id = c.cluster_id THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+         |FROM sim m JOIN clusters c ON c.simhash = m.simhash
+         |ORDER BY 1""".stripMargin,
     // exact embedding-cosine near-dup pairs; the _lsh variant is the
     // scale path (rows-only + recall spec — hyperplane sign thresholds
     // are float-boundary-fragile across engines, so no SQL oracle)
@@ -353,31 +454,11 @@ object SparkEntry {
          |      UNION ALL SELECT path, ts, value, 1 AS src FROM inc)
          |SELECT path, ts, round((max(struct_pack(s := src, v := value))).v, 4) AS value
          |FROM u GROUP BY 1,2 ORDER BY 1,2,3""".stripMargin,
-    "carbon_e2e" ->
-      s"""WITH $M,
-         |rew AS (SELECT CASE
-         |   WHEN regexp_matches(path, '^vera\\.u1\\.') THEN regexp_replace(path, '^vera\\.u1\\.', 'vera.user-one.')
-         |   WHEN regexp_matches(path, '^vera\\.u2\\.') THEN regexp_replace(path, '^vera\\.u2\\.', 'vera.user-two.')
-         |   ELSE path END AS p1, ts, value FROM m),
-         |rw AS (SELECT CASE
-         |   WHEN regexp_matches(p1, '\\.click$$') THEN regexp_replace(p1, '\\.click$$', '.clicks')
-         |   ELSE p1 END AS path, ts, value FROM rew),
-         |ruled AS (SELECT path, ts, value,
-         |  CASE WHEN regexp_matches(path, '.*\\.clicks$$') THEN 'sum'
-         |       WHEN regexp_matches(path, '^vera\\.user-(one|two)\\.') THEN 'last'
-         |       ELSE 'average' END AS agg_method,
-         |  CASE WHEN regexp_matches(path, '.*\\.clicks$$') THEN 60
-         |       WHEN regexp_matches(path, '^vera\\.user-(one|two)\\.') THEN 10
-         |       ELSE 3600 END AS step
-         | FROM rw)
-         |SELECT path, ts - ts%step AS bucket, agg_method,
-         | round(CASE agg_method
-         |   WHEN 'sum' THEN sum(value)
-         |   WHEN 'last' THEN (max(struct_pack(t := ts, v := value))).v
-         |   ELSE avg(value) END - 1e-9, 4) AS value,
-         | count(*) AS npoints
-         |FROM ruled GROUP BY path, ts - ts%step, agg_method
-         |ORDER BY 1,2""".stripMargin,
+    "carbon_e2e" -> CarbonE2eSql,
+    // identical semantics with all rule sets parsed from Graphite conf
+    // text (Conf.scala) — the conf encodes the same rules, so the
+    // oracle is shared verbatim
+    "carbon_e2e_conf" -> CarbonE2eSql,
     // ---- C. Graphite metrics API ----
     "metrics_find" ->
       s"""WITH $M, p AS (SELECT DISTINCT path FROM m),

@@ -196,6 +196,137 @@ object Dedup {
       .select(col("doc_id"), simBits.reduce(_ + _).as("simhash"))
   }
 
+  /** Widening schedule for the df-capped simhash variants: a band's
+    * 15-bit key can be extended in 5-bit chunks drawn from the OTHER
+    * three bands' bits (9 chunks → level 9 = all 60 bits, a bijection
+    * of the full simhash). Shared by the Spark plan and the DuckDB
+    * oracle (SparkEntry renders the same arithmetic as SQL).
+    */
+  val simhashWidenLevels = 9
+
+  /** SQL expression for the level-`j` widened band key (15 + 5j bits).
+    * Engine-portable arithmetic: only `>>`, `&`, `|`, `%` on BIGINT.
+    */
+  def simhashKeyExpr(j: Int): String = {
+    val base = "(simhash >> cast(band*15 AS int)) & 32767"
+    val exts = (0 until j).map { c =>
+      s"((((simhash >> cast(((band + 1 + ${c / 3}) % 4)*15 AS int)) >> ${(c % 3) * 5}) & 31) << ${15 + c * 5})"
+    }
+    (base +: exts).mkString("(", " | ", ")")
+  }
+
+  /** Per-(sig, band) bucket keys with progressive df-capped widening
+    * (VERDICT r2 #1). A band bucket holding more than `maxDf` DISTINCT
+    * signatures is re-keyed with 5 more simhash bits, repeatedly, until
+    * it fits; level 9 keys carry all 60 bits, and the input rows are
+    * distinct signatures, so every bucket ends at df ≤ max(maxDf, 1) —
+    * the per-bucket self-join work is bounded by maxDf²/2 pairs
+    * REGARDLESS of corpus size (at sf0.1 the max bucket drops 1,582 →
+    * maxDf). Keys are nested prefixes, so two sigs sharing a level-k key
+    * share every coarser key and therefore agree on the level itself:
+    * joining on (band, lvl, key) loses exactly the pairs whose only
+    * shared bands were hot AND whose extension bits differ — the same
+    * documented drop-only approximation as ngramJaccardCapped.
+    */
+  private[graft] def cappedBandKeys(spark: SparkSession, sigs: DataFrame, maxDf: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = simhashWidenLevels
+    val bandIdx = broadcast(spark.range(4).toDF("band"))
+    val withKeys = sigs.crossJoin(bandIdx).select(
+      col("simhash") +: col("band") +:
+        (0 to n).map(j => expr(simhashKeyExpr(j)).as(s"k$j")): _*)
+    // 10 whole-partition window counts over the DISTINCT-signature band
+    // table (4 rows/sig) — small relative to the corpus by construction
+    val withDf = (0 to n).foldLeft(withKeys) { (d, j) =>
+      d.withColumn(s"df$j", count(lit(1)).over(Window.partitionBy(col("band"), col(s"k$j"))))
+    }
+    val lvl = (0 until n).foldRight(lit(n): org.apache.spark.sql.Column) { (j, e) =>
+      when(col(s"df$j") <= maxDf, lit(j)).otherwise(e)
+    }
+    val bkey = (0 until n).foldRight(col(s"k$n")) { (j, e) =>
+      when(col(s"df$j") <= maxDf, col(s"k$j")).otherwise(e)
+    }
+    withDf.select(col("simhash"), col("band"), lvl.as("lvl"), bkey.as("bkey"))
+  }
+
+  /** Candidate signature pairs (s1 < s2, hamming ≤ maxHamming) from the
+    * df-capped band join over DISTINCT simhash values. Collapsing to
+    * distinct sigs first is what makes dup-heavy corpora safe: an
+    * N-doc exact-duplicate group is ONE row in this join.
+    */
+  private def cappedSigPairs(spark: SparkSession, sigs: DataFrame,
+                             maxHamming: Int, maxDf: Int): DataFrame = {
+    val keyed = cappedBandKeys(spark, sigs, maxDf)
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.lvl") === col("b.lvl") &&
+          col("a.bkey") === col("b.bkey") && col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("s1"), col("b.simhash").as("s2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** F4-scale pairs: simhashPairs with df-capped band buckets. Same
+    * (x, y, hamming) schema; output ⊆ simhashPairs (drop-only). Exact
+    * within a widened bucket; equals simhashPairs when no bucket is hot.
+    * Identical-sig doc pairs (hamming 0) are emitted from a group
+    * expansion, never through the band join. Measured on the synthetic
+    * corpus at maxDf=64: pair recall 0.85 at sf0.01; doc-level dup
+    * coverage (a doc with ≥1 exact-F4 pair still has ≥1 capped pair —
+    * the keep/drop signal) 1.00 at sf0.01 / 0.987 at sf0.1. NOTE the
+    * all-pairs OUTPUT itself is Ω(n²) on dup-heavy corpora; the O(n)
+    * production shape is `simhashClusters`.
+    */
+  def simhashPairsCapped(spark: SparkSession, docs: DataFrame,
+                         maxHamming: Int, maxDf: Int): DataFrame = {
+    // two pair-expansion joins reference the doc→sig map
+    val sim = simhash(spark, docs).cache()
+    val sigPairs = cappedSigPairs(spark, sim.select("simhash").distinct(), maxHamming, maxDf)
+    val crossPairs = sigPairs
+      .join(sim.as("m1"), col("s1") === col("m1.simhash"))
+      .join(sim.as("m2"), col("s2") === col("m2.simhash"))
+      .select(least(col("m1.doc_id"), col("m2.doc_id")).as("x"),
+        greatest(col("m1.doc_id"), col("m2.doc_id")).as("y"), col("hamming"))
+    val intra = sim.as("m1")
+      .join(sim.as("m2"),
+        col("m1.simhash") === col("m2.simhash") && col("m1.doc_id") < col("m2.doc_id"))
+      .select(col("m1.doc_id").as("x"), col("m2.doc_id").as("y"), lit(0L).as("hamming"))
+    crossPairs.unionByName(intra).orderBy(col("x"), col("y"))
+  }
+
+  /** F4-scale clusters: O(n)-output keep/drop decisions instead of
+    * Ω(n²) pairs (VERDICT r2 #1b). Star clustering, single pass: each
+    * signature group's representative is its min doc_id; a group whose
+    * rep has a smaller hamming-≤-max neighbour rep points at the
+    * smallest such rep (one-step min propagation — chains are NOT
+    * transitively merged; deterministic, and the oracle applies the
+    * same rule). Output: (doc_id, cluster_id, keep) for every doc,
+    * keep = 1 iff doc_id == cluster_id.
+    */
+  def simhashClusters(spark: SparkSession, docs: DataFrame,
+                      maxHamming: Int, maxDf: Int): DataFrame = {
+    val sim = simhash(spark, docs).cache()
+    // groups: referenced by the rep join and the final assignment
+    val groups = sim.groupBy(col("simhash")).agg(min(col("doc_id")).as("rep")).cache()
+    val sigPairs = cappedSigPairs(spark, groups.select("simhash"), maxHamming, maxDf)
+    // orient each sig pair by rep order; the larger rep's group gets a
+    // root candidate — min over candidates is the cluster id
+    val oriented = sigPairs
+      .join(groups.as("g1"), col("s1") === col("g1.simhash"))
+      .join(groups.as("g2"), col("s2") === col("g2.simhash"))
+      .select(
+        when(col("g1.rep") < col("g2.rep"), col("s2")).otherwise(col("s1")).as("simhash"),
+        least(col("g1.rep"), col("g2.rep")).as("cand"))
+    val roots = oriented.groupBy(col("simhash")).agg(min(col("cand")).as("root"))
+    val clusters = groups.join(roots, Seq("simhash"), "left")
+      .select(col("simhash"), coalesce(col("root"), col("rep")).as("cluster_id"))
+    sim.join(clusters, "simhash")
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   def simhashPairs(spark: SparkSession, docs: DataFrame, maxHamming: Int): DataFrame = {
     import spark.implicits._
     // cache per-doc band rows (4/doc): without it the self-join evaluates

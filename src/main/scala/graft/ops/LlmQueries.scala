@@ -18,6 +18,12 @@ object LlmQueries {
   // df there is 7-9) — the knob that kills Σdf² join fan-out at 100 TB
   val JaccardMaxDf = 5
   val SimhashMaxHamming = 6
+  // band buckets holding more distinct sigs than this are re-keyed with
+  // 5 more simhash bits (Dedup.cappedBandKeys): bounds per-bucket join
+  // work at maxDf²/2 pairs regardless of corpus size. 64 exercises the
+  // widening at sf0.01 (max raw bucket 97) while keeping sf0.01 pair
+  // recall at 0.85 vs exact F4.
+  val SimhashMaxDf = 64
   val AnnK = 5
   val AnnQueryMax = 10 // query subset: vec_id < 10
   val LshPlanes = 8
@@ -51,6 +57,18 @@ object LlmQueries {
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(spark, Tables.documents(spark, dir), SimhashMaxHamming)
+
+  /** The 100 TB-shaped pairs variant: hot band buckets re-keyed with
+    * extra simhash bits until every bucket holds ≤ SimhashMaxDf sigs.
+    */
+  def dedupSimhashCapped(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairsCapped(spark, Tables.documents(spark, dir),
+      SimhashMaxHamming, SimhashMaxDf)
+
+  /** O(n)-output keep/drop decisions from the capped candidate graph. */
+  def dedupSimhashClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashClusters(spark, Tables.documents(spark, dir),
+      SimhashMaxHamming, SimhashMaxDf)
 
   def annCosineTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)

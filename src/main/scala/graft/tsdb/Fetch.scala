@@ -66,8 +66,10 @@ object Fetch {
   /** Missing-value policy implied by the aggregation method
     * (L_DataGraph.lua:172-173): `average` leaves gaps null, `sum` reads
     * a gap as zero, `last`/`max`/`min` hold the previous value. A
-    * *query-semantics* feature in the reference, not presentation: the
-    * returned values differ by method.
+    * RENDER-time presentation rule in the reference — L_DataGraph's svg
+    * path applies it (L_DataGraph.lua:221-230) while csv/json renders
+    * emit the raw fetch nulls (graphite_cgi.lua:316-370) — so `fetch`
+    * returns raw nulls and only `Render.svg` fills.
     */
   def gapPolicy(method: String): String = method match {
     case "sum"                  => "zero"
@@ -97,8 +99,10 @@ object Fetch {
 
   /** End-to-end fetch for a glob target over raw metrics: filter paths
     * (scan-pushed rlike), build the archive cascade, select the archive
-    * for the window, return the dense series with the method's gap
-    * policy applied.
+    * for the window, return the dense series with RAW nulls at gaps —
+    * exactly what the reference's whisper fetch returns
+    * (L_DataWhisper.lua:525-552); gap fill is svg-render presentation
+    * (see gapPolicy).
     */
   def fetch(spark: SparkSession, metrics: DataFrame, target: String,
             spec: Seq[Retention.Archive], method: String, xff: Double,
@@ -114,8 +118,7 @@ object Fetch {
         // archive is bucket-level ((path, bucket) rows, far smaller than
         // raw) and the default storage level spills to disk.
         val arch = Rollup.archives(matched, spec.take(idx + 1), method, xff).last.cache()
-        fillGaps(fetchDense(spark, arch, archive.secondsPerPoint, from, until),
-          gapPolicy(method))
+        fetchDense(spark, arch, archive.secondsPerPoint, from, until)
     }
   }
 }

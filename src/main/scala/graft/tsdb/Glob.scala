@@ -42,8 +42,11 @@ object Glob {
         case '{' =>
           val close = comp.indexOf('}', i)
           require(close > i, s"unbalanced brace in '$comp'")
+          // drop empty alternatives ('{a,}' → just 'a'), mirroring
+          // expandBraces — '(a|)' would also match an empty component,
+          // so the fast regex path would disagree with expansion
           val alts = comp.substring(i + 1, close).split(",")
-            .map(_.flatMap(quoteRegex)).mkString("|")
+            .filter(_.nonEmpty).map(_.flatMap(quoteRegex)).mkString("|")
           sb.append("(").append(alts).append(")")
           i = close
         case c => sb.append(quoteRegex(c))

@@ -64,12 +64,11 @@ object MetricStore {
     * from the path index (glob pushed as StringStartsWith there too),
     * NOT the day-pruned scan — an idle metric still yields its null
     * rows, matching Fetch.fetch and the reference's Whisper semantics.
-    * `method` is the store's aggregation method; it drives the gap
-    * policy exactly as in Fetch.fetch (L_DataGraph.lua:172-173).
+    * Gaps stay null, as in Fetch.fetch: gap fill is svg-render
+    * presentation (L_DataGraph.lua:221-230), not fetch semantics.
     */
   def fetchStored(spark: SparkSession, root: String, spec: Seq[Retention.Archive],
-                  target: String, fromTime: Long, untilTime: Long, now: Long,
-                  method: String = "average"): DataFrame =
+                  target: String, fromTime: Long, untilTime: Long, now: Long): DataFrame =
     Fetch.select(spec, fromTime, untilTime, now) match {
       case None => spark.emptyDataFrame
       case Some(Fetch.Clamped(from, until, archive)) =>
@@ -80,7 +79,6 @@ object MetricStore {
         val scan = spark.read.parquet(s"$root/step=$step")
           .filter(col("day").between(fromQ - fromQ % DaySeconds, untilQ)) // partition pruning
           .filter(pathPredicate(target))
-        Fetch.fillGaps(Fetch.fetchDensePaths(pathsDf, scan, step, from, until),
-          Fetch.gapPolicy(method))
+        Fetch.fetchDensePaths(pathsDf, scan, step, from, until)
     }
 }

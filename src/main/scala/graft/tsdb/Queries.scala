@@ -148,26 +148,33 @@ object Queries {
       .orderBy(col("path"), col("t"))
   }
 
-  /** B8-gapfill: the same window fetched with method=sum — a gap means
-    * "nothing accumulated", so it reads as zero (L_DataGraph.lua:173:
-    * sum→zero). The oracle normalizes its round's -0.0 with `+ 0.0`
-    * (DuckDB round(0 - eps) is negative zero; Spark's is positive).
+  /** B8-gapfill: the same window fetched with method=sum, then the
+    * svg-render gap policy applied standalone — a gap means "nothing
+    * accumulated", so it reads as zero (L_DataGraph.lua:173: sum→zero,
+    * applied at render time per L_DataGraph.lua:221-230; fetch itself
+    * returns raw nulls). The oracle normalizes its round's -0.0 with
+    * `+ 0.0` (DuckDB round(0 - eps) is negative zero; Spark's is
+    * positive).
     */
   def fetchSumZero(spark: SparkSession, dir: String): DataFrame =
-    Fetch.fetch(spark, Tables.metrics(spark, dir), "vera.u1?.click",
-      Retention.parse("10m:1d,1h:7d,1d:60d"), "sum", 0.0,
-      fetchFrom, Now, Now)
+    Fetch.fillGaps(
+      Fetch.fetch(spark, Tables.metrics(spark, dir), "vera.u1?.click",
+        Retention.parse("10m:1d,1h:7d,1d:60d"), "sum", 0.0,
+        fetchFrom, Now, Now),
+      Fetch.gapPolicy("sum"))
       .select(col("path"), col("t"), round(col("value") - Eps, 4).as("value"))
       .orderBy(col("path"), col("t"))
 
   /** B8-gapfill: method=last holds the previous value across gaps
-    * (L_DataGraph.lua:173: last→hold); leading gaps with nothing to
-    * hold stay null.
+    * (L_DataGraph.lua:173: last→hold, an svg-render rule); leading gaps
+    * with nothing to hold stay null.
     */
   def fetchLastHold(spark: SparkSession, dir: String): DataFrame =
-    Fetch.fetch(spark, Tables.metrics(spark, dir), "vera.u1?.click",
-      Retention.parse("10m:1d,1h:7d,1d:60d"), "last", 0.0,
-      fetchFrom, Now, Now)
+    Fetch.fillGaps(
+      Fetch.fetch(spark, Tables.metrics(spark, dir), "vera.u1?.click",
+        Retention.parse("10m:1d,1h:7d,1d:60d"), "last", 0.0,
+        fetchFrom, Now, Now),
+      Fetch.gapPolicy("last"))
       .select(col("path"), col("t"), round(col("value") - Eps, 4).as("value"))
       .orderBy(col("path"), col("t"))
 
@@ -335,25 +342,10 @@ object Queries {
     Carbon.SchemaRule("clicks", ".*\\.clicks$", "1m:1d,10m:7d", "sum", 0.3),
     Carbon.SchemaRule("users12", "^vera\\.user-(one|two)\\.", "10s:1h", "last", 0.1))
 
-  /** A5/e2e: the whole carbon-cache ingest path in one plan — plaintext
-    * parse → [pre]/[post] rewrite → first-match storage schema → rollup
-    * at each rule's own finest resolution and aggregation method.
+  /** Shared tail of the e2e pipelines: rollup at each rule's own step
+    * and aggregation method over (path, ts, value, agg_method, step).
     */
-  def carbonE2e(spark: SparkSession, dir: String): DataFrame = {
-    val lines = Tables.metrics(spark, dir).select(
-      concat(col("path"), lit(" "), col("value").cast("string"),
-        lit(" "), col("ts").cast("string")).as("line"))
-    val parsed = Carbon.parse(lines, Now)
-      .withColumn("path", Carbon.rewritePrePost(col("path"), preRules, postRules))
-    def pickStep(): org.apache.spark.sql.Column =
-      coalesce(e2eRules.map(r =>
-        when(col("path").rlike(r.pattern),
-          lit(Retention.parse(r.retentions).head.secondsPerPoint))) :+
-        lit(Retention.parse(defaultRule.retentions).head.secondsPerPoint): _*)
-    val withRule = parsed
-      .select(col("path") +: col("ts") +: col("value") +:
-        Carbon.schemaMatch(col("path"), e2eRules, defaultRule): _*)
-      .withColumn("step", pickStep())
+  private def e2eAggregate(withRule: DataFrame): DataFrame =
     withRule
       .groupBy(col("path"), col("agg_method"),
         (col("ts") - col("ts") % col("step")).as("bucket"))
@@ -368,6 +360,89 @@ object Queries {
             .otherwise(col("avgv")) - Eps, 4).as("value"),
         col("npoints"))
       .orderBy(col("path"), col("bucket"))
+
+  private def e2eLines(spark: SparkSession, dir: String): DataFrame =
+    Tables.metrics(spark, dir).select(
+      concat(col("path"), lit(" "), col("value").cast("string"),
+        lit(" "), col("ts").cast("string")).as("line"))
+
+  /** A5/e2e: the whole carbon-cache ingest path in one plan — plaintext
+    * parse → [pre]/[post] rewrite → first-match storage schema → rollup
+    * at each rule's own finest resolution and aggregation method.
+    */
+  def carbonE2e(spark: SparkSession, dir: String): DataFrame = {
+    val parsed = Carbon.parse(e2eLines(spark, dir), Now)
+      .withColumn("path", Carbon.rewritePrePost(col("path"), preRules, postRules))
+    def pickStep(): org.apache.spark.sql.Column =
+      coalesce(e2eRules.map(r =>
+        when(col("path").rlike(r.pattern),
+          lit(Retention.parse(r.retentions).head.secondsPerPoint))) :+
+        lit(Retention.parse(defaultRule.retentions).head.secondsPerPoint): _*)
+    e2eAggregate(parsed
+      .select(col("path") +: col("ts") +: col("value") +:
+        Carbon.schemaMatch(col("path"), e2eRules, defaultRule): _*)
+      .withColumn("step", pickStep()))
+  }
+
+  /** The e2e rule base authored as Graphite conf TEXT — what a real
+    * install brings on day one: rewrite-rules.conf [pre]/[post]
+    * (L_DataCache.lua:94-129) and the storage-schemas /
+    * storage-aggregation pair read on file create
+    * (L_DataCache.lua:147-159). Encodes exactly preRules/postRules/
+    * e2eRules, so the conf-driven pipeline shares the carbon_e2e oracle.
+    */
+  val rewriteConfText: String =
+    """# rewrite-rules.conf
+      |[pre]
+      |^vera\.u1\. = vera.user-one.
+      |^vera\.u2\. = vera.user-two.
+      |[post]
+      |\.click$ = .clicks
+      |""".stripMargin
+  val schemasConfText: String =
+    """# storage-schemas.conf — first match wins
+      |[clicks]
+      |pattern = .*\.clicks$
+      |retentions = 1m:1d,10m:7d
+      |[users12]
+      |pattern = ^vera\.user-(one|two)\.
+      |retentions = 10s:1h
+      |""".stripMargin
+  val aggregationConfText: String =
+    """# storage-aggregation.conf — first match wins
+      |[clicks]
+      |pattern = .*\.clicks$
+      |xFilesFactor = 0.3
+      |aggregationMethod = sum
+      |[users12]
+      |pattern = ^vera\.user-(one|two)\.
+      |xFilesFactor = 0.1
+      |aggregationMethod = last
+      |""".stripMargin
+
+  /** A5-conf: the SAME e2e pipeline with every rule set parsed from
+    * Graphite conf text via [[Conf]] — schemas and aggregation rules
+    * first-match independently, as on the reference's whisper create
+    * (L_DataCache.lua:152-155). Shares the carbon_e2e oracle.
+    */
+  def carbonE2eConf(spark: SparkSession, dir: String): DataFrame = {
+    val (pre, post) = Conf.rewriteRules(rewriteConfText)
+    val schemas = Conf.storageSchemas(schemasConfText)
+    val aggs = Conf.storageAggregation(aggregationConfText)
+    val defaultSchema = Conf.SchemaEntry(defaultRule.name, "", defaultRule.retentions)
+    val defaultAgg = Conf.AggEntry(defaultRule.name, "",
+      defaultRule.xFilesFactor, defaultRule.aggregationMethod)
+    val parsed = Carbon.parse(e2eLines(spark, dir), Now)
+      .withColumn("path", Carbon.rewritePrePost(col("path"), pre, post))
+    def pickStep(): org.apache.spark.sql.Column =
+      coalesce(schemas.map(r =>
+        when(col("path").rlike(r.pattern),
+          lit(Retention.parse(r.retentions).head.secondsPerPoint))) :+
+        lit(Retention.parse(defaultSchema.retentions).head.secondsPerPoint): _*)
+    e2eAggregate(parsed
+      .select(col("path") +: col("ts") +: col("value") +:
+        Conf.storageMatch(col("path"), schemas, aggs, defaultSchema, defaultAgg): _*)
+      .withColumn("step", pickStep()))
   }
 
   /** G1 batch twin: the streaming carbon-cache plan (parse → windowed

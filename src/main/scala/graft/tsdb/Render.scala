@@ -124,12 +124,11 @@ object Render {
     val width = opts.width
     val height = opts.height
     val mode = opts.lineMode.getOrElse(Fetch.drawMode(method))
-    // drawNullAs overrides the fetch's method-derived gap policy at
-    // render time (re-fills the dense series before nulls are dropped)
-    val refetched = opts.drawNullAs match {
-      case Some(p) => Fetch.fillGaps(fetched, p)
-      case None => fetched
-    }
+    // svg is where the reference applies the method-derived gap policy
+    // (L_DataGraph.lua:221-230) — fetch returns raw nulls; drawNullAs
+    // overrides the derived policy (L_DataGraph.lua:181-182)
+    val refetched =
+      Fetch.fillGaps(fetched, opts.drawNullAs.getOrElse(Fetch.gapPolicy(method)))
     val clamp: org.apache.spark.sql.Column => org.apache.spark.sql.Column = v =>
       (opts.yMin, opts.yMax) match {
         case (None, None) => v
@@ -167,8 +166,10 @@ object Render {
         / greatest(col("t1") - col("t0"), lit(1e-9)) * (width - 2 * m)).as("x"),
       (lit(height - m) - (col("value") - col("v0"))
         / greatest(col("v1") - col("v0"), lit(1e-9)) * (height - 2 * m)).as("y"))
+    // pmod, not abs(...)%n: abs(Int.MinValue) is negative, which would
+    // make element_at's index invalid for an unlucky path hash
     val color = element_at(array(SvgPalette.map(lit): _*),
-      (abs(hash(col("path"))) % SvgPalette.size + 1).cast("int"))
+      (pmod(hash(col("path")), lit(SvgPalette.size)) + 1).cast("int"))
     val pointsAttr =
       concat_ws(" ", expr("transform(pts, p -> format_string('%.1f,%.1f', p.x, p.y))"))
     // areaMode: close the series down to the x-axis (first/last x at the

@@ -75,6 +75,55 @@ class LlmSpec extends SparkSpec {
     assert(!out.exists(t => t._1 == 3L || t._2 == 3L))
   }
 
+  test("capped simhash equals exact at high cap, subsets at low cap (F4-capped)") {
+    val exact = Dedup.simhashPairs(spark, docs, 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val highCap = Dedup.simhashPairsCapped(spark, docs, 6, maxDf = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(highCap == exact)
+    val lowCap = Dedup.simhashPairsCapped(spark, docs, 6, maxDf = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(lowCap.subsetOf(exact)) // widening only drops candidates
+    // identical-sig pairs survive ANY cap (intra-group expansion)
+    assert(lowCap.contains((0L, 2L, 0L)))
+  }
+
+  test("capped simhash recall vs exact on real documents (F4-capped)") {
+    val d = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = Dedup.simhashPairs(spark, d, graft.ops.LlmQueries.SimhashMaxHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.simhashPairsCapped(spark, d,
+      graft.ops.LlmQueries.SimhashMaxHamming, graft.ops.LlmQueries.SimhashMaxDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(exact)) // band widening only under-counts
+    val recall = (exact & capped).size.toDouble / exact.size
+    assert(recall >= 0.75, s"recall $recall too low (${capped.size}/${exact.size})")
+    // the keep/drop signal: every doc that has an exact-F4 dup still has one
+    val exactDocs = exact.flatMap(p => Seq(p._1, p._2))
+    val cappedDocs = capped.flatMap(p => Seq(p._1, p._2))
+    val cover = (exactDocs & cappedDocs).size.toDouble / exactDocs.size
+    assert(cover >= 0.95, s"doc coverage $cover too low")
+  }
+
+  test("simhash clusters: one keeper per connected sig group (F4-clusters)") {
+    val out = Dedup.simhashClusters(spark, docs, 6, maxDf = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = out.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out.length == 4) // every doc gets a decision
+    assert(byDoc(0L) == ((0L, 1L))) // rep of the dup group keeps itself
+    assert(byDoc(2L) == ((0L, 0L))) // exact dup of 0 drops to cluster 0
+    assert(byDoc(3L) == ((3L, 1L))) // unrelated doc is its own keeper
+    // doc 1 clusters to 0 iff its sig is a capped candidate of doc 0's
+    val paired = Dedup.simhashPairsCapped(spark, docs, 6, maxDf = 1000).collect()
+      .exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L)
+    if (paired) assert(byDoc(1L) == ((0L, 0L)))
+    else assert(byDoc(1L) == ((1L, 1L)))
+    // exactly one keeper per cluster id
+    val keepers = out.filter(_._3 == 1L).map(_._2)
+    assert(keepers.distinct.length == keepers.length)
+    assert(out.map(_._2).toSet == keepers.toSet)
+  }
+
   def vecs = Seq(
     (0L, Array(1.0f, 0.0f), 0),
     (1L, Array(0.9f, 0.1f), 0),

@@ -1,0 +1,98 @@
+package graft.tsdb
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Graphite .conf parsing against the reference's OWN configuration
+  * files (under /root/reference/Configuration), plus the two-file
+  * first-match storage lookup (L_DataCache.lua:147-159).
+  */
+class ConfSpec extends SparkSpec {
+
+  private def ref(name: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/Configuration", name)), "UTF-8")
+
+  test("storage-schemas.conf: all 17 rules, in file order") {
+    val rules = Conf.storageSchemas(ref("storage-schemas.conf"))
+    assert(rules.map(_.name) == Seq(
+      "Alarm", "Security", "DoorLock", "Ping", "KWH", "Power", "Battery",
+      "Temperature", "Humidity", "Light", "Generic",
+      "day", "2day", "week", "month", "quarter", "year"))
+    assert(rules.head.pattern == ":Alarm")
+    assert(rules.head.retentions == "1s:1m,1m:1d,5m:7d,1h:90d,6h:1y,1d:5y")
+    assert(rules.find(_.name == "KWH").get.pattern == "\\.KWH")
+    assert(rules.find(_.name == "day").get.retentions == "1m:1d")
+    // every retentions string parses into a valid archive cascade
+    rules.foreach(r => assert(Retention.parse(r.retentions).nonEmpty))
+  }
+
+  test("storage-aggregation.conf: all 16 rules with xff and method") {
+    val rules = Conf.storageAggregation(ref("storage-aggregation.conf"))
+    assert(rules.size == 16)
+    assert(rules.take(5).map(_.name) == Seq("max", "min", "sum", "avg", "last"))
+    val alarm = rules.find(_.name == "Alarm").get
+    assert(alarm.pattern == ":Alarm" && alarm.aggregationMethod == "sum"
+      && alarm.xFilesFactor == 0.0)
+    val batt = rules.find(_.name == "Battery").get
+    assert(batt.pattern == "\\.BatteryLevel" && batt.aggregationMethod == "last")
+  }
+
+  test("DataTranslation.conf: symbolic lookup table per series tag") {
+    val t = Conf.translation(ref("DataTranslation.conf"))
+    val mode = t("*.urn:micasaverde-com:serviceId:HVAC_OperatingState1.ModeState")
+    assert(mode == Map("Cooling" -> "-1", "Idle" -> "0", "Heating" -> "1"))
+    // feeds the existing Carbon.translate machinery (A4 semantics)
+    import spark.implicits._
+    val out = Seq("Cooling", "Heating", "Vent").toDF("v")
+      .select(Carbon.translate(col("v"), mode).as("code"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("-1", "1", "unknown"))
+  }
+
+  test("rewrite-rules.conf.example: comment-only file yields no rules") {
+    val (pre, post) = Conf.rewriteRules(ref("rewrite-rules.conf.example"))
+    assert(pre.isEmpty && post.isEmpty)
+  }
+
+  test("rewrite-rules [pre]/[post] sections parse and apply in order") {
+    val (pre, post) = Conf.rewriteRules(Queries.rewriteConfText)
+    assert(pre == Seq(Carbon.Rule("^vera\\.u1\\.", "vera.user-one."),
+      Carbon.Rule("^vera\\.u2\\.", "vera.user-two.")))
+    assert(post == Seq(Carbon.Rule("\\.click$", ".clicks")))
+    import spark.implicits._
+    val out = Seq("vera.u1.click", "vera.u9.view").toDF("path")
+      .select(Carbon.rewritePrePost(col("path"), pre, post).as("p"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("vera.user-one.clicks", "vera.u9.view"))
+  }
+
+  test("two-file storage match: independent first-match with defaults") {
+    val schemas = Conf.storageSchemas(ref("storage-schemas.conf"))
+    val aggs = Conf.storageAggregation(ref("storage-aggregation.conf"))
+    import spark.implicits._
+    val out = Seq(
+      // :Alarm → schema Alarm (1s cascade) + aggregation Alarm (sum)
+      "12.urn:x:SecuritySensor1:Alarm.Tripped",
+      // \.KWH → schema KWH + aggregation KWH (last)
+      "7.urn:x:EnergyMetering1.KWH",
+      // .max$ matches no schema (falls to default) but aggregation [max]
+      "something.max",
+      // nothing matches → both defaults
+      "plain.path").toDF("path")
+      .select(col("path") +: Conf.storageMatch(col("path"), schemas, aggs): _*)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3), r.getDouble(4)))
+    assert(out(0) == (("Alarm", "1s:1m,1m:1d,5m:7d,1h:90d,6h:1y,1d:5y", "sum", 0.0)))
+    assert(out(1) == (("KWH", "20m:30d,3h:1y,1d:10y", "last", 0.0)))
+    assert(out(2) == (("[default]", "1h:7d", "max", 0.0)))
+    assert(out(3) == (("[default]", "1h:7d", "average", 0.5)))
+  }
+
+  test("parse: anon section, control-char strip, duplicate keys kept") {
+    val s = Conf.parse("a = 1\n[s]\nk = vx\nk = w\n# comment\n")
+    assert(s.map(_.name) == Seq("_anon_", "s"))
+    assert(s.head.params == Seq("a" -> "1"))
+    assert(s(1).params == Seq("k" -> "vx", "k" -> "w"))
+    assert(s(1).get("k").contains("vx"))
+  }
+}

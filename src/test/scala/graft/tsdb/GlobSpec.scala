@@ -42,6 +42,16 @@ class GlobSpec extends AnyFunSuite {
     assert(!"vera.u3.click".matches(re))
   }
 
+  test("empty brace alternatives: regex path mirrors expansion path") {
+    // expandBraces drops empty items ('{a,}' → just 'a'); the compiled
+    // regex must not match the empty component either, or the find fast
+    // path would return paths the expansion path would not
+    assert(Glob.expandBraces("x.{a,}.y") == Seq("x.a.y"))
+    val re = Glob.queryToRegex("x.{a,}.y", allowDeeper = false)
+    assert("x.a.y".matches(re))
+    assert(!"x..y".matches(re))
+  }
+
   test("regex metacharacters in literals are quoted") {
     val re = Glob.queryToRegex("a+b.c", allowDeeper = false)
     assert("a+b.c".matches(re))

@@ -67,14 +67,21 @@ class TsdbSparkSpec extends SparkSpec {
     assert(Fetch.drawMode("average") == "connected")
     assert(Fetch.drawMode("sum") == "staircase")
     val spec = Retention.parse("1m:1h,10m:6h")
-    def vals(method: String): Seq[Any] =
-      Fetch.fetch(spark, metrics, "a.*.v", spec, method, 0.0, 0L, 180L, 200L)
-        .orderBy("path", "t").collect()
+    // fetch returns RAW nulls (csv/json semantics, graphite_cgi.lua:
+    // 316-370); the method-derived fill is applied at svg-render time
+    def vals(method: String, fill: Boolean): Seq[Any] = {
+      val raw = Fetch.fetch(spark, metrics, "a.*.v", spec, method, 0.0, 0L, 180L, 200L)
+      val d = if (fill) Fetch.fillGaps(raw, Fetch.gapPolicy(method)) else raw
+      d.orderBy("path", "t").collect()
         .map(r => if (r.isNullAt(2)) null else r.getDouble(2)).toSeq
-    // a.y.v has one point (t=0) then gaps: sum → zeros, last → held value
-    assert(vals("sum").drop(4) == Seq(10.0, 0.0, 0.0, 0.0))
-    assert(vals("last").drop(4) == Seq(10.0, 10.0, 10.0, 10.0))
-    assert(vals("average").drop(4) == Seq(10.0, null, null, null))
+    }
+    // a.y.v has one point (t=0) then gaps: raw fetch leaves them null
+    assert(vals("sum", fill = false).drop(4) == Seq(10.0, null, null, null))
+    assert(vals("last", fill = false).drop(4) == Seq(10.0, null, null, null))
+    // render-time fill: sum → zeros, last → held value, average → null
+    assert(vals("sum", fill = true).drop(4) == Seq(10.0, 0.0, 0.0, 0.0))
+    assert(vals("last", fill = true).drop(4) == Seq(10.0, 10.0, 10.0, 10.0))
+    assert(vals("average", fill = true).drop(4) == Seq(10.0, null, null, null))
   }
 
   test("fetch archive selection falls to coarser archive (B8)") {
