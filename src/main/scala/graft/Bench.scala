@@ -37,11 +37,12 @@ object Bench {
         val dt = System.nanoTime() - t0
         budgetNs -= dt
         times += dt / 1e9
+        // drop cached intermediates AFTER each sample (outside the
+        // timed section): a repeat must re-run the full plan, not read
+        // the previous sample's cache — and a 52-query session must not
+        // accumulate executor storage (VERDICT r2 cache hygiene)
+        spark.catalog.clearCache()
       }
-      // per-query cache lifecycle: queries cache() intermediates (band
-      // rows, rollup archives); drop them so a 52-query session doesn't
-      // accumulate executor storage (VERDICT r2 #3 cache hygiene)
-      spark.catalog.clearCache()
       name -> times.toSeq
     }
     val results = samples.map { case (n, ts) => n -> ts.min }.toMap

@@ -48,6 +48,7 @@ object SparkEntry {
     "metrics_find" -> ((s, dir) => T.metricsFind(s, dir)),
     "metrics_find_treejson" -> ((s, dir) => T.metricsFindTreejson(s, dir)),
     "metrics_find_completer" -> ((s, dir) => T.metricsFindCompleter(s, dir)),
+    "metrics_find_federated" -> ((s, dir) => T.metricsFindFederated(s, dir)),
     "metrics_expand" -> ((s, dir) => T.metricsExpand(s, dir)),
     "metrics_index" -> ((s, dir) => T.metricsIndex(s, dir)),
     "series_expand" -> ((s, dir) => T.seriesExpand(s, dir)),
@@ -487,6 +488,36 @@ object SparkEntry {
          |SELECT is_leaf, CASE WHEN is_leaf = 1 THEN path ELSE path||'.' END AS path, name, q
          |FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2) t
          |ORDER BY q, path, is_leaf""".stripMargin,
+    // finder federation: two whisper stores (the second claims the same
+    // paths over a narrower window and must LOSE on intervals —
+    // first-leaf-wins) + a dataMine channel tree; branch rows carry
+    // null finder/intervals
+    "metrics_find_federated" ->
+      s"""WITH $M,
+         |ev AS (SELECT user_id AS device, 'urn:graft:serviceId:Events1' AS service,
+         |  event_type AS variable, CAST(floor(epoch(ts)) AS BIGINT) AS ts FROM events),
+         |w1 AS (SELECT path, min(ts) AS earliest, max(ts) AS latest,
+         |  CAST(0 AS BIGINT) AS finder FROM m GROUP BY 1),
+         |w2 AS (SELECT path, min(ts) AS earliest, max(ts) AS latest,
+         |  CAST(1 AS BIGINT) AS finder FROM m WHERE ts >= 1705000000 GROUP BY 1),
+         |dm AS (SELECT 'DM.'||lpad(CAST(device AS VARCHAR),3,'0')||'.'||service||'.'||variable AS path,
+         |  min(ts) AS earliest, max(ts) AS latest, CAST(2 AS BIGINT) AS finder
+         |  FROM ev GROUP BY 1),
+         |u AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM dm),
+         |leaves AS (SELECT path, min_by(earliest, finder) AS earliest,
+         |  min_by(latest, finder) AS latest, min(finder) AS finder FROM u GROUP BY 1),
+         |q1 AS (SELECT DISTINCT split_part(path,'.',1) AS path, split_part(path,'.',1) AS name,
+         |  CAST(0 AS BIGINT) AS is_leaf, CAST(-1 AS BIGINT) AS finder,
+         |  CAST(-1 AS BIGINT) AS earliest, CAST(-1 AS BIGINT) AS latest, '*' AS q FROM leaves),
+         |q2 AS (SELECT path, split_part(path,'.',3) AS name, CAST(1 AS BIGINT) AS is_leaf,
+         |  finder, earliest, latest, 'vera.*.*' AS q FROM leaves
+         |  WHERE regexp_matches(path, '^vera\\.[^.]+\\.[^.]+$$')),
+         |q3 AS (SELECT path, split_part(path,'.',4) AS name, CAST(1 AS BIGINT) AS is_leaf,
+         |  finder, earliest, latest, 'DM.*.*.*' AS q FROM leaves
+         |  WHERE regexp_matches(path, '^DM\\.[^.]+\\.[^.]+\\.[^.]+$$'))
+         |SELECT q, path, name, is_leaf, finder, earliest, latest
+         |FROM (SELECT * FROM q1 UNION ALL SELECT * FROM q2 UNION ALL SELECT * FROM q3) t
+         |ORDER BY 1, 2, 4""".stripMargin,
     "metrics_expand" ->
       s"""WITH $M, p AS (SELECT DISTINCT path FROM m),
          |e1 AS (SELECT DISTINCT 'vera.'||split_part(path,'.',2)||'.' AS path, 'vera.*' AS q FROM p),

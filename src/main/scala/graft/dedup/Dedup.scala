@@ -274,9 +274,11 @@ object Dedup {
     * expansion, never through the band join. Measured on the synthetic
     * corpus at maxDf=64: pair recall 0.85 at sf0.01; doc-level dup
     * coverage (a doc with ≥1 exact-F4 pair still has ≥1 capped pair —
-    * the keep/drop signal) 1.00 at sf0.01 / 0.987 at sf0.1. NOTE the
-    * all-pairs OUTPUT itself is Ω(n²) on dup-heavy corpora; the O(n)
-    * production shape is `simhashClusters`.
+    * the keep/drop signal) 1.00 at sf0.01 / 0.987 at sf0.1. Bucket
+    * evidence (DuckDB, same keying): sf0.1 max bucket 1,582 raw → 64
+    * capped; candidate sig-pairs 2.94M → 133k. NOTE the all-pairs
+    * OUTPUT itself is Ω(n²) on dup-heavy corpora; the O(n) production
+    * shape is `simhashClusters`.
     */
   def simhashPairsCapped(spark: SparkSession, docs: DataFrame,
                          maxHamming: Int, maxDf: Int): DataFrame = {

@@ -65,6 +65,14 @@ object CarbonStream {
     * differs from the state. Works identically over a batch Dataset
     * (state starts empty per group) and a stream (state persists across
     * micro-batches in the state store, keyed by path).
+    *
+    * MEMORY BOUND: the per-group sort materializes ONE path's points
+    * from ONE micro-batch in the task (persistent state stays a single
+    * Double). A hot path emitting v points/sec with trigger interval t
+    * holds v*t points — at carbon-realistic rates (≤ a few k/sec/path)
+    * that is a few MB; size the trigger interval accordingly. Points
+    * for different paths never share a buffer (they're different
+    * groups), so corpus-wide volume does not concentrate in one task.
     */
   def changeRelay(points: Dataset[Point]): Dataset[Point] = {
     import points.sparkSession.implicits._

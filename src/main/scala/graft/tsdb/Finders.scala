@@ -1,0 +1,78 @@
+package graft.tsdb
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Finder federation — the reference's Store unions several finders
+  * (Whisper files AND dataMine channel trees) into one /metrics/find
+  * namespace (/root/reference/L_DataGraphiteAPI.lua:340-397,
+  * /root/reference/L_DataFinders.lua:219-247): branch nodes dedup
+  * across finders, and when several finders claim the same LEAF path
+  * only the first finder's node survives
+  * (L_DataGraphiteAPI.lua:382-384 "only return the FIRST leaf node").
+  * Leaves carry the reader's (earliest, latest) interval metadata —
+  * whisper derives it from the archive extremes
+  * (L_DataFinders.lua:86-101), dataMine from the channel cursor's
+  * first/last entries (L_DataFinders.lua:240-250).
+  *
+  * Spark shape: each finder is a leaf-namespace DataFrame
+  * (path, earliest, latest); federation is a union + one groupBy(path)
+  * with min_by on the finder index — no driver-side tree walk, and the
+  * node classification reuses MetricTree.find's single-scan prefix
+  * aggregation.
+  */
+object Finders {
+
+  /** Whisper finder namespace: every metric path with its
+    * earliest/latest datapoint (L_DataFinders.lua:86-96: min of the
+    * oldest archive, max of the youngest).
+    */
+  def whisperLeaves(metrics: DataFrame): DataFrame =
+    metrics.groupBy(col("path"))
+      .agg(min(col("ts")).as("earliest"), max(col("ts")).as("latest"))
+
+  /** dataMine finder namespace: channel names are
+    * `<vera>.<zero-padded device>.<service>.<variable>`
+    * (L_DataFinders.lua:352-356: `(self.vera or "DM") .. ".%03d"`,
+    * display naming L_DataMineServer.lua:185-193), with intervals from
+    * the channel's first/last samples. Input: one row per sample with
+    * (device, service, variable, ts).
+    */
+  def datamineLeaves(points: DataFrame, veraPrefix: String = "DM"): DataFrame =
+    points.groupBy(col("device"), col("service"), col("variable"))
+      .agg(min(col("ts")).as("earliest"), max(col("ts")).as("latest"))
+      .select(
+        concat_ws(".", lit(veraPrefix),
+          lpad(col("device").cast("string"), 3, "0"),
+          col("service"), col("variable")).as("path"),
+        col("earliest"), col("latest"))
+
+  /** Union the finder namespaces with first-finder-wins leaf intervals:
+    * one row per distinct leaf path, carrying (earliest, latest,
+    * finder) from the lowest finder index that claims it.
+    */
+  def federate(finders: Seq[DataFrame]): DataFrame =
+    finders.zipWithIndex.map { case (f, i) =>
+      f.select(col("path"), col("earliest"), col("latest"),
+        lit(i.toLong).as("finder"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("path"))
+      .agg(
+        min_by(col("earliest"), col("finder")).as("earliest"),
+        min_by(col("latest"), col("finder")).as("latest"),
+        min(col("finder")).as("finder"))
+
+  /** Federated /metrics/find: nodes over the union namespace; leaf
+    * rows join their owning finder's intervals, branch rows carry
+    * nulls (the reference's branch nodes have no reader,
+    * L_DataGraphiteAPI.lua:155-163).
+    */
+  def find(finders: Seq[DataFrame], query: String): DataFrame = {
+    val leaves = federate(finders)
+    MetricTree.find(leaves.select(col("path")), query).as("n")
+      .join(leaves.as("l"),
+        col("n.path") === col("l.path") && col("n.is_leaf") === 1L, "left")
+      .select(col("n.path").as("path"), col("name"), col("is_leaf"),
+        col("finder"), col("earliest"), col("latest"))
+  }
+}

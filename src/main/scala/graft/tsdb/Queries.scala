@@ -240,6 +240,44 @@ object Queries {
       .orderBy(col("q"), col("path"), col("is_leaf"))
   }
 
+  /** Cut for the second (narrower) whisper store in the federated
+    * find: halfway through the data month.
+    */
+  val FederatedCut = 1705000000L
+
+  /** C1-federated: Store-style finder federation — whisper metrics, a
+    * SECOND whisper store claiming the same paths over a narrower
+    * window, and a dataMine channel tree, all in one find namespace
+    * (L_DataGraphiteAPI.lua:340-397). First-leaf-wins: the duplicate
+    * store's intervals must lose to the primary's
+    * (L_DataGraphiteAPI.lua:382-384); leaves carry per-node
+    * (earliest, latest) interval metadata (L_DataFinders.lua:86-109,
+    * 240-250), branches carry nulls.
+    */
+  def metricsFindFederated(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.metrics(spark, dir)
+    val w1 = Finders.whisperLeaves(m)
+    val w2 = Finders.whisperLeaves(m.filter(col("ts") >= FederatedCut))
+    val dm = Finders.datamineLeaves(
+      Tables.events(spark, dir).select(
+        col("user_id").as("device"),
+        lit("urn:graft:serviceId:Events1").as("service"),
+        col("event_type").as("variable"),
+        col("ts").cast("long").as("ts")))
+    val fs = Seq(w1, w2, dm)
+    Seq("*", "vera.*.*", "DM.*.*.*")
+      .map(q => Finders.find(fs, q).withColumn("q", lit(q)))
+      .reduce(_ unionByName _)
+      // branch nodes have no reader → null intervals in the API;
+      // sentinel -1 in the CHECK projection only (the driver's row-sort
+      // compares every column, and null vs int doesn't order)
+      .select(col("q"), col("path"), col("name"), col("is_leaf"),
+        coalesce(col("finder"), lit(-1L)).as("finder"),
+        coalesce(col("earliest"), lit(-1L)).as("earliest"),
+        coalesce(col("latest"), lit(-1L)).as("latest"))
+      .orderBy(col("q"), col("path"), col("is_leaf"))
+  }
+
   /** C2: /metrics/expand — branches keep a trailing dot. */
   def metricsExpand(spark: SparkSession, dir: String): DataFrame = {
     val p = paths(spark, dir)

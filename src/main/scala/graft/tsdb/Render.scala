@@ -94,7 +94,11 @@ object Render {
                               lineMode: Option[String] = None,
                               drawNullAs: Option[String] = None,
                               bgcolor: Option[String] = None,
-                              vtitle: Option[String] = None)
+                              vtitle: Option[String] = None,
+                              // explicit chart type beats the
+                              // areaMode-derived default
+                              // (L_DataGraph.lua:275-277)
+                              graphType: Option[String] = None)
 
   /** svg render format (L_DataGraph.lua:190-290): one polyline per
     * series over the fetched dense grid. The drawing mode follows the
@@ -174,8 +178,14 @@ object Render {
       concat_ws(" ", expr("transform(pts, p -> format_string('%.1f,%.1f', p.x, p.y))"))
     // areaMode: close the series down to the x-axis (first/last x at the
     // baseline) and fill translucently under the stroke line
+    // chart type: LineChart unless areaMode says AreaChart; an explicit
+    // graphType overrides both (L_DataGraph.lua:275-277)
+    val drawArea = opts.graphType match {
+      case Some(t) => t == "AreaChart"
+      case None => opts.areaMode != "none"
+    }
     val areaEl =
-      if (opts.areaMode == "none") lit("")
+      if (!drawArea) lit("")
       else concat(
         lit("""<polygon stroke="none" fill-opacity="0.3" fill=""""), color,
         lit("""" points=""""), pointsAttr,

@@ -77,6 +77,22 @@ class StreamSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", 10L, 1.0), ("a", 30L, 2.0), ("b", 10L, 5.0)))
   }
 
+  test("watch relay: one hot path with a large single batch stays bounded (G3)") {
+    // the per-group sort buffers ONE path's micro-batch worth of points
+    // (CarbonStream.changeRelay memory bound); 200k points on a single
+    // path must complete and relay exactly the value changes
+    val n = 200000
+    val pts = spark.range(n).select(
+      org.apache.spark.sql.functions.lit("hot.path").as("path"),
+      $"id".as("ts"),
+      // value changes every 4th point → n/4 relays
+      ($"id" / 4).cast("long").cast("double").as("value"))
+      .as[graft.streaming.CarbonStream.Point]
+    val out = graft.streaming.CarbonStream.changeRelay(pts).collect()
+    assert(out.length == n / 4)
+    assert(out.map(_.ts).sorted.take(3).toSeq == Seq(0L, 4L, 8L))
+  }
+
   test("ingest sink lands day-partitioned parquet") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString

@@ -116,6 +116,23 @@ class ApiSpec extends SparkSpec {
     assert(n == 5, s"expected 5 coordinate pairs, got $n")
   }
 
+  test("graphType override beats areaMode-derived chart type (L_DataGraph.lua:278)") {
+    val fetched = Fetch.fetch(spark, metrics, "a.*", spec, "average", 0.0,
+      0L, 120L, 200L)
+    // areaMode=none but graphType=AreaChart → area polygon forced
+    val forced = Render.svg(fetched, "average", Render.SvgOptions(
+      graphType = Some("AreaChart"))).head.getString(0)
+    assert(forced.contains("<polygon"))
+    // areaMode=all but graphType=LineChart → area polygon suppressed
+    val suppressed = Render.svg(fetched, "average", Render.SvgOptions(
+      areaMode = "all", graphType = Some("LineChart"))).head.getString(0)
+    assert(!suppressed.contains("<polygon"))
+    // no graphType: areaMode decides (existing default)
+    val derived = Render.svg(fetched, "average", Render.SvgOptions(
+      areaMode = "all")).head.getString(0)
+    assert(derived.contains("<polygon"))
+  }
+
   test("treejson/completer serialized documents and jsonp wrap") {
     val paths = Seq("a.x", "a.x.v").toDF("path")
     val tjDocs = Render.treejson(Api.findFormat(paths, "a.*"))
