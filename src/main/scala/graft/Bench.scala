@@ -27,7 +27,12 @@ object Bench {
     // detection. The min measures the plan, not the driver's load; all
     // samples ship in the JSON. Long queries (cumulative >60s) stop
     // after 2 samples to bound the wall clock.
-    val samples = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=a,b,c restricts to named queries (dev loops)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val samples = selected.map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       var budgetNs = 60e9
       while (times.size < 3 && (times.size < 2 || budgetNs > 0)) {

@@ -235,8 +235,15 @@ object Dedup {
     val withKeys = sigs.crossJoin(bandIdx).select(
       col("simhash") +: col("band") +:
         (0 to n).map(j => expr(simhashKeyExpr(j)).as(s"k$j")): _*)
-    // 10 whole-partition window counts over the DISTINCT-signature band
-    // table (4 rows/sig) — small relative to the corpus by construction
+    // 10 per-level window counts over the DISTINCT-signature band table
+    // (4 narrow rows/sig): one exchange per level, each LINEAR in sig
+    // count and dwarfed by the pair join this stage bounds. The keys
+    // are nested prefixes (k_j = mask(k_{j+1})), so every (band,k_j)
+    // group is contained in one (band,k0) partition — if profiling ever
+    // shows this stage dominant, a single (band,k0) repartition +
+    // per-partition multi-level counting computes all dfs in ONE
+    // shuffle. Not done here: the simple plan keeps the oracle's window
+    // formulation and whole-stage codegen.
     val withDf = (0 to n).foldLeft(withKeys) { (d, j) =>
       d.withColumn(s"df$j", count(lit(1)).over(Window.partitionBy(col("band"), col(s"k$j"))))
     }
@@ -256,7 +263,9 @@ object Dedup {
     */
   private def cappedSigPairs(spark: SparkSession, sigs: DataFrame,
                              maxHamming: Int, maxDf: Int): DataFrame = {
-    val keyed = cappedBandKeys(spark, sigs, maxDf)
+    // cached: the self-join consumes keyed twice — uncached, the whole
+    // 10-level window cascade executes once per join side
+    val keyed = cappedBandKeys(spark, sigs, maxDf).cache()
     keyed.as("a")
       .join(keyed.as("b"),
         col("a.band") === col("b.band") && col("a.lvl") === col("b.lvl") &&

@@ -16,17 +16,28 @@ object Api {
   def render(spark: SparkSession, metrics: DataFrame, target: String,
              from: Option[String], until: Option[String], format: String,
              spec: Seq[Retention.Archive], method: String, xff: Double,
+             now: Long): DataFrame =
+    render(spark, metrics, Seq(target), from, until, format, spec, method, xff, now)
+
+  /** Multi-target form: the reference's `target` parameter is ALWAYS an
+    * array (graphite_cgi.lua:474 "target is ALWAYS an array"); every
+    * target's series land in one render.
+    */
+  def render(spark: SparkSession, metrics: DataFrame, targets: Seq[String],
+             from: Option[String], until: Option[String], format: String,
+             spec: Seq[Retention.Archive], method: String, xff: Double,
              now: Long): DataFrame = {
+    require(targets.nonEmpty, "at least one target required")
     val fromT = from.flatMap(TimeParse.getTime(_, now)).getOrElse(now - 24 * 3600)
     val untilT = until.flatMap(TimeParse.getTime(_, now)).getOrElse(now)
-    val fetched = Glob.expandBraces(target)
+    val fetched = targets.flatMap(Glob.expandBraces)
       .map(t => Fetch.fetch(spark, metrics, t, spec, method, xff, fromT, untilT, now))
       .reduce(_ unionByName _)
     format match {
       case "csv" => Render.csv(fetched)
       case "json" => Render.json(fetched)
       // svg is the reference's default render format (graphite_cgi.lua:389)
-      case "svg" => Render.svg(fetched, method, title = Some(target))
+      case "svg" => Render.svg(fetched, method, title = Some(targets.mkString(",")))
       case other => throw new IllegalArgumentException(s"unsupported format $other")
     }
   }

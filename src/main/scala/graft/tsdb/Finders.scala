@@ -67,12 +67,18 @@ object Finders {
     * nulls (the reference's branch nodes have no reader,
     * L_DataGraphiteAPI.lua:155-163).
     */
-  def find(finders: Seq[DataFrame], query: String): DataFrame = {
-    val leaves = federate(finders)
+  def find(finders: Seq[DataFrame], query: String): DataFrame =
+    findIn(federate(finders), query)
+
+  /** find over an already-federated leaf table — callers serving many
+    * queries federate (and typically cache) once, then find per query;
+    * re-federating per query would rebuild every finder's namespace
+    * each time.
+    */
+  def findIn(leaves: DataFrame, query: String): DataFrame =
     MetricTree.find(leaves.select(col("path")), query).as("n")
       .join(leaves.as("l"),
         col("n.path") === col("l.path") && col("n.is_leaf") === 1L, "left")
       .select(col("n.path").as("path"), col("name"), col("is_leaf"),
         col("finder"), col("earliest"), col("latest"))
-  }
 }

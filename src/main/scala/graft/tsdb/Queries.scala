@@ -264,9 +264,12 @@ object Queries {
         lit("urn:graft:serviceId:Events1").as("service"),
         col("event_type").as("variable"),
         col("ts").cast("long").as("ts")))
-    val fs = Seq(w1, w2, dm)
+    // federate ONCE for all three queries (cached: each find consumes
+    // the leaf table twice — node classification + interval join — and
+    // three finds would otherwise rebuild all finder namespaces 3×)
+    val leaves = Finders.federate(Seq(w1, w2, dm)).cache()
     Seq("*", "vera.*.*", "DM.*.*.*")
-      .map(q => Finders.find(fs, q).withColumn("q", lit(q)))
+      .map(q => Finders.findIn(leaves, q).withColumn("q", lit(q)))
       .reduce(_ unionByName _)
       // branch nodes have no reader → null intervals in the API;
       // sentinel -1 in the CHECK projection only (the driver's row-sort

@@ -29,6 +29,19 @@ class ApiSpec extends SparkSpec {
     assert(rows.length == 1 && rows(0).getString(0) == "a.x")
   }
 
+  test("multi-target render unions every target's series (graphite_cgi.lua:474)") {
+    val out = Api.render(spark, metrics, Seq("a.*", "b.*"),
+      Some("1970-01-01T00:00:00"), Some("1970-01-01T00:02:00"), "csv",
+      spec, "average", 0.0, now = 120L)
+    val targets = out.collect().map(_.getString(0)).distinct.sorted
+    assert(targets.toSeq == Seq("a.x", "b.y"))
+    val doc = Api.render(spark, metrics, Seq("a.*", "b.*"),
+      Some("1970-01-01T00:00:00"), Some("1970-01-01T00:02:00"), "svg",
+      spec, "average", 0.0, now = 120L).head.getString(0)
+    assert(doc.contains("<title>a.*,b.*</title>"))
+    assert("<polyline ".r.findAllIn(doc).size == 2)
+  }
+
   test("unknown format rejected; relative times accepted") {
     assertThrows[IllegalArgumentException] {
       Api.render(spark, metrics, "a.*", None, None, "png", spec, "average", 0.0, 120L)
