@@ -229,31 +229,30 @@ object Dedup {
     * documented drop-only approximation as ngramJaccardCapped.
     */
   private[graft] def cappedBandKeys(spark: SparkSession, sigs: DataFrame, maxDf: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val n = simhashWidenLevels
     val bandIdx = broadcast(spark.range(4).toDF("band"))
-    val withKeys = sigs.crossJoin(bandIdx).select(
-      col("simhash") +: col("band") +:
-        (0 to n).map(j => expr(simhashKeyExpr(j)).as(s"k$j")): _*)
-    // 10 per-level window counts over the DISTINCT-signature band table
-    // (4 narrow rows/sig): one exchange per level, each LINEAR in sig
-    // count and dwarfed by the pair join this stage bounds. The keys
-    // are nested prefixes (k_j = mask(k_{j+1})), so every (band,k_j)
-    // group is contained in one (band,k0) partition — if profiling ever
-    // shows this stage dominant, a single (band,k0) repartition +
-    // per-partition multi-level counting computes all dfs in ONE
-    // shuffle. Not done here: the simple plan keeps the oracle's window
-    // formulation and whole-stage codegen.
-    val withDf = (0 to n).foldLeft(withKeys) { (d, j) =>
-      d.withColumn(s"df$j", count(lit(1)).over(Window.partitionBy(col("band"), col(s"k$j"))))
-    }
-    val lvl = (0 until n).foldRight(lit(n): org.apache.spark.sql.Column) { (j, e) =>
-      when(col(s"df$j") <= maxDf, lit(j)).otherwise(e)
-    }
-    val bkey = (0 until n).foldRight(col(s"k$n")) { (j, e) =>
-      when(col(s"df$j") <= maxDf, col(s"k$j")).otherwise(e)
-    }
-    withDf.select(col("simhash"), col("band"), lvl.as("lvl"), bkey.as("bkey"))
+    // one (band, level, key) row per sig per level — 10 narrow rows per
+    // band row. ONE count shuffle + ONE join + ONE min-struct groupBy
+    // replaces a per-level window cascade (10 sequential exchanges):
+    // same shuffled bytes, 3 stages instead of 10 (profiled 5.0 s →
+    // sub-second on the 20k-row sf0.1 keyed table; at 10B sigs the win
+    // is stage-barrier count, volume stays linear).
+    val exploded = sigs.crossJoin(bandIdx)
+      .select(col("simhash"), col("band"),
+        posexplode(array((0 to n).map(j => expr(simhashKeyExpr(j))): _*))
+          .as(Seq("j", "key")))
+    val dfs = exploded.groupBy(col("band"), col("j"), col("key"))
+      .agg(count(lit(1)).as("df"))
+    // bucket refinement is monotone (k_j = mask(k_{j+1}), so df never
+    // grows with j) and level n is a per-band bijection of the full
+    // simhash (df = 1 over DISTINCT sigs), so min(when(df ≤ cap,
+    // struct(j, key))) IS "the first level that fits" and always exists
+    exploded.join(dfs, Seq("band", "j", "key"))
+      .groupBy(col("simhash"), col("band"))
+      .agg(min(when(col("df") <= maxDf, struct(col("j"), col("key")))).as("lk"))
+      .select(col("simhash"), col("band"),
+        col("lk").getField("j").cast("long").as("lvl"),
+        col("lk").getField("key").as("bkey"))
   }
 
   /** Candidate signature pairs (s1 < s2, hamming ≤ maxHamming) from the
