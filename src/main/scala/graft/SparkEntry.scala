@@ -59,6 +59,7 @@ object SparkEntry {
     "dm_resample" -> ((s, dir) => T.dmResample(s, dir)),
     "dm_resample_all" -> ((s, dir) => T.dmResampleAll(s, dir)),
     "dm_weekly" -> ((s, dir) => T.dmWeekly(s, dir)),
+    "dm_fetch_raw" -> ((s, dir) => T.dmFetchRaw(s, dir)),
     // F. LLM-pipeline operators
     "dedup_exact" -> ((s, dir) => L.dedupExact(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => L.dedupNgramJaccard(s, dir)),
@@ -563,6 +564,15 @@ object SparkEntry {
          |SELECT path, CAST(floor(ts/604800) AS BIGINT) AS week, count(*) AS n,
          | round(avg(value) - 1e-9,4) AS avg_value
          |FROM m GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // the dataMine reader's raw fetch: non-uniform samples in range,
+    // channel paths DM.<lpad dev>.<srv>.<var>, click channels only
+    "dm_fetch_raw" ->
+      """SELECT 'DM.'||lpad(CAST(user_id AS VARCHAR),3,'0')||'.urn:graft:serviceId:Events1.click' AS path,
+        | CAST(floor(epoch(ts)) AS BIGINT) AS t, round(value, 4) AS value
+        |FROM events
+        |WHERE event_type = 'click'
+        |  AND CAST(floor(epoch(ts)) AS BIGINT) BETWEEN 1706100000 AND 1706659200
+        |ORDER BY 1, 2, 3""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),4) AS sum_qty,

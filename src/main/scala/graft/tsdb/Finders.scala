@@ -81,4 +81,40 @@ object Finders {
         col("n.path") === col("l.path") && col("n.is_leaf") === 1L, "left")
       .select(col("n.path").as("path"), col("name"), col("is_leaf"),
         col("finder"), col("earliest"), col("latest"))
+
+  /** The dataMine reader's fetch: the RAW samples inside [from, until],
+    * NON-uniform — "a significant departure ... the time info step size
+    * is nil" (L_DataFinders.lua:252-292): dataMine stores every change,
+    * so the reader returns them as-is and the caller (the dataMine
+    * server) resamples if it needs a grid (Datamine.resample).
+    * Input: channel samples keyed by the federated channel path.
+    */
+  def datamineFetch(points: DataFrame, target: String,
+                    from: Long, until: Long, veraPrefix: String = "DM"): DataFrame = {
+    val path = concat_ws(".", lit(veraPrefix),
+      lpad(col("device").cast("string"), 3, "0"),
+      col("service"), col("variable"))
+    points.select(path.as("path"), col("ts").as("t"), col("value"))
+      .filter(col("path").rlike(Glob.queryToRegex(target, allowDeeper = false)))
+      .filter(col("t").between(from, until))
+  }
+
+  /** Store-style fetch through the federated namespace: a target is
+    * routed to the finder whose reader owns it — whisper globs get the
+    * dense quantized archive fetch, dataMine globs the raw non-uniform
+    * samples (the reference's LeafNode.fetch delegates to its reader,
+    * L_DataGraphiteAPI.lua:188-191). Routing is by namespace prefix:
+    * dataMine channel paths live under `<veraPrefix>.`
+    * (L_DataFinders.lua:352-356), everything else is whisper.
+    */
+  def fetchRouted(spark: org.apache.spark.sql.SparkSession,
+                  metrics: DataFrame, dmPoints: DataFrame, target: String,
+                  spec: Seq[Retention.Archive], method: String, xff: Double,
+                  from: Long, until: Long, now: Long,
+                  veraPrefix: String = "DM"): DataFrame =
+    if (target == veraPrefix || target.startsWith(veraPrefix + "."))
+      datamineFetch(dmPoints, target, from, until, veraPrefix)
+    else
+      Fetch.fetch(spark, metrics, target, spec, method, xff, from, until, now)
+        .select(col("path"), col("t"), col("value"))
 }

@@ -254,16 +254,22 @@ object Queries {
     * (earliest, latest) interval metadata (L_DataFinders.lua:86-109,
     * 240-250), branches carry nulls.
     */
+  /** The synthetic dataMine channel samples: events re-keyed as
+    * (device, service, variable) channels.
+    */
+  private def dmChannelPoints(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("user_id").as("device"),
+      lit("urn:graft:serviceId:Events1").as("service"),
+      col("event_type").as("variable"),
+      col("ts").cast("long").as("ts"),
+      col("value"))
+
   def metricsFindFederated(spark: SparkSession, dir: String): DataFrame = {
     val m = Tables.metrics(spark, dir)
     val w1 = Finders.whisperLeaves(m)
     val w2 = Finders.whisperLeaves(m.filter(col("ts") >= FederatedCut))
-    val dm = Finders.datamineLeaves(
-      Tables.events(spark, dir).select(
-        col("user_id").as("device"),
-        lit("urn:graft:serviceId:Events1").as("service"),
-        col("event_type").as("variable"),
-        col("ts").cast("long").as("ts")))
+    val dm = Finders.datamineLeaves(dmChannelPoints(spark, dir))
     // federate ONCE for all three queries (cached: each find consumes
     // the leaf table twice — node classification + interval join — and
     // three finds would otherwise rebuild all finder namespaces 3×)
@@ -362,6 +368,21 @@ object Queries {
   /** D2: weekly partition bucketing + per-week stats. */
   def dmWeekly(spark: SparkSession, dir: String): DataFrame =
     Datamine.weekly(Tables.metrics(spark, dir))
+
+  /** D3: the dataMine READER's fetch — raw non-uniform samples inside
+    * the window, no grid, no gap fill ("the time info step size is
+    * nil", L_DataFinders.lua:252-292) — routed through the federated
+    * Store shape (whisper globs take the quantized-archive path
+    * instead, Finders.fetchRouted).
+    */
+  def dmFetchRaw(spark: SparkSession, dir: String): DataFrame =
+    Finders.fetchRouted(spark,
+      Tables.metrics(spark, dir), dmChannelPoints(spark, dir),
+      "DM.*.urn:graft:serviceId:Events1.click",
+      Retention.parse("10m:1d,1h:7d,1d:60d"), "average", 0.0,
+      fetchFrom, Now, Now)
+      .select(col("path"), col("t"), round(col("value"), 4).as("value"))
+      .orderBy(col("path"), col("t"), col("value"))
 
   /** B11: Whisper slot-overwrite (upsert) — incoming rewrites of every
     * 3rd-second point override the stored values, last-write-wins.

@@ -105,6 +105,28 @@ class LlmSpec extends SparkSpec {
     assert(cover >= 0.95, s"doc coverage $cover too low")
   }
 
+  test("simhash widening keys: nested prefixes, level-9 injective per band (F4-capped)") {
+    // the df-monotonicity and termination arguments of cappedBandKeys
+    // rest on these two invariants of simhashKeyExpr
+    import org.apache.spark.sql.functions.{col, expr}
+    val rnd = new scala.util.Random(42)
+    val sigs = Seq.fill(2000)(rnd.nextLong() & ((1L << 60) - 1)).distinct
+    val df = sigs.toDF("simhash").crossJoin(
+      spark.range(4).toDF("band")).select(
+      col("simhash") +: col("band") +:
+        (0 to Dedup.simhashWidenLevels).map(j =>
+          expr(Dedup.simhashKeyExpr(j)).as(s"k$j")): _*).cache()
+    // nesting: k_j is k_{j+1} masked to its width → buckets only refine
+    val nested = (0 until Dedup.simhashWidenLevels).map(j =>
+      df.filter(col(s"k$j") =!= (col(s"k${j + 1}")
+        .bitwiseAND(lit((1L << (15 + 5 * j)) - 1)))).count())
+    assert(nested.forall(_ == 0L), s"nesting violated: $nested")
+    // level 9 carries all 60 bits: (band, k9) is injective over sigs
+    val n9 = df.select(col("band"), col(s"k${Dedup.simhashWidenLevels}")).distinct().count()
+    assert(n9 == 4L * sigs.length)
+    df.unpersist()
+  }
+
   test("simhash clusters: one keeper per connected sig group (F4-clusters)") {
     val out = Dedup.simhashClusters(spark, docs, 6, maxDf = 1000).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -33,6 +33,25 @@ class FindersSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a.x", 10L, 90L, 0L), ("a.y", 5L, 7L, 1L)))
   }
 
+  test("routed fetch: whisper globs quantize, dataMine globs return raw samples") {
+    val metrics = Seq(("vera.u1.click", 30L, 1.0), ("vera.u1.click", 90L, 3.0))
+      .toDF("path", "ts", "value")
+    val dmPoints = Seq((7L, "urn:x:S1", "V1", 13L, 1.5), (7L, "urn:x:S1", "V1", 59L, 2.5))
+      .toDF("device", "service", "variable", "ts", "value")
+    val spec = Retention.parse("1m:1h")
+    // dataMine namespace → raw samples at their own (non-uniform) times
+    val dm = Finders.fetchRouted(spark, metrics, dmPoints, "DM.*.*.*",
+      spec, "average", 0.0, 0L, 120L, 200L).orderBy("t").collect()
+    assert(dm.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("DM.007.urn:x:S1.V1", 13L, 1.5), ("DM.007.urn:x:S1.V1", 59L, 2.5)))
+    // whisper namespace → dense quantized grid (1m buckets, null gaps)
+    val wh = Finders.fetchRouted(spark, metrics, dmPoints, "vera.*.*",
+      spec, "average", 0.0, 0L, 120L, 200L).orderBy("t").collect()
+    assert(wh.map(_.getLong(1)).toSeq == Seq(0L, 60L, 120L))
+    assert(wh.map(r => if (r.isNullAt(2)) null else r.getDouble(2)).toSeq ==
+      Seq(1.0, 3.0, null))
+  }
+
   test("federated find: leaves carry intervals, branches carry nulls") {
     val whisper = Seq(("vera.u1.click", 10L, 90L)).toDF("path", "earliest", "latest")
     val dm = Finders.datamineLeaves(
