@@ -21,12 +21,13 @@ object Bench {
     // Sorted order → stable per-query attribution across rounds.
     // noop write executes the FULL plan (count() lets Catalyst prune
     // projects/sorts, understating materialization cost).
-    // Each query is timed up to 3× and reported as the per-query MIN:
+    // Each query is timed repeatedly and reported as the per-query MIN:
     // one-shot timings under background machine load swung >10× per
     // query in r2 and made the artifact unusable for regression
-    // detection. The min measures the plan, not the driver's load; all
-    // samples ship in the JSON. Long queries (cumulative >60s) stop
-    // after 2 samples to bound the wall clock.
+    // detection. Sampling continues until the two best samples agree
+    // within 10% (the min has converged) or limits hit: ≤5 samples,
+    // ≥2 always, stop adding once cumulative time passes 60 s. All
+    // samples ship in the JSON.
     // SPARK_GRAFT_ONLY=a,b,c restricts to named queries (dev loops)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -35,7 +36,11 @@ object Bench {
     val samples = selected.map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       var budgetNs = 60e9
-      while (times.size < 3 && (times.size < 2 || budgetNs > 0)) {
+      def converged: Boolean = {
+        val s = times.sorted
+        s.size >= 2 && s(1) <= s(0) * 1.10
+      }
+      while (times.size < 5 && (times.size < 2 || (budgetNs > 0 && !converged))) {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }

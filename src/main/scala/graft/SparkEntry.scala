@@ -72,6 +72,7 @@ object SparkEntry {
     "dedup_simhash_clusters" -> ((s, dir) => L.dedupSimhashClusters(s, dir)),
     "ann_cosine_topk" -> ((s, dir) => L.annCosineTopk(s, dir)),
     "ann_lsh" -> ((s, dir) => L.annLsh(s, dir)),
+    "ann_ivf" -> ((s, dir) => L.annIvf(s, dir)),
     "text_langid" -> ((s, dir) => L.textLangid(s, dir)),
     "text_quality" -> ((s, dir) => L.textQuality(s, dir)),
     "text_tokens" -> ((s, dir) => L.textTokens(s, dir)),

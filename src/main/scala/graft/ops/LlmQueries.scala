@@ -26,6 +26,8 @@ object LlmQueries {
   val SimhashMaxDf = 64
   val AnnK = 5
   val AnnQueryMax = 10 // query subset: vec_id < 10
+  val IvfCentroids = 32
+  val IvfProbe = 8
   val LshPlanes = 8
   val EmbedDim = 64
 
@@ -78,6 +80,12 @@ object LlmQueries {
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     Ann.lshTopK(e.filter(col("vec_id") < AnnQueryMax), e, AnnK, LshPlanes, EmbedDim)
+  }
+
+  /** The IVF scale path: probe the nearest inverted lists only. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Ann.ivfTopK(e.filter(col("vec_id") < AnnQueryMax), e, AnnK, IvfCentroids, IvfProbe)
   }
 
   def textLangid(spark: SparkSession, dir: String): DataFrame =

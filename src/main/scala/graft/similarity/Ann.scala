@@ -109,6 +109,56 @@ object Ann {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** F6b: IVF (inverted-file) top-k — the other classic ANN scale
+    * path: coarse-quantize every vector to its nearest of K centroids
+    * (the "inverted lists"), probe only the nProbe centroid lists
+    * nearest each query, exact-rerank inside them.
+    *
+    * Spark shape: centroids are a deterministic K-row subsample,
+    * BROADCAST twice — once to assign vectors (argmin over K via one
+    * codegen'd min_by-style aggregate, no shuffle beyond the groupBy),
+    * once to pick each query's probe lists. The candidate join is an
+    * equi-join on cent_id: at 100 TB each inverted list is a shuffle
+    * bucket, never a cross join. A k-means refinement would sharpen the
+    * lists but not change this plan shape.
+    */
+  def ivfTopK(queries: DataFrame, vecs: DataFrame, k: Int,
+              nCentroids: Int, nProbe: Int): DataFrame = {
+    // deterministic coarse codebook: the nCentroids lowest vec_ids
+    // (portable + engine-stable; random restarts are tuning, not shape)
+    val cents = broadcast(
+      vecs.orderBy(col("vec_id")).limit(nCentroids)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+          norm(col("embedding")).as("cn")))
+    def nearest(df: DataFrame, idCol: String, n: Int): DataFrame = {
+      val scored = df.crossJoin(cents)
+        .withColumn("csim", dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(round(col("csim"), 6).desc, col("cent_id"))
+      scored.withColumn("crk", row_number().over(w)).filter(col("crk") <= n)
+    }
+    val v = vecs.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val assigned = nearest(v, "vec_id", 1)
+      .select(col("vec_id"), col("embedding").as("ve"), col("nrm").as("vn"), col("cent_id"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val probes = broadcast(nearest(q.withColumnRenamed("q_id", "vec_id"), "vec_id", nProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cent_id")))
+    val scored = assigned.join(probes, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .dropDuplicates("q_id", "vec_id")
+      .withColumn("cos", dot(col("qe"), col("ve")) / (col("qn") * col("vn")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** F11: per-label L2-norm statistics over the embedding column. */
   def normStats(vecs: DataFrame): DataFrame =
     vecs

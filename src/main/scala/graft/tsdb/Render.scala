@@ -90,7 +90,9 @@ object Render {
                               aliases: Map[String, String] = Map.empty,
                               hideLegend: Boolean = false,
                               // overrides of the method-derived defaults
-                              // (L_DataGraph.lua:181-182)
+                              // (L_DataGraph.lua:181-182); lineMode:
+                              // slope | staircase | connected
+                              // (L_DataGraph.lua:148-151)
                               lineMode: Option[String] = None,
                               drawNullAs: Option[String] = None,
                               bgcolor: Option[String] = None,
@@ -143,8 +145,18 @@ object Render {
       if (opts.aliases.isEmpty) p
       else coalesce((opts.aliases.map { case (k, v) =>
         when(p === k, lit(v)) }.toSeq :+ p): _*)
-    val pts = refetched.filter(col("value").isNotNull)
-      .select(col("path"), col("t").cast("double").as("t"),
+    // slope (L_DataGraph.lua:148-149) BREAKS the line at null periods:
+    // segment id = nulls seen so far per path, so each consecutive
+    // non-null run becomes its own polyline. connected bridges nulls
+    // (one segment); staircase never sees nulls after its hold fill.
+    val withSeg =
+      if (mode == "slope")
+        refetched.withColumn("seg",
+          sum(when(col("value").isNull, 1).otherwise(0))
+            .over(Window.partitionBy(col("path")).orderBy(col("t"))))
+      else refetched.withColumn("seg", lit(0))
+    val pts = withSeg.filter(col("value").isNotNull)
+      .select(col("path"), col("seg"), col("t").cast("double").as("t"),
         clamp(col("value").cast("double")).as("value"))
     val withDups = (
       if (mode == "staircase") {
@@ -152,8 +164,8 @@ object Render {
         val dup = pts.withColumn("pv", lag(col("value"), 1).over(w))
           .filter(col("pv").isNotNull)
           // ord 0: the duplicate sorts BEFORE the real point at equal t
-          .select(col("path"), col("t"), col("pv").as("value"), lit(0).as("ord"))
-        pts.select(col("path"), col("t"), col("value"), lit(1).as("ord"))
+          .select(col("path"), col("seg"), col("t"), col("pv").as("value"), lit(0).as("ord"))
+        pts.select(col("path"), col("seg"), col("t"), col("value"), lit(1).as("ord"))
           .unionByName(dup)
       } else pts.withColumn("ord", lit(1))
     // cached: referenced by both the bounds aggregation and the scaled
@@ -165,7 +177,7 @@ object Render {
       min(col("value")).as("v0"), max(col("value")).as("v1"))
     val m = 40.0
     val scaled = withDups.crossJoin(broadcast(bounds)).select(
-      col("path"), col("t"), col("ord"),
+      col("path"), col("seg"), col("t"), col("ord"),
       (lit(m) + (col("t") - col("t0"))
         / greatest(col("t1") - col("t0"), lit(1e-9)) * (width - 2 * m)).as("x"),
       (lit(height - m) - (col("value") - col("v0"))
@@ -193,8 +205,10 @@ object Render {
           element_at(col("pts"), -1).getField("x"),
           element_at(col("pts"), 1).getField("x")),
         lit("\"/>"))
+    // one polyline per (path, segment); single-segment modes group as
+    // before (seg = 0). Legend entries stay one per path (collect_set).
     val polys = scaled
-      .groupBy(col("path"))
+      .groupBy(col("path"), col("seg"))
       .agg(array_sort(collect_list(struct(col("t"), col("ord"), col("x"), col("y")))).as("pts"))
       .select(col("path"), concat(
         areaEl,
@@ -209,7 +223,7 @@ object Render {
         col("legend"), lit("</text>"))
     polys
       .agg(concat_ws("", array_sort(collect_list(col("poly")))).as("body"),
-        concat_ws("", array_sort(collect_list(col("legend_item")))).as("legend"))
+        concat_ws("", array_sort(collect_set(col("legend_item")))).as("legend"))
       .select(concat(
         lit(s"""<svg xmlns="http://www.w3.org/2000/svg" width="$width" height="$height" viewBox="0 0 $width $height">"""),
         lit(opts.bgcolor.map(c => s"""<rect width="100%" height="100%" fill="$c"/>""").getOrElse("")),

@@ -213,6 +213,23 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall $recall too low")
   }
 
+  test("ivf recall vs brute force on real embeddings (F6b)") {
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter($"vec_id" < 5)
+    val brute = Ann.bruteTopK(q, e, 5).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Ann.ivfTopK(q, e, 5, nCentroids = 32, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall too low (${ivf.size} candidates)")
+    // every result it does return is exactly-scored: cos values match brute
+    val bruteCos = Ann.bruteTopK(q, e, 5).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    Ann.ivfTopK(q, e, 5, 32, 8).collect().foreach { r =>
+      bruteCos.get((r.getLong(0), r.getLong(2)))
+        .foreach(c => assert(math.abs(c - r.getDouble(3)) < 1e-9))
+    }
+  }
+
   test("language id: stopword argmax with unknown fallback (F7)") {
     val d = Seq(
       (0L, "der hund und die katze ist ein tier"),

@@ -129,6 +129,23 @@ class ApiSpec extends SparkSpec {
     assert(n == 5, s"expected 5 coordinate pairs, got $n")
   }
 
+  test("lineMode=slope breaks the polyline at null periods, connected bridges them") {
+    // a.x has a null 1m bucket between two points → slope = 2 segments
+    val gappy = Seq(("a.x", 0L, 1.0), ("a.x", 120L, 3.0)).toDF("path", "ts", "value")
+    val fetched = Fetch.fetch(spark, gappy, "a.*", spec, "average", 0.0,
+      0L, 120L, 200L)
+    val slope = Render.svg(fetched, "average", Render.SvgOptions(
+      lineMode = Some("slope"), hideLegend = true)).head.getString(0)
+    assert("<polyline ".r.findAllIn(slope).size == 2)
+    val conn = Render.svg(fetched, "average", Render.SvgOptions(
+      hideLegend = true)).head.getString(0)
+    assert("<polyline ".r.findAllIn(conn).size == 1)
+    // legend still lists the path once even when segmented
+    val withLegend = Render.svg(fetched, "average", Render.SvgOptions(
+      lineMode = Some("slope"))).head.getString(0)
+    assert("■ a\\.x".r.findAllIn(withLegend).size == 1)
+  }
+
   test("graphType override beats areaMode-derived chart type (L_DataGraph.lua:278)") {
     val fetched = Fetch.fetch(spark, metrics, "a.*", spec, "average", 0.0,
       0L, 120L, 200L)
