@@ -43,6 +43,7 @@ object SparkEntry {
     "ts_upsert" -> ((s, dir) => T.upsert(s, dir)),
     "carbon_e2e" -> ((s, dir) => T.carbonE2e(s, dir)),
     "carbon_e2e_conf" -> ((s, dir) => T.carbonE2eConf(s, dir)),
+    "carbon_user_hook" -> ((s, dir) => T.carbonUserHook(s, dir)),
     "watch_relay" -> ((s, dir) => T.watchRelay(s, dir)),
     // C. Graphite metrics API
     "metrics_find" -> ((s, dir) => T.metricsFind(s, dir)),
@@ -462,6 +463,17 @@ object SparkEntry {
     // text (Conf.scala) — the conf encodes the same rules, so the
     // oracle is shared verbatim
     "carbon_e2e_conf" -> CarbonE2eSql,
+    // DataUser hook: drop ts%100==0, clamp into [0.5, 2.0], fan
+    // ts%97==0 out to a .shadow twin
+    "carbon_user_hook" ->
+      s"""WITH $M,
+         |kept AS (SELECT path, ts, least(greatest(value, 0.5), 2.0) AS value
+         |  FROM m WHERE ts % 100 <> 0)
+         |SELECT path, ts, round(value, 4) AS value FROM (
+         |  SELECT path, ts, value FROM kept
+         |  UNION ALL
+         |  SELECT path||'.shadow', ts, value FROM kept WHERE ts % 97 = 0) t
+         |ORDER BY 1, 2, 3""".stripMargin,
     // ---- C. Graphite metrics API ----
     "metrics_find" ->
       s"""WITH $M, p AS (SELECT DISTINCT path FROM m),

@@ -56,6 +56,23 @@ object CarbonStream {
 
   final case class Point(path: String, ts: Long, value: Double)
 
+  /** The DataUser hook (/root/reference/L_DataUser.lua:24-36): a
+    * user-defined stage run for EVERY incoming metric before storage —
+    * it may drop the point, rewrite metric/value/time, or fan out into
+    * several points (the reference's iterator protocol: yield until
+    * nil). Spark shape: a typed flatMap — the deliberate escape hatch
+    * for arbitrary user logic, accepting the codegen break because the
+    * whole point of the hook is code the engine can't see. Hooks
+    * expressible as Column expressions (the reference's own
+    * bounds-check example) should instead stay declarative in the plan
+    * that feeds this, e.g. `withColumn("value", clamp(...))`.
+    * Works identically over batch and streaming Datasets.
+    */
+  def userHook(points: Dataset[Point])(f: Point => IterableOnce[Point]): Dataset[Point] = {
+    import points.sparkSession.implicits._
+    points.flatMap(f)
+  }
+
   /** G3: the Luup variable-watch relay as custom streaming state
     * (L_DataWatcher.lua:92-156): `luup.variable_watch` fires its
     * callback only when the watched variable's VALUE CHANGES, and the

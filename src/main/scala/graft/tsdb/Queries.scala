@@ -81,6 +81,28 @@ object Queries {
       .groupBy(col("code")).agg(count(lit(1)).as("n"))
       .orderBy(col("code"))
 
+  /** A7: the DataUser per-point hook (L_DataUser.lua:24-36) — drop /
+    * rewrite / fan out each incoming metric before storage. The hook
+    * here exercises all three verbs deterministically: drop every
+    * ts%100==0 point, clamp values into [0.5, 2.0] (the reference's
+    * own bounds-check example), and fan ts%97==0 points out to a
+    * `.shadow` twin.
+    */
+  def carbonUserHook(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pts = Tables.metrics(spark, dir).as[graft.streaming.CarbonStream.Point]
+    graft.streaming.CarbonStream.userHook(pts) { p =>
+      if (p.ts % 100 == 0) Nil
+      else {
+        val clamped = p.copy(value = math.min(math.max(p.value, 0.5), 2.0))
+        if (p.ts % 97 == 0) Seq(clamped, clamped.copy(path = p.path + ".shadow"))
+        else Seq(clamped)
+      }
+    }.toDF()
+      .select(col("path"), col("ts"), round(col("value"), 4).as("value"))
+      .orderBy(col("path"), col("ts"), col("value"))
+  }
+
   // ---- B. Whisper TSDB core ---------------------------------------------
 
   /** B1-B5: one-level rollup of the full metric namespace at 1h. */

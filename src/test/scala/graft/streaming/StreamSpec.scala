@@ -67,6 +67,28 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("user hook drops, rewrites, and fans out points over a stream (A7)") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[String]
+    val pts = graft.tsdb.Carbon.parse(source.toDF().toDF("line"), 999L)
+      .as[CarbonStream.Point]
+    val out = CarbonStream.userHook(pts) { p =>
+      if (p.value < 0) Nil // reject
+      else if (p.path == "fan.out") Seq(p, p.copy(path = p.path + ".shadow"))
+      else Seq(p.copy(value = math.min(p.value, 10.0))) // clamp
+    }
+    val query = out.toDF().writeStream
+      .format("memory").queryName("a7_hook").outputMode("append").start()
+    try {
+      source.addData("a.b 99.0 100", "a.b -1.0 110", "fan.out 1.0 120")
+      query.processAllAvailable()
+      val rows = spark.table("a7_hook").orderBy("path", "ts").collect()
+        .map(r => (r.getString(0), r.getDouble(2)))
+      assert(rows.toSeq == Seq(
+        ("a.b", 10.0), ("fan.out", 1.0), ("fan.out.shadow", 1.0)))
+    } finally query.stop()
+  }
+
   test("watch relay batch twin agrees (G3)") {
     val pts = Seq(
       CarbonStream.Point("a", 10L, 1.0), CarbonStream.Point("a", 20L, 1.0),
