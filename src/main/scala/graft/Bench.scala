@@ -24,10 +24,13 @@ object Bench {
     // Each query is timed repeatedly and reported as the per-query MIN:
     // one-shot timings under background machine load swung >10× per
     // query in r2 and made the artifact unusable for regression
-    // detection. Sampling continues until the two best samples agree
-    // within 10% (the min has converged) or limits hit: ≤5 samples,
-    // ≥2 always, stop adding once cumulative time passes 60 s. All
-    // samples ship in the JSON.
+    // detection. Sampling continues until two post-warmup samples agree
+    // within 10% (the FIRST sample is excluded from the convergence
+    // test — it reliably carries this query's codegen/JIT warmup, and
+    // two warmup-slow samples otherwise "converge" on a plateau 2×
+    // above the plan's real time). Limits: ≤5 samples, ≥2 always,
+    // stop adding once cumulative time passes 60 s. All samples ship
+    // in the JSON.
     // SPARK_GRAFT_ONLY=a,b,c restricts to named queries (dev loops)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -37,7 +40,7 @@ object Bench {
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       var budgetNs = 60e9
       def converged: Boolean = {
-        val s = times.sorted
+        val s = times.drop(1).sorted
         s.size >= 2 && s(1) <= s(0) * 1.10
       }
       while (times.size < 5 && (times.size < 2 || (budgetNs > 0 && !converged))) {

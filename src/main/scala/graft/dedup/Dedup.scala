@@ -263,7 +263,7 @@ object Dedup {
   private def cappedSigPairs(spark: SparkSession, sigs: DataFrame,
                              maxHamming: Int, maxDf: Int): DataFrame = {
     // cached: the self-join consumes keyed twice — uncached, the whole
-    // 10-level window cascade executes once per join side
+    // explode/count/join keying pipeline executes once per join side
     val keyed = cappedBandKeys(spark, sigs, maxDf).cache()
     keyed.as("a")
       .join(keyed.as("b"),
