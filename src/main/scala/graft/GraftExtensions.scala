@@ -20,10 +20,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{toColumn, toExpression}
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
-      (children: Seq[Expression]) => FloatDot(children.head, children(1))))
+      (children: Seq[Expression]) => FloatDot(children.head, children(1))),
+    // portable 60-bit md5 hash — the shared Spark/DuckDB hashing
+    // primitive under minhash/simhash/fingerprinting (TextFns.h60)
+    (FunctionIdentifier("h60"),
+      new ExpressionInfo(graft.text.TextFns.getClass.getName, "h60"),
+      (children: Seq[Expression]) =>
+        toExpression(graft.text.TextFns.h60(toColumn(children.head)))),
+    // cosine similarity of two float arrays on the codegen'd FloatDot
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[FloatDot].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        val a = toColumn(children.head)
+        val b = toColumn(children(1))
+        import org.apache.spark.sql.functions.sqrt
+        toExpression(FloatDot.dot(a, b)
+          / (sqrt(FloatDot.dot(a, a)) * sqrt(FloatDot.dot(b, b))))
+      }))
 
   /** Register into an already-running session (tests, spark-shell). */
   def registerAll(spark: SparkSession): Unit =

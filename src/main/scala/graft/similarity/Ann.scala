@@ -130,20 +130,30 @@ object Ann {
       vecs.orderBy(col("vec_id")).limit(nCentroids)
         .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
           norm(col("embedding")).as("cn")))
-    def nearest(df: DataFrame, idCol: String, n: Int): DataFrame = {
-      val scored = df.crossJoin(cents)
-        .withColumn("csim", dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(round(col("csim"), 6).desc, col("cent_id"))
-      scored.withColumn("crk", row_number().over(w)).filter(col("crk") <= n)
-    }
     val v = vecs.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val assigned = nearest(v, "vec_id", 1)
-      .select(col("vec_id"), col("embedding").as("ve"), col("nrm").as("vn"), col("cent_id"))
+    // assignment: argmax over K centroid sims as a max_by AGGREGATE, not
+    // a window — partial aggregation collapses the K scored rows per
+    // vector map-side, so the shuffle carries one row per vector
+    // instead of K (ties break to the lowest cent_id, engine-stable)
+    val assigned = v.crossJoin(cents)
+      .withColumn("csim", dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("embedding").as("ve"), col("nrm").as("vn"), col("cent_id")),
+        struct(round(col("csim"), 6).as("s"), (-col("cent_id")).as("t"))).as("a"))
+      .select(col("vec_id"), col("a.ve").as("ve"), col("a.vn").as("vn"),
+        col("a.cent_id").as("cent_id"))
+    // probe lists: the query side is small by construction, a window
+    // rank over its K scored rows is fine
     val q = queries.select(col("vec_id").as("q_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
-    val probes = broadcast(nearest(q.withColumnRenamed("q_id", "vec_id"), "vec_id", nProbe)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+    val qScored = q.crossJoin(cents)
+      .withColumn("csim", dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+    val qw = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("csim"), 6).desc, col("cent_id"))
+    val probes = broadcast(qScored
+      .withColumn("crk", row_number().over(qw)).filter(col("crk") <= nProbe)
+      .select(col("q_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("cent_id")))
     val scored = assigned.join(probes, Seq("cent_id"))
       .filter(col("vec_id") =!= col("q_id"))

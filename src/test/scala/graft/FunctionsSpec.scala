@@ -28,6 +28,23 @@ class FunctionsSpec extends SparkSpec {
     assert(v == 11.0)
   }
 
+  test("h60 and cosine_sim register as SQL functions via GraftExtensions") {
+    GraftExtensions.registerAll(spark)
+    // same value the Column API / DuckDB oracle computes for 'hello'
+    val h = spark.sql("SELECT h60('hello') AS h").head.getLong(0)
+    assert(h == 419982666956583591L)
+    val c = spark.sql(
+      """SELECT cosine_sim(array(cast(1.0 AS float), cast(0.0 AS float)),
+        |                  array(cast(1.0 AS float), cast(0.0 AS float))) AS c""".stripMargin)
+      .head.getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+    val o = spark.sql(
+      """SELECT cosine_sim(array(cast(1.0 AS float), cast(0.0 AS float)),
+        |                  array(cast(0.0 AS float), cast(1.0 AS float))) AS c""".stripMargin)
+      .head.getDouble(0)
+    assert(math.abs(o) < 1e-12)
+  }
+
   test("FloatDot survives whole-stage codegen over many rows") {
     val df = spark.range(1000).selectExpr(
       "array(cast(id AS float), cast(id+1 AS float)) AS a",
