@@ -79,6 +79,7 @@ object SparkEntry {
     "text_tokens" -> ((s, dir) => L.textTokens(s, dir)),
     "text_fingerprint" -> ((s, dir) => L.textFingerprint(s, dir)),
     "embed_norm_stats" -> ((s, dir) => L.embedNormStats(s, dir)),
+    "corpus_curation" -> ((s, dir) => L.corpusCuration(s, dir)),
     // G. streaming (batch twin) + F12 multimodal plumbing
     "stream_rollup" -> ((s, dir) => T.streamRollup(s, dir)),
     "multimodal_pipeline" -> ((s, dir) =>
@@ -159,6 +160,8 @@ object SparkEntry {
   /** The dedup_simhash signature pipeline as DuckDB CTEs (shared by the
     * exact / capped / clusters variants): doc_id → 60-bit simhash.
     */
+  private def simCte(tkName: String): String = SIM.replace(
+    "unnest(toks) AS tok FROM tk)", s"unnest(toks) AS tok FROM $tkName)")
   private val SIM =
     """td AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM tk),
       |th AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM td),
@@ -193,6 +196,29 @@ object SparkEntry {
        |    ON a.band=b.band AND a.lvl=b.lvl AND a.bkey=b.bkey AND a.simhash < b.simhash
        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= ${graft.ops.LlmQueries.SimhashMaxHamming})""".stripMargin
   }
+
+  /** Star-clustering CTEs over (sim, sigpairs) — shared by the
+    * dedup_simhash_clusters oracle and the corpus_curation near-dup
+    * stage (same one-step min-propagation rule as Dedup.simhashClusters).
+    */
+  private val SimhashClusterCtes =
+    """groups AS (SELECT simhash, min(doc_id) AS rep FROM sim GROUP BY 1),
+      |oriented AS (SELECT CASE WHEN g1.rep < g2.rep THEN p.s2 ELSE p.s1 END AS simhash,
+      |    least(g1.rep, g2.rep) AS cand
+      |  FROM sigpairs p JOIN groups g1 ON g1.simhash = p.s1
+      |                  JOIN groups g2 ON g2.simhash = p.s2),
+      |roots AS (SELECT simhash, min(cand) AS root FROM oriented GROUP BY 1),
+      |clusters AS (SELECT g.simhash, coalesce(r.root, g.rep) AS cluster_id
+      |  FROM groups g LEFT JOIN roots r ON r.simhash = g.simhash)""".stripMargin
+
+  /** The text_quality score formula (mirrors Analysis.quality), shared
+    * with the corpus_curation quality gate.
+    */
+  private def qualityScoreSql(enList: String): String =
+    s"""round(0.3*least(len(toks)*1.0/100, 1.0)
+       |     + 0.3*(len(list_distinct(toks))*1.0/len(toks))
+       |     + 0.2*(len(list_filter(toks, x -> x IN ($enList)))*1.0/len(toks))
+       |     + 0.2*least((length(text) - (len(toks)-1))*1.0/len(toks)/10.0, 1.0) - 1e-9, 4)""".stripMargin
 
   /** MinHash params / stopword dict rendered from the same Scala
     * constants the Spark plans use — single source of truth.
@@ -280,14 +306,7 @@ object SparkEntry {
       s"""WITH $TK,
          |$SIM,
          |$SimhashCappedKeyed,
-         |groups AS (SELECT simhash, min(doc_id) AS rep FROM sim GROUP BY 1),
-         |oriented AS (SELECT CASE WHEN g1.rep < g2.rep THEN p.s2 ELSE p.s1 END AS simhash,
-         |    least(g1.rep, g2.rep) AS cand
-         |  FROM sigpairs p JOIN groups g1 ON g1.simhash = p.s1
-         |                  JOIN groups g2 ON g2.simhash = p.s2),
-         |roots AS (SELECT simhash, min(cand) AS root FROM oriented GROUP BY 1),
-         |clusters AS (SELECT g.simhash, coalesce(r.root, g.rep) AS cluster_id
-         |  FROM groups g LEFT JOIN roots r ON r.simhash = g.simhash)
+         |$SimhashClusterCtes
          |SELECT m.doc_id, c.cluster_id,
          | CASE WHEN m.doc_id = c.cluster_id THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
          |FROM sim m JOIN clusters c ON c.simhash = m.simhash
@@ -331,11 +350,49 @@ object SparkEntry {
          | CAST(len(toks) AS BIGINT) AS n_tokens,
          | round(1.0 - len(list_distinct(toks))*1.0/len(toks) - 1e-9, 4) + 0.0 AS dup_ratio,
          | round(len(list_filter(toks, x -> x IN ($EnStopwordList)))*1.0/len(toks) - 1e-9, 4) + 0.0 AS stopword_ratio,
-         | round(0.3*least(len(toks)*1.0/100, 1.0)
-         |     + 0.3*(len(list_distinct(toks))*1.0/len(toks))
-         |     + 0.2*(len(list_filter(toks, x -> x IN ($EnStopwordList)))*1.0/len(toks))
-         |     + 0.2*least((length(text) - (len(toks)-1))*1.0/len(toks)/10.0, 1.0) - 1e-9, 4) AS score
+         | ${qualityScoreSql(EnStopwordList)} AS score
          |FROM tk ORDER BY 1""".stripMargin,
+    // staged curation: quality → language → exact dedup → simhash
+    // near-dedup; each stage sees only the previous stage's survivors,
+    // reason = first failing stage (mirrors graft.ops.Curation)
+    "corpus_curation" ->
+      s"""WITH $TK,
+         |qual AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  ${qualityScoreSql(EnStopwordList)} AS score FROM tk),
+         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+         |dict(lang_cand, word) AS (VALUES $StopwordValues),
+         |hits AS (SELECT doc_id, lang_cand, count(*) AS hits FROM tok
+         |  JOIN dict ON tok = word GROUP BY 1,2),
+         |best AS (SELECT doc_id, lang_cand,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_cand) AS rk FROM hits),
+         |lng AS (SELECT d.doc_id, coalesce(b.lang_cand, 'unknown') AS pred_lang
+         |  FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)),
+         |base AS (SELECT t.doc_id, t.text, q.n_tokens, q.score, lng.pred_lang,
+         |  (q.score >= ${graft.ops.LlmQueries.CurationMinScore}
+         |    AND q.n_tokens >= ${graft.ops.LlmQueries.CurationMinTokens}) AS q_pass,
+         |  (lng.pred_lang = '${graft.ops.LlmQueries.CurationLang}') AS l_pass
+         |  FROM tk t JOIN qual q USING (doc_id) JOIN lng USING (doc_id)),
+         |sv AS (SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+         |  FROM base WHERE q_pass AND l_pass),
+         |tk2 AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM sv
+         |  WHERE doc_id = keep_id),
+         |${simCte("tk2")},
+         |$SimhashCappedKeyed,
+         |$SimhashClusterCtes,
+         |nd AS (SELECT m.doc_id,
+         |    CASE WHEN m.doc_id = c.cluster_id THEN 1 ELSE 0 END AS nd_keep
+         |  FROM sim m JOIN clusters c ON c.simhash = m.simhash)
+         |SELECT doc_id,
+         | CASE WHEN reason = 'kept' THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS kept,
+         | reason
+         |FROM (SELECT b.doc_id,
+         |  CASE WHEN NOT b.q_pass THEN 'quality'
+         |       WHEN NOT b.l_pass THEN 'language'
+         |       WHEN b.doc_id <> s.keep_id THEN 'exact_dup'
+         |       WHEN n.nd_keep = 0 THEN 'near_dup'
+         |       ELSE 'kept' END AS reason
+         |  FROM base b LEFT JOIN sv s USING (doc_id) LEFT JOIN nd n USING (doc_id))
+         |ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         | CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws_tokens,

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.Analysis
+
+/** End-to-end corpus curation — the production composition of the §2.F
+  * operators into one staged keep/drop decision per document, the shape
+  * a 100 TB training-data pipeline actually runs (filter first, dedup
+  * the survivors; each stage only sees the previous stage's output).
+  *
+  * Stages, in order; `reason` is the FIRST failing stage:
+  *   1. quality   — score (Analysis.quality, 4-dp rounded) below
+  *                  `minScore` or fewer than `minTokens` tokens.
+  *   2. language  — argmax stopword language (Analysis.langId) is not
+  *                  `keepLang`.
+  *   3. exact_dup — not the min-doc_id keeper of its md5(text) group
+  *                  (computed among stage-1/2 survivors).
+  *   4. near_dup  — simhash star-cluster non-representative
+  *                  (Dedup.simhashClusters over the exact keepers).
+  *   5. kept      — survived everything; `kept` = 1.
+  *
+  * Distributed shape: per-doc signals join on doc_id (co-partitioned
+  * shuffles); the only pairwise work is the df-capped simhash band join
+  * inherited from Dedup — already bounded per bucket regardless of
+  * corpus size. Output is O(n) rows (doc_id, kept, reason).
+  */
+object Curation {
+
+  def curate(spark: SparkSession, docs: DataFrame,
+             minScore: Double, minTokens: Int, keepLang: String,
+             maxHamming: Int, maxDf: Int): DataFrame = {
+    val q = Analysis.quality(docs).select(col("doc_id"), col("n_tokens"), col("score"))
+    val l = Analysis.langId(spark, docs).select(col("doc_id"), col("pred_lang"))
+    // base is consumed twice (survivor filter + final reason join)
+    val base = docs.select(col("doc_id"), col("text"))
+      .join(q, "doc_id")
+      .join(l, "doc_id")
+      .withColumn("q_pass", col("score") >= minScore && col("n_tokens") >= minTokens)
+      .withColumn("l_pass", col("pred_lang") === keepLang)
+      .cache()
+    // gate-survivor keeper: min doc_id per content hash
+    val sv = base.filter(col("q_pass") && col("l_pass"))
+      .withColumn("content_md5", md5(col("text")))
+    val keepers = sv.groupBy(col("content_md5")).agg(min(col("doc_id")).as("keep_id"))
+    // consumed twice: near-dup stage input + final reason join
+    val ex = sv.join(keepers, "content_md5")
+      .select(col("doc_id"), col("text"), col("keep_id"))
+      .cache()
+    val nd = Dedup.simhashClusters(spark,
+        ex.filter(col("doc_id") === col("keep_id")).select(col("doc_id"), col("text")),
+        maxHamming, maxDf)
+      .select(col("doc_id"), col("keep").as("nd_keep"))
+    // null keep_id/nd_keep = the doc never reached that stage; the
+    // CASE's earlier arms have already claimed it
+    base
+      .join(ex.select(col("doc_id"), col("keep_id")), Seq("doc_id"), "left")
+      .join(nd, Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(!col("q_pass"), "quality")
+          .when(!col("l_pass"), "language")
+          .when(col("doc_id") =!= col("keep_id"), "exact_dup")
+          .when(col("nd_keep") === 0, "near_dup")
+          .otherwise("kept"))
+      .select(col("doc_id"),
+        when(col("reason") === "kept", 1L).otherwise(0L).as("kept"),
+        col("reason"))
+      .orderBy(col("doc_id"))
+  }
+}

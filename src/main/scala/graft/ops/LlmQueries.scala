@@ -102,4 +102,19 @@ object LlmQueries {
 
   def embedNormStats(spark: SparkSession, dir: String): DataFrame =
     Ann.normStats(Tables.embeddings(spark, dir))
+
+  // curation gates: the score threshold sits BETWEEN 4-dp grid points
+  // (scores are round(x,4)) so the cross-engine comparison can never
+  // land on the boundary; ≥ 0.38-at-4dp drops ~15% of the corpus
+  val CurationMinScore = 0.37995
+  val CurationMinTokens = 15
+  val CurationLang = "en"
+
+  /** F14: staged corpus curation (quality → language → exact dedup →
+    * simhash near-dedup), one keep/drop + reason row per document.
+    */
+  def corpusCuration(spark: SparkSession, dir: String): DataFrame =
+    Curation.curate(spark, Tables.documents(spark, dir),
+      CurationMinScore, CurationMinTokens, CurationLang,
+      SimhashMaxHamming, SimhashMaxDf)
 }

@@ -268,4 +268,51 @@ class LlmSpec extends SparkSpec {
     assert(out.toSeq == Seq((0, 2L, 0.9528), (1, 2L, 1.0)))
     // avg(|(1,0)|=1, |(0.9,0.1)|=0.90554) = 0.95277
   }
+
+  test("corpus curation stages claim docs in order (F14)") {
+    import graft.ops.Curation
+    // 20+ token english filler keeps quality/language gates open
+    val en = "the cat sat on a mat of the house and the dog ran to the park in a fine day"
+    val cur = Seq(
+      (0L, en),                               // kept (cluster rep)
+      // same DISTINCT token set as 0 (simhash is set-based) → identical
+      // signature, different bytes: near-dup, not exact-dup
+      (1L, en + " the dog"),
+      (2L, en),                               // exact dup of 0
+      (3L, "der hund und die katze ist ein der die das und ist ein mit von zu auf der die das und ist"), // german
+      (4L, "short text only")                 // fails minTokens
+    ).toDF("doc_id", "text")
+    val out = Curation.curate(spark, cur, minScore = 0.0, minTokens = 15,
+        keepLang = "en", maxHamming = 30, maxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(out == Seq(
+      (0L, 1L, "kept"),
+      (1L, 0L, "near_dup"),
+      (2L, 0L, "exact_dup"),
+      (3L, 0L, "language"),
+      (4L, 0L, "quality")))
+  }
+
+  test("corpus curation on real documents: partition + gate consistency (F14)") {
+    val L = graft.ops.LlmQueries
+    val out = L.corpusCuration(spark, "/root/testdata/sf0.001")
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val d = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(rows.length == d.count()) // exactly one decision per doc
+    assert(rows.forall { case (_, k, r) => (k == 1L) == (r == "kept") })
+    val byReason = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    // every gate fires on the synthetic corpus except exact_dup (the
+    // corpus plants near-dups, never byte-identical texts)
+    assert(byReason.getOrElse("kept", 0) > 0)
+    assert(byReason.getOrElse("quality", 0) > 0)
+    assert(byReason.getOrElse("language", 0) > 0)
+    assert(byReason.getOrElse("near_dup", 0) > 0)
+    // dropped quality docs really are below the gate
+    val q = Analysis.quality(d).select(col("doc_id"), col("n_tokens"), col("score"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    rows.filter(_._3 == "quality").foreach { case (id, _, _) =>
+      val (n, s) = q(id)
+      assert(s < L.CurationMinScore || n < L.CurationMinTokens)
+    }
+  }
 }
