@@ -26,9 +26,13 @@ object Analysis {
       .join(dict, col("tok") === col("word"))
       .groupBy(col("doc_id"), col("lang_cand"))
       .agg(count(lit(1)).as("hits"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("hits").desc, col("lang_cand"))
-    val best = hits.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+    // argmax as a min_by AGGREGATE over (-hits, lang): partial
+    // aggregation collapses the ≤5 language rows per doc map-side —
+    // no window shuffle-and-sort
+    val best = hits.groupBy(col("doc_id"))
+      .agg(min_by(struct(col("lang_cand"), col("hits")),
+        struct((-col("hits")).as("nh"), col("lang_cand"))).as("b"))
+      .select(col("doc_id"), col("b.lang_cand").as("lang_cand"), col("b.hits").as("hits"))
     docs.select(col("doc_id"))
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),
