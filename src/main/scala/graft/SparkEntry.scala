@@ -61,6 +61,7 @@ object SparkEntry {
     "dm_resample_all" -> ((s, dir) => T.dmResampleAll(s, dir)),
     "dm_weekly" -> ((s, dir) => T.dmWeekly(s, dir)),
     "dm_fetch_raw" -> ((s, dir) => T.dmFetchRaw(s, dir)),
+    "whisper_read" -> ((s, dir) => T.whisperRead(s, dir)),
     // F. LLM-pipeline operators
     "dedup_exact" -> ((s, dir) => L.dedupExact(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => L.dedupNgramJaccard(s, dir)),
@@ -643,6 +644,26 @@ object SparkEntry {
         |WHERE event_type = 'click'
         |  AND CAST(floor(epoch(ts)) AS BIGINT) BETWEEN 1706100000 AND 1706659200
         |ORDER BY 1, 2, 3""".stripMargin,
+    // whisper FILE round-trip: Queries.whisperRead writes the fixture
+    // through graft.sources.Whisper (the reference's text pack) and
+    // reads it back distributed; these literals are the hand-computed
+    // surviving ring slots (7 updates into 5 wrap to the last 5;
+    // archive 1 holds its two direct updates)
+    "whisper_read" ->
+      """SELECT path, archive, spp, ts, value FROM (VALUES
+        | ('vera.u1a.click', 0, CAST(600 AS BIGINT), CAST(1706098800 AS BIGINT), CAST(3.0 AS DOUBLE)),
+        | ('vera.u1a.click', 0, CAST(600 AS BIGINT), CAST(1706099400 AS BIGINT), CAST(4.0 AS DOUBLE)),
+        | ('vera.u1a.click', 0, CAST(600 AS BIGINT), CAST(1706100000 AS BIGINT), CAST(5.0 AS DOUBLE)),
+        | ('vera.u1a.click', 0, CAST(600 AS BIGINT), CAST(1706100600 AS BIGINT), CAST(6.0 AS DOUBLE)),
+        | ('vera.u1a.click', 0, CAST(600 AS BIGINT), CAST(1706101200 AS BIGINT), CAST(7.0 AS DOUBLE)),
+        | ('vera.u1b.temp', 0, CAST(600 AS BIGINT), CAST(1706097600 AS BIGINT), CAST(10.5 AS DOUBLE)),
+        | ('vera.u1b.temp', 0, CAST(600 AS BIGINT), CAST(1706098200 AS BIGINT), CAST(11.5 AS DOUBLE)),
+        | ('vera.u1b.temp', 0, CAST(600 AS BIGINT), CAST(1706098800 AS BIGINT), CAST(12.5 AS DOUBLE)),
+        | ('vera.u1b.temp', 0, CAST(600 AS BIGINT), CAST(1706099400 AS BIGINT), CAST(13.5 AS DOUBLE)),
+        | ('vera.u1b.temp', 1, CAST(3600 AS BIGINT), CAST(1706097600 AS BIGINT), CAST(99.25 AS DOUBLE)),
+        | ('vera.u1b.temp', 1, CAST(3600 AS BIGINT), CAST(1706101200 AS BIGINT), CAST(98.5 AS DOUBLE))
+        |) AS t(path, archive, spp, ts, value)
+        |ORDER BY path, archive, ts""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),4) AS sum_qty,

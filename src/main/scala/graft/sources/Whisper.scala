@@ -1,0 +1,205 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.US_ASCII
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reader (and fixture writer) for the reference's on-disk Whisper
+  * files — the data a migrating DataYours user actually has.
+  *
+  * The reference re-implements whisper with a TEXT pack, not binary
+  * (L_DataWhisper.lua:70-85): every field is fixed-width printf text,
+  * comma-separated, with each pack unit newline-terminated —
+  * `L`→`%11d`, `f`→`%11.5g`, `d`→`%23.15g`, +1 separator per field. So
+  *   metadata  "!2LfL" = 48 bytes  (aggregationType, maxRetention,
+  *                                  xFilesFactor, archiveCount)
+  *   archive   "!3L"   = 36 bytes  (offset, secondsPerPoint, points)
+  *   point     "!Ld"   = 36 bytes  (interval, value)
+  * (L_DataWhisper.lua:157-160). Archives are ring buffers: slot =
+  * floor(t / spp) % points (calc_offset, L_DataWhisper.lua:339-344);
+  * `create` zero-fills every slot with (0,0) (L_DataWhisper.lua:
+  * create), so a live slot is exactly ts ≠ 0. Unpack tokenizes on
+  * commas/control chars and numbers each token — `nil` fields parse to
+  * no value (struct.unpack, L_DataWhisper.lua:123-131).
+  *
+  * Distributed shape: `read` uses the binaryFile source (one row per
+  * file, files spread across partitions) and a typed flatMap for the
+  * text-codec parse — the same justified escape hatch as the
+  * multimodal decode; whisper files are retention-bounded (KB-MB), so
+  * per-row work is bounded no matter how many million files the glob
+  * matches.
+  */
+object Whisper {
+
+  val PointSize = 36
+  val MetadataSize = 48
+  val ArchiveInfoSize = 36
+
+  /** aggregationTypeToMethod, 1-based (L_DataWhisper.lua:194-200). */
+  val aggregationTypeToMethod = Vector("average", "sum", "last", "max", "min")
+
+  final case class ArchiveInfo(offset: Int, secondsPerPoint: Long, points: Int)
+  final case class Header(aggregationMethod: String, maxRetention: Long,
+                          xFilesFactor: Double, archives: Seq[ArchiveInfo])
+
+  // ---- text-struct pack (writer side; L_DataWhisper.lua struct.pack) ----
+
+  private def fmtL(v: Long): String = f"$v%11d"
+  private def fmtF(v: Double): String = formatG(v, 5, 11)
+  private def fmtD(v: Double): String = formatG(v, 15, 23)
+
+  /** C-printf `%w.pg` (Lua's string.format) — Java's %g never strips
+    * trailing zeros, so render both candidates and mimic C: shortest of
+    * %e/%f at the given significant digits, zeros stripped.
+    */
+  private def formatG(v: Double, sig: Int, width: Int): String = {
+    val s =
+      if (v.isNaN) "nan"
+      else if (v.isInfinite) { if (v > 0) "inf" else "-inf" }
+      else {
+        val exp = if (v == 0.0) 0 else math.floor(math.log10(math.abs(v))).toInt
+        if (exp < -4 || exp >= sig) {
+          val e = String.format(s"%.${sig - 1}e", Double.box(v))
+          val Array(m, x) = e.split("e")
+          val mm = if (m.contains('.')) m.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else m
+          s"$mm" + "e" + (if (x.startsWith("-")) "-" else "+") +
+            f"${math.abs(x.toInt)}%02d"
+        } else {
+          val f = String.format(s"%.${math.max(0, sig - 1 - exp)}f", Double.box(v))
+          if (f.contains('.')) f.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else f
+        }
+      }
+    (" " * math.max(0, width - s.length)) + s
+  }
+
+  def packPoint(ts: Long, value: Double): String = s"${fmtL(ts)},${fmtD(value)}\n"
+  def packMetadata(aggregationType: Int, maxRetention: Long, xff: Double,
+                   archiveCount: Int): String =
+    s"${fmtL(aggregationType)},${fmtL(maxRetention)},${fmtF(xff)},${fmtL(archiveCount)}\n"
+  def packArchiveInfo(offset: Int, spp: Long, points: Int): String =
+    s"${fmtL(offset)},${fmtL(spp)},${fmtL(points)}\n"
+
+  // ---- unpack (reader side; struct.unpack tokenization) ----
+
+  private def tokens(region: String): Array[Option[Double]] =
+    region.split("[,\\x00-\\x1f]+").filter(_.trim.nonEmpty).map { t =>
+      val s = t.trim
+      try Some(s.toDouble) catch { case _: NumberFormatException => None }
+    }
+
+  def parseHeader(bytes: Array[Byte]): Header = {
+    val meta = tokens(new String(bytes, 0, MetadataSize, US_ASCII)).flatten
+    require(meta.length == 4, s"bad whisper metadata (${meta.length} fields)")
+    val archiveCount = meta(3).toInt
+    val archives = (0 until archiveCount).map { i =>
+      val off = MetadataSize + i * ArchiveInfoSize
+      val a = tokens(new String(bytes, off, ArchiveInfoSize, US_ASCII)).flatten
+      require(a.length == 3, s"bad archiveInfo $i")
+      ArchiveInfo(a(0).toInt, a(1).toLong, a(2).toInt)
+    }
+    Header(aggregationTypeToMethod(meta(0).toInt - 1), meta(1).toLong, meta(2), archives)
+  }
+
+  /** All live points of one archive: slots whose stored interval ≠ 0
+    * (create zero-fills; update always writes the real interval).
+    */
+  def archivePoints(bytes: Array[Byte], ai: ArchiveInfo): Seq[(Long, Double)] = {
+    val region = new String(bytes, ai.offset, ai.points * PointSize, US_ASCII)
+    val toks = tokens(region)
+    (0 until ai.points).flatMap { i =>
+      (toks(2 * i), toks(2 * i + 1)) match {
+        case (Some(ts), Some(v)) if ts != 0.0 => Some((ts.toLong, v))
+        case _ => None
+      }
+    }
+  }
+
+  /** Every live (archive, ts, value) of one file, highest precision
+    * first (archives are created precision-sorted).
+    */
+  def filePoints(bytes: Array[Byte]): Seq[(Int, Long, Long, Double)] = {
+    val h = parseHeader(bytes)
+    h.archives.zipWithIndex.flatMap { case (ai, i) =>
+      archivePoints(bytes, ai).map { case (ts, v) => (i, ai.secondsPerPoint, ts, v) }
+    }
+  }
+
+  // ---- local-file writer (migration fixtures / round-trip tests) ----
+
+  /** whisper.create (L_DataWhisper.lua): header + zero-filled slots.
+    * Archives must be precision-ascending (validateArchiveList).
+    */
+  def create(path: String, archives: Seq[(Long, Int)], xff: Double,
+             method: String): Unit = {
+    val aggType = aggregationTypeToMethod.indexOf(method) + 1
+    require(aggType > 0, s"unknown aggregation method $method")
+    val maxRetention = archives.map { case (spp, n) => spp * n }.max
+    val sb = new StringBuilder
+    sb.append(packMetadata(aggType, maxRetention, xff, archives.length))
+    var offset = MetadataSize + ArchiveInfoSize * archives.length
+    archives.foreach { case (spp, n) =>
+      sb.append(packArchiveInfo(offset, spp, n))
+      offset += n * PointSize
+    }
+    val zero = packPoint(0L, 0.0)
+    archives.foreach { case (_, n) => (0 until n).foreach(_ => sb.append(zero)) }
+    Files.write(Paths.get(path), sb.toString.getBytes(US_ASCII))
+  }
+
+  /** whisper.update for ONE archive (the highest-precision one, index
+    * `archive`): quantize, seek the ring slot, overwrite in place.
+    */
+  def update(path: String, ts: Long, value: Double, archive: Int = 0): Unit = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val ai = parseHeader(bytes).archives(archive)
+    val interval = ts - ts % ai.secondsPerPoint
+    val slot = ((interval / ai.secondsPerPoint) % ai.points).toInt
+    val packed = packPoint(interval, value).getBytes(US_ASCII)
+    System.arraycopy(packed, 0, bytes, ai.offset + slot * PointSize, PointSize)
+    Files.write(Paths.get(path), bytes)
+  }
+
+  // ---- the Spark source ----
+
+  /** Read every `*.wsp` under `dir` into (path, archive, spp, ts,
+    * value) rows; the metric path is the file name minus `.wsp` (the
+    * reference stores flat dotted file names, e.g.
+    * `Vera-12345678.D.srv.var.wsp`).
+    */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wsp")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (file, bytes) =>
+        val metric = file.split('/').last.stripSuffix(".wsp")
+        filePoints(bytes).map { case (a, spp, ts, v) => (metric, a, spp, ts, v) }
+      }
+      .toDF("path", "archive", "spp", "ts", "value")
+  }
+
+  /** Header info per file — the `ts_info`-shaped view of a whisper
+    * tree (path, method, xff, per-archive retention rows).
+    */
+  def info(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wsp")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (file, bytes) =>
+        val metric = file.split('/').last.stripSuffix(".wsp")
+        val h = parseHeader(bytes)
+        h.archives.zipWithIndex.map { case (ai, i) =>
+          (metric, h.aggregationMethod, h.xFilesFactor, i, ai.secondsPerPoint,
+            ai.points, ai.secondsPerPoint * ai.points)
+        }
+      }
+      .toDF("path", "method", "xff", "archive", "spp", "points", "retention")
+  }
+}

@@ -543,4 +543,30 @@ object Queries {
         round(col("value") - Eps, 4).as("value"), col("npoints"))
       .orderBy(col("path"), col("bucket"))
   }
+
+  /** B12: whisper FILE read — write a deterministic text-packed .wsp
+    * tree (graft.sources.Whisper mirrors L_DataWhisper.lua's format,
+    * ring slots, zero-fill) and read it back through the distributed
+    * binaryFile source. Fixture exercises ring wraparound (7 updates
+    * into 5 slots) and a multi-archive file; the oracle pins the
+    * surviving points as literals.
+    */
+  def whisperRead(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Whisper
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_wsp_fixture").toString
+    val d = new java.io.File(root)
+    if (d.exists()) d.listFiles().foreach(_.delete()) else d.mkdirs()
+    val base = 1706097600L
+    Whisper.create(s"$root/vera.u1a.click.wsp", Seq((600L, 5)), 0.5, "average")
+    (0 until 7).foreach(k => // ring wrap: only k=2..6 survive
+      Whisper.update(s"$root/vera.u1a.click.wsp", base + 600L * k, k + 1.0))
+    Whisper.create(s"$root/vera.u1b.temp.wsp", Seq((600L, 8), (3600L, 4)), 0.5, "max")
+    (0 until 4).foreach(k =>
+      Whisper.update(s"$root/vera.u1b.temp.wsp", base + 600L * k, 10.5 + k))
+    Whisper.update(s"$root/vera.u1b.temp.wsp", base, 99.25, archive = 1)
+    Whisper.update(s"$root/vera.u1b.temp.wsp", base + 3600L, 98.5, archive = 1)
+    Whisper.read(spark, root)
+      .orderBy(col("path"), col("archive"), col("ts"))
+  }
 }

@@ -1,0 +1,104 @@
+package graft.tsdb
+
+import java.nio.charset.StandardCharsets.US_ASCII
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.sources.Whisper
+
+/** Round-trip specs for the reference's text-packed whisper file
+  * format (L_DataWhisper.lua).
+  */
+class WhisperSpec extends SparkSpec {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("wsp").toString
+
+  test("pack units have the exact reference byte sizes") {
+    assert(Whisper.packPoint(0L, 0.0).length == Whisper.PointSize)
+    assert(Whisper.packPoint(1706097600L, -123456.789012345).length == Whisper.PointSize)
+    assert(Whisper.packMetadata(1, 86400L, 0.5, 3).length == Whisper.MetadataSize)
+    assert(Whisper.packArchiveInfo(156, 60L, 1440).length == Whisper.ArchiveInfoSize)
+    // %g renders like C printf (trailing zeros stripped), as Lua does
+    assert(Whisper.packPoint(60L, 0.5) == "         60,                    0.5\n")
+    assert(Whisper.packMetadata(1, 4294967296L, 0.5, 1) ==
+      "          1, 4294967296,        0.5,          1\n")
+  }
+
+  test("create + header round-trip (multi-archive offsets)") {
+    val d = tmpDir()
+    val f = s"$d/vera.u1a.click.wsp"
+    Whisper.create(f, Seq((60L, 10), (600L, 6)), 0.5, "sum")
+    val h = Whisper.parseHeader(Files.readAllBytes(Paths.get(f)))
+    assert(h.aggregationMethod == "sum")
+    assert(h.xFilesFactor == 0.5)
+    assert(h.maxRetention == 3600L)
+    assert(h.archives == Seq(
+      Whisper.ArchiveInfo(48 + 2 * 36, 60L, 10),
+      Whisper.ArchiveInfo(48 + 2 * 36 + 10 * 36, 600L, 6)))
+    // fresh file: every slot zero-filled, no live points
+    assert(Whisper.filePoints(Files.readAllBytes(Paths.get(f))).isEmpty)
+  }
+
+  test("update quantizes, overwrites its slot, and wraps the ring") {
+    val d = tmpDir()
+    val f = s"$d/m.wsp"
+    Whisper.create(f, Seq((60L, 5)), 0.5, "average")
+    Seq(60L, 120L, 180L, 240L, 300L).zipWithIndex.foreach { case (t, i) =>
+      Whisper.update(f, t, i + 1.0)
+    }
+    def pts() = Whisper.filePoints(Files.readAllBytes(Paths.get(f)))
+      .map { case (_, _, ts, v) => (ts, v) }.sortBy(_._1)
+    assert(pts() == Seq((60L, 1.0), (120L, 2.0), (180L, 3.0), (240L, 4.0), (300L, 5.0)))
+    // t=367 quantizes to 360, slot 6 % 5 = 1 — evicts ts=60
+    Whisper.update(f, 367L, 9.0)
+    assert(pts() == Seq((120L, 2.0), (180L, 3.0), (240L, 4.0), (300L, 5.0), (360L, 9.0)))
+    // same-slot rewrite replaces the value
+    Whisper.update(f, 360L, 11.5)
+    assert(pts().last == (360L, 11.5))
+  }
+
+  test("unpack tokenization survives nil fields like the reference") {
+    val d = tmpDir()
+    val f = s"$d/m.wsp"
+    Whisper.create(f, Seq((60L, 3)), 0.5, "average")
+    Whisper.update(f, 60L, 1.0)
+    Whisper.update(f, 120L, 2.0)
+    // hand-corrupt slot 2's value to the reference's packed 'nil'
+    // (None(): right-aligned in the 23-char double field)
+    val bytes = Files.readAllBytes(Paths.get(f))
+    val ai = Whisper.parseHeader(bytes).archives.head
+    val nilPoint = f"${120L}%11d," + (" " * 20) + "nil\n"
+    assert(nilPoint.length == Whisper.PointSize)
+    System.arraycopy(nilPoint.getBytes(US_ASCII), 0, bytes,
+      ai.offset + 2 * Whisper.PointSize, Whisper.PointSize)
+    Files.write(Paths.get(f), bytes)
+    val pts = Whisper.filePoints(bytes).map { case (_, _, ts, v) => (ts, v) }
+    assert(pts == Seq((60L, 1.0))) // live slot kept, nil slot dropped
+  }
+
+  test("distributed read: every *.wsp under a dir, path from file name") {
+    val d = tmpDir()
+    Whisper.create(s"$d/vera.u1a.click.wsp", Seq((60L, 10)), 0.5, "average")
+    Whisper.create(s"$d/vera.u1b.temp.wsp", Seq((60L, 10), (600L, 4)), 0.5, "max")
+    Whisper.update(s"$d/vera.u1a.click.wsp", 60L, 1.0)
+    Whisper.update(s"$d/vera.u1a.click.wsp", 120L, 2.0)
+    Whisper.update(s"$d/vera.u1b.temp.wsp", 60L, 20.5)
+    Whisper.update(s"$d/vera.u1b.temp.wsp", 600L, 21.5, archive = 1)
+    val rows = Whisper.read(spark, d).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2, t._4))
+    assert(rows.toSeq == Seq(
+      ("vera.u1a.click", 0, 60L, 60L, 1.0),
+      ("vera.u1a.click", 0, 60L, 120L, 2.0),
+      ("vera.u1b.temp", 0, 60L, 60L, 20.5),
+      ("vera.u1b.temp", 1, 600L, 600L, 21.5)))
+    val info = Whisper.info(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(3), r.getLong(6)))
+      .sortBy(t => (t._1, t._3))
+    assert(info.toSeq == Seq(
+      ("vera.u1a.click", "average", 0, 600L),
+      ("vera.u1b.temp", "max", 0, 600L),
+      ("vera.u1b.temp", "max", 1, 2400L)))
+  }
+}
