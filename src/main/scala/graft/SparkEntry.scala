@@ -62,6 +62,7 @@ object SparkEntry {
     "dm_weekly" -> ((s, dir) => T.dmWeekly(s, dir)),
     "dm_fetch_raw" -> ((s, dir) => T.dmFetchRaw(s, dir)),
     "whisper_read" -> ((s, dir) => T.whisperRead(s, dir)),
+    "whisper_fetch" -> ((s, dir) => T.whisperFetch(s, dir)),
     // F. LLM-pipeline operators
     "dedup_exact" -> ((s, dir) => L.dedupExact(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => L.dedupNgramJaccard(s, dir)),
@@ -664,6 +665,26 @@ object SparkEntry {
         | ('vera.u1b.temp', 1, CAST(3600 AS BIGINT), CAST(1706101200 AS BIGINT), CAST(98.5 AS DOUBLE))
         |) AS t(path, archive, spp, ts, value)
         |ORDER BY path, archive, ts""".stripMargin,
+    // per-file-header fetch over the same fixture (now=1706101800,
+    // window [1706098000, 1706101500]): click's lone 600s×5 archive
+    // clamps from to its oldest slot 1706099400; temp picks its fine
+    // archive (oldest 1706097600 ≤ from), quantizes to 1706097600 and
+    // leaves nulls after its last stored point
+    "whisper_fetch" ->
+      """SELECT path, t, value FROM (VALUES
+        | ('vera.u1a.click', CAST(1706099400 AS BIGINT), CAST(4.0 AS DOUBLE)),
+        | ('vera.u1a.click', CAST(1706100000 AS BIGINT), CAST(5.0 AS DOUBLE)),
+        | ('vera.u1a.click', CAST(1706100600 AS BIGINT), CAST(6.0 AS DOUBLE)),
+        | ('vera.u1a.click', CAST(1706101200 AS BIGINT), CAST(7.0 AS DOUBLE)),
+        | ('vera.u1b.temp', CAST(1706097600 AS BIGINT), CAST(10.5 AS DOUBLE)),
+        | ('vera.u1b.temp', CAST(1706098200 AS BIGINT), CAST(11.5 AS DOUBLE)),
+        | ('vera.u1b.temp', CAST(1706098800 AS BIGINT), CAST(12.5 AS DOUBLE)),
+        | ('vera.u1b.temp', CAST(1706099400 AS BIGINT), CAST(13.5 AS DOUBLE)),
+        | ('vera.u1b.temp', CAST(1706100000 AS BIGINT), CAST(NULL AS DOUBLE)),
+        | ('vera.u1b.temp', CAST(1706100600 AS BIGINT), CAST(NULL AS DOUBLE)),
+        | ('vera.u1b.temp', CAST(1706101200 AS BIGINT), CAST(NULL AS DOUBLE))
+        |) AS t(path, t, value)
+        |ORDER BY path, t""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),4) AS sum_qty,

@@ -182,6 +182,60 @@ object Whisper {
       .toDF("path", "archive", "spp", "ts", "value")
   }
 
+  /** Whisper fetch straight off a .wsp tree, with PER-FILE archive
+    * selection from each file's own header — unlike `Fetch.fetch`'s
+    * single shared retention spec, a real whisper dir mixes schemas.
+    * Same semantics as Fetch.select/fetchDense (oracle-verified B8):
+    * clamp [from, until] to the coarsest archive's oldest slot and
+    * `now`, choose the highest-precision archive still covering the
+    * clamped `from` (fall back to the coarsest), quantize bounds,
+    * return the dense per-grid-slot series with null gaps.
+    *
+    * Everything after the file scan is declarative: the per-path clamp
+    * is one aggregate over the header rows, archive choice is a min_by
+    * (eligible archives by precision, else the coarsest), and the grid
+    * is sequence+explode — no driver loop, so a million-file tree
+    * fetches as one plan.
+    */
+  def fetchFiles(spark: SparkSession, dir: String, target: String,
+                 fromTime: Long, untilTime: Long, now: Long): DataFrame = {
+    import graft.tsdb.Glob
+    val regex = Glob.queryToRegex(target, allowDeeper = false)
+    val inf = info(spark, dir).filter(col("path").rlike(regex))
+      .withColumn("oldest",
+        lit(now) - lit(now) % col("spp") - col("retention") + col("spp"))
+    // the file is read twice (headers + points): one cached scan
+    val pts = read(spark, dir).filter(col("path").rlike(regex)).cache()
+    val clamp = inf.groupBy(col("path"))
+      .agg(max_by(col("oldest"), col("retention")).as("oldest_last"))
+      .filter(lit(fromTime) <= lit(now) && lit(untilTime) >= col("oldest_last"))
+      .select(col("path"),
+        greatest(lit(fromTime), col("oldest_last")).as("from_c"),
+        least(lit(untilTime), lit(now)).as("until_c"))
+    // first archive (precision-ascending) whose oldest covers from_c;
+    // if none qualifies, the coarsest: rank ineligible rows after all
+    // eligible ones and by DESCENDING spp so min_by lands on the last
+    val sel = inf.join(clamp, "path")
+      .groupBy(col("path"), col("from_c"), col("until_c"))
+      .agg(min_by(struct(col("archive"), col("spp")),
+        when(col("oldest") <= col("from_c"),
+          struct(lit(0).as("e"), col("spp").as("k")))
+          .otherwise(struct(lit(1).as("e"), (-col("spp")).as("k")))).as("a"))
+      .select(col("path"), col("from_c"), col("until_c"),
+        col("a.archive").as("sel_archive"), col("a.spp").as("sel_spp"))
+    val grid = sel.select(col("path"), col("sel_archive"), col("sel_spp"),
+      explode(sequence(
+        col("from_c") - col("from_c") % col("sel_spp"),
+        col("until_c") - col("until_c") % col("sel_spp"),
+        col("sel_spp"))).as("t"))
+    grid.join(
+        pts.select(col("path").as("p_path"), col("archive"), col("ts"), col("value")),
+        col("path") === col("p_path") && col("sel_archive") === col("archive") &&
+          col("t") === col("ts"),
+        "left")
+      .select(col("path"), col("t"), col("value"))
+  }
+
   /** Header info per file — the `ts_info`-shaped view of a whisper
     * tree (path, method, xff, per-archive retention rows).
     */

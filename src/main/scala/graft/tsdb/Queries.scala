@@ -551,7 +551,7 @@ object Queries {
     * into 5 slots) and a multi-archive file; the oracle pins the
     * surviving points as literals.
     */
-  def whisperRead(spark: SparkSession, dir: String): DataFrame = {
+  private def whisperFixture(): String = {
     import graft.sources.Whisper
     val root = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_wsp_fixture").toString
@@ -566,7 +566,20 @@ object Queries {
       Whisper.update(s"$root/vera.u1b.temp.wsp", base + 600L * k, 10.5 + k))
     Whisper.update(s"$root/vera.u1b.temp.wsp", base, 99.25, archive = 1)
     Whisper.update(s"$root/vera.u1b.temp.wsp", base + 3600L, 98.5, archive = 1)
-    Whisper.read(spark, root)
-      .orderBy(col("path"), col("archive"), col("ts"))
+    root
   }
+
+  def whisperRead(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Whisper.read(spark, whisperFixture())
+      .orderBy(col("path"), col("archive"), col("ts"))
+
+  /** B13: fetch straight off the .wsp tree — per-file header drives the
+    * archive selection (click's single 600s×5 archive only reaches back
+    * to now−2400 so its `from` clamps; temp's fine archive covers the
+    * window, leaving trailing null gaps after its last point).
+    */
+  def whisperFetch(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Whisper.fetchFiles(spark, whisperFixture(), "vera.*.*",
+      fromTime = 1706098000L, untilTime = 1706101500L, now = 1706101800L)
+      .orderBy(col("path"), col("t"))
 }

@@ -77,6 +77,27 @@ class WhisperSpec extends SparkSpec {
     assert(pts == Seq((60L, 1.0))) // live slot kept, nil slot dropped
   }
 
+  test("fetchFiles falls back to the coarse archive when from outruns the fine one") {
+    val d = tmpDir()
+    val f = s"$d/m.wsp"
+    // fine: 600s × 4 (40 min), coarse: 3600s × 12 (12 h)
+    Whisper.create(f, Seq((600L, 4), (3600L, 12)), 0.5, "average")
+    val base = 1706097600L
+    Whisper.update(f, base + 3600L, 5.0, archive = 1)
+    val now = base + 7200L
+    // from is 2 h back — beyond the fine archive's 40 min reach, inside
+    // the coarse one: selection must land on archive 1 (spp 3600)
+    val rows = Whisper.fetchFiles(spark, d, "m", base, base + 7200L, now)
+      .collect().map(r => (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(base, base + 3600L, base + 7200L))
+    assert(rows.toMap.apply(base + 3600L).contains(5.0))
+    assert(rows.toMap.apply(base).isEmpty) // gap stays a raw null
+    // a window entirely beyond retention yields no rows for the path
+    val none = Whisper.fetchFiles(spark, d, "m", base - 400000L, base - 300000L, now)
+    assert(none.count() == 0)
+  }
+
   test("distributed read: every *.wsp under a dir, path from file name") {
     val d = tmpDir()
     Whisper.create(s"$d/vera.u1a.click.wsp", Seq((60L, 10)), 0.5, "average")
