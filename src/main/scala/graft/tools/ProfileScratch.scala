@@ -18,29 +18,17 @@ object ProfileScratch {
       val t0 = System.nanoTime(); f
       println(f"## $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     t("warm")(docs.count())
-    t("simhash_only")(graft.dedup.Dedup.simhash(spark, docs)
-      .write.format("noop").mode("overwrite").save())
-    val sim = graft.dedup.Dedup.simhash(spark, docs).cache()
-    t("sim_materialize")(sim.write.format("noop").mode("overwrite").save())
-    val sigs = sim.select("simhash").distinct()
-    t("keyed_cascade_over_cached_sim")(
-      graft.dedup.Dedup.cappedBandKeys(spark, sigs, 64)
-        .write.format("noop").mode("overwrite").save())
-    val keyed = graft.dedup.Dedup.cappedBandKeys(spark, sigs, 64).cache()
-    t("keyed_materialize")(keyed.write.format("noop").mode("overwrite").save())
-    t("pair_join")(keyed.as("a").join(keyed.as("b"),
-      col("a.band") === col("b.band") && col("a.lvl") === col("b.lvl") &&
-        col("a.bkey") === col("b.bkey") && col("a.simhash") < col("b.simhash"))
-      .select(col("a.simhash").as("s1"), col("b.simhash").as("s2")).distinct()
-      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long"))
-      .filter(col("hamming") <= 6).write.format("noop").mode("overwrite").save())
+    t("quality")(noop(graft.text.Analysis.quality(docs)))
+    t("langid")(noop(graft.text.Analysis.langId(spark, docs)))
     spark.catalog.clearCache()
-    t("full_capped")(graft.ops.LlmQueries.dedupSimhashCapped(spark, dir)
-      .write.format("noop").mode("overwrite").save())
+    t("clusters_alone")(noop(graft.ops.LlmQueries.dedupSimhashClusters(spark, dir)))
     spark.catalog.clearCache()
-    t("full_exact")(graft.ops.LlmQueries.dedupSimhash(spark, dir)
-      .write.format("noop").mode("overwrite").save())
+    t("curation_full")(noop(graft.ops.LlmQueries.corpusCuration(spark, dir)))
+    spark.catalog.clearCache()
+    t("curation_full_2nd")(noop(graft.ops.LlmQueries.corpusCuration(spark, dir)))
     spark.stop()
   }
 }

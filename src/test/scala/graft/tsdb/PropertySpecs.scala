@@ -87,3 +87,37 @@ object RetentionProps extends Properties("Retention") {
       steps == steps.sorted
     }
 }
+
+/** The whisper text pack relies on every field rendering at its fixed
+  * printf width — a wider render would shift every ring-slot byte
+  * offset after it. Pin the invariant across value magnitudes, and the
+  * numeric round-trip through the tokenizing unpack.
+  */
+object WhisperPackProps extends Properties("WhisperPack") {
+  import graft.sources.Whisper
+
+  private val ts: Gen[Long] = Gen.choose(0L, 4294967295L) // u32 interval range
+  private val value: Gen[Double] = Gen.oneOf(
+    Gen.choose(-1e6, 1e6),
+    Gen.choose(-1e300, 1e300),
+    Gen.choose(-1e-6, 1e-6),
+    Gen.oneOf(0.0, -0.0, 1.0 / 3.0, math.Pi * 1e8))
+
+  property("packPoint is always exactly PointSize bytes") =
+    forAll(ts, value) { (t, v) =>
+      Whisper.packPoint(t, v).length == Whisper.PointSize
+    }
+
+  property("point round-trips through pack + tokenize at %23.15g precision") =
+    forAll(ts, value) { (t, v) =>
+      val bytes = Whisper.packPoint(t, v).getBytes("US-ASCII")
+      val pts = Whisper.archivePoints(bytes, Whisper.ArchiveInfo(0, 60L, 1))
+      if (t == 0L) pts.isEmpty // zero interval = dead slot by definition
+      else pts == Seq((t, v)) || {
+        // %g carries 15 significant digits (the reference's own files
+        // have the same precision), so rel error ≤ 5e-15 is inherent
+        val (rt, rv) = pts.head
+        rt == t && math.abs(rv - v) <= math.abs(v) * 1e-14
+      }
+    }
+}
