@@ -77,6 +77,26 @@ class WhisperSpec extends SparkSpec {
     assert(pts == Seq((60L, 1.0))) // live slot kept, nil slot dropped
   }
 
+  test("a .wsp tree plugs into the federated finder (migration loop)") {
+    val d = tmpDir()
+    Whisper.create(s"$d/vera.u1a.click.wsp", Seq((60L, 10)), 0.5, "average")
+    Whisper.create(s"$d/vera.u1b.temp.wsp", Seq((60L, 10)), 0.5, "max")
+    Whisper.update(s"$d/vera.u1a.click.wsp", 120L, 1.0)
+    Whisper.update(s"$d/vera.u1a.click.wsp", 300L, 2.0)
+    Whisper.update(s"$d/vera.u1b.temp.wsp", 240L, 3.0)
+    // whisperLeaves only needs (path, ts): the file reader's output
+    // federates like any other finder namespace
+    val leaves = Finders.whisperLeaves(Whisper.read(spark, d))
+    val found = Finders.find(Seq(leaves), "vera.*.*").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(found.toSeq == Seq(
+      ("vera.u1a.click", 1L, 120L, 300L),
+      ("vera.u1b.temp", 1L, 240L, 240L)))
+    val branches = Finders.find(Seq(leaves), "vera.*").collect()
+    assert(branches.forall(_.getLong(2) == 0L)) // branch nodes, null intervals
+  }
+
   test("fetchFiles falls back to the coarse archive when from outruns the fine one") {
     val d = tmpDir()
     val f = s"$d/m.wsp"
