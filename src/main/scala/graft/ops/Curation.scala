@@ -34,29 +34,32 @@ object Curation {
              maxHamming: Int, maxDf: Int): DataFrame = {
     val q = Analysis.quality(docs).select(col("doc_id"), col("n_tokens"), col("score"))
     val l = Analysis.langId(spark, docs).select(col("doc_id"), col("pred_lang"))
-    // base is consumed twice (survivor filter + final reason join)
-    val base = docs.select(col("doc_id"), col("text"))
-      .join(q, "doc_id")
-      .join(l, "doc_id")
-      .withColumn("q_pass", col("score") >= minScore && col("n_tokens") >= minTokens)
-      .withColumn("l_pass", col("pred_lang") === keepLang)
+    // every cached/reused intermediate is NARROW (ids + flags) — the
+    // text column is never cached; each stage that needs it re-reads
+    // the column-pruned scan, which is the only shape that survives a
+    // 100 TB corpus (gates: 2 longs + 2 booleans per doc)
+    val gates = q.join(l, "doc_id")
+      .select(col("doc_id"),
+        (col("score") >= minScore && col("n_tokens") >= minTokens).as("q_pass"),
+        (col("pred_lang") === keepLang).as("l_pass"))
       .cache()
     // gate-survivor keeper: min doc_id per content hash
-    val sv = base.filter(col("q_pass") && col("l_pass"))
-      .withColumn("content_md5", md5(col("text")))
+    val sv = docs.select(col("doc_id"), col("text"))
+      .join(gates.filter(col("q_pass") && col("l_pass")).select(col("doc_id")), "doc_id")
+      .select(col("doc_id"), md5(col("text")).as("content_md5"))
     val keepers = sv.groupBy(col("content_md5")).agg(min(col("doc_id")).as("keep_id"))
-    // consumed twice: near-dup stage input + final reason join
-    val ex = sv.join(keepers, "content_md5")
-      .select(col("doc_id"), col("text"), col("keep_id"))
+    // consumed twice (near-dup input + final reason join): 2 longs/doc
+    val exKeep = sv.join(keepers, "content_md5")
+      .select(col("doc_id"), col("keep_id"))
       .cache()
-    val nd = Dedup.simhashClusters(spark,
-        ex.filter(col("doc_id") === col("keep_id")).select(col("doc_id"), col("text")),
-        maxHamming, maxDf)
+    val keeperDocs = docs.select(col("doc_id"), col("text"))
+      .join(exKeep.filter(col("doc_id") === col("keep_id")).select(col("doc_id")), "doc_id")
+    val nd = Dedup.simhashClusters(spark, keeperDocs, maxHamming, maxDf)
       .select(col("doc_id"), col("keep").as("nd_keep"))
     // null keep_id/nd_keep = the doc never reached that stage; the
     // CASE's earlier arms have already claimed it
-    base
-      .join(ex.select(col("doc_id"), col("keep_id")), Seq("doc_id"), "left")
+    gates
+      .join(exKeep, Seq("doc_id"), "left")
       .join(nd, Seq("doc_id"), "left")
       .withColumn("reason",
         when(!col("q_pass"), "quality")
