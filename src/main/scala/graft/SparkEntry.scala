@@ -68,6 +68,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) => L.dedupNgramJaccard(s, dir)),
     "dedup_ngram_jaccard_capped" -> ((s, dir) => L.dedupNgramJaccardCapped(s, dir)),
     "dedup_minhash" -> ((s, dir) => L.dedupMinhash(s, dir)),
+    "dedup_minhash_clusters" -> ((s, dir) => L.dedupMinhashClusters(s, dir)),
     "dedup_embed_cosine" -> ((s, dir) => L.dedupEmbedCosine(s, dir)),
     "dedup_embed_cosine_lsh" -> ((s, dir) => L.dedupEmbedCosineLsh(s, dir)),
     "dedup_simhash" -> ((s, dir) => L.dedupSimhash(s, dir)),
@@ -222,6 +223,17 @@ object SparkEntry {
        |     + 0.2*(len(list_filter(toks, x -> x IN ($enList)))*1.0/len(toks))
        |     + 0.2*least((length(text) - (len(toks)-1))*1.0/len(toks)/10.0, 1.0) - 1e-9, 4)""".stripMargin
 
+  /** The MinHash signature/banding pipeline as DuckDB CTEs (shared by
+    * the pairs and clusters oracles).
+    */
+  private lazy val MinhashBandsCtes =
+    s"""h AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,15))::BIGINT % 2147483647 AS hv FROM shd),
+       |params(i,a,b) AS (VALUES $MinhashValues),
+       |sigs AS (SELECT doc_id, i, min((a*hv+b)%2147483647) AS mh
+       |  FROM h CROSS JOIN params GROUP BY 1,2),
+       |bands AS (SELECT doc_id, i//3 AS band,
+       |  md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS bh FROM sigs GROUP BY 1,2)""".stripMargin
+
   /** MinHash params / stopword dict rendered from the same Scala
     * constants the Spark plans use — single source of truth.
     */
@@ -266,15 +278,27 @@ object SparkEntry {
          |WHERE i*1.0/(sa.n+sb.n-i) >= 0.8 ORDER BY 1,2""".stripMargin,
     "dedup_minhash" ->
       s"""WITH $TK, $SHD,
-         |h AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,15))::BIGINT % 2147483647 AS hv FROM shd),
-         |params(i,a,b) AS (VALUES $MinhashValues),
-         |sigs AS (SELECT doc_id, i, min((a*hv+b)%2147483647) AS mh
-         |  FROM h CROSS JOIN params GROUP BY 1,2),
-         |bands AS (SELECT doc_id, i//3 AS band,
-         |  md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS bh FROM sigs GROUP BY 1,2)
+         |$MinhashBandsCtes
          |SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
          |FROM bands a JOIN bands b ON a.band=b.band AND a.bh=b.bh AND a.doc_id<b.doc_id
          |ORDER BY 1,2""".stripMargin,
+    // one-step min propagation over the symmetric band-join candidate
+    // graph (same rule as Dedup.minhashClusters): cluster_id =
+    // min({doc} ∪ neighbours), docs without signature/neighbours keep
+    "dedup_minhash_clusters" ->
+      s"""WITH $TK, $SHD,
+         |$MinhashBandsCtes,
+         |prs AS (SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+         |  FROM bands a JOIN bands b ON a.band=b.band AND a.bh=b.bh AND a.doc_id<b.doc_id),
+         |mn AS (SELECT doc_id, min(nbr) AS mn FROM (
+         |    SELECT x AS doc_id, y AS nbr FROM prs
+         |    UNION ALL SELECT y AS doc_id, x AS nbr FROM prs) e GROUP BY 1)
+         |SELECT d.doc_id,
+         | least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_id,
+         | CASE WHEN least(d.doc_id, coalesce(m.mn, d.doc_id)) = d.doc_id
+         |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+         |FROM documents d LEFT JOIN mn m ON m.doc_id = d.doc_id
+         |ORDER BY 1""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $TK,
          |$SIM,

@@ -122,6 +122,32 @@ object Dedup {
       .orderBy(col("x"), col("y"))
   }
 
+  /** F3k: O(n)-output keep/drop decisions over the MinHash candidate
+    * graph — the production consumer shape (same argument as
+    * simhashClusters: on a dup-heavy corpus the pair OUTPUT is Ω(n²)
+    * even when candidate generation is bounded). One-step min
+    * propagation at doc level: cluster_id = min({doc} ∪ band-join
+    * neighbours); chains are deliberately NOT transitively merged (the
+    * deterministic single-pass rule the oracle replays). Docs with no
+    * signature (< 3 tokens) and docs with no neighbour are their own
+    * cluster. Output: (doc_id, cluster_id, keep) for every doc.
+    */
+  def minhashClusters(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val pairs = minhashLsh(spark, docs)
+    // symmetric edge list → min neighbour per doc: one shuffle keyed by
+    // doc_id, map-side combined
+    val minNbr = pairs.select(col("x").as("doc_id"), col("y").as("nbr"))
+      .unionByName(pairs.select(col("y").as("doc_id"), col("x").as("nbr")))
+      .groupBy(col("doc_id")).agg(min(col("nbr")).as("mn"))
+    docs.select(col("doc_id"))
+      .join(minNbr, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        least(col("doc_id"), coalesce(col("mn"), col("doc_id"))).as("cluster_id"))
+      .withColumn("keep",
+        when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
+
   /** F13: embedding-cosine near-duplicate pairs, exact semantics — all
     * (x < y) with cosine ≥ τ. This is the correctness baseline (the
     * pair join is inherently quadratic); `embedCosineLshPairs` is the

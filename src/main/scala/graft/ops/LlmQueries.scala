@@ -57,6 +57,10 @@ object LlmQueries {
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(spark, Tables.documents(spark, dir))
 
+  /** O(n)-output keep/drop decisions from the MinHash candidate graph. */
+  def dedupMinhashClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashClusters(spark, Tables.documents(spark, dir))
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(spark, Tables.documents(spark, dir), SimhashMaxHamming)
 

@@ -269,6 +269,25 @@ class LlmSpec extends SparkSpec {
     // avg(|(1,0)|=1, |(0.9,0.1)|=0.90554) = 0.95277
   }
 
+  test("minhash clusters: keep/drop consistent with the pair graph (F3k)") {
+    val pairs = Dedup.minhashLsh(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val out = Dedup.minhashClusters(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L)) // every doc decided
+    out.foreach { case (d, c, k) =>
+      assert((k == 1L) == (d == c))
+      assert(c == (d +: pairs.collect { // one-step min over neighbours
+        case (x, y) if x == d => y
+        case (x, y) if y == d => x
+      }).min)
+    }
+    // docs 0/1/2 share minhash bands (near/exact dups) → one keeper;
+    // doc 3 is unrelated → its own cluster
+    assert(out.count(_._3 == 1L) == 2)
+    assert(out.filter(_._2 == 0L).map(_._1).toSet == Set(0L, 1L, 2L))
+  }
+
   test("corpus curation stages claim docs in order (F14)") {
     import graft.ops.Curation
     // 20+ token english filler keeps quality/language gates open
