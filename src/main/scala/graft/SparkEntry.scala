@@ -69,6 +69,8 @@ object SparkEntry {
     "dedup_ngram_jaccard_capped" -> ((s, dir) => L.dedupNgramJaccardCapped(s, dir)),
     "dedup_minhash" -> ((s, dir) => L.dedupMinhash(s, dir)),
     "dedup_minhash_clusters" -> ((s, dir) => L.dedupMinhashClusters(s, dir)),
+    "dedup_jaccard_clusters" -> ((s, dir) => L.dedupJaccardClusters(s, dir)),
+    "dedup_embed_cosine_clusters" -> ((s, dir) => L.dedupEmbedCosineClusters(s, dir)),
     "dedup_embed_cosine" -> ((s, dir) => L.dedupEmbedCosine(s, dir)),
     "dedup_embed_cosine_lsh" -> ((s, dir) => L.dedupEmbedCosineLsh(s, dir)),
     "dedup_simhash" -> ((s, dir) => L.dedupSimhash(s, dir)),
@@ -223,6 +225,17 @@ object SparkEntry {
        |     + 0.2*(len(list_filter(toks, x -> x IN ($enList)))*1.0/len(toks))
        |     + 0.2*least((length(text) - (len(toks)-1))*1.0/len(toks)/10.0, 1.0) - 1e-9, 4)""".stripMargin
 
+  /** The df-capped Jaccard candidate pipeline as DuckDB CTEs (shared
+    * by the capped-pairs and clusters oracles). jaccard still uses
+    * UNCAPPED set sizes (intersection under-counts, never over-counts).
+    */
+  private lazy val JaccardCappedCtes =
+    s"""rare AS (SELECT shingle FROM shd GROUP BY 1 HAVING count(*) <= ${graft.ops.LlmQueries.JaccardMaxDf}),
+       |shc AS (SELECT shd.doc_id, shd.shingle FROM shd JOIN rare USING (shingle)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS i
+       |  FROM shc a JOIN shc b ON a.shingle=b.shingle AND a.doc_id<b.doc_id GROUP BY 1,2)""".stripMargin
+
   /** The MinHash signature/banding pipeline as DuckDB CTEs (shared by
     * the pairs and clusters oracles).
     */
@@ -268,14 +281,27 @@ object SparkEntry {
     // an under-count, never an over-count)
     "dedup_ngram_jaccard_capped" ->
       s"""WITH $TK, $SHD,
-         |rare AS (SELECT shingle FROM shd GROUP BY 1 HAVING count(*) <= ${graft.ops.LlmQueries.JaccardMaxDf}),
-         |shc AS (SELECT shd.doc_id, shd.shingle FROM shd JOIN rare USING (shingle)),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
-         |inter AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS i
-         |  FROM shc a JOIN shc b ON a.shingle=b.shingle AND a.doc_id<b.doc_id GROUP BY 1,2)
+         |$JaccardCappedCtes
          |SELECT x, y, round(i*1.0/(sa.n+sb.n-i) - 1e-9, 4) AS jaccard
          |FROM inter JOIN sizes sa ON sa.doc_id=x JOIN sizes sb ON sb.doc_id=y
          |WHERE i*1.0/(sa.n+sb.n-i) >= 0.8 ORDER BY 1,2""".stripMargin,
+    // one-step min propagation over the capped-Jaccard pair graph
+    // (Dedup.jaccardClusters: cluster_id = min({doc} ∪ neighbours))
+    "dedup_jaccard_clusters" ->
+      s"""WITH $TK, $SHD,
+         |$JaccardCappedCtes,
+         |prs AS (SELECT x, y
+         |  FROM inter JOIN sizes sa ON sa.doc_id=x JOIN sizes sb ON sb.doc_id=y
+         |  WHERE i*1.0/(sa.n+sb.n-i) >= 0.8),
+         |mn AS (SELECT doc_id, min(nbr) AS mn FROM (
+         |    SELECT x AS doc_id, y AS nbr FROM prs
+         |    UNION ALL SELECT y AS doc_id, x AS nbr FROM prs) e GROUP BY 1)
+         |SELECT d.doc_id,
+         | least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_id,
+         | CASE WHEN least(d.doc_id, coalesce(m.mn, d.doc_id)) = d.doc_id
+         |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+         |FROM documents d LEFT JOIN mn m ON m.doc_id = d.doc_id
+         |ORDER BY 1""".stripMargin,
     "dedup_minhash" ->
       s"""WITH $TK, $SHD,
          |$MinhashBandsCtes
@@ -348,6 +374,24 @@ object SparkEntry {
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE list_dot_product(a.emb,b.emb)/(a.nrm*b.nrm) >= ${graft.ops.LlmQueries.EmbedCosineTau}
          |ORDER BY 1,2""".stripMargin,
+    // one-step min propagation over the EXACT cosine pair graph; the
+    // LSH-bucketed graph is the 100 TB pair source (same rule,
+    // Dedup.embedCosineClusters is pair-source-agnostic)
+    "dedup_embed_cosine_clusters" ->
+      s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),
+         |prs AS (SELECT a.vec_id AS x, b.vec_id AS y
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.emb,b.emb)/(a.nrm*b.nrm) >= ${graft.ops.LlmQueries.EmbedCosineTau}),
+         |mn AS (SELECT vec_id, min(nbr) AS mn FROM (
+         |    SELECT x AS vec_id, y AS nbr FROM prs
+         |    UNION ALL SELECT y AS vec_id, x AS nbr FROM prs) e GROUP BY 1)
+         |SELECT v.vec_id,
+         | least(v.vec_id, coalesce(m.mn, v.vec_id)) AS cluster_id,
+         | CASE WHEN least(v.vec_id, coalesce(m.mn, v.vec_id)) = v.vec_id
+         |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+         |FROM embeddings v LEFT JOIN mn m ON m.vec_id = v.vec_id
+         |ORDER BY 1""".stripMargin,
     "ann_cosine_topk" ->
       """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),

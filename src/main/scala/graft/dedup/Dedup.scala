@@ -132,21 +132,44 @@ object Dedup {
     * signature (< 3 tokens) and docs with no neighbour are their own
     * cluster. Output: (doc_id, cluster_id, keep) for every doc.
     */
-  def minhashClusters(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val pairs = minhashLsh(spark, docs)
-    // symmetric edge list → min neighbour per doc: one shuffle keyed by
-    // doc_id, map-side combined
-    val minNbr = pairs.select(col("x").as("doc_id"), col("y").as("nbr"))
-      .unionByName(pairs.select(col("y").as("doc_id"), col("x").as("nbr")))
-      .groupBy(col("doc_id")).agg(min(col("nbr")).as("mn"))
-    docs.select(col("doc_id"))
-      .join(minNbr, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        least(col("doc_id"), coalesce(col("mn"), col("doc_id"))).as("cluster_id"))
+  def minhashClusters(spark: SparkSession, docs: DataFrame): DataFrame =
+    clusterize(docs.select(col("doc_id")), minhashLsh(spark, docs))
+
+  /** Shared O(n)-output clustering over an (x, y) candidate pair graph:
+    * cluster_id = min({id} ∪ neighbours), one-step min propagation
+    * (chains deliberately NOT transitively merged — deterministic
+    * single pass, the rule every oracle replays). `ids` supplies the
+    * full population so isolated members keep themselves. One shuffle:
+    * the symmetric edge list groups by id with a map-side-combined min.
+    */
+  private[graft] def clusterize(ids: DataFrame, pairs: DataFrame,
+                                idCol: String = "doc_id"): DataFrame = {
+    val minNbr = pairs.select(col("x").as(idCol), col("y").as("nbr"))
+      .unionByName(pairs.select(col("y").as(idCol), col("x").as("nbr")))
+      .groupBy(col(idCol)).agg(min(col("nbr")).as("mn"))
+    ids.select(col(idCol))
+      .join(minNbr, Seq(idCol), "left")
+      .select(col(idCol),
+        least(col(idCol), coalesce(col("mn"), col(idCol))).as("cluster_id"))
       .withColumn("keep",
-        when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L))
-      .orderBy(col("doc_id"))
+        when(col(idCol) === col("cluster_id"), 1L).otherwise(0L))
+      .orderBy(col(idCol))
   }
+
+  /** F2k: O(n)-output keep/drop over the df-capped shingle-Jaccard
+    * candidate graph (the scale-path pair source), same one-step rule.
+    */
+  def jaccardClusters(docs: DataFrame, tau: Double, maxDf: Int): DataFrame =
+    clusterize(docs.select(col("doc_id")),
+      ngramJaccardCapped(docs, tau, maxDf).select(col("x"), col("y")))
+
+  /** F13k: O(n)-output keep/drop over the embedding-cosine pair graph.
+    * Takes the pair source as an argument so the exact graph (oracle)
+    * and the LSH-bucketed graph (100 TB path) share the rule.
+    */
+  def embedCosineClusters(vecs: DataFrame, pairs: DataFrame): DataFrame =
+    clusterize(vecs.select(col("vec_id")),
+      pairs.select(col("x"), col("y")), idCol = "vec_id")
 
   /** F13: embedding-cosine near-duplicate pairs, exact semantics — all
     * (x < y) with cosine ≥ τ. This is the correctness baseline (the

@@ -61,6 +61,18 @@ object LlmQueries {
   def dedupMinhashClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashClusters(spark, Tables.documents(spark, dir))
 
+  /** O(n) keep/drop from the df-capped Jaccard candidate graph. */
+  def dedupJaccardClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardClusters(Tables.documents(spark, dir), JaccardTau, JaccardMaxDf)
+
+  /** O(n) keep/drop from the exact embed-cosine pair graph; swap in
+    * `Dedup.embedCosineLshPairs` for the LSH-bucketed 100 TB path.
+    */
+  def dedupEmbedCosineClusters(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Dedup.embedCosineClusters(e, Dedup.embedCosinePairs(e, EmbedCosineTau))
+  }
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(spark, Tables.documents(spark, dir), SimhashMaxHamming)
 

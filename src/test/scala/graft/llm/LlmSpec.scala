@@ -288,6 +288,23 @@ class LlmSpec extends SparkSpec {
     assert(out.filter(_._2 == 0L).map(_._1).toSet == Set(0L, 1L, 2L))
   }
 
+  test("jaccard + embed cluster variants agree with their pair graphs (F2k/F13k)") {
+    // jaccard: docs 0/2 identical, 0/1 at 0.75 — tau 0.5 links all three
+    val jOut = Dedup.jaccardClusters(docs, 0.5, maxDf = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(jOut == Seq((0L, 0L, 1L), (1L, 0L, 0L), (2L, 0L, 0L), (3L, 3L, 1L)))
+    // embed: pairs (0,1) at cos 0.9939 → 1 joins 0; 2,3 isolated
+    val pairs = Dedup.embedCosinePairs(vecs, 0.9)
+    val eOut = Dedup.embedCosineClusters(vecs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(eOut.forall { case (v, c, k) => (k == 1L) == (v == c) })
+    assert(eOut.map(_._1) == eOut.map(_._1).sorted)
+    val linked = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    eOut.filter(_._3 == 0L).foreach { case (v, c, _) =>
+      assert(linked.contains((c, v)) || linked.contains((v, c)))
+    }
+  }
+
   test("corpus curation stages claim docs in order (F14)") {
     import graft.ops.Curation
     // 20+ token english filler keeps quality/language gates open
