@@ -553,8 +553,10 @@ object Queries {
     */
   private def whisperFixture(): String = {
     import graft.sources.Whisper
-    val root = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_wsp_fixture").toString
+    // per-process dir: concurrent Verify/Bench runs must not race on
+    // the ring-slot overwrites (the fixture itself is deterministic)
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_wsp_fixture_${ProcessHandle.current().pid()}").toString
     val d = new java.io.File(root)
     if (d.exists()) d.listFiles().foreach(_.delete()) else d.mkdirs()
     val base = 1706097600L
