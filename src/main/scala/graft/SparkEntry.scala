@@ -87,6 +87,7 @@ object SparkEntry {
     "corpus_curation" -> ((s, dir) => L.corpusCuration(s, dir)),
     // G. streaming (batch twin) + F12 multimodal plumbing
     "stream_rollup" -> ((s, dir) => T.streamRollup(s, dir)),
+    "stream_sig_dedup" -> ((s, dir) => L.streamSigDedup(s, dir)),
     "multimodal_pipeline" -> ((s, dir) =>
       graft.multimodal.BinaryPipeline.pipelineSummary(s, graft.core.Tables.documents(s, dir)))
   )
@@ -264,6 +265,17 @@ object SparkEntry {
          |SELECT path, ts - ts%600 AS bucket, round(avg(value) - 1e-9,4) AS value,
          | count(*) AS npoints
          |FROM m GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // G4 batch twin — ALSO cross-checks the per-row HOF simhash
+    // (TextFns.simhashRow) against the oracle's explode-pipeline
+    // arithmetic: same 60-bit signature from two different plans
+    "stream_sig_dedup" ->
+      s"""WITH $TK,
+         |$SIM,
+         |g AS (SELECT simhash, min(doc_id) AS keep_id FROM sim GROUP BY 1)
+         |SELECT m.doc_id, m.simhash,
+         | CASE WHEN m.doc_id = g.keep_id THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+         |FROM sim m JOIN g USING (simhash)
+         |ORDER BY m.doc_id""".stripMargin,
     // ---- F. LLM-pipeline operators ----
     "dedup_exact" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS n

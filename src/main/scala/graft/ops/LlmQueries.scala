@@ -119,6 +119,22 @@ object LlmQueries {
   def embedNormStats(spark: SparkSession, dir: String): DataFrame =
     Ann.normStats(Tables.embeddings(spark, dir))
 
+  /** G4 batch twin: the streaming signature-dedup decisions computed
+    * batch-side — same per-row simhashRow signature, keep = min doc_id
+    * per signature group (what the stream's first-seen rule converges
+    * to on a single batch).
+    */
+  def streamSigDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.text.TextFns.simhashRow(col("text")).as("simhash"))
+    val keep = sigs.groupBy(col("simhash")).agg(min(col("doc_id")).as("keep_id"))
+    sigs.join(keep, "simhash")
+      .select(col("doc_id"), col("simhash"),
+        when(col("doc_id") === col("keep_id"), 1L).otherwise(0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   // curation gates: the score threshold sits BETWEEN 4-dp grid points
   // (scores are round(x,4)) so the cross-engine comparison can never
   // land on the boundary; ≥ 0.38-at-4dp drops ~15% of the corpus

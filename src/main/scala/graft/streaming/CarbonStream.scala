@@ -130,4 +130,31 @@ object CarbonStream {
       else parsed
     withWm.dropDuplicates("path", "ts")
   }
+
+  final case class SigDecision(doc_id: Long, simhash: Long, keep: Boolean)
+
+  /** G4: streaming near-duplicate dedup of DOCUMENTS — the signature is
+    * the per-row scalar simhash (TextFns.simhashRow, shuffle-free), so
+    * docs that differ only in token order/repeats collapse to one
+    * signature; state keyed by signature keeps the first-seen doc
+    * across micro-batches (min doc_id inside a batch, the deterministic
+    * twin of the batch rule). State per distinct signature is one Long
+    * — bounded by content diversity, not stream length.
+    */
+  def simhashDedupStream(docs: DataFrame): Dataset[SigDecision] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id").cast("long"),
+        graft.text.TextFns.simhashRow(col("text")).as("simhash"))
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, SigDecision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sig, it, state: GroupState[Long]) =>
+          val ids = it.map(_._1).toArray.sorted
+          val keeper = if (state.exists) None else Some(ids.min)
+          if (!state.exists) state.update(ids.min)
+          ids.iterator.map(id => SigDecision(id, sig, keeper.contains(id)))
+      }
+  }
 }

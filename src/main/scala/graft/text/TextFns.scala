@@ -36,6 +36,28 @@ object TextFns {
       sequence(lit(0), size(toks) - 3),
       i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
 
+  /** Per-ROW 60-bit SimHash — identical arithmetic to the distributed
+    * `Dedup.simhash` (explode + groupBy bit sums) but evaluated as one
+    * scalar expression over the row's own token array, so it needs NO
+    * shuffle: the shape a per-event streaming pipeline requires.
+    * HOFs are interpreted (not codegen'd) in Spark 4, which is the
+    * price of per-row evaluation; the batch operator keeps the
+    * codegen'd aggregate form.
+    */
+  def simhashRow(text: Column): Column = {
+    val hs = transform(array_distinct(tokens(text)), h60 _)
+    val bitIdx = sequence(lit(0), lit(59))
+    // one pass over the tokens accumulating all 60 signed bit counts
+    val counts = aggregate(hs, array_repeat(lit(0), 60), (acc, h) =>
+      zip_with(acc, bitIdx, (a, j) =>
+        a + when(call_function("shiftright", h, j).bitwiseAND(lit(1L)) === 1L,
+          lit(1)).otherwise(lit(-1))))
+    aggregate(
+      zip_with(counts, bitIdx, (c, j) =>
+        when(c > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc + b)
+  }
+
   /** Same tiny per-language stopword dictionaries on both engines. */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with"),

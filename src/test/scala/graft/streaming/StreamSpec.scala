@@ -178,4 +178,44 @@ class StreamSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
     assert(batch.toSeq == Seq(("a.b", 0L, 2.0, 2L), ("a.b", 600L, 5.0, 1L)))
   }
+
+  test("streaming simhash dedup: set-based signature, state crosses batches (G4)") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val out = CarbonStream.simhashDedupStream(
+      source.toDF().toDF("doc_id", "text"))
+    val query = out.toDF().writeStream
+      .format("memory").queryName("g4_sig").outputMode("append").start()
+    try {
+      // doc 1 = doc 0's tokens reordered + one repeated → SAME signature
+      source.addData(
+        (0L, "the quick brown fox jumps over the lazy dog"),
+        (1L, "lazy dog the quick brown fox jumps over the dog"),
+        (2L, "completely different words entirely unrelated content here"))
+      query.processAllAvailable()
+      // batch 2: doc 3 repeats doc 0's signature → dropped by STATE;
+      // doc 4 is novel → kept
+      source.addData(
+        (3L, "the quick brown fox jumps over the lazy dog"),
+        (4L, "carbon metrics arrive on a udp socket as plaintext lines"))
+      query.processAllAvailable()
+      val rows = spark.table("g4_sig").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getBoolean(2)))
+      assert(rows.toSeq == Seq(
+        (0L, true), (1L, false), (2L, true), (3L, false), (4L, true)))
+      val sigs = spark.table("g4_sig").orderBy("doc_id").collect().map(_.getLong(1))
+      assert(sigs(0) == sigs(1) && sigs(0) == sigs(3) && sigs(0) != sigs(2))
+    } finally query.stop()
+  }
+
+  test("streaming simhash dedup batch twin agrees on keepers (G4)") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "lazy dog the quick brown fox jumps over the dog"),
+      (2L, "completely different words entirely unrelated content here")
+    ).toDF("doc_id", "text")
+    val out = CarbonStream.simhashDedupStream(docs).collect()
+      .map(d => (d.doc_id, d.keep)).sortBy(_._1)
+    assert(out.toSeq == Seq((0L, true), (1L, false), (2L, true)))
+  }
 }
