@@ -227,23 +227,16 @@ object Dedup {
   }
 
   /** F4: 60-bit SimHash (md5-derived token hashes keep the DuckDB
-    * oracle bit-identical) + 4×15-bit band blocking; pairs within
-    * hamming ≤ maxHamming. All 60 bit-sums are aggregate expressions in
-    * ONE groupBy(doc) — a single map-side-combined shuffle over the
-    * token rows, not a 60× explode.
+    * oracle bit-identical). The signature is ONE compiled per-row pass
+    * (graft.functions.SimHash60) over the distinct-token array — no
+    * explode, no groupBy, no shuffle at all; signatures stream out of
+    * the scan stage. (Earlier shape: explode + 60 bit-sum aggregates in
+    * one groupBy — correct but one full shuffle of the token rows.)
     */
-  def simhash(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val th = docs
-      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
-      .select(col("doc_id"), h60(col("tok")).as("h"))
-    val bitSums = (0 until 60).map(j =>
-      sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"s$j"))
-    val simBits = (0 until 60).map(j =>
-      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-    th.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), simBits.reduce(_ + _).as("simhash"))
-  }
+  def simhash(spark: SparkSession, docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.SimHash60.simhash(array_distinct(tokens(col("text"))))
+        .as("simhash"))
 
   /** Widening schedule for the df-capped simhash variants: a band's
     * 15-bit key can be extended in 5-bit chunks drawn from the OTHER

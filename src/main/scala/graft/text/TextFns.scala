@@ -36,27 +36,15 @@ object TextFns {
       sequence(lit(0), size(toks) - 3),
       i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
 
-  /** Per-ROW 60-bit SimHash — identical arithmetic to the distributed
-    * `Dedup.simhash` (explode + groupBy bit sums) but evaluated as one
-    * scalar expression over the row's own token array, so it needs NO
-    * shuffle: the shape a per-event streaming pipeline requires.
-    * HOFs are interpreted (not codegen'd) in Spark 4, which is the
-    * price of per-row evaluation; the batch operator keeps the
-    * codegen'd aggregate form.
+  /** Per-ROW 60-bit SimHash: one compiled pass over the row's own
+    * distinct-token array (graft.functions.SimHash60) — no shuffle, so
+    * it serves per-event streaming AND replaces the batch explode +
+    * 60-aggregate signature shuffle. Arithmetic is bit-identical to
+    * the DuckDB oracle's explode pipeline (verified per document by
+    * the stream_sig_dedup oracle).
     */
-  def simhashRow(text: Column): Column = {
-    val hs = transform(array_distinct(tokens(text)), h60 _)
-    val bitIdx = sequence(lit(0), lit(59))
-    // one pass over the tokens accumulating all 60 signed bit counts
-    val counts = aggregate(hs, array_repeat(lit(0), 60), (acc, h) =>
-      zip_with(acc, bitIdx, (a, j) =>
-        a + when(call_function("shiftright", h, j).bitwiseAND(lit(1L)) === 1L,
-          lit(1)).otherwise(lit(-1))))
-    aggregate(
-      zip_with(counts, bitIdx, (c, j) =>
-        when(c > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
-      lit(0L), (acc, b) => acc + b)
-  }
+  def simhashRow(text: Column): Column =
+    graft.functions.SimHash60.simhash(array_distinct(tokens(text)))
 
   /** Same tiny per-language stopword dictionaries on both engines. */
   val stopwords: Map[String, Seq[String]] = Map(

@@ -45,6 +45,26 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(o) < 1e-12)
   }
 
+  test("SimHash60: single-token signature IS the token's h60 (and codegen survives)") {
+    import graft.text.TextFns
+    // one token → every bit count is ±1 from that token alone → sig == h
+    val df = spark.range(500).selectExpr("array(concat('tok', id)) AS toks")
+      .select(graft.functions.SimHash60.simhash(col("toks")).as("sig"),
+        TextFns.h60(expr("toks[0]")).as("h"))
+    assert(df.filter(col("sig") =!= col("h")).count() == 0)
+    // multi-token matches the reference value the oracle computes
+    val sig = Seq("the quick brown fox").toDF("text")
+      .select(TextFns.simhashRow(col("text"))).head.getLong(0)
+    val viaSql = spark.sql(
+      """SELECT cast(sum(CASE WHEN s > 0 THEN shiftleft(1L, j) ELSE 0L END) AS LONG) FROM (
+        |  SELECT j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s FROM (
+        |    SELECT conv(substr(md5(tok),1,15),16,10)::LONG AS h
+        |    FROM (SELECT explode(array('the','quick','brown','fox')) AS tok))
+        |  LATERAL VIEW explode(sequence(0,59)) AS j GROUP BY j)""".stripMargin)
+      .head.getLong(0)
+    assert(sig == viaSql)
+  }
+
   test("FloatDot survives whole-stage codegen over many rows") {
     val df = spark.range(1000).selectExpr(
       "array(cast(id AS float), cast(id+1 AS float)) AS a",
