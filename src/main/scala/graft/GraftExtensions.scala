@@ -32,6 +32,13 @@ object GraftExtensions {
       new ExpressionInfo(graft.text.TextFns.getClass.getName, "h60"),
       (children: Seq[Expression]) =>
         toExpression(graft.text.TextFns.h60(toColumn(children.head)))),
+    // compiled per-row signatures over token/shingle arrays
+    (FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[graft.functions.SimHash60].getName, "simhash60"),
+      (children: Seq[Expression]) => graft.functions.SimHash60(children.head)),
+    (FunctionIdentifier("minhash12"),
+      new ExpressionInfo(classOf[graft.functions.MinHash12].getName, "minhash12"),
+      (children: Seq[Expression]) => graft.functions.MinHash12(children.head)),
     // cosine similarity of two float arrays on the codegen'd FloatDot
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[FloatDot].getName, "cosine_sim"),

@@ -84,28 +84,30 @@ object Dedup {
   }
 
   /** Fixed, engine-portable MinHash parameters: k=12 permutations
-    * h_i(x) = (a_i·x + b_i) mod P31, banded 4×3 for LSH.
+    * h_i(x) = (a_i·x + b_i) mod P31, banded 4×3 for LSH (canonical
+    * schedule lives in the compiled expression; single source).
     */
-  val minhashParams: Seq[(Int, Long, Long)] =
-    (0 until 12).map(i => (i, 1000003L * (i + 1) + 17L, 7919L * (i + 1) + 13L))
+  val minhashParams: Seq[(Int, Long, Long)] = graft.functions.MinHash12.params
   val bandRows = 3
 
   /** F3: MinHash signature + LSH banding → candidate pairs. Docs agree
     * on a band iff all `bandRows` signature slots match; the band
     * signature join is the scale path (shuffle keyed by band hash).
-    * All 12 signature slots are min-aggregates in ONE groupBy(doc) —
-    * a single map-side-combined shuffle, not a 12× params cross join.
+    * The 12-slot signature is ONE compiled per-row pass over the
+    * shingle array (graft.functions.MinHash12) — like SimHash60, no
+    * explode/groupBy shuffle for the signature stage at all.
     */
   def minhashLsh(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val h = docShingles(docs).select(col("doc_id"), h31(col("shingle")).as("hv"))
-    val slotAggs = minhashParams.map { case (i, a, b) =>
-      min((lit(a) * col("hv") + lit(b)) % P31).as(s"mh$i")
-    }
-    val sigRow = h.groupBy(col("doc_id")).agg(slotAggs.head, slotAggs.tail: _*)
+    val sigRow = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.MinHash12.minhash(shingles3(col("toks"))).as("mh"))
     val nBands = minhashParams.size / bandRows
     val bandCols = (0 until nBands).map { b =>
       md5(concat_ws(",",
-        (0 until bandRows).map(r => col(s"mh${b * bandRows + r}").cast("string")): _*))
+        (0 until bandRows).map(r =>
+          element_at(col("mh"), b * bandRows + r + 1).cast("string")): _*))
     }
     // cache the per-doc band rows (nBands rows/doc — tiny): the self-join
     // otherwise evaluates the whole signature aggregation twice, because
