@@ -1,9 +1,9 @@
 package graft.text
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Fingerprint60
 import TextFns._
 
 /** Text-analysis operators for training-data pipelines
@@ -18,26 +18,22 @@ object Analysis {
     * broadcast join against the tiny dictionary.
     */
   def langId(spark: SparkSession, docs: DataFrame): DataFrame = {
-    import spark.implicits._
-    val dict = broadcast(
-      stopwords.toSeq.flatMap { case (l, ws) => ws.map(w => (l, w)) }.toDF("lang_cand", "word"))
-    val hits = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .join(dict, col("tok") === col("word"))
-      .groupBy(col("doc_id"), col("lang_cand"))
-      .agg(count(lit(1)).as("hits"))
-    // argmax as a min_by AGGREGATE over (-hits, lang): partial
-    // aggregation collapses the ≤5 language rows per doc map-side —
-    // no window shuffle-and-sort
-    val best = hits.groupBy(col("doc_id"))
-      .agg(min_by(struct(col("lang_cand"), col("hits")),
-        struct((-col("hits")).as("nh"), col("lang_cand"))).as("b"))
-      .select(col("doc_id"), col("b.lang_cand").as("lang_cand"), col("b.hits").as("hits"))
-    docs.select(col("doc_id"))
-      .join(best, Seq("doc_id"), "left")
+    // fully per-row: one codegen'd in-array hit count per language (5
+    // langs × 10 words), argmax by an alphabetically-ordered when
+    // chain — the first language reaching the max implements the
+    // (hits DESC, lang ASC) tie-break. No explode, no join, no shuffle.
+    val toks = tokens(col("text"))
+    val langs = stopwords.keys.toSeq.sorted
+    val hitCols = langs.map(l => stopwordHits(toks, stopwords(l)).cast("long").as(s"h_$l"))
+    val scored = docs.select(col("doc_id") +: hitCols: _*)
+    val maxHits = greatest(langs.map(l => col(s"h_$l")): _*)
+    val pred = langs.foldRight(lit("unknown")) { (l, rest) =>
+      when(col(s"h_$l") === maxHits, l).otherwise(rest)
+    }
+    scored
       .select(col("doc_id"),
-        coalesce(col("lang_cand"), lit("unknown")).as("pred_lang"),
-        coalesce(col("hits"), lit(0L)).as("hits"))
+        when(maxHits === 0, "unknown").otherwise(pred).as("pred_lang"),
+        maxHits.as("hits"))
       .orderBy(col("doc_id"))
   }
 
@@ -78,17 +74,15 @@ object Analysis {
       .orderBy(col("doc_id"))
 
   /** F10: positional rolling fingerprint
-    * fp = Σ_i (h31(tok_i)·i) mod P  (i is 1-based), all mod P=1e9+7.
-    * Order-sensitive content hash; commutative summation keeps it
-    * shuffle-friendly (no ordered aggregation needed).
+    * fp = Σ_i (h60(tok_i) mod P)·i mod P  (i is 1-based), P=1e9+7.
+    * Order-sensitive content hash, computed as ONE compiled per-row
+    * pass over the ordered token array (graft.functions.Fingerprint60)
+    * — no posexplode/groupBy shuffle.
     */
-  val FpP = 1000000007L
+  val FpP = Fingerprint60.P
   def fingerprint(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
       .select(col("doc_id"),
-        ((h60(col("tok")) % FpP) * (col("pos") + 1) % FpP).as("term"))
-      .groupBy(col("doc_id"))
-      .agg((sum(col("term")) % FpP).as("fp"))
+        Fingerprint60.fingerprint(tokens(col("text"))).as("fp"))
       .orderBy(col("doc_id"))
 }
