@@ -59,6 +59,7 @@ object SparkEntry {
     // D. dataMine bridge
     "dm_resample" -> ((s, dir) => T.dmResample(s, dir)),
     "dm_resample_all" -> ((s, dir) => T.dmResampleAll(s, dir)),
+    "dm_filter" -> ((s, dir) => T.dmFilter(s, dir)),
     "dm_weekly" -> ((s, dir) => T.dmWeekly(s, dir)),
     "dm_fetch_raw" -> ((s, dir) => T.dmFetchRaw(s, dir)),
     "whisper_read" -> ((s, dir) => T.whisperRead(s, dir)),
@@ -700,6 +701,18 @@ object SparkEntry {
          |grid AS (SELECT CAST(floor(1704067200 + s.i*25920.0 + 0.5) AS BIGINT) AS t
          |  FROM generate_series(0,100) AS s(i))
          |SELECT grid.t, round(pts.value,4) AS value
+         |FROM grid ASOF LEFT JOIN pts ON pts.pt <= grid.t
+         |ORDER BY 1""".stripMargin,
+    "dm_filter" ->
+      s"""WITH $M,
+         |pts AS (SELECT ts AS pt, max(value) AS value FROM m
+         |  WHERE path = 'vera.u42.click' GROUP BY 1),
+         |grid AS (SELECT CAST(floor(1704067200 + s.i*25920.0 + 0.5) AS BIGINT) AS t
+         |  FROM generate_series(0,100) AS s(i))
+         |SELECT grid.t,
+         |  round(CASE WHEN pts.value IS NULL THEN NULL
+         |    ELSE LEAST(GREATEST(pts.value + CAST(2.5 AS DOUBLE),
+         |      CAST(10.0 AS DOUBLE)), CAST(75.0 AS DOUBLE)) END, 4) AS value
          |FROM grid ASOF LEFT JOIN pts ON pts.pt <= grid.t
          |ORDER BY 1""".stripMargin,
     "dm_resample_all" ->

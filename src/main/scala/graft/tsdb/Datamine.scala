@@ -92,11 +92,15 @@ object Datamine {
     resampleBucketed(points.select(col("path"), col("ts"), col("value")), grid, pathsDf)
 
   /** dataMine per-channel filter: offset then clamp to [lower, upper]
-    * (L_DataMineServer.lua:166-183); nulls pass through.
+    * (L_DataMineServer.lua:166-183); nulls pass through untouched (the
+    * reference's ipairs loop never visits nil slots). The null guard is
+    * explicit because Spark's greatest/least SKIP nulls — without it a
+    * null value would be pinned to `lower` instead of staying null.
     */
   def filter(df: DataFrame, offset: Double, lower: Double, upper: Double): DataFrame =
     df.withColumn("value",
-      least(greatest(col("value") + lit(offset), lit(lower)), lit(upper)))
+      when(col("value").isNotNull,
+        least(greatest(col("value") + lit(offset), lit(lower)), lit(upper))))
 
   /** dataMine weekly file bucketing (L_DataBaseDM.lua:156-159):
     * week = floor(ts / 1 week); per (path, week) stats.

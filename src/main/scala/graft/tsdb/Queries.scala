@@ -387,6 +387,22 @@ object Queries {
       .orderBy(col("path"), col("t"))
   }
 
+  /** D1f: the plot path's per-channel filter — resample, then
+    * DataOffset + [Filterminimum, FilterMaximum] clamp
+    * (L_DataMineServer.lua:166-183). Nulls (grid points before the
+    * channel's first sample) pass through unfiltered.
+    */
+  def dmFilter(spark: SparkSession, dir: String): DataFrame = {
+    val points = Tables.metrics(spark, dir)
+      .filter(col("path") === "vera.u42.click")
+      .select(col("ts"), col("value"))
+    Datamine.filter(
+      Datamine.resample(points, Datamine.gridTimes(dmT1, Now, dmN)),
+      offset = 2.5, lower = 10.0, upper = 75.0)
+      .select(col("t"), round(col("value"), 4).as("value"))
+      .orderBy(col("t"))
+  }
+
   /** D2: weekly partition bucketing + per-week stats. */
   def dmWeekly(spark: SparkSession, dir: String): DataFrame =
     Datamine.weekly(Tables.metrics(spark, dir))

@@ -148,10 +148,13 @@ class TsdbSparkSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, null), (10L, 1.0), (20L, 1.0), (30L, 2.0)))
   }
 
-  test("datamine filter: offset then clamp (D1)") {
-    val out = Datamine.filter(Seq(1.0, 5.0, 9.0).toDF("value"), 1.0, 3.0, 8.0)
-      .collect().map(_.getDouble(0))
-    assert(out.toSeq == Seq(3.0, 6.0, 8.0))
+  test("datamine filter: offset then clamp, nulls untouched (D1)") {
+    val out = Datamine.filter(
+      Seq(Some(1.0), Some(5.0), Some(9.0), None).toDF("value"), 1.0, 3.0, 8.0)
+      .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    // greatest/least skip nulls, so without the guard None would clamp
+    // to the lower bound instead of surviving as null
+    assert(out.toSeq == Seq(3.0, 6.0, 8.0, null))
   }
 
   test("render json datapoint arrays are ordered (C6)") {
