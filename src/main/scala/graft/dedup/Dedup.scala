@@ -12,6 +12,14 @@ import graft.text.TextFns._
   * equi-join shuffled by bucket — never an O(n²) cross join. That is
   * the property that holds at 100 TB: the only all-pairs computation
   * happens *within* buckets that true near-duplicates must share.
+  *
+  * Cache lifecycle: operators here `.cache()` narrow intermediates that
+  * their plans consume twice (shingle sets, signature maps, band keys).
+  * The handles are plan-internal, so they are NOT unpersisted when the
+  * returned DataFrame is consumed — a long-lived session invoking these
+  * repeatedly should `spark.catalog.clearCache()` between invocations
+  * (Verify/Bench already do), or the cached blocks accumulate in
+  * executor storage until LRU eviction.
   */
 object Dedup {
 
@@ -273,6 +281,10 @@ object Dedup {
     * documented drop-only approximation as ngramJaccardCapped.
     */
   private[graft] def cappedBandKeys(spark: SparkSession, sigs: DataFrame, maxDf: Int): DataFrame = {
+    // maxDf=0 would make the min(when(df <= maxDf, ...)) aggregate null
+    // for EVERY bucket (df ≥ 1 always), silently dropping all candidates
+    // instead of falling back to the level-9 key — reject it loudly
+    require(maxDf >= 1, s"maxDf must be >= 1 (got $maxDf)")
     val n = simhashWidenLevels
     val bandIdx = broadcast(spark.range(4).toDF("band"))
     // one (band, level, key) row per sig per level — 10 narrow rows per

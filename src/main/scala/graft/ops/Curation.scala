@@ -29,6 +29,11 @@ import graft.text.Analysis
   */
 object Curation {
 
+  /** Cache lifecycle: the narrow gate/keeper intermediates below are
+    * cached for the plan's double consumption and not unpersisted — a
+    * long-lived session should `spark.catalog.clearCache()` between
+    * invocations (see the note on [[graft.dedup.Dedup]]).
+    */
   def curate(spark: SparkSession, docs: DataFrame,
              minScore: Double, minTokens: Int, keepLang: String,
              maxHamming: Int, maxDf: Int): DataFrame = {

@@ -74,12 +74,21 @@ object Whisper {
     (" " * math.max(0, width - s.length)) + s
   }
 
-  def packPoint(ts: Long, value: Double): String = s"${fmtL(ts)},${fmtD(value)}\n"
+  // formatG pads to width but cannot truncate: a field rendering WIDER
+  // than its slot (ts > 11 digits, extreme value) would silently shift
+  // every later ring slot. Fail loudly instead of corrupting the file.
+  private def sized(s: String, n: Int, what: String): String = {
+    require(s.length == n, s"packed $what is ${s.length} bytes, want $n: '$s'")
+    s
+  }
+  def packPoint(ts: Long, value: Double): String =
+    sized(s"${fmtL(ts)},${fmtD(value)}\n", PointSize, "point")
   def packMetadata(aggregationType: Int, maxRetention: Long, xff: Double,
                    archiveCount: Int): String =
-    s"${fmtL(aggregationType)},${fmtL(maxRetention)},${fmtF(xff)},${fmtL(archiveCount)}\n"
+    sized(s"${fmtL(aggregationType)},${fmtL(maxRetention)},${fmtF(xff)},${fmtL(archiveCount)}\n",
+      MetadataSize, "metadata")
   def packArchiveInfo(offset: Int, spp: Long, points: Int): String =
-    s"${fmtL(offset)},${fmtL(spp)},${fmtL(points)}\n"
+    sized(s"${fmtL(offset)},${fmtL(spp)},${fmtL(points)}\n", ArchiveInfoSize, "archiveInfo")
 
   // ---- unpack (reader side; struct.unpack tokenization) ----
 
@@ -196,6 +205,11 @@ object Whisper {
     * (eligible archives by precision, else the coarsest), and the grid
     * is sequence+explode — no driver loop, so a million-file tree
     * fetches as one plan.
+    *
+    * Cache lifecycle: the filtered file scan is cached (headers +
+    * points read it twice) and not unpersisted — long-lived callers
+    * should `spark.catalog.clearCache()` between invocations (see the
+    * note on [[graft.dedup.Dedup]]).
     */
   def fetchFiles(spark: SparkSession, dir: String, target: String,
                  fromTime: Long, untilTime: Long, now: Long): DataFrame = {

@@ -30,10 +30,14 @@ object Analysis {
     val pred = langs.foldRight(lit("unknown")) { (l, rest) =>
       when(col(s"h_$l") === maxHits, l).otherwise(rest)
     }
+    // null text → null hit counts; coalesce to the ('unknown', 0) the
+    // explode+join formulation (and the DuckDB oracle's LEFT JOIN)
+    // produce for a doc with no tokens
     scored
       .select(col("doc_id"),
-        when(maxHits === 0, "unknown").otherwise(pred).as("pred_lang"),
-        maxHits.as("hits"))
+        coalesce(when(maxHits === 0, "unknown").otherwise(pred), lit("unknown"))
+          .as("pred_lang"),
+        coalesce(maxHits, lit(0L)).as("hits"))
       .orderBy(col("doc_id"))
   }
 

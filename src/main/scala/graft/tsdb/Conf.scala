@@ -81,6 +81,13 @@ object Conf {
   val DefaultSchema: SchemaEntry = SchemaEntry("[default]", "", "1h:7d")
   val DefaultAgg: AggEntry = AggEntry("[default]", "", 0.5, "average")
 
+  // rewrite-rule line: `pattern = replacement`, both single tokens, the
+  // replacement possibly empty (L_DataCache.lua:108: `^%s*(%S+)%s*=%s*(%S*)`).
+  // Deliberately NOT the generic ParamRe — a rewrite regex may contain
+  // '(' or '=' (e.g. `\.(click|tap)$ = .clicks`), which ParamRe's
+  // `[^=(\s]+` key would reject and silently drop.
+  private val RuleRe = """^\s*(\S+)\s*=\s*(\S*).*$""".r
+
   /** rewrite-rules.conf → ([pre], [post]) rule lists. Each non-comment
     * line inside a section is `regex = replacement` with the pattern and
     * replacement both single tokens (L_DataCache.lua:108: `%S+ = %S*`);
@@ -89,14 +96,19 @@ object Conf {
     * mirroring load_rewrite_rules' `rules.bin` discard.
     */
   def rewriteRules(text: String): (Seq[Carbon.Rule], Seq[Carbon.Rule]) = {
-    val sections = parse(text)
-    def rules(tag: String): Seq[Carbon.Rule] =
-      sections.filter(_.name == tag)
-        .flatMap(_.params.collect {
-          case (p, r) if !p.exists(_.isWhitespace) && !r.exists(_.isWhitespace) =>
-            Carbon.Rule(p, r)
-        })
-    (rules("pre"), rules("post"))
+    val acc = scala.collection.mutable.Map(
+      "pre" -> scala.collection.mutable.ArrayBuffer[Carbon.Rule](),
+      "post" -> scala.collection.mutable.ArrayBuffer[Carbon.Rule]())
+    var current: Option[scala.collection.mutable.ArrayBuffer[Carbon.Rule]] = None
+    text.linesIterator.foreach {
+      case l if l.matches("""^\s*#.*""") => ()
+      case SectionRe(name) =>
+        current = acc.get(name) // non-pre/post sections → None (bin)
+      case RuleRe(p, r) =>
+        current.foreach(_ += Carbon.Rule(p.filter(_ >= ' '), r.filter(_ >= ' ')))
+      case _ => ()
+    }
+    (acc("pre").toSeq, acc("post").toSeq)
   }
 
   /** DataTranslation.conf → per-series symbolic lookup tables: section

@@ -67,6 +67,31 @@ class ConfSpec extends SparkSpec {
     assert(out == Seq("vera.user-one.clicks", "vera.u9.view"))
   }
 
+  test("rewrite rules with regex metachars '(' and '=' are kept") {
+    // the reference's rule syntax is any non-space token (%S+ = %S*,
+    // L_DataCache.lua:107) — a rule whose regex contains '(' or '='
+    // must parse, and rules before any section are dropped (rules.bin)
+    val (pre, post) = Conf.rewriteRules(
+      """lost = rule
+        |[pre]
+        |\.(click|tap)$ = .clicks
+        |x=1 = y
+        |# comment = not-a-rule
+        |[post]
+        |drop.me$ =
+        |""".stripMargin)
+    // greedy %S+ with backtracking: "x=1 = y" splits at the spaced '='
+    assert(pre == Seq(Carbon.Rule("\\.(click|tap)$", ".clicks"),
+      Carbon.Rule("x=1", "y")))
+    // empty replacement deletes the match
+    assert(post == Seq(Carbon.Rule("drop.me$", "")))
+    import spark.implicits._
+    val out = Seq("a.tap", "b.other").toDF("path")
+      .select(Carbon.rewritePrePost(col("path"), pre.take(1), post).as("p"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("a.clicks", "b.other"))
+  }
+
   test("two-file storage match: independent first-match with defaults") {
     val schemas = Conf.storageSchemas(ref("storage-schemas.conf"))
     val aggs = Conf.storageAggregation(ref("storage-aggregation.conf"))
