@@ -259,6 +259,28 @@ object SparkEntry {
   private val EnStopwordList = graft.text.TextFns.stopwords("en")
     .map(w => s"'$w'").mkString(", ")
 
+  /** Shared DuckDB CTEs for the LSH-bucketed embedding pipelines: every
+    * vector's (table, bucket) rows from the SAME md5-derived hyperplanes
+    * the Spark plans evaluate (Ann.bucketSqlExpr renders the exact
+    * double arithmetic — FloatDot and list_dot_product agree bitwise,
+    * so the `dot >= 0` sign test is engine-stable).
+    */
+  private val LshBucketCtes: String = {
+    import graft.ops.{LlmQueries => LQ}
+    val nT = 4
+    val bkCols = (0 until nT).map(t =>
+      graft.similarity.Ann.bucketSqlExpr("emb", LQ.LshPlanes, LQ.EmbedDim, nT, t) +
+        s" AS bk$t").mkString(",\n  ")
+    val packs = (0 until nT).map(t => s"struct_pack(t := $t, b := bk$t)").mkString(", ")
+    s"""n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),
+       |bk AS (SELECT vec_id, emb, nrm,
+       |  $bkCols
+       |  FROM n),
+       |bb AS (SELECT vec_id, u.t AS t, u.b AS b FROM (
+       |  SELECT vec_id, unnest([$packs]) AS u FROM bk))""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     // ---- G. streaming batch twin ----
     "stream_rollup" ->
@@ -376,9 +398,67 @@ object SparkEntry {
          | CASE WHEN m.doc_id = c.cluster_id THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
          |FROM sim m JOIN clusters c ON c.simhash = m.simhash
          |ORDER BY 1""".stripMargin,
-    // exact embedding-cosine near-dup pairs; the _lsh variant is the
-    // scale path (rows-only + recall spec — hyperplane sign thresholds
-    // are float-boundary-fragile across engines, so no SQL oracle)
+    // LSH-bucketed cosine near-dup: candidates from shared
+    // (table, bucket) keys, exact cosine filter after — the planes are
+    // rendered into SQL from the same Scala arithmetic (Ann.bucketSqlExpr)
+    "dedup_embed_cosine_lsh" ->
+      s"""WITH $LshBucketCtes,
+         |cand AS (SELECT DISTINCT a.vec_id AS x, b.vec_id AS y
+         |  FROM bb a JOIN bb b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id)
+         |SELECT c.x, c.y,
+         |  round(list_dot_product(na.emb, nb.emb)/(na.nrm*nb.nrm) - 1e-9, 4) AS cos
+         |FROM cand c JOIN n na ON na.vec_id = c.x JOIN n nb ON nb.vec_id = c.y
+         |WHERE list_dot_product(na.emb, nb.emb)/(na.nrm*nb.nrm) >= ${graft.ops.LlmQueries.EmbedCosineTau}
+         |ORDER BY 1,2""".stripMargin,
+    // F6: LSH top-k — score only the vectors sharing any table's bucket
+    // with the query (same candidate rule as Ann.lshTopK)
+    "ann_lsh" ->
+      s"""WITH $LshBucketCtes,
+         |cand AS (SELECT DISTINCT q.vec_id AS q_id, v.vec_id AS vec_id
+         |  FROM bb v JOIN bb q ON q.t = v.t AND q.b = v.b
+         |    AND v.vec_id <> q.vec_id AND q.vec_id < ${graft.ops.LlmQueries.AnnQueryMax}),
+         |scored AS (SELECT c.q_id, c.vec_id,
+         |  list_dot_product(nq.emb, nv.emb)/(nq.nrm*nv.nrm) AS cos
+         |  FROM cand c JOIN n nq ON nq.vec_id = c.q_id JOIN n nv ON nv.vec_id = c.vec_id),
+         |rk AS (SELECT q_id, vec_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY round(cos,6) DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, rk, vec_id, round(cos,4) AS cos FROM rk
+         |WHERE rk <= ${graft.ops.LlmQueries.AnnK}
+         |ORDER BY q_id, rk""".stripMargin,
+    // F6b: IVF top-k — nearest-of-K coarse assignment (round(csim,6)
+    // DESC, cent_id tie-break, like Ann.ivfTopK's max_by struct), probe
+    // the nProbe nearest lists per query, exact-rerank inside them
+    "ann_ivf" -> {
+      import graft.ops.{LlmQueries => LQ}
+      s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),
+         |cents AS (SELECT vec_id AS cent_id, emb AS ce, nrm AS cn FROM n
+         |  ORDER BY vec_id LIMIT ${LQ.IvfCentroids}),
+         |va AS (SELECT n.vec_id, c.cent_id,
+         |  row_number() OVER (PARTITION BY n.vec_id
+         |    ORDER BY round(list_dot_product(n.emb, c.ce)/(n.nrm*c.cn), 6) DESC, c.cent_id) AS ark
+         |  FROM n CROSS JOIN cents c),
+         |assigned AS (SELECT vec_id, cent_id FROM va WHERE ark = 1),
+         |qa AS (SELECT n.vec_id AS q_id, c.cent_id,
+         |  row_number() OVER (PARTITION BY n.vec_id
+         |    ORDER BY round(list_dot_product(n.emb, c.ce)/(n.nrm*c.cn), 6) DESC, c.cent_id) AS crk
+         |  FROM n CROSS JOIN cents c WHERE n.vec_id < ${LQ.AnnQueryMax}),
+         |probes AS (SELECT q_id, cent_id FROM qa WHERE crk <= ${LQ.IvfProbe}),
+         |scored AS (SELECT p.q_id, a.vec_id,
+         |  list_dot_product(nq.emb, nv.emb)/(nq.nrm*nv.nrm) AS cos
+         |  FROM assigned a JOIN probes p USING (cent_id)
+         |  JOIN n nq ON nq.vec_id = p.q_id JOIN n nv ON nv.vec_id = a.vec_id
+         |  WHERE a.vec_id <> p.q_id),
+         |rk AS (SELECT q_id, vec_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY round(cos,6) DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, rk, vec_id, round(cos,4) AS cos FROM rk
+         |WHERE rk <= ${LQ.AnnK}
+         |ORDER BY q_id, rk""".stripMargin
+    },
+    // exact embedding-cosine near-dup pairs (baseline for the _lsh
+    // scale path above)
     "dedup_embed_cosine" ->
       s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
          |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings)

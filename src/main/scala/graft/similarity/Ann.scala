@@ -80,6 +80,37 @@ object Ann {
       bucket(e, pls.slice(t * perTable, (t + 1) * perTable))): _*)
   }
 
+  // ---- DuckDB SQL rendering of the SAME plane arithmetic ----------------
+  // The oracle-parity pattern of Dedup.simhashKeyExpr: one Scala source
+  // renders the arithmetic for both engines. Spark evaluates
+  // FloatDot(emb, array(lit(v.toFloat)*)) — each float literal widened
+  // to double, products and sum in double, array order. DuckDB gets
+  // list_dot_product(emb::DOUBLE[], [<exact doubles>]) — bit-identical
+  // IEEE arithmetic, so even the sign test `dot >= 0` agrees exactly.
+
+  /** DuckDB DOUBLE[] literal of hyperplane `pl` as the Spark plan sees
+    * it: each component is the FLOAT literal widened back to double,
+    * printed exactly (BigDecimal plain string of the binary value), so
+    * the SQL parse reproduces the identical double.
+    */
+  def planeSqlLiteral(pl: Seq[Double]): String =
+    pl.map(v => new java.math.BigDecimal(v.toFloat.toDouble).toPlainString)
+      .mkString("[", ", ", "]")
+
+  /** DuckDB expression for table `t`'s bucket id over `embCol`
+    * (a DOUBLE[] column) — matches [[tableBuckets]]/[[bucket]]'s
+    * sign-bit arithmetic for the same (nPlanes, dim, nTables).
+    */
+  def bucketSqlExpr(embCol: String, nPlanes: Int, dim: Int,
+                    nTables: Int, t: Int): String = {
+    val pls = planes(nPlanes, dim)
+    val perTable = nPlanes / nTables
+    (0 until perTable).map { idx =>
+      val arr = planeSqlLiteral(pls(t * perTable + idx))
+      s"(CASE WHEN list_dot_product($embCol, $arr) >= 0 THEN ${1L << idx} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
   /** F6: LSH top-k — candidates are vectors sharing any hash table's
     * bucket with the query; only those get scored. At scale each table
     * is a shuffle on (table, bucket) instead of a full cross join.
