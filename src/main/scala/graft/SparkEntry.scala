@@ -27,6 +27,7 @@ object SparkEntry {
     "carbon_rewrite" -> ((s, dir) => T.carbonRewrite(s, dir)),
     "schema_match" -> ((s, dir) => T.schemaMatch(s, dir)),
     "watch_translate" -> ((s, dir) => T.watchTranslate(s, dir)),
+    "watch_translate_conf" -> ((s, dir) => T.watchTranslateConf(s, dir)),
     // B. Whisper TSDB core
     "ts_rollup_avg" -> ((s, dir) => T.rollup(s, dir, "average")),
     "ts_rollup_sum" -> ((s, dir) => T.rollup(s, dir, "sum")),
@@ -611,6 +612,27 @@ object SparkEntry {
         |            WHEN event_type='purchase' THEN '3'
         |            ELSE 'unknown' END AS code, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // routed translation: the conf section tag (wildcard or specific
+    // device) picks the table per series; unmatched series pass through
+    "watch_translate_conf" ->
+      """WITH t AS (SELECT
+        |  CAST(user_id % 10 AS VARCHAR) || '.' ||
+        |  CASE WHEN user_id % 3 = 0 THEN 'urn:micasaverde-com:serviceId:HVAC_OperatingState1.ModeState'
+        |       WHEN user_id % 3 = 1 THEN 'urn:micasaverde-com:serviceId:SwitchPower1.Status'
+        |       ELSE 'urn:upnp-org:serviceId:TemperatureSensor1.CurrentTemperature' END AS tag,
+        |  CASE WHEN event_type='click' THEN 'Cooling'
+        |       WHEN event_type='view' THEN 'Idle'
+        |       WHEN event_type='purchase' THEN 'On'
+        |       ELSE event_type END AS sym
+        |FROM events)
+        |SELECT tag,
+        |  CASE WHEN tag = '7.urn:micasaverde-com:serviceId:SwitchPower1.Status'
+        |       THEN CASE sym WHEN 'Off' THEN '0' WHEN 'On' THEN '1' ELSE 'unknown' END
+        |       WHEN regexp_matches(tag, '^[^.]*\.urn:micasaverde-com:serviceId:HVAC_OperatingState1\.ModeState$')
+        |       THEN CASE sym WHEN 'Cooling' THEN '-1' WHEN 'Idle' THEN '0' WHEN 'Heating' THEN '1' ELSE 'unknown' END
+        |       ELSE sym END AS code,
+        |  count(*) AS n
+        |FROM t GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     // ---- B. Whisper TSDB core ----
     "ts_rollup_avg" -> rollupOracle("round(avg(value) - 1e-9,4)"),
     "ts_rollup_sum" -> rollupOracle("round(sum(value) - 1e-9,4)"),

@@ -66,4 +66,23 @@ object Carbon {
     */
   def translate(value: Column, table: Map[String, String]): Column =
     coalesce(table.map { case (k, v) => when(value === k, lit(v)) }.toSeq :+ lit("unknown"): _*)
+
+  /** Routed symbolic translation (L_DataWatcher.lua:151-157,313-316):
+    * the DataTranslation.conf section whose tag matches the watched
+    * series tag supplies the lookup table — a section's device
+    * component may be a specific number or the wildcard `*`
+    * (Configuration/DataTranslation.conf:6). Series with no matching
+    * section relay the raw value unchanged; matched series map unknown
+    * symbols to 'unknown'. Dispatch is a constant-folded when-chain
+    * over Glob-compiled section regexes (specific-device sections
+    * before wildcarded ones, so the more specific table wins) — no
+    * join, stays inside whole-stage codegen.
+    */
+  def translateRouted(tag: Column, value: Column,
+                      tables: Map[String, Map[String, String]]): Column = {
+    val ordered = tables.toSeq.sortBy { case (sect, _) => (sect.contains("*"), sect) }
+    coalesce(ordered.map { case (sect, tbl) =>
+      when(tag.rlike(Glob.queryToRegex(sect, allowDeeper = false)), translate(value, tbl))
+    } :+ value: _*)
+  }
 }

@@ -81,6 +81,53 @@ object Queries {
       .groupBy(col("code")).agg(count(lit(1)).as("n"))
       .orderBy(col("code"))
 
+  /** DataTranslation.conf in the reference's own format
+    * (Configuration/DataTranslation.conf): one section per
+    * serviceId.variable lookup, device number specific or wildcard `*`.
+    * The HVAC section is the reference file's; the SwitchPower section
+    * exercises the specific-device form the format documents.
+    */
+  val translationConfText: String =
+    """# DataYours symbolic data lookup tables
+      |# one section for each serviceId.variable lookup
+      |# device number can be specific, or wildcard '*'
+      |[*.urn:micasaverde-com:serviceId:HVAC_OperatingState1.ModeState]
+      |Cooling = -1
+      |Idle = 0
+      |Heating = 1
+      |[7.urn:micasaverde-com:serviceId:SwitchPower1.Status]
+      |Off = 0
+      |On = 1
+      |""".stripMargin
+
+  /** A4-conf: translation-table ROUTING — which table applies is
+    * decided per watched series by matching its `dev.service.variable`
+    * tag against the conf sections' wildcarded tags
+    * (L_DataWatcher.lua:151-157,313-316). Series tags are synthesized
+    * from `events`: device = user_id%10, variable by user_id%3 (HVAC
+    * ModeState / SwitchPower Status / an untranslated sensor), symbolic
+    * value from event_type. Exercises all three routes: wildcard-device
+    * table, specific-device table (only device 7's Status translates),
+    * and no-table passthrough.
+    */
+  def watchTranslateConf(spark: SparkSession, dir: String): DataFrame = {
+    val tables = Conf.translation(translationConfText)
+    val variable = when(col("user_id") % 3 === 0,
+        lit("urn:micasaverde-com:serviceId:HVAC_OperatingState1.ModeState"))
+      .when(col("user_id") % 3 === 1,
+        lit("urn:micasaverde-com:serviceId:SwitchPower1.Status"))
+      .otherwise(lit("urn:upnp-org:serviceId:TemperatureSensor1.CurrentTemperature"))
+    val tag = concat_ws(".", (col("user_id") % 10).cast("string"), variable)
+    val sym = when(col("event_type") === "click", lit("Cooling"))
+      .when(col("event_type") === "view", lit("Idle"))
+      .when(col("event_type") === "purchase", lit("On"))
+      .otherwise(col("event_type"))
+    Tables.events(spark, dir)
+      .select(tag.as("tag"), Carbon.translateRouted(tag, sym, tables).as("code"))
+      .groupBy(col("tag"), col("code")).agg(count(lit(1)).as("n"))
+      .orderBy(col("tag"), col("code"))
+  }
+
   /** A7: the DataUser per-point hook (L_DataUser.lua:24-36) — drop /
     * rewrite / fan out each incoming metric before storage. The hook
     * here exercises all three verbs deterministically: drop every

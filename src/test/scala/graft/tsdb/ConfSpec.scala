@@ -50,6 +50,33 @@ class ConfSpec extends SparkSpec {
     assert(out == Seq("-1", "1", "unknown"))
   }
 
+  test("translation-tag routing: section tag dispatch per watched series") {
+    // which table applies is decided by matching the series tag against
+    // the conf sections' (possibly device-wildcarded) tags
+    // (L_DataWatcher.lua:151-157,313-316): the reference file's wildcard
+    // HVAC section catches ANY device's ModeState, a specific-device
+    // section only its own tag, and an unmatched series relays the raw
+    // value unchanged (no 'unknown' mapping)
+    val tables = Conf.translation(Queries.translationConfText)
+    assert(tables.keySet == Set(
+      "*.urn:micasaverde-com:serviceId:HVAC_OperatingState1.ModeState",
+      "7.urn:micasaverde-com:serviceId:SwitchPower1.Status"))
+    import spark.implicits._
+    val rows = Seq(
+      ("3.urn:micasaverde-com:serviceId:HVAC_OperatingState1.ModeState", "Cooling"),
+      ("44.urn:micasaverde-com:serviceId:HVAC_OperatingState1.ModeState", "Vent"),
+      ("7.urn:micasaverde-com:serviceId:SwitchPower1.Status", "On"),
+      ("8.urn:micasaverde-com:serviceId:SwitchPower1.Status", "On"),
+      ("7.urn:upnp-org:serviceId:TemperatureSensor1.CurrentTemperature", "21.5"))
+      .toDF("tag", "v")
+    val out = rows
+      .select(Carbon.translateRouted(col("tag"), col("v"), tables).as("code"))
+      .collect().map(_.getString(0)).toSeq
+    // wildcard hit; wildcard hit unmapped sym; specific-device hit;
+    // WRONG device for the specific section → passthrough; no section
+    assert(out == Seq("-1", "unknown", "1", "On", "21.5"))
+  }
+
   test("rewrite-rules.conf.example: comment-only file yields no rules") {
     val (pre, post) = Conf.rewriteRules(ref("rewrite-rules.conf.example"))
     assert(pre.isEmpty && post.isEmpty)
