@@ -1,0 +1,58 @@
+package graft.tools
+
+import graft.SparkSpec
+
+/** The ExplainAudit invariants pinned as tests, so a plan regression
+  * (lost pushdown, a dimension falling out of broadcast, an extra
+  * shuffle, an unbounded cartesian) fails `sbt test` instead of waiting
+  * for a manual audit. Asserts over `queryExecution.executedPlan` of
+  * the driver queries at sf0.001 — plan SHAPE only, nothing executes.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def countOf(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("ts_fetch_stored: path prefix pushed to scan, day partitions pruned") {
+    val p = plan("ts_fetch_stored")
+    // the 100 TB fetch shape: the glob's literal prefix reaches the
+    // parquet reader as a pushed filter...
+    assert(p.contains("StringStartsWith(path,vera.u1)"), p.take(2000))
+    // ...and the time range prunes day partitions before any IO
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("day#")), p.take(2000))
+  }
+
+  test("q3/q5: every dimension broadcasts; only lineitem shuffles") {
+    val q3 = plan("q3_join")
+    val q5 = plan("q5_multijoin")
+    assert(countOf(q3, "BroadcastHashJoin") == 2 && !q3.contains("SortMergeJoin")
+      && !q3.contains("ShuffledHashJoin"), q3.take(2000))
+    assert(countOf(q5, "BroadcastHashJoin") == 4 && !q5.contains("SortMergeJoin")
+      && !q5.contains("ShuffledHashJoin"), q5.take(2000))
+  }
+
+  test("rollups: one hash exchange per archive level, no more") {
+    // single-level rollup = 1 aggregation shuffle (+ the output sort's
+    // range exchange); the 3-level cascade = exactly 3
+    val one = plan("ts_rollup_avg")
+    assert(countOf(one, "Exchange hashpartitioning") == 1, one.take(2000))
+    val cascade = plan("ts_multi_archive")
+    assert(countOf(cascade, "Exchange hashpartitioning") == 3, cascade.take(2000))
+  }
+
+  test("no unbounded cartesian product in any driver query") {
+    // broadcast nested-loop joins over bounded broadcasts (band index,
+    // centroid codebook, query subset, 1-row bounds) are fine; a
+    // CartesianProduct node — both sides shuffled all-pairs — never is
+    for (name <- graft.SparkEntry.queries.keys.toSeq.sorted) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n${p.take(2000)}")
+    }
+  }
+}
