@@ -795,6 +795,18 @@ object SparkEntry {
          | round(a2.value - 1e-9,4) AS value
          |FROM g LEFT JOIN a2 ON g.path = a2.path AND g.t = a2.bucket
          |ORDER BY 1, 2""".stripMargin,
+    // C6: the json render document rebuilt verbatim — same fetch CTE,
+    // same -Eps + round(,4), same DECIMAL(38,4) value formatting, gaps
+    // as the literal 'null' (graphite_cgi.lua:340-371)
+    "render_json" ->
+      s"""WITH $FetchCte
+         |SELECT g.path AS target,
+         | '[' || string_agg(
+         |   '[' || CASE WHEN a2.value IS NULL THEN 'null'
+         |          ELSE CAST(round(a2.value - 1e-9, 4) AS DECIMAL(38,4))::VARCHAR END
+         |   || ', ' || g.t || ']', ', ' ORDER BY g.t) || ']' AS datapoints
+         |FROM g LEFT JOIN a2 ON g.path = a2.path AND g.t = a2.bucket
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // ---- D. dataMine bridge ----
     "dm_resample" ->
       s"""WITH $M,

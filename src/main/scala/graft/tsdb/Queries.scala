@@ -386,14 +386,17 @@ object Queries {
         fetchFrom, Now, Now)
         .withColumn("value", col("value") - Eps))
 
-  /** C6: json render of the B8 fetch (rows-only; ScalaTest covers the
-    * datapoint array shape).
+  /** C6: json render of the B8 fetch — full oracle (DuckDB rebuilds the
+    * identical document with string_agg + the same DECIMAL(38,4)
+    * formatting); the usual -Eps guard is applied to values before the
+    * render's 4-dp rounding, as in every other value oracle.
     */
   def renderJson(spark: SparkSession, dir: String): DataFrame =
     Render.json(
       Fetch.fetch(spark, Tables.metrics(spark, dir), "vera.u1?.click",
         Retention.parse("10m:1d,1h:7d,1d:60d"), "average", 0.0,
-        fetchFrom, Now, Now))
+        fetchFrom, Now, Now)
+        .withColumn("value", col("value") - Eps))
 
   /** C6-svg: svg render of the B8 fetch with method=last — exercises
     * staircase mode + hold gap-fill (rows-only; ScalaTest covers the

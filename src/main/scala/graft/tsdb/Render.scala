@@ -21,14 +21,26 @@ object Render {
       .orderBy(col("target"), col("ts_str"))
 
   /** json format: one row per target with the ordered `[value, ts]`
-    * datapoint array (graphite_cgi.lua:340-371); nulls stay null.
+    * datapoint array, gaps rendered as `null`, exactly the Graphite
+    * Render-API document the reference builds by string concatenation
+    * (graphite_cgi.lua:340-371; whitespace compacted to one line).
+    * Values render through a DECIMAL(38,4) cast — locale-free, scale
+    * padded, and bit-identical to the DuckDB oracle's formatting, which
+    * is what lets C6 carry a full value-level oracle.
     */
   def json(fetched: DataFrame): DataFrame =
     fetched
+      .select(col("path"), struct(
+        col("t"),
+        concat(lit("["),
+          when(col("value").isNull, lit("null")).otherwise(
+            round(col("value"), 4).cast("decimal(38,4)").cast("string")),
+          lit(", "), col("t").cast("string"), lit("]")).as("frag")).as("p"))
       .groupBy(col("path").as("target"))
-      .agg(to_json(array_sort(collect_list(struct(
-        col("t").as("t"),
-        round(col("value"), 4).as("v"))))).as("datapoints"))
+      .agg(concat(lit("["),
+        array_join(transform(array_sort(collect_list(col("p"))),
+          x => x.getField("frag")), ", "),
+        lit("]")).as("datapoints"))
       .orderBy(col("target"))
 
   /** JSON string literal from a column: quote + escape backslash and

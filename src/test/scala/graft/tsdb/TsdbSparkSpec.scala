@@ -163,6 +163,8 @@ class TsdbSparkSpec extends SparkSpec {
     val out = Render.json(fetched).collect()
     assert(out.length == 1)
     val js = out(0).getString(1)
-    assert(js == """[{"t":0,"v":1.0},{"t":60,"v":2.0},{"t":120}]""")
+    // the reference's Render-API document (graphite_cgi.lua:340-371):
+    // [value, ts] pairs in time order, gaps as null, 4-dp scale-padded
+    assert(js == """[[1.0000, 0], [2.0000, 60], [null, 120]]""")
   }
 }
