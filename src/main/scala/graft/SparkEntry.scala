@@ -65,6 +65,7 @@ object SparkEntry {
     "dm_fetch_raw" -> ((s, dir) => T.dmFetchRaw(s, dir)),
     "whisper_read" -> ((s, dir) => T.whisperRead(s, dir)),
     "whisper_fetch" -> ((s, dir) => T.whisperFetch(s, dir)),
+    "whisper_export_fetch" -> ((s, dir) => T.whisperExportFetch(s, dir)),
     // F. LLM-pipeline operators
     "dedup_exact" -> ((s, dir) => L.dedupExact(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => L.dedupNgramJaccard(s, dir)),
@@ -653,6 +654,13 @@ object SparkEntry {
          | count(*) AS npoints
          |FROM a2 GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "ts_fetch" ->
+      s"""WITH $FetchCte
+         |SELECT g.path, g.t, round(a2.value - 1e-9,4) AS value
+         |FROM g LEFT JOIN a2 ON g.path = a2.path AND g.t = a2.bucket
+         |ORDER BY 1,2""".stripMargin,
+    // the .wsp-exported cascade fetched back must agree with the
+    // in-plan fetch too (B14 reverse migration round trip)
+    "whisper_export_fetch" ->
       s"""WITH $FetchCte
          |SELECT g.path, g.t, round(a2.value - 1e-9,4) AS value
          |FROM g LEFT JOIN a2 ON g.path = a2.path AND g.t = a2.bucket

@@ -137,24 +137,150 @@ object Whisper {
 
   // ---- local-file writer (migration fixtures / round-trip tests) ----
 
-  /** whisper.create (L_DataWhisper.lua): header + zero-filled slots.
-    * Archives must be precision-ascending (validateArchiveList).
+  /** Assemble one complete .wsp file: the create() layout (header +
+    * zero-filled rings) with `pts` = (archiveIdx, interval, value)
+    * patched into their ring slots. Intervals must be pre-quantized
+    * and inside each archive's retention window (the caller filters),
+    * so no two points alias one slot.
     */
-  def create(path: String, archives: Seq[(Long, Int)], xff: Double,
-             method: String): Unit = {
+  def fileBytes(archives: Seq[(Long, Int)], xff: Double, method: String,
+                pts: Iterator[(Int, Long, Double)]): Array[Byte] = {
     val aggType = aggregationTypeToMethod.indexOf(method) + 1
     require(aggType > 0, s"unknown aggregation method $method")
     val maxRetention = archives.map { case (spp, n) => spp * n }.max
     val sb = new StringBuilder
     sb.append(packMetadata(aggType, maxRetention, xff, archives.length))
     var offset = MetadataSize + ArchiveInfoSize * archives.length
-    archives.foreach { case (spp, n) =>
-      sb.append(packArchiveInfo(offset, spp, n))
+    val infos = archives.map { case (spp, n) =>
+      val ai = ArchiveInfo(offset, spp, n)
       offset += n * PointSize
+      ai
     }
+    infos.foreach(ai => sb.append(packArchiveInfo(ai.offset, ai.secondsPerPoint, ai.points)))
     val zero = packPoint(0L, 0.0)
     archives.foreach { case (_, n) => (0 until n).foreach(_ => sb.append(zero)) }
-    Files.write(Paths.get(path), sb.toString.getBytes(US_ASCII))
+    val bytes = sb.toString.getBytes(US_ASCII)
+    pts.foreach { case (a, interval, v) => writeSlot(bytes, infos(a), interval, v) }
+    bytes
+  }
+
+  /** whisper.create (L_DataWhisper.lua): header + zero-filled slots.
+    * Archives must be precision-ascending (validateArchiveList).
+    */
+  def create(path: String, archives: Seq[(Long, Int)], xff: Double,
+             method: String): Unit =
+    Files.write(Paths.get(path), fileBytes(archives, xff, method, Iterator.empty))
+
+  /** Overwrite one ring slot in place (calc_offset arithmetic,
+    * L_DataWhisper.lua:339-344).
+    */
+  private def writeSlot(bytes: Array[Byte], ai: ArchiveInfo, interval: Long,
+                        value: Double): Unit = {
+    val slot = ((interval / ai.secondsPerPoint) % ai.points).toInt
+    val packed = packPoint(interval, value).getBytes(US_ASCII)
+    System.arraycopy(packed, 0, bytes, ai.offset + slot * PointSize, PointSize)
+  }
+
+  /** Read one ring slot; Some(value) only when the stored interval is
+    * the requested one (a wrapped ring holds other cycles' points).
+    */
+  private def readSlot(bytes: Array[Byte], ai: ArchiveInfo, interval: Long): Option[Double] = {
+    val slot = ((interval / ai.secondsPerPoint) % ai.points).toInt
+    val toks = tokens(new String(bytes, ai.offset + slot * PointSize, PointSize, US_ASCII))
+    (toks.lift(0).flatten, toks.lift(1).flatten) match {
+      case (Some(ts), Some(v)) if ts.toLong == interval && interval != 0L => Some(v)
+      case _ => None
+    }
+  }
+
+  /** aggregate() over one lower interval's known higher-archive values,
+    * in slot order (L_DataWhisper.lua:202-213).
+    */
+  private def aggregateVals(method: String, vals: Seq[Double]): Double = method match {
+    case "average" => vals.sum / vals.size
+    case "sum" => vals.sum
+    case "last" => vals.last
+    case "max" => vals.max
+    case "min" => vals.min
+    case other => throw new IllegalArgumentException(s"Unrecognized aggregation method $other")
+  }
+
+  /** whisper.update with lower-archive propagation (the reference's
+    * full update path: L_DataWhisper.lua:493-523, propagate 469-491):
+    * write the highest-precision archive whose retention covers `ts`,
+    * then for each coarser archive aggregate the covering higher-
+    * archive slots and write the lower interval only when
+    * known/expected ≥ xff — the chain stops at the first interval that
+    * fails, exactly like the reference. (Divergence guard: an interval
+    * with ZERO known values never writes, even at xff = 0, where the
+    * reference would aggregate an empty list into nan.)
+    */
+  def updatePropagate(path: String, ts: Long, value: Double, now: Long): Unit = {
+    val p = Paths.get(path)
+    val bytes = Files.readAllBytes(p)
+    val h = parseHeader(bytes)
+    val diff = now - ts
+    require(diff < h.maxRetention && diff >= 0,
+      "Timestamp not covered by any archives in this database.")
+    val idx = h.archives.indexWhere(ai => ai.secondsPerPoint * ai.points >= diff)
+    val first = h.archives(idx)
+    val myInterval = ts - ts % first.secondsPerPoint
+    writeSlot(bytes, first, myInterval, value)
+    var higher = first
+    var ok = true
+    for (lower <- h.archives.drop(idx + 1) if ok) {
+      val lowerInterval = myInterval - myInterval % lower.secondsPerPoint
+      val n = (lower.secondsPerPoint / higher.secondsPerPoint).toInt
+      val known = (0 until n).flatMap(i =>
+        readSlot(bytes, higher, lowerInterval + i * higher.secondsPerPoint))
+      ok = known.nonEmpty && known.size.toDouble / n >= h.xFilesFactor
+      if (ok) {
+        writeSlot(bytes, lower, lowerInterval, aggregateVals(h.aggregationMethod, known))
+        higher = lower
+      }
+    }
+    Files.write(p, bytes)
+  }
+
+  // ---- parquet → .wsp export (reverse migration) ----
+
+  /** Materialize raw (path, ts, value) metrics as a tree of
+    * reference-format .wsp files — one per metric path, every archive
+    * level of `spec` filled with the xff-propagated rollup cascade
+    * (the same Rollup.archives pipeline MetricStore materializes as
+    * parquet; the reference builds the identical state per-point in
+    * update/propagate, L_DataWhisper.lua:469-523). Closes the reverse
+    * migration loop: a user can leave for the reference's on-disk
+    * format as losslessly as they arrived (modulo the format's own
+    * %23.15g 15-significant-digit value pack).
+    *
+    * Plan shape: the cascade is the shared declarative rollup; each
+    * level keeps only buckets inside its retention window from `now`
+    * (ring semantics — older buckets would alias live slots); file
+    * assembly is ONE groupByKey over path whose per-group volume is
+    * bounded by Σ archive points (the retention spec), never by corpus
+    * size. Executors write the files, so the export scales out
+    * provided `dir` is shared storage. Returns the file count.
+    */
+  def export(spark: SparkSession, metrics: DataFrame, dir: String,
+             spec: Seq[graft.tsdb.Retention.Archive], method: String,
+             xff: Double, now: Long): Long = {
+    import spark.implicits._
+    val levels = graft.tsdb.Rollup.archives(metrics, spec, method, xff)
+    val rows = levels.zip(spec).zipWithIndex.map { case ((lvl, a), i) =>
+      val oldest = now - now % a.secondsPerPoint - a.retention + a.secondsPerPoint
+      lvl.filter(col("bucket") >= oldest && col("bucket") <= lit(now))
+        .select(col("path"), lit(i).as("archive"), col("bucket"), col("value"))
+    }.reduce(_ unionByName _)
+    val archList = spec.map(a => (a.secondsPerPoint, a.points.toInt))
+    Files.createDirectories(Paths.get(dir))
+    rows.as[(String, Int, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (path, it) =>
+        val bytes = fileBytes(archList, xff, method, it.map { case (_, a, t, v) => (a, t, v) })
+        Files.write(Paths.get(dir, s"$path.wsp"), bytes)
+        path
+      }.count()
   }
 
   /** whisper.update for ONE archive (the highest-precision one, index

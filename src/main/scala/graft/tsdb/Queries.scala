@@ -650,4 +650,31 @@ object Queries {
     graft.sources.Whisper.fetchFiles(spark, whisperFixture(), "vera.*.*",
       fromTime = 1706098000L, untilTime = 1706101500L, now = 1706101800L)
       .orderBy(col("path"), col("t"))
+
+  /** B14: parquet → .wsp reverse migration, round-tripped — export the
+    * raw metrics' full xff-propagated archive cascade as reference-
+    * format whisper files (Whisper.export), then fetch the ts_fetch
+    * window back through the per-file-header fetchFiles path. SHARES
+    * the ts_fetch oracle: the exported rings must reproduce the
+    * in-plan rollup+fetch exactly (the format's %23.15g
+    * 15-significant-digit value pack is invisible at the oracle's
+    * 4 dp). Write-once per process like the store/fixture queries.
+    */
+  def whisperExportFetch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Whisper
+    val spec = Retention.parse("10m:1d,1h:7d,1d:60d")
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_wsp_export_${ProcessHandle.current().pid()}",
+      dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    val marker = java.nio.file.Paths.get(root, "_GRAFT_EXPORT_OK")
+    if (!java.nio.file.Files.exists(marker)) {
+      Whisper.export(spark,
+        Tables.metrics(spark, dir).filter(MetricStore.pathPredicate("vera.u1?.click")),
+        root, spec, "average", 0.0, Now)
+      java.nio.file.Files.writeString(marker, spec.mkString(","))
+    }
+    Whisper.fetchFiles(spark, root, "vera.u1?.click", fetchFrom, Now, Now)
+      .select(col("path"), col("t"), round(col("value") - Eps, 4).as("value"))
+      .orderBy(col("path"), col("t"))
+  }
 }

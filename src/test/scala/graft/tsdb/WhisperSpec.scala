@@ -142,4 +142,71 @@ class WhisperSpec extends SparkSpec {
       ("vera.u1b.temp", "max", 0, 600L),
       ("vera.u1b.temp", "max", 1, 2400L)))
   }
+
+  test("updatePropagate: xff-gated lower write, chain stops on failure") {
+    val d = tmpDir()
+    val f = s"$d/m.wsp"
+    // 10s × 6 (1 min), 60s × 10 (10 min), 600s × 3 (30 min), xff 0.5
+    Whisper.create(f, Seq((10L, 6), (60L, 10), (600L, 3)), 0.5, "average")
+    val now = 1000L
+    def pts() = Whisper.filePoints(Files.readAllBytes(Paths.get(f)))
+      .map { case (a, _, ts, v) => (a, ts, v) }.sorted
+    Whisper.updatePropagate(f, 972L, 1.0, now) // slot 970
+    Whisper.updatePropagate(f, 981L, 2.0, now) // slot 980
+    // 2 of 6 fine slots in lower interval 960 < xff → no propagation yet
+    assert(pts() == Seq((0, 970L, 1.0), (0, 980L, 2.0)))
+    Whisper.updatePropagate(f, 990L, 3.0, now)
+    // 3/6 = 0.5 ≥ xff → 60s archive gets avg(1,2,3) at interval 960;
+    // the 600s archive sees 1/10 known 60s slots in interval 600 → the
+    // chain stops (L_DataWhisper.lua:516-521), no level-2 write
+    assert(pts() == Seq((0, 970L, 1.0), (0, 980L, 2.0), (0, 990L, 3.0),
+      (1, 960L, 2.0)))
+    // a ts older than the fine archive's 60 s reach lands directly in
+    // the first archive that covers it (L_DataWhisper.lua:504-510)
+    Whisper.updatePropagate(f, 700L, 9.0, now) // diff 300: 60s archive
+    assert(pts().contains((1, 660L, 9.0)))
+    // beyond maxRetention (1800 s) refuses, like WhisperException
+    assertThrows[IllegalArgumentException] {
+      Whisper.updatePropagate(f, now - 1800L, 0.0, now)
+    }
+  }
+
+  test("export round-trips: rings equal the cascade, fetchFiles equals fetch") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val d = tmpDir()
+    val spec = Retention.parse("1m:10m,10m:50m") // 60s×10, 600s×5
+    val now = 3600L
+    // two paths, 30s raw points over the last 10 min
+    val metrics = (3000L to 3590L by 30L).flatMap(t => Seq(
+      ("a.x", t, (t % 90).toDouble), ("a.y", t, (t % 70).toDouble)))
+      .toDF("path", "ts", "value")
+    assert(Whisper.export(spark, metrics, d, spec, "average", 0.5, now) == 2L)
+    // ring contents = the declarative cascade, level by level (the
+    // format's %23.15g pack is 15-significant-digit lossy → 1e-9 tol)
+    val got = Whisper.read(spark, d).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2, t._3))
+    val want = Rollup.archives(metrics, spec, "average", 0.5).zip(spec).zipWithIndex.flatMap {
+      case ((lvl, a), i) =>
+        // same ring retention window the export keeps: buckets older
+        // than the archive's oldest retrievable slot alias live slots
+        val oldest = now - now % a.secondsPerPoint - a.retention + a.secondsPerPoint
+        lvl.filter(col("bucket") >= oldest && col("bucket") <= now)
+          .collect().map(r => (r.getString(0), i, r.getLong(1), r.getDouble(2)))
+    }.sortBy(t => (t._1, t._2, t._3))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case ((p1, a1, t1, v1), (p2, a2, t2, v2)) =>
+      assert(p1 == p2 && a1 == a2 && t1 == t2 && math.abs(v1 - v2) <= 1e-9 * math.max(1, math.abs(v2)))
+    }
+    // and the full migration loop: fetching the exported tree gives the
+    // same dense series as the in-plan fetch over the raw metrics
+    val viaWsp = Whisper.fetchFiles(spark, d, "a.*", 3100L, 3500L, now)
+      .select(col("path"), col("t"), org.apache.spark.sql.functions.round(col("value"), 6).as("v"))
+      .orderBy(col("path"), col("t")).collect().toSeq
+    val viaPlan = Fetch.fetch(spark, metrics, "a.*", spec, "average", 0.5, 3100L, 3500L, now)
+      .select(col("path"), col("t"), org.apache.spark.sql.functions.round(col("value"), 6).as("v"))
+      .orderBy(col("path"), col("t")).collect().toSeq
+    assert(viaWsp == viaPlan && viaWsp.nonEmpty)
+  }
 }
