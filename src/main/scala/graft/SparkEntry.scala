@@ -57,6 +57,9 @@ object SparkEntry {
     "render_csv" -> ((s, dir) => T.renderCsv(s, dir)),
     "render_json" -> ((s, dir) => T.renderJson(s, dir)),
     "render_svg" -> ((s, dir) => T.renderSvg(s, dir)),
+    "cgi_render_csv" -> ((s, dir) => T.cgiRenderCsv(s, dir)),
+    "cgi_find" -> ((s, dir) => T.cgiFind(s, dir)),
+    "cgi_expand" -> ((s, dir) => T.cgiExpand(s, dir)),
     // D. dataMine bridge
     "dm_resample" -> ((s, dir) => T.dmResample(s, dir)),
     "dm_resample_all" -> ((s, dir) => T.dmResampleAll(s, dir)),
@@ -803,6 +806,36 @@ object SparkEntry {
          | round(a2.value - 1e-9,4) AS value
          |FROM g LEFT JOIN a2 ON g.path = a2.path AND g.t = a2.bucket
          |ORDER BY 1, 2""".stripMargin,
+    // C8a: the URL-dispatched csv render. Same fetch pipeline as
+    // render_csv, but the -Eps tie-guard is applied to the INPUT values
+    // (the Cgi path has no post-fetch hook); avg is linear, so the two
+    // placements agree to the same 4-dp rounding.
+    "cgi_render_csv" ->
+      s"""WITH $M,
+         |f AS (SELECT path, ts, value - 1e-9 AS value FROM m
+         |  WHERE regexp_matches(path, '^vera\\.u1[^.]\\.click$$')),
+         |a1 AS (SELECT path, ts - ts%600 AS bucket, avg(value) AS value FROM f GROUP BY 1,2),
+         |a2 AS (SELECT path, bucket - bucket%3600 AS bucket, avg(value) AS value FROM a1 GROUP BY 1,2),
+         |p AS (SELECT DISTINCT path FROM f),
+         |g AS (SELECT p.path, s.t FROM p CROSS JOIN generate_series(1706097600, 1706659200, 3600) AS s(t))
+         |SELECT g.path AS target,
+         | strftime(make_timestamp(g.t*1000000), '%Y-%m-%d %H:%M:%S') AS ts_str,
+         | round(a2.value,4) AS value
+         |FROM g LEFT JOIN a2 ON g.path = a2.path AND g.t = a2.bucket
+         |ORDER BY 1, 2""".stripMargin,
+    // C8b: URL-dispatched completer find (escaped glob, one query —
+    // the relational completer shape without the fixture's q column)
+    "cgi_find" ->
+      s"""WITH $M, p AS (SELECT DISTINCT path FROM m)
+         |SELECT CAST(1 AS BIGINT) AS is_leaf, path, split_part(path,'.',3) AS name
+         |FROM p WHERE regexp_matches(path, '^vera\\.u1\\.[^.]+$$')
+         |ORDER BY path""".stripMargin,
+    // C8c: URL-dispatched expand, leavesOnly=1 (leaf paths only — no
+    // trailing dots)
+    "cgi_expand" ->
+      s"""WITH $M, p AS (SELECT DISTINCT path FROM m)
+         |SELECT path FROM p WHERE regexp_matches(path, '^vera\\.u(1|2|3)\\.[^.]+$$')
+         |ORDER BY path""".stripMargin,
     // C6: the json render document rebuilt verbatim — same fetch CTE,
     // same -Eps + round(,4), same DECIMAL(38,4) value formatting, gaps
     // as the literal 'null' (graphite_cgi.lua:340-371)

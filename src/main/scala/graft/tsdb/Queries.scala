@@ -409,6 +409,43 @@ object Queries {
         fetchFrom, Now, Now),
       method = "last", title = Some("vera.u1?.click"))
 
+  // ---- C8. graphite_cgi URL dispatch (library transport surface) --------
+
+  /** Storage context for the CGI e2e queries. The render variant's
+    * metric values are pre-shifted by -Eps (the shift is linear through
+    * the method=average rollup cascade — avg(v-ε) = avg(v)-ε — so this
+    * is the same tie-guard every value oracle applies post-fetch, just
+    * applied where a URL-driven pipeline allows).
+    */
+  private def cgiEnv(spark: SparkSession, dir: String): Cgi.Env =
+    Cgi.Env(
+      Tables.metrics(spark, dir).withColumn("value", col("value") - Eps),
+      paths(spark, dir),
+      Retention.parse("10m:1d,1h:7d,1d:60d"), "average", 0.0)
+
+  /** C8a: /render with format=csv, the full URL round trip — %3F
+    * unescapes to the `?` glob, from/until are partial-ISO parsed, and
+    * the result is the same fetch+csv pipeline render_csv checks.
+    */
+  def cgiRenderCsv(spark: SparkSession, dir: String): DataFrame =
+    Cgi.dispatch(spark, cgiEnv(spark, dir),
+      "/render?target=vera.u1%3F.click&from=2024-01-24T12:40:00" +
+        "&until=2024-01-31T00:00:00&format=csv", Now)
+
+  /** C8b: /metrics/find with format=completer and an escaped glob;
+    * trailing-slash script normalization on the way.
+    */
+  def cgiFind(spark: SparkSession, dir: String): DataFrame =
+    Cgi.dispatch(spark, cgiEnv(spark, dir),
+      "/metrics/find/?query=vera.u1.%2A&format=completer", Now)
+      .orderBy(col("path"))
+
+  /** C8c: /metrics/expand with leavesOnly=1 and %7B/%7D-escaped braces. */
+  def cgiExpand(spark: SparkSession, dir: String): DataFrame =
+    Cgi.dispatch(spark, cgiEnv(spark, dir),
+      "/metrics/expand?query=vera.u%7B1,2,3%7D.*&leavesOnly=1", Now)
+      .orderBy(col("path"))
+
   // ---- D. dataMine bridge -----------------------------------------------
 
   val dmT1 = 1704067200L
