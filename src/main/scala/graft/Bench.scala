@@ -72,6 +72,13 @@ object Bench {
     // compact mins (3 dp) so the summary line stays under the driver's
     // 2000-byte stdout tail even at 70 queries
     def f3(v: Double): String = f"$v%.3f"
+    // compact line budget: the driver keeps only the LAST 2000 stdout
+    // bytes and sbt appends its own trailer line after ours — at 72
+    // queries, 2-dp mins keep the whole line + trailer inside the tail
+    // (full 3-dp samples live in target/bench.json)
+    def f2(v: Double): String = f"$v%.2f"
+    val qs2 = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
+      .mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val ss = samples.map { case (k, ts) =>
@@ -80,7 +87,7 @@ object Bench {
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val compact =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs2,"failed":$fl,"sf":"$sfDir"}"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$ss,"failed":$fl,"sf":"$sfDir"}"""
     // durable artifact (VERDICT r3 #1): full JSON (incl. all samples)

@@ -654,7 +654,10 @@ object Queries {
     * into 5 slots) and a multi-archive file; the oracle pins the
     * surviving points as literals.
     */
-  private def whisperFixture(): String = {
+  // built once per JVM (lazy): the fixture is deterministic, and
+  // rebuilding it per call made whisper_read/whisper_fetch bench
+  // samples measure fixture IO instead of the read path (VERDICT r3)
+  private lazy val whisperFixtureDir: String = {
     import graft.sources.Whisper
     // per-process dir: concurrent Verify/Bench runs must not race on
     // the ring-slot overwrites (the fixture itself is deterministic)
@@ -675,7 +678,7 @@ object Queries {
   }
 
   def whisperRead(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.Whisper.read(spark, whisperFixture())
+    graft.sources.Whisper.read(spark, whisperFixtureDir)
       .orderBy(col("path"), col("archive"), col("ts"))
 
   /** B13: fetch straight off the .wsp tree — per-file header drives the
@@ -684,7 +687,7 @@ object Queries {
     * window, leaving trailing null gaps after its last point).
     */
   def whisperFetch(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.Whisper.fetchFiles(spark, whisperFixture(), "vera.*.*",
+    graft.sources.Whisper.fetchFiles(spark, whisperFixtureDir, "vera.*.*",
       fromTime = 1706098000L, untilTime = 1706101500L, now = 1706101800L)
       .orderBy(col("path"), col("t"))
 
