@@ -71,6 +71,7 @@ object SparkEntry {
     "whisper_export_fetch" -> ((s, dir) => T.whisperExportFetch(s, dir)),
     // F. LLM-pipeline operators
     "dedup_exact" -> ((s, dir) => L.dedupExact(s, dir)),
+    "decontaminate" -> ((s, dir) => L.decontaminate(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => L.dedupNgramJaccard(s, dir)),
     "dedup_ngram_jaccard_capped" -> ((s, dir) => L.dedupNgramJaccardCapped(s, dir)),
     "dedup_minhash" -> ((s, dir) => L.dedupMinhash(s, dir)),
@@ -308,6 +309,24 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    // F15: 5-gram train/eval overlap — corpus-side df cap, eval = every
+    // 37th doc; hits = distinct shared shingles per (corpus, eval) pair
+    "decontaminate" ->
+      s"""WITH dtk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         |d5 AS (SELECT DISTINCT doc_id, shingle FROM (
+         |  SELECT doc_id, tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w
+         |    || ' ' || lead(tok,3) OVER w || ' ' || lead(tok,4) OVER w AS shingle
+         |  FROM (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks,1) AS pos FROM dtk)
+         |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) s
+         | WHERE shingle IS NOT NULL),
+         |rare AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM d5 GROUP BY 1)
+         |  WHERE df <= ${graft.ops.LlmQueries.DecontamMaxDf}),
+         |ev AS (SELECT doc_id AS eval_id, shingle FROM d5
+         |  WHERE doc_id % ${graft.ops.LlmQueries.DecontamEvalMod} = 0)
+         |SELECT c.doc_id, e.eval_id, count(*) AS hits
+         |FROM d5 c JOIN rare USING (shingle) JOIN ev e USING (shingle)
+         |GROUP BY 1, 2 HAVING count(*) >= ${graft.ops.LlmQueries.DecontamMinHits}
+         |ORDER BY 1, 2""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $TK, $SHD,
          |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),

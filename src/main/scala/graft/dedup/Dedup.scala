@@ -91,6 +91,40 @@ object Dedup {
       .orderBy(col("x"), col("y"))
   }
 
+  /** F15: train/eval decontamination — (corpus doc, eval doc) pairs
+    * sharing ≥ `minHits` distinct n-word shingles, the overlap check a
+    * pretraining pipeline runs against its benchmark suites before
+    * training. The reference has no eval concept; this extends the §2.F
+    * family with the standard n-gram contamination method.
+    *
+    * Scale shape: both sides reduce to distinct (id, shingle); corpus
+    * shingles with df > `maxDf` are dropped first (a stop-shingle
+    * carries no contamination signal but dominates join fan-out — the
+    * [[ngramJaccardCapped]] cap argument), so per-shingle join work is
+    * ≤ maxDf × |eval docs sharing it|. The eval side is benchmark-sized
+    * by construction and broadcast — at 100 TB the plan is ONE
+    * corpus-side pass with a map-side pair aggregation, and the output
+    * is one row per overlapping pair: O(contamination), not O(corpus).
+    */
+  def decontaminate(corpus: DataFrame, evalDocs: DataFrame, n: Int,
+                    minHits: Int, maxDf: Int): DataFrame = {
+    def sh(docs: DataFrame, idCol: String) =
+      docs.select(col(idCol), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= n)
+        .select(col(idCol), explode(shinglesN(col("toks"), n)).as("shingle"))
+    // two plan references (df count + join); narrow (id, shingle) rows
+    val cs = sh(corpus, "doc_id").cache()
+    val rare = cs.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("shingle"))
+    val ev = sh(evalDocs.select(col("eval_id"), col("text")), "eval_id")
+    cs.join(rare, "shingle")
+      .join(broadcast(ev), "shingle")
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minHits)
+      .orderBy(col("doc_id"), col("eval_id"))
+  }
+
   /** Fixed, engine-portable MinHash parameters: k=12 permutations
     * h_i(x) = (a_i·x + b_i) mod P31, banded 4×3 for LSH (canonical
     * schedule lives in the compiled expression; single source).

@@ -43,6 +43,26 @@ object LlmQueries {
   def dedupNgramJaccardCapped(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardCapped(Tables.documents(spark, dir), JaccardTau, JaccardMaxDf)
 
+  // decontamination: 5-gram overlap, ≥3 shared shingles = contaminated
+  // pair; eval set = every 37th document (benchmark-sized, guarantees
+  // exact hits via the sampled docs and partial hits via their
+  // near-dups)
+  val DecontamN = 5
+  val DecontamMinHits = 3
+  val DecontamMaxDf = 64
+  val DecontamEvalMod = 37
+
+  /** F15: n-gram train/eval decontamination (Dedup.decontaminate) —
+    * the eval side is a deterministic corpus sample re-keyed as
+    * eval_id.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val eval = docs.filter(col("doc_id") % DecontamEvalMod === 0)
+      .select(col("doc_id").as("eval_id"), col("text"))
+    Dedup.decontaminate(docs, eval, DecontamN, DecontamMinHits, DecontamMaxDf)
+  }
+
   // max pairwise cosine on the synthetic embeddings is ~0.51; 0.4
   // yields a non-trivial pair set with >=1e-4 threshold margin
   val EmbedCosineTau = 0.4

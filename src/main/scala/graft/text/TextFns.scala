@@ -27,14 +27,17 @@ object TextFns {
     */
   def tokens(text: Column): Column = split(lower(text), " ")
 
-  /** Distinct 3-word shingles of a token array (≥3 tokens required —
+  /** Distinct n-word shingles of a token array (≥n tokens required —
     * guard with size() upstream). `transform` over an index sequence
     * keeps this inside whole-stage codegen.
     */
-  def shingles3(toks: Column): Column =
+  def shinglesN(toks: Column, n: Int): Column =
     array_distinct(transform(
-      sequence(lit(0), size(toks) - 3),
-      i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+
+  /** Distinct 3-word shingles (the near-dup operators' base unit). */
+  def shingles3(toks: Column): Column = shinglesN(toks, 3)
 
   /** Per-ROW 60-bit SimHash: one compiled pass over the row's own
     * distinct-token array (graft.functions.SimHash60) — no shuffle, so

@@ -30,6 +30,28 @@ class LlmSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 2L), (1L, 1L), (3L, 1L)))
   }
 
+  test("decontamination: planted overlap found, df-capped and sub-threshold dropped (F15)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "alpha beta gamma delta epsilon zeta different tail entirely here"), // 6-token overlap with eval 100 → 2 shingles
+      (2L, "unrelated words that share nothing with the benchmark suite"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa") // exact copy of eval 100's text
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("eval_id", "text")
+    val out = Dedup.decontaminate(corpus, eval, n = 5, minHits = 3, maxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // docs 0 and 3 share all 6 five-gram shingles with the eval doc;
+    // doc 1's 2-shingle overlap is below minHits; doc 2 has none
+    assert(out.toSeq == Seq((0L, 100L, 6L), (3L, 100L, 6L)))
+    // a df cap below the planted dup count kills even exact overlap:
+    // every shared shingle sits in 3 corpus docs (0, 1 partially, 3)
+    val capped = Dedup.decontaminate(corpus, eval, n = 5, minHits = 1, maxDf = 1)
+    assert(capped.count() == 0)
+  }
+
   test("ngram jaccard finds near-dups via shingle join (F2)") {
     val out = Dedup.ngramJaccard(docs, 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
