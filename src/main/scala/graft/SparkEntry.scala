@@ -88,6 +88,7 @@ object SparkEntry {
     "ann_ivf" -> ((s, dir) => L.annIvf(s, dir)),
     "text_langid" -> ((s, dir) => L.textLangid(s, dir)),
     "text_quality" -> ((s, dir) => L.textQuality(s, dir)),
+    "text_repetition" -> ((s, dir) => L.textRepetition(s, dir)),
     "text_tokens" -> ((s, dir) => L.textTokens(s, dir)),
     "text_fingerprint" -> ((s, dir) => L.textFingerprint(s, dir)),
     "embed_norm_stats" -> ((s, dir) => L.embedNormStats(s, dir)),
@@ -539,6 +540,28 @@ object SparkEntry {
          | round(len(list_filter(toks, x -> x IN ($EnStopwordList)))*1.0/len(toks) - 1e-9, 4) + 0.0 AS stopword_ratio,
          | ${qualityScoreSql(EnStopwordList)} AS score
          |FROM tk ORDER BY 1""".stripMargin,
+    // F8b: duplicate n-gram fraction per doc (2- and 3-grams); the
+    // lead-window shingle build mirrors SHD, `+ 0.0` normalizes
+    // DuckDB's IEEE -0.0 to the +0.0 Spark's BigDecimal round emits
+    "text_repetition" ->
+      s"""WITH $TK,
+         |s2 AS (SELECT doc_id, count(DISTINCT shingle) AS d FROM (
+         |  SELECT doc_id, tok || ' ' || lead(tok,1) OVER w AS shingle
+         |  FROM (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks,1) AS pos FROM tk)
+         |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) x
+         | WHERE shingle IS NOT NULL GROUP BY 1),
+         |s3 AS (SELECT doc_id, count(DISTINCT shingle) AS d FROM (
+         |  SELECT doc_id, tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS shingle
+         |  FROM (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks,1) AS pos FROM tk)
+         |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) x
+         | WHERE shingle IS NOT NULL GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         | round(CASE WHEN greatest(len(t.toks)-1, 0) = 0 THEN 0.0
+         |   ELSE 1.0 - s2.d*1.0/greatest(len(t.toks)-1, 0) END - 1e-9, 4) + 0.0 AS rep2,
+         | round(CASE WHEN greatest(len(t.toks)-2, 0) = 0 THEN 0.0
+         |   ELSE 1.0 - s3.d*1.0/greatest(len(t.toks)-2, 0) END - 1e-9, 4) + 0.0 AS rep3
+         |FROM tk t LEFT JOIN s2 ON t.doc_id = s2.doc_id LEFT JOIN s3 ON t.doc_id = s3.doc_id
+         |ORDER BY 1""".stripMargin,
     // staged curation: quality → language → exact dedup → simhash
     // near-dedup; each stage sees only the previous stage's survivors,
     // reason = first failing stage (mirrors graft.ops.Curation)

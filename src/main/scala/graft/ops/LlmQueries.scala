@@ -130,6 +130,9 @@ object LlmQueries {
   def textQuality(spark: SparkSession, dir: String): DataFrame =
     Analysis.quality(Tables.documents(spark, dir))
 
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    Analysis.repetition(Tables.documents(spark, dir))
+
   def textTokens(spark: SparkSession, dir: String): DataFrame =
     Analysis.tokenCounts(Tables.documents(spark, dir))
 

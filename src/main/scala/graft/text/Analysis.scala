@@ -65,6 +65,34 @@ object Analysis {
       .orderBy(col("doc_id"))
   }
 
+  /** F8b: within-document repetition — the duplicate n-gram fraction
+    * from the Gopher/MassiveText-style quality rule family, over 2- and
+    * 3-word shingles: rep_k = 1 − distinct_k / total_k with
+    * total_k = max(n_tokens − k + 1, 0) (docs too short for a shingle
+    * score 0). Distinct from [[quality]]'s token-level dup_ratio: this
+    * catches PHRASE loops (boilerplate, templated spam) that unique
+    * token counts miss. One compiled per-row pass over the token array
+    * — at 100 TB this is a map-only scan, no shuffle anywhere. Null
+    * text propagates null (no reference semantics to preserve here).
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    def rep(k: Int) = {
+      val total = greatest(n - (k - 1), lit(0))
+      // the when-arm also guards shinglesN's sequence() against
+      // negative bounds (CaseWhen evaluates only the matched branch)
+      when(total === 0, lit(0.0)).otherwise(
+        lit(1.0) - size(shinglesN(toks, k)) / total.cast("double"))
+    }
+    docs.select(
+      col("doc_id"),
+      n.cast("long").as("n_tokens"),
+      round(rep(2) - 1e-9, 4).as("rep2"),
+      round(rep(3) - 1e-9, 4).as("rep3"))
+      .orderBy(col("doc_id"))
+  }
+
   /** F9: whitespace vs BPE-ish regex token counts. The regex splits
     * letter runs, digit runs, and single other-glyphs — a cheap proxy
     * for subword tokenizer cost accounting.

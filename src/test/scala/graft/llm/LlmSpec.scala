@@ -30,6 +30,20 @@ class LlmSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 2L), (1L, 1L), (3L, 1L)))
   }
 
+  test("repetition: phrase loops caught, short docs score 0 (F8b)") {
+    import spark.implicits._
+    val rdocs = Seq(
+      (0L, "spam spam spam spam spam spam"), // 1 distinct 2-gram of 5, 1 of 4
+      (1L, "one two three four five six"),   // all shingles distinct
+      (2L, "ab"),                            // too short for any shingle
+      (3L, "buy now buy now buy now")        // 2 distinct 2-grams of 5, 2 of 4
+    ).toDF("doc_id", "text")
+    val out = Analysis.repetition(rdocs).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (0L, 0.8, 0.75), (1L, 0.0, 0.0), (2L, 0.0, 0.0), (3L, 0.6, 0.5)))
+  }
+
   test("decontamination: planted overlap found, df-capped and sub-threshold dropped (F15)") {
     import spark.implicits._
     val corpus = Seq(
