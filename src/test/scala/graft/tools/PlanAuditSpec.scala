@@ -46,6 +46,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOf(cascade, "Exchange hashpartitioning") == 3, cascade.take(2000))
   }
 
+  test("text_repetition is map-only: no aggregation shuffle, no join") {
+    val p = plan("text_repetition")
+    // the per-row shingle arithmetic must never grow a shuffle (the
+    // only exchange is the output sort's range partitioning)
+    assert(countOf(p, "Exchange hashpartitioning") == 0, p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("decontaminate: the eval side joins broadcast") {
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("no unbounded cartesian product in any driver query") {
     // broadcast nested-loop joins over bounded broadcasts (band index,
     // centroid codebook, query subset, 1-row bounds) are fine; a
