@@ -71,19 +71,21 @@ object Analysis {
     * total_k = max(n_tokens − k + 1, 0) (docs too short for a shingle
     * score 0). Distinct from [[quality]]'s token-level dup_ratio: this
     * catches PHRASE loops (boilerplate, templated spam) that unique
-    * token counts miss. One compiled per-row pass over the token array
-    * — at 100 TB this is a map-only scan, no shuffle anywhere. Null
-    * text propagates null (no reference semantics to preserve here).
+    * token counts miss. The distinct-shingle count is the compiled
+    * [[graft.functions.ShingleDistinct]] pass (the declarative
+    * higher-order-function form is interpreted, ~8× slower) — at
+    * 100 TB this is a map-only scan, no shuffle anywhere. Null text
+    * propagates null (no reference semantics to preserve here).
     */
   def repetition(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val n = size(toks)
     def rep(k: Int) = {
       val total = greatest(n - (k - 1), lit(0))
-      // the when-arm also guards shinglesN's sequence() against
-      // negative bounds (CaseWhen evaluates only the matched branch)
       when(total === 0, lit(0.0)).otherwise(
-        lit(1.0) - size(shinglesN(toks, k)) / total.cast("double"))
+        lit(1.0) -
+          graft.functions.ShingleDistinct.distinctShingles(toks, k)
+          / total.cast("double"))
     }
     docs.select(
       col("doc_id"),

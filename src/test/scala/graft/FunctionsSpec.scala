@@ -65,6 +65,28 @@ class FunctionsSpec extends SparkSpec {
     assert(sig == viaSql)
   }
 
+  test("ShingleDistinct matches the declarative distinct-shingle count") {
+    import graft.text.TextFns
+    import graft.functions.ShingleDistinct
+    // real corpus rows: compiled count == size(array_distinct(shinglesN))
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val toks = TextFns.tokens(col("text"))
+    for (k <- Seq(2, 3, 5)) {
+      val mismatches = docs
+        .filter(size(toks) >= k)
+        .select(
+          ShingleDistinct.distinctShingles(toks, k).as("fast"),
+          size(array_distinct(TextFns.shinglesN(toks, k))).cast("long").as("slow"))
+        .filter(col("fast") =!= col("slow")).count()
+      assert(mismatches == 0, s"k=$k")
+    }
+    // short-array guard: fewer tokens than k → 0
+    val short = Seq("one two").toDF("text")
+      .select(ShingleDistinct.distinctShingles(TextFns.tokens(col("text")), 3))
+      .head.getLong(0)
+    assert(short == 0L)
+  }
+
   test("FloatDot survives whole-stage codegen over many rows") {
     val df = spark.range(1000).selectExpr(
       "array(cast(id AS float), cast(id+1 AS float)) AS a",
