@@ -39,6 +39,14 @@ object GraftExtensions {
     (FunctionIdentifier("minhash12"),
       new ExpressionInfo(classOf[graft.functions.MinHash12].getName, "minhash12"),
       (children: Seq[Expression]) => graft.functions.MinHash12(children.head)),
+    (FunctionIdentifier("fingerprint60"),
+      new ExpressionInfo(classOf[graft.functions.Fingerprint60].getName, "fingerprint60"),
+      (children: Seq[Expression]) => graft.functions.Fingerprint60(children.head)),
+    // distinct k-shingle count; k must be an integer literal
+    (FunctionIdentifier("shingle_distinct"),
+      new ExpressionInfo(classOf[graft.functions.ShingleDistinct].getName, "shingle_distinct"),
+      (children: Seq[Expression]) => graft.functions.ShingleDistinct(
+        children.head, children(1).eval().asInstanceOf[Number].intValue())),
     // cosine similarity of two float arrays on the codegen'd FloatDot
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[FloatDot].getName, "cosine_sim"),

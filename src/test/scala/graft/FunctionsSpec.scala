@@ -65,6 +65,19 @@ class FunctionsSpec extends SparkSpec {
     assert(sig == viaSql)
   }
 
+  test("fingerprint60 and shingle_distinct register as SQL functions") {
+    GraftExtensions.registerAll(spark)
+    // "a b a b" → 2-grams: (a b),(b a),(a b) → 2 distinct
+    val sd = spark.sql(
+      "SELECT shingle_distinct(split('a b a b', ' '), 2) AS d").head.getLong(0)
+    assert(sd == 2L)
+    val fp = spark.sql("SELECT fingerprint60(split('a b', ' ')) AS f").head.getLong(0)
+    val viaCol = Seq("a b").toDF("text")
+      .select(graft.functions.Fingerprint60.fingerprint(
+        graft.text.TextFns.tokens(col("text")))).head.getLong(0)
+    assert(fp == viaCol)
+  }
+
   test("ShingleDistinct matches the declarative distinct-shingle count") {
     import graft.text.TextFns
     import graft.functions.ShingleDistinct
