@@ -121,3 +121,25 @@ object WhisperPackProps extends Properties("WhisperPack") {
       }
     }
 }
+
+/** ShingleDistinct (the compiled distinct k-shingle counter) against an
+  * independent sliding-window model, over token lists with forced
+  * collisions (tiny alphabet, empty tokens included).
+  */
+object ShingleDistinctProps extends Properties("ShingleDistinct") {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val tok = Gen.oneOf("a", "b", "ab", "")
+  private val toks = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, tok))
+  private val k = Gen.choose(1, 4)
+
+  property("matches the sliding-window set-size model") =
+    forAll(toks, k) { (ts, kk) =>
+      val arr = new GenericArrayData(ts.map(UTF8String.fromString).toArray[Any])
+      val model =
+        if (ts.length < kk) 0L
+        else ts.sliding(kk).map(_.mkString(" ")).toSet.size.toLong
+      graft.functions.ShingleDistinct.compute(arr, kk) == model
+    }
+}
