@@ -30,12 +30,16 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
       .orderBy(col("keep_id"))
 
-  /** Distinct (doc_id, shingle) pairs for docs with ≥3 tokens. */
+  /** Distinct (doc_id, shingle) pairs for docs with ≥3 tokens (the
+    * shingle build is the compiled ShingleArray pass — the declarative
+    * HOF chain is interpreted).
+    */
   def docShingles(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(shingles3(col("toks"))).as("shingle"))
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleArray.shingles(col("toks"), 3)).as("shingle"))
 
   /** F2: pairwise Jaccard over 3-word shingles via shingle equi-join.
     * intersection counts come from the join; union = |A|+|B|−∩.
@@ -111,7 +115,8 @@ object Dedup {
     def sh(docs: DataFrame, idCol: String) =
       docs.select(col(idCol), tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= n)
-        .select(col(idCol), explode(shinglesN(col("toks"), n)).as("shingle"))
+        .select(col(idCol),
+          explode(graft.functions.ShingleArray.shingles(col("toks"), n)).as("shingle"))
     // two plan references (df count + join); narrow (id, shingle) rows
     val cs = sh(corpus, "doc_id").cache()
     val rare = cs.groupBy(col("shingle")).agg(count(lit(1)).as("df"))

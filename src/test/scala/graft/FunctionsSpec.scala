@@ -100,6 +100,27 @@ class FunctionsSpec extends SparkSpec {
     assert(short == 0L)
   }
 
+  test("ShingleArray matches the declarative shinglesN exactly (values AND order)") {
+    import graft.text.TextFns
+    import graft.functions.ShingleArray
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val toks = TextFns.tokens(col("text"))
+    for (k <- Seq(3, 5)) {
+      val mismatches = docs
+        .filter(size(toks) >= k)
+        .select(
+          ShingleArray.shingles(toks, k).as("fast"),
+          TextFns.shinglesN(toks, k).as("slow"))
+        .filter(col("fast") =!= col("slow")).count()
+      assert(mismatches == 0, s"k=$k")
+    }
+    // short array → empty, not an error
+    val short = Seq("one two").toDF("text")
+      .select(size(ShingleArray.shingles(TextFns.tokens(col("text")), 3)))
+      .head.getInt(0)
+    assert(short == 0)
+  }
+
   test("FloatDot survives whole-stage codegen over many rows") {
     val df = spark.range(1000).selectExpr(
       "array(cast(id AS float), cast(id+1 AS float)) AS a",
