@@ -71,12 +71,16 @@ object Bench {
     val results = samples.map { case (n, ts) => n -> ts.min }
     // compact mins (3 dp) so the summary line stays under the driver's
     // 2000-byte stdout tail even at 70 queries
-    def f3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the artifact must be valid JSON on comma-decimal
+    // locales too (f"" interpolators use the JVM default locale)
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // compact line budget: the driver keeps only the LAST 2000 stdout
     // bytes and sbt appends its own trailer line after ours — at 72
     // queries, 2-dp mins keep the whole line + trailer inside the tail
     // (full 3-dp samples live in target/bench.json)
-    def f2(v: Double): String = f"$v%.2f"
+    def f2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs2 = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }

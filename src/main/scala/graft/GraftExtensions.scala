@@ -45,8 +45,17 @@ object GraftExtensions {
     // distinct k-shingle count; k must be an integer literal
     (FunctionIdentifier("shingle_distinct"),
       new ExpressionInfo(classOf[graft.functions.ShingleDistinct].getName, "shingle_distinct"),
-      (children: Seq[Expression]) => graft.functions.ShingleDistinct(
-        children.head, children(1).eval().asInstanceOf[Number].intValue())),
+      (children: Seq[Expression]) => {
+        def bad() = throw new IllegalArgumentException(
+          "shingle_distinct(tokens, k): k must be an integer literal")
+        if (children.length != 2 || !children(1).foldable) bad()
+        val k = children(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case _ => bad()
+        }
+        graft.functions.ShingleDistinct(children.head, k)
+      }),
     // cosine similarity of two float arrays on the codegen'd FloatDot
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[FloatDot].getName, "cosine_sim"),

@@ -101,14 +101,15 @@ object Dedup {
     * training. The reference has no eval concept; this extends the §2.F
     * family with the standard n-gram contamination method.
     *
-    * Scale shape: both sides reduce to distinct (id, shingle); corpus
-    * shingles with df > `maxDf` are dropped first (a stop-shingle
-    * carries no contamination signal but dominates join fan-out — the
-    * [[ngramJaccardCapped]] cap argument), so per-shingle join work is
-    * ≤ maxDf × |eval docs sharing it|. The eval side is benchmark-sized
-    * by construction and broadcast — at 100 TB the plan is ONE
-    * corpus-side pass with a map-side pair aggregation, and the output
-    * is one row per overlapping pair: O(contamination), not O(corpus).
+    * Scale shape: both sides reduce to distinct (id, shingle), and the
+    * benchmark-sized eval shingle set is BROADCAST as the very first
+    * join — corpus rows on non-eval shingles die map-side, so the one
+    * corpus-side pass shuffles only the eval-matched subset. The df cap
+    * (a stop-shingle carries no contamination signal but dominates
+    * fan-out — the [[ngramJaccardCapped]] cap argument) is computed on
+    * that subset, where it equals full-corpus df for exactly the
+    * shingles that can pair. Output is one row per overlapping pair:
+    * O(contamination), not O(corpus).
     */
   def decontaminate(corpus: DataFrame, evalDocs: DataFrame, n: Int,
                     minHits: Int, maxDf: Int): DataFrame = {
@@ -117,12 +118,17 @@ object Dedup {
         .filter(size(col("toks")) >= n)
         .select(col(idCol),
           explode(graft.functions.ShingleArray.shingles(col("toks"), n)).as("shingle"))
-    // two plan references (df count + join); narrow (id, shingle) rows
-    val cs = sh(corpus, "doc_id").cache()
-    val rare = cs.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select(col("shingle"))
     val ev = sh(evalDocs.select(col("eval_id"), col("text")), "eval_id")
-    cs.join(rare, "shingle")
+    // eval-matched corpus rows only; consumed twice (df + pair join)
+    // but already contamination-sized, the only cacheable shape here
+    val hit = sh(corpus, "doc_id")
+      .join(broadcast(ev.select(col("shingle")).distinct()), "shingle")
+      .cache()
+    // per-shingle doc counts over `hit` == full-corpus df for these
+    // shingles (the semijoin dropped no corpus row of an eval shingle)
+    val rare = hit.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("shingle"))
+    hit.join(broadcast(rare), "shingle")
       .join(broadcast(ev), "shingle")
       .groupBy(col("doc_id"), col("eval_id"))
       .agg(count(lit(1)).as("hits"))

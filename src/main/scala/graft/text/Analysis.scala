@@ -82,10 +82,15 @@ object Analysis {
     val n = size(toks)
     def rep(k: Int) = {
       val total = greatest(n - (k - 1), lit(0))
-      when(total === 0, lit(0.0)).otherwise(
-        lit(1.0) -
-          graft.functions.ShingleDistinct.distinctShingles(toks, k)
-          / total.cast("double"))
+      // explicit null-text arm: greatest() SKIPS nulls, so without it a
+      // null doc would fall into the total=0 branch and score 0.0 —
+      // indistinguishable from a genuinely repetition-free doc
+      when(col("text").isNull, lit(null).cast("double"))
+        .when(total === 0, lit(0.0))
+        .otherwise(
+          lit(1.0) -
+            graft.functions.ShingleDistinct.distinctShingles(toks, k)
+            / total.cast("double"))
     }
     docs.select(
       col("doc_id"),

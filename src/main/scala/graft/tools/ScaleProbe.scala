@@ -36,7 +36,9 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "16g")
+      // heap must come from the LAUNCHER (e.g. SBT_OPTS=-Xmx16g):
+      // spark.driver.memory set here is a no-op in an already-running
+      // local-mode JVM
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -26,7 +26,17 @@ object Api {
   def render(spark: SparkSession, metrics: DataFrame, targets: Seq[String],
              from: Option[String], until: Option[String], format: String,
              spec: Seq[Retention.Archive], method: String, xff: Double,
-             now: Long): DataFrame = {
+             now: Long): DataFrame =
+    render(spark, metrics, targets, from, until, format, spec, method, xff,
+      now, svgOpts = None)
+
+  /** Full form: `svgOpts` carries the graph options when format=svg
+    * (None = the title-only default).
+    */
+  def render(spark: SparkSession, metrics: DataFrame, targets: Seq[String],
+             from: Option[String], until: Option[String], format: String,
+             spec: Seq[Retention.Archive], method: String, xff: Double,
+             now: Long, svgOpts: Option[Render.SvgOptions]): DataFrame = {
     require(targets.nonEmpty, "at least one target required")
     val fromT = from.flatMap(TimeParse.getTime(_, now)).getOrElse(now - 24 * 3600)
     val untilT = until.flatMap(TimeParse.getTime(_, now)).getOrElse(now)
@@ -37,7 +47,8 @@ object Api {
       case "csv" => Render.csv(fetched)
       case "json" => Render.json(fetched)
       // svg is the reference's default render format (graphite_cgi.lua:389)
-      case "svg" => Render.svg(fetched, method, title = Some(targets.mkString(",")))
+      case "svg" => Render.svg(fetched, method, svgOpts.getOrElse(
+        Render.SvgOptions(title = Some(targets.mkString(",")))))
       case other => throw new IllegalArgumentException(s"unsupported format $other")
     }
   }

@@ -32,15 +32,26 @@ object Cgi {
   private val ParamRe = "([A-Za-z0-9_]+)=([^&]*)".r
   // Lua url.unescape: only valid %XX pairs decode; '+' is NOT a space
   // (vtitle does its own '+'→' ' later, L_DataGraph.lua:272)
-  private val PctRe = "%([0-9A-Fa-f]{2})".r
+  private val PctRe = "(?:%[0-9A-Fa-f]{2})+".r
   // options.aliases tokenizer (L_DataGraph.lua:200): names between
   // '{'/',' and the next delimiter
   private val AliasRe = "[{,]([^{},]*)".r
 
+  /** %XX runs decode as BYTES then UTF-8 (the reference's strings are
+    * UTF-8 bytes, so `%C3%A9` must become "é", not two Latin-1 chars).
+    */
   private[tsdb] def unescape(s: String): String =
-    PctRe.replaceAllIn(s, m =>
+    PctRe.replaceAllIn(s, m => {
+      val run = m.matched
+      val bytes = new Array[Byte](run.length / 3)
+      var i = 0
+      while (i < bytes.length) {
+        bytes(i) = Integer.parseInt(run.substring(i * 3 + 1, i * 3 + 3), 16).toByte
+        i += 1
+      }
       scala.util.matching.Regex.quoteReplacement(
-        Integer.parseInt(m.group(1), 16).toChar.toString))
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    })
 
   /** parse_parameters (graphite_cgi.lua:429-441): empty values are
     * DROPPED, repeated names accumulate in order, values unescape.
@@ -118,28 +129,20 @@ object Cgi {
         // reference renders an EMPTY document for a target-less render —
         // a library caller gets a loud error instead
         val targets = p.getOrElse("target", Seq.empty)
-        require(targets.nonEmpty, "target: this parameter is required.")
-        first("format").getOrElse("svg") match {
-          case f @ ("csv" | "json") =>
-            Api.render(spark, env.metrics, targets, first("from"),
-              first("until"), f, env.spec, env.method, env.xff, now)
-          case _ =>
-            // reportStyle[format] or svgRender: svg AND any unknown
-            // format draw the graph (graphite_cgi.lua:388-390). The
-            // reference's CGI stubs svg as "[]" pending its DataGraph
-            // re-engineering (graphite_cgi.lua:373-379); the library
-            // wires the DataGraph renderer itself (L_DataGraph.lua:190+)
-            // with the URL's graph options.
-            val fromT = first("from").flatMap(TimeParse.getTime(_, now))
-              .getOrElse(now - 24 * 3600)
-            val untilT = first("until").flatMap(TimeParse.getTime(_, now))
-              .getOrElse(now)
-            val fetched = targets.flatMap(Glob.expandBraces)
-              .map(t => Fetch.fetch(spark, env.metrics, t, env.spec,
-                env.method, env.xff, fromT, untilT, now))
-              .reduce(_ unionByName _)
-            Render.svg(fetched, env.method, svgOptions(p, targets))
+        if (targets.isEmpty)
+          throw new IllegalArgumentException("target: this parameter is required.")
+        // reportStyle[format] or svgRender: svg AND any unknown format
+        // draw the graph (graphite_cgi.lua:388-390). The reference's
+        // CGI stubs svg as "[]" pending its DataGraph re-engineering
+        // (graphite_cgi.lua:373-379); the library wires the DataGraph
+        // renderer itself (L_DataGraph.lua:190+) with the URL's options.
+        val format = first("format").getOrElse("svg") match {
+          case f @ ("csv" | "json") => f
+          case _ => "svg"
         }
+        Api.render(spark, env.metrics, targets, first("from"),
+          first("until"), format, env.spec, env.method, env.xff, now,
+          svgOpts = Some(svgOptions(p, targets)))
       case other =>
         // the reference's 501 handler (graphite_cgi.lua:218-220)
         throw new UnsupportedOperationException(s"Not Implemented: $other")

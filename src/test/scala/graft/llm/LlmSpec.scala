@@ -42,6 +42,10 @@ class LlmSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
     assert(out.toSeq == Seq(
       (0L, 0.8, 0.75), (1L, 0.0, 0.0), (2L, 0.0, 0.0), (3L, 0.6, 0.5)))
+    // null text → null scores (NOT 0.0, which would read as "clean")
+    val nul = Analysis.repetition(
+      Seq((9L, Option.empty[String])).toDF("doc_id", "text")).head
+    assert(nul.isNullAt(2) && nul.isNullAt(3))
   }
 
   test("decontamination: planted overlap found, df-capped and sub-threshold dropped (F15)") {

@@ -6,7 +6,10 @@ import graft.SparkSpec
   * (lost pushdown, a dimension falling out of broadcast, an extra
   * shuffle, an unbounded cartesian) fails `sbt test` instead of waiting
   * for a manual audit. Asserts over `queryExecution.executedPlan` of
-  * the driver queries at sf0.001 — plan SHAPE only, nothing executes.
+  * the driver queries at sf0.001. The ASSERTIONS are plan-shape only;
+  * note that BUILDING a few whisper queries eagerly runs their fixture
+  * export/write (Queries.whisperExportFetch and the .wsp fixture), so
+  * the all-query sweep does execute those setup jobs.
   */
 class PlanAuditSpec extends SparkSpec {
 

@@ -23,6 +23,8 @@ class CgiSpec extends SparkSpec {
     assert(Cgi.parseParams("q=a%2Ab+c") == Map("q" -> Seq("a*b+c")))
     // lone '%' survives (only valid hex pairs decode)
     assert(Cgi.parseParams("q=100%") == Map("q" -> Seq("100%")))
+    // multi-byte UTF-8 runs decode as BYTES then UTF-8, not char-per-pair
+    assert(Cgi.parseParams("q=caf%C3%A9") == Map("q" -> Seq("café")))
     // names are word chars matched anywhere: "a-b=1" still yields b=1
     assert(Cgi.parseParams("a-b=1") == Map("b" -> Seq("1")))
   }
@@ -39,6 +41,10 @@ class CgiSpec extends SparkSpec {
     val e400 = intercept[IllegalArgumentException](
       Cgi.dispatch(spark, env, "/metrics/find?format=treejson", 120L))
     assert(e400.getMessage.contains("query: this parameter is required."))
+    // the reference's error document text, with no "requirement failed:"
+    val e400t = intercept[IllegalArgumentException](
+      Cgi.dispatch(spark, env, "/render?format=csv", 120L))
+    assert(e400t.getMessage == "target: this parameter is required.")
   }
 
   test("find formats: unknown falls back to treejson (graphite_cgi.lua:256)") {
