@@ -47,13 +47,16 @@ object GraftExtensions {
       new ExpressionInfo(classOf[graft.functions.ShingleDistinct].getName, "shingle_distinct"),
       (children: Seq[Expression]) => {
         def bad() = throw new IllegalArgumentException(
-          "shingle_distinct(tokens, k): k must be an integer literal")
+          "shingle_distinct(tokens, k): k must be a positive integer literal")
         if (children.length != 2 || !children(1).foldable) bad()
         val k = children(1).eval() match {
           case i: Int => i
-          case l: Long => l.toInt
+          case l: Long if l.isValidInt => l.toInt
+          case b: Byte => b.toInt
+          case s: Short => s.toInt
           case _ => bad()
         }
+        if (k < 1) bad()
         graft.functions.ShingleDistinct(children.head, k)
       }),
     // cosine similarity of two float arrays on the codegen'd FloatDot

@@ -60,14 +60,18 @@ object Whisper {
       else if (v.isInfinite) { if (v > 0) "inf" else "-inf" }
       else {
         val exp = if (v == 0.0) 0 else math.floor(math.log10(math.abs(v))).toInt
+        // Locale.ROOT: a comma-decimal default locale would render the
+        // value's decimal point as the pack format's FIELD separator,
+        // silently corrupting every later field in the file
         if (exp < -4 || exp >= sig) {
-          val e = String.format(s"%.${sig - 1}e", Double.box(v))
+          val e = String.format(java.util.Locale.ROOT, s"%.${sig - 1}e", Double.box(v))
           val Array(m, x) = e.split("e")
           val mm = if (m.contains('.')) m.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else m
           s"$mm" + "e" + (if (x.startsWith("-")) "-" else "+") +
             f"${math.abs(x.toInt)}%02d"
         } else {
-          val f = String.format(s"%.${math.max(0, sig - 1 - exp)}f", Double.box(v))
+          val f = String.format(java.util.Locale.ROOT,
+            s"%.${math.max(0, sig - 1 - exp)}f", Double.box(v))
           if (f.contains('.')) f.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else f
         }
       }

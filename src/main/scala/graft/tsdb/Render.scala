@@ -33,13 +33,17 @@ object Render {
       .select(col("path"), struct(
         col("t"),
         concat(lit("["),
-          when(col("value").isNull, lit("null")).otherwise(
-            // the coalesce arm catches |v| ≥ 1e34, where the DECIMAL
-            // cast nulls (non-ANSI) and the null frag would silently
-            // DROP the datapoint from the array — out-of-range values
-            // fall back to plain double formatting instead
-            coalesce(round(col("value"), 4).cast("decimal(38,4)").cast("string"),
-              round(col("value"), 4).cast("string"))),
+          // gaps AND non-finite values render as the JSON null token
+          // (bare NaN/Infinity would make the document unparseable)
+          when(col("value").isNull || isnan(col("value")) ||
+            abs(col("value")) === Double.PositiveInfinity, lit("null"))
+            .otherwise(
+              // the coalesce arm catches |v| ≥ 1e34, where the DECIMAL
+              // cast nulls (non-ANSI) and the null frag would silently
+              // DROP the datapoint from the array — out-of-range values
+              // fall back to plain double formatting instead
+              coalesce(round(col("value"), 4).cast("decimal(38,4)").cast("string"),
+                round(col("value"), 4).cast("string"))),
           lit(", "), col("t").cast("string"), lit("]")).as("frag")).as("p"))
       .groupBy(col("path").as("target"))
       .agg(concat(lit("["),
