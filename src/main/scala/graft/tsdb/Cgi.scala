@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions.col
   * map to exceptions: missing required parameter → the reference's 400
   * (IllegalArgumentException carrying its error document text), unknown
   * script → 501 (UnsupportedOperationException, graphite_cgi.lua:218).
+  *
+  * Responses come back RELATIONAL (the shapes the rest of the library
+  * consumes); a frontend serializing to the wire composes
+  * `Render.treejson` / `Render.completer` / `Render.jsonp` over them
+  * for the reference's exact documents, including the `jsonp` callback
+  * wrap (graphite_cgi.lua:105-109).
   */
 object Cgi {
 
