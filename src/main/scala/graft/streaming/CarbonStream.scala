@@ -18,12 +18,21 @@ import graft.tsdb.{Carbon, Rollup}
   */
 object CarbonStream {
 
+  /** Missing-timestamp stamping per execution mode: a STREAMING source
+    * stamps arrival time per micro-batch (Carbon.parseArrival — a
+    * frozen job-start `now` would fall behind the watermark and
+    * silently drop every later timestamp-less line); batch keeps the
+    * pinned `now` (deterministic twins/oracles).
+    */
+  private def parseLines(lines: DataFrame, now: Long): DataFrame =
+    if (lines.isStreaming) Carbon.parseArrival(lines) else Carbon.parse(lines, now)
+
   /** Rollup of a line stream at `step`-second windows. `window()` start
     * is epoch-aligned, so batch output equals `Rollup.rollup` buckets.
     */
   def rollupStream(lines: DataFrame, step: Long, method: String, now: Long,
                    watermark: String = "1 hour"): DataFrame = {
-    val parsed = Carbon.parse(lines, now)
+    val parsed = parseLines(lines, now)
       .withColumn("event_time", timestamp_seconds(col("ts")))
     val withWm =
       if (parsed.isStreaming) parsed.withWatermark("event_time", watermark)
@@ -44,8 +53,9 @@ object CarbonStream {
     */
   def ingestSink(lines: DataFrame, now: Long, dir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val parsed = Carbon.parse(lines, now)
-      .withColumn("day", col("ts") - col("ts") % 86400L)
+    val parsed = parseLines(lines, now)
+      .withColumn("day",
+        col("ts") - col("ts") % graft.tsdb.MetricStore.DaySeconds)
     parsed.writeStream
       .partitionBy("day")
       .option("checkpointLocation", checkpoint)
@@ -97,8 +107,13 @@ object CarbonStream {
       .flatMapGroupsWithState[Double, Point](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_, it, state: GroupState[Double]) =>
-          // micro-batch iterators are not time-ordered; order before
-          // change detection so "change" means change in ts order
+          // WITHIN a micro-batch, points process in ts order (retry
+          // determinism); ACROSS batches, arrival order — matching the
+          // reference's live relay, which compares each datagram as it
+          // arrives with no event-time reordering (L_DataWatcher.lua):
+          // a point arriving after a newer value was already relayed is
+          // compared against that newest state, exactly as the daemon
+          // would
           val sorted = it.toArray.sortBy(p => (p.ts, p.value))
           val out = Array.newBuilder[Point]
           var last: Option[Double] = if (state.exists) Some(state.get) else None
@@ -116,19 +131,23 @@ object CarbonStream {
     */
   def watchRelayStream(lines: DataFrame, now: Long): Dataset[Point] = {
     import lines.sparkSession.implicits._
-    changeRelay(Carbon.parse(lines, now).select("path", "ts", "value").as[Point])
+    changeRelay(parseLines(lines, now).select("path", "ts", "value").as[Point])
   }
 
   /** Streaming dedup of parsed datapoints: drop (path, ts) repeats
-    * within the watermark horizon (G2).
+    * within the watermark horizon (G2). The watermarked event_time
+    * column is PART of the dedup key — Spark only evicts dedup state
+    * for keys that include the event-time column, and event_time is a
+    * function of ts, so the key is semantically unchanged while state
+    * stays bounded by the horizon instead of growing forever.
     */
   def dedupStream(lines: DataFrame, now: Long, watermark: String = "1 hour"): DataFrame = {
-    val parsed = Carbon.parse(lines, now)
+    val parsed = parseLines(lines, now)
       .withColumn("event_time", timestamp_seconds(col("ts")))
     val withWm =
       if (parsed.isStreaming) parsed.withWatermark("event_time", watermark)
       else parsed
-    withWm.dropDuplicates("path", "ts")
+    withWm.dropDuplicates("path", "ts", "event_time")
   }
 
   final case class SigDecision(doc_id: Long, simhash: Long, keep: Boolean)
@@ -152,8 +171,9 @@ object CarbonStream {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (sig, it, state: GroupState[Long]) =>
           val ids = it.map(_._1).toArray.sorted
-          val keeper = if (state.exists) None else Some(ids.min)
-          if (!state.exists) state.update(ids.min)
+          val keeper =
+            if (state.exists) None
+            else { state.update(ids.head); Some(ids.head) } // sorted: head == min
           ids.iterator.map(id => SigDecision(id, sig, keeper.contains(id)))
       }
   }

@@ -20,7 +20,20 @@ object Carbon {
     * (L_DataCache.lua:164-166); a missing timestamp falls back to `now`.
     * Input: a DataFrame with a `line` string column.
     */
-  def parse(lines: DataFrame, now: Long): DataFrame = {
+  def parse(lines: DataFrame, now: Long): DataFrame =
+    parseWith(lines, lit(now))
+
+  /** Streaming variant: a missing timestamp stamps the ARRIVAL time
+    * (the reference calls os.time() per line, L_DataCache.lua:165).
+    * `current_timestamp()` in Structured Streaming is the micro-batch
+    * query time — per-batch arrival stamping, stable across task
+    * retries. A frozen job-start `now` would fall behind the watermark
+    * within an hour and silently drop every later timestamp-less line.
+    */
+  def parseArrival(lines: DataFrame): DataFrame =
+    parseWith(lines, unix_timestamp(current_timestamp()))
+
+  private def parseWith(lines: DataFrame, nowCol: org.apache.spark.sql.Column): DataFrame = {
     // ONE whitespace split per line (the previous three regexp_extract
     // calls each re-matched the full pattern); dropping empty tokens
     // mirrors the reference's UNANCHORED Lua pattern, which skips
@@ -31,7 +44,7 @@ object Carbon {
         coalesce(try_element_at(col("toks"), lit(1)), lit("")).as("path"),
         // try_cast: malformed values → null row-drop, not an ANSI error
         expr("try_cast(try_element_at(toks, 2) AS double)").as("value"),
-        coalesce(expr("try_cast(try_element_at(toks, 3) AS bigint)"), lit(now)).as("ts"))
+        coalesce(expr("try_cast(try_element_at(toks, 3) AS bigint)"), nowCol).as("ts"))
       .filter(col("path") =!= "" && col("value").isNotNull)
   }
 

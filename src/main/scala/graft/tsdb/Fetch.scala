@@ -104,21 +104,40 @@ object Fetch {
     * (L_DataWhisper.lua:525-552); gap fill is svg-render presentation
     * (see gapPolicy).
     */
+  /** The (path, t, value) schema every fetch returns — also for the
+    * out-of-range empty result, so callers (render, unionByName over
+    * targets, fetchRouted's projection) never see a schemaless frame.
+    */
+  val FetchSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("path", StringType), StructField("t", LongType),
+      StructField("value", DoubleType)))
+  }
+
+  /** Empty series WITH the fetch schema (a stale-but-valid window must
+    * return no rows, not crash the plan).
+    */
+  def emptyFetch(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), FetchSchema)
+
   def fetch(spark: SparkSession, metrics: DataFrame, target: String,
             spec: Seq[Retention.Archive], method: String, xff: Double,
             fromTime: Long, untilTime: Long, now: Long): DataFrame = {
     val regex = Glob.queryToRegex(target, allowDeeper = false)
     val matched = metrics.filter(col("path").rlike(regex))
     select(spec, fromTime, untilTime, now) match {
-      case None => spark.emptyDataFrame
+      case None => emptyFetch(spark)
       case Some(Clamped(from, until, archive)) =>
         val idx = spec.indexOf(archive)
-        // cached: fetchDense references the archive twice (grid path set
-        // + join side); uncached, the rollup cascade executes twice. The
-        // archive is bucket-level ((path, bucket) rows, far smaller than
-        // raw) and the default storage level spills to disk.
-        val arch = Rollup.archives(matched, spec.take(idx + 1), method, xff).last.cache()
-        fetchDense(spark, arch, archive.secondsPerPoint, from, until)
+        val arch = Rollup.archives(matched, spec.take(idx + 1), method, xff).last
+        // grid paths come from the MATCHED raw scan, not the archive:
+        // a path whose every bucket failed xFilesFactor at this level
+        // must still return all-null rows (the whisper file exists,
+        // L_DataWhisper.lua:525-552). This also leaves the archive plan
+        // referenced once — no cache to pin.
+        fetchDensePaths(matched.select(col("path")).distinct(), arch,
+          archive.secondsPerPoint, from, until)
     }
   }
 }

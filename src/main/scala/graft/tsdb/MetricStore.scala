@@ -34,13 +34,24 @@ object MetricStore {
     */
   def writeArchives(metrics: DataFrame, spec: Seq[Retention.Archive],
                     method: String, xff: Double, root: String): Unit = {
-    Rollup.archives(metrics, spec, method, xff).zip(spec).foreach {
-      case (archive, a) =>
-        archive
-          .withColumn("day", col("bucket") - col("bucket") % DaySeconds)
-          .repartition(col("day"))
-          .write.partitionBy("day").mode("overwrite")
-          .parquet(s"$root/step=${a.secondsPerPoint}")
+    val spark = metrics.sparkSession
+    // each level is written once, then the NEXT propagation reads the
+    // parquet just written: lazy Rollup.archives plans all chain from
+    // the raw scan, so writing them directly would re-execute level j
+    // (L - j) times — quadratic repeated shuffle work at 100 TB
+    var prev: DataFrame = null
+    var prevStep = 0L
+    spec.zipWithIndex.foreach { case (a, i) =>
+      val level =
+        if (i == 0) Rollup.rollup(metrics, a.secondsPerPoint, method)
+        else Rollup.propagate(prev, prevStep, a.secondsPerPoint, method, xff)
+      level
+        .withColumn("day", col("bucket") - col("bucket") % DaySeconds)
+        .repartition(col("day"))
+        .write.partitionBy("day").mode("overwrite")
+        .parquet(s"$root/step=${a.secondsPerPoint}")
+      prev = spark.read.parquet(s"$root/step=${a.secondsPerPoint}")
+      prevStep = a.secondsPerPoint
     }
     metrics.select(col("path")).distinct().coalesce(1)
       .write.mode("overwrite").parquet(s"$root/paths")
@@ -70,7 +81,7 @@ object MetricStore {
   def fetchStored(spark: SparkSession, root: String, spec: Seq[Retention.Archive],
                   target: String, fromTime: Long, untilTime: Long, now: Long): DataFrame =
     Fetch.select(spec, fromTime, untilTime, now) match {
-      case None => spark.emptyDataFrame
+      case None => Fetch.emptyFetch(spark)
       case Some(Fetch.Clamped(from, until, archive)) =>
         val step = archive.secondsPerPoint
         val fromQ = from - from % step

@@ -52,6 +52,28 @@ class ApiSpec extends SparkSpec {
     assert(out.collect().nonEmpty)
   }
 
+  test("stale window returns an empty series with the fetch schema, not a schemaless frame") {
+    // fromTime > now → Fetch.select = None; the multi-target union and
+    // the csv render must still resolve (path, t, value)
+    val out = Api.render(spark, metrics, Seq("a.*", "b.*"),
+      Some("2100-01-01T00:00:00"), Some("2100-01-02T00:00:00"), "csv",
+      spec, "average", 0.0, now = 120L)
+    assert(out.columns.toSeq == Seq("target", "ts_str", "value"))
+    assert(out.count() == 0)
+  }
+
+  test("xff-failing path still returns all-null rows: grid from matched paths") {
+    // coarse archive selected (fine can't reach from=120 at now=7200);
+    // no data lands inside the window, and b.y's only coarse bucket
+    // fails xff=0.9 — BOTH paths must still appear, all values null
+    // (the whisper file exists, L_DataWhisper.lua:525-552)
+    val out = Fetch.fetch(spark, metrics, "*.*",
+      Retention.parse("1m:2m,2m:2h"), "average", 0.9, 120L, 240L, 7200L)
+    val rows = out.collect()
+    assert(rows.map(_.getString(0)).distinct.sorted.toSeq == Seq("a.x", "b.y"))
+    assert(rows.forall(_.isNullAt(2)))
+  }
+
   test("find/expand/index accept brace queries") {
     val paths = metrics.select("path").distinct()
     assert(Api.find(paths, "{a,b}.*").count() == 2)
