@@ -809,7 +809,9 @@ object SparkEntry {
          |  CAST(0 AS BIGINT) AS finder FROM m GROUP BY 1),
          |w2 AS (SELECT path, min(ts) AS earliest, max(ts) AS latest,
          |  CAST(1 AS BIGINT) AS finder FROM m WHERE ts >= 1705000000 GROUP BY 1),
-         |dm AS (SELECT 'DM.'||lpad(CAST(device AS VARCHAR),3,'0')||'.'||service||'.'||variable AS path,
+         |dm AS (SELECT 'DM.'||(CASE WHEN length(CAST(device AS VARCHAR)) >= 3
+         |    THEN CAST(device AS VARCHAR) ELSE lpad(CAST(device AS VARCHAR),3,'0') END)
+         |  ||'.'||service||'.'||variable AS path,
          |  min(ts) AS earliest, max(ts) AS latest, CAST(2 AS BIGINT) AS finder
          |  FROM ev GROUP BY 1),
          |u AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM dm),

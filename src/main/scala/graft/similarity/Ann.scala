@@ -24,6 +24,21 @@ object Ann {
 
   private def norm(e: Column): Column = sqrt(dot(e, e))
 
+  /** Shared rank-and-project tail of every top-k surface: rank on
+    * round(cos,6) with vec_id tie-break (engine-stable ordering),
+    * project round(cos,4) — the oracle-parity contract, expressed once.
+    */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** F5: exact cosine top-k of `vecs` for each query in `queries`
     * (both (vec_id, embedding)). Rank on round(cos,6) with vec_id
     * tie-break so ordering is engine-stable.
@@ -36,14 +51,7 @@ object Ann {
     val scored = v.crossJoin(q)
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", dot(col("qe"), col("ve")) / (col("qn") * col("vn")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(round(col("cos"), 6).desc, col("vec_id"))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id"),
-        round(col("cos"), 4).as("cos"))
-      .orderBy(col("q_id"), col("rk"))
+    topK(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplanes: component (p, d) =
@@ -130,14 +138,7 @@ object Ann {
           col("vec_id") =!= col("q_id"))
       .dropDuplicates("q_id", "vec_id")
       .withColumn("cos", dot(col("qe"), col("ve")) / (col("qn") * col("vn")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(round(col("cos"), 6).desc, col("vec_id"))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id"),
-        round(col("cos"), 4).as("cos"))
-      .orderBy(col("q_id"), col("rk"))
+    topK(scored, k)
   }
 
   /** F6b: IVF (inverted-file) top-k — the other classic ANN scale
@@ -190,14 +191,7 @@ object Ann {
       .filter(col("vec_id") =!= col("q_id"))
       .dropDuplicates("q_id", "vec_id")
       .withColumn("cos", dot(col("qe"), col("ve")) / (col("qn") * col("vn")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(round(col("cos"), 6).desc, col("vec_id"))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id"),
-        round(col("cos"), 4).as("cos"))
-      .orderBy(col("q_id"), col("rk"))
+    topK(scored, k)
   }
 
   /** F11: per-label L2-norm statistics over the embedding column. */

@@ -15,6 +15,9 @@ object Datamine {
     * nearest second (L_DataMineServer.lua:138-146).
     */
   def gridTimes(t1: Long, t2: Long, n: Int): Seq[Long] = {
+    // n=1: dt would be (t2-t1)/0 → Infinity and 0*Infinity = NaN →
+    // floor(NaN).toLong = 0, silently gridding against timestamp 0
+    if (n == 1) return Seq(t1)
     val dt = (t2 - t1).toDouble / (n - 1)
     (0 until n).map(i => math.floor(t1 + i * dt + 0.5).toLong)
   }

@@ -38,14 +38,23 @@ object Finders {
     * the channel's first/last samples. Input: one row per sample with
     * (device, service, variable, ts).
     */
+  /** Channel path `<vera>.<%03d device>.<service>.<variable>`: the
+    * reference's `%03d` PADS but never truncates (a bare lpad would
+    * collide every device ≥ 1000 onto one 3-char channel id). One
+    * shared expression so the finder namespace and the reader's fetch
+    * keying can't drift apart.
+    */
+  private def dmPath(veraPrefix: String) = {
+    val d = col("device").cast("string")
+    concat_ws(".", lit(veraPrefix),
+      when(length(d) >= 3, d).otherwise(lpad(d, 3, "0")),
+      col("service"), col("variable"))
+  }
+
   def datamineLeaves(points: DataFrame, veraPrefix: String = "DM"): DataFrame =
     points.groupBy(col("device"), col("service"), col("variable"))
       .agg(min(col("ts")).as("earliest"), max(col("ts")).as("latest"))
-      .select(
-        concat_ws(".", lit(veraPrefix),
-          lpad(col("device").cast("string"), 3, "0"),
-          col("service"), col("variable")).as("path"),
-        col("earliest"), col("latest"))
+      .select(dmPath(veraPrefix).as("path"), col("earliest"), col("latest"))
 
   /** Union the finder namespaces with first-finder-wins leaf intervals:
     * one row per distinct leaf path, carrying (earliest, latest,
@@ -90,31 +99,36 @@ object Finders {
     * Input: channel samples keyed by the federated channel path.
     */
   def datamineFetch(points: DataFrame, target: String,
-                    from: Long, until: Long, veraPrefix: String = "DM"): DataFrame = {
-    val path = concat_ws(".", lit(veraPrefix),
-      lpad(col("device").cast("string"), 3, "0"),
-      col("service"), col("variable"))
-    points.select(path.as("path"), col("ts").as("t"), col("value"))
+                    from: Long, until: Long, veraPrefix: String = "DM"): DataFrame =
+    points.select(dmPath(veraPrefix).as("path"), col("ts").as("t"), col("value"))
       .filter(col("path").rlike(Glob.queryToRegex(target, allowDeeper = false)))
       .filter(col("t").between(from, until))
-  }
 
-  /** Store-style fetch through the federated namespace: a target is
-    * routed to the finder whose reader owns it — whisper globs get the
-    * dense quantized archive fetch, dataMine globs the raw non-uniform
-    * samples (the reference's LeafNode.fetch delegates to its reader,
-    * L_DataGraphiteAPI.lua:188-191). Routing is by namespace prefix:
-    * dataMine channel paths live under `<veraPrefix>.`
-    * (L_DataFinders.lua:352-356), everything else is whisper.
+  /** Store-style fetch through the federated namespace: each matched
+    * leaf is served by its owning finder's reader — whisper leaves get
+    * the dense quantized archive fetch, dataMine leaves the raw
+    * non-uniform samples (the reference's LeafNode.fetch delegates to
+    * its reader, L_DataGraphiteAPI.lua:188-191). dataMine channel paths
+    * live under `<veraPrefix>.` (L_DataFinders.lua:352-356); a glob
+    * whose first component could match BOTH namespaces (`*...`,
+    * `{DM,vera}...`) fetches from both and unions — path namespaces are
+    * disjoint, so each series still comes from exactly one reader.
     */
   def fetchRouted(spark: org.apache.spark.sql.SparkSession,
                   metrics: DataFrame, dmPoints: DataFrame, target: String,
                   spec: Seq[Retention.Archive], method: String, xff: Double,
                   from: Long, until: Long, now: Long,
-                  veraPrefix: String = "DM"): DataFrame =
-    if (target == veraPrefix || target.startsWith(veraPrefix + "."))
-      datamineFetch(dmPoints, target, from, until, veraPrefix)
-    else
+                  veraPrefix: String = "DM"): DataFrame = {
+    val dmOnly = target == veraPrefix || target.startsWith(veraPrefix + ".")
+    lazy val dmSide = datamineFetch(dmPoints, target, from, until, veraPrefix)
+    lazy val whisperSide =
       Fetch.fetch(spark, metrics, target, spec, method, xff, from, until, now)
         .select(col("path"), col("t"), col("value"))
+    if (dmOnly) dmSide
+    else {
+      val firstComp = Glob.splitQuery(target).head
+      val dmPossible = veraPrefix.matches(Glob.componentToRegex(firstComp))
+      if (dmPossible) whisperSide.unionByName(dmSide) else whisperSide
+    }
+  }
 }

@@ -20,7 +20,12 @@ object Glob {
     x match {
       case braceRe(pre, braces, post) =>
         val items = braces.substring(1, braces.length - 1).split(",").filter(_.nonEmpty)
-        items.toSeq.flatMap(item => expandBraces(post).map(p => pre + item + p))
+        // '{}' (or '{,}') = one empty alternative: 'foo{}' must expand
+        // to 'foo', matching the regex path's 'foo()' — an empty Seq
+        // here would vanish the whole target and crash multi-target
+        // reduces downstream
+        val items2 = if (items.isEmpty) Array("") else items
+        items2.toSeq.flatMap(item => expandBraces(post).map(p => pre + item + p))
       case _ => Seq(x)
     }
   }
@@ -44,10 +49,18 @@ object Glob {
           require(close > i, s"unbalanced brace in '$comp'")
           // drop empty alternatives ('{a,}' → just 'a'), mirroring
           // expandBraces — '(a|)' would also match an empty component,
-          // so the fast regex path would disagree with expansion
+          // so the fast regex path would disagree with expansion.
+          // Globs INSIDE an alternative stay live ('{0*,1}' must match
+          // '01' — the expansion path treats each alternative as a
+          // pattern, so the single-regex path must too); a '.' from a
+          // dotted alternative quotes to a literal level separator.
           val alts = comp.substring(i + 1, close).split(",")
-            .filter(_.nonEmpty).map(_.flatMap(quoteRegex)).mkString("|")
-          sb.append("(").append(alts).append(")")
+            .filter(_.nonEmpty).map(_.flatMap {
+              case '*' => "[^.]*"
+              case '?' => "[^.]"
+              case a => quoteRegex(a)
+            }).mkString("|")
+          sb.append("(").append(if (alts.isEmpty) "" else alts).append(")")
           i = close
         case c => sb.append(quoteRegex(c))
       }
@@ -56,15 +69,33 @@ object Glob {
     sb.toString
   }
 
+  /** Split a query on dots NOT inside a brace group, so a dotted value
+    * list (`vera.{u1.cpu,u2}.load`) stays one component instead of
+    * crashing componentToRegex with an unbalanced fragment.
+    */
+  private[tsdb] def splitQuery(query: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    val sb = new StringBuilder
+    var depth = 0
+    query.foreach {
+      case '{' => depth += 1; sb.append('{')
+      case '}' => depth = math.max(0, depth - 1); sb.append('}')
+      case '.' if depth == 0 => out += sb.toString; sb.clear()
+      case c => sb.append(c)
+    }
+    out += sb.toString
+    out.result()
+  }
+
   /** Compile a full dotted glob query. Matches paths whose first
     * `depth(query)` components match; `allowDeeper` additionally
     * accepts longer paths (for branch-node discovery).
     */
   def queryToRegex(query: String, allowDeeper: Boolean): String = {
-    val comps = query.split("\\.").map(componentToRegex)
+    val comps = splitQuery(query).map(componentToRegex)
     val tail = if (allowDeeper) "(\\..+)?" else ""
     "^" + comps.mkString("\\.") + tail + "$"
   }
 
-  def depth(query: String): Int = query.split("\\.").length
+  def depth(query: String): Int = splitQuery(query).length
 }

@@ -193,9 +193,14 @@ object Render {
     // projection — without it the whole upstream fetch cascade runs
     // twice. Grid-sized (points inside one render window), so tiny.
     ).cache()
+    // yMin/yMax PIN the axis (gviz viewWindow, L_DataGraph.lua:271-273):
+    // the y range is the requested window when given, data bounds
+    // otherwise — clamping values alone would still rescale the axis to
+    // the data and draw a mid-range series across the full height
     val bounds = withDups.agg(
       min(col("t")).as("t0"), max(col("t")).as("t1"),
-      min(col("value")).as("v0"), max(col("value")).as("v1"))
+      opts.yMin.map(v => min(lit(v))).getOrElse(min(col("value"))).as("v0"),
+      opts.yMax.map(v => max(lit(v))).getOrElse(max(col("value"))).as("v1"))
     val m = 40.0
     val scaled = withDups.crossJoin(broadcast(bounds)).select(
       col("path"), col("seg"), col("t"), col("ord"),
@@ -247,7 +252,8 @@ object Render {
         concat_ws("", array_sort(collect_set(col("legend_item")))).as("legend"))
       .select(concat(
         lit(s"""<svg xmlns="http://www.w3.org/2000/svg" width="$width" height="$height" viewBox="0 0 $width $height">"""),
-        lit(opts.bgcolor.map(c => s"""<rect width="100%" height="100%" fill="$c"/>""").getOrElse("")),
+        lit(opts.bgcolor.map(c =>
+          s"""<rect width="100%" height="100%" fill="${escAttr(c)}"/>""").getOrElse("")),
         lit(opts.title.map(t => s"<title>${esc(t)}</title>").getOrElse("")),
         lit(opts.vtitle.map(t =>
           s"""<text transform="rotate(-90)" x="${-height / 2}" y="14" text-anchor="middle" font-size="11">${esc(t)}</text>""").getOrElse("")),
@@ -256,4 +262,11 @@ object Render {
 
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Attribute-position escaping: quotes too — a URL-supplied value
+    * interpolated into an attribute could otherwise break out and
+    * inject markup (script runs when an SVG is served to a browser).
+    */
+  private def escAttr(s: String): String =
+    esc(s).replace("\"", "&quot;").replace("'", "&#39;")
 }

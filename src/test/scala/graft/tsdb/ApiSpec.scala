@@ -74,6 +74,22 @@ class ApiSpec extends SparkSpec {
     assert(rows.forall(_.isNullAt(2)))
   }
 
+  test("yMin/yMax pin the y axis; bgcolor escapes in attribute position") {
+    val doc = Api.render(spark, metrics, Seq("a.x"),
+      Some("1970-01-01T00:00:00"), Some("1970-01-01T00:02:00"), "svg",
+      spec, "average", 0.0, now = 120L,
+      svgOpts = Some(Render.SvgOptions(
+        yMin = Some(0.0), yMax = Some(100.0),
+        bgcolor = Some("\"/><script>x</script>")))).head.getString(0)
+    // axis = the 0..100 viewWindow, not the data bounds 1..3:
+    // y(v) = 460 - v/100*420 → 455.8 and 447.4 (data-bound scaling
+    // would map the extremes to 460.0 and 40.0)
+    assert(doc.contains("455.8") && doc.contains("447.4"))
+    // attribute injection neutralized
+    assert(!doc.contains("<script>"))
+    assert(doc.contains("&quot;"))
+  }
+
   test("find/expand/index accept brace queries") {
     val paths = metrics.select("path").distinct()
     assert(Api.find(paths, "{a,b}.*").count() == 2)

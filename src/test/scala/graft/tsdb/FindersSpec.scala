@@ -23,6 +23,29 @@ class FindersSpec extends SparkSpec {
       ("DM.042.urn:x:SwitchPower1.Status", 200L, 200L)))
   }
 
+  test("device ids wider than 3 digits pad-only, never truncate (%03d semantics)") {
+    val pts = Seq(
+      (1234L, "urn:x:S1", "V1", 10L),
+      (1235L, "urn:x:S1", "V1", 20L)
+    ).toDF("device", "service", "variable", "ts")
+    val paths = Finders.datamineLeaves(pts).collect().map(_.getString(0)).sorted
+    // lpad would collide both onto 'DM.123....'
+    assert(paths.toSeq == Seq("DM.1234.urn:x:S1.V1", "DM.1235.urn:x:S1.V1"))
+  }
+
+  test("a glob spanning both namespaces fetches from BOTH readers") {
+    val metrics = Seq(("vera.u1.click", 30L, 1.0)).toDF("path", "ts", "value")
+    val dmPoints = Seq((7L, "urn:x:S1", "V1", 13L, 1.5))
+      .toDF("device", "service", "variable", "ts", "value")
+    val spec = Retention.parse("1m:1h")
+    val out = Finders.fetchRouted(spark, metrics, dmPoints, "*.*.*.*",
+      spec, "average", 0.0, 0L, 60L, 200L).collect()
+      .map(_.getString(0)).distinct.sorted
+    // the DM leaf appears in /metrics/find for this glob, so /render
+    // must serve it too — not silently route whisper-only
+    assert(out.contains("DM.007.urn:x:S1.V1"))
+  }
+
   test("first finder claiming a leaf path provides its intervals") {
     val f0 = Seq(("a.x", 10L, 90L)).toDF("path", "earliest", "latest")
     val f1 = Seq(("a.x", 50L, 60L), ("a.y", 5L, 7L)).toDF("path", "earliest", "latest")

@@ -57,4 +57,25 @@ class GlobSpec extends AnyFunSuite {
     assert("a+b.c".matches(re))
     assert(!"aab.c".matches(re))
   }
+
+  test("dotted brace groups compile (split is brace-aware, not dot-blind)") {
+    val re = Glob.queryToRegex("vera.{u1.cpu,u2}.load", allowDeeper = false)
+    assert("vera.u1.cpu.load".matches(re))
+    assert("vera.u2.load".matches(re))
+    assert(!"vera.u3.load".matches(re))
+    // depth counts brace-aware components, not raw dots
+    assert(Glob.depth("vera.{u1.cpu,u2}.load") == 3)
+  }
+
+  test("globs inside brace alternatives stay live, matching the expansion path") {
+    val re = Glob.queryToRegex("cpu{0*,1}.load", allowDeeper = false)
+    assert("cpu01.load".matches(re) && "cpu0.load".matches(re)
+      && "cpu1.load".matches(re))
+    assert(!"cpu2.load".matches(re))
+  }
+
+  test("'{}' is one empty alternative in both paths") {
+    assert(Glob.expandBraces("foo{}") == Seq("foo"))
+    assert("foo".matches(Glob.queryToRegex("foo{}", allowDeeper = false)))
+  }
 }

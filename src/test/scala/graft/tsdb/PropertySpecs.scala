@@ -30,7 +30,8 @@ object GlobProps extends Properties("Glob") {
   }
 
   private val comp = Gen.oneOf("a", "b", "ab", "ba", "aab")
-  private val globComp = Gen.oneOf("*", "?", "a", "b", "ab", "a*", "*b", "?b", "{a,b}", "{ab,b}a")
+  private val globComp = Gen.oneOf("*", "?", "a", "b", "ab", "a*", "*b", "?b",
+    "{a,b}", "{ab,b}a", "{a*,b}", "{?b,a}")
   private val path = Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, comp)).map(_.mkString("."))
   private val query = Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, globComp)).map(_.mkString("."))
 
