@@ -28,7 +28,11 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(spark, dir, "events")
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integer division: `/` on longs is DOUBLE division, and epoch
+      // nanos (~1.7e18) exceed double's 2^53 exact range — the ±128 ns
+      // representation error can round a microsecond-aligned value into
+      // the neighboring microsecond
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")

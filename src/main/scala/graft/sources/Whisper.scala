@@ -112,7 +112,11 @@ object Whisper {
       require(a.length == 3, s"bad archiveInfo $i")
       ArchiveInfo(a(0).toInt, a(1).toLong, a(2).toInt)
     }
-    Header(aggregationTypeToMethod(meta(0).toInt - 1), meta(1).toLong, meta(2), archives)
+    // unknown/corrupt aggregationType degrades to 'average' (the
+    // reference's `aggregationTypeToMethod[t] or 'average'`) instead of
+    // one bad file killing a whole tree read
+    Header(aggregationTypeToMethod.lift(meta(0).toInt - 1).getOrElse("average"),
+      meta(1).toLong, meta(2), archives)
   }
 
   /** All live points of one archive: slots whose stored interval ≠ 0
@@ -278,7 +282,12 @@ object Whisper {
     }.reduce(_ unionByName _)
     val archList = spec.map(a => (a.secondsPerPoint, a.points.toInt))
     Files.createDirectories(Paths.get(dir))
-    rows.as[(String, Int, Long, Double)]
+    rows
+      // a metric path containing the filesystem separator cannot be a
+      // flat .wsp file name — and unfiltered it would traverse OUT of
+      // `dir` (paths originate from untrusted carbon lines)
+      .filter(!col("path").contains("/") && !col("path").contains("\\"))
+      .as[(String, Int, Long, Double)]
       .groupByKey(_._1)
       .mapGroups { (path, it) =>
         val bytes = fileBytes(archList, xff, method, it.map { case (_, a, t, v) => (a, t, v) })
@@ -293,10 +302,7 @@ object Whisper {
   def update(path: String, ts: Long, value: Double, archive: Int = 0): Unit = {
     val bytes = Files.readAllBytes(Paths.get(path))
     val ai = parseHeader(bytes).archives(archive)
-    val interval = ts - ts % ai.secondsPerPoint
-    val slot = ((interval / ai.secondsPerPoint) % ai.points).toInt
-    val packed = packPoint(interval, value).getBytes(US_ASCII)
-    System.arraycopy(packed, 0, bytes, ai.offset + slot * PointSize, PointSize)
+    writeSlot(bytes, ai, ts - ts % ai.secondsPerPoint, value)
     Files.write(Paths.get(path), bytes)
   }
 
@@ -344,10 +350,19 @@ object Whisper {
   def fetchFiles(spark: SparkSession, dir: String, target: String,
                  fromTime: Long, untilTime: Long, now: Long): DataFrame = {
     import graft.tsdb.Glob
+    // the reference raises 'Invalid time interval' up front
+    // (as Fetch.select does); an inverted window would otherwise
+    // survive the clamp and explode sequence() mid-job on an executor
+    require(fromTime <= untilTime,
+      s"invalid time interval: from=$fromTime > until=$untilTime")
     val regex = Glob.queryToRegex(target, allowDeeper = false)
+    // headers feed BOTH the clamp aggregate and the archive-selection
+    // join — cached so the binaryFile scan (full file contents) runs
+    // once, not twice
     val inf = info(spark, dir).filter(col("path").rlike(regex))
       .withColumn("oldest",
         lit(now) - lit(now) % col("spp") - col("retention") + col("spp"))
+      .cache()
     // the file is read twice (headers + points): one cached scan
     val pts = read(spark, dir).filter(col("path").rlike(regex)).cache()
     val clamp = inf.groupBy(col("path"))

@@ -49,12 +49,16 @@ object Carbon {
   }
 
   /** Apply rewrite rules: the first rule whose pattern matches rewrites
-    * the path, remaining rules are skipped (L_DataCache.lua:123-129).
-    * Anchored patterns keep regexp_replace to a single application.
+    * the path ONCE (the reference is gsub count=1, L_DataCache.lua:125
+    * — an unanchored rule substitutes only its first occurrence),
+    * remaining rules are skipped (L_DataCache.lua:123-129). DuckDB's
+    * regexp_replace is first-match-only by default, so the oracle
+    * agrees by construction.
     */
   def rewrite(path: Column, rules: Seq[Rule]): Column =
     coalesce(rules.map(r =>
-      when(path.rlike(r.pattern), regexp_replace(path, r.pattern, r.replacement))) :+ path: _*)
+      when(path.rlike(r.pattern),
+        graft.functions.ReplaceFirst.replaceFirst(path, r.pattern, r.replacement))) :+ path: _*)
 
   /** [pre] then [post] rewrite passes (L_DataCache.lua:167-172). */
   def rewritePrePost(path: Column, pre: Seq[Rule], post: Seq[Rule]): Column =
@@ -93,7 +97,12 @@ object Carbon {
     */
   def translateRouted(tag: Column, value: Column,
                       tables: Map[String, Map[String, String]]): Column = {
-    val ordered = tables.toSeq.sortBy { case (sect, _) => (sect.contains("*"), sect) }
+    // specificity order: non-wildcarded sections first, then wildcarded
+    // by DESCENDING literal character count (so '1*.srv.Var' beats the
+    // bare '*.srv.Var' for tag '12.srv.Var' — a lexicographic tie-break
+    // alone would put '*' (0x2A) before any digit), name as final tie
+    val ordered = tables.toSeq.sortBy { case (sect, _) =>
+      (sect.contains("*"), -sect.count(_ != '*'), sect) }
     coalesce(ordered.map { case (sect, tbl) =>
       when(tag.rlike(Glob.queryToRegex(sect, allowDeeper = false)), translate(value, tbl))
     } :+ value: _*)

@@ -29,7 +29,11 @@ object Conf {
     }
   }
 
-  private val SectionRe = """^\s*\[([^\]]+)\]\s*$""".r
+  // unanchored tail, like the reference's `^%s*%[([^%]]+)%]`
+  // (L_DataDaemon.lua:114): '[section] trailing-text' still starts the
+  // section — an end anchor would silently drop it and append its
+  // params to the PREVIOUS section
+  private val SectionRe = """^\s*\[([^\]]+)\].*$""".r
   // key (optional numeric parenthetical) = value — the reference's
   // `param (number) = value` syntax (L_DataDaemon.lua:120)
   private val ParamRe = """^\s*([^=(\s]+)\s*(?:\((\d*)\))?\s*=\s*(.*?)\s*$""".r

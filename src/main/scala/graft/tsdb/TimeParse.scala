@@ -36,9 +36,16 @@ object TimeParse {
       def f(v: String, dflt: Int) = if (v == null || v.isEmpty) dflt else v.toInt
       try {
         if (mo.length == 2 && sep.isEmpty && dy.length == 1) {
-          // ordinal date: year-daynumber (e.g. 2024-032)
+          // ordinal date: year-daynumber (e.g. 2024-032). The reference
+          // resolves the day number against YEAR 2000 (a leap year) and
+          // then substitutes the requested year (graphite_cgi.lua:65-70)
+          // — so '2023-365' is Dec 30, not Dec 31. Day 60 of a non-leap
+          // year (Feb 29) normalizes to Mar 1, as os.time does.
           val dayNum = (mo + dy).toInt
-          val date = LocalDate.ofYearDay(y.toInt, dayNum)
+          val fixed = LocalDate.ofYearDay(2000, dayNum)
+          val date =
+            try LocalDate.of(y.toInt, fixed.getMonthValue, fixed.getDayOfMonth)
+            catch { case _: Exception => LocalDate.of(y.toInt, 3, 1) }
           Some(LocalDateTime.of(date.getYear, date.getMonthValue, date.getDayOfMonth,
             f(h, 12), f(mi, 0), f(s, 0)).toEpochSecond(ZoneOffset.UTC))
         } else {

@@ -147,4 +147,12 @@ class ConfSpec extends SparkSpec {
     assert(s(1).params == Seq("k" -> "vx", "k" -> "w"))
     assert(s(1).get("k").contains("vx"))
   }
+
+  test("section lines tolerate trailing text (reference matcher is unanchored)") {
+    // '[default] # catch-all' must START the section, not fall through
+    // and leave its params in the previous one (L_DataDaemon.lua:114)
+    val s = Conf.parse("[a]\nx = 1\n[default] # catch-all\ny = 2\n")
+    assert(s.map(_.name) == Seq("a", "default"))
+    assert(s(1).params == Seq("y" -> "2"))
+  }
 }

@@ -39,6 +39,17 @@ class TimeParseSpec extends AnyFunSuite {
       TimeParse.isoTime("2024-02-01"))
   }
 
+  test("ordinal dates resolve against the reference's year-2000 leap base") {
+    // the reference offsets from os.time{2000,1,1} (a leap year) and
+    // then swaps the year in (graphite_cgi.lua:65-70): day 365 of a
+    // NON-leap year is Dec 30, not Dec 31
+    assert(TimeParse.isoTime("2023-365") == TimeParse.isoTime("2023-12-30"))
+    // day 60 = Feb 29 in the 2000 base; a non-leap target normalizes
+    // to Mar 1 (os.time normalization)
+    assert(TimeParse.isoTime("2023-060") == TimeParse.isoTime("2023-03-01"))
+    assert(TimeParse.isoTime("2024-060") == TimeParse.isoTime("2024-02-29"))
+  }
+
   test("getTime prefers relative") {
     assert(TimeParse.getTime("-1d", now) == TimeParse.relativeTime("-1d", now))
     assert(TimeParse.getTime("2024-01-29", now) == TimeParse.isoTime("2024-01-29"))

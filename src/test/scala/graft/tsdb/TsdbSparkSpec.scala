@@ -139,6 +139,29 @@ class TsdbSparkSpec extends SparkSpec {
     assert(out.toSeq == Seq("A.b", "x.y"))
   }
 
+  test("carbon rewrite substitutes only the FIRST occurrence (gsub count=1)") {
+    // the reference is gsub(pattern, repl, 1) (L_DataCache.lua:125):
+    // an unanchored rule must not rewrite every occurrence
+    val out = Seq("a_b_c").toDF("p")
+      .select(Carbon.rewrite(col("p"), Seq(Carbon.Rule("_", "."))).as("p"))
+      .head.getString(0)
+    assert(out == "a.b_c")
+  }
+
+  test("translation routing: a partial wildcard beats the bare '*' section") {
+    val tables = Map(
+      "*.srv.Var" -> Map("On" -> "1"),
+      "1*.srv.Var" -> Map("On" -> "100"))
+    val out = Seq(("12.srv.Var", "On"), ("7.srv.Var", "On")).toDF("tag", "sym")
+      .select(col("tag"), Carbon.translateRouted(col("tag"), col("sym"), tables).as("code"))
+      .orderBy("tag").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq == Seq(("12.srv.Var", "100"), ("7.srv.Var", "1")))
+  }
+
+  test("gridTimes n=1 returns the start time, not NaN->0") {
+    assert(Datamine.gridTimes(1000L, 2000L, 1) == Seq(1000L))
+  }
+
   test("datamine resample: last sample ≤ grid time (D1)") {
     val pts = Seq((10L, 1.0), (10L, 0.5), (25L, 2.0)).toDF("ts", "value")
     val out = Datamine.resample(pts, Seq(0L, 10L, 20L, 30L))

@@ -40,6 +40,18 @@ class WhisperSpec extends SparkSpec {
     assert(Whisper.filePoints(Files.readAllBytes(Paths.get(f))).isEmpty)
   }
 
+  test("unknown aggregationType degrades to 'average', not a crash") {
+    val d = tmpDir()
+    val f = s"$d/bad.agg.wsp"
+    Whisper.create(f, Seq((60L, 4)), 0.5, "max")
+    val bytes = Files.readAllBytes(Paths.get(f))
+    // corrupt the aggregationType field to 9 (no such method) — the
+    // reference's `aggregationTypeToMethod[t] or 'average'`
+    val patched = Whisper.packMetadata(9, 240L, 0.5, 1).getBytes("US-ASCII")
+    System.arraycopy(patched, 0, bytes, 0, patched.length)
+    assert(Whisper.parseHeader(bytes).aggregationMethod == "average")
+  }
+
   test("update quantizes, overwrites its slot, and wraps the ring") {
     val d = tmpDir()
     val f = s"$d/m.wsp"
