@@ -30,16 +30,17 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
       .orderBy(col("keep_id"))
 
-  /** Distinct (doc_id, shingle) pairs for docs with ≥3 tokens (the
-    * shingle build is the compiled ShingleArray pass — the declarative
-    * HOF chain is interpreted).
+  /** Distinct (id, shingle) pairs for docs with ≥n tokens (the shingle
+    * build is the compiled ShingleArray pass — the declarative HOF
+    * chain is interpreted). The n-gram family uses the 3-gram default;
+    * decontamination widens to 5.
     */
-  def docShingles(docs: DataFrame): DataFrame =
+  def docShingles(docs: DataFrame, n: Int = 3, idCol: String = "doc_id"): DataFrame =
     docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"),
-        explode(graft.functions.ShingleArray.shingles(col("toks"), 3)).as("shingle"))
+      .select(col(idCol), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col(idCol),
+        explode(graft.functions.ShingleArray.shingles(col("toks"), n)).as("shingle"))
 
   /** F2: pairwise Jaccard over 3-word shingles via shingle equi-join.
     * intersection counts come from the join; union = |A|+|B|−∩.
@@ -113,18 +114,13 @@ object Dedup {
     */
   def decontaminate(corpus: DataFrame, evalDocs: DataFrame, n: Int,
                     minHits: Int, maxDf: Int): DataFrame = {
-    def sh(docs: DataFrame, idCol: String) =
-      docs.select(col(idCol), tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) >= n)
-        .select(col(idCol),
-          explode(graft.functions.ShingleArray.shingles(col("toks"), n)).as("shingle"))
     // cached: the eval shingle pipeline is consumed twice (the distinct
     // shingle-set broadcast and the final pair join) and is
     // benchmark-sized by construction
-    val ev = sh(evalDocs.select(col("eval_id"), col("text")), "eval_id").cache()
+    val ev = docShingles(evalDocs.select(col("eval_id"), col("text")), n, "eval_id").cache()
     // eval-matched corpus rows only; consumed twice (df + pair join)
     // but already contamination-sized, the only cacheable shape here
-    val hit = sh(corpus, "doc_id")
+    val hit = docShingles(corpus, n)
       .join(broadcast(ev.select(col("shingle")).distinct()), "shingle")
       .cache()
     // per-shingle doc counts over `hit` == full-corpus df for these
@@ -435,7 +431,13 @@ object Dedup {
     val roots = oriented.groupBy(col("simhash")).agg(min(col("cand")).as("root"))
     val clusters = groups.join(roots, Seq("simhash"), "left")
       .select(col("simhash"), coalesce(col("root"), col("rep")).as("cluster_id"))
-    sim.join(clusters, "simhash")
+    // LEFT join + coalesce: a null-text doc has a null signature, which
+    // an inner join would silently DROP from the output — it becomes
+    // its own singleton cluster instead (the contract is one row per
+    // doc; null sigs carry no similarity evidence)
+    sim.join(clusters, Seq("simhash"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .select(col("doc_id"), col("cluster_id"),
         when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L).as("keep"))
       .orderBy(col("doc_id"))

@@ -45,8 +45,12 @@ object Curation {
     // 100 TB corpus (gates: 2 longs + 2 booleans per doc)
     val gates = q.join(l, "doc_id")
       .select(col("doc_id"),
-        (col("score") >= minScore && col("n_tokens") >= minTokens).as("q_pass"),
-        (col("pred_lang") === keepLang).as("l_pass"))
+        // null score/n_tokens (null-text doc) FAILS quality — a null
+        // gate would skip every CASE arm below and mislabel the doc
+        // ('kept' even, when the language gate happens to pass)
+        coalesce(col("score") >= minScore && col("n_tokens") >= minTokens,
+          lit(false)).as("q_pass"),
+        coalesce(col("pred_lang") === keepLang, lit(false)).as("l_pass"))
       .cache()
     // gate-survivor keeper: min doc_id per content hash
     val sv = docs.select(col("doc_id"), col("text"))

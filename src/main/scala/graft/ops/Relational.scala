@@ -66,8 +66,9 @@ object Relational {
       .orderBy(col("r_name"), col("n_name"))
   }
 
-  /** E4: top order per customer by totalprice — rank window, single
-    * shuffle on the partition key.
+  /** E4: top TWO orders per customer by totalprice — row_number window
+    * (deterministic via the orderkey tie-break), single shuffle on the
+    * partition key.
     */
   def topkWindow(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -40,7 +40,12 @@ object Api {
     require(targets.nonEmpty, "at least one target required")
     val fromT = from.flatMap(TimeParse.getTime(_, now)).getOrElse(now - 24 * 3600)
     val untilT = until.flatMap(TimeParse.getTime(_, now)).getOrElse(now)
-    val fetched = targets.flatMap(Glob.expandBraces)
+    // same gate as find/expand: braces within one component ride the
+    // single fetch regex — each expansion would otherwise run its OWN
+    // raw scan + archive cascade (an N-alternative target cost N
+    // fetches); only dotted alternatives (rare) need real expansion
+    val fetched = targets
+      .flatMap(t => if (bracesNeedExpansion(t)) Glob.expandBraces(t) else Seq(t))
       .map(t => Fetch.fetch(spark, metrics, t, spec, method, xff, fromT, untilT, now))
       .reduce(_ unionByName _)
     format match {

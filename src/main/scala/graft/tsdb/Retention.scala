@@ -24,8 +24,15 @@ object Retention {
   private def parsePair(pair: String): Archive = pair.trim match {
     case pairRe(res, resU, ret, retU) =>
       val precision = res.toLong * unit(resU)
+      // '0s:1d' would divide by zero here, and '0:100' would pass only
+      // to kill a Spark job later with ts % 0; '1m:30s' would silently
+      // yield a 0-point archive
+      if (precision < 1)
+        throw new IllegalArgumentException(s"InvalidConfiguration '$pair': zero precision")
       var points = ret.toLong * unit(retU)
       if (retU.nonEmpty) points = points / precision
+      if (points < 1)
+        throw new IllegalArgumentException(s"InvalidConfiguration '$pair': zero points")
       Archive(precision, points)
     case other =>
       throw new IllegalArgumentException(s"InvalidConfiguration '$other'")

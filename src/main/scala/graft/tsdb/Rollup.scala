@@ -58,7 +58,11 @@ object Rollup {
       .agg(
         aggExpr(method, col("bucket"), col("value")).as("value"),
         count(lit(1)).as("npoints"))
-      .filter(col("npoints") >= lit(xff * expected))
+      // the reference computes known/expected >= xff — dividing matches
+      // its float arithmetic exactly; pre-multiplying (xff * expected)
+      // can carry a 1-ulp error that drops a boundary bucket the
+      // reference propagates (e.g. 0.07 * 100 = 7.000000000000001)
+      .filter(col("npoints") / lit(expected.toDouble) >= xff)
   }
 
   /** Whisper update semantics: writing a point into an occupied slot
