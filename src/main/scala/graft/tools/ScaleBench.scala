@@ -1,0 +1,115 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.LlmQueries
+
+/** Wall-time twin of [[ScaleProbe]] (VERDICT r4 #1): times the capped
+  * dedup / curation / decontamination families on the SAME ×1/×4/×10
+  * near-duplicate-replicated corpus whose candidate VOLUMES ScaleProbe
+  * measures, converting the last arithmetic-only piece of the 100 TB
+  * argument ("bounded candidate volume ⇒ bounded wall-time growth")
+  * into measurement.
+  *
+  * Protocol (mirrors Bench.scala): each scaled corpus is MATERIALIZED
+  * to parquet first — so the timed plans start from a real pruned scan
+  * and the replication transform is never inside the timed section —
+  * then each family runs as a noop write (full plan, no count-pruning),
+  * min of ≤4 samples with the first sample excluded from the 10%
+  * convergence test (it carries codegen/JIT warmup), cache cleared
+  * between samples. The decontamination eval side stays FIXED at the
+  * base-corpus sample (a benchmark does not grow with the crawl); only
+  * the corpus side scales.
+  *
+  * Output: one JSON line per (family, copies) and a final compact
+  * per-family summary line {"family":{"x1":s,"x4":s,"x10":s}, ...}.
+  */
+object ScaleBench {
+
+  private def timeNoop(spark: SparkSession, mk: () => DataFrame): Double = {
+    val times = scala.collection.mutable.ArrayBuffer[Double]()
+    def converged: Boolean = {
+      val s = times.drop(1).sorted
+      s.size >= 2 && s(1) <= s(0) * 1.10
+    }
+    while (times.size < 4 && (times.size < 2 || !converged)) {
+      val t0 = System.nanoTime()
+      mk().write.format("noop").mode("overwrite").save()
+      times += (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+    }
+    times.min
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val base = graft.core.Tables.documents(spark, dir)
+    // eval side: fixed benchmark-sized sample of the BASE corpus
+    val evalDf = base.filter(col("doc_id") % LlmQueries.DecontamEvalMod === 0)
+      .select(col("doc_id").as("eval_id"), col("text"))
+
+    val out = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.LinkedHashMap[Int, Double]]()
+    for (copies <- Seq(1, 4, 10)) {
+      val path = s"target/scalebench/x$copies/documents.parquet"
+      ScaleProbe.scaled(base, copies).select("doc_id", "text")
+        .write.mode("overwrite").parquet(path)
+      val docs = spark.read.parquet(path)
+      val nDocs = docs.count()
+
+      val families: Seq[(String, () => DataFrame)] = Seq(
+        "dedup_ngram_jaccard_capped" -> (() =>
+          graft.dedup.Dedup.ngramJaccardCapped(docs,
+            LlmQueries.JaccardTau, LlmQueries.JaccardMaxDf)),
+        "dedup_simhash_capped" -> (() =>
+          graft.dedup.Dedup.simhashPairsCapped(spark, docs,
+            LlmQueries.SimhashMaxHamming, LlmQueries.SimhashMaxDf)),
+        "dedup_simhash_clusters" -> (() =>
+          graft.dedup.Dedup.simhashClusters(spark, docs,
+            LlmQueries.SimhashMaxHamming, LlmQueries.SimhashMaxDf)),
+        "decontaminate" -> (() =>
+          graft.dedup.Dedup.decontaminate(docs, evalDf,
+            LlmQueries.DecontamN, LlmQueries.DecontamMinHits,
+            LlmQueries.DecontamMaxDf)),
+        "stream_sig_dedup" -> (() => {
+          val sigs = docs.select(col("doc_id"),
+            graft.text.TextFns.simhashRow(col("text")).as("simhash"))
+          val keep = sigs.groupBy(col("simhash"))
+            .agg(min(col("doc_id")).as("keep_id"))
+          sigs.join(keep, "simhash")
+            .select(col("doc_id"), col("simhash"),
+              when(col("doc_id") === col("keep_id"), 1L).otherwise(0L).as("keep"))
+        }),
+        "corpus_curation" -> (() =>
+          graft.ops.Curation.curate(spark, docs,
+            LlmQueries.CurationMinScore, LlmQueries.CurationMinTokens,
+            LlmQueries.CurationLang,
+            LlmQueries.SimhashMaxHamming, LlmQueries.SimhashMaxDf))
+      )
+      def f2(v: Double): String =
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      for ((name, mk) <- families) {
+        val sec = timeNoop(spark, mk)
+        out.getOrElseUpdate(name,
+          scala.collection.mutable.LinkedHashMap[Int, Double]())(copies) = sec
+        println(s"""{"family":"$name","copies":$copies,"docs":$nDocs,"sec":${f2(sec)}}""")
+      }
+    }
+    def f2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val summary = out.map { case (name, m) =>
+      s"\"" + name + "\":" +
+        m.map { case (c, s) => s"\"x$c\":${f2(s)}" }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    println(summary)
+    spark.stop()
+  }
+}

@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  private def scaled(docs: DataFrame, copies: Int): DataFrame =
+  // shared with ScaleBench so volume counts and wall-times describe the
+  // SAME corpus
+  private[tools] def scaled(docs: DataFrame, copies: Int): DataFrame =
     (0 until copies).map { k =>
       if (k == 0) docs.select(col("doc_id"), col("text"))
       else docs.select(

@@ -1,10 +1,13 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+
 import graft.SparkSpec
 import BinaryPipeline._
 
 /** F12: multimodal binary-column plumbing — typed schema, batched
-  * decode shape, frame sampling.
+  * decode shape, REAL PNG/JPEG decode via javax.imageio, frame
+  * sampling.
   */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -13,22 +16,58 @@ class MultimodalSpec extends SparkSpec {
     (0L, "hello world"), (1L, "abc"), (2L, "0123456789abcdef"), (3L, "xyz")
   ).toDF("doc_id", "text")
 
-  test("media table derives typed metadata and binary payload") {
+  test("media table derives typed metadata; image payloads are real encoded images") {
     val m = mediaTable(spark, docs).collect().sortBy(_.media_id)
     assert(m.map(_.kind).toSeq == Seq("image", "audio", "video", "image"))
-    assert(m(0).payload.toSeq == "hello world".getBytes("UTF-8").toSeq)
+    // audio/video payloads stay utf-8 text bytes
+    assert(m(1).payload.toSeq == "abc".getBytes("UTF-8").toSeq)
     assert(m(1).width == 33 && m(1).height == 25 && m(1).n_frames == 2)
+    // image payloads carry codec magic bytes: id 0 → PNG, id 3 → JPEG
+    assert(m(0).payload.take(8).toSeq ==
+      Seq(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    assert((m(3).payload(0) & 0xff) == 0xff && (m(3).payload(1) & 0xff) == 0xd8)
   }
 
-  test("decode stub is deterministic and batch-shaped") {
+  test("image decode recovers exact dimensions, channels and pixel stats (PNG fixture)") {
+    // solid-color 4x2 PNG: every pixel (R,G,B) = (10, 200, 30)
+    val img = new BufferedImage(4, 2, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 2; x <- 0 until 4) img.setRGB(x, y, (10 << 16) | (200 << 8) | 30)
+    val rec = MediaRecord(7L, "image", encodeImage(img, "png"), 4, 2, 1)
+    val f = decodeBatch(Seq(rec)).head
+    assert(f.width == 4 && f.height == 2 && f.channels == 3)
+    // PNG is lossless → means are exact
+    assert(f.features(0) == 10.0 && f.features(1) == 200.0 && f.features(2) == 30.0)
+    val luma = 0.299 * 10 + 0.587 * 200 + 0.114 * 30
+    assert(math.abs(f.features(3) - luma) < 1e-9) // mean luma
+    // solid color → ~zero stddev (one-pass variance carries fp cancellation)
+    assert(f.features(4) < 1e-5)
+    assert(f.features(7) == 2.0)                  // aspect ratio 4/2
+  }
+
+  test("image decode survives JPEG lossy round-trip within tolerance") {
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, (120 << 16) | (60 << 8) | 180)
+    val rec = MediaRecord(9L, "image", encodeImage(img, "jpg"), 8, 8, 1)
+    val f = decodeBatch(Seq(rec)).head
+    assert(f.width == 8 && f.height == 8 && f.channels == 3)
+    assert(math.abs(f.features(0) - 120.0) < 4.0)
+    assert(math.abs(f.features(1) - 60.0) < 4.0)
+    assert(math.abs(f.features(2) - 180.0) < 4.0)
+  }
+
+  test("non-image fallback keeps byte-moment features with -1 decode markers") {
     val feats = decodeFeatures(mediaTable(spark, docs)).collect().sortBy(_.media_id)
     assert(feats.length == 4)
     assert(feats.forall(_.features.length == FeatureDim))
-    // decode of "abc" (bytes 97,98,99): f0 = 97/3, f1 = 98/3, f2 = 99/3
+    // decode of "abc" (bytes 97,98,99): f0 = 97/3, f1 = 98/3
     val abc = feats(1)
-    assert(abc.n_bytes == 3L)
+    assert(abc.kind == "audio" && abc.n_bytes == 3L)
+    assert(abc.width == -1 && abc.height == -1 && abc.channels == -1)
     assert(math.abs(abc.features(0) - 97.0 / 3) < 1e-12)
     assert(math.abs(abc.features(1) - 98.0 / 3) < 1e-12)
+    // image rows really decoded: dims match the metadata the encoder used
+    val img0 = feats(0)
+    assert(img0.kind == "image" && img0.width == 32 && img0.height == 24 && img0.channels == 3)
     // identical input → identical checksum on re-run
     val again = decodeFeatures(mediaTable(spark, docs)).collect().sortBy(_.media_id)
     assert(feats.map(_.checksum).toSeq == again.map(_.checksum).toSeq)
@@ -40,18 +79,30 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.count() == 150)
   }
 
-  test("resize scales payload budget with target pixels, no shuffle") {
+  test("resize rescales decoded rasters for real; chain stays shuffle-free") {
     val m = mediaTable(spark, docs)
     val small = resize(m, 8, 8)
     val out = small.collect().sortBy(_.media_id)
     assert(out.forall(r => r.width == 8 && r.height == 8))
-    // downscale: 8x8 = 64 px vs source >= 32x24 = 768 px → payload shrinks
+    // image payloads re-encode as PNG; downstream decode sees 8x8 3-band
+    val f0 = decodeBatch(Seq(out(0))).head
+    assert(f0.width == 8 && f0.height == 8 && f0.channels == 3)
+    // fallback path (audio/video): payload shrinks with the pixel budget
     val src = m.collect().sortBy(_.media_id)
-    assert(out.zip(src).forall { case (o, s) => o.payload.length <= s.payload.length })
+    assert(out(1).payload.length <= src(1).payload.length)
     assert(out.exists(_.payload.length > 0))
     // composes with decode; the whole chain stays shuffle-free
     val plan = decodeFeatures(small).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(300))
+  }
+
+  test("nearest-neighbor resize preserves solid-color pixel values exactly") {
+    val img = new BufferedImage(6, 4, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 4; x <- 0 until 6) img.setRGB(x, y, (50 << 16) | (100 << 8) | 150)
+    val rec = MediaRecord(2L, "image", encodeImage(img, "png"), 6, 4, 1)
+    val f = decodeBatch(resizeBatch(Seq(rec), 3, 2)).head
+    assert(f.width == 3 && f.height == 2)
+    assert(f.features(0) == 50.0 && f.features(1) == 100.0 && f.features(2) == 150.0)
   }
 
   test("frame sampling explodes sampled indices for video only") {
@@ -59,5 +110,13 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(2)))
     // only doc 2 is video: n_frames = 2 % 30 + 1 = 3 → frames 0, 2
     assert(frames.toSeq == Seq((2L, 0), (2L, 2)))
+  }
+
+  test("pipeline summary witnesses real decode: avg_width 16, avg_channels 3 for images") {
+    val rows = pipelineSummary(spark, docs).collect()
+    val byKind = rows.map(r => r.getString(0) -> r).toMap
+    assert(byKind("image").getAs[Double]("avg_width") == 16.0)
+    assert(byKind("image").getAs[Double]("avg_channels") == 3.0)
+    assert(byKind("audio").getAs[Double]("avg_width") == -1.0)
   }
 }
