@@ -74,6 +74,8 @@ object SparkEntry {
     "decontaminate" -> ((s, dir) => L.decontaminate(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => L.dedupNgramJaccard(s, dir)),
     "dedup_ngram_jaccard_capped" -> ((s, dir) => L.dedupNgramJaccardCapped(s, dir)),
+    "dedup_substring" -> ((s, dir) => L.dedupSubstring(s, dir)),
+    "dedup_substring_clusters" -> ((s, dir) => L.dedupSubstringClusters(s, dir)),
     "dedup_minhash" -> ((s, dir) => L.dedupMinhash(s, dir)),
     "dedup_minhash_clusters" -> ((s, dir) => L.dedupMinhashClusters(s, dir)),
     "dedup_jaccard_clusters" -> ((s, dir) => L.dedupJaccardClusters(s, dir)),
@@ -245,6 +247,29 @@ object SparkEntry {
        |inter AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS i
        |  FROM shc a JOIN shc b ON a.shingle=b.shingle AND a.doc_id<b.doc_id GROUP BY 1,2)""".stripMargin
 
+  /** The df-capped hashed 50-gram pipeline (Dedup.substringPairs) as
+    * DuckDB CTEs — window string_agg builds each w-gram, h60-hashed
+    * with the same md5 arithmetic as the Spark plan.
+    */
+  private lazy val SubstrCtes = {
+    val w = graft.ops.LlmQueries.SubstrW
+    val cap = graft.ops.LlmQueries.SubstrMaxDf
+    s"""pos AS (SELECT doc_id, unnest(toks) AS tok,
+       |    generate_subscripts(toks,1) AS p, len(toks) AS n FROM tk),
+       |sg AS (SELECT doc_id, p, n,
+       |    string_agg(tok,' ') OVER (PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS gram
+       |  FROM pos),
+       |shw AS (SELECT DISTINCT doc_id,
+       |    ('0x'||substr(md5(gram),1,15))::BIGINT AS g
+       |  FROM sg WHERE p + ${w - 1} <= n),
+       |rare50 AS (SELECT g FROM shw GROUP BY 1 HAVING count(*) <= $cap),
+       |shw_c AS (SELECT shw.doc_id, shw.g FROM shw JOIN rare50 USING (g)),
+       |sprs AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS n_grams
+       |  FROM shw_c a JOIN shw_c b ON a.g=b.g AND a.doc_id<b.doc_id
+       |  GROUP BY 1,2)""".stripMargin
+  }
+
   /** The MinHash signature/banding pipeline as DuckDB CTEs (shared by
     * the pairs and clusters oracles).
     */
@@ -356,6 +381,25 @@ object SparkEntry {
          |mn AS (SELECT doc_id, min(nbr) AS mn FROM (
          |    SELECT x AS doc_id, y AS nbr FROM prs
          |    UNION ALL SELECT y AS doc_id, x AS nbr FROM prs) e GROUP BY 1)
+         |SELECT d.doc_id,
+         | least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_id,
+         | CASE WHEN least(d.doc_id, coalesce(m.mn, d.doc_id)) = d.doc_id
+         |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+         |FROM documents d LEFT JOIN mn m ON m.doc_id = d.doc_id
+         |ORDER BY 1""".stripMargin,
+    // F16: verbatim >=50-token-span pairs — hashed 50-gram equi-join
+    // with the df cap (Dedup.substringPairs); n_grams = shared grams
+    "dedup_substring" ->
+      s"""WITH $TK,
+         |$SubstrCtes
+         |SELECT x, y, n_grams FROM sprs ORDER BY 1,2""".stripMargin,
+    // one-step min propagation over the substring pair graph
+    "dedup_substring_clusters" ->
+      s"""WITH $TK,
+         |$SubstrCtes,
+         |mn AS (SELECT doc_id, min(nbr) AS mn FROM (
+         |    SELECT x AS doc_id, y AS nbr FROM sprs
+         |    UNION ALL SELECT y AS doc_id, x AS nbr FROM sprs) e GROUP BY 1)
          |SELECT d.doc_id,
          | least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_id,
          | CASE WHEN least(d.doc_id, coalesce(m.mn, d.doc_id)) = d.doc_id

@@ -135,6 +135,49 @@ object Dedup {
       .orderBy(col("doc_id"), col("eval_id"))
   }
 
+  /** F16: exact-substring dedup — the 50-token-overlap rule of Lee et
+    * al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"), the mode the reference's n-gram Jaccard family only
+    * approximates: two documents are duplicates iff they share a
+    * VERBATIM `w`-token span, regardless of how different the rest of
+    * the text is (a boilerplate header, a quoted paragraph). Sharing a
+    * span of length ≥ w ⟺ sharing at least one w-gram, so the w-gram
+    * equi-join detects exactly the Lee-et-al pairs — no suffix array
+    * needed for pair DETECTION (only for span extraction, out of
+    * scope). `n_grams` counts the distinct shared w-grams (= span_len −
+    * w + 1 for a single contiguous overlap).
+    *
+    * Scale shape: grams are h60-hashed BEFORE the join — the shuffle
+    * carries 8-byte keys, not ~300-byte 50-token strings (md5-derived,
+    * so the DuckDB oracle computes identical keys; a 60-bit collision
+    * needs ~2^30 distinct grams per bucket to matter). The df cap drops
+    * boilerplate grams shared by more than `maxDf` docs before the
+    * pair join — the same Σdf² fan-out bound as [[ngramJaccardCapped]],
+    * and at w=50 a gram above any small cap IS boilerplate.
+    */
+  def substringPairs(docs: DataFrame, w: Int, maxDf: Int): DataFrame = {
+    // three plan references (df counts + both join sides)
+    val sh = docShingles(docs, w)
+      .select(col("doc_id"), graft.text.TextFns.h60(col("shingle")).as("g"))
+      .cache()
+    val rare = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("g"))
+    val shc = sh.join(rare, "g")
+    shc.as("a")
+      .join(shc.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
+      .agg(count(lit(1)).as("n_grams"))
+      .orderBy(col("x"), col("y"))
+  }
+
+  /** F16k: O(n)-output keep/drop over the substring-overlap pair graph
+    * (same one-step min-propagation rule as every cluster consumer).
+    */
+  def substringClusters(docs: DataFrame, w: Int, maxDf: Int): DataFrame =
+    clusterize(docs.select(col("doc_id")),
+      substringPairs(docs, w, maxDf).select(col("x"), col("y")))
+
   /** Fixed, engine-portable MinHash parameters: k=12 permutations
     * h_i(x) = (a_i·x + b_i) mod P31, banded 4×3 for LSH (canonical
     * schedule lives in the compiled expression; single source).

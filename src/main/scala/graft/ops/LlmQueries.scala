@@ -63,6 +63,21 @@ object LlmQueries {
     Dedup.decontaminate(docs, eval, DecontamN, DecontamMinHits, DecontamMaxDf)
   }
 
+  // F16 exact-substring dedup: the Lee et al. 50-token window; a
+  // 50-gram in more than 5 docs is boilerplate (cap binds rarely — the
+  // synthetic corpus's max 50-gram df is well under it; it exists for
+  // the 100 TB crawl where repeated headers dominate)
+  val SubstrW = 50
+  val SubstrMaxDf = 5
+
+  /** F16: verbatim ≥50-token-span duplicate pairs. */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringPairs(Tables.documents(spark, dir), SubstrW, SubstrMaxDf)
+
+  /** F16k: O(n) keep/drop from the substring-overlap pair graph. */
+  def dedupSubstringClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringClusters(Tables.documents(spark, dir), SubstrW, SubstrMaxDf)
+
   // max pairwise cosine on the synthetic embeddings is ~0.51; 0.4
   // yields a non-trivial pair set with >=1e-4 threshold margin
   val EmbedCosineTau = 0.4

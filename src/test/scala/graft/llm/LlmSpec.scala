@@ -102,6 +102,57 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.75, s"recall $recall too low (${capped.size}/${exact.size})")
   }
 
+  // planted-span corpus for F16: a verbatim `n`-token span embedded in
+  // otherwise disjoint 100-token contexts
+  private def spanDocs(spanLen: Int) = {
+    val span = (0 until spanLen).map(i => s"s$i").mkString(" ")
+    Seq(
+      (0L, ((0 until 100).map(i => s"a$i") :+ span).mkString(" ")),
+      (1L, (span +: (0 until 100).map(i => s"b$i")).mkString(" ")),
+      (2L, (0 until 100).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+  }
+
+  test("substring dedup: planted 50-token span found at the exact boundary (F16)") {
+    // 50-token shared span → exactly ONE shared 50-gram
+    val hit = Dedup.substringPairs(spanDocs(50), w = 50, maxDf = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hit.toSeq == Seq((0L, 1L, 1L)))
+    // 49-token span → no shared 50-gram → no pair (the boundary is exact)
+    assert(Dedup.substringPairs(spanDocs(49), w = 50, maxDf = 5).isEmpty)
+    // 60-token span → 11 shared 50-grams (span_len - w + 1)
+    val wide = Dedup.substringPairs(spanDocs(60), w = 50, maxDf = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(wide.toSeq == Seq((0L, 1L, 11L)))
+  }
+
+  test("substring dedup catches the span-overlap mode jaccard misses (F16 vs F2)") {
+    // 150-token docs sharing a 50-token span: 3-gram jaccard ≈ 0.19,
+    // far below τ=0.8 — the Lee-et-al mode the jaccard family misses
+    val d = spanDocs(50)
+    assert(Dedup.ngramJaccard(d, graft.ops.LlmQueries.JaccardTau).isEmpty)
+    assert(Dedup.substringPairs(d,
+      graft.ops.LlmQueries.SubstrW, graft.ops.LlmQueries.SubstrMaxDf).count() == 1)
+  }
+
+  test("substring df cap drops boilerplate spans, keeps rare ones (F16)") {
+    val span = (0 until 50).map(i => s"s$i").mkString(" ")
+    // the same 50-token "header" planted in 7 docs → gram df = 7
+    val boiler = (0L until 7L).map(k =>
+      (k, (span +: (0 until 100).map(i => s"t${k}_$i")).mkString(" "))).toDF("doc_id", "text")
+    assert(Dedup.substringPairs(boiler, w = 50, maxDf = 5).isEmpty)
+    val uncapped = Dedup.substringPairs(boiler, w = 50, maxDf = 100).collect()
+    assert(uncapped.length == 21) // all 7·6/2 pairs once the cap lifts
+  }
+
+  test("substring clusters: keep/drop consistent with the pair graph (F16k)") {
+    val d = spanDocs(50)
+    val out = Dedup.substringClusters(d, w = 50, maxDf = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 0-1 pair → both in cluster 0; doc 2 isolated keeps itself
+    assert(out.toSeq == Seq((0L, 0L, 1L), (1L, 0L, 0L), (2L, 2L, 1L)))
+  }
+
   test("minhash LSH surfaces exact and near dups, not unrelated docs (F3)") {
     val out = Dedup.minhashLsh(spark, docs).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.contains((0L, 2L))) // identical docs agree on every band
