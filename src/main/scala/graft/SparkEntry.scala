@@ -88,6 +88,7 @@ object SparkEntry {
     "ann_cosine_topk" -> ((s, dir) => L.annCosineTopk(s, dir)),
     "ann_lsh" -> ((s, dir) => L.annLsh(s, dir)),
     "ann_ivf" -> ((s, dir) => L.annIvf(s, dir)),
+    "ann_ivf_refined" -> ((s, dir) => L.annIvfRefined(s, dir)),
     "text_langid" -> ((s, dir) => L.textLangid(s, dir)),
     "text_quality" -> ((s, dir) => L.textQuality(s, dir)),
     "text_repetition" -> ((s, dir) => L.textRepetition(s, dir)),
@@ -513,6 +514,56 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY n.vec_id
          |    ORDER BY round(list_dot_product(n.emb, c.ce)/(n.nrm*c.cn), 6) DESC, c.cent_id) AS crk
          |  FROM n CROSS JOIN cents c WHERE n.vec_id < ${LQ.AnnQueryMax}),
+         |probes AS (SELECT q_id, cent_id FROM qa WHERE crk <= ${LQ.IvfProbe}),
+         |scored AS (SELECT p.q_id, a.vec_id,
+         |  list_dot_product(nq.emb, nv.emb)/(nq.nrm*nv.nrm) AS cos
+         |  FROM assigned a JOIN probes p USING (cent_id)
+         |  JOIN n nq ON nq.vec_id = p.q_id JOIN n nv ON nv.vec_id = a.vec_id
+         |  WHERE a.vec_id <> p.q_id),
+         |rk AS (SELECT q_id, vec_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY round(cos,6) DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, rk, vec_id, round(cos,4) AS cos FROM rk
+         |WHERE rk <= ${LQ.AnnK}
+         |ORDER BY q_id, rk""".stripMargin
+    },
+    // F6c: IVF over a Lloyd-refined codebook — the same assignment /
+    // probe / rerank tail as ann_ivf, but the codebook is 2 iterations
+    // of assign → element-wise mean. Parity contract: mean components
+    // round(,6) then pass through FLOAT (CAST ... AS FLOAT)::DOUBLE,
+    // exactly what the Spark plan's round(avg,6).cast("float") +
+    // FloatDot widening computes — both engines regenerate the
+    // identical codebook (Ann.refinedCentroids).
+    "ann_ivf_refined" -> {
+      import graft.ops.{LlmQueries => LQ}
+      def assignCte(cents: String, name: String) =
+        s"""$name AS (SELECT vec_id, cent_id FROM (
+           |  SELECT n.vec_id, c.cent_id, row_number() OVER (PARTITION BY n.vec_id
+           |    ORDER BY round(list_dot_product(n.emb, c.ce)/(n.nrm*c.cn), 6) DESC, c.cent_id) AS ark
+           |  FROM n CROSS JOIN $cents c) WHERE ark = 1)""".stripMargin
+      def lloydCte(prev: String, a: String, m: String, next: String) =
+        s"""$m AS (SELECT a.cent_id, e.d, CAST(round(avg(e.v), 6) AS FLOAT)::DOUBLE AS mv
+           |  FROM $a a JOIN (SELECT vec_id, generate_subscripts(emb,1) AS d, unnest(emb) AS v
+           |                  FROM n) e USING (vec_id)
+           |  GROUP BY 1,2),
+           |${m}l AS (SELECT cent_id, list(mv ORDER BY d) AS ce FROM $m GROUP BY 1),
+           |$next AS (SELECT p.cent_id, coalesce(l.ce, p.ce) AS ce,
+           |  sqrt(list_dot_product(coalesce(l.ce, p.ce), coalesce(l.ce, p.ce))) AS cn
+           |  FROM $prev p LEFT JOIN ${m}l l USING (cent_id))""".stripMargin
+      val iterCtes = (1 to LQ.IvfLloydIters).map(i =>
+        assignCte(s"c${i - 1}", s"a$i") + ",\n" +
+          lloydCte(s"c${i - 1}", s"a$i", s"m$i", s"c$i")).mkString(",\n")
+      val cf = s"c${LQ.IvfLloydIters}"
+      s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),
+         |c0 AS (SELECT vec_id AS cent_id, emb AS ce, nrm AS cn FROM n
+         |  ORDER BY vec_id LIMIT ${LQ.IvfCentroids}),
+         |$iterCtes,
+         |${assignCte(cf, "assigned")},
+         |qa AS (SELECT n.vec_id AS q_id, c.cent_id,
+         |  row_number() OVER (PARTITION BY n.vec_id
+         |    ORDER BY round(list_dot_product(n.emb, c.ce)/(n.nrm*c.cn), 6) DESC, c.cent_id) AS crk
+         |  FROM n CROSS JOIN $cf c WHERE n.vec_id < ${LQ.AnnQueryMax}),
          |probes AS (SELECT q_id, cent_id FROM qa WHERE crk <= ${LQ.IvfProbe}),
          |scored AS (SELECT p.q_id, a.vec_id,
          |  list_dot_product(nq.emb, nv.emb)/(nq.nrm*nv.nrm) AS cos

@@ -139,6 +139,15 @@ object LlmQueries {
     Ann.ivfTopK(e.filter(col("vec_id") < AnnQueryMax), e, AnnK, IvfCentroids, IvfProbe)
   }
 
+  val IvfLloydIters = 2
+
+  /** F6c: IVF with a Lloyd-refined codebook (2 iterations). */
+  def annIvfRefined(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Ann.ivfTopKRefined(e.filter(col("vec_id") < AnnQueryMax), e, AnnK,
+      IvfCentroids, IvfProbe, IvfLloydIters)
+  }
+
   def textLangid(spark: SparkSession, dir: String): DataFrame =
     Analysis.langId(spark, Tables.documents(spark, dir))
 

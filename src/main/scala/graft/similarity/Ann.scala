@@ -155,13 +155,65 @@ object Ann {
     * lists but not change this plan shape.
     */
   def ivfTopK(queries: DataFrame, vecs: DataFrame, k: Int,
-              nCentroids: Int, nProbe: Int): DataFrame = {
-    // deterministic coarse codebook: the nCentroids lowest vec_ids
-    // (portable + engine-stable; random restarts are tuning, not shape)
-    val cents = broadcast(
-      vecs.orderBy(col("vec_id")).limit(nCentroids)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
-          norm(col("embedding")).as("cn")))
+              nCentroids: Int, nProbe: Int): DataFrame =
+    ivfTopKWith(queries, vecs, k, nProbe, initialCentroids(vecs, nCentroids))
+
+  /** Deterministic coarse codebook: the nCentroids lowest vec_ids
+    * (portable + engine-stable; random restarts are tuning, not shape).
+    */
+  def initialCentroids(vecs: DataFrame, nCentroids: Int): DataFrame =
+    vecs.orderBy(col("vec_id")).limit(nCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+        norm(col("embedding")).as("cn"))
+
+  /** F6c: Lloyd-refined codebook — `iters` iterations of
+    * assign-to-nearest → element-wise mean, each iteration two
+    * broadcast-codebook aggregations (the argmax assignment and the
+    * per-(centroid, dim) mean): no new shuffle class vs [[ivfTopK]],
+    * and the codebook stays K rows end to end. Engine parity: mean
+    * components are round(,6)-ed then cast through FLOAT, so the DuckDB
+    * oracle (same CTE chain) regenerates a bit-identical codebook —
+    * the [[planeSqlLiteral]] float-widening contract applied to
+    * computed values instead of literals. A centroid whose list goes
+    * empty keeps its previous value (left join + coalesce).
+    */
+  def refinedCentroids(vecs: DataFrame, nCentroids: Int, iters: Int): DataFrame = {
+    val v = vecs.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    var cents = initialCentroids(vecs, nCentroids)
+    for (_ <- 0 until iters) {
+      val assigned = v.crossJoin(broadcast(cents))
+        .withColumn("csim", dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("embedding").as("ve"), col("cent_id")),
+          struct(round(col("csim"), 6).as("s"), (-col("cent_id")).as("t"))).as("a"))
+        .select(col("a.cent_id").as("cent_id"), col("a.ve").as("ve"))
+      // element-wise mean: one narrow (cent_id, dim, value) aggregation;
+      // sort_array(collect_list(struct)) makes the rebuild order-exact
+      // (collect_list alone is partition-order-dependent)
+      val means = assigned
+        .select(col("cent_id"), posexplode(col("ve")).as(Seq("d", "comp")))
+        .groupBy(col("cent_id"), col("d")).agg(avg(col("comp")).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+          x => round(x.getField("m"), 6).cast("float")).as("mce"))
+      cents = cents.join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("mce"), col("ce")).as("ce"))
+        .withColumn("cn", norm(col("ce")))
+        // tiny (K rows) but consumed by every later iteration/stage —
+        // uncached, each reference re-runs the whole Lloyd chain
+        .cache()
+    }
+    cents
+  }
+
+  /** F6c entry: ivf top-k over the Lloyd-refined codebook. */
+  def ivfTopKRefined(queries: DataFrame, vecs: DataFrame, k: Int,
+                     nCentroids: Int, nProbe: Int, iters: Int): DataFrame =
+    ivfTopKWith(queries, vecs, k, nProbe, refinedCentroids(vecs, nCentroids, iters))
+
+  private def ivfTopKWith(queries: DataFrame, vecs: DataFrame, k: Int,
+                          nProbe: Int, centroids: DataFrame): DataFrame = {
+    val cents = broadcast(centroids)
     val v = vecs.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     // assignment: argmax over K centroid sims as a max_by AGGREGATE, not
     // a window — partial aggregation collapses the K scored rows per

@@ -708,9 +708,16 @@ object Queries {
       dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
     val marker = java.nio.file.Paths.get(root, "_GRAFT_EXPORT_OK")
     if (!java.nio.file.Files.exists(marker)) {
-      Whisper.export(spark,
+      val exported = Whisper.export(spark,
         Tables.metrics(spark, dir).filter(MetricStore.pathPredicate("vera.u1?.click")),
         root, spec, "average", 0.0, Now)
+      // guard BEFORE memoizing (VERDICT r4): an empty export must fail
+      // loudly here, never be marker-cached and silently fetched as an
+      // empty fixture forever after. (The one-time `WARN DataSource:
+      // All paths were ignored` on the first fetch after this export is
+      // Spark invalidating its FileIndex cache for the just-written
+      // tree — benign, the fetch re-lists and returns the real grid.)
+      require(exported > 0, s"whisper export produced no .wsp files under $root")
       java.nio.file.Files.writeString(marker, spec.mkString(","))
     }
     Whisper.fetchFiles(spark, root, "vera.u1?.click", fetchFrom, Now, Now)
