@@ -76,6 +76,7 @@ object SparkEntry {
     "dedup_ngram_jaccard_capped" -> ((s, dir) => L.dedupNgramJaccardCapped(s, dir)),
     "dedup_substring" -> ((s, dir) => L.dedupSubstring(s, dir)),
     "dedup_substring_clusters" -> ((s, dir) => L.dedupSubstringClusters(s, dir)),
+    "dedup_substring_spans" -> ((s, dir) => L.dedupSubstringSpans(s, dir)),
     "dedup_minhash" -> ((s, dir) => L.dedupMinhash(s, dir)),
     "dedup_minhash_clusters" -> ((s, dir) => L.dedupMinhashClusters(s, dir)),
     "dedup_jaccard_clusters" -> ((s, dir) => L.dedupJaccardClusters(s, dir)),
@@ -252,18 +253,25 @@ object SparkEntry {
     * DuckDB CTEs — window string_agg builds each w-gram, h60-hashed
     * with the same md5 arithmetic as the Spark plan.
     */
-  private lazy val SubstrCtes = {
+  /** Positioned w-gram base (window string_agg gram rebuild), shared by
+    * the pairs/clusters/spans substring oracles.
+    */
+  private lazy val SubstrGramCtes = {
     val w = graft.ops.LlmQueries.SubstrW
-    val cap = graft.ops.LlmQueries.SubstrMaxDf
     s"""pos AS (SELECT doc_id, unnest(toks) AS tok,
        |    generate_subscripts(toks,1) AS p, len(toks) AS n FROM tk),
        |sg AS (SELECT doc_id, p, n,
        |    string_agg(tok,' ') OVER (PARTITION BY doc_id ORDER BY p
        |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS gram
        |  FROM pos),
-       |shw AS (SELECT DISTINCT doc_id,
-       |    ('0x'||substr(md5(gram),1,15))::BIGINT AS g
-       |  FROM sg WHERE p + ${w - 1} <= n),
+       |pgr AS (SELECT doc_id, p, ('0x'||substr(md5(gram),1,15))::BIGINT AS g
+       |  FROM sg WHERE p + ${w - 1} <= n)""".stripMargin
+  }
+
+  private lazy val SubstrCtes = {
+    val cap = graft.ops.LlmQueries.SubstrMaxDf
+    s"""$SubstrGramCtes,
+       |shw AS (SELECT DISTINCT doc_id, g FROM pgr),
        |rare50 AS (SELECT g FROM shw GROUP BY 1 HAVING count(*) <= $cap),
        |shw_c AS (SELECT shw.doc_id, shw.g FROM shw JOIN rare50 USING (g)),
        |sprs AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS n_grams
@@ -394,6 +402,27 @@ object SparkEntry {
       s"""WITH $TK,
          |$SubstrCtes
          |SELECT x, y, n_grams FROM sprs ORDER BY 1,2""".stripMargin,
+    // F16s: longest verbatim shared span per pair — gaps-and-islands
+    // over consecutive gram positions per (x, y, pa−pb) diagonal
+    // (Dedup.substringSpans; integer arithmetic, engine-identical)
+    "dedup_substring_spans" -> {
+      val cap = graft.ops.LlmQueries.SubstrMaxDf
+      val w = graft.ops.LlmQueries.SubstrW
+      s"""WITH $TK,
+         |$SubstrGramCtes,
+         |rare50 AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM pgr)
+         |  GROUP BY g HAVING count(*) <= $cap),
+         |pgc AS (SELECT pgr.doc_id, pgr.p, pgr.g FROM pgr JOIN rare50 USING (g)),
+         |hits AS (SELECT DISTINCT a.doc_id AS x, b.doc_id AS y,
+         |    a.p AS pa, a.p - b.p AS diag
+         |  FROM pgc a JOIN pgc b ON a.g=b.g AND a.doc_id<b.doc_id),
+         |isl AS (SELECT x, y, diag,
+         |    pa - row_number() OVER (PARTITION BY x, y, diag ORDER BY pa) AS isl
+         |  FROM hits),
+         |runs AS (SELECT x, y, count(*) AS run FROM isl GROUP BY x, y, diag, isl)
+         |SELECT x, y, max(run) + ${w - 1} AS max_span
+         |FROM runs GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+    },
     // one-step min propagation over the substring pair graph
     "dedup_substring_clusters" ->
       s"""WITH $TK,

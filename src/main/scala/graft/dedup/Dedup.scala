@@ -178,6 +178,60 @@ object Dedup {
     clusterize(docs.select(col("doc_id")),
       substringPairs(docs, w, maxDf).select(col("x"), col("y")))
 
+  /** Positioned w-grams: one row per OCCURRENCE (doc_id, p, g) — not
+    * per-doc-distinct like [[docShingles]] — so span geometry survives.
+    * p is the 0-based token offset of the gram's first token.
+    */
+  private def positionedGrams(docs: DataFrame, w: Int): DataFrame =
+    docs
+      .select(col("doc_id"), graft.text.TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("toks")) - w),
+          i => graft.text.TextFns.h60(concat_ws(" ", slice(col("toks"), i + 1, lit(w))))))
+          .as(Seq("p", "g")))
+
+  /** F16s: span EXTRACTION — for each pair found by the w-gram join,
+    * the LONGEST verbatim shared token span (what Lee et al. actually
+    * report; [[substringPairs]] only detects). Exact, no suffix array:
+    * a shared span of length L ≥ w is L−w+1 shared grams at CONSECUTIVE
+    * positions along one (pa − pb) diagonal, so the longest span is the
+    * longest consecutive-pa run per (x, y, diagonal) — the classic
+    * gaps-and-islands `p − row_number()` trick, identical in both
+    * engines (integer arithmetic only). max_span = longest run + w − 1.
+    *
+    * Scale shape: the same capped gram equi-join as substringPairs
+    * (positions ride along as two ints); the islands window partitions
+    * by (x, y, diag) — high-cardinality keys, no hot partition. Within-
+    * doc gram repeats multiply occurrences across diagonals, but each
+    * diagonal stays bounded by the doc length.
+    */
+  def substringSpans(docs: DataFrame, w: Int, maxDf: Int): DataFrame = {
+    // df cap on per-doc-DISTINCT grams (same stop-gram rule as
+    // substringPairs); positions of surviving grams join after
+    val pg = positionedGrams(docs, w).cache()
+    val rare = pg.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("g"))
+    val pgc = pg.join(rare, "g")
+    val hits = pgc.as("a")
+      .join(pgc.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"),
+        col("a.p").as("pa"), (col("a.p") - col("b.p")).as("diag"))
+      .distinct()
+    val iw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("x"), col("y"), col("diag")).orderBy(col("pa"))
+    hits
+      .withColumn("isl", col("pa") - row_number().over(iw))
+      .groupBy(col("x"), col("y"), col("diag"), col("isl"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("x"), col("y"))
+      .agg((max(col("run")) + (w - 1)).as("max_span"))
+      .orderBy(col("x"), col("y"))
+  }
+
   /** Fixed, engine-portable MinHash parameters: k=12 permutations
     * h_i(x) = (a_i·x + b_i) mod P31, banded 4×3 for LSH (canonical
     * schedule lives in the compiled expression; single source).

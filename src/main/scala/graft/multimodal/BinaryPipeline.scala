@@ -141,6 +141,15 @@ object BinaryPipeline {
   private def payloadChecksum(bytes: Array[Byte]): Long =
     bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
 
+  /** ImageIO.read returns null for unrecognized content but THROWS on
+    * recognized-but-malformed payloads (truncated JPEG, corrupt PNG
+    * chunk). A binary column at 100 TB always contains some of those —
+    * a poison row must take the fallback path, not kill the task.
+    */
+  private def tryDecode(bytes: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
   /** The batched decode: one call per accumulated batch — the shape a
     * real vectorized decoder (libjpeg-turbo/ffmpeg via JNI, or an Arrow
     * batch handed to a Python worker) requires. Image payloads are
@@ -150,10 +159,7 @@ object BinaryPipeline {
   private[multimodal] def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
     batch.map { r =>
       val bytes = r.payload
-      val img =
-        if (r.kind == "image")
-          Option(ImageIO.read(new ByteArrayInputStream(bytes)))
-        else None
+      val img = if (r.kind == "image") tryDecode(bytes) else None
       img match {
         case Some(i) =>
           MediaFeatures(r.media_id, r.kind, bytes.length.toLong,
@@ -180,12 +186,10 @@ object BinaryPipeline {
     * deterministic stand-in for a codec scaler.
     */
   private[multimodal] def resizeBatch(batch: Seq[MediaRecord],
-                                      w: Int, h: Int): Seq[MediaRecord] =
+                                      w: Int, h: Int): Seq[MediaRecord] = {
+    require(w > 0 && h > 0, s"resize target must be positive (got ${w}x$h)")
     batch.map { r =>
-      val img =
-        if (r.kind == "image")
-          Option(ImageIO.read(new ByteArrayInputStream(r.payload)))
-        else None
+      val img = if (r.kind == "image") tryDecode(r.payload) else None
       img match {
         case Some(src) =>
           val dst = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
@@ -206,6 +210,7 @@ object BinaryPipeline {
           r.copy(payload = out, width = w, height = h)
       }
     }
+  }
 
   /** Resize to target dimensions — same partition-preserving batched
     * shape as decodeFeatures; composes with decodeFeatures/frameSample

@@ -78,6 +78,10 @@ object LlmQueries {
   def dedupSubstringClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.substringClusters(Tables.documents(spark, dir), SubstrW, SubstrMaxDf)
 
+  /** F16s: longest verbatim shared span per overlapping pair. */
+  def dedupSubstringSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringSpans(Tables.documents(spark, dir), SubstrW, SubstrMaxDf)
+
   // max pairwise cosine on the synthetic embeddings is ~0.51; 0.4
   // yields a non-trivial pair set with >=1e-4 threshold margin
   val EmbedCosineTau = 0.4

@@ -196,7 +196,10 @@ object Ann {
         .groupBy(col("cent_id"))
         .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
           x => round(x.getField("m"), 6).cast("float")).as("mce"))
-      cents = cents.join(means, Seq("cent_id"), "left")
+      // means is K rows but sits behind a corpus-wide aggregate whose
+      // size ESTIMATE blocks auto-broadcast — pin it, or this tiny
+      // codebook join becomes a SortMergeJoin
+      cents = cents.join(broadcast(means), Seq("cent_id"), "left")
         .select(col("cent_id"), coalesce(col("mce"), col("ce")).as("ce"))
         .withColumn("cn", norm(col("ce")))
         // tiny (K rows) but consumed by every later iteration/stage —

@@ -69,6 +69,9 @@ object ScaleBench {
         "dedup_ngram_jaccard_capped" -> (() =>
           graft.dedup.Dedup.ngramJaccardCapped(docs,
             LlmQueries.JaccardTau, LlmQueries.JaccardMaxDf)),
+        "dedup_substring" -> (() =>
+          graft.dedup.Dedup.substringPairs(docs,
+            LlmQueries.SubstrW, LlmQueries.SubstrMaxDf)),
         "dedup_simhash_capped" -> (() =>
           graft.dedup.Dedup.simhashPairsCapped(spark, docs,
             LlmQueries.SimhashMaxHamming, LlmQueries.SimhashMaxDf)),

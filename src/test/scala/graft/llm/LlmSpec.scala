@@ -145,6 +145,28 @@ class LlmSpec extends SparkSpec {
     assert(uncapped.length == 21) // all 7·6/2 pairs once the cap lifts
   }
 
+  test("substring span extraction recovers exact planted span lengths (F16s)") {
+    // single 60-token span → max_span exactly 60
+    val s60 = Dedup.substringSpans(spanDocs(60), w = 50, maxDf = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(s60.toSeq == Seq((0L, 1L, 60L)))
+    // exactly-50-token span → max_span exactly 50 (boundary)
+    val s50 = Dedup.substringSpans(spanDocs(50), w = 50, maxDf = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(s50.toSeq == Seq((0L, 1L, 50L)))
+    // TWO disjoint 55-token spans in different diagonals → max is one
+    // span's length (55), not their sum
+    val spanA = (0 until 55).map(i => s"p$i").mkString(" ")
+    val spanB = (0 until 55).map(i => s"q$i").mkString(" ")
+    val two = Seq(
+      (0L, (Seq(spanA) ++ (0 until 30).map(i => s"a$i") ++ Seq(spanB)).mkString(" ")),
+      (1L, (Seq(spanB) ++ (0 until 70).map(i => s"b$i") ++ Seq(spanA)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val st = Dedup.substringSpans(two, w = 50, maxDf = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(st.toSeq == Seq((0L, 1L, 55L)))
+  }
+
   test("substring clusters: keep/drop consistent with the pair graph (F16k)") {
     val d = spanDocs(50)
     val out = Dedup.substringClusters(d, w = 50, maxDf = 5).collect()

@@ -73,6 +73,23 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.map(_.checksum).toSeq == again.map(_.checksum).toSeq)
   }
 
+  test("poison image payloads take the fallback, never kill the batch") {
+    // truncated JPEG: recognized magic, malformed body — ImageIO THROWS
+    // on this (it does not return null)
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_3BYTE_BGR)
+    val truncated = encodeImage(img, "jpg").take(24)
+    val recs = Seq(
+      MediaRecord(0L, "image", truncated, 8, 8, 1),
+      MediaRecord(1L, "image", "not an image at all".getBytes("UTF-8"), 8, 8, 1),
+      MediaRecord(2L, "image", Array.emptyByteArray, 8, 8, 1))
+    val out = decodeBatch(recs)
+    assert(out.length == 3)
+    assert(out.forall(f => f.width == -1 && f.channels == -1))
+    // resize of a poison image also falls back instead of throwing
+    val rs = resizeBatch(recs, 4, 4)
+    assert(rs.length == 3 && rs.forall(r => r.width == 4 && r.height == 4))
+  }
+
   test("decode batching covers every record (batch size boundary)") {
     val many = spark.range(150).selectExpr("id AS doc_id", "repeat('x', 5) AS text")
     val feats = decodeFeatures(mediaTable(spark, many))

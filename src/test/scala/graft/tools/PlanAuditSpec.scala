@@ -62,6 +62,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("dedup_substring: hashed-gram equi-join, no sort-merge anywhere") {
+    val p = plan("dedup_substring")
+    // the pair source must stay a hash equi-join on the 8-byte gram
+    // key; a SortMergeJoin here means the hashed key or the broadcastable
+    // df-cap side regressed into a sort on the ~wide corpus
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(2000))
+    assert(p.contains("Join"), p.take(2000))
+  }
+
+  test("ann_ivf_refined: codebook stays broadcast through every lloyd iteration") {
+    val p = plan("ann_ivf_refined")
+    // the assignment joins (2 lloyd iterations + final assignment +
+    // query probe) must ALL be broadcasts of the K-row codebook; a
+    // SortMergeJoin means a codebook stage lost its broadcast and the
+    // full corpus is being sorted against 32 rows
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+  }
+
+  test("multimodal decode chain: no shuffle before the summary aggregation") {
+    val p = plan("multimodal_pipeline")
+    // resize → decode are partition-preserving mapPartitions; the only
+    // hash exchanges are the two final per-kind aggregations (feats +
+    // frames), each with a map-side partial
+    assert(countOf(p, "Exchange hashpartitioning") <= 3, p.take(3000))
+  }
+
   test("no unbounded cartesian product in any driver query") {
     // broadcast nested-loop joins over bounded broadcasts (band index,
     // centroid codebook, query subset, 1-row bounds) are fine; a
