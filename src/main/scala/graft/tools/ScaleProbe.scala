@@ -66,6 +66,20 @@ object ScaleProbe {
         .agg(max("df").as("max_df"), pairSum("df").as("pairs"))
         .head()
 
+      // ---- substring 50-grams: raw df fan-out vs df<=cap kept ----
+      // (replicas share every original 50-gram, so gram df ≈ copies:
+      // the cap binds at copies > maxDf and sheds the whole replica
+      // family as boilerplate — the documented drop-only semantics)
+      val sw = graft.ops.LlmQueries.SubstrW
+      val sCap = graft.ops.LlmQueries.SubstrMaxDf
+      val sub = graft.dedup.Dedup.docShingles(docs, sw)
+        .select(col("doc_id"), graft.text.TextFns.h60(col("shingle")).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("df")).cache()
+      val sRaw = sub.agg(max("df").as("max_df"), pairSum("df").as("pairs")).head()
+      val sCapped = sub.filter(col("df") <= sCap)
+        .agg(coalesce(max("df"), lit(0L)).as("max_df"),
+          coalesce(pairSum("df"), lit(0L)).as("pairs")).head()
+
       // ---- jaccard shingles: raw df fan-out vs df<=cap kept ----
       val shd = docs.select(col("doc_id"),
           explode(array_distinct(graft.text.TextFns.shingles3(
@@ -79,8 +93,10 @@ object ScaleProbe {
         s""""simhash_raw_max_bucket":${raw.getLong(0)},"simhash_raw_pairs":${raw.getLong(1)},""" +
         s""""simhash_capped_max_bucket":${capped.getLong(0)},"simhash_capped_pairs":${capped.getLong(1)},""" +
         s""""jaccard_raw_max_df":${jRaw.getLong(0)},"jaccard_raw_pairs":${jRaw.getLong(1)},""" +
-        s""""jaccard_capped_max_df":${jCap.getLong(0)},"jaccard_capped_pairs":${jCap.getLong(1)}}""")
-      docs.unpersist(); sigs.unpersist(); shd.unpersist()
+        s""""jaccard_capped_max_df":${jCap.getLong(0)},"jaccard_capped_pairs":${jCap.getLong(1)},""" +
+        s""""substr_raw_max_df":${sRaw.getLong(0)},"substr_raw_pairs":${sRaw.getLong(1)},""" +
+        s""""substr_capped_max_df":${sCapped.getLong(0)},"substr_capped_pairs":${sCapped.getLong(1)}}""")
+      docs.unpersist(); sigs.unpersist(); shd.unpersist(); sub.unpersist()
     }
     spark.stop()
   }

@@ -62,14 +62,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
-  test("dedup_substring: hashed-gram equi-join, no sort-merge anywhere") {
-    val p = plan("dedup_substring")
-    // the pair source must stay a hash equi-join on the 8-byte gram
-    // key; a SortMergeJoin here means the hashed key or the broadcastable
-    // df-cap side regressed into a sort on the ~wide corpus
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
-      p.take(2000))
-    assert(p.contains("Join"), p.take(2000))
+  test("dedup_substring family: hashed-gram equi-joins, no nested loops") {
+    for (name <- Seq("dedup_substring", "dedup_substring_spans")) {
+      val p = plan(name)
+      // the pair source must stay a hash equi-join on the 8-byte gram
+      // key; a nested-loop join here means the gram equality was lost
+      // to an expression rewrite and the corpus goes all-pairs
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$name:\n${p.take(2000)}")
+      assert(p.contains("Join"), s"$name:\n${p.take(2000)}")
+    }
   }
 
   test("ann_ivf_refined: codebook stays broadcast through every lloyd iteration") {
