@@ -97,6 +97,8 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => L.textFingerprint(s, dir)),
     "embed_norm_stats" -> ((s, dir) => L.embedNormStats(s, dir)),
     "corpus_curation" -> ((s, dir) => L.corpusCuration(s, dir)),
+    "corpus_vocab" -> ((s, dir) => L.corpusVocab(s, dir)),
+    "corpus_split" -> ((s, dir) => L.corpusSplit(s, dir)),
     // G. streaming (batch twin) + F12 multimodal plumbing
     "stream_rollup" -> ((s, dir) => T.streamRollup(s, dir)),
     "stream_sig_dedup" -> ((s, dir) => L.streamSigDedup(s, dir)),
@@ -644,6 +646,27 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY q_id ORDER BY round(cos,6) DESC, vec_id) AS rk FROM scored)
         |SELECT q_id, rk, vec_id, round(cos,4) AS cos FROM rk WHERE rk <= 5
         |ORDER BY q_id, rk""".stripMargin,
+    // F17: tokenizer-corpus vocabulary stats — tf/df per token, top-N
+    // by tf with token tie-break (deterministic cutoff)
+    "corpus_vocab" ->
+      s"""WITH $TK,
+         |tok AS (SELECT doc_id, unnest(toks) AS token FROM tk)
+         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+         |FROM tok GROUP BY 1
+         |ORDER BY tf DESC, token LIMIT ${graft.ops.LlmQueries.VocabTopN}""".stripMargin,
+    // F18: hash-stable split — same h60(doc_id) % denom arithmetic as
+    // graft.ops.Sampling.split, CASE rendered from the same weights
+    "corpus_split" -> {
+      val ws = graft.ops.LlmQueries.SplitWeights
+      val denom = ws.map(_._2).sum
+      val uppers = ws.scanLeft(0) { case (a, (_, w)) => a + w }.tail
+      val cases = ws.zip(uppers).init
+        .map { case ((n, _), u) => s"WHEN bucket < $u THEN '$n'" }.mkString(" ")
+      s"""SELECT doc_id, bucket, CASE $cases ELSE '${ws.last._1}' END AS split FROM (
+         |  SELECT doc_id,
+         |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % $denom AS bucket
+         |  FROM documents) b ORDER BY doc_id""".stripMargin
+    },
     "text_langid" ->
       s"""WITH $TK,
          |tok AS (SELECT doc_id, unnest(toks) AS tok FROM tk),

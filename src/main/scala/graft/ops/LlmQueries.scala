@@ -193,6 +193,17 @@ object LlmQueries {
   val CurationMinTokens = 15
   val CurationLang = "en"
 
+  val VocabTopN = 200
+  val SplitWeights = Seq(("train", 8), ("val", 1), ("test", 1))
+
+  /** F17: tokenizer-corpus vocabulary statistics (tf/df, top-N). */
+  def corpusVocab(spark: SparkSession, dir: String): DataFrame =
+    Analysis.vocab(Tables.documents(spark, dir), VocabTopN)
+
+  /** F18: deterministic hash-stable train/val/test split. */
+  def corpusSplit(spark: SparkSession, dir: String): DataFrame =
+    Sampling.split(Tables.documents(spark, dir), SplitWeights)
+
   /** F14: staged corpus curation (quality → language → exact dedup →
     * simhash near-dedup), one keep/drop + reason row per document.
     */

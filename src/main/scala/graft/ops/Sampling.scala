@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus splitting (SURVEY.md §2.F18) — the held-out
+  * assignment a training pipeline needs to be STABLE: a document's
+  * split must never change when the corpus grows, shrinks, or is
+  * re-partitioned, or eval contamination silently creeps in. So the
+  * split is a pure function of the document id — md5-derived
+  * (`TextFns.h60`, the engine-portable hash every other operator uses)
+  * modulo the weight denominator — not `randomSplit`, whose assignment
+  * depends on partitioning and seed plumbing.
+  *
+  * Scale shape: map-only — no shuffle, no join, no state; the split
+  * column streams out of the scan stage at any corpus size.
+  */
+object Sampling {
+
+  /** One (id, split) row per input row: `weights` are (name, share)
+    * pairs, e.g. Seq(("train", 8), ("val", 1), ("test", 1)); the id's
+    * 60-bit md5 hash modulo the share sum picks the bucket range.
+    */
+  def split(docs: DataFrame, weights: Seq[(String, Int)],
+            idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"weights must be positive (got $weights)")
+    val denom = weights.map(_._2).sum.toLong
+    val bucket = graft.text.TextFns.h60(col(idCol).cast("string")) % denom
+    // cumulative upper bounds → first-match when chain
+    val uppers = weights.scanLeft(0L) { case (acc, (_, w)) => acc + w }.tail
+    val splitCol: Column = weights.zip(uppers).init
+      .foldRight(lit(weights.last._1)) { case (((name, _), upper), rest) =>
+        when(bucket < upper, name).otherwise(rest)
+      }
+    docs.select(col(idCol), bucket.as("bucket"), splitCol.as("split"))
+      .orderBy(col(idCol))
+  }
+}

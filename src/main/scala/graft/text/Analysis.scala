@@ -124,4 +124,23 @@ object Analysis {
       .select(col("doc_id"),
         Fingerprint60.fingerprint(tokens(col("text"))).as("fp"))
       .orderBy(col("doc_id"))
+
+  /** F17: corpus vocabulary statistics — the counting pass a tokenizer
+    * training run (BPE/unigram) makes over its corpus: term frequency
+    * and document frequency per token, top `topN` by tf with a token
+    * tie-break (deterministic cutoff). Scale shape: ONE explode +
+    * groupBy(token) with map-side partial aggregation (tf is a plain
+    * count; df an approx-free count-distinct over doc_id — Spark plans
+    * it as a two-phase expand, still keyed by token, no hot key unless
+    * a token dominates the corpus, which the top-N output makes
+    * visible rather than pathological); the top-N is a TakeOrdered, not
+    * a global sort.
+    */
+  def vocab(docs: DataFrame, topN: Int): DataFrame =
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(topN)
 }

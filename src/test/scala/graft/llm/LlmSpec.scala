@@ -451,6 +451,40 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("vocab: tf counts repeats, df counts docs, cutoff deterministic (F17)") {
+    val d = Seq(
+      (0L, "spark spark spark data"),
+      (1L, "spark data"),
+      (2L, "zulu alpha")
+    ).toDF("doc_id", "text")
+    val out = Analysis.vocab(d, topN = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // tf: spark 4, data 2, alpha/zulu 1 each → tie broken by token asc
+    assert(out.toSeq == Seq(("spark", 4L, 2L), ("data", 2L, 2L), ("alpha", 1L, 1L)))
+    // null text contributes nothing
+    val withNull = d.unionByName(Seq((9L, Option.empty[String])).toDF("doc_id", "text"))
+    assert(Analysis.vocab(withNull, 10).count() == 4)
+  }
+
+  test("split: stable under corpus growth and repartitioning (F18)") {
+    import graft.ops.Sampling
+    val w = graft.ops.LlmQueries.SplitWeights
+    val small = spark.range(100).selectExpr("id AS doc_id", "'x' AS text")
+    val big = spark.range(1000).selectExpr("id AS doc_id", "'y' AS text")
+    val a = Sampling.split(small, w).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = Sampling.split(big.repartition(7), w).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // every doc keeps its split when the corpus grows 10x and shuffles
+    assert(a.forall { case (id, s) => b(id) == s })
+    // all three splits are populated at 1000 docs with 8/1/1 weights
+    val counts = b.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    // map-only: no exchange anywhere before the output sort
+    val p = Sampling.split(big, w).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), p.take(500))
+  }
+
   test("corpus curation stages claim docs in order (F14)") {
     import graft.ops.Curation
     // 20+ token english filler keeps quality/language gates open
