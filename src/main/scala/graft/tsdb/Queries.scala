@@ -703,9 +703,13 @@ object Queries {
   def whisperExportFetch(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.Whisper
     val spec = Retention.parse("10m:1d,1h:7d,1d:60d")
+    // stripPrefix BEFORE sanitizing: "/root/..." would otherwise become
+    // "_root_..." and Spark's file listing treats leading-underscore
+    // paths as hidden — the source of the one-time benign-looking
+    // `WARN DataSource: All paths were ignored` in earlier rounds
     val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft_wsp_export_${ProcessHandle.current().pid()}",
-      dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      dir.stripPrefix("/").replaceAll("[^A-Za-z0-9.]", "_")).toString
     val marker = java.nio.file.Paths.get(root, "_GRAFT_EXPORT_OK")
     if (!java.nio.file.Files.exists(marker)) {
       val exported = Whisper.export(spark,
@@ -713,10 +717,7 @@ object Queries {
         root, spec, "average", 0.0, Now)
       // guard BEFORE memoizing (VERDICT r4): an empty export must fail
       // loudly here, never be marker-cached and silently fetched as an
-      // empty fixture forever after. (The one-time `WARN DataSource:
-      // All paths were ignored` on the first fetch after this export is
-      // Spark invalidating its FileIndex cache for the just-written
-      // tree — benign, the fetch re-lists and returns the real grid.)
+      // empty fixture forever after
       require(exported > 0, s"whisper export produced no .wsp files under $root")
       java.nio.file.Files.writeString(marker, spec.mkString(","))
     }
