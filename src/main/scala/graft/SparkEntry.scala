@@ -102,6 +102,7 @@ object SparkEntry {
     // G. streaming (batch twin) + F12 multimodal plumbing
     "stream_rollup" -> ((s, dir) => T.streamRollup(s, dir)),
     "stream_sig_dedup" -> ((s, dir) => L.streamSigDedup(s, dir)),
+    "stream_decontaminate" -> ((s, dir) => L.streamDecontaminate(s, dir)),
     "multimodal_pipeline" -> ((s, dir) =>
       graft.multimodal.BinaryPipeline.pipelineSummary(s, graft.core.Tables.documents(s, dir)))
   )
@@ -364,6 +365,24 @@ object SparkEntry {
          |FROM d5 c JOIN rare USING (shingle) JOIN ev e USING (shingle)
          |GROUP BY 1, 2 HAVING count(*) >= ${graft.ops.LlmQueries.DecontamMinHits}
          |ORDER BY 1, 2""".stripMargin,
+    // G5 batch twin: per-doc distinct 5-gram hits against the eval
+    // UNION shingle set (stateless broadcast-membership flag)
+    "stream_decontaminate" ->
+      s"""WITH dtk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         |d5 AS (SELECT DISTINCT doc_id, shingle FROM (
+         |  SELECT doc_id, tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w
+         |    || ' ' || lead(tok,3) OVER w || ' ' || lead(tok,4) OVER w AS shingle
+         |  FROM (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks,1) AS pos FROM dtk)
+         |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) s
+         | WHERE shingle IS NOT NULL),
+         |ev AS (SELECT DISTINCT shingle FROM d5
+         |  WHERE doc_id % ${graft.ops.LlmQueries.DecontamEvalMod} = 0),
+         |h AS (SELECT c.doc_id, count(*) AS hits FROM d5 c JOIN ev USING (shingle) GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         |  CAST(CASE WHEN coalesce(h.hits, 0) >= ${graft.ops.LlmQueries.DecontamMinHits}
+         |       THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+         |FROM documents d LEFT JOIN h USING (doc_id)
+         |ORDER BY 1""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $TK, $SHD,
          |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),

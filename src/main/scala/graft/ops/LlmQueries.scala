@@ -186,6 +186,19 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** G5 batch twin: the streaming in-flight contamination flag computed
+    * batch-side — same broadcast-set membership arithmetic
+    * (CarbonStream.decontaminateStream is mode-agnostic).
+    */
+  def streamDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val eval = docs.filter(col("doc_id") % DecontamEvalMod === 0)
+      .select(col("doc_id").as("eval_id"), col("text"))
+    graft.streaming.CarbonStream
+      .decontaminateStream(docs, eval, DecontamN, DecontamMinHits)
+      .toDF().orderBy(col("doc_id"))
+  }
+
   // curation gates: the score threshold sits BETWEEN 4-dp grid points
   // (scores are round(x,4)) so the cross-engine comparison can never
   // land on the boundary; ≥ 0.38-at-4dp drops ~15% of the corpus

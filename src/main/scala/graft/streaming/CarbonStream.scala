@@ -160,6 +160,43 @@ object CarbonStream {
     * twin of the batch rule). State per distinct signature is one Long
     * — bounded by content diversity, not stream length.
     */
+  final case class ContamDecision(doc_id: Long, hits: Long, contaminated: Long)
+
+  /** G5: in-flight decontamination — flag each INCOMING document that
+    * shares ≥ `minHits` distinct n-gram shingles with the benchmark
+    * set, before it ever lands in the training corpus (the streaming
+    * complement of the batch F15 sweep: F15 audits a corpus you
+    * already have; this keeps a live crawl clean).
+    *
+    * Scale shape: the eval side is benchmark-sized BY DEFINITION, so
+    * its hashed shingle set (8-byte h60 longs) ships to every executor
+    * as ONE broadcast variable; the check is then a per-row
+    * set-membership count — completely STATELESS: no state store, no
+    * watermark, no shuffle, identical plan over batch and streaming
+    * Datasets (the batch twin IS the oracle). The JVM-side
+    * h60/shingle twins are bit-equal to the Column forms
+    * (FunctionsSpec-pinned), so flags agree with the F15 batch
+    * operator's arithmetic.
+    */
+  def decontaminateStream(docs: DataFrame, evalDocs: DataFrame,
+                          n: Int, minHits: Int): Dataset[ContamDecision] = {
+    import docs.sparkSession.implicits._
+    import graft.text.TextFns
+    // benchmark-sized by contract: collect + broadcast (a benchmark
+    // too large to broadcast is a corpus, and belongs in batch F15)
+    val evalSet = graft.dedup.Dedup
+      .docShingles(evalDocs, n, "eval_id")
+      .select(TextFns.h60(col("shingle")).as("h")).distinct()
+      .as[Long].collect().toSet
+    val bc = docs.sparkSession.sparkContext.broadcast(evalSet)
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val hits = TextFns.shinglesJvm(text, n)
+          .count(s => bc.value.contains(TextFns.h60Jvm(s)))
+        ContamDecision(id, hits.toLong, if (hits >= minHits) 1L else 0L)
+      }
+  }
+
   def simhashDedupStream(docs: DataFrame): Dataset[SigDecision] = {
     import docs.sparkSession.implicits._
     docs

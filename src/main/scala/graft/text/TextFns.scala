@@ -16,6 +16,28 @@ object TextFns {
   def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** JVM-side twin of [[h60]] for typed/streaming code that checks
+    * membership against a broadcast hash set (FunctionsSpec pins the
+    * bit-equality against the Column form).
+    */
+  def h60Jvm(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** JVM-side twin of the tokens → distinct-n-shingles pipeline
+    * ([[tokens]] + ShingleArray semantics: lower, split on single
+    * space keeping empties, ordered n-grams joined by one space,
+    * de-duplicated). Null/short texts → empty set.
+    */
+  def shinglesJvm(text: String, n: Int): Set[String] = {
+    if (text == null) return Set.empty
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+    if (toks.length < n) Set.empty
+    else toks.sliding(n).map(_.mkString(" ")).toSet
+  }
+
   /** h60 reduced mod a 31-bit prime: products with <2^31 multipliers
     * stay inside a signed 64-bit long (no overflow on either engine).
     */

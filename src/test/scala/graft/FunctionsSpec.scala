@@ -121,6 +121,28 @@ class FunctionsSpec extends SparkSpec {
     assert(short == 0)
   }
 
+  test("h60Jvm and shinglesJvm are bit-equal twins of the Column forms") {
+    import graft.text.TextFns
+    // h60: ASCII, unicode, empty, whitespace-bearing strings
+    val samples = Seq("hello", "a b c", "", "Ümläut 中文", "trailing ")
+    val cols = samples.toDF("s").select(TextFns.h60(col("s"))).collect().map(_.getLong(0))
+    assert(samples.map(TextFns.h60Jvm) == cols.toSeq)
+    // shingle sets: the JVM twin equals the distinct Column pipeline on
+    // real documents (same lower/split/join arithmetic)
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("text").isNotNull).limit(50)
+      .select(col("text"),
+        graft.functions.ShingleArray.shingles(TextFns.tokens(col("text")), 5).as("sh"))
+      .collect()
+    for (r <- docs) {
+      val colSet = if (r.isNullAt(1)) Set.empty[String] else r.getSeq[String](1).toSet
+      assert(TextFns.shinglesJvm(r.getString(0), 5) == colSet)
+    }
+    // null / short text → empty set
+    assert(TextFns.shinglesJvm(null, 5).isEmpty)
+    assert(TextFns.shinglesJvm("one two", 5).isEmpty)
+  }
+
   test("FloatDot survives whole-stage codegen over many rows") {
     val df = spark.range(1000).selectExpr(
       "array(cast(id AS float), cast(id+1 AS float)) AS a",

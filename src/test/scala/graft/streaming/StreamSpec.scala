@@ -208,6 +208,34 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming decontamination flags benchmark overlap in-flight (G5)") {
+    import graft.streaming.CarbonStream
+    implicit val sqlCtx = spark.sqlContext
+    val eval = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("eval_id", "text")
+    val source = MemoryStream[(Long, String)]
+    val out = CarbonStream.decontaminateStream(
+      source.toDF().toDF("doc_id", "text"), eval, n = 5, minHits = 3)
+    val query = out.toDF().writeStream
+      .format("memory").queryName("g5_contam").outputMode("append").start()
+    try {
+      source.addData(
+        (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // exact: 6 hits
+        (1L, "unrelated words that share nothing with the benchmark suite"))
+      query.processAllAvailable()
+      // second micro-batch: partial overlap (6 leading tokens = 2
+      // shared 5-grams, below minHits 3) — stateless, no cross-batch
+      // interference
+      source.addData(
+        (2L, "alpha beta gamma delta epsilon zeta different tail entirely here"))
+      query.processAllAvailable()
+      val rows = spark.table("g5_contam").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq == Seq((0L, 6L, 1L), (1L, 0L, 0L), (2L, 2L, 0L)))
+    } finally query.stop()
+  }
+
   test("streaming simhash dedup batch twin agrees on keepers (G4)") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),
