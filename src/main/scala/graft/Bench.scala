@@ -90,8 +90,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // compact line layout: "queries" FIRST, total/failed LAST — the
+    // driver keeps only the last 2000 stdout bytes, so if query count
+    // ever pushes the line past the tail, truncation eats the first
+    // few per-query mins and never the total/failed verdict. sf as
+    // basename (-18 bytes). 81 queries ≈ 1.9 kB: near the budget.
+    val sfName = sfDir.split('/').last
     val compact =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs2,"failed":$fl,"sf":"$sfDir"}"""
+      s"""{"queries":$qs2,"failed":$fl,"sf":"$sfName","metric":"total","value":${f3(total)},"unit":"sec"}"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$ss,"failed":$fl,"sf":"$sfDir"}"""
     // durable artifact (VERDICT r3 #1): full JSON (incl. all samples)

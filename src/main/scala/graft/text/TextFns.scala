@@ -16,14 +16,26 @@ object TextFns {
   def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   /** JVM-side twin of [[h60]] for typed/streaming code that checks
     * membership against a broadcast hash set (FunctionsSpec pins the
-    * bit-equality against the Column form).
+    * bit-equality against the Column form). The first 15 hex digits of
+    * the md5 are the digest's first 60 bits, so the value is the first
+    * 8 bytes big-endian shifted right 4 — no hex string round-trip
+    * (a per-byte format() here cost ~3 s/sample on the sf0.1 bench),
+    * and the digest instance is thread-local, not per-call.
     */
   def h60Jvm(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
   }
 
   /** JVM-side twin of the tokens → distinct-n-shingles pipeline
