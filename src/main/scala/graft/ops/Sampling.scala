@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   * modulo the weight denominator — not `randomSplit`, whose assignment
   * depends on partitioning and seed plumbing.
   *
-  * Scale shape: map-only — no shuffle, no join, no state; the split
-  * column streams out of the scan stage at any corpus size.
+  * Scale shape: the assignment itself is map-only — no shuffle, no
+  * join, no state; the split column streams out of the scan stage at
+  * any corpus size. (The driver entry's trailing orderBy is
+  * presentation/oracle determinism only — drop it when consuming the
+  * split as a pipeline stage.)
   */
 object Sampling {
 
