@@ -72,6 +72,9 @@ object ScaleBench {
         "dedup_substring" -> (() =>
           graft.dedup.Dedup.substringPairs(docs,
             LlmQueries.SubstrW, LlmQueries.SubstrMaxDf)),
+        "dedup_substring_spans" -> (() =>
+          graft.dedup.Dedup.substringSpans(docs,
+            LlmQueries.SubstrW, LlmQueries.SubstrMaxDf)),
         "dedup_simhash_capped" -> (() =>
           graft.dedup.Dedup.simhashPairsCapped(spark, docs,
             LlmQueries.SimhashMaxHamming, LlmQueries.SimhashMaxDf)),
