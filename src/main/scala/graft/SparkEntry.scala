@@ -78,6 +78,7 @@ object SparkEntry {
     "dedup_substring_clusters" -> ((s, dir) => L.dedupSubstringClusters(s, dir)),
     "dedup_substring_spans" -> ((s, dir) => L.dedupSubstringSpans(s, dir)),
     "dedup_minhash" -> ((s, dir) => L.dedupMinhash(s, dir)),
+    "dedup_minhash_capped" -> ((s, dir) => L.dedupMinhashCapped(s, dir)),
     "dedup_minhash_clusters" -> ((s, dir) => L.dedupMinhashClusters(s, dir)),
     "dedup_jaccard_clusters" -> ((s, dir) => L.dedupJaccardClusters(s, dir)),
     "dedup_embed_cosine_clusters" -> ((s, dir) => L.dedupEmbedCosineClusters(s, dir)),
@@ -293,6 +294,41 @@ object SparkEntry {
        |bands AS (SELECT doc_id, i//3 AS band,
        |  md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS bh FROM sigs GROUP BY 1,2)""".stripMargin
 
+  /** The df-capped MinHash keying stage (Dedup.cappedMinhashKeys) as
+    * DuckDB CTEs — the key slot schedule is rendered from the SAME
+    * `Dedup.minhashKeySlots` the Spark plan evaluates (md5 over the
+    * comma-joined decimal slot values; DuckDB concat_ws casts BIGINT
+    * identically), single source of truth like SimhashCappedKeyed.
+    */
+  private lazy val MinhashCappedCtes: String = {
+    import graft.dedup.{Dedup => D}
+    val cap = graft.ops.LlmQueries.MinhashMaxDf
+    val n = D.minhashWidenLevels
+    def keyExpr(b: Int, j: Int): String =
+      D.minhashKeySlots(b, j).map(i => s"s[${i + 1}]")
+        .mkString("md5(concat_ws(',', ", ", ", "))")
+    val bandBlocks = (0 until D.minhashNBands).map { b =>
+      val kCols = (0 to n).map(j => s"${keyExpr(b, j)} AS k$j").mkString(",\n    ")
+      s"SELECT sk, $b AS band,\n    $kCols\n  FROM dsig"
+    }.mkString("\n  UNION ALL ")
+    val dfCols = (0 to n).map(j => s"count(*) OVER (PARTITION BY band, k$j) AS df$j").mkString(",\n  ")
+    val lvl = "CASE " + (0 until n).map(j => s"WHEN df$j <= $cap THEN $j").mkString(" ") + s" ELSE $n END"
+    val bkey = "CASE " + (0 until n).map(j => s"WHEN df$j <= $cap THEN k$j").mkString(" ") + s" ELSE k$n END"
+    s"""sarr AS (SELECT doc_id, list(mh ORDER BY i) AS s,
+       |    md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS sk
+       |  FROM sigs GROUP BY 1),
+       |dsig AS (SELECT sk, any_value(s) AS s FROM sarr GROUP BY 1),
+       |mbk AS (
+       |  $bandBlocks),
+       |mdk AS (SELECT *,
+       |  $dfCols
+       |  FROM mbk),
+       |mkeyed AS (SELECT sk, band, $lvl AS lvl, $bkey AS bkey FROM mdk),
+       |msigpairs AS (SELECT DISTINCT a.sk AS s1, b.sk AS s2
+       |  FROM mkeyed a JOIN mkeyed b
+       |    ON a.band=b.band AND a.lvl=b.lvl AND a.bkey=b.bkey AND a.sk < b.sk)""".stripMargin
+  }
+
   /** MinHash params / stopword dict rendered from the same Scala
     * constants the Spark plans use — single source of truth.
     */
@@ -463,22 +499,42 @@ object SparkEntry {
          |SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
          |FROM bands a JOIN bands b ON a.band=b.band AND a.bh=b.bh AND a.doc_id<b.doc_id
          |ORDER BY 1,2""".stripMargin,
-    // one-step min propagation over the symmetric band-join candidate
-    // graph (same rule as Dedup.minhashClusters): cluster_id =
-    // min({doc} ∪ neighbours), docs without signature/neighbours keep
+    // same signature pipeline over DISTINCT sigs with hot band buckets
+    // re-keyed by extra signature slots until df ≤ cap (drop-only;
+    // identical-sig pairs come from the intra-group expansion)
+    "dedup_minhash_capped" ->
+      s"""WITH $TK, $SHD,
+         |$MinhashBandsCtes,
+         |$MinhashCappedCtes,
+         |mcross AS (SELECT least(m1.doc_id, m2.doc_id) AS x,
+         |    greatest(m1.doc_id, m2.doc_id) AS y
+         |  FROM msigpairs p JOIN sarr m1 ON m1.sk = p.s1
+         |                   JOIN sarr m2 ON m2.sk = p.s2),
+         |mintra AS (SELECT m1.doc_id AS x, m2.doc_id AS y
+         |  FROM sarr m1 JOIN sarr m2 ON m1.sk = m2.sk AND m1.doc_id < m2.doc_id)
+         |SELECT x, y FROM (SELECT * FROM mcross UNION ALL SELECT * FROM mintra) t
+         |ORDER BY 1,2""".stripMargin,
+    // star clustering over the CAPPED candidate graph: each sig group's
+    // rep = min(doc_id); a group points at the smallest neighbouring rep
+    // (one-step min propagation, same rule as Dedup.minhashClusters);
+    // docs without a signature are their own singleton cluster
     "dedup_minhash_clusters" ->
       s"""WITH $TK, $SHD,
          |$MinhashBandsCtes,
-         |prs AS (SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
-         |  FROM bands a JOIN bands b ON a.band=b.band AND a.bh=b.bh AND a.doc_id<b.doc_id),
-         |mn AS (SELECT doc_id, min(nbr) AS mn FROM (
-         |    SELECT x AS doc_id, y AS nbr FROM prs
-         |    UNION ALL SELECT y AS doc_id, x AS nbr FROM prs) e GROUP BY 1)
-         |SELECT d.doc_id,
-         | least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_id,
-         | CASE WHEN least(d.doc_id, coalesce(m.mn, d.doc_id)) = d.doc_id
+         |$MinhashCappedCtes,
+         |mgroups AS (SELECT sk, min(doc_id) AS rep FROM sarr GROUP BY 1),
+         |moriented AS (SELECT CASE WHEN g1.rep < g2.rep THEN p.s2 ELSE p.s1 END AS sk,
+         |    least(g1.rep, g2.rep) AS cand
+         |  FROM msigpairs p JOIN mgroups g1 ON g1.sk = p.s1
+         |                   JOIN mgroups g2 ON g2.sk = p.s2),
+         |mroots AS (SELECT sk, min(cand) AS root FROM moriented GROUP BY 1),
+         |mclusters AS (SELECT g.sk, coalesce(r.root, g.rep) AS cluster_id
+         |  FROM mgroups g LEFT JOIN mroots r ON r.sk = g.sk)
+         |SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         | CASE WHEN coalesce(c.cluster_id, d.doc_id) = d.doc_id
          |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
-         |FROM documents d LEFT JOIN mn m ON m.doc_id = d.doc_id
+         |FROM documents d LEFT JOIN sarr m ON m.doc_id = d.doc_id
+         |                 LEFT JOIN mclusters c ON c.sk = m.sk
          |ORDER BY 1""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $TK,

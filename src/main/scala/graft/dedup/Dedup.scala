@@ -238,32 +238,28 @@ object Dedup {
     */
   val minhashParams: Seq[(Int, Long, Long)] = graft.functions.MinHash12.params
   val bandRows = 3
+  val minhashNBands: Int = minhashParams.size / bandRows
 
-  /** F3: MinHash signature + LSH banding → candidate pairs. Docs agree
-    * on a band iff all `bandRows` signature slots match; the band
-    * signature join is the scale path (shuffle keyed by band hash).
-    * The 12-slot signature is ONE compiled per-row pass over the
-    * shingle array (graft.functions.MinHash12) — like SimHash60, no
-    * explode/groupBy shuffle for the signature stage at all.
+  /** Per-doc 12-slot MinHash signature rows (doc_id, mh) — one compiled
+    * per-row pass (graft.functions.MinHash12), no explode/groupBy
+    * shuffle for the signature stage at all.
     */
-  def minhashLsh(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val sigRow = docs
+  private[graft] def minhashSigRows(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
         graft.functions.MinHash12.minhash(shingles3(col("toks"))).as("mh"))
-    val nBands = minhashParams.size / bandRows
-    val bandCols = (0 until nBands).map { b =>
-      md5(concat_ws(",",
-        (0 until bandRows).map(r =>
-          element_at(col("mh"), b * bandRows + r + 1).cast("string")): _*))
-    }
+
+  /** F3: MinHash signature + LSH banding → candidate pairs. Docs agree
+    * on a band iff all `bandRows` signature slots match; the band
+    * signature join is the scale path (shuffle keyed by band hash).
+    */
+  def minhashLsh(spark: SparkSession, docs: DataFrame): DataFrame = {
     // cache the per-doc band rows (nBands rows/doc — tiny): the self-join
     // otherwise evaluates the whole signature aggregation twice, because
     // the broadcast side's Exchange can't be reused against the shuffle side
-    val bands = sigRow
-      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
-      .cache()
+    val bands = minhashBands(docs).cache()
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -273,18 +269,165 @@ object Dedup {
       .orderBy(col("x"), col("y"))
   }
 
-  /** F3k: O(n)-output keep/drop decisions over the MinHash candidate
-    * graph — the production consumer shape (same argument as
-    * simhashClusters: on a dup-heavy corpus the pair OUTPUT is Ω(n²)
-    * even when candidate generation is bounded). One-step min
-    * propagation at doc level: cluster_id = min({doc} ∪ band-join
-    * neighbours); chains are deliberately NOT transitively merged (the
-    * deterministic single-pass rule the oracle replays). Docs with no
-    * signature (< 3 tokens) and docs with no neighbour are their own
-    * cluster. Output: (doc_id, cluster_id, keep) for every doc.
+  /** Per-doc (doc_id, band, bh) band rows — the uncapped F3 shuffle key
+    * (each band hash is [[minhashKeyCol]] at level 0; ScaleProbe
+    * measures this table's bucket density against the capped keying).
     */
-  def minhashClusters(spark: SparkSession, docs: DataFrame): DataFrame =
-    clusterize(docs.select(col("doc_id")), minhashLsh(spark, docs))
+  private[graft] def minhashBands(docs: DataFrame): DataFrame =
+    minhashSigRows(docs)
+      .select(col("doc_id"),
+        posexplode(array((0 until minhashNBands).map(b => minhashKeyCol(b, 0)): _*))
+          .as(Seq("band", "bh")))
+
+  /** Widening schedule for the df-capped MinHash variants (the exact
+    * analogue of [[simhashKeyExpr]], with signature SLOTS playing the
+    * role of simhash bit chunks): band `b`'s level-`j` key is the md5
+    * of its own `bandRows` slots plus `j` extension slots drawn
+    * round-robin from the OTHER bands. At j = 9 the slot list covers
+    * all 12 slots (for band 0 in natural order — the full-signature
+    * key), so level 9 is a bijection of the signature and df = 1 over
+    * DISTINCT signatures. Slot lists are nested prefixes, so two sigs
+    * sharing a level-k key share every coarser key and agree on the
+    * level itself — the same drop-only-approximation argument as
+    * [[cappedBandKeys]]. Shared by the Spark plan and the DuckDB
+    * oracle (SparkEntry renders the same slot schedule as SQL).
+    */
+  val minhashWidenLevels = 9
+
+  /** 0-based signature slot indices for band `b`'s level-`j` key. */
+  def minhashKeySlots(b: Int, j: Int): Seq[Int] =
+    (0 until bandRows).map(r => b * bandRows + r) ++
+      (0 until j).map(c =>
+        ((b + 1 + c / bandRows) % minhashNBands) * bandRows + (c % bandRows))
+
+  /** md5 key over band `b`'s level-`j` slot subset of the `mh` array
+    * (engine-portable: md5 of the comma-joined decimal slot values,
+    * the same string the DuckDB oracle aggregates).
+    */
+  private def minhashKeyCol(b: Int, j: Int): org.apache.spark.sql.Column =
+    md5(concat_ws(",",
+      minhashKeySlots(b, j).map(i => element_at(col("mh"), i + 1).cast("string")): _*))
+
+  /** Full-signature identity key: md5 over all 12 slots in natural
+    * order (= band 0's level-9 key). Two docs share `sk` iff their
+    * signatures are identical.
+    */
+  private[graft] def minhashSigKey: org.apache.spark.sql.Column =
+    minhashKeyCol(0, minhashWidenLevels)
+
+  /** Per-(sig, band) bucket keys with progressive df-capped widening —
+    * [[cappedBandKeys]] transplanted to the MinHash family (VERDICT r5
+    * #1). Input is DISTINCT signatures (sk, mh); a band bucket holding
+    * more than `maxDf` of them is re-keyed with one more signature
+    * slot, repeatedly, until it fits; level 9 keys are signature
+    * bijections, so every bucket ends at df ≤ max(maxDf, 1) and the
+    * per-bucket self-join work is bounded by maxDf²/2 REGARDLESS of
+    * corpus size.
+    */
+  private[graft] def cappedMinhashKeys(sigs: DataFrame, maxDf: Int): DataFrame = {
+    // maxDf=0 would null the min(when(...)) aggregate for every bucket
+    // (df ≥ 1 always) — same loud rejection as cappedBandKeys
+    require(maxDf >= 1, s"maxDf must be >= 1 (got $maxDf)")
+    val n = minhashWidenLevels
+    // one (band, level, key) struct per sig per band per level — 40
+    // narrow rows per sig. ONE count shuffle + ONE join + ONE
+    // min-struct groupBy, the 3-stage shape profiled in cappedBandKeys.
+    val bjk = for (b <- 0 until minhashNBands; j <- 0 to n) yield
+      struct(lit(b).as("band"), lit(j).as("j"), minhashKeyCol(b, j).as("key"))
+    val exploded = sigs
+      .select(col("sk"), explode(array(bjk: _*)).as("bjk"))
+      .select(col("sk"), col("bjk.band").as("band"), col("bjk.j").as("j"),
+        col("bjk.key").as("key"))
+    val dfs = exploded.groupBy(col("band"), col("j"), col("key"))
+      .agg(count(lit(1)).as("df"))
+    // slot-list refinement is monotone (level-j agreement implies
+    // level-(j−1) agreement) and level n has df = 1, so the min struct
+    // IS "the first level that fits" and always exists
+    exploded.join(dfs, Seq("band", "j", "key"))
+      .groupBy(col("sk"), col("band"))
+      .agg(min(when(col("df") <= maxDf, struct(col("j"), col("key")))).as("lk"))
+      .select(col("sk"), col("band"),
+        col("lk").getField("j").cast("long").as("lvl"),
+        col("lk").getField("key").as("bkey"))
+  }
+
+  /** Candidate signature pairs (s1 < s2 by sig key) from the df-capped
+    * band join over DISTINCT signatures. Collapsing first is what makes
+    * dup-heavy corpora safe: an N-doc exact-duplicate group is ONE row
+    * in this join (identical-sig doc pairs are recovered by group
+    * expansion at the caller, never through the band join).
+    */
+  private def cappedMinhashSigPairs(sigs: DataFrame, maxDf: Int): DataFrame = {
+    // cached: the self-join consumes the keyed table twice
+    val keyed = cappedMinhashKeys(sigs, maxDf).cache()
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.lvl") === col("b.lvl") &&
+          col("a.bkey") === col("b.bkey") && col("a.sk") < col("b.sk"))
+      .select(col("a.sk").as("s1"), col("b.sk").as("s2"))
+      .distinct()
+  }
+
+  /** F3c: MinHash LSH pairs with distinct-signature collapse + df-capped
+    * band buckets — the 100 TB twin of [[minhashLsh]] (VERDICT r5 #1).
+    * Same (x, y) schema; output ⊆ minhashLsh (level-0 keys ARE the
+    * uncapped band hashes, widening only refines — drop-only). Each doc
+    * carries exactly one signature, so the cross/intra expansions emit
+    * no duplicate pairs and need no distinct.
+    */
+  def minhashLshCapped(spark: SparkSession, docs: DataFrame, maxDf: Int): DataFrame = {
+    // two pair-expansion joins + the distinct-sig keying reference this
+    val sig = minhashSigRows(docs)
+      .select(col("doc_id"), col("mh"), minhashSigKey.as("sk")).cache()
+    val sigPairs = cappedMinhashSigPairs(sig.select("sk", "mh").dropDuplicates("sk"), maxDf)
+    val crossPairs = sigPairs
+      .join(sig.as("m1"), col("s1") === col("m1.sk"))
+      .join(sig.as("m2"), col("s2") === col("m2.sk"))
+      .select(least(col("m1.doc_id"), col("m2.doc_id")).as("x"),
+        greatest(col("m1.doc_id"), col("m2.doc_id")).as("y"))
+    val intra = sig.as("m1")
+      .join(sig.as("m2"),
+        col("m1.sk") === col("m2.sk") && col("m1.doc_id") < col("m2.doc_id"))
+      .select(col("m1.doc_id").as("x"), col("m2.doc_id").as("y"))
+    crossPairs.unionByName(intra).orderBy(col("x"), col("y"))
+  }
+
+  /** F3k: O(n)-output keep/drop decisions over the CAPPED MinHash
+    * candidate graph (re-pointed off the uncapped band join, VERDICT r5
+    * #1) — star clustering at signature-group level, the
+    * [[simhashClusters]] shape: each sig group's rep is its min doc_id;
+    * a group whose rep has a smaller neighbouring rep points at the
+    * smallest such rep (one-step min propagation — chains deliberately
+    * NOT transitively merged; the oracle replays the same rule). Docs
+    * with no signature (< 3 tokens) are their own singleton cluster.
+    * Output: (doc_id, cluster_id, keep) for every doc.
+    */
+  def minhashClusters(spark: SparkSession, docs: DataFrame, maxDf: Int): DataFrame = {
+    val sig = minhashSigRows(docs)
+      .select(col("doc_id"), col("mh"), minhashSigKey.as("sk")).cache()
+    val sigPairs = cappedMinhashSigPairs(sig.select("sk", "mh").dropDuplicates("sk"), maxDf)
+    // groups: referenced by the rep joins and the final assignment
+    val groups = sig.groupBy(col("sk")).agg(min(col("doc_id")).as("rep")).cache()
+    val oriented = sigPairs
+      .join(groups.as("g1"), col("s1") === col("g1.sk"))
+      .join(groups.as("g2"), col("s2") === col("g2.sk"))
+      .select(
+        when(col("g1.rep") < col("g2.rep"), col("s2")).otherwise(col("s1")).as("sk"),
+        least(col("g1.rep"), col("g2.rep")).as("cand"))
+    val roots = oriented.groupBy(col("sk")).agg(min(col("cand")).as("root"))
+    val clusters = groups.join(roots, Seq("sk"), "left")
+      .select(col("sk"), coalesce(col("root"), col("rep")).as("cluster_id"))
+    // LEFT joins: a short doc has no signature row — it must surface as
+    // its own singleton cluster, not vanish from the output
+    docs.select(col("doc_id"))
+      .join(sig.select(col("doc_id"), col("sk")), Seq("doc_id"), "left")
+      .join(clusters, Seq("sk"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Shared O(n)-output clustering over an (x, y) candidate pair graph:
     * cluster_id = min({id} ∪ neighbours), one-step min propagation

@@ -96,9 +96,22 @@ object LlmQueries {
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(spark, Tables.documents(spark, dir))
 
-  /** O(n)-output keep/drop decisions from the MinHash candidate graph. */
+  // band buckets holding more distinct SIGNATURES than this are re-keyed
+  // with extra signature slots (Dedup.cappedMinhashKeys) — the MinHash
+  // twin of SimhashMaxDf, same per-bucket maxDf²/2 work bound
+  val MinhashMaxDf = 64
+
+  /** The 100 TB-shaped pairs variant: distinct-signature collapse +
+    * df-capped band buckets (drop-only ⊆ dedupMinhash).
+    */
+  def dedupMinhashCapped(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshCapped(spark, Tables.documents(spark, dir), MinhashMaxDf)
+
+  /** O(n)-output keep/drop decisions from the CAPPED MinHash candidate
+    * graph (star clustering at signature-group level).
+    */
   def dedupMinhashClusters(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashClusters(spark, Tables.documents(spark, dir))
+    Dedup.minhashClusters(spark, Tables.documents(spark, dir), MinhashMaxDf)
 
   /** O(n) keep/drop from the df-capped Jaccard candidate graph. */
   def dedupJaccardClusters(spark: SparkSession, dir: String): DataFrame =

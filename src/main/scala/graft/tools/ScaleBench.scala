@@ -81,6 +81,12 @@ object ScaleBench {
         "dedup_simhash_clusters" -> (() =>
           graft.dedup.Dedup.simhashClusters(spark, docs,
             LlmQueries.SimhashMaxHamming, LlmQueries.SimhashMaxDf)),
+        "dedup_minhash_capped" -> (() =>
+          graft.dedup.Dedup.minhashLshCapped(spark, docs, LlmQueries.MinhashMaxDf)),
+        "dedup_minhash_clusters" -> (() =>
+          graft.dedup.Dedup.minhashClusters(spark, docs, LlmQueries.MinhashMaxDf)),
+        "corpus_vocab" -> (() =>
+          graft.text.Analysis.vocab(docs, LlmQueries.VocabTopN)),
         "decontaminate" -> (() =>
           graft.dedup.Dedup.decontaminate(docs, evalDf,
             LlmQueries.DecontamN, LlmQueries.DecontamMinHits,

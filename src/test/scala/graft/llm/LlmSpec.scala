@@ -415,23 +415,58 @@ class LlmSpec extends SparkSpec {
     // avg(|(1,0)|=1, |(0.9,0.1)|=0.90554) = 0.95277
   }
 
-  test("minhash clusters: keep/drop consistent with the pair graph (F3k)") {
-    val pairs = Dedup.minhashLsh(spark, docs).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    val out = Dedup.minhashClusters(spark, docs).collect()
+  test("minhash clusters: keep/drop over the capped graph (F3k)") {
+    val out = Dedup.minhashClusters(spark, docs, maxDf = 1000).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L)) // every doc decided
-    out.foreach { case (d, c, k) =>
-      assert((k == 1L) == (d == c))
-      assert(c == (d +: pairs.collect { // one-step min over neighbours
-        case (x, y) if x == d => y
-        case (x, y) if y == d => x
-      }).min)
-    }
+    out.foreach { case (d, c, k) => assert((k == 1L) == (d == c)) }
     // docs 0/1/2 share minhash bands (near/exact dups) → one keeper;
     // doc 3 is unrelated → its own cluster
     assert(out.count(_._3 == 1L) == 2)
     assert(out.filter(_._2 == 0L).map(_._1).toSet == Set(0L, 1L, 2L))
+  }
+
+  test("capped minhash equals exact at high cap, subsets at low cap (F3c)") {
+    val exact = Dedup.minhashLsh(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val highCap = Dedup.minhashLshCapped(spark, docs, maxDf = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(highCap == exact)
+    val lowCap = Dedup.minhashLshCapped(spark, docs, maxDf = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lowCap.subsetOf(exact)) // slot widening only drops candidates
+    // identical-sig pairs survive ANY cap (intra-group expansion)
+    assert(lowCap.contains((0L, 2L)))
+  }
+
+  test("capped minhash recall vs exact on real documents (F3c)") {
+    val d = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = Dedup.minhashLsh(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minhashLshCapped(spark, d, graft.ops.LlmQueries.MinhashMaxDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(exact)) // band widening only under-counts
+    val recall = (exact & capped).size.toDouble / exact.size
+    assert(recall >= 0.75, s"recall $recall too low (${capped.size}/${exact.size})")
+    // the keep/drop signal: every doc that has an exact-F3 dup still has one
+    val exactDocs = exact.flatMap(p => Seq(p._1, p._2))
+    val cappedDocs = capped.flatMap(p => Seq(p._1, p._2))
+    val cover = (exactDocs & cappedDocs).size.toDouble / exactDocs.size
+    assert(cover >= 0.95, s"doc coverage $cover too low")
+  }
+
+  test("capped minhash: N-doc exact-dup group is ONE band-join row (F3c)") {
+    import spark.implicits._
+    // 40 identical docs + 2 distinct: the signature table collapses to 3
+    // distinct sigs, so the band join sees 3 rows — a df cap of 3 cannot
+    // drop the dup group, and all C(40,2) pairs come from intra expansion
+    val dup = (0L until 40L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+    val solo = Seq((100L, "one two three four five six"), (101L, "seven eight nine ten eleven twelve"))
+    val d = (dup ++ solo).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshCapped(spark, d, maxDf = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.size == 40 * 39 / 2)
+    assert(pairs.forall { case (x, y) => x < 40 && y < 40 && x < y })
   }
 
   test("jaccard + embed cluster variants agree with their pair graphs (F2k/F13k)") {

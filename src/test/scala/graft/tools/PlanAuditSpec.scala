@@ -74,6 +74,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("dedup_minhash_capped: sig-key hash equi-joins only, no nested loops") {
+    for (name <- Seq("dedup_minhash_capped", "dedup_minhash_clusters")) {
+      val p = plan(name)
+      // the band self-join and the doc expansions must stay hash
+      // equi-joins on the 32-byte sig/band keys; a nested-loop join
+      // means the key equality was lost and the corpus goes all-pairs
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$name:\n${p.take(2000)}")
+      assert(p.contains("Join"), s"$name:\n${p.take(2000)}")
+    }
+  }
+
   test("ann_ivf_refined: codebook stays broadcast through every lloyd iteration") {
     val p = plan("ann_ivf_refined")
     // the assignment joins (2 lloyd iterations + final assignment +
