@@ -81,6 +81,7 @@ object SparkEntry {
     "dedup_minhash_capped" -> ((s, dir) => L.dedupMinhashCapped(s, dir)),
     "dedup_minhash_clusters" -> ((s, dir) => L.dedupMinhashClusters(s, dir)),
     "dedup_jaccard_clusters" -> ((s, dir) => L.dedupJaccardClusters(s, dir)),
+    "dedup_cc_clusters" -> ((s, dir) => L.dedupCcClusters(s, dir)),
     "dedup_embed_cosine_clusters" -> ((s, dir) => L.dedupEmbedCosineClusters(s, dir)),
     "dedup_embed_cosine" -> ((s, dir) => L.dedupEmbedCosine(s, dir)),
     "dedup_embed_cosine_lsh" -> ((s, dir) => L.dedupEmbedCosineLsh(s, dir)),
@@ -453,6 +454,25 @@ object SparkEntry {
          |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
          |FROM documents d LEFT JOIN mn m ON m.doc_id = d.doc_id
          |ORDER BY 1""".stripMargin,
+    // F19: TRUE connected components over the capped-Jaccard pair graph
+    // — the recursive closure replays Spark's min-propagation FIXPOINT
+    // (labels = min id reachable via symmetric edges), the canonical
+    // labeling the one-step cluster rule deliberately approximates
+    "dedup_cc_clusters" ->
+      s"""WITH RECURSIVE $TK, $SHD,
+         |$JaccardCappedCtes,
+         |prs AS (SELECT x, y
+         |  FROM inter JOIN sizes sa ON sa.doc_id=x JOIN sizes sb ON sb.doc_id=y
+         |  WHERE i*1.0/(sa.n+sb.n-i) >= 0.8),
+         |edges AS (SELECT x AS u, y AS v FROM prs
+         |  UNION ALL SELECT y AS u, x AS v FROM prs),
+         |reach(u, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v)
+         |SELECT u AS doc_id, min(lbl) AS cluster_id,
+         | CASE WHEN min(lbl) = u THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+         |FROM reach GROUP BY u ORDER BY 1""".stripMargin,
     // F16: verbatim >=50-token-span pairs — hashed 50-gram equi-join
     // with the df cap (Dedup.substringPairs); n_grams = shared grams
     "dedup_substring" ->

@@ -457,6 +457,81 @@ object Dedup {
     clusterize(docs.select(col("doc_id")),
       ngramJaccardCapped(docs, tau, maxDf).select(col("x"), col("y")))
 
+  /** F19: TRUE connected components over an (x, y) pair graph —
+    * iterated min-label propagation to fixpoint (VERDICT r5 #2). The
+    * one-step [[clusterize]] rule under-canonicalizes chains (A–B, B–C
+    * labels C as B); production dedup REPORTING — cluster sizes,
+    * representative selection — wants every member labeled with its
+    * component's min id, which is what the fixpoint delivers.
+    *
+    * Scale shape: the symmetric edge list gains a self-loop per id and
+    * is hash-partitioned on the neighbour column ONCE, outside the
+    * loop. Each iteration joins the current labels against it (the
+    * label side arrives already partitioned on the join key from the
+    * previous iteration's aggregation, so the join re-shuffles nothing
+    * after iteration 1) and reduces with ONE map-side-combined min
+    * groupBy; the self-loop row carries each id's previous label
+    * through the same aggregate, so convergence detection costs no
+    * second join. Each round's labels are cached and the previous
+    * round's cache dropped (cache, not checkpoint: InMemoryRelation
+    * PRESERVES the aggregation's hash partitioning, which is what lets
+    * the next join skip its exchange — a checkpoint scan reports
+    * unknown partitioning and re-shuffles every round; at 20-iteration
+    * depth the lineage stays cheap, and a production run on flaky
+    * executors would add a reliable `checkpoint` every few rounds).
+    * Convergence needs at most diameter(G) iterations — near-dup
+    * components are shallow by construction — and the bounded-iteration
+    * guard throws rather than silently returning an under-merged
+    * labeling.
+    */
+  /** One [[ccClusters]] propagation round: (u, lbl, prev) where lbl =
+    * min over {own label} ∪ {neighbour labels} and prev is the previous
+    * label (carried by the v = u self-loop row through the SAME
+    * aggregate — convergence detection without a second join). With
+    * `labels` partitioned on u (every round after the first — the
+    * aggregation output, preserved by the round cache) and `edges`
+    * pre-partitioned on v, the join re-shuffles nothing and the round's
+    * only exchange is this groupBy.
+    */
+  private[graft] def ccStep(labels: DataFrame, edges: DataFrame): DataFrame =
+    edges
+      .join(labels.select(col("u").as("v"), col("lbl").as("vlbl")), "v")
+      .groupBy(col("u"))
+      .agg(min(col("vlbl")).as("lbl"),
+        min(when(col("v") === col("u"), col("vlbl"))).as("prev"))
+
+  def ccClusters(ids: DataFrame, pairs: DataFrame, maxIter: Int = 20,
+                 idCol: String = "doc_id"): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1 (got $maxIter)")
+    // symmetric edges + self-loops, partitioned by the neighbour key and
+    // cached: the loop re-reads this every iteration
+    val edges = pairs.select(col("x").as("u"), col("y").as("v"))
+      .unionByName(pairs.select(col("y").as("u"), col("x").as("v")))
+      .unionByName(ids.select(col(idCol).as("u"), col(idCol).as("v")))
+      .repartition(col("v")).cache()
+    var labels = ids.select(col(idCol).as("u"), col(idCol).as("lbl"))
+    var prevCache: Option[DataFrame] = None
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val next = ccStep(labels, edges).cache()
+      changed = next.filter(col("lbl") < col("prev")).count() // materializes
+      prevCache.foreach(_.unpersist())
+      prevCache = Some(next)
+      labels = next.select(col("u"), col("lbl"))
+      it += 1
+    }
+    require(changed == 0,
+      s"connected components did not converge within $maxIter iterations " +
+        s"($changed labels still changing) — raise maxIter")
+    edges.unpersist()
+    labels
+      .select(col("u").as(idCol), col("lbl").as("cluster_id"))
+      .withColumn("keep",
+        when(col(idCol) === col("cluster_id"), 1L).otherwise(0L))
+      .orderBy(col(idCol))
+  }
+
   /** F13k: O(n)-output keep/drop over the embedding-cosine pair graph.
     * Takes the pair source as an argument so the exact graph (oracle)
     * and the LSH-bucketed graph (100 TB path) share the rule.

@@ -117,6 +117,21 @@ object LlmQueries {
   def dedupJaccardClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardClusters(Tables.documents(spark, dir), JaccardTau, JaccardMaxDf)
 
+  // convergence bound for the connected-components fixpoint: near-dup
+  // components are shallow (diameter ≪ 20); the guard throws if not
+  val CcMaxIter = 20
+
+  /** F19: TRUE connected components (fixpoint labels, canonical cluster
+    * ids) over the df-capped Jaccard candidate graph.
+    */
+  def dedupCcClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.ccClusters(docs.select(col("doc_id")),
+      Dedup.ngramJaccardCapped(docs, JaccardTau, JaccardMaxDf)
+        .select(col("x"), col("y")),
+      CcMaxIter)
+  }
+
   /** O(n) keep/drop from the exact embed-cosine pair graph; swap in
     * `Dedup.embedCosineLshPairs` for the LSH-bucketed 100 TB path.
     */

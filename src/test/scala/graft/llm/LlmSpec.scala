@@ -486,6 +486,32 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("connected components: chains collapse to canonical clusters (F19)") {
+    val ids = (0L to 5L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("x", "y")
+    val out = Dedup.ccClusters(ids, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // A–B–C is ONE cluster labeled by the component min (the planted
+    // chain the one-step rule under-canonicalizes)
+    assert(out.toSeq == Seq((0L, 0L, 1L), (1L, 0L, 0L), (2L, 0L, 0L),
+      (3L, 3L, 1L), (4L, 3L, 0L), (5L, 5L, 1L)))
+    // the deliberate contrast: one-step min propagation labels C as B
+    val one = Dedup.clusterize(ids, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(one.find(_._1 == 2L).get._2 == 1L)
+  }
+
+  test("connected components: deep chain converges; bounded guard throws (F19)") {
+    val ids = (0L to 9L).toDF("doc_id")
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("x", "y")
+    val out = Dedup.ccClusters(ids, pairs, maxIter = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.forall(_._2 == 0L)) // 10-node path, all labeled 0
+    assertThrows[IllegalArgumentException] {
+      Dedup.ccClusters(ids, pairs, maxIter = 3)
+    }
+  }
+
   test("vocab: tf counts repeats, df counts docs, cutoff deterministic (F17)") {
     val d = Seq(
       (0L, "spark spark spark data"),

@@ -86,6 +86,48 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("dedup_cc_clusters: a steady-state iteration is one groupBy shuffle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the loop's own shapes: edges pre-partitioned on v (once, outside
+    // the loop), labels = a prior round's checkpointed aggregation
+    // output (partitioned on u)
+    // at corpus scale neither join side fits a broadcast and AQE does
+    // not coalesce same-sized shuffles — pin the plan under those
+    // conditions (the tiny fixture would otherwise auto-broadcast)
+    val conf = spark.conf
+    val prevBcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val ids = (0L to 9L).toDF("doc_id")
+      val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("x", "y")
+      val edges = pairs.select(col("x").as("u"), col("y").as("v"))
+        .unionByName(pairs.select(col("y").as("u"), col("x").as("v")))
+        .unionByName(ids.select(col("doc_id").as("u"), col("doc_id").as("v")))
+        .repartition(col("v")).cache()
+      val labels0 = ids.select(col("doc_id").as("u"), col("doc_id").as("lbl"))
+      val round1 = graft.dedup.Dedup.ccStep(labels0, edges).cache()
+      round1.count()
+      val labels1 = round1.select(col("u"), col("lbl"))
+      val step = graft.dedup.Dedup.ccStep(labels1, edges).queryExecution.executedPlan
+      // the label side arrives partitioned on the join key through the
+      // previous round's cache and the edge side reuses the pre-loop
+      // repartition — the round's only NEW exchange is the groupBy; a
+      // second one means every iteration re-shuffles the full label or
+      // edge table (tree collect stays outside cached-plan internals)
+      val exchanges = step.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size == 1, step.toString.take(3000))
+      edges.unpersist(); round1.unpersist()
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("ann_ivf_refined: codebook stays broadcast through every lloyd iteration") {
     val p = plan("ann_ivf_refined")
     // the assignment joins (2 lloyd iterations + final assignment +
