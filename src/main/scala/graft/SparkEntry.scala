@@ -85,6 +85,7 @@ object SparkEntry {
     "dedup_embed_cosine_clusters" -> ((s, dir) => L.dedupEmbedCosineClusters(s, dir)),
     "dedup_embed_cosine" -> ((s, dir) => L.dedupEmbedCosine(s, dir)),
     "dedup_embed_cosine_lsh" -> ((s, dir) => L.dedupEmbedCosineLsh(s, dir)),
+    "dedup_image_phash" -> ((s, dir) => L.dedupImagePhash(s, dir)),
     "dedup_simhash" -> ((s, dir) => L.dedupSimhash(s, dir)),
     "dedup_simhash_capped" -> ((s, dir) => L.dedupSimhashCapped(s, dir)),
     "dedup_simhash_clusters" -> ((s, dir) => L.dedupSimhashClusters(s, dir)),
@@ -556,6 +557,23 @@ object SparkEntry {
          |FROM documents d LEFT JOIN sarr m ON m.doc_id = d.doc_id
          |                 LEFT JOIN mclusters c ON c.sk = m.sk
          |ORDER BY 1""".stripMargin,
+    // F20: the EXPECTED image near-dup pairs are the planted-twin
+    // construction itself — every 5th image a cross-format re-encode
+    // (id + 2e7), every 7th a slight resize (id + 3e7), plus the
+    // twin-twin pair where both exist; the hash/band machinery under
+    // test must reproduce exactly this set (twin distances ≤ 2 are
+    // inside the 4-band pigeonhole guarantee; closest distinct pair is
+    // hamming 15, far above the τ=6 threshold)
+    "dedup_image_phash" ->
+      """SELECT doc_id AS x, doc_id + 20000000 AS y FROM documents
+        |  WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
+        |UNION ALL
+        |SELECT doc_id AS x, doc_id + 30000000 AS y FROM documents
+        |  WHERE doc_id % 3 = 0 AND doc_id % 7 = 0
+        |UNION ALL
+        |SELECT doc_id + 20000000 AS x, doc_id + 30000000 AS y FROM documents
+        |  WHERE doc_id % 3 = 0 AND doc_id % 5 = 0 AND doc_id % 7 = 0
+        |ORDER BY 1, 2""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $TK,
          |$SIM,

@@ -675,8 +675,8 @@ object Dedup {
     * distinct sigs first is what makes dup-heavy corpora safe: an
     * N-doc exact-duplicate group is ONE row in this join.
     */
-  private def cappedSigPairs(spark: SparkSession, sigs: DataFrame,
-                             maxHamming: Int, maxDf: Int): DataFrame = {
+  private[graft] def cappedSigPairs(spark: SparkSession, sigs: DataFrame,
+                                    maxHamming: Int, maxDf: Int): DataFrame = {
     // cached: the self-join consumes keyed twice — uncached, the whole
     // explode/count/join keying pipeline executes once per join side
     val keyed = cappedBandKeys(spark, sigs, maxDf).cache()
@@ -704,19 +704,31 @@ object Dedup {
     * shape is `simhashClusters`.
     */
   def simhashPairsCapped(spark: SparkSession, docs: DataFrame,
-                         maxHamming: Int, maxDf: Int): DataFrame = {
-    // two pair-expansion joins reference the doc→sig map
-    val sim = simhash(spark, docs).cache()
+                         maxHamming: Int, maxDf: Int): DataFrame =
+    cappedPairsFromSigs(spark, simhash(spark, docs), "doc_id", maxHamming, maxDf)
+
+  /** Id-level (x, y, hamming) pairs from any (id, simhash) 60-bit
+    * signature map via the df-capped band join — the expansion stage of
+    * [[simhashPairsCapped]], factored out so non-text signature sources
+    * (image perceptual hashes, ImageDedup) reuse the identical
+    * machinery. Identical-sig pairs come from the intra-group
+    * expansion, never through the band join.
+    */
+  private[graft] def cappedPairsFromSigs(spark: SparkSession, sigMap: DataFrame,
+                                         idCol: String, maxHamming: Int,
+                                         maxDf: Int): DataFrame = {
+    // two pair-expansion joins reference the id→sig map
+    val sim = sigMap.cache()
     val sigPairs = cappedSigPairs(spark, sim.select("simhash").distinct(), maxHamming, maxDf)
     val crossPairs = sigPairs
       .join(sim.as("m1"), col("s1") === col("m1.simhash"))
       .join(sim.as("m2"), col("s2") === col("m2.simhash"))
-      .select(least(col("m1.doc_id"), col("m2.doc_id")).as("x"),
-        greatest(col("m1.doc_id"), col("m2.doc_id")).as("y"), col("hamming"))
+      .select(least(col(s"m1.$idCol"), col(s"m2.$idCol")).as("x"),
+        greatest(col(s"m1.$idCol"), col(s"m2.$idCol")).as("y"), col("hamming"))
     val intra = sim.as("m1")
       .join(sim.as("m2"),
-        col("m1.simhash") === col("m2.simhash") && col("m1.doc_id") < col("m2.doc_id"))
-      .select(col("m1.doc_id").as("x"), col("m2.doc_id").as("y"), lit(0L).as("hamming"))
+        col("m1.simhash") === col("m2.simhash") && col(s"m1.$idCol") < col(s"m2.$idCol"))
+      .select(col(s"m1.$idCol").as("x"), col(s"m2.$idCol").as("y"), lit(0L).as("hamming"))
     crossPairs.unionByName(intra).orderBy(col("x"), col("y"))
   }
 

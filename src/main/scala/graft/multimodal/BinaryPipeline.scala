@@ -146,7 +146,7 @@ object BinaryPipeline {
     * chunk). A binary column at 100 TB always contains some of those —
     * a poison row must take the fallback path, not kill the task.
     */
-  private def tryDecode(bytes: Array[Byte]): Option[BufferedImage] =
+  private[multimodal] def tryDecode(bytes: Array[Byte]): Option[BufferedImage] =
     try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
     catch { case scala.util.control.NonFatal(_) => None }
 

@@ -140,6 +140,25 @@ object LlmQueries {
     Dedup.embedCosineClusters(e, Dedup.embedCosinePairs(e, EmbedCosineTau))
   }
 
+  // image near-dup thresholds: twins measured at hamming ≤ 2 (re-encode
+  // ≤ 1, slight resize ≤ 2 with the interior-sampled hash) — inside the
+  // 4-band pigeonhole guarantee of ≤ 3, so every planted pair is FOUND
+  // deterministically; closest DISTINCT image pair measured at 15
+  val PhashMaxHamming = 6
+  val PhashMaxDf = 64
+
+  /** F20: image perceptual-hash near-dup pairs over the planted-twin
+    * media fixture — expected pairs are pure id arithmetic (the oracle
+    * never hashes a pixel).
+    */
+  def dedupImagePhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.multimodal.ImageDedup.phashPairs(spark,
+      graft.multimodal.ImageDedup.plantedImages(spark, docs),
+      PhashMaxHamming, PhashMaxDf)
+      .select(col("x"), col("y"))
+  }
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(spark, Tables.documents(spark, dir), SimhashMaxHamming)
 

@@ -136,4 +136,49 @@ class MultimodalSpec extends SparkSpec {
     assert(byKind("image").getAs[Double]("avg_channels") == 3.0)
     assert(byKind("audio").getAs[Double]("avg_width") == -1.0)
   }
+
+  test("aHash60 has known bits on a half-dark half-bright raster (F20)") {
+    // left half luma 0, right half luma 255: cells cx >= 5 set, per row
+    val img = new BufferedImage(40, 24, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 24; x <- 0 until 40)
+      img.setRGB(x, y, if (x < 20) 0 else 0xffffff)
+    val hash = ImageDedup.aHash60(img)
+    val expected = (0 until ImageDedup.GridH)
+      .map(cy => 0x3e0L << (cy * ImageDedup.GridW)).reduce(_ | _)
+    assert(hash == expected, f"hash=$hash%015x expected=$expected%015x")
+  }
+
+  test("aHash60 survives cross-format re-encode and slight resize (F20)") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val bytes = ImageDedup.syntheticBlockImage(41L, 60, 40) // odd id → JPEG
+    val img = tryDecode(bytes).get
+    val h0 = ImageDedup.aHash60(img)
+    // lossless PNG of the same raster: identical hash
+    assert(ham(h0, ImageDedup.aHash60(tryDecode(encodeImage(img, "png")).get)) == 0)
+    // NN resize to the fixture target: within the band-guaranteed 3
+    val resized = resizeBatch(Seq(MediaRecord(41L, "image", bytes, 60, 40, 1)),
+      ImageDedup.ResizeW, ImageDedup.ResizeH).head
+    assert(ham(h0, ImageDedup.aHash60(tryDecode(resized.payload).get)) <= 3)
+    // a different id's block image is far away
+    val other = ImageDedup.aHash60(
+      tryDecode(ImageDedup.syntheticBlockImage(42L, 60, 40)).get)
+    assert(ham(h0, other) > 10)
+  }
+
+  test("planted twins pair; distinct block images do not (F20)") {
+    import org.apache.spark.sql.functions.col
+    // doc_ids 0..29: images are ids % 3 == 0; among them id 0 gets both
+    // twins (id % 5 and % 7), ids 15 (% 5) and 21 (% 7) one each
+    val d = (0L until 30L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val planted = ImageDedup.plantedImages(spark, d)
+    val pairs = ImageDedup.phashPairs(spark, planted,
+      graft.ops.LlmQueries.PhashMaxHamming, graft.ops.LlmQueries.PhashMaxDf)
+      .select(col("x"), col("y")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val re = ImageDedup.ReencOffset
+    val rs = ImageDedup.ResizeOffset
+    assert(pairs == Set(
+      (0L, re), (0L, rs), (re, rs), // id 0: both twins + twin-twin
+      (15L, 15L + re), // id 15: re-encode twin
+      (21L, 21L + rs))) // id 21: resize twin
+  }
 }
