@@ -101,6 +101,7 @@ object SparkEntry {
     "embed_norm_stats" -> ((s, dir) => L.embedNormStats(s, dir)),
     "corpus_curation" -> ((s, dir) => L.corpusCuration(s, dir)),
     "corpus_vocab" -> ((s, dir) => L.corpusVocab(s, dir)),
+    "corpus_bpe_merges" -> ((s, dir) => L.corpusBpeMerges(s, dir)),
     "corpus_split" -> ((s, dir) => L.corpusSplit(s, dir)),
     // G. streaming (batch twin) + F12 multimodal plumbing
     "stream_rollup" -> ((s, dir) => T.streamRollup(s, dir)),
@@ -329,6 +330,40 @@ object SparkEntry {
        |msigpairs AS (SELECT DISTINCT a.sk AS s1, b.sk AS s2
        |  FROM mkeyed a JOIN mkeyed b
        |    ON a.band=b.band AND a.lvl=b.lvl AND a.bkey=b.bkey AND a.sk < b.sk)""".stripMargin
+  }
+
+  /** The BPE merge chain (graft.text.Bpe) as a rendered DuckDB CTE
+    * sequence — one (pair-count, top-1, rewrite) block per iteration,
+    * the Lloyd-codebook replay pattern: same delimiter arithmetic, same
+    * greedy `replace` merge, same pinned tie-break (cnt desc, lhs,
+    * rhs). The step count and delimiter come from the Scala constants.
+    */
+  private lazy val BpeOracleSql: String = {
+    val n = graft.ops.LlmQueries.BpeMerges
+    val D = graft.text.Bpe.D
+    def stepCtes(k: Int): String = {
+      val prev = if (k == 1) "s0" else s"s${k - 1}"
+      s"""p$k AS (SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |  SELECT freq, sym AS lhs, lead(sym) OVER (PARTITION BY word ORDER BY p) AS rhs
+         |  FROM (SELECT word, freq, unnest(string_split(trim(s, '$D'), '$D$D')) AS sym,
+         |        generate_subscripts(string_split(trim(s, '$D'), '$D$D'), 1) AS p FROM $prev) u) v
+         |  WHERE rhs IS NOT NULL GROUP BY 1, 2),
+         |m$k AS (SELECT CAST($k AS BIGINT) AS step, lhs, rhs, cnt FROM p$k
+         |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |s$k AS (SELECT word, freq,
+         |    replace(s, '$D'||lhs||'$D$D'||rhs||'$D', '$D'||lhs||rhs||'$D') AS s
+         |  FROM $prev CROSS JOIN m$k)""".stripMargin
+    }
+    val steps = (1 to n).map(stepCtes).mkString(",\n")
+    val sel = (1 to n).map(k => s"SELECT step, lhs, rhs, cnt FROM m$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH w AS (SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) t
+       |  WHERE length(word) > 0 GROUP BY 1),
+       |s0 AS (SELECT word, freq, regexp_replace(word, '(.)', '$D\\1$D', 'g') AS s FROM w),
+       |$steps
+       |$sel
+       |ORDER BY step""".stripMargin
   }
 
   /** MinHash params / stopword dict rendered from the same Scala
@@ -767,6 +802,9 @@ object SparkEntry {
          |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
          |FROM tok GROUP BY 1
          |ORDER BY tf DESC, token LIMIT ${graft.ops.LlmQueries.VocabTopN}""".stripMargin,
+    // F21: BPE merge table — the rendered per-iteration CTE chain
+    // replays the same greedy merges (see BpeOracleSql)
+    "corpus_bpe_merges" -> BpeOracleSql,
     // F18: hash-stable split — same h60(doc_id) % denom arithmetic as
     // graft.ops.Sampling.split, CASE rendered from the same weights
     "corpus_split" -> {

@@ -260,6 +260,14 @@ object LlmQueries {
   def corpusVocab(spark: SparkSession, dir: String): DataFrame =
     Analysis.vocab(Tables.documents(spark, dir), VocabTopN)
 
+  // enough BPE iterations to exercise merged-symbol pairs (merges of
+  // merges) while keeping the oracle's rendered CTE chain readable
+  val BpeMerges = 8
+
+  /** F21: BPE merge-table training (N greedy top-pair merges). */
+  def corpusBpeMerges(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.merges(spark, Tables.documents(spark, dir), BpeMerges)
+
   /** F18: deterministic hash-stable train/val/test split. */
   def corpusSplit(spark: SparkSession, dir: String): DataFrame =
     Sampling.split(Tables.documents(spark, dir), SplitWeights)

@@ -512,6 +512,26 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("bpe: greedy merges with pinned tie-break; merged pairs vanish (F21)") {
+    // words: aaab ×4, banana ×3 — hand-computable merge schedule
+    val d = Seq((0L, "aaab aaab aaab banana"), (1L, "aaab banana banana"))
+      .toDF("doc_id", "text")
+    val out = graft.text.Bpe.merges(spark, d, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // step1: (a,a) 8 beats (a,n)/(n,a) 6; step2: (a,n) 6 — the merged
+    // (a,a) pair is GONE from aaab's (aa,a,b); step3: tie at 4 between
+    // (a,b) and (aa,a) broken by lhs ('a' < 'aa')
+    assert(out.toSeq == Seq((1L, "a", "a", 8L), (2L, "a", "n", 6L), (3L, "a", "b", 4L)))
+  }
+
+  test("bpe: left-to-right greedy merge handles overlapping runs (F21)") {
+    val d = Seq((0L, "aaaa")).toDF("doc_id", "text")
+    val out = graft.text.Bpe.merges(spark, d, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // 'aaaa' → greedy (aa)(aa), not (aa)a a — step2 must see (aa,aa)
+    assert(out.toSeq == Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)))
+  }
+
   test("vocab: tf counts repeats, df counts docs, cutoff deterministic (F17)") {
     val d = Seq(
       (0L, "spark spark spark data"),
