@@ -42,6 +42,7 @@ object SparkEntry {
     "ts_fetch_last_hold" -> ((s, dir) => T.fetchLastHold(s, dir)),
     "ts_info" -> ((s, dir) => T.info(s, dir)),
     "ts_upsert" -> ((s, dir) => T.upsert(s, dir)),
+    "stream_upsert" -> ((s, dir) => T.streamUpsert(s, dir)),
     "carbon_e2e" -> ((s, dir) => T.carbonE2e(s, dir)),
     "carbon_e2e_conf" -> ((s, dir) => T.carbonE2eConf(s, dir)),
     "carbon_user_hook" -> ((s, dir) => T.carbonUserHook(s, dir)),
@@ -150,6 +151,18 @@ object SparkEntry {
        | count(*) AS npoints
        |FROM ruled GROUP BY path, ts - ts%step, agg_method
        |ORDER BY 1,2""".stripMargin
+
+  /** B11 slot-overwrite oracle — shared by ts_upsert and the G6
+    * streaming twin (two sequential last-write-wins merges compose to
+    * the same src-precedence fold).
+    */
+  private lazy val UpsertSql =
+    s"""WITH $M,
+       |inc AS (SELECT path, ts, value*2 AS value FROM m WHERE ts % 3 = 0),
+       |u AS (SELECT path, ts, value, 0 AS src FROM m
+       |      UNION ALL SELECT path, ts, value, 1 AS src FROM inc)
+       |SELECT path, ts, round((max(struct_pack(s := src, v := value))).v, 4) AS value
+       |FROM u GROUP BY 1,2 ORDER BY 1,2,3""".stripMargin
 
   private def rollupOracle(valueExpr: String): String =
     s"""WITH $M
@@ -1044,13 +1057,10 @@ object SparkEntry {
          |  lag(value) OVER (PARTITION BY path ORDER BY ts, value) AS pv FROM m)
          |SELECT path, ts, value FROM ch
          |WHERE pv IS NULL OR value <> pv ORDER BY 1, 2, 3""".stripMargin,
-    "ts_upsert" ->
-      s"""WITH $M,
-         |inc AS (SELECT path, ts, value*2 AS value FROM m WHERE ts % 3 = 0),
-         |u AS (SELECT path, ts, value, 0 AS src FROM m
-         |      UNION ALL SELECT path, ts, value, 1 AS src FROM inc)
-         |SELECT path, ts, round((max(struct_pack(s := src, v := value))).v, 4) AS value
-         |FROM u GROUP BY 1,2 ORDER BY 1,2,3""".stripMargin,
+    "ts_upsert" -> UpsertSql,
+    // G6: the streaming two-micro-batch merge converges to the same
+    // store state as the batch upsert — shared oracle by design
+    "stream_upsert" -> UpsertSql,
     "carbon_e2e" -> CarbonE2eSql,
     // identical semantics with all rule sets parsed from Graphite conf
     // text (Conf.scala) — the conf encodes the same rules, so the

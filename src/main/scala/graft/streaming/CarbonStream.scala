@@ -66,6 +66,62 @@ object CarbonStream {
 
   final case class Point(path: String, ts: Long, value: Double)
 
+  /** G6: streaming slot upsert into the day-partitioned MetricStore —
+    * Whisper's unconditional slot overwrite (L_DataWhisper.lua:331-354)
+    * under streaming arrival: every micro-batch merges last-write-wins
+    * into the store, so a LATE point carrying an already-stored
+    * timestamp lands exactly as `ts_upsert` (B11) does in batch. No
+    * watermark and no state store: the STORE ITSELF is the state, and
+    * slot overwrite is arbitrarily-late-tolerant by construction
+    * (contrast G1, where a watermark must bound open aggregation
+    * windows).
+    */
+  def upsertSink(points: Dataset[Point], dir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    points.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Point], _: Long) =>
+        mergeBatch(batch.toDF(), dir)
+      }
+      .start()
+
+  /** One micro-batch's merge, shared verbatim by the `stream_upsert`
+    * batch twin: read ONLY the day partitions the batch touches
+    * (partition pruning over the batch's distinct days — a bounded
+    * driver-side list, one entry per calendar day in one micro-batch),
+    * merge with Rollup.upsert's single last-write-wins groupBy, and
+    * rewrite ONLY those days (dynamic partition overwrite). The
+    * localCheckpoint materializes the merged days before the commit —
+    * the write replaces the very files the plan read.
+    */
+  private[graft] def mergeBatch(batch: DataFrame, dir: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val day = col("ts") - col("ts") % graft.tsdb.MetricStore.DaySeconds
+    // two references: the distinct-day probe and the merge input
+    val b = batch.select(col("path"), col("ts"), col("value"), day.as("day")).cache()
+    val days = b.select(col("day")).distinct().as[Long].collect()
+    if (days.nonEmpty) {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // an existing-but-EMPTY dir (fresh temp store) has no schema to infer
+      val existing =
+        if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+          spark.read.parquet(dir)
+            .filter(col("day").isin(days.map(d => d: Any): _*))
+            .select(col("path"), col("ts"), col("value"))
+        else spark.emptyDataset[Point].toDF()
+      val merged = graft.tsdb.Rollup
+        .upsert(existing, b.select(col("path"), col("ts"), col("value")))
+        .withColumn("day", day)
+        .localCheckpoint()
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day").parquet(dir)
+    }
+    b.unpersist()
+  }
+
   /** The DataUser hook (/root/reference/L_DataUser.lua:24-36): a
     * user-defined stage run for EVERY incoming metric before storage —
     * it may drop the point, rewrite metric/value/time, or fan out into

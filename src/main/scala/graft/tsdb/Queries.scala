@@ -521,6 +521,25 @@ object Queries {
       .orderBy(col("path"), col("ts"), col("value"))
   }
 
+  /** G6 batch twin: the streaming slot-upsert replayed as two
+    * micro-batch merges through the SAME CarbonStream.mergeBatch path —
+    * the base points, then the B11 late-rewrite batch arriving later.
+    * The final store state equals `ts_upsert`, so the oracle is shared
+    * verbatim (the two-phase max(struct(src, value)) fold composes:
+    * batch-2 incoming beats batch-1 stored exactly as src 1 beats 0).
+    */
+  def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_stream_upsert").toString
+    val m = Tables.metrics(spark, dir).select(col("path"), col("ts"), col("value"))
+    graft.streaming.CarbonStream.mergeBatch(m, store)
+    graft.streaming.CarbonStream.mergeBatch(
+      m.filter(col("ts") % 3 === 0).withColumn("value", col("value") * 2), store)
+    spark.read.parquet(store)
+      .select(col("path"), col("ts"), round(col("value"), 4).as("value"))
+      .orderBy(col("path"), col("ts"), col("value"))
+  }
+
   /** Rule set for the end-to-end pipeline: patterns match the
     * *rewritten* namespace (rewrite precedes schema match on ingest,
     * L_DataCache.lua:161-200).

@@ -115,6 +115,29 @@ class StreamSpec extends SparkSpec {
     assert(out.map(_.ts).sorted.take(3).toSeq == Seq(0L, 4L, 8L))
   }
 
+  test("stream upsert: late duplicate timestamp overwrites its slot (G6)") {
+    import graft.streaming.CarbonStream.Point
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val source = MemoryStream[Point]
+    val query = CarbonStream.upsertSink(source.toDS(), s"$dir/store", s"$dir/ckpt")
+    try {
+      source.addData(Point("a.b", 100L, 1.0), Point("a.b", 200L, 2.0),
+        Point("c.d", 90000L, 5.0))
+      query.processAllAvailable()
+      // a LATE point for an already-stored slot, in a later micro-batch
+      source.addData(Point("a.b", 100L, 9.0))
+      query.processAllAvailable()
+    } finally query.stop()
+    val out = spark.read.parquet(s"$dir/store")
+      .select("path", "ts", "value").orderBy("path", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // slot (a.b, 100) last-write-wins overwritten; untouched slots — and
+    // the untouched day-86400 partition — survive the dynamic overwrite
+    assert(out.toSeq == Seq(
+      ("a.b", 100L, 9.0), ("a.b", 200L, 2.0), ("c.d", 90000L, 5.0)))
+  }
+
   test("ingest sink lands day-partitioned parquet") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
