@@ -721,11 +721,11 @@ object SparkEntry {
     },
     // F6c: IVF over a Lloyd-refined codebook — the same assignment /
     // probe / rerank tail as ann_ivf, but the codebook is 2 iterations
-    // of assign → element-wise mean. Parity contract: mean components
-    // round(,6) then pass through FLOAT (CAST ... AS FLOAT)::DOUBLE,
-    // exactly what the Spark plan's round(avg,6).cast("float") +
-    // FloatDot widening computes — both engines regenerate the
-    // identical codebook (Ann.refinedCentroids).
+    // of assign → element-wise mean. Parity contract: FIXED-POINT mean
+    // (exact integer sum of 1e-6-grid components / count, so no
+    // accumulation-order sensitivity in either engine), then the FLOAT
+    // pass — exactly what Ann.refinedCentroids computes; both engines
+    // regenerate the identical codebook.
     "ann_ivf_refined" -> {
       import graft.ops.{LlmQueries => LQ}
       def assignCte(cents: String, name: String) =
@@ -734,7 +734,9 @@ object SparkEntry {
            |    ORDER BY round(list_dot_product(n.emb, c.ce)/(n.nrm*c.cn), 6) DESC, c.cent_id) AS ark
            |  FROM n CROSS JOIN $cents c) WHERE ark = 1)""".stripMargin
       def lloydCte(prev: String, a: String, m: String, next: String) =
-        s"""$m AS (SELECT a.cent_id, e.d, CAST(round(avg(e.v), 6) AS FLOAT)::DOUBLE AS mv
+        s"""$m AS (SELECT a.cent_id, e.d,
+           |  CAST(CAST(CAST(sum(CAST(round(e.v * 1000000.0) AS BIGINT)) AS DOUBLE)
+           |    / (count(*) * 1000000.0) AS FLOAT) AS DOUBLE) AS mv
            |  FROM $a a JOIN (SELECT vec_id, generate_subscripts(emb,1) AS d, unnest(emb) AS v
            |                  FROM n) e USING (vec_id)
            |  GROUP BY 1,2),

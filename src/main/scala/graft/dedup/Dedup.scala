@@ -156,9 +156,14 @@ object Dedup {
     * and at w=50 a gram above any small cap IS boilerplate.
     */
   def substringPairs(docs: DataFrame, w: Int, maxDf: Int): DataFrame = {
-    // three plan references (df counts + both join sides)
+    // three plan references (df counts + both join sides). The
+    // re-distinct AFTER hashing mirrors the oracle's `SELECT DISTINCT
+    // doc_id, g` exactly: without it a within-doc 60-bit collision
+    // would make n_grams disagree between engines (ADVICE r5 —
+    // astronomically unlikely, but an avoidable asymmetry)
     val sh = docShingles(docs, w)
       .select(col("doc_id"), graft.text.TextFns.h60(col("shingle")).as("g"))
+      .distinct()
       .cache()
     val rare = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("g"))

@@ -170,12 +170,16 @@ object Ann {
     * assign-to-nearest → element-wise mean, each iteration two
     * broadcast-codebook aggregations (the argmax assignment and the
     * per-(centroid, dim) mean): no new shuffle class vs [[ivfTopK]],
-    * and the codebook stays K rows end to end. Engine parity: mean
-    * components are round(,6)-ed then cast through FLOAT, so the DuckDB
-    * oracle (same CTE chain) regenerates a bit-identical codebook —
-    * the [[planeSqlLiteral]] float-widening contract applied to
-    * computed values instead of literals. A centroid whose list goes
-    * empty keeps its previous value (left join + coalesce).
+    * and the codebook stays K rows end to end. Engine parity: the mean
+    * is FIXED-POINT — each component pre-scales to a rounded 1e-6-grid
+    * integer, the integer SUM is exact and accumulation-order-
+    * independent (a double avg() would depend on partition order, and a
+    * component landing on a rounding boundary could then diverge
+    * between engines — ADVICE r5), and the single final division is
+    * deterministic; the result passes through FLOAT, the
+    * [[planeSqlLiteral]] widening contract, so the DuckDB oracle (same
+    * CTE chain) regenerates a bit-identical codebook. A centroid whose
+    * list goes empty keeps its previous value (left join + coalesce).
     */
   def refinedCentroids(vecs: DataFrame, nCentroids: Int, iters: Int): DataFrame = {
     val v = vecs.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
@@ -192,10 +196,13 @@ object Ann {
       // (collect_list alone is partition-order-dependent)
       val means = assigned
         .select(col("cent_id"), posexplode(col("ve")).as(Seq("d", "comp")))
-        .groupBy(col("cent_id"), col("d")).agg(avg(col("comp")).as("m"))
+        .groupBy(col("cent_id"), col("d"))
+        .agg(sum(round(col("comp") * 1e6, 0).cast("long")).as("ms"),
+          count(lit(1)).as("mn"))
+        .withColumn("m", col("ms").cast("double") / (col("mn").cast("double") * 1e6))
         .groupBy(col("cent_id"))
         .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
-          x => round(x.getField("m"), 6).cast("float")).as("mce"))
+          x => x.getField("m").cast("float")).as("mce"))
       // means is K rows but sits behind a corpus-wide aggregate whose
       // size ESTIMATE blocks auto-broadcast — pin it, or this tiny
       // codebook join becomes a SortMergeJoin

@@ -42,6 +42,13 @@ object TextFns {
     * ([[tokens]] + ShingleArray semantics: lower, split on single
     * space keeping empties, ordered n-grams joined by one space,
     * de-duplicated). Null/short texts → empty set.
+    *
+    * Lowercase contract: `Locale.ROOT` here vs Spark's `lower()` in the
+    * Column twin — FunctionsSpec pins their agreement on
+    * locale-sensitive samples (İ, ß, final sigma) in addition to the
+    * corpus, so streaming G5 flags match the batch arithmetic beyond
+    * ASCII. The DuckDB ORACLE side is a narrower ASCII contract (the
+    * synthetic corpus; a third engine's lower() is not pinned).
     */
   def shinglesJvm(text: String, n: Int): Set[String] = {
     if (text == null) return Set.empty

@@ -141,6 +141,19 @@ class FunctionsSpec extends SparkSpec {
     // null / short text → empty set
     assert(TextFns.shinglesJvm(null, 5).isEmpty)
     assert(TextFns.shinglesJvm("one two", 5).isEmpty)
+    // targeted locale-sensitive probes (ADVICE r5): Spark's lower() and
+    // String.toLowerCase(Locale.ROOT) must agree beyond ASCII too —
+    // dotted İ (expands to i + combining dot), ß, Greek final sigma.
+    // (The DuckDB oracle side remains an ASCII contract: the synthetic
+    // corpus is ASCII and a third engine's lower() is not pinned here.)
+    val tricky = Seq("İstanbul Bei Nacht", "STRASSE ß GROẞ", "ΣΙΓΜΑ ΤΕΛΟΣ Σ ΟΔΟΣ")
+    val trickyCols = tricky.toDF("text")
+      .select(col("text"),
+        graft.functions.ShingleArray.shingles(TextFns.tokens(col("text")), 2).as("sh"))
+      .collect()
+    for (r <- trickyCols)
+      assert(TextFns.shinglesJvm(r.getString(0), 2) == r.getSeq[String](1).toSet,
+        r.getString(0))
   }
 
   test("FloatDot survives whole-stage codegen over many rows") {
