@@ -3,6 +3,8 @@ package graft.dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.core.Caching._
+
 import graft.text.TextFns._
 
 /** Document deduplication operators (SURVEY.md §2.F1-F4).
@@ -13,7 +15,7 @@ import graft.text.TextFns._
   * the property that holds at 100 TB: the only all-pairs computation
   * happens *within* buckets that true near-duplicates must share.
   *
-  * Cache lifecycle: operators here `.cache()` narrow intermediates that
+  * Cache lifecycle: operators here `.cachedOnce` narrow intermediates that
   * their plans consume twice (shingle sets, signature maps, band keys).
   * The handles are plan-internal, so they are NOT unpersisted when the
   * returned DataFrame is consumed — a long-lived session invoking these
@@ -49,7 +51,7 @@ object Dedup {
     // cached: the plan references the shingle set three times (both
     // join sides + sizes); without the cache each reference re-runs
     // tokenize+explode over the corpus
-    val sh = docShingles(docs).cache()
+    val sh = docShingles(docs).cachedOnce
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -77,7 +79,7 @@ object Dedup {
     */
   def ngramJaccardCapped(docs: DataFrame, tau: Double, maxDf: Int): DataFrame = {
     // four plan references (df counts, both capped sides, sizes)
-    val sh = docShingles(docs).cache()
+    val sh = docShingles(docs).cachedOnce
     val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("shingle"))
     val shCapped = sh.join(rare, "shingle")
@@ -117,12 +119,12 @@ object Dedup {
     // cached: the eval shingle pipeline is consumed twice (the distinct
     // shingle-set broadcast and the final pair join) and is
     // benchmark-sized by construction
-    val ev = docShingles(evalDocs.select(col("eval_id"), col("text")), n, "eval_id").cache()
+    val ev = docShingles(evalDocs.select(col("eval_id"), col("text")), n, "eval_id").cachedOnce
     // eval-matched corpus rows only; consumed twice (df + pair join)
     // but already contamination-sized, the only cacheable shape here
     val hit = docShingles(corpus, n)
       .join(broadcast(ev.select(col("shingle")).distinct()), "shingle")
-      .cache()
+      .cachedOnce
     // per-shingle doc counts over `hit` == full-corpus df for these
     // shingles (the semijoin dropped no corpus row of an eval shingle)
     val rare = hit.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -164,7 +166,7 @@ object Dedup {
     val sh = docShingles(docs, w)
       .select(col("doc_id"), graft.text.TextFns.h60(col("shingle")).as("g"))
       .distinct()
-      .cache()
+      .cachedOnce
     val rare = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("g"))
     val shc = sh.join(rare, "g")
@@ -215,7 +217,7 @@ object Dedup {
   def substringSpans(docs: DataFrame, w: Int, maxDf: Int): DataFrame = {
     // df cap on per-doc-DISTINCT grams (same stop-gram rule as
     // substringPairs); positions of surviving grams join after
-    val pg = positionedGrams(docs, w).cache()
+    val pg = positionedGrams(docs, w).cachedOnce
     val rare = pg.select(col("doc_id"), col("g")).distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("g"))
@@ -264,7 +266,7 @@ object Dedup {
     // cache the per-doc band rows (nBands rows/doc — tiny): the self-join
     // otherwise evaluates the whole signature aggregation twice, because
     // the broadcast side's Exchange can't be reused against the shuffle side
-    val bands = minhashBands(docs).cache()
+    val bands = minhashBands(docs).cachedOnce
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -364,7 +366,7 @@ object Dedup {
     */
   private def cappedMinhashSigPairs(sigs: DataFrame, maxDf: Int): DataFrame = {
     // cached: the self-join consumes the keyed table twice
-    val keyed = cappedMinhashKeys(sigs, maxDf).cache()
+    val keyed = cappedMinhashKeys(sigs, maxDf).cachedOnce
     keyed.as("a")
       .join(keyed.as("b"),
         col("a.band") === col("b.band") && col("a.lvl") === col("b.lvl") &&
@@ -383,7 +385,7 @@ object Dedup {
   def minhashLshCapped(spark: SparkSession, docs: DataFrame, maxDf: Int): DataFrame = {
     // two pair-expansion joins + the distinct-sig keying reference this
     val sig = minhashSigRows(docs)
-      .select(col("doc_id"), col("mh"), minhashSigKey.as("sk")).cache()
+      .select(col("doc_id"), col("mh"), minhashSigKey.as("sk")).cachedOnce
     val sigPairs = cappedMinhashSigPairs(sig.select("sk", "mh").dropDuplicates("sk"), maxDf)
     val crossPairs = sigPairs
       .join(sig.as("m1"), col("s1") === col("m1.sk"))
@@ -409,10 +411,10 @@ object Dedup {
     */
   def minhashClusters(spark: SparkSession, docs: DataFrame, maxDf: Int): DataFrame = {
     val sig = minhashSigRows(docs)
-      .select(col("doc_id"), col("mh"), minhashSigKey.as("sk")).cache()
+      .select(col("doc_id"), col("mh"), minhashSigKey.as("sk")).cachedOnce
     val sigPairs = cappedMinhashSigPairs(sig.select("sk", "mh").dropDuplicates("sk"), maxDf)
     // groups: referenced by the rep joins and the final assignment
-    val groups = sig.groupBy(col("sk")).agg(min(col("doc_id")).as("rep")).cache()
+    val groups = sig.groupBy(col("sk")).agg(min(col("doc_id")).as("rep")).cachedOnce
     val oriented = sigPairs
       .join(groups.as("g1"), col("s1") === col("g1.sk"))
       .join(groups.as("g2"), col("s2") === col("g2.sk"))
@@ -513,13 +515,13 @@ object Dedup {
     val edges = pairs.select(col("x").as("u"), col("y").as("v"))
       .unionByName(pairs.select(col("y").as("u"), col("x").as("v")))
       .unionByName(ids.select(col(idCol).as("u"), col(idCol).as("v")))
-      .repartition(col("v")).cache()
+      .repartition(col("v")).cachedOnce
     var labels = ids.select(col(idCol).as("u"), col(idCol).as("lbl"))
     var prevCache: Option[DataFrame] = None
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
-      val next = ccStep(labels, edges).cache()
+      val next = ccStep(labels, edges).cachedOnce
       changed = next.filter(col("lbl") < col("prev")).count() // materializes
       prevCache.foreach(_.unpersist())
       prevCache = Some(next)
@@ -684,7 +686,7 @@ object Dedup {
                                     maxHamming: Int, maxDf: Int): DataFrame = {
     // cached: the self-join consumes keyed twice — uncached, the whole
     // explode/count/join keying pipeline executes once per join side
-    val keyed = cappedBandKeys(spark, sigs, maxDf).cache()
+    val keyed = cappedBandKeys(spark, sigs, maxDf).cachedOnce
     keyed.as("a")
       .join(keyed.as("b"),
         col("a.band") === col("b.band") && col("a.lvl") === col("b.lvl") &&
@@ -723,7 +725,7 @@ object Dedup {
                                          idCol: String, maxHamming: Int,
                                          maxDf: Int): DataFrame = {
     // two pair-expansion joins reference the id→sig map
-    val sim = sigMap.cache()
+    val sim = sigMap.cachedOnce
     val sigPairs = cappedSigPairs(spark, sim.select("simhash").distinct(), maxHamming, maxDf)
     val crossPairs = sigPairs
       .join(sim.as("m1"), col("s1") === col("m1.simhash"))
@@ -748,9 +750,9 @@ object Dedup {
     */
   def simhashClusters(spark: SparkSession, docs: DataFrame,
                       maxHamming: Int, maxDf: Int): DataFrame = {
-    val sim = simhash(spark, docs).cache()
+    val sim = simhash(spark, docs).cachedOnce
     // groups: referenced by the rep join and the final assignment
-    val groups = sim.groupBy(col("simhash")).agg(min(col("doc_id")).as("rep")).cache()
+    val groups = sim.groupBy(col("simhash")).agg(min(col("doc_id")).as("rep")).cachedOnce
     val sigPairs = cappedSigPairs(spark, groups.select("simhash"), maxHamming, maxDf)
     // orient each sig pair by rep order; the larger rep's group gets a
     // root candidate — min over candidates is the cluster id
@@ -785,7 +787,7 @@ object Dedup {
     val bands = sim.crossJoin(bandIdx)
       .select(col("doc_id"), col("simhash"), col("band"),
         expr("(simhash >> cast(band*15 AS int)) & 32767").as("bv"))
-      .cache()
+      .cachedOnce
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&

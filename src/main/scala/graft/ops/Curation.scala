@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.core.Caching._
+
 import graft.dedup.Dedup
 import graft.text.Analysis
 
@@ -51,7 +53,7 @@ object Curation {
         coalesce(col("score") >= minScore && col("n_tokens") >= minTokens,
           lit(false)).as("q_pass"),
         coalesce(col("pred_lang") === keepLang, lit(false)).as("l_pass"))
-      .cache()
+      .cachedOnce
     // gate-survivor keeper: min doc_id per content hash
     val sv = docs.select(col("doc_id"), col("text"))
       .join(gates.filter(col("q_pass") && col("l_pass")).select(col("doc_id")), "doc_id")
@@ -60,7 +62,7 @@ object Curation {
     // consumed twice (near-dup input + final reason join): 2 longs/doc
     val exKeep = sv.join(keepers, "content_md5")
       .select(col("doc_id"), col("keep_id"))
-      .cache()
+      .cachedOnce
     val keeperDocs = docs.select(col("doc_id"), col("text"))
       .join(exKeep.filter(col("doc_id") === col("keep_id")).select(col("doc_id")), "doc_id")
     val nd = Dedup.simhashClusters(spark, keeperDocs, maxHamming, maxDf)

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Caching._
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (SURVEY.md §2.F5-F6).
   *
@@ -211,7 +213,7 @@ object Ann {
         .withColumn("cn", norm(col("ce")))
         // tiny (K rows) but consumed by every later iteration/stage —
         // uncached, each reference re-runs the whole Lloyd chain
-        .cache()
+        .cachedOnce
     }
     cents
   }

@@ -6,6 +6,8 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.core.Caching._
+
 /** Reader (and fixture writer) for the reference's on-disk Whisper
   * files — the data a migrating DataYours user actually has.
   *
@@ -362,9 +364,9 @@ object Whisper {
     val inf = info(spark, dir).filter(col("path").rlike(regex))
       .withColumn("oldest",
         lit(now) - lit(now) % col("spp") - col("retention") + col("spp"))
-      .cache()
+      .cachedOnce
     // the file is read twice (headers + points): one cached scan
-    val pts = read(spark, dir).filter(col("path").rlike(regex)).cache()
+    val pts = read(spark, dir).filter(col("path").rlike(regex)).cachedOnce
     val clamp = inf.groupBy(col("path"))
       .agg(max_by(col("oldest"), col("retention")).as("oldest_last"))
       .filter(lit(fromTime) <= lit(now) && lit(untilTime) >= col("oldest_last"))

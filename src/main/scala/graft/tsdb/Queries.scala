@@ -3,6 +3,8 @@ package graft.tsdb
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.core.Caching._
+
 import graft.core.Tables
 
 /** Driver-verifiable query entry points for the tsdb operator family
@@ -279,7 +281,7 @@ object Queries {
     * calls.
     */
   private def paths(spark: SparkSession, dir: String): DataFrame =
-    Tables.metrics(spark, dir).select(col("path")).distinct().cache()
+    Tables.metrics(spark, dir).select(col("path")).distinct().cachedOnce
 
   /** C1: one-level tree find for a branch query and a leaf query. */
   def metricsFind(spark: SparkSession, dir: String): DataFrame = {
@@ -342,7 +344,7 @@ object Queries {
     // federate ONCE for all three queries (cached: each find consumes
     // the leaf table twice — node classification + interval join — and
     // three finds would otherwise rebuild all finder namespaces 3×)
-    val leaves = Finders.federate(Seq(w1, w2, dm)).cache()
+    val leaves = Finders.federate(Seq(w1, w2, dm)).cachedOnce
     Seq("*", "vera.*.*", "DM.*.*.*")
       .map(q => Finders.findIn(leaves, q).withColumn("q", lit(q)))
       .reduce(_ unionByName _)
@@ -469,7 +471,7 @@ object Queries {
   def dmResampleAll(spark: SparkSession, dir: String): DataFrame = {
     val dense = Tables.metricsDense(spark, dir)
     Datamine.resampleAll(dense, Datamine.gridTimes(dmT1, Now, dmN),
-      pathsDf = Some(dense.select(col("path")).distinct().cache()))
+      pathsDf = Some(dense.select(col("path")).distinct().cachedOnce))
       .select(col("path"), col("t"), round(col("value"), 4).as("value"))
       .orderBy(col("path"), col("t"))
   }

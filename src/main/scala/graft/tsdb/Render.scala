@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Caching._
+
 /** Graphite render output formats over a fetched dense series
   * (/root/reference/graphite_cgi.lua:318-371).
   */
@@ -192,7 +194,7 @@ object Render {
     // cached: referenced by both the bounds aggregation and the scaled
     // projection — without it the whole upstream fetch cascade runs
     // twice. Grid-sized (points inside one render window), so tiny.
-    ).cache()
+    ).cachedOnce
     // yMin/yMax PIN the axis (gviz viewWindow, L_DataGraph.lua:271-273):
     // the y range is the requested window when given, data bounds
     // otherwise — clamping values alone would still rescale the axis to

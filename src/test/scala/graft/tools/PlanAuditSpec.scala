@@ -1,6 +1,7 @@
 package graft.tools
 
 import graft.SparkSpec
+import graft.core.Caching._
 
 /** The ExplainAudit invariants pinned as tests, so a plan regression
   * (lost pushdown, a dimension falling out of broadcast, an extra
@@ -106,9 +107,9 @@ class PlanAuditSpec extends SparkSpec {
       val edges = pairs.select(col("x").as("u"), col("y").as("v"))
         .unionByName(pairs.select(col("y").as("u"), col("x").as("v")))
         .unionByName(ids.select(col("doc_id").as("u"), col("doc_id").as("v")))
-        .repartition(col("v")).cache()
+        .repartition(col("v")).cachedOnce
       val labels0 = ids.select(col("doc_id").as("u"), col("doc_id").as("lbl"))
-      val round1 = graft.dedup.Dedup.ccStep(labels0, edges).cache()
+      val round1 = graft.dedup.Dedup.ccStep(labels0, edges).cachedOnce
       round1.count()
       val labels1 = round1.select(col("u"), col("lbl"))
       val step = graft.dedup.Dedup.ccStep(labels1, edges).queryExecution.executedPlan
