@@ -99,6 +99,8 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) => L.textRepetition(s, dir)),
     "text_tokens" -> ((s, dir) => L.textTokens(s, dir)),
     "text_fingerprint" -> ((s, dir) => L.textFingerprint(s, dir)),
+    "text_pii_redact" -> ((s, dir) => L.textPiiRedact(s, dir)),
+    "text_lm_score" -> ((s, dir) => L.textLmScore(s, dir)),
     "embed_norm_stats" -> ((s, dir) => L.embedNormStats(s, dir)),
     "corpus_curation" -> ((s, dir) => L.corpusCuration(s, dir)),
     "corpus_vocab" -> ((s, dir) => L.corpusVocab(s, dir)),
@@ -853,6 +855,43 @@ object SparkEntry {
          | round(len(list_filter(toks, x -> x IN ($EnStopwordList)))*1.0/len(toks) - 1e-9, 4) + 0.0 AS stopword_ratio,
          | ${qualityScoreSql(EnStopwordList)} AS score
          |FROM tk ORDER BY 1""".stripMargin,
+    // F22: PII redaction over the deterministically-planted corpus —
+    // the plant construction is stated in SQL (id arithmetic, no
+    // regexes needed to predict it) and the redaction patterns are the
+    // LITERAL same strings the Spark plan compiles (Java∩RE2 dialect)
+    "text_pii_redact" -> {
+      import graft.text.{Analysis => A}
+      s"""WITH p AS (SELECT doc_id, text
+         | || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+         | || CASE WHEN doc_id % 11 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' logged' ELSE '' END
+         | || CASE WHEN doc_id % 13 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS t
+         | FROM documents)
+         |SELECT doc_id,
+         | CAST(len(regexp_extract_all(t, '${A.EmailRe}')) AS BIGINT) AS n_emails,
+         | CAST(len(regexp_extract_all(t, '${A.PhoneRe}')) AS BIGINT) AS n_phones,
+         | CAST(len(regexp_extract_all(t, '${A.Ipv4Re}')) AS BIGINT) AS n_ips,
+         | md5(regexp_replace(regexp_replace(regexp_replace(t,
+         |   '${A.EmailRe}', '<EMAIL>', 'g'), '${A.PhoneRe}', '<PHONE>', 'g'),
+         |   '${A.Ipv4Re}', '<IP>', 'g')) AS redacted_md5
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+    // F23: unigram-LM scoring — add-one-smoothed logprob over the F17
+    // top-V vocabulary; the per-doc mean is the FIXED-POINT contract
+    // (1e-6-grid integer sum, order-independent — the Lloyd pattern)
+    "text_lm_score" -> {
+      val v = graft.ops.LlmQueries.VocabTopN
+      s"""WITH $TK,
+         |tok AS (SELECT doc_id, unnest(toks) AS token FROM tk),
+         |voc AS (SELECT token, count(*) AS tf FROM tok GROUP BY 1
+         |  ORDER BY tf DESC, token LIMIT $v),
+         |tot AS (SELECT count(*) AS n_total FROM tok)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         | round(sum(CASE WHEN v.tf IS NULL THEN 1 ELSE 0 END)*1.0/count(*) - 1e-9, 4) + 0.0 AS oov_ratio,
+         | round(CAST(sum(CAST(round(ln((coalesce(v.tf,0)+1)*1.0/(t.n_total + $v + 1)) * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |   / (count(*) * 1000000.0) - 1e-9, 4) + 0.0 AS logprob
+         |FROM tok LEFT JOIN voc v USING (token) CROSS JOIN tot t
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     // F8b: duplicate n-gram fraction per doc (2- and 3-grams); the
     // lead-window shingle build mirrors SHD, `+ 0.0` normalizes
     // DuckDB's IEEE -0.0 to the +0.0 Spark's BigDecimal round emits

@@ -214,6 +214,21 @@ object LlmQueries {
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     Analysis.fingerprint(Tables.documents(spark, dir))
 
+  /** F22: PII redaction over the deterministically-planted corpus (the
+    * synthetic text carries no organic PII; the plant makes every
+    * pattern class exercised and the expected counts id-arithmetic).
+    */
+  def textPiiRedact(spark: SparkSession, dir: String): DataFrame =
+    Analysis.piiRedact(Analysis.piiPlanted(Tables.documents(spark, dir)))
+
+  /** F23: unigram-LM log-probability + OOV-ratio quality scoring. The
+    * LM's reference vocabulary is the F17 top-N artifact ([[VocabTopN]]
+    * — referenced at call time; a `val` alias here would read the
+    * not-yet-initialized field).
+    */
+  def textLmScore(spark: SparkSession, dir: String): DataFrame =
+    Analysis.lmScore(Tables.documents(spark, dir), VocabTopN)
+
   def embedNormStats(spark: SparkSession, dir: String): DataFrame =
     Ann.normStats(Tables.embeddings(spark, dir))
 

@@ -143,4 +143,110 @@ object Analysis {
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
       .orderBy(col("tf").desc, col("token"))
       .limit(topN)
+
+  // ---- F22: PII redaction -------------------------------------------
+
+  /** PII patterns — written to the Java-regex ∩ RE2 common dialect (no
+    * lookaround, no backreferences), so the Spark plan and the DuckDB
+    * oracle run the LITERAL same pattern. Conservative by design: a
+    * redaction stage prefers false positives (an over-redacted token)
+    * to leaked PII.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Deterministic PII planting over the synthetic corpus (the F20
+    * planted-fixture pattern: the construction IS the oracle — both
+    * engines append the same id-derived strings, so expected counts are
+    * pure id arithmetic and the redactor is exercised on every pattern
+    * class). Every 7th doc gains an email, every 11th an IPv4, every
+    * 13th a phone number.
+    */
+  def piiPlanted(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com now"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") % 100).cast("string"),
+          lit(" logged"))).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0,
+        concat(lit(" call 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit(""))).as("text"))
+
+  /** F22: PII redaction — the scrubbing stage a training-data pipeline
+    * runs before anything leaves the corpus: emails, then phones, then
+    * IPv4s replaced by typed placeholder tokens (email first — its
+    * pattern can span digits the narrower patterns would then
+    * mis-claim; the three classes are disjoint on their own matches).
+    * Map-only: three codegen'd regexp_replace + regexp_count per row,
+    * no explode, no join, no shuffle — the 100 TB shape is "free rider
+    * on the ingest scan". Output keeps counts per class (the audit
+    * trail) and md5 of the redacted text (the content witness the
+    * oracle compares without hauling full texts through the driver).
+    */
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
+          lit(PhoneRe), lit("<PHONE>")),
+        lit(Ipv4Re), lit("<IP>"))
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ips"),
+      md5(redacted).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- F23: unigram LM scoring --------------------------------------
+
+  /** F23: unigram language-model scoring — the perplexity-style quality
+    * filter pipelines run against a reference vocabulary: per-doc mean
+    * log-probability under an add-one-smoothed unigram model built from
+    * the corpus's own top-`vocabV` tokens, plus the out-of-vocabulary
+    * token ratio. p(tok) = (tf+1)/(N + V + 1) with tf = 0 for OOV.
+    *
+    * Scale shape: the model is BOUNDED — top-V vocab rows + the 1-row
+    * total — both explicitly broadcast (they sit behind corpus-wide
+    * aggregates whose size ESTIMATE blocks auto-broadcast, the r5 Lloyd
+    * lesson), so the token stream joins map-side and the only shuffle
+    * is the per-doc aggregation. Docs with no tokens emit no row (no
+    * token, no evidence to score — same contract as the pair ops).
+    *
+    * Engine parity: log-probs go through the FIXED-POINT mean (each
+    * token's lp pre-scaled to a rounded 1e-6-grid long; the integer sum
+    * is accumulation-order-independent — the Lloyd-means contract), and
+    * only ~V+1 DISTINCT ln values are ever computed, all on
+    * integer-derived rationals.
+    */
+  def lmScore(docs: DataFrame, vocabV: Int): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val voc = vocab(docs, vocabV).select(col("token"), col("tf"))
+    val tot = tok.agg(count(lit(1)).as("n_total"))
+    val lp = log((coalesce(col("tf"), lit(0L)) + lit(1L)).cast("double") /
+      (col("n_total") + lit(vocabV.toLong) + lit(1L)).cast("double"))
+    tok
+      .join(broadcast(voc), Seq("token"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("tf"),
+        round(lp * lit(1e6), 0).cast("long").as("lpm"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("tf").isNull, 1L).otherwise(0L)).as("oov"),
+        sum(col("lpm")).as("lps"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("oov").cast("double") / col("n_tokens") - lit(1e-9), 4)
+          .as("oov_ratio"),
+        round(col("lps").cast("double") / (col("n_tokens").cast("double") * lit(1e6))
+          - lit(1e-9), 4).as("logprob"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -7,10 +7,12 @@ import graft.ops.LlmQueries
 
 /** Wall-time twin of [[ScaleProbe]] (VERDICT r4 #1): times the capped
   * dedup / curation / decontamination families on the SAME ×1/×4/×10
-  * near-duplicate-replicated corpus whose candidate VOLUMES ScaleProbe
-  * measures, converting the last arithmetic-only piece of the 100 TB
-  * argument ("bounded candidate volume ⇒ bounded wall-time growth")
-  * into measurement.
+  * (plus an ×20 point, VERDICT r5 #6 — the spans family's diagonal
+  * multiplicity is the likeliest superlinear term and only shows at
+  * the densest replication) near-duplicate-replicated corpus whose
+  * candidate VOLUMES ScaleProbe measures, converting the last
+  * arithmetic-only piece of the 100 TB argument ("bounded candidate
+  * volume ⇒ bounded wall-time growth") into measurement.
   *
   * Protocol (mirrors Bench.scala): each scaled corpus is MATERIALIZED
   * to parquet first — so the timed plans start from a real pruned scan
@@ -58,7 +60,7 @@ object ScaleBench {
 
     val out = scala.collection.mutable.LinkedHashMap[String,
       scala.collection.mutable.LinkedHashMap[Int, Double]]()
-    for (copies <- Seq(1, 4, 10)) {
+    for (copies <- Seq(1, 4, 10, 20)) {
       val path = s"target/scalebench/x$copies/documents.parquet"
       ScaleProbe.scaled(base, copies).select("doc_id", "text")
         .write.mode("overwrite").parquet(path)

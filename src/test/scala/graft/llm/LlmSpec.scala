@@ -547,6 +547,56 @@ class LlmSpec extends SparkSpec {
     assert(Analysis.vocab(withNull, 10).count() == 4)
   }
 
+  test("pii redact: every class replaced, counts audit, clean text untouched (F22)") {
+    val d = Seq(
+      (0L, "mail me at some.user+tag@sub.example.org thanks"),
+      (1L, "call 555-123-4567 or 555-000-1111 today"),
+      (2L, "server 192.168.1.200 went down"),
+      (3L, "no pii in this one at all"),
+      (4L, "mixed a@b.co and 10.0.0.1 and 555-999-0000")
+    ).toDF("doc_id", "text")
+    val out = Analysis.piiRedact(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 1L, 0L, 0L), (1L, 0L, 2L, 0L),
+      (2L, 0L, 0L, 1L), (3L, 0L, 0L, 0L), (4L, 1L, 1L, 1L)))
+    // the redacted text witness: placeholders in, originals gone
+    val red = d.select(col("doc_id"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        lit(Analysis.EmailRe), lit("<EMAIL>")),
+        lit(Analysis.PhoneRe), lit("<PHONE>")),
+        lit(Analysis.Ipv4Re), lit("<IP>")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(0L) == "mail me at <EMAIL> thanks")
+    assert(red(1L) == "call <PHONE> or <PHONE> today")
+    assert(red(2L) == "server <IP> went down")
+    assert(red(3L) == "no pii in this one at all")
+    assert(red(4L) == "mixed <EMAIL> and <IP> and <PHONE>")
+    // planting: doc 0 (divisible by 7, 11, 13) carries all three classes
+    val planted = Analysis.piiRedact(Analysis.piiPlanted(
+      Seq((0L, "base words"), (77L, "other words")).toDF("doc_id", "text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 77 = 7·11: email + ip planted, no phone (13 ∤ 77)
+    assert(planted.toSeq == Seq((0L, 1L, 1L, 1L), (77L, 1L, 0L, 1L)))
+  }
+
+  test("lm score: fixed-point mean logprob and oov ratio (F23)") {
+    val d = Seq(
+      (0L, "a a b"),
+      (1L, "c")
+    ).toDF("doc_id", "text")
+    // V=2 vocab: a(tf 2), b(tf 1) — c is OOV. N=4 total tokens.
+    // lp(a)=ln(3/7), lp(b)=ln(2/7), lp(OOV)=ln(1/7); micro-grid longs.
+    def lpm(num: Long): Long = math.round(math.log(num / 7.0) * 1e6)
+    val exp0 = math.rint(((2 * lpm(3) + lpm(2)).toDouble / (3 * 1e6) - 1e-9) * 1e4) / 1e4
+    val exp1 = math.rint((lpm(1).toDouble / 1e6 - 1e-9) * 1e4) / 1e4
+    val out = Analysis.lmScore(d, vocabV = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((0L, 3L, 0.0, exp0), (1L, 1L, 1.0, exp1)))
+    // a doc with no tokens emits no row
+    val withNull = d.unionByName(Seq((9L, Option.empty[String])).toDF("doc_id", "text"))
+    assert(Analysis.lmScore(withNull, 2).count() == 2)
+  }
+
   test("split: stable under corpus growth and repartitioning (F18)") {
     import graft.ops.Sampling
     val w = graft.ops.LlmQueries.SplitWeights

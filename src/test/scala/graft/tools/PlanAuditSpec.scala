@@ -58,6 +58,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(2000))
   }
 
+  test("text_pii_redact is map-only: regex scrubbing rides the scan") {
+    val p = plan("text_pii_redact")
+    // three regexp_replace + three counts per row; the only exchange is
+    // the output sort's range partitioning
+    assert(countOf(p, "Exchange hashpartitioning") == 0, p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("text_lm_score: bounded model broadcasts; one corpus shuffle") {
+    val p = plan("text_lm_score")
+    // top-V vocab and the 1-row total both join broadcast (their
+    // corpus-side size ESTIMATES would block auto-broadcast — pinned)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(2000))
+    // the token stream shuffles once: the per-doc aggregation (vocab's
+    // own tf aggregate + countDistinct expand account for the rest —
+    // they run over the BOUNDED vocab pipeline, not per corpus row)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("decontaminate: the eval side joins broadcast") {
     val p = plan("decontaminate")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
