@@ -106,6 +106,7 @@ object SparkEntry {
     "corpus_vocab" -> ((s, dir) => L.corpusVocab(s, dir)),
     "corpus_bpe_merges" -> ((s, dir) => L.corpusBpeMerges(s, dir)),
     "corpus_split" -> ((s, dir) => L.corpusSplit(s, dir)),
+    "corpus_sample" -> ((s, dir) => L.corpusSample(s, dir)),
     // G. streaming (batch twin) + F12 multimodal plumbing
     "stream_rollup" -> ((s, dir) => T.streamRollup(s, dir)),
     "stream_sig_dedup" -> ((s, dir) => L.streamSigDedup(s, dir)),
@@ -833,6 +834,20 @@ object SparkEntry {
       s"""SELECT doc_id, bucket, CASE $cases ELSE '${ws.last._1}' END AS split FROM (
          |  SELECT doc_id,
          |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % $denom AS bucket
+         |  FROM documents) b ORDER BY doc_id""".stripMargin
+    },
+    // F24: stratified mixture sampling — same salted-h60 basis-point
+    // arithmetic as graft.ops.Sampling.sampleByStratum; the rate CASE
+    // is rendered from the same Seq, unlisted langs take the default
+    "corpus_sample" -> {
+      val cases = graft.ops.LlmQueries.SampleRatesBp
+        .map { case (n, bp) => s"WHEN lang = '$n' THEN $bp" }.mkString(" ")
+      s"""SELECT doc_id, lang, bucket, rate_bp,
+         | CASE WHEN bucket < rate_bp THEN 1::BIGINT ELSE 0::BIGINT END AS keep
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#sample'),1,15))::BIGINT % 10000 AS bucket,
+         |    CAST(CASE $cases ELSE ${graft.ops.LlmQueries.SampleDefaultBp} END AS BIGINT) AS rate_bp
          |  FROM documents) b ORDER BY doc_id""".stripMargin
     },
     "text_langid" ->

@@ -287,6 +287,17 @@ object LlmQueries {
   def corpusSplit(spark: SparkSession, dir: String): DataFrame =
     Sampling.split(Tables.documents(spark, dir), SplitWeights)
 
+  // F24 mixture rates (basis points): downsample the bulk language,
+  // keep the curated slices whole; es/zh are deliberately UNLISTED so
+  // the driver query exercises the default-rate fallback path too
+  val SampleRatesBp = Seq(("en", 5000), ("de", 10000), ("fr", 10000))
+  val SampleDefaultBp = 2500
+
+  /** F24: deterministic stratified mixture sampling over `lang`. */
+  def corpusSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.sampleByStratum(Tables.documents(spark, dir),
+      SampleRatesBp, SampleDefaultBp)
+
   /** F14: staged corpus curation (quality → language → exact dedup →
     * simhash near-dedup), one keep/drop + reason row per document.
     */

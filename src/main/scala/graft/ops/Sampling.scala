@@ -39,4 +39,40 @@ object Sampling {
     docs.select(col(idCol), bucket.as("bucket"), splitCol.as("split"))
       .orderBy(col(idCol))
   }
+
+  /** F24: deterministic weighted mixture sampling — the rebalancing
+    * stage a training pipeline runs over a multi-source/multi-language
+    * crawl (upsample the curated slice, downsample the bulk): each
+    * stratum (value of `strataCol`) keeps a fixed fraction of its
+    * documents, expressed in BASIS POINTS (integer ten-thousandths, so
+    * the keep test is pure integer arithmetic — no float thresholds to
+    * diverge between engines).
+    *
+    * Keep is a pure function of the document id, like [[split]] — a
+    * doc's sampling fate never changes under corpus growth or
+    * repartitioning — but hashed with a '#sample' SALT so the sample
+    * is decorrelated from the F18 split assignment (the same h60 would
+    * otherwise make "test" docs systematically likelier to survive
+    * sampling at rate boundaries). Unknown strata fall back to
+    * `defaultBp`. Map-only: no shuffle, no join; `keep` streams out of
+    * the scan.
+    */
+  def sampleByStratum(docs: DataFrame, ratesBp: Seq[(String, Int)],
+                      defaultBp: Int, strataCol: String = "lang",
+                      idCol: String = "doc_id"): DataFrame = {
+    require(ratesBp.forall { case (_, bp) => bp >= 0 && bp <= 10000 },
+      s"rates are basis points in [0, 10000] (got $ratesBp)")
+    require(defaultBp >= 0 && defaultBp <= 10000,
+      s"defaultBp in [0, 10000] (got $defaultBp)")
+    val bucket = graft.text.TextFns
+      .h60(concat(col(idCol).cast("string"), lit("#sample"))) % 10000L
+    val rateCol = ratesBp.foldRight(lit(defaultBp.toLong)) {
+      case ((name, bp), rest) =>
+        when(col(strataCol) === name, bp.toLong).otherwise(rest)
+    }
+    docs.select(col(idCol), col(strataCol), bucket.as("bucket"),
+      rateCol.as("rate_bp"),
+      when(bucket < rateCol, 1L).otherwise(0L).as("keep"))
+      .orderBy(col(idCol))
+  }
 }

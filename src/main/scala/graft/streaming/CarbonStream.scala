@@ -253,6 +253,19 @@ object CarbonStream {
       }
   }
 
+  /** G7: in-flight PII redaction — the F22 scrub applied BEFORE a
+    * document ever lands in the corpus store (scrubbing at ingest
+    * means raw PII is never at rest; batch F22 remains the audit pass
+    * over data that already landed). Stateless and map-only: the
+    * projection is pure codegen'd regex Columns
+    * ([[graft.text.Analysis.piiRedactRows]]), mode-agnostic by
+    * construction — no state store, no watermark, no shuffle, and the
+    * batch twin (the driver oracle) IS this function on a batch
+    * Dataset.
+    */
+  def piiRedactStream(docs: DataFrame): DataFrame =
+    graft.text.Analysis.piiRedactRows(docs)
+
   def simhashDedupStream(docs: DataFrame): Dataset[SigDecision] = {
     import docs.sparkSession.implicits._
     docs

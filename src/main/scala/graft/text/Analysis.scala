@@ -190,7 +190,14 @@ object Analysis {
     * trail) and md5 of the redacted text (the content witness the
     * oracle compares without hauling full texts through the driver).
     */
-  def piiRedact(docs: DataFrame): DataFrame = {
+  def piiRedact(docs: DataFrame): DataFrame =
+    piiRedactRows(docs).orderBy(col("doc_id"))
+
+  /** The unordered F22 projection — pure codegen'd regex Columns, so
+    * the SAME body serves the batch operator (above) and the G7
+    * streaming wrapper (a streaming Dataset cannot sort).
+    */
+  def piiRedactRows(docs: DataFrame): DataFrame = {
     val redacted =
       regexp_replace(
         regexp_replace(
@@ -203,7 +210,6 @@ object Analysis {
       regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
       regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ips"),
       md5(redacted).as("redacted_md5"))
-      .orderBy(col("doc_id"))
   }
 
   // ---- F23: unigram LM scoring --------------------------------------

@@ -616,6 +616,40 @@ class LlmSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p.take(500))
   }
 
+  test("stratified sample: rates, fallback, stability, salt (F24)") {
+    import graft.ops.Sampling
+    val rates = Seq(("en", 10000), ("de", 0))
+    val docs = spark.range(1000).selectExpr("id AS doc_id",
+      "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END AS lang")
+    val out = Sampling.sampleByStratum(docs, rates, 2500).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(4)))
+    // boundary rates are exact: 10000bp keeps all, 0bp keeps none
+    assert(out.filter(_._2 == "en").forall(_._3 == 1L))
+    assert(out.filter(_._2 == "de").forall(_._3 == 0L))
+    // an unlisted stratum takes the default rate; 2500bp over 10k docs
+    // lands in a loose binomial band around 2500
+    val fr = spark.range(10000).selectExpr("id AS doc_id", "'fr' AS lang")
+    val kept = Sampling.sampleByStratum(fr, rates, 2500)
+      .filter(col("keep") === 1L).count()
+    assert(kept > 2100 && kept < 2900, s"fallback kept $kept/10000 at 2500bp")
+    // corpus growth + repartition never flips a doc's fate (F18 contract)
+    val small = Sampling.sampleByStratum(docs.filter(col("doc_id") < 100), rates, 2500)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val big = Sampling.sampleByStratum(docs.repartition(7), rates, 2500)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(small.forall { case (id, k) => big(id) == k })
+    // the '#sample' salt decorrelates the sample bucket from the F18
+    // split bucket: the unsalted h60 stream collides only by chance
+    val both = docs.select(col("doc_id"),
+      (graft.text.TextFns.h60(col("doc_id").cast("string")) % 10000L).as("u"))
+      .join(Sampling.sampleByStratum(docs, rates, 2500), "doc_id")
+    assert(both.filter(col("u") === col("bucket")).count() < 10)
+    // map-only: keep streams out of the scan, no exchange before the sort
+    val p = Sampling.sampleByStratum(docs, rates, 2500)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), p.take(500))
+  }
+
   test("corpus curation stages claim docs in order (F14)") {
     import graft.ops.Curation
     // 20+ token english filler keeps quality/language gates open

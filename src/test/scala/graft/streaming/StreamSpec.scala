@@ -259,6 +259,36 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming PII redaction scrubs in-flight, batch-identical (G7)") {
+    import graft.streaming.CarbonStream
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq(
+      (0L, "contact bob@example.com from 10.1.2.3 now"),
+      (1L, "clean text with no identifiers at all"),
+      (2L, "call 555-123-4567 twice: 555-123-4567"))
+    val source = MemoryStream[(Long, String)]
+    val out = CarbonStream.piiRedactStream(source.toDF().toDF("doc_id", "text"))
+    val query = out.writeStream
+      .format("memory").queryName("g7_pii").outputMode("append").start()
+    try {
+      // stateless: split across micro-batches, counts per class exact
+      source.addData(texts(0), texts(1))
+      query.processAllAvailable()
+      source.addData(texts(2))
+      query.processAllAvailable()
+      val rows = spark.table("g7_pii").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4)))
+      assert(rows.map(t => (t._1, t._2, t._3, t._4)).toSeq ==
+        Seq((0L, 1L, 0L, 1L), (1L, 0L, 0L, 0L), (2L, 0L, 2L, 0L)))
+      // the md5 content witness is bit-equal to the batch twin (F22):
+      // same projection object, so stream and batch can never drift
+      val batch = graft.text.Analysis.piiRedact(texts.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+      assert(rows.forall { case (id, _, _, _, m) => batch(id) == m })
+    } finally query.stop()
+  }
+
   test("streaming simhash dedup batch twin agrees on keepers (G4)") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),

@@ -66,6 +66,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(2000))
   }
 
+  test("corpus_sample is map-only: keep streams out of the scan") {
+    val p = plan("corpus_sample")
+    // salted-hash bucket + rate CASE + keep are all per-row arithmetic;
+    // the only exchange is the output sort's range partitioning
+    assert(countOf(p, "Exchange hashpartitioning") == 0, p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
   test("text_lm_score: bounded model broadcasts; one corpus shuffle") {
     val p = plan("text_lm_score")
     // top-V vocab and the 1-row total both join broadcast (their
