@@ -81,6 +81,7 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) => L.dedupMinhash(s, dir)),
     "dedup_minhash_capped" -> ((s, dir) => L.dedupMinhashCapped(s, dir)),
     "dedup_minhash_clusters" -> ((s, dir) => L.dedupMinhashClusters(s, dir)),
+    "dedup_minhash_est" -> ((s, dir) => L.dedupMinhashEst(s, dir)),
     "dedup_jaccard_clusters" -> ((s, dir) => L.dedupJaccardClusters(s, dir)),
     "dedup_cc_clusters" -> ((s, dir) => L.dedupCcClusters(s, dir)),
     "dedup_embed_cosine_clusters" -> ((s, dir) => L.dedupEmbedCosineClusters(s, dir)),
@@ -94,6 +95,7 @@ object SparkEntry {
     "ann_lsh" -> ((s, dir) => L.annLsh(s, dir)),
     "ann_ivf" -> ((s, dir) => L.annIvf(s, dir)),
     "ann_ivf_refined" -> ((s, dir) => L.annIvfRefined(s, dir)),
+    "ann_quantized" -> ((s, dir) => L.annQuantized(s, dir)),
     "text_langid" -> ((s, dir) => L.textLangid(s, dir)),
     "text_quality" -> ((s, dir) => L.textQuality(s, dir)),
     "text_repetition" -> ((s, dir) => L.textRepetition(s, dir)),
@@ -111,6 +113,7 @@ object SparkEntry {
     "stream_rollup" -> ((s, dir) => T.streamRollup(s, dir)),
     "stream_sig_dedup" -> ((s, dir) => L.streamSigDedup(s, dir)),
     "stream_decontaminate" -> ((s, dir) => L.streamDecontaminate(s, dir)),
+    "stream_quality_gate" -> ((s, dir) => L.streamQualityGate(s, dir)),
     "multimodal_pipeline" -> ((s, dir) =>
       graft.multimodal.BinaryPipeline.pipelineSummary(s, graft.core.Tables.documents(s, dir)))
   )
@@ -586,6 +589,29 @@ object SparkEntry {
          |  FROM sarr m1 JOIN sarr m2 ON m1.sk = m2.sk AND m1.doc_id < m2.doc_id)
          |SELECT x, y FROM (SELECT * FROM mcross UNION ALL SELECT * FROM mintra) t
          |ORDER BY 1,2""".stripMargin,
+    // F3e: slot-agreement jaccard estimate over the capped candidate
+    // graph — matches/12 per pair; estimates live on the k/12 grid, so
+    // round(,4) never lands on a boundary in either engine
+    "dedup_minhash_est" -> {
+      val k = graft.dedup.Dedup.minhashParams.size
+      val matchSum = (1 to k).map(i =>
+        s"(CASE WHEN sa.s[$i] = sb.s[$i] THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $TK, $SHD,
+         |$MinhashBandsCtes,
+         |$MinhashCappedCtes,
+         |mcross AS (SELECT least(m1.doc_id, m2.doc_id) AS x,
+         |    greatest(m1.doc_id, m2.doc_id) AS y
+         |  FROM msigpairs p JOIN sarr m1 ON m1.sk = p.s1
+         |                   JOIN sarr m2 ON m2.sk = p.s2),
+         |mintra AS (SELECT m1.doc_id AS x, m2.doc_id AS y
+         |  FROM sarr m1 JOIN sarr m2 ON m1.sk = m2.sk AND m1.doc_id < m2.doc_id),
+         |mpairs AS (SELECT x, y FROM mcross UNION ALL SELECT x, y FROM mintra)
+         |SELECT p.x, p.y,
+         |  round(($matchSum) / $k.0, 4) AS est_jaccard
+         |FROM mpairs p JOIN sarr sa ON sa.doc_id = p.x
+         |              JOIN sarr sb ON sb.doc_id = p.y
+         |ORDER BY 1, 2""".stripMargin
+    },
     // star clustering over the CAPPED candidate graph: each sig group's
     // rep = min(doc_id); a group points at the smallest neighbouring rep
     // (one-step min propagation, same rule as Dedup.minhashClusters);
@@ -802,6 +828,32 @@ object SparkEntry {
          |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
          |FROM embeddings v LEFT JOIN mn m ON m.vec_id = v.vec_id
          |ORDER BY 1""".stripMargin,
+    // F25: int8-quantized top-k — same symmetric per-vector
+    // quantization as Ann.quantize (scale = max |x| floored at 1e-30,
+    // code = round(x·127/scale), ties away from zero in both engines);
+    // code dots are exact integers in both engines, so the only float
+    // ops are the final sqrt and divide — identical IEEE arithmetic
+    "ann_quantized" -> {
+      import graft.ops.{LlmQueries => LQ}
+      s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |s AS (SELECT vec_id, emb,
+         |  greatest(list_max(list_transform(emb, x -> abs(x))), 1e-30) AS sc FROM n),
+         |c AS (SELECT vec_id,
+         |  list_transform(emb, x -> round(x * 127.0 / sc)) AS code FROM s),
+         |cn AS (SELECT vec_id, code,
+         |  sqrt(list_dot_product(code, code)) AS nrm FROM c),
+         |q AS (SELECT vec_id AS q_id, code AS qc, nrm AS qn FROM cn
+         |  WHERE vec_id < ${LQ.AnnQueryMax}),
+         |scored AS (SELECT q.q_id, v.vec_id,
+         |  list_dot_product(q.qc, v.code)/(q.qn*v.nrm) AS cos
+         |  FROM cn v CROSS JOIN q WHERE v.vec_id <> q.q_id),
+         |rk AS (SELECT q_id, vec_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY round(cos,6) DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, rk, vec_id, round(cos,4) AS cos FROM rk
+         |WHERE rk <= ${LQ.AnnK}
+         |ORDER BY q_id, rk""".stripMargin
+    },
     "ann_cosine_topk" ->
       """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),
@@ -929,6 +981,33 @@ object SparkEntry {
          |   ELSE 1.0 - s3.d*1.0/greatest(len(t.toks)-2, 0) END - 1e-9, 4) + 0.0 AS rep3
          |FROM tk t LEFT JOIN s2 ON t.doc_id = s2.doc_id LEFT JOIN s3 ON t.doc_id = s3.doc_id
          |ORDER BY 1""".stripMargin,
+    // G8 batch twin: the per-document quality + language gates with
+    // F14's thresholds, reason = first failing stage — the same
+    // score/argmax arithmetic as text_quality / text_langid
+    "stream_quality_gate" -> {
+      import graft.ops.{LlmQueries => LQ}
+      s"""WITH $TK,
+         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+         |dict(lang_cand, word) AS (VALUES $StopwordValues),
+         |hits AS (SELECT doc_id, lang_cand, count(*) AS hits FROM tok
+         |  JOIN dict ON tok = word GROUP BY 1,2),
+         |best AS (SELECT doc_id, lang_cand, hits,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_cand) AS rk FROM hits),
+         |q AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  ${qualityScoreSql(EnStopwordList)} AS score FROM tk),
+         |g AS (SELECT q.doc_id, q.n_tokens, q.score,
+         |  coalesce(b.lang_cand, 'unknown') AS pred_lang
+         |  FROM q LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id))
+         |SELECT doc_id, n_tokens, score, pred_lang,
+         | CASE WHEN reason = 'kept' THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS kept,
+         | reason
+         |FROM (SELECT *, CASE
+         |   WHEN NOT coalesce(score >= ${LQ.CurationMinScore}
+         |     AND n_tokens >= ${LQ.CurationMinTokens}, false) THEN 'quality'
+         |   WHEN NOT coalesce(pred_lang = '${LQ.CurationLang}', false) THEN 'language'
+         |   ELSE 'kept' END AS reason FROM g) t
+         |ORDER BY doc_id""".stripMargin
+    },
     // staged curation: quality → language → exact dedup → simhash
     // near-dedup; each stage sees only the previous stage's survivors,
     // reason = first failing stage (mirrors graft.ops.Curation)

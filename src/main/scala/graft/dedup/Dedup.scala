@@ -399,6 +399,32 @@ object Dedup {
     crossPairs.unionByName(intra).orderBy(col("x"), col("y"))
   }
 
+  /** F3e: per-pair Jaccard ESTIMATE from signature slot agreement —
+    * the MinHash deliverable beyond candidate generation: the fraction
+    * of the 12 signature slots on which x and y agree estimates
+    * J(x, y) (each slot matches with probability exactly J). Pairs
+    * come from the CAPPED candidate graph ([[minhashLshCapped]]), so
+    * the estimate stage adds two hash equi-joins on doc_id against the
+    * O(n) signature table — no new pairwise work at any scale. At
+    * 100 TB this is the cheap re-score that ranks/thresholds
+    * candidates without ever touching shingle sets again; estimates
+    * land on the k/12 grid, so round(,4) is boundary-safe in both
+    * engines.
+    */
+  def minhashJaccardEst(spark: SparkSession, docs: DataFrame, maxDf: Int): DataFrame = {
+    val k = minhashParams.size
+    val sig = minhashSigRows(docs)
+    val matches = (0 until k).map(i =>
+      when(element_at(col("mx"), i + 1) === element_at(col("my"), i + 1), 1L)
+        .otherwise(0L)).reduce(_ + _)
+    minhashLshCapped(spark, docs, maxDf)
+      .join(sig.select(col("doc_id").as("x"), col("mh").as("mx")), "x")
+      .join(sig.select(col("doc_id").as("y"), col("mh").as("my")), "y")
+      .select(col("x"), col("y"),
+        round(matches.cast("double") / k, 4).as("est_jaccard"))
+      .orderBy(col("x"), col("y"))
+  }
+
   /** F3k: O(n)-output keep/drop decisions over the CAPPED MinHash
     * candidate graph (re-pointed off the uncapped band join, VERDICT r5
     * #1) — star clustering at signature-group level, the

@@ -113,6 +113,12 @@ object LlmQueries {
   def dedupMinhashClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashClusters(spark, Tables.documents(spark, dir), MinhashMaxDf)
 
+  /** F3e: slot-agreement Jaccard estimate over the capped MinHash
+    * candidate graph — ranks candidates without re-reading shingles.
+    */
+  def dedupMinhashEst(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashJaccardEst(spark, Tables.documents(spark, dir), MinhashMaxDf)
+
   /** O(n) keep/drop from the df-capped Jaccard candidate graph. */
   def dedupJaccardClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardClusters(Tables.documents(spark, dir), JaccardTau, JaccardMaxDf)
@@ -197,6 +203,14 @@ object LlmQueries {
     val e = Tables.embeddings(spark, dir)
     Ann.ivfTopKRefined(e.filter(col("vec_id") < AnnQueryMax), e, AnnK,
       IvfCentroids, IvfProbe, IvfLloydIters)
+  }
+
+  /** F25: top-k over int8-quantized codes — 4× smaller index and
+    * rerank shuffle; per-vector scale cancels in code-space cosine.
+    */
+  def annQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Ann.quantizedTopK(e.filter(col("vec_id") < AnnQueryMax), e, AnnK)
   }
 
   def textLangid(spark: SparkSession, dir: String): DataFrame =
@@ -297,6 +311,17 @@ object LlmQueries {
   def corpusSample(spark: SparkSession, dir: String): DataFrame =
     Sampling.sampleByStratum(Tables.documents(spark, dir),
       SampleRatesBp, SampleDefaultBp)
+
+  /** G8 batch twin: the in-flight quality/language gate computed
+    * batch-side — CarbonStream.qualityGateStream is mode-agnostic, so
+    * this IS the streaming projection on a batch Dataset (F14's
+    * thresholds; reason = first failing per-document stage).
+    */
+  def streamQualityGate(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.CarbonStream
+      .qualityGateStream(Tables.documents(spark, dir),
+        CurationMinScore, CurationMinTokens, CurationLang)
+      .orderBy(col("doc_id"))
 
   /** F14: staged corpus curation (quality → language → exact dedup →
     * simhash near-dedup), one keep/drop + reason row per document.

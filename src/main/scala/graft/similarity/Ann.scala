@@ -258,6 +258,56 @@ object Ann {
     topK(scored, k)
   }
 
+  // ---- F25: int8-quantized scoring ------------------------------------
+
+  /** F25: symmetric per-vector int8 quantization — the memory/shuffle
+    * compression ANN needs at 100 TB, where the resident index and the
+    * candidate-rerank shuffle are the bottleneck: scale = max
+    * |component| (floored at 1e-30 so a zero vector quantizes to
+    * zeros, not nulls), code_i = round(x_i · 127 / scale) stored as
+    * TINYINT — 1 byte per dimension at rest and on the wire vs 4 for
+    * float32. Per-VECTOR scaling keeps cosine self-normalizing: the
+    * scale cancels in code-space cosine, so scoring needs only the
+    * codes, never the scales. (The quantize pass runs interpreted
+    * HOF lambdas — acceptable for a once-per-corpus map-only pass;
+    * the per-query hot path in [[quantizedTopK]] is the codegen'd
+    * FloatDot.)
+    */
+  def quantize(vecs: DataFrame): DataFrame = {
+    val s = greatest(
+      array_max(transform(col("embedding"), x => abs(x.cast("double")))),
+      lit(1e-30))
+    vecs.select(col("vec_id"), col("embedding"), s.as("qscale"))
+      .select(col("vec_id"), col("qscale"),
+        transform(col("embedding"), x =>
+          round(x.cast("double") * lit(127.0) / col("qscale"), 0).cast("byte"))
+          .as("qcode"))
+  }
+
+  /** F25 top-k: exact cosine in CODE space. Engine-parity argument:
+    * code products (≤ 127²) and their ≤ dim·127² sums are exactly
+    * representable in double, so the codegen'd FloatDot arithmetic
+    * over the byte→float-cast codes is INTEGER-exact and DuckDB's
+    * list_dot_product over the same integers is bit-identical; the
+    * only true float ops are the final sqrt and divide — identical
+    * IEEE operations in both engines. Plan shape = bruteTopK's (query
+    * side broadcast, big side streams one codegen stage); the point
+    * at scale is the 4× smaller stream, and the same codes slot into
+    * the IVF candidate join unchanged.
+    */
+  def quantizedTopK(queries: DataFrame, vecs: DataFrame, k: Int): DataFrame = {
+    def codes(df: DataFrame) = quantize(df)
+      .select(col("vec_id"), col("qcode").cast("array<float>").as("cf"))
+      .withColumn("cn", norm(col("cf")))
+    val q = broadcast(codes(queries).select(
+      col("vec_id").as("q_id"), col("cf").as("qe"), col("cn").as("qn")))
+    val scored = codes(vecs)
+      .crossJoin(q)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("qe"), col("cf")) / (col("qn") * col("cn")))
+    topK(scored, k)
+  }
+
   /** F11: per-label L2-norm statistics over the embedding column. */
   def normStats(vecs: DataFrame): DataFrame =
     vecs

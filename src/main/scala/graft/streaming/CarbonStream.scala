@@ -266,6 +266,20 @@ object CarbonStream {
   def piiRedactStream(docs: DataFrame): DataFrame =
     graft.text.Analysis.piiRedactRows(docs)
 
+  /** G8: in-flight quality gating — F14's per-document stages
+    * (quality score + language) applied BEFORE a document lands in
+    * the corpus, so the bulk of a crawl is dropped at ingest instead
+    * of stored and re-read by the batch curation pass. Stateless and
+    * map-only ([[graft.text.Analysis.qualityGateRows]] is pure
+    * per-row Columns), mode-agnostic by construction; the corpus-wide
+    * curation stages (exact/near dedup) stay with G4's signature
+    * state and the batch pass — they need cross-document context a
+    * row-local gate cannot have.
+    */
+  def qualityGateStream(docs: DataFrame, minScore: Double, minTokens: Int,
+                        keepLang: String): DataFrame =
+    graft.text.Analysis.qualityGateRows(docs, minScore, minTokens, keepLang)
+
   def simhashDedupStream(docs: DataFrame): Dataset[SigDecision] = {
     import docs.sparkSession.implicits._
     docs

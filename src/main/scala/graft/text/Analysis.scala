@@ -22,23 +22,32 @@ object Analysis {
     // langs × 10 words), argmax by an alphabetically-ordered when
     // chain — the first language reaching the max implements the
     // (hits DESC, lang ASC) tie-break. No explode, no join, no shuffle.
-    val toks = tokens(col("text"))
+    val scored = docs.select(col("doc_id") +: langHitCols(tokens(col("text"))): _*)
+    val (pred, hits) = langArgmax
+    scored
+      .select(col("doc_id"), pred.as("pred_lang"), hits.as("hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** F7 internals, shared with the G8 gate so the argmax rule has one
+    * source: named per-language hit columns over the token array, and
+    * the (pred_lang, hits) argmax over those named columns. Null text
+    * → null hit counts; the coalesces produce the ('unknown', 0) the
+    * explode+join formulation (and the DuckDB oracle's LEFT JOIN)
+    * yield for a doc with no tokens.
+    */
+  private def langHitCols(toks: org.apache.spark.sql.Column) = {
     val langs = stopwords.keys.toSeq.sorted
-    val hitCols = langs.map(l => stopwordHits(toks, stopwords(l)).cast("long").as(s"h_$l"))
-    val scored = docs.select(col("doc_id") +: hitCols: _*)
+    langs.map(l => stopwordHits(toks, stopwords(l)).cast("long").as(s"h_$l"))
+  }
+  private def langArgmax = {
+    val langs = stopwords.keys.toSeq.sorted
     val maxHits = greatest(langs.map(l => col(s"h_$l")): _*)
     val pred = langs.foldRight(lit("unknown")) { (l, rest) =>
       when(col(s"h_$l") === maxHits, l).otherwise(rest)
     }
-    // null text → null hit counts; coalesce to the ('unknown', 0) the
-    // explode+join formulation (and the DuckDB oracle's LEFT JOIN)
-    // produce for a doc with no tokens
-    scored
-      .select(col("doc_id"),
-        coalesce(when(maxHits === 0, "unknown").otherwise(pred), lit("unknown"))
-          .as("pred_lang"),
-        coalesce(maxHits, lit(0L)).as("hits"))
-      .orderBy(col("doc_id"))
+    (coalesce(when(maxHits === 0, "unknown").otherwise(pred), lit("unknown")),
+      coalesce(maxHits, lit(0L)))
   }
 
   /** F8: quality scoring from length / token-dup / stopword signals.
@@ -50,19 +59,61 @@ object Analysis {
     val nTok = size(toks).cast("double")
     val dupRatio = lit(1.0) - size(array_distinct(toks)) / nTok
     val swRatio = stopwordHits(toks, stopwords("en")) / nTok
+    val (nTokens, score) = scoreSignals
+    docs.select(
+      col("doc_id"),
+      nTokens.as("n_tokens"),
+      round(dupRatio - 1e-9, 4).as("dup_ratio"),
+      round(swRatio - 1e-9, 4).as("stopword_ratio"),
+      score.as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** F8 internals, shared with the G8 gate so the score formula has
+    * one source: (n_tokens, 4-dp score) as bare per-row Columns over
+    * `text`.
+    */
+  private def scoreSignals = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val dupRatio = lit(1.0) - size(array_distinct(toks)) / nTok
+    val swRatio = stopwordHits(toks, stopwords("en")) / nTok
     val avgTokLen = (length(col("text")) - (nTok - 1)) / nTok // chars minus separators
     val score =
       lit(0.3) * least(nTok / 100.0, lit(1.0)) +
         lit(0.3) * (lit(1.0) - dupRatio) +
         lit(0.2) * swRatio +
         lit(0.2) * least(avgTokLen / 10.0, lit(1.0))
-    docs.select(
-      col("doc_id"),
-      size(toks).cast("long").as("n_tokens"),
-      round(dupRatio - 1e-9, 4).as("dup_ratio"),
-      round(swRatio - 1e-9, 4).as("stopword_ratio"),
-      round(score - 1e-9, 4).as("score"))
-      .orderBy(col("doc_id"))
+    (size(toks).cast("long"), round(score - 1e-9, 4))
+  }
+
+  /** G8 core / F14-stage-1+2 as one stateless projection: the quality
+    * gate (score ≥ minScore at 4 dp, ≥ minTokens tokens) and the
+    * language gate (argmax stopword language = keepLang) evaluated
+    * per row with NO join, shuffle, or state — `reason` is the first
+    * failing gate, exactly Curation's rule for the stages that are
+    * per-document. (The dedup stages are corpus-wide by nature; their
+    * streaming complement is G4's signature state, not this gate.)
+    * Null score/n_tokens (null-text doc) FAILS quality — a null gate
+    * would skip every arm and mislabel the doc.
+    */
+  def qualityGateRows(docs: DataFrame, minScore: Double, minTokens: Int,
+                      keepLang: String): DataFrame = {
+    val (nTokens, score) = scoreSignals
+    val staged = docs.select(
+      col("doc_id") +: nTokens.as("n_tokens") +: score.as("score") +:
+        langHitCols(tokens(col("text"))): _*)
+    val (pred, _) = langArgmax
+    staged
+      .select(col("doc_id"), col("n_tokens"), col("score"), pred.as("pred_lang"))
+      .withColumn("reason",
+        when(!coalesce(col("score") >= minScore && col("n_tokens") >= minTokens,
+          lit(false)), "quality")
+          .when(!coalesce(col("pred_lang") === keepLang, lit(false)), "language")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("n_tokens"), col("score"), col("pred_lang"),
+        when(col("reason") === "kept", 1L).otherwise(0L).as("kept"),
+        col("reason"))
   }
 
   /** F8b: within-document repetition — the duplicate n-gram fraction

@@ -326,6 +326,27 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall $recall too low")
   }
 
+  test("int8 quantization: exact codes, usable recall vs float32 (F25)") {
+    // scale = max|x| = 1.0 → codes (127, -64, 32); round(-63.5) away
+    // from zero in BOTH engines (Spark HALF_UP, DuckDB round)
+    val v = Seq((0L, Array(1.0f, -0.5f, 0.25f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val code = Ann.quantize(v).select($"qcode").head.getSeq[Byte](0)
+    assert(code == Seq[Byte](127, -64, 32))
+    // a zero vector quantizes to zeros (scale floor), not nulls
+    val z = Seq((1L, Array(0.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    assert(Ann.quantize(z).select($"qcode").head.getSeq[Byte](0) == Seq[Byte](0, 0))
+    // code-space top-k tracks the float32 ranking on real embeddings
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter($"vec_id" < 10)
+    val brute = Ann.bruteTopK(q, e, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val quant = Ann.quantizedTopK(q, e, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & quant).size.toDouble / brute.size
+    assert(recall >= 0.8, s"int8 recall $recall vs float32 brute force")
+  }
+
   test("ivf recall vs brute force on real embeddings (F6b)") {
     val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter($"vec_id" < 5)
@@ -453,6 +474,30 @@ class LlmSpec extends SparkSpec {
     val cappedDocs = capped.flatMap(p => Seq(p._1, p._2))
     val cover = (exactDocs & cappedDocs).size.toDouble / exactDocs.size
     assert(cover >= 0.95, s"doc coverage $cover too low")
+  }
+
+  test("minhash jaccard estimate tracks true jaccard (F3e)") {
+    // exact duplicates estimate exactly 1.0 (all 12 slots agree)
+    val twin = Seq((0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val t = Dedup.minhashJaccardEst(spark, twin, 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(t.toSeq == Seq((0L, 1L, 1.0)))
+    // on real documents: estimates live on the k/12 grid and track the
+    // true 3-shingle jaccard of each candidate pair
+    val d = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val est = Dedup.minhashJaccardEst(spark, d, graft.ops.LlmQueries.MinhashMaxDf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(est.nonEmpty)
+    assert(est.values.forall(v => v >= 0.0 && v <= 1.0 &&
+      math.abs(v * 12 - math.round(v * 12)) < 0.01))
+    val truth = Dedup.ngramJaccard(d, 0.0).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val errs = est.map { case (p, v) => math.abs(v - truth.getOrElse(p, 0.0)) }
+    val mae = errs.sum / errs.size
+    info(f"F3e MAE $mae%.3f over ${errs.size} candidate pairs")
+    assert(mae <= 0.15, s"MAE $mae over ${errs.size} candidate pairs " +
+      "(observed 0.03 — candidates are high-J, so slot variance is small)")
   }
 
   test("capped minhash: N-doc exact-dup group is ONE band-join row (F3c)") {

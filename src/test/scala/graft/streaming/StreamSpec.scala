@@ -289,6 +289,40 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming quality gate drops in-flight, batch-identical (G8)") {
+    import graft.streaming.CarbonStream
+    implicit val sqlCtx = spark.sqlContext
+    // 20+ token english filler passes both gates; short text fails
+    // quality; german stopwords pass quality but fail language
+    val en = "the cat sat on a mat of the house and the dog ran to the park in a fine day"
+    val de = "der hund lief und die katze sass auf der matte mit der maus von der wand zu der tuer"
+    val texts = Seq((0L, en), (1L, "too short"), (2L, de))
+    val source = MemoryStream[(Long, String)]
+    val out = CarbonStream.qualityGateStream(
+      source.toDF().toDF("doc_id", "text"), 0.30, 15, "en")
+    val query = out.writeStream
+      .format("memory").queryName("g8_gate").outputMode("append").start()
+    try {
+      source.addData(texts(0), texts(1))
+      query.processAllAvailable()
+      source.addData(texts(2)) // stateless: second batch gated identically
+      query.processAllAvailable()
+      val rows = spark.table("g8_gate").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(4), r.getString(5)))
+      assert(rows.toSeq == Seq((0L, 1L, "kept"), (1L, 0L, "quality"),
+        (2L, 0L, "language")))
+      // every signal column bit-equal to the batch twin's projection
+      val batch = graft.text.Analysis
+        .qualityGateRows(texts.toDF("doc_id", "text"), 0.30, 15, "en")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getDouble(2), r.getString(3))).toMap
+      spark.table("g8_gate").collect().foreach { r =>
+        assert(batch(r.getLong(0)) ==
+          ((r.getLong(1), r.getDouble(2), r.getString(3))))
+      }
+    } finally query.stop()
+  }
+
   test("streaming simhash dedup batch twin agrees on keepers (G4)") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),

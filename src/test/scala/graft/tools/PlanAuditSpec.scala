@@ -66,6 +66,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(2000))
   }
 
+  test("stream_quality_gate is map-only: both gates ride the scan") {
+    val p = plan("stream_quality_gate")
+    // score + argmax language + reason are all per-row arithmetic; the
+    // only exchange is the output sort's range partitioning
+    assert(countOf(p, "Exchange hashpartitioning") == 0, p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
   test("corpus_sample is map-only: keep streams out of the scan") {
     val p = plan("corpus_sample")
     // salted-hash bucket + rate CASE + keep are all per-row arithmetic;
@@ -167,6 +175,16 @@ class PlanAuditSpec extends SparkSpec {
       p.take(2000))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       p.take(2000))
+  }
+
+  test("ann_quantized: query codes broadcast, corpus streams one stage") {
+    val p = plan("ann_quantized")
+    // the code-space rerank must keep bruteTopK's shape: bounded query
+    // side broadcast against the streaming corpus scan — a
+    // SortMergeJoin means the 4×-smaller stream gained a full sort
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
   test("multimodal decode chain: no shuffle before the summary aggregation") {
