@@ -109,6 +109,7 @@ object SparkEntry {
     "corpus_bpe_merges" -> ((s, dir) => L.corpusBpeMerges(s, dir)),
     "corpus_split" -> ((s, dir) => L.corpusSplit(s, dir)),
     "corpus_sample" -> ((s, dir) => L.corpusSample(s, dir)),
+    "corpus_report" -> ((s, dir) => L.corpusReport(s, dir)),
     // G. streaming (batch twin) + F12 multimodal plumbing
     "stream_rollup" -> ((s, dir) => T.streamRollup(s, dir)),
     "stream_sig_dedup" -> ((s, dir) => L.streamSigDedup(s, dir)),
@@ -981,6 +982,23 @@ object SparkEntry {
          |   ELSE 1.0 - s3.d*1.0/greatest(len(t.toks)-2, 0) END - 1e-9, 4) + 0.0 AS rep3
          |FROM tk t LEFT JOIN s2 ON t.doc_id = s2.doc_id LEFT JOIN s3 ON t.doc_id = s3.doc_id
          |ORDER BY 1""".stripMargin,
+    // F26: per-(source, lang) report — same per-doc score/md5 signals,
+    // dup attributed to the slice the duplicate doc lives in; mean
+    // score via the fixed-point 1e-6 integer sum (order-independent)
+    "corpus_report" ->
+      s"""WITH sig AS (SELECT doc_id, source, lang,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  ${qualityScoreSql(EnStopwordList)} AS score,
+         |  md5(text) AS content_md5
+         |  FROM (SELECT *, string_split(lower(text), ' ') AS toks FROM documents) d),
+         |k AS (SELECT content_md5, min(doc_id) AS keep_id FROM sig GROUP BY 1)
+         |SELECT source, lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(CAST(round(score * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |    / (count(*) * 1000000.0) - 1e-9, 4) AS mean_score,
+         |  CAST(sum(CASE WHEN sig.doc_id <> k.keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups
+         |FROM sig JOIN k USING (content_md5)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // G8 batch twin: the per-document quality + language gates with
     // F14's thresholds, reason = first failing stage — the same
     // score/argmax arithmetic as text_quality / text_langid

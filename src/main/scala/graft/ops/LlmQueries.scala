@@ -323,6 +323,12 @@ object LlmQueries {
         CurationMinScore, CurationMinTokens, CurationLang)
       .orderBy(col("doc_id"))
 
+  /** F26: per-(source, lang) corpus report — doc/token counts,
+    * fixed-point mean quality score, slice-attributed exact-dup count.
+    */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame =
+    Report.corpusReport(Tables.documents(spark, dir))
+
   /** F14: staged corpus curation (quality → language → exact dedup →
     * simhash near-dedup), one keep/drop + reason row per document.
     */

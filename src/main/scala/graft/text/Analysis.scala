@@ -69,11 +69,11 @@ object Analysis {
       .orderBy(col("doc_id"))
   }
 
-  /** F8 internals, shared with the G8 gate so the score formula has
-    * one source: (n_tokens, 4-dp score) as bare per-row Columns over
-    * `text`.
+  /** F8 internals, shared with the G8 gate and the F26 report so the
+    * score formula has one source: (n_tokens, 4-dp score) as bare
+    * per-row Columns over `text`.
     */
-  private def scoreSignals = {
+  private[graft] def scoreSignals = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("double")
     val dupRatio = lit(1.0) - size(array_distinct(toks)) / nTok

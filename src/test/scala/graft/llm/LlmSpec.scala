@@ -695,6 +695,29 @@ class LlmSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p.take(500))
   }
 
+  test("corpus report: slice counts, fixed-point mean, dup attribution (F26)") {
+    import graft.ops.Report
+    val t1 = "the cat sat on the mat and the dog ran to the park"
+    val t2 = "a quick brown fox jumps over a lazy dog in a field"
+    val t3 = "der hund lief und die katze sass auf der matte heute"
+    val d = Seq(
+      (0L, t1, "en", "srcA"), (1L, t2, "en", "srcA"),
+      (2L, t1, "en", "srcB"), (3L, t3, "de", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Report.corpusReport(d).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5)))).toMap
+    assert(out.keySet == Set(("srcA", "en"), ("srcA", "de"), ("srcB", "en")))
+    // the duplicate doc 2 counts against ITS slice, not the keeper's
+    assert(out(("srcA", "en"))._4 == 0L && out(("srcB", "en"))._4 == 1L)
+    assert(out(("srcA", "en"))._1 == 2L && out(("srcB", "en"))._1 == 1L)
+    assert(out(("srcA", "de"))._2 == 11L) // t3 token count
+    // single-doc slice: the fixed-point mean IS the doc's 4-dp score
+    val score3 = Analysis.quality(d.filter($"doc_id" === 3L))
+      .select($"score").head.getDouble(0)
+    assert(math.abs(out(("srcA", "de"))._3 - score3) < 5e-5)
+  }
+
   test("corpus curation stages claim docs in order (F14)") {
     import graft.ops.Curation
     // 20+ token english filler keeps quality/language gates open

@@ -66,6 +66,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(2000))
   }
 
+  test("corpus_report: md5 group + slice rollup, no pairwise work") {
+    val p = plan("corpus_report")
+    // the only joins are the dup-flag join on content_md5 (broadcast at
+    // test scale; co-partitioned SMJ at corpus scale) — never a
+    // cartesian; shuffles: md5 group, (possibly) the flag join, and the
+    // low-cardinality slice rollup
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(2000))
+    assert(countOf(p, "Exchange hashpartitioning") <= 3, p.take(2000))
+  }
+
   test("stream_quality_gate is map-only: both gates ride the scan") {
     val p = plan("stream_quality_gate")
     // score + argmax language + reason are all per-row arithmetic; the
