@@ -96,6 +96,7 @@ object SparkEntry {
     "ann_ivf" -> ((s, dir) => L.annIvf(s, dir)),
     "ann_ivf_refined" -> ((s, dir) => L.annIvfRefined(s, dir)),
     "ann_quantized" -> ((s, dir) => L.annQuantized(s, dir)),
+    "ann_ivf_quantized" -> ((s, dir) => L.annIvfQuantized(s, dir)),
     "text_langid" -> ((s, dir) => L.textLangid(s, dir)),
     "text_quality" -> ((s, dir) => L.textQuality(s, dir)),
     "text_repetition" -> ((s, dir) => L.textRepetition(s, dir)),
@@ -829,6 +830,42 @@ object SparkEntry {
          |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
          |FROM embeddings v LEFT JOIN mn m ON m.vec_id = v.vec_id
          |ORDER BY 1""".stripMargin,
+    // F25b: IVF + int8 rerank — ann_ivf's float assignment/probe CTEs
+    // with ann_quantized's code arithmetic in the rerank
+    "ann_ivf_quantized" -> {
+      import graft.ops.{LlmQueries => LQ}
+      s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),
+         |s AS (SELECT vec_id, emb,
+         |  greatest(list_max(list_transform(emb, x -> abs(x))), 1e-30) AS sc FROM n),
+         |cq AS (SELECT vec_id,
+         |  list_transform(emb, x -> round(x * 127.0 / sc)) AS code FROM s),
+         |cqn AS (SELECT vec_id, code,
+         |  sqrt(list_dot_product(code, code)) AS cnrm FROM cq),
+         |cents AS (SELECT vec_id AS cent_id, emb AS ce, nrm AS cn FROM n
+         |  ORDER BY vec_id LIMIT ${LQ.IvfCentroids}),
+         |va AS (SELECT n.vec_id, c.cent_id,
+         |  row_number() OVER (PARTITION BY n.vec_id
+         |    ORDER BY round(list_dot_product(n.emb, c.ce)/(n.nrm*c.cn), 6) DESC, c.cent_id) AS ark
+         |  FROM n CROSS JOIN cents c),
+         |assigned AS (SELECT vec_id, cent_id FROM va WHERE ark = 1),
+         |qa AS (SELECT n.vec_id AS q_id, c.cent_id,
+         |  row_number() OVER (PARTITION BY n.vec_id
+         |    ORDER BY round(list_dot_product(n.emb, c.ce)/(n.nrm*c.cn), 6) DESC, c.cent_id) AS crk
+         |  FROM n CROSS JOIN cents c WHERE n.vec_id < ${LQ.AnnQueryMax}),
+         |probes AS (SELECT q_id, cent_id FROM qa WHERE crk <= ${LQ.IvfProbe}),
+         |scored AS (SELECT p.q_id, a.vec_id,
+         |  list_dot_product(nq.code, nv.code)/(nq.cnrm*nv.cnrm) AS cos
+         |  FROM assigned a JOIN probes p USING (cent_id)
+         |  JOIN cqn nq ON nq.vec_id = p.q_id JOIN cqn nv ON nv.vec_id = a.vec_id
+         |  WHERE a.vec_id <> p.q_id),
+         |rk AS (SELECT q_id, vec_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY round(cos,6) DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, rk, vec_id, round(cos,4) AS cos FROM rk
+         |WHERE rk <= ${LQ.AnnK}
+         |ORDER BY q_id, rk""".stripMargin
+    },
     // F25: int8-quantized top-k — same symmetric per-vector
     // quantization as Ann.quantize (scale = max |x| floored at 1e-30,
     // code = round(x·127/scale), ties away from zero in both engines);

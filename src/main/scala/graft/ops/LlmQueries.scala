@@ -213,6 +213,15 @@ object LlmQueries {
     Ann.quantizedTopK(e.filter(col("vec_id") < AnnQueryMax), e, AnnK)
   }
 
+  /** F25b: IVF probe with code-space rerank — float coarse assignment,
+    * int8 inverted lists (the FAISS IVF+SQ8 shape).
+    */
+  def annIvfQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Ann.ivfTopKQuantized(e.filter(col("vec_id") < AnnQueryMax), e,
+      AnnK, IvfCentroids, IvfProbe)
+  }
+
   def textLangid(spark: SparkSession, dir: String): DataFrame =
     Analysis.langId(spark, Tables.documents(spark, dir))
 

@@ -273,16 +273,23 @@ object Ann {
     * the per-query hot path in [[quantizedTopK]] is the codegen'd
     * FloatDot.)
     */
-  def quantize(vecs: DataFrame): DataFrame = {
-    val s = greatest(
-      array_max(transform(col("embedding"), x => abs(x.cast("double")))),
-      lit(1e-30))
-    vecs.select(col("vec_id"), col("embedding"), s.as("qscale"))
-      .select(col("vec_id"), col("qscale"),
-        transform(col("embedding"), x =>
-          round(x.cast("double") * lit(127.0) / col("qscale"), 0).cast("byte"))
-          .as("qcode"))
-  }
+  /** The per-row quantization scale over `embedding`. */
+  private def qscaleCol: Column = greatest(
+    array_max(transform(col("embedding"), x => abs(x.cast("double")))),
+    lit(1e-30))
+
+  /** The per-row TINYINT code array over `embedding` — shared by
+    * [[quantize]] and the IVF list builder so the arithmetic has one
+    * source (the scale inlines into the lambda; same value as the
+    * two-step projection, and the DuckDB oracle computes it once per
+    * row in its own CTE).
+    */
+  private def qcodeCol: Column =
+    transform(col("embedding"), x =>
+      round(x.cast("double") * lit(127.0) / qscaleCol, 0).cast("byte"))
+
+  def quantize(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), qscaleCol.as("qscale"), qcodeCol.as("qcode"))
 
   /** F25 top-k: exact cosine in CODE space. Engine-parity argument:
     * code products (≤ 127²) and their ≤ dim·127² sums are exactly
@@ -305,6 +312,52 @@ object Ann {
       .crossJoin(q)
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", dot(col("qe"), col("cf")) / (col("qn") * col("cn")))
+    topK(scored, k)
+  }
+
+  /** F25b: IVF probe with int8 code-space rerank — the composition a
+    * production index ships (the FAISS IVF+SQ8 shape): coarse
+    * assignment and probe selection run on FLOAT vectors against the
+    * K-row broadcast codebook (the codebook stays float — it is K
+    * rows, not a memory problem), but the inverted lists carry ONLY
+    * the 1-byte/dim codes — the assignment shuffle and the resident
+    * lists shrink 4×, which is where IVF memory actually goes — and
+    * the rerank inside the probed lists is [[quantizedTopK]]'s
+    * integer-exact code-space cosine. Same plan class as [[ivfTopK]]:
+    * broadcast codebook aggregations + one cent_id equi-join.
+    */
+  def ivfTopKQuantized(queries: DataFrame, vecs: DataFrame, k: Int,
+                       nCentroids: Int, nProbe: Int): DataFrame = {
+    val cents = broadcast(initialCentroids(vecs, nCentroids))
+    val v = vecs.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
+      qcodeCol.cast("array<float>").as("qcf"))
+      .withColumn("qcn", norm(col("qcf")))
+    // assignment carries the CODES (not the float vectors) through the
+    // map-side-combined argmax — the shuffled row is 1 byte/dim
+    val assigned = v.crossJoin(cents)
+      .withColumn("csim", dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("qcf").as("vqc"), col("qcn").as("vqn"), col("cent_id")),
+        struct(round(col("csim"), 6).as("s"), (-col("cent_id")).as("t"))).as("a"))
+      .select(col("vec_id"), col("a.vqc").as("vqc"), col("a.vqn").as("vqn"),
+        col("a.cent_id").as("cent_id"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
+      qcodeCol.cast("array<float>").as("qe"))
+      .withColumn("qn", norm(col("qe")))
+    val qScored = q.crossJoin(cents)
+      .withColumn("csim", dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+    val qw = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("csim"), 6).desc, col("cent_id"))
+    val probes = broadcast(qScored
+      .withColumn("crk", row_number().over(qw)).filter(col("crk") <= nProbe)
+      .select(col("q_id"), col("qe"), col("qn"), col("cent_id")))
+    val scored = assigned.join(probes, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .dropDuplicates("q_id", "vec_id")
+      .withColumn("cos", dot(col("qe"), col("vqc")) / (col("qn") * col("vqn")))
     topK(scored, k)
   }
 

@@ -87,6 +87,8 @@ object ScaleBench {
           graft.dedup.Dedup.minhashLshCapped(spark, docs, LlmQueries.MinhashMaxDf)),
         "dedup_minhash_clusters" -> (() =>
           graft.dedup.Dedup.minhashClusters(spark, docs, LlmQueries.MinhashMaxDf)),
+        "dedup_minhash_est" -> (() =>
+          graft.dedup.Dedup.minhashJaccardEst(spark, docs, LlmQueries.MinhashMaxDf)),
         "corpus_vocab" -> (() =>
           graft.text.Analysis.vocab(docs, LlmQueries.VocabTopN)),
         "decontaminate" -> (() =>

@@ -347,6 +347,19 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.8, s"int8 recall $recall vs float32 brute force")
   }
 
+  test("quantized ivf tracks float ivf on real embeddings (F25b)") {
+    // same probes (float coarse assignment), rerank on int8 codes —
+    // the result set should almost coincide with float IVF's
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter($"vec_id" < 10)
+    val f = Ann.ivfTopK(q, e, 5, nCentroids = 32, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val qz = Ann.ivfTopKQuantized(q, e, 5, nCentroids = 32, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val overlap = (f & qz).size.toDouble / f.size
+    assert(overlap >= 0.8, s"quantized-vs-float ivf overlap $overlap")
+  }
+
   test("ivf recall vs brute force on real embeddings (F6b)") {
     val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter($"vec_id" < 5)

@@ -198,6 +198,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("ann_ivf_quantized: codebook + probes broadcast, codes in the lists") {
+    val p = plan("ann_ivf_quantized")
+    // same invariant as ann_ivf: every codebook/probe join broadcasts;
+    // a SortMergeJoin means the K-row side lost its broadcast
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
   test("multimodal decode chain: no shuffle before the summary aggregation") {
     val p = plan("multimodal_pipeline")
     // resize → decode are partition-preserving mapPartitions; the only
