@@ -382,10 +382,22 @@ object Dedup {
     * carries exactly one signature, so the cross/intra expansions emit
     * no duplicate pairs and need no distinct.
     */
-  def minhashLshCapped(spark: SparkSession, docs: DataFrame, maxDf: Int): DataFrame = {
-    // two pair-expansion joins + the distinct-sig keying reference this
-    val sig = minhashSigRows(docs)
+  def minhashLshCapped(spark: SparkSession, docs: DataFrame, maxDf: Int): DataFrame =
+    minhashCappedPairs(cachedSigTable(docs), maxDf).orderBy(col("x"), col("y"))
+
+  /** The cached (doc_id, mh, sk) signature table — ONE plan shape, so
+    * every consumer in a session (capped pairs, clusters, the F3e
+    * estimate's slot joins) hits the same cache entry instead of
+    * re-running the signature aggregation over the corpus.
+    */
+  private def cachedSigTable(docs: DataFrame): DataFrame =
+    minhashSigRows(docs)
       .select(col("doc_id"), col("mh"), minhashSigKey.as("sk")).cachedOnce
+
+  /** Capped candidate pairs from a prebuilt signature table (the
+    * [[minhashLshCapped]] body, shared with [[minhashJaccardEst]]).
+    */
+  private def minhashCappedPairs(sig: DataFrame, maxDf: Int): DataFrame = {
     val sigPairs = cappedMinhashSigPairs(sig.select("sk", "mh").dropDuplicates("sk"), maxDf)
     val crossPairs = sigPairs
       .join(sig.as("m1"), col("s1") === col("m1.sk"))
@@ -396,7 +408,7 @@ object Dedup {
       .join(sig.as("m2"),
         col("m1.sk") === col("m2.sk") && col("m1.doc_id") < col("m2.doc_id"))
       .select(col("m1.doc_id").as("x"), col("m2.doc_id").as("y"))
-    crossPairs.unionByName(intra).orderBy(col("x"), col("y"))
+    crossPairs.unionByName(intra)
   }
 
   /** F3e: per-pair Jaccard ESTIMATE from signature slot agreement —
@@ -413,11 +425,14 @@ object Dedup {
     */
   def minhashJaccardEst(spark: SparkSession, docs: DataFrame, maxDf: Int): DataFrame = {
     val k = minhashParams.size
-    val sig = minhashSigRows(docs)
+    // the SAME cached table feeds the pair pipeline and both slot
+    // joins — the signature aggregation runs once per session, not
+    // three times per query
+    val sig = cachedSigTable(docs)
     val matches = (0 until k).map(i =>
       when(element_at(col("mx"), i + 1) === element_at(col("my"), i + 1), 1L)
         .otherwise(0L)).reduce(_ + _)
-    minhashLshCapped(spark, docs, maxDf)
+    minhashCappedPairs(sig, maxDf)
       .join(sig.select(col("doc_id").as("x"), col("mh").as("mx")), "x")
       .join(sig.select(col("doc_id").as("y"), col("mh").as("my")), "y")
       .select(col("x"), col("y"),
@@ -436,8 +451,7 @@ object Dedup {
     * Output: (doc_id, cluster_id, keep) for every doc.
     */
   def minhashClusters(spark: SparkSession, docs: DataFrame, maxDf: Int): DataFrame = {
-    val sig = minhashSigRows(docs)
-      .select(col("doc_id"), col("mh"), minhashSigKey.as("sk")).cachedOnce
+    val sig = cachedSigTable(docs)
     val sigPairs = cappedMinhashSigPairs(sig.select("sk", "mh").dropDuplicates("sk"), maxDf)
     // groups: referenced by the rep joins and the final assignment
     val groups = sig.groupBy(col("sk")).agg(min(col("doc_id")).as("rep")).cachedOnce
