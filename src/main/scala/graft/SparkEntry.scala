@@ -116,6 +116,7 @@ object SparkEntry {
     "stream_sig_dedup" -> ((s, dir) => L.streamSigDedup(s, dir)),
     "stream_decontaminate" -> ((s, dir) => L.streamDecontaminate(s, dir)),
     "stream_quality_gate" -> ((s, dir) => L.streamQualityGate(s, dir)),
+    "stream_ann_assign" -> ((s, dir) => L.streamAnnAssign(s, dir)),
     "multimodal_pipeline" -> ((s, dir) =>
       graft.multimodal.BinaryPipeline.pipelineSummary(s, graft.core.Tables.documents(s, dir)))
   )
@@ -830,6 +831,22 @@ object SparkEntry {
          |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
          |FROM embeddings v LEFT JOIN mn m ON m.vec_id = v.vec_id
          |ORDER BY 1""".stripMargin,
+    // G9 batch twin: row-wise IVF assignment — the same argmax rule
+    // (round(cos,6) DESC, lowest cent_id) as ann_ivf's assignment CTE,
+    // over the same lowest-K codebook
+    "stream_ann_assign" -> {
+      import graft.ops.{LlmQueries => LQ}
+      s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),
+         |cents AS (SELECT vec_id AS cent_id, emb AS ce, nrm AS cn FROM n
+         |  ORDER BY vec_id LIMIT ${LQ.IvfCentroids}),
+         |va AS (SELECT n.vec_id, c.cent_id,
+         |  row_number() OVER (PARTITION BY n.vec_id
+         |    ORDER BY round(list_dot_product(n.emb, c.ce)/(n.nrm*c.cn), 6) DESC, c.cent_id) AS ark
+         |  FROM n CROSS JOIN cents c)
+         |SELECT vec_id, cent_id FROM va WHERE ark = 1
+         |ORDER BY vec_id""".stripMargin
+    },
     // F25b: IVF + int8 rerank — ann_ivf's float assignment/probe CTEs
     // with ann_quantized's code arithmetic in the rerank
     "ann_ivf_quantized" -> {

@@ -332,6 +332,20 @@ object LlmQueries {
         CurationMinScore, CurationMinTokens, CurationLang)
       .orderBy(col("doc_id"))
 
+  /** G9 batch twin: row-wise streaming IVF assignment computed
+    * batch-side — the codebook (K rows by construction) collects once
+    * and ships as expression literals, the G5 bounded-broadcast
+    * argument.
+    */
+  def streamAnnAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents = Ann.initialCentroids(e, IvfCentroids)
+      .select(col("cent_id"), col("ce")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    graft.streaming.CarbonStream.annAssignStream(e, cents)
+      .orderBy(col("vec_id"))
+  }
+
   /** F26: per-(source, lang) corpus report — doc/token counts,
     * fixed-point mean quality score, slice-attributed exact-dup count.
     */

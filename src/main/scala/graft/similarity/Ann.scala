@@ -361,6 +361,31 @@ object Ann {
     topK(scored, k)
   }
 
+  /** G9 core: per-row nearest-centroid assignment against a
+    * DRIVER-SIDE codebook (bounded by contract — a codebook too big to
+    * ship as K expression literals is not a codebook). The argmax is
+    * greatest() over K scored structs, so the projection is map-only
+    * and STREAM-SAFE — no groupBy, no state — where the batch IVF
+    * surfaces use a max_by aggregate. Tie-break identical to theirs:
+    * round(cos, 6) DESC, then lowest cent_id (encoded as the -cent_id
+    * middle field of the lexicographically-ordered struct). Centroid
+    * norms are computed driver-side with the same array-order
+    * double-sum FloatDot evaluates, so stream, batch, and the DuckDB
+    * oracle score bit-identically.
+    */
+  def assignRowwise(vecs: DataFrame, cents: Seq[(Long, Seq[Float])]): DataFrame = {
+    require(cents.size >= 2, s"codebook needs >= 2 centroids (got ${cents.size})")
+    val scored = cents.map { case (cid, ce) =>
+      val cn = math.sqrt(ce.foldLeft(0.0)((acc, v) => acc + v.toDouble * v.toDouble))
+      struct(
+        round(dot(col("embedding"), array(ce.map(v => lit(v)): _*)) /
+          (norm(col("embedding")) * lit(cn)), 6).as("s"),
+        lit(-cid).as("t"), lit(cid).as("cent_id"))
+    }
+    vecs.select(col("vec_id"),
+      greatest(scored: _*).getField("cent_id").as("cent_id"))
+  }
+
   /** F11: per-label L2-norm statistics over the embedding column. */
   def normStats(vecs: DataFrame): DataFrame =
     vecs

@@ -280,6 +280,18 @@ object CarbonStream {
                         keepLang: String): DataFrame =
     graft.text.Analysis.qualityGateRows(docs, minScore, minTokens, keepLang)
 
+  /** G9: streaming IVF list assignment — continuous index building:
+    * each incoming embedding routes to its inverted list AT INGEST, so
+    * the ANN index grows with the stream instead of being rebuilt by
+    * batch sweeps (the codebook itself stays a batch artifact — F6c
+    * refines it offline, exactly how production IVF deployments roll
+    * codebooks). Stateless map-only: the bounded codebook ships as
+    * expression literals ([[graft.similarity.Ann.assignRowwise]]), no
+    * state store, no shuffle; the batch twin is the same projection.
+    */
+  def annAssignStream(vecs: DataFrame, cents: Seq[(Long, Seq[Float])]): DataFrame =
+    graft.similarity.Ann.assignRowwise(vecs, cents)
+
   def simhashDedupStream(docs: DataFrame): Dataset[SigDecision] = {
     import docs.sparkSession.implicits._
     docs

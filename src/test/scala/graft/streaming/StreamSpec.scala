@@ -323,6 +323,29 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming IVF assignment routes embeddings in-flight (G9)") {
+    import graft.streaming.CarbonStream
+    implicit val sqlCtx = spark.sqlContext
+    val cents: Seq[(Long, Seq[Float])] =
+      Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+    val source = MemoryStream[(Long, Array[Float])]
+    val out = CarbonStream.annAssignStream(
+      source.toDF().toDF("vec_id", "embedding"), cents)
+    val query = out.writeStream
+      .format("memory").queryName("g9_assign").outputMode("append").start()
+    try {
+      source.addData((10L, Array(0.9f, 0.1f)), (11L, Array(0.1f, 0.9f)))
+      query.processAllAvailable()
+      // second micro-batch: stateless, incl. the exact-tie vector —
+      // equal cosine to both centroids breaks to the LOWEST cent_id
+      source.addData((12L, Array(1.0f, 1.0f)))
+      query.processAllAvailable()
+      val rows = spark.table("g9_assign").orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq == Seq((10L, 0L), (11L, 1L), (12L, 0L)))
+    } finally query.stop()
+  }
+
   test("streaming simhash dedup batch twin agrees on keepers (G4)") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),

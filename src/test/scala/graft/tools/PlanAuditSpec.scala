@@ -77,6 +77,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOf(p, "Exchange hashpartitioning") <= 3, p.take(2000))
   }
 
+  test("stream_ann_assign is map-only: the codebook rides as literals") {
+    val p = plan("stream_ann_assign")
+    // K scored structs + greatest() per row — no join against a
+    // centroid table, no aggregation; only the output sort exchanges
+    assert(countOf(p, "Exchange hashpartitioning") == 0, p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
   test("stream_quality_gate is map-only: both gates ride the scan") {
     val p = plan("stream_quality_gate")
     // score + argmax language + reason are all per-row arithmetic; the
