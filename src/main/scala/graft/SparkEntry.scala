@@ -111,6 +111,7 @@ object SparkEntry {
     "corpus_split" -> ((s, dir) => L.corpusSplit(s, dir)),
     "corpus_sample" -> ((s, dir) => L.corpusSample(s, dir)),
     "corpus_report" -> ((s, dir) => L.corpusReport(s, dir)),
+    "corpus_pack" -> ((s, dir) => L.corpusPack(s, dir)),
     // G. streaming (batch twin) + F12 multimodal plumbing
     "stream_rollup" -> ((s, dir) => T.streamRollup(s, dir)),
     "stream_sig_dedup" -> ((s, dir) => L.streamSigDedup(s, dir)),
@@ -1036,6 +1037,22 @@ object SparkEntry {
          |   ELSE 1.0 - s3.d*1.0/greatest(len(t.toks)-2, 0) END - 1e-9, 4) + 0.0 AS rep3
          |FROM tk t LEFT JOIN s2 ON t.doc_id = s2.doc_id LEFT JOIN s3 ON t.doc_id = s3.doc_id
          |ORDER BY 1""".stripMargin,
+    // F27: token-budget packing — the oracle replays the bucketed
+    // two-pass prefix sum as ONE global running total over the same
+    // (h, doc_id) order (the bucket decomposition is exact: buckets
+    // are contiguous ranges of that order)
+    "corpus_pack" -> {
+      val budget = graft.ops.LlmQueries.PackBudget
+      s"""WITH t AS (SELECT doc_id,
+         |  ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS h,
+         |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(sum(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM t)
+         |SELECT doc_id, n_tokens, cum,
+         |  CAST((cum - n_tokens) // $budget AS BIGINT) AS shard
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
     // F26: per-(source, lang) report — same per-doc score/md5 signals,
     // dup attributed to the slice the duplicate doc lives in; mean
     // score via the fixed-point 1e-6 integer sum (order-independent)

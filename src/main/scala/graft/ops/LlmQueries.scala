@@ -346,6 +346,16 @@ object LlmQueries {
       .orderBy(col("vec_id"))
   }
 
+  // F27 shard size: small enough that sf0.01 yields many shards (and
+  // every boundary case: docs straddling, shards of 1 long doc)
+  val PackBudget = 2048L
+
+  /** F27: token-budget packing — hash-ordered layout cut into ~2k-token
+    * shards by a distributed prefix sum.
+    */
+  def corpusPack(spark: SparkSession, dir: String): DataFrame =
+    Packing.pack(Tables.documents(spark, dir), PackBudget)
+
   /** F26: per-(source, lang) corpus report — doc/token counts,
     * fixed-point mean quality score, slice-attributed exact-dup count.
     */

@@ -731,6 +731,32 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(out(("srcA", "de"))._3 - score3) < 5e-5)
   }
 
+  test("corpus pack: global prefix sum, budget boundaries (F27)") {
+    import graft.ops.Packing
+    // 40 docs × 7 tokens; verify the bucketed two-pass prefix sum
+    // against a sequential replay of the same (h60, doc_id) order
+    val docs = spark.range(40).selectExpr("id AS doc_id",
+      "'one two three four five six seven' AS text")
+    val out = Packing.pack(docs, budget = 20L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 40 && out.forall(_._2 == 7L))
+    val h = docs.select($"doc_id",
+      graft.text.TextFns.h60($"doc_id".cast("string")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectedCum = out.map(_._1).sortBy(id => (h(id), id))
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) * 7L }.toMap
+    assert(out.forall { case (id, _, cum, _) => cum == expectedCum(id) })
+    // shard = floor(first-token offset / budget); 7-token docs over a
+    // 20-token budget straddle boundaries — still one shard per doc
+    assert(out.forall { case (id, n, cum, s) => s == (cum - n) / 20L })
+    val shards = out.map(_._4).distinct.sorted
+    assert(shards.head == 0L && shards.length == (40 * 7 + 19) / 20)
+    // layout is reproducible: same corpus → identical assignment
+    val again = Packing.pack(docs.repartition(7), budget = 20L).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(out.forall { case (id, _, _, s) => again(id) == s })
+  }
+
   test("corpus curation stages claim docs in order (F14)") {
     import graft.ops.Curation
     // 20+ token english filler keeps quality/language gates open

@@ -93,6 +93,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(2000))
   }
 
+  test("corpus_pack: bucketed prefix sum, no global-sort funnel") {
+    val p = plan("corpus_pack")
+    // within-bucket windows + bounded offsets join — the corpus never
+    // funnels through a single window partition; the offsets join
+    // broadcasts and the only corpus shuffles are the bucket window's
+    // partitioning and the bucket-totals aggregation
+    assert(countOf(p, "Exchange hashpartitioning") <= 3, p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
   test("corpus_sample is map-only: keep streams out of the scan") {
     val p = plan("corpus_sample")
     // salted-hash bucket + rate CASE + keep are all per-row arithmetic;
