@@ -86,6 +86,7 @@ object SparkEntry {
     "dedup_cc_clusters" -> ((s, dir) => L.dedupCcClusters(s, dir)),
     "dedup_embed_cosine_clusters" -> ((s, dir) => L.dedupEmbedCosineClusters(s, dir)),
     "dedup_embed_cosine" -> ((s, dir) => L.dedupEmbedCosine(s, dir)),
+    "dedup_semantic" -> ((s, dir) => L.dedupSemantic(s, dir)),
     "dedup_embed_cosine_lsh" -> ((s, dir) => L.dedupEmbedCosineLsh(s, dir)),
     "dedup_image_phash" -> ((s, dir) => L.dedupImagePhash(s, dir)),
     "dedup_simhash" -> ((s, dir) => L.dedupSimhash(s, dir)),
@@ -814,6 +815,34 @@ object SparkEntry {
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE list_dot_product(a.emb,b.emb)/(a.nrm*b.nrm) >= ${graft.ops.LlmQueries.EmbedCosineTau}
          |ORDER BY 1,2""".stripMargin,
+    // F28: SemDeDup cluster-then-prune — the ann_ivf assignment CTE
+    // partitions the corpus into 32 coarse cells, pairs are considered
+    // WITHIN a cell only (the by-design approximation), exact cosine
+    // filter at the F13 tau, then the shared one-step min-label rule
+    "dedup_semantic" -> {
+      import graft.ops.{LlmQueries => LQ}
+      s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),
+         |cents AS (SELECT vec_id AS cent_id, emb AS ce, nrm AS cn FROM n
+         |  ORDER BY vec_id LIMIT ${LQ.IvfCentroids}),
+         |va AS (SELECT vec_id, cent_id FROM (
+         |  SELECT n.vec_id, c.cent_id, row_number() OVER (PARTITION BY n.vec_id
+         |    ORDER BY round(list_dot_product(n.emb, c.ce)/(n.nrm*c.cn), 6) DESC, c.cent_id) AS ark
+         |  FROM n CROSS JOIN cents c) WHERE ark = 1),
+         |prs AS (SELECT ja.vec_id AS x, jb.vec_id AS y
+         |  FROM va ja JOIN va jb ON ja.cent_id = jb.cent_id AND ja.vec_id < jb.vec_id
+         |  JOIN n a ON a.vec_id = ja.vec_id JOIN n b ON b.vec_id = jb.vec_id
+         |  WHERE list_dot_product(a.emb,b.emb)/(a.nrm*b.nrm) >= ${LQ.EmbedCosineTau}),
+         |mn AS (SELECT vec_id, min(nbr) AS mn FROM (
+         |    SELECT x AS vec_id, y AS nbr FROM prs
+         |    UNION ALL SELECT y AS vec_id, x AS nbr FROM prs) e GROUP BY 1)
+         |SELECT v.vec_id, va.cent_id,
+         | least(v.vec_id, coalesce(m.mn, v.vec_id)) AS cluster_id,
+         | CASE WHEN least(v.vec_id, coalesce(m.mn, v.vec_id)) = v.vec_id
+         |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+         |FROM embeddings v JOIN va USING (vec_id) LEFT JOIN mn m ON m.vec_id = v.vec_id
+         |ORDER BY 1""".stripMargin
+    },
     // one-step min propagation over the EXACT cosine pair graph; the
     // LSH-bucketed graph is the 100 TB pair source (same rule,
     // Dedup.embedCosineClusters is pair-source-agnostic)

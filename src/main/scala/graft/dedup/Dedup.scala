@@ -642,6 +642,57 @@ object Dedup {
       .orderBy(col("x"), col("y"))
   }
 
+  /** F28: semantic dedup, the cluster-then-prune shape of SemDeDup
+    * (Abbas et al. 2023): coarse-quantize every embedding to its
+    * nearest of K centroids (`Ann.coarseAssign` — the IVF routing
+    * rule), consider near-duplicate pairs ONLY within a cluster (the
+    * candidate join is a cent_id equi-join — each cluster is one
+    * shuffle bucket, never an all-pairs join), exact-cosine filter at
+    * τ, then the shared one-step [[clusterize]] keep/drop. Cross-
+    * cluster pairs are missed BY DESIGN — that is the approximation
+    * SemDeDup trades for scale (candidates are a strict subset of the
+    * exact F13 graph at the same τ; no false positives past the
+    * cosine filter).
+    *
+    * 100 TB posture: K scales with the corpus (the paper holds
+    * CLUSTER SIZE fixed, not K), so per-cluster pair work stays
+    * bounded; the candidate join shuffles 16-byte id pairs, embeddings
+    * re-join after (the embedCosineLshPairs discipline); exact-dup
+    * mass — the one thing that could still make a hot cluster
+    * quadratic — is removed UPSTREAM by F1 in pipeline order (SemDeDup
+    * runs after exact dedup; `Curation` stages document the same
+    * ordering). Output: (vec_id, cent_id, cluster_id, keep).
+    */
+  def semanticClusters(vecs: DataFrame, tau: Double, nCentroids: Int): DataFrame = {
+    import graft.similarity.Ann
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.FloatDot.dot(a, b)
+    // the (vec_id, cent_id) assignment feeds three consumers (both
+    // sides of the cell self-join + the output projection) — cache the
+    // 16-byte/row table once instead of re-running the corpus×codebook
+    // scoring per reference (the cached-MinHash-signature discipline;
+    // at 100 TB this narrow table is what you'd checkpoint)
+    val assigned = Ann.coarseAssign(vecs, Ann.initialCentroids(vecs, nCentroids))
+      .cachedOnce
+    val cand = assigned.as("ja").join(assigned.as("jb"),
+        col("ja.cent_id") === col("jb.cent_id") && col("ja.vec_id") < col("jb.vec_id"))
+      .select(col("ja.vec_id").as("x"), col("jb.vec_id").as("y"))
+    val n = vecs.select(col("vec_id"), col("embedding").as("e"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val pairs = cand
+      .join(n.as("na"), col("x") === col("na.vec_id"))
+      .join(n.as("nb"), col("y") === col("nb.vec_id"))
+      .filter(dot(col("na.e"), col("nb.e")) / (col("na.nrm") * col("nb.nrm")) >= tau)
+      .select(col("x"), col("y"))
+      // clusterize symmetrizes the edge list (two projections of this
+      // plan) — cache the 16-byte/row pair table, not the cosine work
+      .cachedOnce
+    clusterize(vecs.select(col("vec_id")), pairs, idCol = "vec_id")
+      .join(assigned, Seq("vec_id"))
+      .select(col("vec_id"), col("cent_id"), col("cluster_id"), col("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   /** F4: 60-bit SimHash (md5-derived token hashes keep the DuckDB
     * oracle bit-identical). The signature is ONE compiled per-row pass
     * (graft.functions.SimHash60) over the distinct-token array — no

@@ -146,6 +146,14 @@ object LlmQueries {
     Dedup.embedCosineClusters(e, Dedup.embedCosinePairs(e, EmbedCosineTau))
   }
 
+  /** F28: SemDeDup cluster-then-prune at the SAME τ as F13, so the
+    * candidate subset (13 of 59 pairs at sf0.01 under the 32-cell
+    * coarse partition) is directly comparable to the exact graph.
+    */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    Dedup.semanticClusters(Tables.embeddings(spark, dir),
+      EmbedCosineTau, IvfCentroids)
+
   // image near-dup thresholds: twins measured at hamming ≤ 2 (re-encode
   // ≤ 1, slight resize ≤ 2 with the interior-sampled hash) — inside the
   // 4-band pigeonhole guarantee of ≤ 3, so every planted pair is FOUND

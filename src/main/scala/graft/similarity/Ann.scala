@@ -361,6 +361,25 @@ object Ann {
     topK(scored, k)
   }
 
+  /** Coarse nearest-centroid assignment — the IVF list-routing rule as
+    * a standalone (vec_id, cent_id) surface, shared with consumers that
+    * need only the partition (semantic dedup F28) and not the payload
+    * the top-k paths carry through their aggregates. Same contract as
+    * [[ivfTopKWith]]'s assignment and the G9 row-wise rule: argmax of
+    * round(cos, 6) with lowest-cent_id tie-break, the K-row codebook
+    * broadcast, the argmax a map-side-combined max_by (the shuffle
+    * carries one row per vector, not K).
+    */
+  def coarseAssign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = broadcast(centroids)
+    vecs.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .crossJoin(cents)
+      .withColumn("csim", dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"),
+        struct(round(col("csim"), 6).as("s"), (-col("cent_id")).as("t"))).as("cent_id"))
+  }
+
   /** G9 core: per-row nearest-centroid assignment against a
     * DRIVER-SIDE codebook (bounded by contract — a codebook too big to
     * ship as K expression literals is not a codebook). The argmax is

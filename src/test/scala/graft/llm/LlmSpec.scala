@@ -731,6 +731,36 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(out(("srcA", "de"))._3 - score3) < 5e-5)
   }
 
+  test("semantic dedup: cluster-then-prune, planted near-dups (F28)") {
+    import graft.dedup.Dedup
+    // codebook = lowest 4 vec_ids (the e0..e3 basis); 10/11/12 are
+    // near-copies of e0 (cos >= 0.97 to vec 0 and each other), 20 is
+    // an in-cell member below tau — candidate considered, not paired
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1f, 0f)), (3L, Array(0f, 0f, 0f, 1f)),
+      (10L, Array(0.99f, 0.1f, 0f, 0f)), (11L, Array(0.99f, 0.1f, 0f, 0f)),
+      (12L, Array(0.9f, 0.2f, 0f, 0f)), (20L, Array(0.6f, 0.6f, 0.52f, 0f)))
+    val vecs = rows.toDF("vec_id", "embedding")
+    val out = Dedup.semanticClusters(vecs, tau = 0.9, nCentroids = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // the e0 family lands in cell 0 and collapses to cluster 0
+    for (id <- Seq(0L, 10L, 11L, 12L)) assert(out(id)._1 == 0L)
+    assert(out(0L) == ((0L, 0L, 1L)))
+    for (id <- Seq(10L, 11L, 12L)) assert(out(id)._2 == 0L && out(id)._3 == 0L)
+    // 20 shares cell 0 (tie to e0/e1 breaks to the lowest cent) but its
+    // cosine to every family member is < tau: singleton, kept
+    assert(out(20L) == ((0L, 20L, 1L)))
+    // untouched basis vectors keep themselves in their own cells
+    for (id <- Seq(1L, 2L, 3L)) assert(out(id) == ((id, id, 1L)))
+    // subset contract: every pair the prune finds is in the exact graph
+    val exact = Dedup.embedCosinePairs(vecs, 0.9)
+      .select($"x", $"y").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val kept = out.filter { case (id, (_, cl, _)) => cl != id }
+      .map { case (id, (_, cl, _)) => (cl, id) }.toSet
+    assert(kept.subsetOf(exact))
+  }
+
   test("corpus pack: global prefix sum, budget boundaries (F27)") {
     import graft.ops.Packing
     // 40 docs × 7 tokens; verify the bucketed two-pass prefix sum

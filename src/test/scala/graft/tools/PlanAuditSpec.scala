@@ -93,6 +93,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(2000))
   }
 
+  test("dedup_semantic: broadcast codebook, equi-join candidates") {
+    val p = plan("dedup_semantic")
+    // the K-row codebook reaches the assignment as a broadcast (the
+    // crossJoin must stay a BroadcastNestedLoopJoin, never a shuffle),
+    // and every corpus-side join is a hash equi-join (cent_id cell
+    // join + id-pair rejoins) — the global no-CartesianProduct sweep
+    // plus this pin keep the pair stage cluster-bounded
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") || countOf(p, "SortMergeJoin") <= 4,
+      p.take(2000))
+  }
+
   test("corpus_pack: bucketed prefix sum, no global-sort funnel") {
     val p = plan("corpus_pack")
     // within-bucket windows + bounded offsets join — the corpus never
