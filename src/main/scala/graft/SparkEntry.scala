@@ -96,6 +96,7 @@ object SparkEntry {
     "ann_lsh" -> ((s, dir) => L.annLsh(s, dir)),
     "ann_ivf" -> ((s, dir) => L.annIvf(s, dir)),
     "ann_ivf_refined" -> ((s, dir) => L.annIvfRefined(s, dir)),
+    "ann_pq" -> ((s, dir) => L.annPq(s, dir)),
     "ann_quantized" -> ((s, dir) => L.annQuantized(s, dir)),
     "ann_ivf_quantized" -> ((s, dir) => L.annIvfQuantized(s, dir)),
     "text_langid" -> ((s, dir) => L.textLangid(s, dir)),
@@ -906,6 +907,49 @@ object SparkEntry {
          |  FROM assigned a JOIN probes p USING (cent_id)
          |  JOIN cqn nq ON nq.vec_id = p.q_id JOIN cqn nv ON nv.vec_id = a.vec_id
          |  WHERE a.vec_id <> p.q_id),
+         |rk AS (SELECT q_id, vec_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY round(cos,6) DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, rk, vec_id, round(cos,4) AS cos FROM rk
+         |WHERE rk <= ${LQ.AnnK}
+         |ORDER BY q_id, rk""".stripMargin
+    },
+    // F25c: product quantization — codeword (s,j) is the s-th 8-dim
+    // slice of the j-th lowest-vec_id embedding; encode is the L2
+    // argmin via the c·c − 2·x·c expansion on the round(,6) grid with
+    // lowest-j tie-break; ADC terms and codeword self-dots land on the
+    // 1e-6 fixed-point grid as BIGINTs so the m-term sums are integer-
+    // exact in both engines (the Lloyd fixed-point discipline)
+    "ann_pq" -> {
+      import graft.ops.{LlmQueries => LQ}
+      val sd = 64 / LQ.PqSubspaces
+      s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |cwv AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, emb
+         |  FROM n ORDER BY vec_id LIMIT ${LQ.PqCodes}),
+         |cw AS (SELECT t.range AS s, c.j,
+         |    c.emb[t.range*$sd+1 : t.range*$sd+$sd] AS cvec,
+         |    list_dot_product(c.emb[t.range*$sd+1 : t.range*$sd+$sd],
+         |                     c.emb[t.range*$sd+1 : t.range*$sd+$sd]) AS cc
+         |  FROM cwv c CROSS JOIN range(${LQ.PqSubspaces}) t),
+         |codes AS (SELECT vec_id, s, j, cvec, cc FROM (
+         |  SELECT n.vec_id, cw.s, cw.j, cw.cvec, cw.cc,
+         |    row_number() OVER (PARTITION BY n.vec_id, cw.s
+         |      ORDER BY round(cw.cc - 2*list_dot_product(
+         |        n.emb[cw.s*$sd+1 : cw.s*$sd+$sd], cw.cvec), 6) ASC, cw.j) AS ark
+         |  FROM n CROSS JOIN cw) WHERE ark = 1),
+         |q AS (SELECT vec_id AS q_id, emb AS qe,
+         |  sqrt(list_dot_product(emb, emb)) AS qn FROM n
+         |  WHERE vec_id < ${LQ.AnnQueryMax}),
+         |terms AS (SELECT q.q_id, cd.vec_id,
+         |    CAST(round(list_dot_product(
+         |      q.qe[cd.s*$sd+1 : cd.s*$sd+$sd], cd.cvec) * 1e6, 0) AS BIGINT) AS tl,
+         |    CAST(round(cd.cc * 1e6, 0) AS BIGINT) AS ccl
+         |  FROM codes cd CROSS JOIN q WHERE cd.vec_id <> q.q_id),
+         |agg AS (SELECT q_id, vec_id, sum(tl) AS sl, sum(ccl) AS scc
+         |  FROM terms GROUP BY 1, 2),
+         |scored AS (SELECT a.q_id, a.vec_id,
+         |  (a.sl / 1e6) / (q.qn * sqrt(a.scc / 1e6)) AS cos
+         |  FROM agg a JOIN q ON q.q_id = a.q_id),
          |rk AS (SELECT q_id, vec_id, cos,
          |  row_number() OVER (PARTITION BY q_id ORDER BY round(cos,6) DESC, vec_id) AS rk
          |  FROM scored)

@@ -230,6 +230,19 @@ object LlmQueries {
       AnnK, IvfCentroids, IvfProbe)
   }
 
+  val PqSubspaces = 8
+  val PqCodes = 32
+
+  /** F25c: product-quantized top-k — 8×8-dim subspaces, 16 codewords
+    * each: 8 bytes per vector (32× vs float32), map-only encode, ADC
+    * lookup-table scoring.
+    */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Ann.pqTopK(e.filter(col("vec_id") < AnnQueryMax), e, AnnK,
+      PqSubspaces, PqCodes)
+  }
+
   def textLangid(spark: SparkSession, dir: String): DataFrame =
     Analysis.langId(spark, Tables.documents(spark, dir))
 

@@ -361,6 +361,89 @@ object Ann {
     topK(scored, k)
   }
 
+  // ---- F25c: product quantization (ADC scoring) -----------------------
+
+  /** Array-order double self-dot — the same arithmetic FloatDot (and
+    * DuckDB's list_dot_product) evaluates, computed driver-side for
+    * codeword self-dots.
+    */
+  private def selfDot(v: Array[Float]): Double =
+    v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+
+  /** F25c codebook: subspace s's codeword j is the s-th `dim/m` slice
+    * of the j-th lowest-vec_id embedding — the [[initialCentroids]]
+    * determinism discipline, sliced. Driver-side by contract (the G9
+    * bounded-codebook argument: m·kc sub-vectors — 128 × 8 floats here
+    * — ship as expression literals; a codebook too big for that is not
+    * a codebook). Indexed book(s)(j).
+    */
+  def pqCodebook(vecs: DataFrame, m: Int, kc: Int): IndexedSeq[IndexedSeq[Array[Float]]] = {
+    val rows = vecs.orderBy(col("vec_id")).limit(kc)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(rows.length == kc, s"corpus smaller than kc=$kc")
+    val subDim = rows.head.length / m
+    (0 until m).map(s => (0 until kc).map(j =>
+      rows(j).slice(s * subDim, (s + 1) * subDim)))
+  }
+
+  /** F25c encode: per subspace, the nearest codeword by L2 — via the
+    * standard expansion argmin‖x−c‖² = argmin(c·c − 2·x·c), so the
+    * per-row work is one sub-dot per codeword and the x·x term never
+    * evaluates; argmin on the round(·,6) grid with lowest-j tie-break
+    * (the G9 rule). The kernel is a compiled expression
+    * (graft.functions.PqEncodeExpr) holding the codebook as a
+    * reference object — the equivalent greatest()-over-m·kc-structs
+    * Column formulation blows Janino's method-size limit and drops the
+    * stage to interpreted eval. MAP-ONLY: encoding 100 TB of
+    * embeddings is a single scan-projection with no join, no
+    * aggregation, no shuffle, emitting m bytes per vector (64-dim
+    * float32 → 8 bytes = 32×; the resident-index compression PQ
+    * exists for, beyond F25's 4×).
+    */
+  def pqEncode(vecs: DataFrame, book: IndexedSeq[IndexedSeq[Array[Float]]]): DataFrame = {
+    val b = book.map(_.toArray).toArray
+    vecs.select(col("vec_id"),
+      graft.functions.PqKernels.encode(col("embedding"), b).as("pcode"))
+  }
+
+  /** F25c top-k: asymmetric-distance (ADC) scoring over PQ codes. Each
+    * query precomputes ONE m×kc lookup table (dot of its subspace
+    * slice with every codeword) on the broadcast side, so the per-
+    * candidate hot path is m byte-indexed lookups and m long adds —
+    * never a float dot against the corpus. cos ≈ Σ_s tab[s][code_s]
+    * / (‖q‖ · ‖x̂‖), with ‖x̂‖ the RECONSTRUCTION norm, itself m
+    * lookups into the codeword self-dot table. Engine parity: every
+    * table entry lands on the 1e-6 fixed-point grid as a long, so the
+    * m-term sums are integer-exact and accumulation-order-independent
+    * in both engines (the Lloyd fixed-point discipline); the only
+    * float ops after the lookups are one sqrt and one divide. Plan
+    * shape: one map-only encode, one broadcast nested-loop against the
+    * bounded query side, the topK window's single shuffle — the 4-byte
+    * float stream of [[bruteTopK]] becomes a 1-byte-per-8-dims code
+    * stream.
+    */
+  def pqTopK(queries: DataFrame, vecs: DataFrame, k: Int, m: Int, kc: Int): DataFrame = {
+    val book = pqCodebook(vecs, m, kc)
+    val b = book.map(_.toArray).toArray
+    val codes = pqEncode(vecs, book)
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      graft.functions.PqKernels.adcTab(col("embedding"), b).as("qtab"),
+      norm(col("embedding")).as("qn")))
+    val ccTab: IndexedSeq[IndexedSeq[Long]] =
+      book.map(_.map(cw => math.round(selfDot(cw) * 1e6)))
+    def codeAt(s: Int) = element_at(col("pcode"), s + 1).cast("int") + lit(1)
+    val adcL = (0 until m).map(s =>
+      element_at(element_at(col("qtab"), s + 1), codeAt(s))).reduce(_ + _)
+    val ccL = (0 until m).map(s =>
+      element_at(array(ccTab(s).map(lit): _*), codeAt(s))).reduce(_ + _)
+    val scored = codes.crossJoin(q)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", (adcL.cast("double") / lit(1e6)) /
+        (col("qn") * sqrt(ccL.cast("double") / lit(1e6))))
+    topK(scored, k)
+  }
+
   /** Coarse nearest-centroid assignment — the IVF list-routing rule as
     * a standalone (vec_id, cent_id) surface, shared with consumers that
     * need only the partition (semantic dedup F28) and not the payload

@@ -347,6 +347,30 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.8, s"int8 recall $recall vs float32 brute force")
   }
 
+  test("product quantization: hand-checkable codes, ADC recall (F25c)") {
+    // dim 4, m=2 (2-dim subspaces), kc=2: codewords are vecs 0 and 1
+    //   cw(s=0): j0=[1,0]  j1=[0,1]     cw(s=1): j0=[0,1]  j1=[1,0]
+    val v = Seq(
+      (0L, Array(1f, 0f, 0f, 1f), 0), (1L, Array(0f, 1f, 1f, 0f), 0),
+      (2L, Array(0.9f, 0.1f, 0.95f, 0f), 0), (3L, Array(0.1f, 0.8f, 0f, 0.7f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val book = Ann.pqCodebook(v, m = 2, kc = 2)
+    val codes = Ann.pqEncode(v, book).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    // codewords encode to themselves; 2 and 3 pick the nearest slice
+    assert(codes(0L) == Seq[Byte](0, 0) && codes(1L) == Seq[Byte](1, 1))
+    assert(codes(2L) == Seq[Byte](0, 1) && codes(3L) == Seq[Byte](1, 0))
+    // ADC recall vs float32 brute force on real embeddings
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter($"vec_id" < 10)
+    val brute = Ann.bruteTopK(q, e, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = Ann.pqTopK(q, e, 5, m = 8, kc = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.3, s"pq recall $recall vs float32 brute force")
+  }
+
   test("quantized ivf tracks float ivf on real embeddings (F25b)") {
     // same probes (float coarse assignment), rerank on int8 codes —
     // the result set should almost coincide with float IVF's

@@ -93,6 +93,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(2000))
   }
 
+  test("ann_pq: map-only encode, one window shuffle, codes vs broadcast queries") {
+    val p = plan("ann_pq")
+    // the encode is a pure scan-projection (codebook as literals, the
+    // G9 pattern); the only join is the code stream against the
+    // broadcast query table; the only hash exchange is topK's window
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(2000))
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p.take(2000))
+  }
+
   test("dedup_semantic: broadcast codebook, equi-join candidates") {
     val p = plan("dedup_semantic")
     // the K-row codebook reaches the assignment as a broadcast (the
