@@ -243,6 +243,16 @@ object LlmQueries {
       PqSubspaces, PqCodes)
   }
 
+  /** F25d: IVF probe + PQ/ADC rerank — the FAISS IVFPQ composition:
+    * float coarse routing, m-byte codes in the inverted lists,
+    * table-lookup scoring inside probed lists.
+    */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Ann.ivfTopKPq(e.filter(col("vec_id") < AnnQueryMax), e, AnnK,
+      IvfCentroids, IvfProbe, PqSubspaces, PqCodes)
+  }
+
   def textLangid(spark: SparkSession, dir: String): DataFrame =
     Analysis.langId(spark, Tables.documents(spark, dir))
 

@@ -430,6 +430,22 @@ object Ann {
     val q = broadcast(queries.select(col("vec_id").as("q_id"),
       graft.functions.PqKernels.adcTab(col("embedding"), b).as("qtab"),
       norm(col("embedding")).as("qn")))
+    val scored = codes.crossJoin(q)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", adcCos(book))
+    topK(scored, k)
+  }
+
+  /** The ADC cosine column over rows carrying `pcode` (the m-byte
+    * candidate code), `qtab` (the query's m×kc fixed-point lookup
+    * table) and `qn` — shared by [[pqTopK]] and [[ivfTopKPq]] so the
+    * scoring arithmetic has one source. The m-term numerator and the
+    * reconstruction-norm sum are LONG adds over 1e-6-grid entries
+    * (integer-exact, order-independent); the only float ops are the
+    * final sqrt and divide.
+    */
+  private def adcCos(book: IndexedSeq[IndexedSeq[Array[Float]]]): Column = {
+    val m = book.length
     val ccTab: IndexedSeq[IndexedSeq[Long]] =
       book.map(_.map(cw => math.round(selfDot(cw) * 1e6)))
     def codeAt(s: Int) = element_at(col("pcode"), s + 1).cast("int") + lit(1)
@@ -437,10 +453,56 @@ object Ann {
       element_at(element_at(col("qtab"), s + 1), codeAt(s))).reduce(_ + _)
     val ccL = (0 until m).map(s =>
       element_at(array(ccTab(s).map(lit): _*), codeAt(s))).reduce(_ + _)
-    val scored = codes.crossJoin(q)
+    (adcL.cast("double") / lit(1e6)) /
+      (col("qn") * sqrt(ccL.cast("double") / lit(1e6)))
+  }
+
+  /** F25d: IVF probe + PQ/ADC rerank — the FAISS IVFPQ composition,
+    * the index shape that actually ships at billion-vector scale:
+    * coarse assignment and probe selection on FLOAT vectors against
+    * the K-row broadcast codebook (exactly [[ivfTopKWith]]'s rule),
+    * but the inverted lists carry ONLY the m-byte PQ codes — the
+    * assignment shuffle and the resident lists shrink 32× vs float32
+    * (vs 4× for [[ivfTopKQuantized]]'s SQ8), and the in-list rerank is
+    * [[pqTopK]]'s table-lookup ADC, never a float dot against list
+    * members. No dropDuplicates: each vector has exactly ONE coarse
+    * assignment, so a (q_id, vec_id) pair can arise from at most one
+    * probed list — the safety dedup of the float siblings would cost
+    * a real extra shuffle here. Same plan class as [[ivfTopK]]:
+    * broadcast codebook aggregations + one cent_id equi-join + the
+    * topK window.
+    */
+  def ivfTopKPq(queries: DataFrame, vecs: DataFrame, k: Int,
+                nCentroids: Int, nProbe: Int, m: Int, kc: Int): DataFrame = {
+    val cents = broadcast(initialCentroids(vecs, nCentroids))
+    val book = pqCodebook(vecs, m, kc)
+    val b = book.map(_.toArray).toArray
+    val v = vecs.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
+      graft.functions.PqKernels.encode(col("embedding"), b).as("pc"))
+    // coarse assignment on floats; the max_by struct carries only the
+    // m-byte code, so the map-side-combined shuffle row is 8 bytes of
+    // payload, not 256 of float32
+    val assigned = v.crossJoin(cents)
+      .withColumn("csim", dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("pc").as("vp"), col("cent_id")),
+        struct(round(col("csim"), 6).as("s"), (-col("cent_id")).as("t"))).as("a"))
+      .select(col("vec_id"), col("a.vp").as("pcode"), col("a.cent_id").as("cent_id"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding"),
+      norm(col("embedding")).as("qn"),
+      graft.functions.PqKernels.adcTab(col("embedding"), b).as("qtab"))
+    val qScored = q.crossJoin(cents)
+      .withColumn("csim", dot(col("embedding"), col("ce")) / (col("qn") * col("cn")))
+    val qw = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("csim"), 6).desc, col("cent_id"))
+    val probes = broadcast(qScored
+      .withColumn("crk", row_number().over(qw)).filter(col("crk") <= nProbe)
+      .select(col("q_id"), col("qtab"), col("qn"), col("cent_id")))
+    val scored = assigned.join(probes, Seq("cent_id"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", (adcL.cast("double") / lit(1e6)) /
-        (col("qn") * sqrt(ccL.cast("double") / lit(1e6))))
+      .withColumn("cos", adcCos(book))
     topK(scored, k)
   }
 

@@ -371,6 +371,25 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.3, s"pq recall $recall vs float32 brute force")
   }
 
+  test("ivf+pq tracks full-corpus ADC scoring (F25d)") {
+    // same PQ codes and ADC tables, candidates bounded to probed IVF
+    // cells — the result should largely coincide with full-scan PQ,
+    // and cell restriction must not cost brute-force recall (it prunes
+    // far candidates ADC scores optimistically)
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = pairs(Ann.pqTopK(q, e, 5, m = 8, kc = 32))
+    val ivfpq = pairs(Ann.ivfTopKPq(q, e, 5, nCentroids = 32, nProbe = 8,
+      m = 8, kc = 32))
+    val brute = pairs(Ann.bruteTopK(q, e, 5))
+    val overlap = (pq & ivfpq).size.toDouble / pq.size
+    assert(overlap >= 0.5, s"ivfpq-vs-pq overlap $overlap")
+    val recall = (brute & ivfpq).size.toDouble / brute.size
+    assert(recall >= 0.25, s"ivfpq recall $recall vs float32 brute force")
+  }
+
   test("quantized ivf tracks float ivf on real embeddings (F25b)") {
     // same probes (float coarse assignment), rerank on int8 codes —
     // the result set should almost coincide with float IVF's

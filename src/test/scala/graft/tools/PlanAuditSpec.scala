@@ -250,6 +250,18 @@ class PlanAuditSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("ann_ivf_pq: codebook + probes broadcast, m-byte codes in the lists") {
+    val p = plan("ann_ivf_pq")
+    // the IVFPQ composition must keep ann_ivf's join shape (codebook
+    // and probe sides broadcast, candidate join a broadcast hash join)
+    // with no safety-dedup shuffle: one assignment per vector makes
+    // (q_id, vec_id) unique by construction
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
   test("multimodal decode chain: no shuffle before the summary aggregation") {
     val p = plan("multimodal_pipeline")
     // resize → decode are partition-preserving mapPartitions; the only
