@@ -73,6 +73,7 @@ object SparkEntry {
     // F. LLM-pipeline operators
     "dedup_exact" -> ((s, dir) => L.dedupExact(s, dir)),
     "decontaminate" -> ((s, dir) => L.decontaminate(s, dir)),
+    "decontaminate_overlap" -> ((s, dir) => L.decontaminateOverlap(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => L.dedupNgramJaccard(s, dir)),
     "dedup_ngram_jaccard_capped" -> ((s, dir) => L.dedupNgramJaccardCapped(s, dir)),
     "dedup_substring" -> ((s, dir) => L.dedupSubstring(s, dir)),
@@ -111,8 +112,10 @@ object SparkEntry {
     "corpus_curation" -> ((s, dir) => L.corpusCuration(s, dir)),
     "corpus_vocab" -> ((s, dir) => L.corpusVocab(s, dir)),
     "corpus_bpe_merges" -> ((s, dir) => L.corpusBpeMerges(s, dir)),
+    "corpus_bpe_apply" -> ((s, dir) => L.corpusBpeApply(s, dir)),
     "corpus_split" -> ((s, dir) => L.corpusSplit(s, dir)),
     "corpus_sample" -> ((s, dir) => L.corpusSample(s, dir)),
+    "corpus_quality_buckets" -> ((s, dir) => L.corpusQualityBuckets(s, dir)),
     "corpus_report" -> ((s, dir) => L.corpusReport(s, dir)),
     "corpus_pack" -> ((s, dir) => L.corpusPack(s, dir)),
     // G. streaming (batch twin) + F12 multimodal plumbing
@@ -121,6 +124,7 @@ object SparkEntry {
     "stream_decontaminate" -> ((s, dir) => L.streamDecontaminate(s, dir)),
     "stream_quality_gate" -> ((s, dir) => L.streamQualityGate(s, dir)),
     "stream_ann_assign" -> ((s, dir) => L.streamAnnAssign(s, dir)),
+    "stream_tokenize" -> ((s, dir) => L.streamTokenize(s, dir)),
     "multimodal_pipeline" -> ((s, dir) =>
       graft.multimodal.BinaryPipeline.pipelineSummary(s, graft.core.Tables.documents(s, dir)))
   )
@@ -364,7 +368,11 @@ object SparkEntry {
     * greedy `replace` merge, same pinned tie-break (cnt desc, lhs,
     * rhs). The step count and delimiter come from the Scala constants.
     */
-  private lazy val BpeOracleSql: String = {
+  /** The shared w/s0/p·m·s per-iteration CTE chain that regenerates
+    * the merge table inside DuckDB (consumed by both the F21 merges
+    * oracle and the F21c/G10 apply oracles).
+    */
+  private lazy val BpeChainCtes: String = {
     val n = graft.ops.LlmQueries.BpeMerges
     val D = graft.text.Bpe.D
     def stepCtes(k: Int): String = {
@@ -381,15 +389,50 @@ object SparkEntry {
          |  FROM $prev CROSS JOIN m$k)""".stripMargin
     }
     val steps = (1 to n).map(stepCtes).mkString(",\n")
-    val sel = (1 to n).map(k => s"SELECT step, lhs, rhs, cnt FROM m$k")
-      .mkString("\nUNION ALL ")
-    s"""WITH w AS (SELECT word, count(*) AS freq FROM (
+    s"""w AS (SELECT word, count(*) AS freq FROM (
        |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) t
        |  WHERE length(word) > 0 GROUP BY 1),
        |s0 AS (SELECT word, freq, regexp_replace(word, '(.)', '$D\\1$D', 'g') AS s FROM w),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private lazy val BpeOracleSql: String = {
+    val n = graft.ops.LlmQueries.BpeMerges
+    val sel = (1 to n).map(k => s"SELECT step, lhs, rhs, cnt FROM m$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH $BpeChainCtes
        |$sel
        |ORDER BY step""".stripMargin
+  }
+
+  /** F21c/G10: the regenerated merge table applied to every document —
+    * the whole text delimiter-wrapped once (spaces stay bare, so no
+    * merge pattern can cross a word boundary — the same argument as
+    * Bpe.applyTokens), then each m·k's pair pulled in as scalar
+    * subqueries for one literal replace per step. All-integer outputs
+    * (DuckDB `//` and Spark `div` agree on positive operands).
+    */
+  private lazy val BpeApplyOracleSql: String = {
+    val n = graft.ops.LlmQueries.BpeMerges
+    val D = graft.text.Bpe.D
+    val applies = (1 to n).map { k =>
+      val prev = if (k == 1) "d0" else s"d${k - 1}"
+      s"""d$k AS (SELECT doc_id, nb, replace(s,
+         |  (SELECT '$D'||lhs||'$D$D'||rhs||'$D' FROM m$k),
+         |  (SELECT '$D'||lhs||rhs||'$D' FROM m$k)) AS s FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $BpeChainCtes,
+       |d0 AS (SELECT doc_id,
+       |  length(replace(lower(text), ' ', '')) AS nb,
+       |  regexp_replace(lower(text), '([^ ])', '$D\\1$D', 'g') AS s FROM documents),
+       |$applies
+       |SELECT doc_id,
+       |  CAST((length(s) - length(replace(s, '$D', ''))) // 2 AS BIGINT) AS n_tokens,
+       |  CAST(nb AS BIGINT) AS n_base_syms,
+       |  CAST(coalesce((nb * 10000) //
+       |    nullif((length(s) - length(replace(s, '$D', ''))) // 2, 0), 0) AS BIGINT)
+       |    AS compression_bp
+       |FROM d$n ORDER BY doc_id""".stripMargin
   }
 
   /** MinHash params / stopword dict rendered from the same Scala
@@ -464,6 +507,29 @@ object SparkEntry {
          |FROM d5 c JOIN rare USING (shingle) JOIN ev e USING (shingle)
          |GROUP BY 1, 2 HAVING count(*) >= ${graft.ops.LlmQueries.DecontamMinHits}
          |ORDER BY 1, 2""".stripMargin,
+    // F15b: per-eval-doc contamination fraction — corpus evidence per
+    // eval gram reduces to (count, min doc) over per-doc-distinct rows;
+    // one corpus occurrence leaks iff it is someone else's
+    "decontaminate_overlap" ->
+      s"""WITH dtk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         |d5 AS (SELECT DISTINCT doc_id, shingle FROM (
+         |  SELECT doc_id, tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w
+         |    || ' ' || lead(tok,3) OVER w || ' ' || lead(tok,4) OVER w AS shingle
+         |  FROM (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks,1) AS pos FROM dtk)
+         |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) s
+         | WHERE shingle IS NOT NULL),
+         |ev AS (SELECT doc_id AS eval_id, shingle FROM d5
+         |  WHERE doc_id % ${graft.ops.LlmQueries.DecontamEvalMod} = 0),
+         |cs AS (SELECT shingle, count(*) AS n_docs, min(doc_id) AS d0 FROM d5
+         |  WHERE shingle IN (SELECT shingle FROM ev) GROUP BY 1),
+         |h AS (SELECT e.eval_id,
+         |    CASE WHEN cs.shingle IS NULL THEN 0
+         |         WHEN cs.n_docs >= 2 OR cs.d0 <> e.eval_id THEN 1 ELSE 0 END AS hit
+         |  FROM ev e LEFT JOIN cs USING (shingle))
+         |SELECT eval_id, count(*) AS n_grams, CAST(sum(hit) AS BIGINT) AS hit_grams,
+         |  CAST(coalesce((sum(hit) * 10000) // nullif(count(*), 0), 0) AS BIGINT)
+         |    AS contamination_bp
+         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
     // G5 batch twin: per-doc distinct 5-gram hits against the eval
     // UNION shingle set (stateless broadcast-membership flag)
     "stream_decontaminate" ->
@@ -1062,6 +1128,10 @@ object SparkEntry {
     // F21: BPE merge table — the rendered per-iteration CTE chain
     // replays the same greedy merges (see BpeOracleSql)
     "corpus_bpe_merges" -> BpeOracleSql,
+    // F21c: the same regenerated merges applied per document; G10's
+    // batch twin runs the identical projection, so the oracle is shared
+    "corpus_bpe_apply" -> BpeApplyOracleSql,
+    "stream_tokenize" -> BpeApplyOracleSql,
     // F18: hash-stable split — same h60(doc_id) % denom arithmetic as
     // graft.ops.Sampling.split, CASE rendered from the same weights
     "corpus_split" -> {
@@ -1109,6 +1179,20 @@ object SparkEntry {
          | round(len(list_filter(toks, x -> x IN ($EnStopwordList)))*1.0/len(toks) - 1e-9, 4) + 0.0 AS stopword_ratio,
          | ${qualityScoreSql(EnStopwordList)} AS score
          |FROM tk ORDER BY 1""".stripMargin,
+    // F29: exact global quality deciles — DuckDB's one global
+    // row_number IS the semantics; the Spark plan reaches the same
+    // rank via the bounded per-score prefix sum (no global sort task)
+    "corpus_quality_buckets" ->
+      s"""WITH $TK,
+         |q AS (SELECT doc_id,
+         |  CAST(round((${qualityScoreSql(EnStopwordList)}) * 10000, 0) AS BIGINT) AS score_fp
+         |  FROM tk),
+         |r AS (SELECT doc_id, score_fp,
+         |  row_number() OVER (ORDER BY score_fp, doc_id) AS rk,
+         |  count(*) OVER () AS n FROM q)
+         |SELECT doc_id, score_fp, CAST(rk AS BIGINT) AS rank,
+         |  CAST(((rk - 1) * ${graft.ops.LlmQueries.QualityBucketN}) // n AS BIGINT) AS bucket
+         |FROM r ORDER BY doc_id""".stripMargin,
     // F22: PII redaction over the deterministically-planted corpus —
     // the plant construction is stated in SQL (id arithmetic, no
     // regexes needed to predict it) and the redaction patterns are the

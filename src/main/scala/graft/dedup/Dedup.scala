@@ -137,6 +137,46 @@ object Dedup {
       .orderBy(col("doc_id"), col("eval_id"))
   }
 
+  /** F15b: eval-direction contamination FRACTION — for each eval doc,
+    * the share of its distinct n-gram shingles that appear in some
+    * OTHER corpus document, in basis points. This is the direction the
+    * F15 pair report doesn't give: a benchmark task is compromised when
+    * most of ITS grams leak into training, regardless of how large the
+    * leaking train doc is (the GPT-3/Lee-et-al contamination metric a
+    * suite owner thresholds on before trusting an eval number).
+    *
+    * Self-exclusion matters because the eval suite is drawn from the
+    * corpus here: a gram whose only corpus occurrence is the eval doc
+    * itself is no leak. Per-gram corpus evidence reduces to
+    * (occurrence count, min doc_id) — ≥2 occurrences always include a
+    * non-self doc; exactly one occurrence leaks iff it is someone else.
+    *
+    * Scale shape: the eval gram set is benchmark-sized and BROADCAST;
+    * corpus rows on non-eval shingles die map-side, so the only
+    * shuffle over corpus-derived data is a map-side-combinable
+    * count/min aggregate on the contamination-sized hit subset (rows
+    * are already per-doc-distinct, so count(*) IS the doc count — no
+    * count-distinct expansion). Output is O(|eval|); all-integer
+    * columns (basis points by integer division), no float boundary.
+    */
+  def decontaminateOverlap(corpus: DataFrame, evalDocs: DataFrame, n: Int): DataFrame = {
+    val ev = docShingles(evalDocs.select(col("eval_id"), col("text")), n, "eval_id").cachedOnce
+    val hits = docShingles(corpus, n)
+      .join(broadcast(ev.select(col("shingle")).distinct()), "shingle")
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("d0"))
+    ev.join(hits, Seq("shingle"), "left")
+      .select(col("eval_id"),
+        when(col("n_docs").isNull, 0L)
+          .when(col("n_docs") >= 2 || col("d0") =!= col("eval_id"), 1L)
+          .otherwise(0L).as("hit"))
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("hit")).as("hit_grams"))
+      .withColumn("contamination_bp",
+        expr("coalesce((hit_grams * 10000) div nullif(n_grams, 0), 0)").cast("long"))
+      .orderBy(col("eval_id"))
+  }
+
   /** F16: exact-substring dedup — the 50-token-overlap rule of Lee et
     * al. 2022 ("Deduplicating Training Data Makes Language Models
     * Better"), the mode the reference's n-gram Jaccard family only

@@ -63,6 +63,17 @@ object LlmQueries {
     Dedup.decontaminate(docs, eval, DecontamN, DecontamMinHits, DecontamMaxDf)
   }
 
+  /** F15b: per-eval-doc contamination fraction (basis points) — the
+    * eval-direction metric a suite owner thresholds on; self-leaks
+    * excluded (the eval set is drawn from the corpus here).
+    */
+  def decontaminateOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val eval = docs.filter(col("doc_id") % DecontamEvalMod === 0)
+      .select(col("doc_id").as("eval_id"), col("text"))
+    Dedup.decontaminateOverlap(docs, eval, DecontamN)
+  }
+
   // F16 exact-substring dedup: the Lee et al. 50-token window; a
   // 50-gram in more than 5 docs is boilerplate (cap binds rarely — the
   // synthetic corpus's max 50-gram df is well under it; it exists for
@@ -337,6 +348,40 @@ object LlmQueries {
   def corpusBpeMerges(spark: SparkSession, dir: String): DataFrame =
     graft.text.Bpe.merges(spark, Tables.documents(spark, dir), BpeMerges)
 
+  /** The trained merge table is a deterministic pure function of
+    * (corpus, N) — memoized driver-side so the two consumers (F21c
+    * batch apply, G10 streaming twin) train once and ship the same
+    * frozen artifact, which is exactly the production shape (the
+    * cachedSigTable argument: shared derived artifact, not shared
+    * Spark state — survives catalog cache clears).
+    */
+  private val mergeMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[(String, String)]]
+  private def trainedMerges(spark: SparkSession, dir: String): Seq[(String, String)] =
+    mergeMemo.getOrElseUpdate((dir, BpeMerges),
+      graft.text.Bpe.mergeRows(spark, Tables.documents(spark, dir), BpeMerges)
+        .map(t => (t._2, t._3)))
+
+  /** F21c: tokenize the corpus under the F21-trained merge table —
+    * train (bounded N-row artifact), then ONE map-only projection over
+    * the corpus: per-doc BPE token count + basis-point compression.
+    */
+  def corpusBpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.text.Bpe.applyTokens(docs, trainedMerges(spark, dir)).orderBy(col("doc_id"))
+  }
+
+  /** G10 batch twin: in-flight token accounting under a frozen merge
+    * table — CarbonStream.tokenizeStream is mode-agnostic, so this IS
+    * the streaming projection on a batch Dataset (same trained
+    * artifact as F21c; the shared oracle is the point).
+    */
+  def streamTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.streaming.CarbonStream.tokenizeStream(docs, trainedMerges(spark, dir))
+      .orderBy(col("doc_id"))
+  }
+
   /** F18: deterministic hash-stable train/val/test split. */
   def corpusSplit(spark: SparkSession, dir: String): DataFrame =
     Sampling.split(Tables.documents(spark, dir), SplitWeights)
@@ -346,6 +391,16 @@ object LlmQueries {
   // the driver query exercises the default-rate fallback path too
   val SampleRatesBp = Seq(("en", 5000), ("de", 10000), ("fr", 10000))
   val SampleDefaultBp = 2500
+
+  // F29 bucket count: deciles — the granularity quality-threshold
+  // decisions are usually phrased in ("drop the worst decile")
+  val QualityBucketN = 10
+
+  /** F29: exact global quality-decile assignment via the bounded
+    * per-score prefix sum (no single-task global sort).
+    */
+  def corpusQualityBuckets(spark: SparkSession, dir: String): DataFrame =
+    Sampling.qualityBuckets(Tables.documents(spark, dir), QualityBucketN)
 
   /** F24: deterministic stratified mixture sampling over `lang`. */
   def corpusSample(spark: SparkSession, dir: String): DataFrame =

@@ -40,6 +40,50 @@ object Sampling {
       .orderBy(col(idCol))
   }
 
+  /** F29: exact global quality-quantile buckets — the curriculum /
+    * mixing stage that needs each document's PERCENTILE of the F8
+    * quality score, not the raw value (thresholds like "drop the worst
+    * decile" are rank statements). A naive `ntile() OVER (ORDER BY
+    * score)` is a single-task global sort at 100 TB; this is the F27
+    * bucketed-prefix-sum shape instead, with the 4-dp score itself as
+    * the bucket key: scores quantize to ≤10001 distinct fixed-point
+    * values, so per-score counts are a BOUNDED table — the global rank
+    * is a within-score row_number (partitioned window) plus a
+    * strictly-smaller-score offset from a bounded triangular join, and
+    * no stage ever funnels the corpus through one task.
+    *
+    * `bucket = ((rank − 1) · nBuckets) div n_docs` — pure integer
+    * arithmetic on both engines, and exactly DuckDB's
+    * `((row_number() − 1) * n) // count(*)` replay. Skew note: a hot
+    * score value (a 100 TB crawl has millions of score-0 docs) makes
+    * one window partition large; the fix is the same second-level
+    * sub-bucketing as F27 (split hot scores on high bits of
+    * h60(doc_id), offset by sub-bucket counts) — plan shape unchanged.
+    */
+  def qualityBuckets(docs: DataFrame, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, s"need at least two buckets (got $nBuckets)")
+    val scored = graft.text.Analysis.quality(docs)
+      .select(col("doc_id"),
+        round(col("score") * 10000, 0).cast("long").as("score_fp"))
+    val grp = scored.groupBy(col("score_fp")).agg(count(lit(1)).as("gn"))
+    val offsets = grp.as("a")
+      .join(grp.select(col("score_fp").as("ps"), col("gn").as("pn")),
+        col("ps") < col("a.score_fp"), "left")
+      .groupBy(col("a.score_fp").as("score_fp"))
+      .agg(coalesce(sum(col("pn")), lit(0L)).as("off"))
+    val total = grp.agg(sum(col("gn")).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("score_fp")).orderBy(col("doc_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(offsets), "score_fp")
+      .crossJoin(broadcast(total))
+      .withColumn("rank", col("off") + col("rk"))
+      .withColumn("bucket",
+        expr(s"((rank - 1) * $nBuckets) div n_docs").cast("long"))
+      .select(col("doc_id"), col("score_fp"), col("rank"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** F24: deterministic weighted mixture sampling — the rebalancing
     * stage a training pipeline runs over a multi-source/multi-language
     * crawl (upsample the curated slice, downsample the bulk): each

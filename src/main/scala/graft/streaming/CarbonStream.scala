@@ -292,6 +292,20 @@ object CarbonStream {
   def annAssignStream(vecs: DataFrame, cents: Seq[(Long, Seq[Float])]): DataFrame =
     graft.similarity.Ann.assignRowwise(vecs, cents)
 
+  /** G10: in-flight tokenization — each incoming document is counted
+    * under a FROZEN BPE merge table at ingest (the shape every
+    * training pipeline ships: the tokenizer is a batch-trained
+    * artifact, F21, and token accounting — shard budgets, billing,
+    * pack planning — happens as data arrives, not in a later sweep).
+    * Stateless map-only: the merge table is N rows by construction and
+    * ships as expression literals inside ONE narrow projection
+    * ([[graft.text.Bpe.applyTokens]]); no state store, no watermark,
+    * no shuffle, mode-agnostic — the batch twin (the driver oracle) IS
+    * this function on a batch Dataset.
+    */
+  def tokenizeStream(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    graft.text.Bpe.applyTokens(docs, merges)
+
   def simhashDedupStream(docs: DataFrame): Dataset[SigDecision] = {
     import docs.sparkSession.implicits._
     docs

@@ -62,6 +62,14 @@ object Bpe {
     */
   def merges(spark: SparkSession, docs: DataFrame, n: Int): DataFrame = {
     import spark.implicits._
+    mergeRows(spark, docs, n).toDF("step", "lhs", "rhs", "cnt").orderBy(col("step"))
+  }
+
+  /** The same training loop, returning the merge table driver-side —
+    * the bounded artifact (N rows by construction) that [[applyTokens]]
+    * and the streaming tokenizer ship as expression literals.
+    */
+  def mergeRows(spark: SparkSession, docs: DataFrame, n: Int): Seq[(Long, String, String, Long)] = {
     require(n >= 1, s"need at least one merge step (got $n)")
     var seqs = wordSeqs(docs).cache()
     seqs.count()
@@ -82,6 +90,36 @@ object Bpe {
       seqs = next
     }
     seqs.unpersist()
-    out.toSeq.toDF("step", "lhs", "rhs", "cnt").orderBy(col("step"))
+    out.toSeq
+  }
+
+  /** F21c: apply a trained merge table to the corpus — the map-only
+    * tokenize pass an ingest pipeline runs with a FROZEN tokenizer.
+    *
+    * The whole document is delimiter-wrapped in one projection (every
+    * non-space char becomes ␟c␟; raw spaces stay bare), then the N
+    * merges run as N literal `replace`s. A merge pattern ␟a␟␟b␟ needs
+    * the doubled delimiter at the junction, which a bare space never
+    * provides — so whole-document application is EXACTLY per-word
+    * application (spec-pinned), with no explode, no word join, no
+    * shuffle: one narrow projection over the corpus scan.
+    *
+    * Outputs are all integers (token counts and a basis-point
+    * compression ratio via integer division) so the cross-engine
+    * comparison never rides a float rounding boundary.
+    */
+  def applyTokens(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val wrapped = regexp_replace(lower(col("text")), "([^ ])", s"$D$$1$D")
+    val tokenized = merges.foldLeft(wrapped) { case (s, (l, r)) =>
+      call_function("replace", s, lit(D + l + D + D + r + D), lit(D + l + r + D))
+    }
+    docs.select(
+      col("doc_id"),
+      ((length(tokenized) - length(call_function("replace", tokenized, lit(D), lit("")))) / 2)
+        .cast("long").as("n_tokens"),
+      length(call_function("replace", lower(col("text")), lit(" "), lit("")))
+        .cast("long").as("n_base_syms"))
+      .withColumn("compression_bp", // nullif: an all-space doc has no tokens
+        expr("coalesce((n_base_syms * 10000) div nullif(n_tokens, 0), 0)").cast("long"))
   }
 }

@@ -633,6 +633,53 @@ class LlmSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)))
   }
 
+  test("bpe apply: trained merges tokenize docs, integer compression (F21c)") {
+    import graft.text.Bpe
+    // the F21 fixture: merge schedule (a,a), (a,n), (a,b) — so aaab
+    // tokenizes to (aa)(ab) = 2 and banana to b(an)(an)a = 4
+    val d = Seq((0L, "aaab aaab aaab banana"), (1L, "aaab banana banana"))
+      .toDF("doc_id", "text")
+    val m = Bpe.mergeRows(spark, d, 3).map(t => (t._2, t._3))
+    val out = Bpe.applyTokens(d, m).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 3 * 2 + 4L, 3 * 4 + 6L, 18000L),
+      (1L, 2 + 2 * 4L, 4 + 2 * 6L, 16000L)))
+  }
+
+  test("bpe apply: merges never cross a space; greedy within runs (F21c)") {
+    import graft.text.Bpe
+    val d = Seq((0L, "a a"), (1L, "aaaa")).toDF("doc_id", "text")
+    val out = Bpe.applyTokens(d, Seq(("a", "a"))).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // "a a" stays 2 tokens (bare space breaks the doubled delimiter);
+    // "aaaa" greedily pairs to (aa)(aa) = 2
+    assert(out.toSeq == Seq((0L, 2L), (1L, 2L)))
+    // the tokenize pass is ONE narrow projection: no shuffle anywhere
+    val plan = Bpe.applyTokens(d, Seq(("a", "a"), ("aa", "aa")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"apply must be map-only:\n$plan")
+  }
+
+  test("decontaminate overlap: full/none/partial with self-exclusion (F15b)") {
+    val T = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val U = "unique solitary content appearing nowhere else in the corpus today"
+    val P = "one two three four five six seven eight nine ten"
+    val corpus = Seq(
+      (0L, T), (3L, T), // eval 0's text duplicated by doc 3
+      (1L, U),          // eval 1's only corpus occurrence is itself
+      (2L, P),          // eval 2 partially leaked by doc 4
+      (4L, "one two three four five six x y z w")
+    ).toDF("doc_id", "text")
+    val eval = Seq((0L, T), (1L, U), (2L, P)).toDF("eval_id", "text")
+    val out = Dedup.decontaminateOverlap(corpus, eval, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 4 shares exactly the first two 5-grams of P → 2/6 → 3333 bp;
+    // U's grams exist in corpus doc 1 only, which IS eval 1 → 0 bp
+    assert(out.toSeq == Seq(
+      (0L, 6L, 6L, 10000L), (1L, 6L, 0L, 0L), (2L, 6L, 2L, 3333L)))
+  }
+
   test("vocab: tf counts repeats, df counts docs, cutoff deterministic (F17)") {
     val d = Seq(
       (0L, "spark spark spark data"),
@@ -749,6 +796,29 @@ class LlmSpec extends SparkSpec {
     val p = Sampling.sampleByStratum(docs, rates, 2500)
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange hashpartitioning"), p.take(500))
+  }
+
+  test("quality buckets: rank equals global sort, deciles balanced (F29)") {
+    import graft.ops.Sampling
+    val d = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Sampling.qualityBuckets(d, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = out.length
+    // the bucketed prefix sum must reproduce the one global sort the
+    // plan deliberately avoids: rank == position in (score_fp, doc_id)
+    val expect = out.sortBy(t => (t._2, t._1)).zipWithIndex
+      .map { case (t, i) => (t._1, i + 1L) }.toMap
+    assert(out.forall(t => t._3 == expect(t._1)))
+    // ranks are a permutation of 1..n; decile sizes differ by ≤ 1
+    assert(out.map(_._3).sorted.toSeq == (1L to n).toSeq)
+    val sizes = out.groupBy(_._4).map(_._2.length)
+    assert(out.map(_._4).forall(b => b >= 0 && b < 10))
+    assert(sizes.max - sizes.min <= 1)
+    // the corpus-wide window is PARTITIONED (per-score groups), never
+    // a single global sort: every Window node carries a partition key
+    val plan = Sampling.qualityBuckets(d, 10).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [") || !plan.contains(", [], ["),
+      s"global unpartitioned window in plan:\n$plan")
   }
 
   test("corpus report: slice counts, fixed-point mean, dup attribution (F26)") {

@@ -346,6 +346,33 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming tokenize counts under a frozen merge table (G10)") {
+    import graft.streaming.CarbonStream
+    implicit val sqlCtx = spark.sqlContext
+    val merges = Seq(("a", "a"), ("a", "n"))
+    val source = MemoryStream[(Long, String)]
+    val out = CarbonStream.tokenizeStream(
+      source.toDF().toDF("doc_id", "text"), merges)
+    val query = out.writeStream
+      .format("memory").queryName("g10_tok").outputMode("append").start()
+    try {
+      source.addData((0L, "aaab banana"))
+      query.processAllAvailable()
+      source.addData((1L, "aaaa"), (2L, "a a")) // stateless across batches
+      query.processAllAvailable()
+      val rows = spark.table("g10_tok").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // batch/stream bit-equality: the SAME projection on a batch frame
+      val batch = CarbonStream.tokenizeStream(
+        Seq((0L, "aaab banana"), (1L, "aaaa"), (2L, "a a"))
+          .toDF("doc_id", "text"), merges).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq == batch.toSeq)
+      // aaab→(aa)(a)(b)=3, banana→b(an)(an)a=4 ⇒ 7 tokens, 10 base
+      assert(rows.head == ((0L, 7L, 10L, 14285L)))
+    } finally query.stop()
+  }
+
   test("streaming simhash dedup batch twin agrees on keepers (G4)") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),
