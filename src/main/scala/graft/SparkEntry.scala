@@ -1185,10 +1185,11 @@ object SparkEntry {
     "corpus_quality_buckets" ->
       s"""WITH $TK,
          |q AS (SELECT doc_id,
-         |  CAST(round((${qualityScoreSql(EnStopwordList)}) * 10000, 0) AS BIGINT) AS score_fp
+         |  CAST(round((${qualityScoreSql(EnStopwordList)}) * 10000, 0) AS BIGINT) AS score_fp,
+         |  ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS h
          |  FROM tk),
          |r AS (SELECT doc_id, score_fp,
-         |  row_number() OVER (ORDER BY score_fp, doc_id) AS rk,
+         |  row_number() OVER (ORDER BY score_fp, h, doc_id) AS rk,
          |  count(*) OVER () AS n FROM q)
          |SELECT doc_id, score_fp, CAST(rk AS BIGINT) AS rank,
          |  CAST(((rk - 1) * ${graft.ops.LlmQueries.QualityBucketN}) // n AS BIGINT) AS bucket

@@ -52,30 +52,47 @@ object Sampling {
     * strictly-smaller-score offset from a bounded triangular join, and
     * no stage ever funnels the corpus through one task.
     *
+    * Hot-score skew (a 100 TB crawl has millions of score-0 docs) is
+    * handled HERE, not deferred: within a score, docs order by
+    * h60(doc_id), so the top `subBits` hash bits split every score
+    * group into 2^subBits contiguous sub-ranges — no window partition
+    * ever exceeds (hottest score)/2^subBits rows, and raising subBits
+    * is the same knob as F27's bucketBits (plan shape unchanged).
+    * Offsets compose two bounded stages: strictly-smaller-score totals
+    * via the triangular join (≤10001 rows), plus earlier-sub-bucket
+    * counts via a per-score window over ≤2^subBits rows.
+    *
     * `bucket = ((rank − 1) · nBuckets) div n_docs` — pure integer
     * arithmetic on both engines, and exactly DuckDB's
-    * `((row_number() − 1) * n) // count(*)` replay. Skew note: a hot
-    * score value (a 100 TB crawl has millions of score-0 docs) makes
-    * one window partition large; the fix is the same second-level
-    * sub-bucketing as F27 (split hot scores on high bits of
-    * h60(doc_id), offset by sub-bucket counts) — plan shape unchanged.
+    * `((row_number() − 1) * n) // count(*)` replay over the same
+    * (score_fp, h, doc_id) order.
     */
-  def qualityBuckets(docs: DataFrame, nBuckets: Int = 10): DataFrame = {
+  def qualityBuckets(docs: DataFrame, nBuckets: Int = 10, subBits: Int = 4): DataFrame = {
     require(nBuckets >= 2, s"need at least two buckets (got $nBuckets)")
+    require(subBits >= 1 && subBits <= 20, s"subBits in [1,20] (got $subBits)")
     val scored = graft.text.Analysis.quality(docs)
       .select(col("doc_id"),
         round(col("score") * 10000, 0).cast("long").as("score_fp"))
-    val grp = scored.groupBy(col("score_fp")).agg(count(lit(1)).as("gn"))
-    val offsets = grp.as("a")
-      .join(grp.select(col("score_fp").as("ps"), col("gn").as("pn")),
+      .withColumn("h", graft.text.TextFns.h60(col("doc_id").cast("string")))
+      .withColumn("sub", shiftright(col("h"), 60 - subBits))
+    val grp = scored.groupBy(col("score_fp"), col("sub")).agg(count(lit(1)).as("gn"))
+    val scoreTot = grp.groupBy(col("score_fp")).agg(sum(col("gn")).as("stot"))
+    val scoreOff = scoreTot.as("a")
+      .join(scoreTot.select(col("score_fp").as("ps"), col("stot").as("pt")),
         col("ps") < col("a.score_fp"), "left")
       .groupBy(col("a.score_fp").as("score_fp"))
-      .agg(coalesce(sum(col("pn")), lit(0L)).as("off"))
-    val total = grp.agg(sum(col("gn")).as("n_docs"))
+      .agg(coalesce(sum(col("pt")), lit(0L)).as("soff"))
+    val wSub = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("score_fp")).orderBy(col("sub"))
+    val offsets = grp
+      .withColumn("boff", sum(col("gn")).over(wSub) - col("gn"))
+      .join(scoreOff, "score_fp")
+      .select(col("score_fp"), col("sub"), (col("soff") + col("boff")).as("off"))
+    val total = scoreTot.agg(sum(col("stot")).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("score_fp")).orderBy(col("doc_id"))
+      .partitionBy(col("score_fp"), col("sub")).orderBy(col("h"), col("doc_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
-      .join(broadcast(offsets), "score_fp")
+      .join(broadcast(offsets), Seq("score_fp", "sub"))
       .crossJoin(broadcast(total))
       .withColumn("rank", col("off") + col("rk"))
       .withColumn("bucket",

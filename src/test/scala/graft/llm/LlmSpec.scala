@@ -800,25 +800,46 @@ class LlmSpec extends SparkSpec {
 
   test("quality buckets: rank equals global sort, deciles balanced (F29)") {
     import graft.ops.Sampling
+    import graft.text.TextFns
     val d = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val out = Sampling.qualityBuckets(d, 10).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val n = out.length
-    // the bucketed prefix sum must reproduce the one global sort the
-    // plan deliberately avoids: rank == position in (score_fp, doc_id)
-    val expect = out.sortBy(t => (t._2, t._1)).zipWithIndex
-      .map { case (t, i) => (t._1, i + 1L) }.toMap
+    // the two-level prefix sum must reproduce the one global sort the
+    // plan deliberately avoids: rank == position in (score_fp, h, id)
+    val expect = out.sortBy(t => (t._2, TextFns.h60Jvm(t._1.toString), t._1))
+      .zipWithIndex.map { case (t, i) => (t._1, i + 1L) }.toMap
     assert(out.forall(t => t._3 == expect(t._1)))
     // ranks are a permutation of 1..n; decile sizes differ by ≤ 1
     assert(out.map(_._3).sorted.toSeq == (1L to n).toSeq)
     val sizes = out.groupBy(_._4).map(_._2.length)
     assert(out.map(_._4).forall(b => b >= 0 && b < 10))
     assert(sizes.max - sizes.min <= 1)
-    // the corpus-wide window is PARTITIONED (per-score groups), never
-    // a single global sort: every Window node carries a partition key
+    // the corpus-wide window is PARTITIONED (per-(score, sub) groups),
+    // never a single global sort: no unpartitioned Window node
     val plan = Sampling.qualityBuckets(d, 10).queryExecution.executedPlan.toString
     assert(!plan.contains("Window [") || !plan.contains(", [], ["),
       s"global unpartitioned window in plan:\n$plan")
+  }
+
+  test("quality buckets: one hot score splits across sub-buckets (F29)") {
+    import graft.ops.Sampling
+    import graft.text.TextFns
+    // every doc identical text ⇒ ONE score group for the whole corpus —
+    // the adversarial case the h-bit sub-bucketing exists for
+    val d = spark.range(300).selectExpr("id AS doc_id",
+      "'common boilerplate text every document shares' AS text")
+    val out = Sampling.qualityBuckets(d, 10, subBits = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._2).distinct.length == 1) // truly one score value
+    val expect = out.sortBy(t => (TextFns.h60Jvm(t._1.toString), t._1))
+      .zipWithIndex.map { case (t, i) => (t._1, i + 1L) }.toMap
+    assert(out.forall(t => t._3 == expect(t._1)))
+    assert(out.map(_._3).sorted.toSeq == (1L to 300L).toSeq)
+    // the ranking window really is split: 2^3 sub-buckets over one
+    // score ⇒ multiple partitions (h60 top bits are well-spread)
+    val subs = out.map(t => TextFns.h60Jvm(t._1.toString) >>> 57).distinct
+    assert(subs.length == 8)
   }
 
   test("corpus report: slice counts, fixed-point mean, dup attribution (F26)") {
