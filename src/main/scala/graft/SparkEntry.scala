@@ -79,6 +79,7 @@ object SparkEntry {
     "dedup_substring" -> ((s, dir) => L.dedupSubstring(s, dir)),
     "dedup_substring_clusters" -> ((s, dir) => L.dedupSubstringClusters(s, dir)),
     "dedup_substring_spans" -> ((s, dir) => L.dedupSubstringSpans(s, dir)),
+    "dedup_substring_scrub" -> ((s, dir) => L.dedupSubstringScrub(s, dir)),
     "dedup_minhash" -> ((s, dir) => L.dedupMinhash(s, dir)),
     "dedup_minhash_capped" -> ((s, dir) => L.dedupMinhashCapped(s, dir)),
     "dedup_minhash_clusters" -> ((s, dir) => L.dedupMinhashClusters(s, dir)),
@@ -627,6 +628,31 @@ object SparkEntry {
          |runs AS (SELECT x, y, count(*) AS run FROM isl GROUP BY x, y, diag, isl)
          |SELECT x, y, max(run) + ${w - 1} AS max_span
          |FROM runs GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+    },
+    // F16x: duplicated-span scrub — min doc per capped gram keeps its
+    // copy; a token is cut iff the running max of dup-span ends at or
+    // before it reaches it (Dedup.substringScrub; the 1-based vs
+    // 0-based position offset cancels — the rule is offset-invariant)
+    "dedup_substring_scrub" -> {
+      val cap = graft.ops.LlmQueries.SubstrMaxDf
+      val w = graft.ops.LlmQueries.SubstrW
+      s"""WITH $TK,
+         |$SubstrGramCtes,
+         |shw AS (SELECT DISTINCT doc_id, g FROM pgr),
+         |rare50 AS (SELECT g FROM shw GROUP BY 1 HAVING count(*) <= $cap),
+         |gmin AS (SELECT g, min(doc_id) AS gm FROM shw JOIN rare50 USING (g) GROUP BY 1),
+         |dst AS (SELECT pgr.doc_id, pgr.p, pgr.p + ${w - 1} AS pe
+         |  FROM pgr JOIN gmin USING (g) WHERE gmin.gm < pgr.doc_id),
+         |tc AS (SELECT pos.doc_id, pos.p, pos.tok,
+         |    max(dst.pe) OVER (PARTITION BY pos.doc_id ORDER BY pos.p
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_pe
+         |  FROM pos LEFT JOIN dst ON pos.doc_id = dst.doc_id AND pos.p = dst.p),
+         |k AS (SELECT doc_id, p, tok,
+         |    CASE WHEN run_pe IS NOT NULL AND run_pe >= p THEN 1 ELSE 0 END AS cut FROM tc)
+         |SELECT doc_id, count(*) AS n_tokens, CAST(sum(cut) AS BIGINT) AS n_cut,
+         |  md5(coalesce(string_agg(CASE WHEN cut = 0 THEN tok END, ' ' ORDER BY p), ''))
+         |    AS scrubbed_md5
+         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
     },
     // one-step min propagation over the substring pair graph
     "dedup_substring_clusters" ->

@@ -279,6 +279,54 @@ object Dedup {
       .orderBy(col("x"), col("y"))
   }
 
+  /** F16x: span SCRUB — the step a Lee-et-al pipeline actually ships:
+    * remove each duplicated span from every doc except the one that
+    * keeps it, emitting per-doc cut counts and the md5 of the scrubbed
+    * text. The keeper rule needs NO pair join: a token is cut iff it
+    * is covered by a w-gram occurrence whose gram's MINIMUM doc over
+    * the (df-capped) corpus is a LOWER doc — "min doc keeps its copy",
+    * the same keep_id convention as every cluster consumer, computed
+    * as one per-gram min aggregate over the O(occurrences) gram table
+    * instead of the O(pairs) join (strictly better scale shape than
+    * the detection operator it complements).
+    *
+    * Coverage is exact without exploding w rows per gram: cut(t) ⇔
+    * ∃ dup start pb ≤ t with pb + w − 1 ≥ t ⇔ running-max of span
+    * ends at-or-before t reaches t — one per-doc ordered window
+    * (null-skipping max, identical in both engines). Intra-doc
+    * repeats are untouched (the family is inter-doc; F8b owns
+    * within-doc repetition), and grams past the df cap are boilerplate
+    * by the family's definition — under-cutting them is the documented
+    * capped-family contract.
+    */
+  def substringScrub(docs: DataFrame, w: Int, maxDf: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(graft.text.TextFns.tokens(col("text"))).as(Seq("p", "tok")))
+    val pg = positionedGrams(docs, w).cachedOnce
+    val shw = pg.select(col("doc_id"), col("g")).distinct()
+    val rare = shw.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("g"))
+    val gmin = shw.join(rare, "g")
+      .groupBy(col("g")).agg(min(col("doc_id")).as("gm"))
+    val dst = pg.join(gmin, "g")
+      .filter(col("gm") < col("doc_id"))
+      .select(col("doc_id"), col("p"), (col("p") + (w - 1)).as("pe"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    toks.join(dst, Seq("doc_id", "p"), "left")
+      .withColumn("run_pe", max(col("pe")).over(wr))
+      .withColumn("cut",
+        when(col("run_pe").isNotNull && col("run_pe") >= col("p"), 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cut")).as("n_cut"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(when(col("cut") === 0L,
+            struct(col("p").as("p"), col("tok").as("tok"))))),
+          s => s.getField("tok")))).as("scrubbed_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Fixed, engine-portable MinHash parameters: k=12 permutations
     * h_i(x) = (a_i·x + b_i) mod P31, banded 4×3 for LSH (canonical
     * schedule lives in the compiled expression; single source).

@@ -89,6 +89,12 @@ object LlmQueries {
   def dedupSubstringClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.substringClusters(Tables.documents(spark, dir), SubstrW, SubstrMaxDf)
 
+  /** F16x: scrub duplicated spans from every non-keeper doc — per-doc
+    * cut counts + scrubbed-text md5 (min doc per gram keeps its copy).
+    */
+  def dedupSubstringScrub(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringScrub(Tables.documents(spark, dir), SubstrW, SubstrMaxDf)
+
   /** F16s: longest verbatim shared span per overlapping pair. */
   def dedupSubstringSpans(spark: SparkSession, dir: String): DataFrame =
     Dedup.substringSpans(Tables.documents(spark, dir), SubstrW, SubstrMaxDf)

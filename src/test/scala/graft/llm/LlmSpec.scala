@@ -167,6 +167,30 @@ class LlmSpec extends SparkSpec {
     assert(st.toSeq == Seq((0L, 1L, 55L)))
   }
 
+  test("substring scrub: non-keepers lose exactly the shared span (F16x)") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = Seq(
+      (0L, "a b c d e f g h"),       // min doc: keeps every copy
+      (1L, "x y a b c d z q"),       // shares the 4-token span "a b c d"
+      (2L, "a b q r s t"),           // only a sub-w 2-token overlap
+      (3L, "a b c d e f g h")        // verbatim copy: fully scrubbed
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringScrub(docs, 3, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (0L, 8L, 0L, md5hex("a b c d e f g h")),
+      (1L, 8L, 4L, md5hex("x y z q")),
+      (2L, 6L, 0L, md5hex("a b q r s t")),
+      (3L, 8L, 8L, md5hex(""))))
+    // a df cap below the span's replication kills the cut entirely
+    // (boilerplate by the capped-family contract)
+    val capped = Dedup.substringScrub(docs, 3, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(capped.forall(_._2 == 0L))
+  }
+
   test("substring clusters: keep/drop consistent with the pair graph (F16k)") {
     val d = spanDocs(50)
     val out = Dedup.substringClusters(d, w = 50, maxDf = 5).collect()
