@@ -27,13 +27,22 @@ object Tables {
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(spark, dir, "events")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // integer division: `/` on longs is DOUBLE division, and epoch
-      // nanos (~1.7e18) exceed double's 2^53 exact range — the ±128 ns
-      // representation error can round a microsecond-aligned value into
-      // the neighboring microsecond
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer division: `/` on longs is DOUBLE division, and epoch
+        // nanos (~1.7e18) exceed double's 2^53 exact range — the ±128 ns
+        // representation error can round a microsecond-aligned value into
+        // the neighboring microsecond
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // isAdjustedToUTC=false parquet → TIMESTAMP_NTZ, which Spark will
+        // not cast to BIGINT. DuckDB's epoch() reads the same naive value
+        // as UTC; the session tz is pinned to UTC everywhere, so the
+        // NTZ→instant cast reproduces exactly that interpretation and
+        // downstream `cast(ts as long)` keeps matching the oracle.
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
