@@ -177,6 +177,65 @@ object Dedup {
       .orderBy(col("eval_id"))
   }
 
+  /** F15c: FUZZY decontamination — eval leakage detection through the
+    * MinHash band machinery instead of exact n-gram overlap: a
+    * paraphrased / lightly-perturbed copy of a benchmark item shares
+    * few exact 5-grams with its source (the F15 check misses it) but
+    * still collides with it in MinHash LSH space. Candidates are
+    * (corpus doc, eval doc) pairs agreeing on ≥1 of the 4 band hashes;
+    * each candidate is scored by the F3e slot-agreement Jaccard
+    * estimate (matches/12 — each slot agrees with probability exactly
+    * J) and kept at ≥ `minMatches` agreeing slots.
+    *
+    * Scale shape: the eval side is benchmark-sized by contract, so its
+    * band rows (WITH the 12-slot signature attached — 4 rows/doc) are
+    * one BROADCAST; corpus band rows join map-side and die immediately
+    * unless they hit an eval bucket, the slot estimate is computed
+    * per collision row from the two in-row signatures (no second join
+    * anywhere), and sub-threshold rows are filtered BEFORE the only
+    * shuffle — a map-side-combinable first-value aggregate on the
+    * O(contamination) hit set. The corpus is touched exactly once,
+    * map-only; contrast [[minhashLsh]], whose self-join this
+    * cross-table shape never performs.
+    */
+  def decontaminateFuzzy(corpus: DataFrame, evalDocs: DataFrame,
+                         minMatches: Int): DataFrame = {
+    val k = minhashParams.size
+    require(minMatches >= 1 && minMatches <= k,
+      s"minMatches in [1, $k] (got $minMatches)")
+    val cb = minhashBandRowsWithSig(corpus)
+    val eb = minhashBandRowsWithSig(
+      evalDocs.select(col("eval_id").as("doc_id"), col("text")))
+      .select(col("doc_id").as("eval_id"), col("band"), col("bh"),
+        col("mh").as("emh"))
+    val matches = (1 to k).map(i =>
+      when(element_at(col("mh"), i) === element_at(col("emh"), i), 1)
+        .otherwise(0)).reduce(_ + _)
+    cb.join(broadcast(eb), Seq("band", "bh"))
+      .filter(col("doc_id") =!= col("eval_id"))
+      .withColumn("matches", matches)
+      .filter(col("matches") >= minMatches)
+      .groupBy(col("doc_id"), col("eval_id"))
+      // matches is pair-constant (both sigs are functions of the ids):
+      // max() is just the shuffle-free way to collapse band duplicates
+      .agg(max(col("matches")).as("m"))
+      .select(col("doc_id"), col("eval_id"),
+        round(col("m") / lit(k.toDouble), 4).as("est_jaccard"))
+      .orderBy(col("doc_id"), col("eval_id"))
+  }
+
+  /** Per-doc (doc_id, band, bh, mh) — [[minhashBands]] keeping the full
+    * signature on the row, so a cross-table band collision can score
+    * the pair without any signature re-join.
+    */
+  private def minhashBandRowsWithSig(docs: DataFrame): DataFrame =
+    minhashSigRows(docs)
+      .select(col("doc_id"), col("mh"),
+        posexplode(array((0 until minhashNBands).map(b =>
+          md5(concat_ws(",", minhashKeySlots(b, 0).map(i =>
+            element_at(col("mh"), i + 1).cast("string")): _*))): _*))
+          .as(Seq("band", "bh")))
+
   /** F16: exact-substring dedup — the 50-token-overlap rule of Lee et
     * al. 2022 ("Deduplicating Training Data Makes Language Models
     * Better"), the mode the reference's n-gram Jaccard family only
@@ -666,6 +725,28 @@ object Dedup {
         when(col(idCol) === col("cluster_id"), 1L).otherwise(0L))
       .orderBy(col(idCol))
   }
+
+  /** F19b: duplicate-cluster size report over canonical component
+    * labels — the numbers a dedup run is actually judged by ("how many
+    * dup groups, how big, what do we delete"): one row per
+    * multi-member component with its size and the doc count removed
+    * under keep-the-representative. Needs the FIXPOINT labels
+    * ([[ccClusters]]) — under one-step propagation a chain's members
+    * split across labels and every size is wrong.
+    *
+    * Scale shape: one map-side-combinable count over the label column;
+    * singleton components (the overwhelming mass of any real corpus)
+    * are filtered AFTER the count but the output is O(dup groups), not
+    * O(corpus) — the report ships to a driver/dashboard.
+    */
+  def ccSizes(labels: DataFrame): DataFrame =
+    labels
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("size"))
+      .filter(col("size") >= 2)
+      .select(col("cluster_id"), col("size"),
+        (col("size") - 1L).as("n_removed"))
+      .orderBy(col("size").desc, col("cluster_id"))
 
   /** F13k: O(n)-output keep/drop over the embedding-cosine pair graph.
     * Takes the pair source as an argument so the exact graph (oracle)
