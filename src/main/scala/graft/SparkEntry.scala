@@ -74,6 +74,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => L.dedupExact(s, dir)),
     "decontaminate" -> ((s, dir) => L.decontaminate(s, dir)),
     "decontaminate_overlap" -> ((s, dir) => L.decontaminateOverlap(s, dir)),
+    "decontaminate_fuzzy" -> ((s, dir) => L.decontaminateFuzzy(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => L.dedupNgramJaccard(s, dir)),
     "dedup_ngram_jaccard_capped" -> ((s, dir) => L.dedupNgramJaccardCapped(s, dir)),
     "dedup_substring" -> ((s, dir) => L.dedupSubstring(s, dir)),
@@ -86,6 +87,7 @@ object SparkEntry {
     "dedup_minhash_est" -> ((s, dir) => L.dedupMinhashEst(s, dir)),
     "dedup_jaccard_clusters" -> ((s, dir) => L.dedupJaccardClusters(s, dir)),
     "dedup_cc_clusters" -> ((s, dir) => L.dedupCcClusters(s, dir)),
+    "dedup_cc_sizes" -> ((s, dir) => L.dedupCcSizes(s, dir)),
     "dedup_embed_cosine_clusters" -> ((s, dir) => L.dedupEmbedCosineClusters(s, dir)),
     "dedup_embed_cosine" -> ((s, dir) => L.dedupEmbedCosine(s, dir)),
     "dedup_semantic" -> ((s, dir) => L.dedupSemantic(s, dir)),
@@ -531,6 +533,30 @@ object SparkEntry {
          |  CAST(coalesce((sum(hit) * 10000) // nullif(count(*), 0), 0) AS BIGINT)
          |    AS contamination_bp
          |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+    // F15c: fuzzy decontamination — (corpus, eval) pairs colliding on
+    // ≥1 of the 4 level-0 MinHash band keys (the same `bands` CTE the
+    // F3 family joins on), scored by the F3e slot-agreement estimate;
+    // matches is pair-constant, so DISTINCT candidates then one score
+    // per pair replays Spark's filter-then-max exactly
+    "decontaminate_fuzzy" -> {
+      val k = graft.dedup.Dedup.minhashParams.size
+      val matchSum = (1 to k).map(i =>
+        s"(CASE WHEN sa.s[$i] = sb.s[$i] THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $TK, $SHD,
+         |$MinhashBandsCtes,
+         |sarr AS (SELECT doc_id, list(mh ORDER BY i) AS s FROM sigs GROUP BY 1),
+         |eb AS (SELECT doc_id AS eval_id, band, bh FROM bands
+         |  WHERE doc_id % ${graft.ops.LlmQueries.DecontamEvalMod} = 0),
+         |fcand AS (SELECT DISTINCT c.doc_id, e.eval_id
+         |  FROM bands c JOIN eb e ON c.band = e.band AND c.bh = e.bh
+         |  WHERE c.doc_id <> e.eval_id),
+         |fm AS (SELECT f.doc_id, f.eval_id, ($matchSum) AS m
+         |  FROM fcand f JOIN sarr sa ON sa.doc_id = f.doc_id
+         |               JOIN sarr sb ON sb.doc_id = f.eval_id)
+         |SELECT doc_id, eval_id, round(m / $k.0, 4) AS est_jaccard
+         |FROM fm WHERE m >= ${graft.ops.LlmQueries.FuzzyMinMatches}
+         |ORDER BY 1, 2""".stripMargin
+    },
     // G5 batch twin: per-doc distinct 5-gram hits against the eval
     // UNION shingle set (stateless broadcast-membership flag)
     "stream_decontaminate" ->
@@ -602,6 +628,27 @@ object SparkEntry {
          |SELECT u AS doc_id, min(lbl) AS cluster_id,
          | CASE WHEN min(lbl) = u THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
          |FROM reach GROUP BY u ORDER BY 1""".stripMargin,
+    // F19b: cluster-size report over the same recursive-closure labels
+    // as dedup_cc_clusters — one GROUP BY over the fixpoint labeling,
+    // multi-member components only (a one-step labeling would split
+    // chains and report every size wrong — the operator's whole point)
+    "dedup_cc_sizes" ->
+      s"""WITH RECURSIVE $TK, $SHD,
+         |$JaccardCappedCtes,
+         |prs AS (SELECT x, y
+         |  FROM inter JOIN sizes sa ON sa.doc_id=x JOIN sizes sb ON sb.doc_id=y
+         |  WHERE i*1.0/(sa.n+sb.n-i) >= 0.8),
+         |edges AS (SELECT x AS u, y AS v FROM prs
+         |  UNION ALL SELECT y AS u, x AS v FROM prs),
+         |reach(u, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v),
+         |lab AS (SELECT u, min(lbl) AS cluster_id FROM reach GROUP BY u)
+         |SELECT cluster_id, count(*) AS size,
+         |  CAST(count(*) - 1 AS BIGINT) AS n_removed
+         |FROM lab GROUP BY 1 HAVING count(*) >= 2
+         |ORDER BY size DESC, cluster_id""".stripMargin,
     // F16: verbatim >=50-token-span pairs — hashed 50-gram equi-join
     // with the df cap (Dedup.substringPairs); n_grams = shared grams
     "dedup_substring" ->

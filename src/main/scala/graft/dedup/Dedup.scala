@@ -231,9 +231,7 @@ object Dedup {
   private def minhashBandRowsWithSig(docs: DataFrame): DataFrame =
     minhashSigRows(docs)
       .select(col("doc_id"), col("mh"),
-        posexplode(array((0 until minhashNBands).map(b =>
-          md5(concat_ws(",", minhashKeySlots(b, 0).map(i =>
-            element_at(col("mh"), i + 1).cast("string")): _*))): _*))
+        posexplode(array((0 until minhashNBands).map(b => minhashKeyCol(b, 0)): _*))
           .as(Seq("band", "bh")))
 
   /** F16: exact-substring dedup — the 50-token-overlap rule of Lee et

@@ -74,6 +74,23 @@ object LlmQueries {
     Dedup.decontaminateOverlap(docs, eval, DecontamN)
   }
 
+  // F15c: fuzzy-decontamination slot threshold — ≥4 of 12 agreeing
+  // signature slots ≈ estimated Jaccard ≥ 1/3, low enough to catch a
+  // paraphrased benchmark copy whose exact 5-grams are all broken but
+  // above the noise floor of unrelated-doc slot coincidence
+  val FuzzyMinMatches = 4
+
+  /** F15c: paraphrase-robust decontamination through the MinHash band
+    * machinery (Dedup.decontaminateFuzzy) — same eval sample as F15;
+    * catches the perturbed-copy leaks the exact 5-gram check misses.
+    */
+  def decontaminateFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val eval = docs.filter(col("doc_id") % DecontamEvalMod === 0)
+      .select(col("doc_id").as("eval_id"), col("text"))
+    Dedup.decontaminateFuzzy(docs, eval, FuzzyMinMatches)
+  }
+
   // F16 exact-substring dedup: the Lee et al. 50-token window; a
   // 50-gram in more than 5 docs is boilerplate (cap binds rarely — the
   // synthetic corpus's max 50-gram df is well under it; it exists for
@@ -154,6 +171,14 @@ object LlmQueries {
         .select(col("x"), col("y")),
       CcMaxIter)
   }
+
+  /** F19b: duplicate-cluster size report over the F19 FIXPOINT labels
+    * (Dedup.ccSizes) — one row per multi-member component; the numbers
+    * a production dedup run is judged by. Needs the canonical labels:
+    * one-step star labels split chains and report wrong sizes.
+    */
+  def dedupCcSizes(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ccSizes(dedupCcClusters(spark, dir))
 
   /** O(n) keep/drop from the exact embed-cosine pair graph; swap in
     * `Dedup.embedCosineLshPairs` for the LSH-bucketed 100 TB path.

@@ -626,6 +626,23 @@ class LlmSpec extends SparkSpec {
     assert(one.find(_._1 == 2L).get._2 == 1L)
   }
 
+  test("cluster sizes need the fixpoint labels, not one-step stars (F19b)") {
+    val ids = (0L to 5L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("x", "y")
+    // fixpoint labels: the A–B–C chain is ONE cluster of size 3 with 2
+    // docs removed under keep-the-representative
+    val out = Dedup.ccSizes(Dedup.ccClusters(ids, pairs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 3L, 2L), (3L, 2L, 1L)))
+    // the deliberate contrast — the operator's whole point: one-step
+    // star labels split the chain (C labeled B, alone in a "cluster"
+    // of 1 that the ≥2 filter then hides) and the report reads 2+2
+    // removed-1-each instead of one 3-cluster removing 2
+    val wrong = Dedup.ccSizes(Dedup.clusterize(ids, pairs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(wrong.toSeq == Seq((0L, 2L, 1L), (3L, 2L, 1L)))
+  }
+
   test("connected components: deep chain converges; bounded guard throws (F19)") {
     val ids = (0L to 9L).toDF("doc_id")
     val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("x", "y")
@@ -702,6 +719,49 @@ class LlmSpec extends SparkSpec {
     // U's grams exist in corpus doc 1 only, which IS eval 1 → 0 bp
     assert(out.toSeq == Seq(
       (0L, 6L, 6L, 10000L), (1L, 6L, 0L, 0L), (2L, 6L, 2L, 3333L)))
+  }
+
+  test("fuzzy decontamination catches a perturbed copy exact 5-grams miss (F15c)") {
+    // fixture found by tools/FuzzyProbe (seedless md5 arithmetic, so
+    // "measured, then pinned" holds forever): a 24-token doc whose
+    // adjacent-swap perturbation at positions (5,6), (11,12), (17,18)
+    // breaks every 5-token window except starts 0 and 19 — 2 shared
+    // 5-grams < minHits 3, F15 provably misses — yet agrees on 9 of
+    // the 12 MinHash signature slots including full bands 2 and 3
+    val orig = (0 until 24).map(i => s"w24q$i").toVector
+    val pert = Seq(5, 11, 17).foldLeft(orig) { (t, p) =>
+      t.updated(p, t(p + 1)).updated(p + 1, t(p))
+    }
+    assert((orig.sliding(5).map(_.mkString(" ")).toSet &
+      pert.sliding(5).map(_.mkString(" ")).toSet).size == 2)
+    val corpus = Seq(
+      (0L, pert.mkString(" ")), // the paraphrased leak
+      (1L, "completely different words entirely unrelated content here now")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, orig.mkString(" "))).toDF("eval_id", "text")
+    // the exact 5-gram check at the driver constants finds NOTHING
+    assert(Dedup.decontaminate(corpus, eval,
+      graft.ops.LlmQueries.DecontamN, graft.ops.LlmQueries.DecontamMinHits,
+      graft.ops.LlmQueries.DecontamMaxDf).count() == 0)
+    // the fuzzy check surfaces exactly the planted pair at 9/12 slots
+    val out = Dedup.decontaminateFuzzy(corpus, eval,
+      graft.ops.LlmQueries.FuzzyMinMatches).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((0L, 100L, 0.75)))
+  }
+
+  test("fuzzy decontamination: exact copy scores 1.0, self excluded (F15c)") {
+    val T = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (0L, T),                                                      // exact leak
+      (100L, T),                                                    // the eval doc itself
+      (2L, "unrelated words that share nothing with the benchmark suite")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, T)).toDF("eval_id", "text")
+    val out = Dedup.decontaminateFuzzy(corpus, eval, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc 100 (the eval doc in the corpus) is self-excluded by id
+    assert(out.toSeq == Seq((0L, 100L, 1.0)))
   }
 
   test("vocab: tf counts repeats, df counts docs, cutoff deterministic (F17)") {
