@@ -230,6 +230,20 @@ class PlanAuditSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("ivf candidate stream carries no dedup shuffle (VERDICT r6 #2)") {
+    // (q_id, vec_id) is unique by construction — one coarse assignment
+    // per vector × distinct probe lists per query — so the float/SQ8
+    // IVF paths must not pay a dropDuplicates exchange on the candidate
+    // stream (at 100 TB the largest intermediate in the query). Hash
+    // exchanges = assignment argmax + probe-rank window + topK window:
+    // exactly 3 (the r6 dedup made it 4).
+    for (name <- Seq("ann_ivf", "ann_ivf_quantized")) {
+      val p = plan(name)
+      assert(countOf(p, "Exchange hashpartitioning") == 3,
+        s"$name:\n${p.take(3000)}")
+    }
+  }
+
   test("ann_quantized: query codes broadcast, corpus streams one stage") {
     val p = plan("ann_quantized")
     // the code-space rerank must keep bruteTopK's shape: bounded query
