@@ -438,6 +438,49 @@ object SparkEntry {
        |FROM d$n ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB CTE: nearest-centroid assignment of every vector in `n`
+    * against codebook CTE `cents` — argmax of round(cos, 6) with
+    * lowest-cent_id tie-break, the Ann.coarseAssign/ivfTopKWith rule.
+    * Shared by the IVF family and the SemDeDup oracle.
+    */
+  private def ivfAssignCte(cents: String, name: String): String =
+    s"""$name AS (SELECT vec_id, cent_id FROM (
+       |  SELECT n.vec_id, c.cent_id, row_number() OVER (PARTITION BY n.vec_id
+       |    ORDER BY round(list_dot_product(n.emb, c.ce)/(n.nrm*c.cn), 6) DESC, c.cent_id) AS ark
+       |  FROM n CROSS JOIN $cents c) WHERE ark = 1)""".stripMargin
+
+  /** The Lloyd-refined codebook as DuckDB CTEs — `n` (normed vectors),
+    * `c0` (lowest-K seed), then per-iteration assign → FIXED-POINT
+    * element-wise mean (exact 1e-6-grid integer sum / count, then the
+    * FLOAT pass) → rebuilt codebook, exactly Ann.refinedCentroids'
+    * arithmetic; the final codebook CTE is [[LloydFinalCte]]. Shared by
+    * ann_ivf_refined and dedup_semantic (VERDICT r6 #4).
+    */
+  private lazy val LloydChainCtes: String = {
+    import graft.ops.{LlmQueries => LQ}
+    def lloydCte(prev: String, a: String, m: String, next: String) =
+      s"""$m AS (SELECT a.cent_id, e.d,
+         |  CAST(CAST(CAST(sum(CAST(round(e.v * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |    / (count(*) * 1000000.0) AS FLOAT) AS DOUBLE) AS mv
+         |  FROM $a a JOIN (SELECT vec_id, generate_subscripts(emb,1) AS d, unnest(emb) AS v
+         |                  FROM n) e USING (vec_id)
+         |  GROUP BY 1,2),
+         |${m}l AS (SELECT cent_id, list(mv ORDER BY d) AS ce FROM $m GROUP BY 1),
+         |$next AS (SELECT p.cent_id, coalesce(l.ce, p.ce) AS ce,
+         |  sqrt(list_dot_product(coalesce(l.ce, p.ce), coalesce(l.ce, p.ce))) AS cn
+         |  FROM $prev p LEFT JOIN ${m}l l USING (cent_id))""".stripMargin
+    val iterCtes = (1 to LQ.IvfLloydIters).map(i =>
+      ivfAssignCte(s"c${i - 1}", s"a$i") + ",\n" +
+        lloydCte(s"c${i - 1}", s"a$i", s"m$i", s"c$i")).mkString(",\n")
+    s"""n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id, emb AS ce, nrm AS cn FROM n
+       |  ORDER BY vec_id LIMIT ${LQ.IvfCentroids}),
+       |$iterCtes""".stripMargin
+  }
+
+  private lazy val LloydFinalCte = s"c${graft.ops.LlmQueries.IvfLloydIters}"
+
   /** MinHash params / stopword dict rendered from the same Scala
     * constants the Spark plans use — single source of truth.
     */
@@ -903,32 +946,9 @@ object SparkEntry {
     // regenerate the identical codebook.
     "ann_ivf_refined" -> {
       import graft.ops.{LlmQueries => LQ}
-      def assignCte(cents: String, name: String) =
-        s"""$name AS (SELECT vec_id, cent_id FROM (
-           |  SELECT n.vec_id, c.cent_id, row_number() OVER (PARTITION BY n.vec_id
-           |    ORDER BY round(list_dot_product(n.emb, c.ce)/(n.nrm*c.cn), 6) DESC, c.cent_id) AS ark
-           |  FROM n CROSS JOIN $cents c) WHERE ark = 1)""".stripMargin
-      def lloydCte(prev: String, a: String, m: String, next: String) =
-        s"""$m AS (SELECT a.cent_id, e.d,
-           |  CAST(CAST(CAST(sum(CAST(round(e.v * 1000000.0) AS BIGINT)) AS DOUBLE)
-           |    / (count(*) * 1000000.0) AS FLOAT) AS DOUBLE) AS mv
-           |  FROM $a a JOIN (SELECT vec_id, generate_subscripts(emb,1) AS d, unnest(emb) AS v
-           |                  FROM n) e USING (vec_id)
-           |  GROUP BY 1,2),
-           |${m}l AS (SELECT cent_id, list(mv ORDER BY d) AS ce FROM $m GROUP BY 1),
-           |$next AS (SELECT p.cent_id, coalesce(l.ce, p.ce) AS ce,
-           |  sqrt(list_dot_product(coalesce(l.ce, p.ce), coalesce(l.ce, p.ce))) AS cn
-           |  FROM $prev p LEFT JOIN ${m}l l USING (cent_id))""".stripMargin
-      val iterCtes = (1 to LQ.IvfLloydIters).map(i =>
-        assignCte(s"c${i - 1}", s"a$i") + ",\n" +
-          lloydCte(s"c${i - 1}", s"a$i", s"m$i", s"c$i")).mkString(",\n")
-      val cf = s"c${LQ.IvfLloydIters}"
-      s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
-         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),
-         |c0 AS (SELECT vec_id AS cent_id, emb AS ce, nrm AS cn FROM n
-         |  ORDER BY vec_id LIMIT ${LQ.IvfCentroids}),
-         |$iterCtes,
-         |${assignCte(cf, "assigned")},
+      val cf = LloydFinalCte
+      s"""WITH $LloydChainCtes,
+         |${ivfAssignCte(cf, "assigned")},
          |qa AS (SELECT n.vec_id AS q_id, c.cent_id,
          |  row_number() OVER (PARTITION BY n.vec_id
          |    ORDER BY round(list_dot_product(n.emb, c.ce)/(n.nrm*c.cn), 6) DESC, c.cent_id) AS crk
@@ -956,20 +976,16 @@ object SparkEntry {
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE list_dot_product(a.emb,b.emb)/(a.nrm*b.nrm) >= ${graft.ops.LlmQueries.EmbedCosineTau}
          |ORDER BY 1,2""".stripMargin,
-    // F28: SemDeDup cluster-then-prune — the ann_ivf assignment CTE
-    // partitions the corpus into 32 coarse cells, pairs are considered
-    // WITHIN a cell only (the by-design approximation), exact cosine
-    // filter at the F13 tau, then the shared one-step min-label rule
+    // F28: SemDeDup cluster-then-prune — the corpus is partitioned into
+    // 32 coarse cells by the Lloyd-REFINED codebook (the shared
+    // ann_ivf_refined CTE chain — the paper k-means-clusters first),
+    // pairs are considered WITHIN a cell only (the by-design
+    // approximation), exact cosine filter at the F13 tau, then the
+    // shared one-step min-label rule
     "dedup_semantic" -> {
       import graft.ops.{LlmQueries => LQ}
-      s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
-         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),
-         |cents AS (SELECT vec_id AS cent_id, emb AS ce, nrm AS cn FROM n
-         |  ORDER BY vec_id LIMIT ${LQ.IvfCentroids}),
-         |va AS (SELECT vec_id, cent_id FROM (
-         |  SELECT n.vec_id, c.cent_id, row_number() OVER (PARTITION BY n.vec_id
-         |    ORDER BY round(list_dot_product(n.emb, c.ce)/(n.nrm*c.cn), 6) DESC, c.cent_id) AS ark
-         |  FROM n CROSS JOIN cents c) WHERE ark = 1),
+      s"""WITH $LloydChainCtes,
+         |${ivfAssignCte(LloydFinalCte, "va")},
          |prs AS (SELECT ja.vec_id AS x, jb.vec_id AS y
          |  FROM va ja JOIN va jb ON ja.cent_id = jb.cent_id AND ja.vec_id < jb.vec_id
          |  JOIN n a ON a.vec_id = ja.vec_id JOIN n b ON b.vec_id = jb.vec_id

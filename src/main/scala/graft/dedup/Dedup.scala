@@ -829,8 +829,15 @@ object Dedup {
     * quadratic — is removed UPSTREAM by F1 in pipeline order (SemDeDup
     * runs after exact dedup; `Curation` stages document the same
     * ordering). Output: (vec_id, cent_id, cluster_id, keep).
+    *
+    * The CODEBOOK is a parameter (VERDICT r6 #4): the paper's pipeline
+    * k-means-clusters first, so the driver entry passes the F6c
+    * Lloyd-refined codebook (`Ann.refinedCentroids`) — tighter cells ⇒
+    * fewer cross-cell misses at the same K; any K-row (cent_id, ce, cn)
+    * frame works, and the plan shape (one broadcast scoring pass, one
+    * cent_id equi-join) is codebook-independent.
     */
-  def semanticClusters(vecs: DataFrame, tau: Double, nCentroids: Int): DataFrame = {
+  def semanticClusters(vecs: DataFrame, tau: Double, codebook: DataFrame): DataFrame = {
     import graft.similarity.Ann
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       graft.functions.FloatDot.dot(a, b)
@@ -839,8 +846,7 @@ object Dedup {
     // 16-byte/row table once instead of re-running the corpus×codebook
     // scoring per reference (the cached-MinHash-signature discipline;
     // at 100 TB this narrow table is what you'd checkpoint)
-    val assigned = Ann.coarseAssign(vecs, Ann.initialCentroids(vecs, nCentroids))
-      .cachedOnce
+    val assigned = Ann.coarseAssign(vecs, codebook).cachedOnce
     val cand = assigned.as("ja").join(assigned.as("jb"),
         col("ja.cent_id") === col("jb.cent_id") && col("ja.vec_id") < col("jb.vec_id"))
       .select(col("ja.vec_id").as("x"), col("jb.vec_id").as("y"))

@@ -189,12 +189,15 @@ object LlmQueries {
   }
 
   /** F28: SemDeDup cluster-then-prune at the SAME τ as F13, so the
-    * candidate subset (13 of 59 pairs at sf0.01 under the 32-cell
-    * coarse partition) is directly comparable to the exact graph.
+    * candidate subset is directly comparable to the exact graph —
+    * over the F6c Lloyd-REFINED codebook (the paper k-means-clusters
+    * first; VERDICT r6 #4): tighter cells, fewer cross-cell misses.
     */
-  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
-    Dedup.semanticClusters(Tables.embeddings(spark, dir),
-      EmbedCosineTau, IvfCentroids)
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Dedup.semanticClusters(e, EmbedCosineTau,
+      Ann.refinedCentroids(e, IvfCentroids, IvfLloydIters))
+  }
 
   // image near-dup thresholds: twins measured at hamming ≤ 2 (re-encode
   // ≤ 1, slight resize ≤ 2 with the interior-sampled hash) — inside the

@@ -960,7 +960,8 @@ class LlmSpec extends SparkSpec {
       (10L, Array(0.99f, 0.1f, 0f, 0f)), (11L, Array(0.99f, 0.1f, 0f, 0f)),
       (12L, Array(0.9f, 0.2f, 0f, 0f)), (20L, Array(0.6f, 0.6f, 0.52f, 0f)))
     val vecs = rows.toDF("vec_id", "embedding")
-    val out = Dedup.semanticClusters(vecs, tau = 0.9, nCentroids = 4).collect()
+    val out = Dedup.semanticClusters(vecs, tau = 0.9,
+      graft.similarity.Ann.initialCentroids(vecs, 4)).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     // the e0 family lands in cell 0 and collapses to cluster 0
     for (id <- Seq(0L, 10L, 11L, 12L)) assert(out(id)._1 == 0L)
