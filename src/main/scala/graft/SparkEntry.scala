@@ -115,6 +115,7 @@ object SparkEntry {
     "corpus_curation" -> ((s, dir) => L.corpusCuration(s, dir)),
     "corpus_vocab" -> ((s, dir) => L.corpusVocab(s, dir)),
     "corpus_bpe_merges" -> ((s, dir) => L.corpusBpeMerges(s, dir)),
+    "corpus_bpe_sampled" -> ((s, dir) => L.corpusBpeSampled(s, dir)),
     "corpus_bpe_apply" -> ((s, dir) => L.corpusBpeApply(s, dir)),
     "corpus_split" -> ((s, dir) => L.corpusSplit(s, dir)),
     "corpus_sample" -> ((s, dir) => L.corpusSample(s, dir)),
@@ -375,7 +376,7 @@ object SparkEntry {
     * the merge table inside DuckDB (consumed by both the F21 merges
     * oracle and the F21c/G10 apply oracles).
     */
-  private lazy val BpeChainCtes: String = {
+  private def bpeChainCtes(src: String): String = {
     val n = graft.ops.LlmQueries.BpeMerges
     val D = graft.text.Bpe.D
     def stepCtes(k: Int): String = {
@@ -393,19 +394,37 @@ object SparkEntry {
     }
     val steps = (1 to n).map(stepCtes).mkString(",\n")
     s"""w AS (SELECT word, count(*) AS freq FROM (
-       |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) t
+       |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM $src) t
        |  WHERE length(word) > 0 GROUP BY 1),
        |s0 AS (SELECT word, freq, regexp_replace(word, '(.)', '$D\\1$D', 'g') AS s FROM w),
        |$steps""".stripMargin
   }
 
-  private lazy val BpeOracleSql: String = {
+  private lazy val BpeChainCtes: String = bpeChainCtes("documents")
+
+  /** The F21 merge-table oracle over an arbitrary document source —
+    * shared by corpus_bpe_merges (full corpus) and corpus_bpe_sampled
+    * (the salted-hash sampled sub-corpus).
+    */
+  private def bpeMergesOracleSql(src: String): String = {
     val n = graft.ops.LlmQueries.BpeMerges
     val sel = (1 to n).map(k => s"SELECT step, lhs, rhs, cnt FROM m$k")
       .mkString("\nUNION ALL ")
-    s"""WITH $BpeChainCtes
+    s"""WITH ${bpeChainCtes(src)}
        |$sel
        |ORDER BY step""".stripMargin
+  }
+
+  private lazy val BpeOracleSql: String = bpeMergesOracleSql("documents")
+
+  /** The F21s sampled document source as a DuckDB subquery — the SAME
+    * salted h60 keep rule LlmQueries.bpeSampleDocs evaluates.
+    */
+  private lazy val BpeSampleSrc: String = {
+    import graft.ops.{LlmQueries => LQ}
+    s"""(SELECT * FROM documents
+       | WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'${LQ.BpeSampleSalt}'),1,15))::BIGINT
+       |   % 10000 < ${LQ.BpeSampleBp})""".stripMargin
   }
 
   /** F21c/G10: the regenerated merge table applied to every document —
@@ -1217,6 +1236,10 @@ object SparkEntry {
     // F21: BPE merge table — the rendered per-iteration CTE chain
     // replays the same greedy merges (see BpeOracleSql)
     "corpus_bpe_merges" -> BpeOracleSql,
+    // F21s: the same greedy chain replayed over the SAMPLED word table
+    // (salted-hash keep rule rendered as SQL — the sampled sub-corpus
+    // is itself deterministic, so both engines train on identical rows)
+    "corpus_bpe_sampled" -> bpeMergesOracleSql(BpeSampleSrc),
     // F21c: the same regenerated merges applied per document; G10's
     // batch twin runs the identical projection, so the oracle is shared
     "corpus_bpe_apply" -> BpeApplyOracleSql,

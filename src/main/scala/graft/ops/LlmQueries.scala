@@ -382,6 +382,33 @@ object LlmQueries {
   def corpusBpeMerges(spark: SparkSession, dir: String): DataFrame =
     graft.text.Bpe.merges(spark, Tables.documents(spark, dir), BpeMerges)
 
+  // F21s: train-on-sample BPE — a production 30k-merge tokenizer
+  // cannot run 30k sequential jobs over the full corpus (the F21 loop
+  // is one job per merge); the standard shape trains the merge table
+  // on a hash-stable sample and applies corpus-wide via the frozen
+  // F21c projection. 50% at sf0.01 keeps the sampled word table rich
+  // enough to exercise real merge divergence from full training.
+  val BpeSampleBp = 5000
+  val BpeSampleSalt = "#bpe"
+
+  /** The deterministic salted-hash sample the BPE trainer reads: keep
+    * is a pure function of doc_id (the F24 rule with a '#bpe' salt, so
+    * it is decorrelated from both the F18 split and the F24 mixture
+    * sample) — the trained table never changes under corpus
+    * repartitioning or growth of the non-sampled remainder.
+    */
+  def bpeSampleDocs(docs: DataFrame): DataFrame =
+    docs.filter(graft.text.TextFns.h60(
+      concat(col("doc_id").cast("string"), lit(BpeSampleSalt))) % 10000L < BpeSampleBp)
+
+  /** F21s: the BPE merge table trained on the sampled sub-corpus only
+    * — same greedy loop, vocabulary-sized iterations over a fraction
+    * of the corpus scan cost.
+    */
+  def corpusBpeSampled(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.merges(spark,
+      bpeSampleDocs(Tables.documents(spark, dir)), BpeMerges)
+
   /** The trained merge table is a deterministic pure function of
     * (corpus, N) — memoized driver-side so the two consumers (F21c
     * batch apply, G10 streaming twin) train once and ship the same

@@ -702,6 +702,32 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"apply must be map-only:\n$plan")
   }
 
+  test("bpe train-on-sample: stable under repartition and non-sample growth (F21s)") {
+    import graft.ops.LlmQueries
+    import graft.text.Bpe
+    val docs = Seq(
+      (0L, "aaab aaab aaab banana"), (1L, "aaab banana banana"),
+      (2L, "cacao cacao beans"), (3L, "beans beans aaab"),
+      (4L, "banana cacao aaab aaab"), (5L, "mango mango mango"))
+      .toDF("doc_id", "text")
+    val t1 = Bpe.mergeRows(spark, LlmQueries.bpeSampleDocs(docs), 3)
+    // grow the corpus by docs the salted hash EXCLUDES from the sample
+    // (picked dynamically — keep is a pure function of doc_id, so any
+    // excluded id stays excluded forever) and repartition: the trained
+    // table must not move, the property that lets a production run
+    // freeze a tokenizer while the crawl keeps growing
+    val candidates = (100L until 140L).map(i => (i, s"zz$i yy$i zz$i"))
+      .toDF("doc_id", "text")
+    val extra = candidates.except(LlmQueries.bpeSampleDocs(candidates))
+    assert(extra.count() > 0)
+    val grown = docs.unionByName(extra).repartition(7)
+    val t2 = Bpe.mergeRows(spark, LlmQueries.bpeSampleDocs(grown), 3)
+    assert(t1 == t2)
+    // and the sample is a real subset: full-corpus training sees words
+    // the sampled trainer never reads
+    assert(LlmQueries.bpeSampleDocs(docs).count() < docs.count())
+  }
+
   test("decontaminate overlap: full/none/partial with self-exclusion (F15b)") {
     val T = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val U = "unique solitary content appearing nowhere else in the corpus today"
