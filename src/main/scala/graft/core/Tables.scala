@@ -26,6 +26,13 @@ object Tables {
     // session state on every load.
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the TIMESTAMP_NTZ branch below casts naive values to instants
+    // THROUGH the session timezone; an externally-built session on a
+    // non-UTC tz would shift every ts by the zone offset and diverge
+    // from the DuckDB epoch()-as-UTC oracle (ADVICE r6) — guard it the
+    // same way as nanosAsLong
+    if (!spark.conf.getOption("spark.sql.session.timeZone").contains("UTC"))
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = load(spark, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -54,6 +54,7 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val base = graft.core.Tables.documents(spark, dir)
+    val ebase = graft.core.Tables.embeddings(spark, dir)
     // eval side: fixed benchmark-sized sample of the BASE corpus
     val evalDf = base.filter(col("doc_id") % LlmQueries.DecontamEvalMod === 0)
       .select(col("doc_id").as("eval_id"), col("text"))
@@ -66,6 +67,27 @@ object ScaleBench {
         .write.mode("overwrite").parquet(path)
       val docs = spark.read.parquet(path)
       val nDocs = docs.count()
+      // scaled embeddings for the semantic family: replica k shifts the
+      // first component by k·1e-3 — still a near-copy of its source
+      // (the adversarial dup-mass case) but not float-identical
+      val epath = s"target/scalebench/x$copies/embeddings.parquet"
+      (0 until copies).map { k =>
+        if (k == 0) ebase.select(col("vec_id"), col("embedding"))
+        else ebase.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x + when(i === lit(0), lit(k * 1e-3)).otherwise(lit(0.0)))
+              .cast("float")).as("embedding"))
+      }.reduce(_ unionByName _).write.mode("overwrite").parquet(epath)
+      val vecs = spark.read.parquet(epath)
+      // image-family corpus: replica offset 1e9 so scaled doc ids can
+      // never collide with the planted-twin media offsets (2e7/3e7)
+      val ipath = s"target/scalebench/x$copies/imgdocs.parquet"
+      (0 until copies).map { k =>
+        if (k == 0) base.select(col("doc_id"), col("text"))
+        else base.select((col("doc_id") + lit(k * 1000000000L)).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionByName _).write.mode("overwrite").parquet(ipath)
+      val imgDocs = spark.read.parquet(ipath)
 
       val families: Seq[(String, () => DataFrame)] = Seq(
         "dedup_ngram_jaccard_capped" -> (() =>
@@ -108,8 +130,39 @@ object ScaleBench {
           graft.ops.Curation.curate(spark, docs,
             LlmQueries.CurationMinScore, LlmQueries.CurationMinTokens,
             LlmQueries.CurationLang,
-            LlmQueries.SimhashMaxHamming, LlmQueries.SimhashMaxDf))
-      )
+            LlmQueries.SimhashMaxHamming, LlmQueries.SimhashMaxDf)),
+        // r7 families (VERDICT r6 #5)
+        "decontaminate_overlap" -> (() =>
+          graft.dedup.Dedup.decontaminateOverlap(docs, evalDf,
+            LlmQueries.DecontamN)),
+        "decontaminate_fuzzy" -> (() =>
+          graft.dedup.Dedup.decontaminateFuzzy(docs, evalDf,
+            LlmQueries.FuzzyMinMatches)),
+        "corpus_pack" -> (() =>
+          graft.ops.Packing.pack(docs, LlmQueries.PackBudget)),
+        "corpus_quality_buckets" -> (() =>
+          graft.ops.Sampling.qualityBuckets(docs, LlmQueries.QualityBucketN)),
+        // SemDeDup under the paper's discipline: K scales WITH the
+        // corpus (cluster size ~fixed), codebook Lloyd-refined as in
+        // the driver entry — per-cell pair work stays bounded while
+        // replica dup-mass grows 20×
+        "dedup_semantic" -> (() =>
+          graft.dedup.Dedup.semanticClusters(vecs, LlmQueries.EmbedCosineTau,
+            graft.similarity.Ann.refinedCentroids(vecs,
+              LlmQueries.IvfCentroids * copies, LlmQueries.IvfLloydIters)))
+      ) ++ (if (copies <= 10) Seq[(String, () => DataFrame)](
+        // codec cost alone (decode + twin re-encode/resize), then the
+        // full pipeline — the difference is the hash+band-join cost the
+        // dedup machinery adds on top of unavoidable image IO; capped
+        // at ×10 because the codec stage is minutes at ×20 and scales
+        // exactly linearly anyway
+        "image_decode" -> (() =>
+          graft.multimodal.ImageDedup.plantedImages(spark, imgDocs).toDF()),
+        "dedup_image_phash" -> (() =>
+          graft.multimodal.ImageDedup.phashPairs(spark,
+            graft.multimodal.ImageDedup.plantedImages(spark, imgDocs),
+            LlmQueries.PhashMaxHamming, LlmQueries.PhashMaxDf))
+      ) else Nil)
       def f2(v: Double): String =
         String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       for ((name, mk) <- families) {
