@@ -128,6 +128,7 @@ object SparkEntry {
     "stream_decontaminate" -> ((s, dir) => L.streamDecontaminate(s, dir)),
     "stream_quality_gate" -> ((s, dir) => L.streamQualityGate(s, dir)),
     "stream_ann_assign" -> ((s, dir) => L.streamAnnAssign(s, dir)),
+    "ann_assign_2level" -> ((s, dir) => L.annAssign2Level(s, dir)),
     "stream_tokenize" -> ((s, dir) => L.streamTokenize(s, dir)),
     "multimodal_pipeline" -> ((s, dir) =>
       graft.multimodal.BinaryPipeline.pipelineSummary(s, graft.core.Tables.documents(s, dir)))
@@ -1051,6 +1052,36 @@ object SparkEntry {
          |    ORDER BY round(list_dot_product(n.emb, c.ce)/(n.nrm*c.cn), 6) DESC, c.cent_id) AS ark
          |  FROM n CROSS JOIN cents c)
          |SELECT vec_id, cent_id FROM va WHERE ark = 1
+         |ORDER BY vec_id""".stripMargin
+    },
+    // F6d: two-level coarse routing — super-codebook = the G
+    // lowest-cent_id centroids, centroid→super by the same argmax,
+    // rows route super first then argmax over ONLY the super-cell's
+    // member centroids (the O(√K) hierarchical approximation)
+    "ann_assign_2level" -> {
+      import graft.ops.{LlmQueries => LQ}
+      s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),
+         |cents AS (SELECT vec_id AS cent_id, emb AS ce, nrm AS cn FROM n
+         |  ORDER BY vec_id LIMIT ${LQ.IvfCentroids}),
+         |sup AS (SELECT cent_id AS super_id, ce AS se, cn AS sn FROM cents
+         |  ORDER BY cent_id LIMIT ${LQ.SuperCells}),
+         |cmap AS (SELECT cent_id, super_id, ce, cn FROM (
+         |  SELECT c.cent_id, s.super_id, c.ce, c.cn,
+         |    row_number() OVER (PARTITION BY c.cent_id
+         |      ORDER BY round(list_dot_product(c.ce, s.se)/(c.cn*s.sn), 6) DESC, s.super_id) AS rk
+         |  FROM cents c CROSS JOIN sup s) WHERE rk = 1),
+         |r1 AS (SELECT vec_id, super_id FROM (
+         |  SELECT n.vec_id, s.super_id,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY round(list_dot_product(n.emb, s.se)/(n.nrm*s.sn), 6) DESC, s.super_id) AS rk
+         |  FROM n CROSS JOIN sup s) WHERE rk = 1)
+         |SELECT vec_id, super_id, cent_id FROM (
+         |  SELECT n.vec_id, r1.super_id, m.cent_id,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY round(list_dot_product(n.emb, m.ce)/(n.nrm*m.cn), 6) DESC, m.cent_id) AS rk
+         |  FROM n JOIN r1 USING (vec_id) JOIN cmap m ON m.super_id = r1.super_id) t
+         |WHERE rk = 1
          |ORDER BY vec_id""".stripMargin
     },
     // F25b: IVF + int8 rerank — ann_ivf's float assignment/probe CTEs

@@ -298,6 +298,20 @@ object LlmQueries {
       IvfCentroids, IvfProbe, PqSubspaces, PqCodes)
   }
 
+  // F6d: G = ceil(sqrt(IvfCentroids)) super-cells — the O(sqrt K)
+  // routing work point
+  val SuperCells = 6
+
+  /** F6d: two-level (hierarchical) coarse assignment — the K∝corpus
+    * routing shape (score G supers, then only the super-cell's member
+    * centroids: O(√K) per row instead of O(K)).
+    */
+  def annAssign2Level(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Ann.coarseAssignTwoLevel(e, Ann.initialCentroids(e, IvfCentroids), SuperCells)
+      .orderBy(col("vec_id"))
+  }
+
   def textLangid(spark: SparkSession, dir: String): DataFrame =
     Analysis.langId(spark, Tables.documents(spark, dir))
 

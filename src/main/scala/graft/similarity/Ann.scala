@@ -539,6 +539,68 @@ object Ann {
         struct(round(col("csim"), 6).as("s"), (-col("cent_id")).as("t"))).as("cent_id"))
   }
 
+  /** F6d: TWO-LEVEL (hierarchical) coarse assignment — the production
+    * routing shape for the K-scales-with-corpus regime (SURVEY §6: the
+    * SemDeDup/IVF assignment is O(n·K) flat scans, quadratic once K ∝
+    * n; at FAISS-scale K of 100k+ cells nobody scores every centroid).
+    * Super-centroids are the √K-discipline subset of the codebook
+    * itself ([[initialCentroids]] applied to the codebook: its G
+    * lowest-cent_id rows); every centroid joins its nearest
+    * super-centroid (a K-row pass against a G-row broadcast); a data
+    * row then scores G super-centroids (map-only greatest) and ONLY
+    * the centroids inside its super-cell (a broadcast equi-join on
+    * super_id + one map-side-combined argmax) — O(G + K/G) = O(√K)
+    * per row instead of O(K), with both stages the same
+    * round(cos, 6)/lowest-id argmax rule as [[coarseAssign]].
+    *
+    * APPROXIMATE by design: a row whose true nearest centroid lives
+    * in a different super-cell than the row's own nearest
+    * super-centroid routes to the best centroid WITHIN its super-cell
+    * (the standard hierarchical-routing loss; the two-level result is
+    * always a valid centroid, and agreement with flat argmax is
+    * measured in spec + driver query). Output: (vec_id, super_id,
+    * cent_id).
+    */
+  def coarseAssignTwoLevel(vecs: DataFrame, centroids: DataFrame,
+                           nSuper: Int): DataFrame = {
+    require(nSuper >= 1, s"nSuper must be >= 1 (got $nSuper)")
+    // super-codebook: the G lowest-cent_id centroids, re-keyed
+    val supers = broadcast(centroids.orderBy(col("cent_id")).limit(nSuper)
+      .select(col("cent_id").as("super_id"), col("ce").as("se"),
+        col("cn").as("sn")))
+    // centroid → super-cell: K rows against the G-row broadcast, the
+    // same argmax; the result is itself a bounded broadcast table
+    val cellMap = broadcast(
+      centroids.crossJoin(supers)
+        .withColumn("ssim", dot(col("ce"), col("se")) / (col("cn") * col("sn")))
+        .groupBy(col("cent_id"))
+        .agg(max_by(col("super_id"),
+          struct(round(col("ssim"), 6).as("s"), (-col("super_id")).as("t"))).as("super_id"),
+          first(col("ce")).as("ce"), first(col("cn")).as("cn")))
+    val v = vecs.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    // level 1: G-way argmax (G scored rows per vec, map-side-combined
+    // to one; the embedding payload is a scan ATTRIBUTE — the
+    // computed-payload re-evaluation trap the PQ index build hit does
+    // not apply)
+    val routed = v.crossJoin(supers)
+      .withColumn("ssim", dot(col("embedding"), col("se")) / (col("nrm") * col("sn")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("embedding").as("e"), col("nrm").as("n"), col("super_id")),
+        struct(round(col("ssim"), 6).as("s"), (-col("super_id")).as("t"))).as("a"))
+      .select(col("vec_id"), col("a.e").as("embedding"), col("a.n").as("nrm"),
+        col("a.super_id").as("super_id"))
+    // level 2: score ONLY the super-cell's member centroids
+    routed.join(cellMap, Seq("super_id"))
+      .withColumn("csim", dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+      .groupBy(col("vec_id"))
+      .agg(first(col("super_id")).as("super_id"),
+        max_by(col("cent_id"),
+          struct(round(col("csim"), 6).as("s"), (-col("cent_id")).as("t"))).as("cent_id"))
+      .select(col("vec_id"), col("super_id"), col("cent_id"))
+  }
+
   /** G9 core: per-row nearest-centroid assignment against a
     * DRIVER-SIDE codebook (bounded by contract — a codebook too big to
     * ship as K expression literals is not a codebook). The argmax is
