@@ -111,6 +111,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => L.textFingerprint(s, dir)),
     "text_pii_redact" -> ((s, dir) => L.textPiiRedact(s, dir)),
     "text_lm_score" -> ((s, dir) => L.textLmScore(s, dir)),
+    "text_lm_bigram" -> ((s, dir) => L.textLmBigram(s, dir)),
     "embed_norm_stats" -> ((s, dir) => L.embedNormStats(s, dir)),
     "corpus_curation" -> ((s, dir) => L.corpusCuration(s, dir)),
     "corpus_vocab" -> ((s, dir) => L.corpusVocab(s, dir)),
@@ -1373,6 +1374,31 @@ object SparkEntry {
          |   / (count(*) * 1000000.0) - 1e-9, 4) + 0.0 AS logprob
          |FROM tok LEFT JOIN voc v USING (token) CROSS JOIN tot t
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    // F23b: add-one bigram LM — OOV→chr(1) UNK collapse BEFORE
+    // counting, history counts derived from the bounded bigram-count
+    // table, the same 1e-6 fixed-point mean as F23; docs with < 2
+    // tokens carry no transition and drop from both engines
+    "text_lm_bigram" -> {
+      val v = graft.ops.LlmQueries.VocabTopN
+      s"""WITH $TK,
+         |tok AS (SELECT doc_id, unnest(toks) AS token,
+         |  generate_subscripts(toks,1) AS pos FROM tk),
+         |voc AS (SELECT token, count(*) AS tf FROM tok GROUP BY 1
+         |  ORDER BY tf DESC, token LIMIT $v),
+         |mp AS (SELECT t.doc_id, t.pos,
+         |  CASE WHEN v.token IS NULL THEN chr(1) ELSE t.token END AS w1
+         |  FROM tok t LEFT JOIN voc v USING (token)),
+         |bi AS (SELECT doc_id, w1, w2 FROM (
+         |  SELECT doc_id, w1, lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+         |  FROM mp) x WHERE w2 IS NOT NULL),
+         |cbi AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+         |ch AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS ch FROM cbi GROUP BY 1)
+         |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         | round(CAST(sum(CAST(round(ln((c.cb+1)*1.0/(h.ch + $v + 1)) * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |   / (count(*) * 1000000.0) - 1e-9, 4) + 0.0 AS logprob_bi
+         |FROM bi b JOIN cbi c USING (w1, w2) JOIN ch h USING (w1)
+         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
     },
     // F8b: duplicate n-gram fraction per doc (2- and 3-grams); the
     // lead-window shingle build mirrors SHD, `+ 0.0` normalizes

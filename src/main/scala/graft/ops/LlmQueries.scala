@@ -342,6 +342,12 @@ object LlmQueries {
   def textLmScore(spark: SparkSession, dir: String): DataFrame =
     Analysis.lmScore(Tables.documents(spark, dir), VocabTopN)
 
+  /** F23b: add-one bigram LM transition scoring (same top-V reference
+    * vocabulary as F23, OOV collapsed to UNK before counting).
+    */
+  def textLmBigram(spark: SparkSession, dir: String): DataFrame =
+    Analysis.lmScoreBigram(Tables.documents(spark, dir), VocabTopN)
+
   def embedNormStats(spark: SparkSession, dir: String): DataFrame =
     Ann.normStats(Tables.embeddings(spark, dir))
 

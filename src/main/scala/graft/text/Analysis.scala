@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.core.Caching._
 import graft.functions.Fingerprint60
 import TextFns._
 
@@ -304,6 +305,61 @@ object Analysis {
           .as("oov_ratio"),
         round(col("lps").cast("double") / (col("n_tokens").cast("double") * lit(1e6))
           - lit(1e-9), 4).as("logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** F23b: add-one BIGRAM LM scoring — the context-aware upgrade of
+    * [[lmScore]] a quality pipeline reaches for when unigram stats
+    * stop separating fluent text from shuffled tokens (a bag-of-words
+    * doc and its permutation score identically under F23; only a
+    * transition model tells them apart): per document, the fixed-point
+    * mean of ln P(wᵢ | wᵢ₋₁) with add-one smoothing over the top-V
+    * vocabulary, out-of-vocab tokens collapsed to one UNK bucket
+    * BEFORE counting (the standard closed-vocabulary construction —
+    * it bounds the history table at V+1 rows).
+    *
+    * Scale shape: one corpus-wide bigram count (map-side-combined
+    * groupBy on the (w1, w2) pair — O(n) shuffle of narrow rows), a
+    * history table derived from the BOUNDED bigram-count table (≤ V+1
+    * rows, broadcast), and one hash join of the per-doc bigram stream
+    * against the counts; the per-doc reduce is the same 1e-6-grid
+    * fixed-point mean as F23 (integer sum, accumulation-order-free,
+    * cross-engine exact). Docs with < 2 tokens carry no transition
+    * and drop from the output by construction.
+    */
+  def lmScoreBigram(docs: DataFrame, vocabV: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val voc = vocab(docs, vocabV).select(col("token"), lit(1L).as("inv"))
+    val tok = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+    val mapped = tok.join(broadcast(voc), Seq("token"), "left")
+      .select(col("doc_id"), col("pos"),
+        // UNK bucket = U+0001 (DuckDB chr(1)): outside any space-split
+        // token alphabet, and non-empty (double spaces make "" a real
+        // token)
+        when(col("inv").isNull, lit("\u0001")).otherwise(col("token")).as("w1"))
+    // the narrow (doc_id, w1, w2) transition stream feeds three plan
+    // references (pair counts + the scoring join) — cache it, not the
+    // tokenize/window work upstream
+    val bi = mapped
+      .select(col("doc_id"), col("w1"), lead(col("w1"), 1).over(w).as("w2"))
+      .filter(col("w2").isNotNull)
+      .cachedOnce
+    val cbi = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    // history counts derive from the BOUNDED count table, not the
+    // corpus stream — ≤ V+1 rows, broadcastable at any corpus size
+    val chist = broadcast(cbi.groupBy(col("w1")).agg(sum(col("cb")).as("ch")))
+    val lp = log((col("cb") + lit(1L)).cast("double") /
+      (col("ch") + lit(vocabV.toLong) + lit(1L)).cast("double"))
+    bi.join(cbi, Seq("w1", "w2"))
+      .join(chist, Seq("w1"))
+      .select(col("doc_id"), round(lp * lit(1e6), 0).cast("long").as("lpm"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lpm")).as("lps"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("lps").cast("double") / (col("n_bigrams").cast("double") * lit(1e6))
+          - lit(1e-9), 4).as("logprob_bi"))
       .orderBy(col("doc_id"))
   }
 }

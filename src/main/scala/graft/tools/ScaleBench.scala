@@ -149,7 +149,20 @@ object ScaleBench {
         "dedup_semantic" -> (() =>
           graft.dedup.Dedup.semanticClusters(vecs, LlmQueries.EmbedCosineTau,
             graft.similarity.Ann.refinedCentroids(vecs,
-              LlmQueries.IvfCentroids * copies, LlmQueries.IvfLloydIters)))
+              LlmQueries.IvfCentroids * copies, LlmQueries.IvfLloydIters))),
+        // the K∝corpus assignment A/B: flat O(n·K) vs two-level O(n·√K)
+        // routing (F6d) over the same growing codebook — isolates the
+        // quadratic term §6 root-causes in dedup_semantic and its
+        // remedy, with no Lloyd/pair-join noise
+        "ann_assign_flat" -> (() =>
+          graft.similarity.Ann.coarseAssign(vecs,
+            graft.similarity.Ann.initialCentroids(vecs,
+              LlmQueries.IvfCentroids * copies))),
+        "ann_assign_2level" -> (() =>
+          graft.similarity.Ann.coarseAssignTwoLevel(vecs,
+            graft.similarity.Ann.initialCentroids(vecs,
+              LlmQueries.IvfCentroids * copies),
+            math.ceil(math.sqrt(LlmQueries.IvfCentroids * copies)).toInt))
       ) ++ (if (copies <= 10) Seq[(String, () => DataFrame)](
         // codec cost alone (decode + twin re-encode/resize), then the
         // full pipeline — the difference is the hash+band-join cost the
@@ -163,9 +176,11 @@ object ScaleBench {
             graft.multimodal.ImageDedup.plantedImages(spark, imgDocs),
             LlmQueries.PhashMaxHamming, LlmQueries.PhashMaxDf))
       ) else Nil)
+      // args(1..): optional family-name filter for targeted re-runs
+      val only = args.drop(1).toSet
       def f2(v: Double): String =
         String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-      for ((name, mk) <- families) {
+      for ((name, mk) <- families if only.isEmpty || only(name)) {
         val sec = timeNoop(spark, mk)
         out.getOrElseUpdate(name,
           scala.collection.mutable.LinkedHashMap[Int, Double]())(copies) = sec

@@ -790,6 +790,33 @@ class LlmSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 100L, 1.0)))
   }
 
+  test("bigram LM: hand-computed transitions, permutation separated, short docs drop (F23b)") {
+    val d = Seq(
+      (0L, "a b a b"), // transitions (a,b),(b,a),(a,b)
+      (1L, "a a"),     // one (a,a)
+      (2L, "x")        // no transition → absent from output
+    ).toDF("doc_id", "text")
+    // V=2 → vocab {a (tf 4), b (tf 2)}; x → UNK. Corpus counts:
+    // cb(a,b)=2, cb(b,a)=1, cb(a,a)=1; ch(a)=3, ch(b)=1; V+1 = 3.
+    // lp(a,b) = ln(3/6), lp(b,a) = ln(2/4), lp(a,a) = ln(2/6)
+    val out = Analysis.lmScoreBigram(d, vocabV = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((0L, 3L), (1L, 1L)))
+    assert(math.abs(out(0)._3 - (-0.6931)) < 5e-5) // mean of 3× ln(0.5)
+    assert(math.abs(out(1)._3 - (-1.0986)) < 5e-5) // ln(1/3)
+    // the separation F23 cannot make: a doc and its token permutation
+    // score identically under the unigram LM but differently here
+    val perm = Seq((0L, "the cat sat on the mat"), (1L, "the the cat mat on sat"),
+      (2L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val uni = Analysis.lmScore(perm, 50).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(uni(0L) == uni(1L)) // unigram: blind to order
+    val big = Analysis.lmScoreBigram(perm, 50).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(big(0L) != big(1L)) // bigram: the fluent doc scores higher
+    assert(big(0L) > big(1L))
+  }
+
   test("vocab: tf counts repeats, df counts docs, cutoff deterministic (F17)") {
     val d = Seq(
       (0L, "spark spark spark data"),
