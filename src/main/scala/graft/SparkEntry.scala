@@ -114,6 +114,7 @@ object SparkEntry {
     "text_lm_bigram" -> ((s, dir) => L.textLmBigram(s, dir)),
     "embed_norm_stats" -> ((s, dir) => L.embedNormStats(s, dir)),
     "corpus_curation" -> ((s, dir) => L.corpusCuration(s, dir)),
+    "corpus_curation_decontam" -> ((s, dir) => L.corpusCurationDecontam(s, dir)),
     "corpus_vocab" -> ((s, dir) => L.corpusVocab(s, dir)),
     "corpus_bpe_merges" -> ((s, dir) => L.corpusBpeMerges(s, dir)),
     "corpus_bpe_sampled" -> ((s, dir) => L.corpusBpeSampled(s, dir)),
@@ -458,6 +459,45 @@ object SparkEntry {
        |    AS compression_bp
        |FROM d$n ORDER BY doc_id""".stripMargin
   }
+
+  /** The F14 staged-curation pipeline as DuckDB CTEs ending in `cres`
+    * (doc_id, reason) — shared by corpus_curation and the F14b
+    * decontamination-extended variant.
+    */
+  private lazy val CurationStageCtes: String =
+    s"""$TK,
+       |qual AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  ${qualityScoreSql(EnStopwordList)} AS score FROM tk),
+       |tok AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+       |dict(lang_cand, word) AS (VALUES $StopwordValues),
+       |hits AS (SELECT doc_id, lang_cand, count(*) AS hits FROM tok
+       |  JOIN dict ON tok = word GROUP BY 1,2),
+       |best AS (SELECT doc_id, lang_cand,
+       |  row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_cand) AS rk FROM hits),
+       |lng AS (SELECT d.doc_id, coalesce(b.lang_cand, 'unknown') AS pred_lang
+       |  FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)),
+       |base AS (SELECT t.doc_id, t.text, q.n_tokens, q.score, lng.pred_lang,
+       |  (q.score >= ${graft.ops.LlmQueries.CurationMinScore}
+       |    AND q.n_tokens >= ${graft.ops.LlmQueries.CurationMinTokens}) AS q_pass,
+       |  (lng.pred_lang = '${graft.ops.LlmQueries.CurationLang}') AS l_pass
+       |  FROM tk t JOIN qual q USING (doc_id) JOIN lng USING (doc_id)),
+       |sv AS (SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+       |  FROM base WHERE q_pass AND l_pass),
+       |tk2 AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM sv
+       |  WHERE doc_id = keep_id),
+       |${simCte("tk2")},
+       |$SimhashCappedKeyed,
+       |$SimhashClusterCtes,
+       |nd AS (SELECT m.doc_id,
+       |    CASE WHEN m.doc_id = c.cluster_id THEN 1 ELSE 0 END AS nd_keep
+       |  FROM sim m JOIN clusters c ON c.simhash = m.simhash),
+       |cres AS (SELECT b.doc_id,
+       |  CASE WHEN NOT b.q_pass THEN 'quality'
+       |       WHEN NOT b.l_pass THEN 'language'
+       |       WHEN b.doc_id <> s.keep_id THEN 'exact_dup'
+       |       WHEN n.nd_keep = 0 THEN 'near_dup'
+       |       ELSE 'kept' END AS reason
+       |  FROM base b LEFT JOIN sv s USING (doc_id) LEFT JOIN nd n USING (doc_id))""".stripMargin
 
   /** DuckDB CTE: nearest-centroid assignment of every vector in `n`
     * against codebook CTE `cents` — argmax of round(cos, 6) with
@@ -1486,43 +1526,54 @@ object SparkEntry {
     // near-dedup; each stage sees only the previous stage's survivors,
     // reason = first failing stage (mirrors graft.ops.Curation)
     "corpus_curation" ->
-      s"""WITH $TK,
-         |qual AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-         |  ${qualityScoreSql(EnStopwordList)} AS score FROM tk),
-         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
-         |dict(lang_cand, word) AS (VALUES $StopwordValues),
-         |hits AS (SELECT doc_id, lang_cand, count(*) AS hits FROM tok
-         |  JOIN dict ON tok = word GROUP BY 1,2),
-         |best AS (SELECT doc_id, lang_cand,
-         |  row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_cand) AS rk FROM hits),
-         |lng AS (SELECT d.doc_id, coalesce(b.lang_cand, 'unknown') AS pred_lang
-         |  FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)),
-         |base AS (SELECT t.doc_id, t.text, q.n_tokens, q.score, lng.pred_lang,
-         |  (q.score >= ${graft.ops.LlmQueries.CurationMinScore}
-         |    AND q.n_tokens >= ${graft.ops.LlmQueries.CurationMinTokens}) AS q_pass,
-         |  (lng.pred_lang = '${graft.ops.LlmQueries.CurationLang}') AS l_pass
-         |  FROM tk t JOIN qual q USING (doc_id) JOIN lng USING (doc_id)),
-         |sv AS (SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
-         |  FROM base WHERE q_pass AND l_pass),
-         |tk2 AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM sv
-         |  WHERE doc_id = keep_id),
-         |${simCte("tk2")},
-         |$SimhashCappedKeyed,
-         |$SimhashClusterCtes,
-         |nd AS (SELECT m.doc_id,
-         |    CASE WHEN m.doc_id = c.cluster_id THEN 1 ELSE 0 END AS nd_keep
-         |  FROM sim m JOIN clusters c ON c.simhash = m.simhash)
+      s"""WITH $CurationStageCtes
          |SELECT doc_id,
          | CASE WHEN reason = 'kept' THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS kept,
          | reason
-         |FROM (SELECT b.doc_id,
-         |  CASE WHEN NOT b.q_pass THEN 'quality'
-         |       WHEN NOT b.l_pass THEN 'language'
-         |       WHEN b.doc_id <> s.keep_id THEN 'exact_dup'
-         |       WHEN n.nd_keep = 0 THEN 'near_dup'
-         |       ELSE 'kept' END AS reason
-         |  FROM base b LEFT JOIN sv s USING (doc_id) LEFT JOIN nd n USING (doc_id))
+         |FROM cres
          |ORDER BY doc_id""".stripMargin,
+    // F14b: the same staged pipeline + the stage-5 decontamination
+    // gate: survivors sharing >= DecontamMinHits distinct 5-gram
+    // shingles with the eval sample (df cap computed over the SURVIVOR
+    // corpus — the semantics of running F15 on the curated set) flip
+    // to (0, 'contaminated')
+    "corpus_curation_decontam" -> {
+      import graft.ops.{LlmQueries => LQ}
+      s"""WITH $CurationStageCtes,
+         |ktk AS (SELECT b.doc_id, string_split(lower(b.text), ' ') AS toks
+         |  FROM base b JOIN cres r USING (doc_id) WHERE r.reason = 'kept'),
+         |k5 AS (SELECT DISTINCT doc_id, shingle FROM (
+         |  SELECT doc_id, tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w
+         |    || ' ' || lead(tok,3) OVER w || ' ' || lead(tok,4) OVER w AS shingle
+         |  FROM (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks,1) AS pos FROM ktk)
+         |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) s
+         | WHERE shingle IS NOT NULL),
+         |e5 AS (SELECT DISTINCT doc_id AS eval_id, shingle FROM (
+         |  SELECT doc_id, tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w
+         |    || ' ' || lead(tok,3) OVER w || ' ' || lead(tok,4) OVER w AS shingle
+         |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
+         |        generate_subscripts(string_split(lower(text), ' '),1) AS pos
+         |        FROM documents WHERE doc_id % ${LQ.DecontamEvalMod} = 0)
+         |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) s
+         | WHERE shingle IS NOT NULL),
+         |khit AS (SELECT k5.doc_id, k5.shingle FROM k5
+         |  JOIN (SELECT DISTINCT shingle FROM e5) ev USING (shingle)),
+         |krare AS (SELECT shingle FROM (
+         |  SELECT shingle, count(*) AS df FROM khit GROUP BY 1)
+         |  WHERE df <= ${LQ.DecontamMaxDf}),
+         |cont AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT h.doc_id, e.eval_id FROM khit h JOIN krare USING (shingle)
+         |    JOIN e5 e USING (shingle)
+         |  GROUP BY 1, 2 HAVING count(*) >= ${LQ.DecontamMinHits}))
+         |SELECT doc_id,
+         | CASE WHEN fr = 'kept' THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS kept,
+         | fr AS reason
+         |FROM (SELECT r.doc_id,
+         |  CASE WHEN r.reason = 'kept' AND c.doc_id IS NOT NULL
+         |       THEN 'contaminated' ELSE r.reason END AS fr
+         |  FROM cres r LEFT JOIN cont c USING (doc_id))
+         |ORDER BY doc_id""".stripMargin
+    },
     "text_tokens" ->
       """SELECT doc_id,
         | CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws_tokens,

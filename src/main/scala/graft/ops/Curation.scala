@@ -83,4 +83,42 @@ object Curation {
         col("reason"))
       .orderBy(col("doc_id"))
   }
+
+  /** F14b: the full pipeline INCLUDING train/eval decontamination —
+    * [[curate]]'s four stages, then stage 5: a surviving document
+    * sharing ≥ `minHits` distinct `n`-gram shingles with the benchmark
+    * suite flips to (kept 0, reason 'contaminated'). Composition, not
+    * reimplementation: the base stages are the [[curate]] plan verbatim
+    * and the contamination test is [[Dedup.decontaminate]] run over
+    * the stage-4 SURVIVORS (filter first, check the expensive overlap
+    * only on what would actually ship — the same
+    * cheapest-gate-first ordering as the base stages; the shingle df
+    * cap is computed over the survivor corpus, exactly the semantics
+    * of running the F15 operator on the curated set).
+    *
+    * A benchmark item drawn from the corpus itself is flagged BY
+    * DESIGN (it shares all its shingles with its eval twin): the
+    * benchmark must not be trained on, which is the whole point of
+    * the stage.
+    */
+  def curateWithDecontam(spark: SparkSession, docs: DataFrame, evalDocs: DataFrame,
+                         minScore: Double, minTokens: Int, keepLang: String,
+                         maxHamming: Int, maxDf: Int,
+                         n: Int, minHits: Int, decontamMaxDf: Int): DataFrame = {
+    // narrow (id, kept, reason) — consumed twice (survivor filter +
+    // the final flag join)
+    val base = curate(spark, docs, minScore, minTokens, keepLang,
+      maxHamming, maxDf).cachedOnce
+    val keptDocs = docs.select(col("doc_id"), col("text"))
+      .join(base.filter(col("kept") === 1L).select(col("doc_id")), "doc_id")
+    val contaminated = Dedup.decontaminate(keptDocs, evalDocs, n, minHits, decontamMaxDf)
+      .select(col("doc_id")).distinct()
+      .withColumn("cont", lit(1L))
+    base.join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("cont").isNotNull, 0L).otherwise(col("kept")).as("kept"),
+        when(col("cont").isNotNull, lit("contaminated")).otherwise(col("reason"))
+          .as("reason"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -536,4 +536,18 @@ object LlmQueries {
     Curation.curate(spark, Tables.documents(spark, dir),
       CurationMinScore, CurationMinTokens, CurationLang,
       SimhashMaxHamming, SimhashMaxDf)
+
+  /** F14b: the full pipeline with the stage-5 decontamination gate —
+    * survivors sharing ≥ DecontamMinHits 5-gram shingles with the
+    * benchmark sample flip to (0, 'contaminated').
+    */
+  def corpusCurationDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val eval = docs.filter(col("doc_id") % DecontamEvalMod === 0)
+      .select(col("doc_id").as("eval_id"), col("text"))
+    Curation.curateWithDecontam(spark, docs, eval,
+      CurationMinScore, CurationMinTokens, CurationLang,
+      SimhashMaxHamming, SimhashMaxDf,
+      DecontamN, DecontamMinHits, DecontamMaxDf)
+  }
 }

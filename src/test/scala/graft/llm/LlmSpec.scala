@@ -1132,6 +1132,31 @@ class LlmSpec extends SparkSpec {
       (4L, 0L, "quality")))
   }
 
+  test("curation decontamination gate flips only surviving leaks (F14b)") {
+    import graft.ops.Curation
+    val en = "the cat sat on a mat of the house and the dog ran to the park in a fine day"
+    val other = "a bird flew over the green hill and the sun was warm on the quiet lake all morning"
+    val cur = Seq(
+      (0L, en),                 // kept by base, but leaks the eval text
+      (1L, other),              // kept, clean
+      (2L, "short text only"),  // quality-fail — stays 'quality' even
+                                // though it would never reach stage 5
+      (3L, en)                  // exact dup of 0 — stays 'exact_dup'
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, en)).toDF("eval_id", "text")
+    val base = Curation.curate(spark, cur, 0.0, 15, "en", 30, 64).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(base(0L) == "kept" && base(1L) == "kept")
+    val out = Curation.curateWithDecontam(spark, cur, eval,
+        0.0, 15, "en", 30, 64, n = 5, minHits = 3, decontamMaxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(out == Seq(
+      (0L, 0L, "contaminated"), // the surviving leak flips
+      (1L, 1L, "kept"),
+      (2L, 0L, "quality"),      // earlier stages keep their claim
+      (3L, 0L, "exact_dup")))
+  }
+
   test("corpus curation on real documents: partition + gate consistency (F14)") {
     val L = graft.ops.LlmQueries
     val out = L.corpusCuration(spark, "/root/testdata/sf0.001")
