@@ -112,6 +112,7 @@ object SparkEntry {
     "text_pii_redact" -> ((s, dir) => L.textPiiRedact(s, dir)),
     "text_lm_score" -> ((s, dir) => L.textLmScore(s, dir)),
     "text_lm_bigram" -> ((s, dir) => L.textLmBigram(s, dir)),
+    "text_keywords" -> ((s, dir) => L.textKeywords(s, dir)),
     "embed_norm_stats" -> ((s, dir) => L.embedNormStats(s, dir)),
     "corpus_curation" -> ((s, dir) => L.corpusCuration(s, dir)),
     "corpus_curation_decontam" -> ((s, dir) => L.corpusCurationDecontam(s, dir)),
@@ -1439,6 +1440,27 @@ object SparkEntry {
          |   / (count(*) * 1000000.0) - 1e-9, 4) + 0.0 AS logprob_bi
          |FROM bi b JOIN cbi c USING (w1, w2) JOIN ch h USING (w1)
          |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+    },
+    // F30: per-doc TF-IDF top-k keywords — add-one idf over the
+    // (doc, token) count table, rank on the round(,6) grid with token
+    // tie-break; an everywhere-token scores exactly 0
+    "text_keywords" -> {
+      val k = graft.ops.LlmQueries.KeywordsTopK
+      s"""WITH $TK,
+         |tok AS (SELECT doc_id, unnest(toks) AS token FROM tk),
+         |tfd AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+         |dfs AS (SELECT token, count(*) AS df FROM tfd GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |sc AS (SELECT t.doc_id, t.token, t.tf,
+         |  t.tf * ln((nn.n + 1)*1.0/(d.df + 1)) AS s
+         |  FROM tfd t JOIN dfs d USING (token) CROSS JOIN nn),
+         |rkd AS (SELECT doc_id, token, tf, s,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY round(s, 6) DESC, token) AS rk
+         |  FROM sc)
+         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, token, tf,
+         |  round(s - 1e-9, 4) + 0.0 AS tfidf
+         |FROM rkd WHERE rk <= $k
+         |ORDER BY doc_id, rk""".stripMargin
     },
     // F8b: duplicate n-gram fraction per doc (2- and 3-grams); the
     // lead-window shingle build mirrors SHD, `+ 0.0` normalizes

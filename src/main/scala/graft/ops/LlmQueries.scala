@@ -342,6 +342,14 @@ object LlmQueries {
   def textLmScore(spark: SparkSession, dir: String): DataFrame =
     Analysis.lmScore(Tables.documents(spark, dir), VocabTopN)
 
+  // F30: keywords per doc — enough to see real separation, small
+  // enough that the per-doc window output stays readable
+  val KeywordsTopK = 5
+
+  /** F30: per-document TF-IDF top-k keyword extraction. */
+  def textKeywords(spark: SparkSession, dir: String): DataFrame =
+    Analysis.keywords(Tables.documents(spark, dir), KeywordsTopK)
+
   /** F23b: add-one bigram LM transition scoring (same top-V reference
     * vocabulary as F23, OOV collapsed to UNK before counting).
     */

@@ -308,6 +308,41 @@ object Analysis {
       .orderBy(col("doc_id"))
   }
 
+  /** F30: per-document TF-IDF keyword extraction — the top-k most
+    * distinctive tokens per document, the classic retrieval/labeling
+    * signal (tag clouds, near-duplicate triage, topic sniffing):
+    * score = tf(doc, token) · ln((N+1)/(df+1)) with add-one smoothing
+    * (a token appearing in EVERY document scores exactly 0 — idf's
+    * floor, spec-pinned), ranked per doc on the round(·,6) grid with a
+    * token-ascending tie-break (the topK engine-stability discipline).
+    *
+    * Scale shape: one map-side-combined (doc, token) count (the only
+    * corpus-sized shuffle), the df table derived FROM that aggregate
+    * (vocabulary-sized, narrow, hash-joined by token), a 1-row count
+    * broadcast, and a per-doc window over ≤|doc| rows — no global
+    * sort anywhere.
+    */
+  def keywords(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    // feeds the df aggregation and the scoring join — cache the narrow
+    // (doc_id, token, tf) table, not the tokenize work
+    val tfd = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .cachedOnce
+    val dfs = tfd.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nn = broadcast(docs.agg(count(lit(1)).as("n")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(round(col("s"), 6).desc, col("token"))
+    tfd.join(dfs, "token").crossJoin(nn)
+      .withColumn("s", col("tf") *
+        log((col("n") + lit(1L)).cast("double") / (col("df") + lit(1L)).cast("double")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("token"),
+        col("tf"), round(col("s") - lit(1e-9), 4).as("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** F23b: add-one BIGRAM LM scoring — the context-aware upgrade of
     * [[lmScore]] a quality pipeline reaches for when unigram stats
     * stop separating fluent text from shuffled tokens (a bag-of-words

@@ -817,6 +817,25 @@ class LlmSpec extends SparkSpec {
     assert(big(0L) > big(1L))
   }
 
+  test("tf-idf keywords: distinctive terms surface, everywhere-terms score 0 (F30)") {
+    val d = Seq(
+      (0L, "shared apple apple banana"),
+      (1L, "shared cherry"),
+      (2L, "shared cherry date")
+    ).toDF("doc_id", "text")
+    // N=3; df: shared 3, apple 1, banana 1, cherry 2, date 1
+    // idf: shared ln(4/4)=0; apple/banana/date ln(2); cherry ln(4/3)
+    val out = Analysis.keywords(d, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq == Seq(
+      (0L, 1L, "apple"), (0L, 2L, "banana"),   // tf2·ln2 > tf1·ln2
+      (1L, 1L, "cherry"), (1L, 2L, "shared"),  // 0-scored filler still ranks
+      (2L, 1L, "date"), (2L, 2L, "cherry")))   // ln2 > ln(4/3)
+    // the everywhere-token's tfidf is EXACTLY zero (idf floor)
+    assert(out.find(t => t._1 == 1L && t._3 == "shared").get._5 == 0.0)
+    assert(math.abs(out.head._5 - 2 * math.log(2)) < 5e-5)
+  }
+
   test("vocab: tf counts repeats, df counts docs, cutoff deterministic (F17)") {
     val d = Seq(
       (0L, "spark spark spark data"),
