@@ -38,7 +38,18 @@ object Curation {
     */
   def curate(spark: SparkSession, docs: DataFrame,
              minScore: Double, minTokens: Int, keepLang: String,
-             maxHamming: Int, maxDf: Int): DataFrame = {
+             maxHamming: Int, maxDf: Int): DataFrame =
+    curateCore(spark, docs, minScore, minTokens, keepLang, maxHamming, maxDf)
+      .orderBy(col("doc_id"))
+
+  /** [[curate]] without the presentation sort — the composition shape
+    * ([[curateWithDecontam]] consumes the decision table mid-pipeline,
+    * where a range-exchange + sort is pure waste; the composed query
+    * sorts once at its own tail).
+    */
+  private def curateCore(spark: SparkSession, docs: DataFrame,
+                         minScore: Double, minTokens: Int, keepLang: String,
+                         maxHamming: Int, maxDf: Int): DataFrame = {
     val q = Analysis.quality(docs).select(col("doc_id"), col("n_tokens"), col("score"))
     val l = Analysis.langId(spark, docs).select(col("doc_id"), col("pred_lang"))
     // every cached/reused intermediate is NARROW (ids + flags) — the
@@ -81,7 +92,6 @@ object Curation {
       .select(col("doc_id"),
         when(col("reason") === "kept", 1L).otherwise(0L).as("kept"),
         col("reason"))
-      .orderBy(col("doc_id"))
   }
 
   /** F14b: the full pipeline INCLUDING train/eval decontamination —
@@ -106,8 +116,9 @@ object Curation {
                          maxHamming: Int, maxDf: Int,
                          n: Int, minHits: Int, decontamMaxDf: Int): DataFrame = {
     // narrow (id, kept, reason) — consumed twice (survivor filter +
-    // the final flag join)
-    val base = curate(spark, docs, minScore, minTokens, keepLang,
+    // the final flag join); the UNSORTED core, so no mid-pipeline
+    // range exchange
+    val base = curateCore(spark, docs, minScore, minTokens, keepLang,
       maxHamming, maxDf).cachedOnce
     val keptDocs = docs.select(col("doc_id"), col("text"))
       .join(base.filter(col("kept") === 1L).select(col("doc_id")), "doc_id")

@@ -305,6 +305,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOf(p, "pqencodeexpr") == 1, p.take(3000))
   }
 
+  test("text_lm_bigram: bounded history broadcasts; transition join hashes") {
+    val p = plan("text_lm_bigram")
+    // the V+1-row history table must broadcast (a SortMergeJoin there
+    // means the bounded side lost its size estimate); the corpus-sized
+    // bigram-count join may hash or sort-merge but never nested-loop
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
+  test("text_keywords: one corpus count, df joins by token, per-doc window") {
+    val p = plan("text_keywords")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the 1-row N table rides a broadcast nested loop (bounded); the
+    // per-doc ranking must be a window over doc_id, not a global sort
+    assert(p.contains("windowspecdefinition(doc_id"), p.take(3000))
+  }
+
   test("multimodal decode chain: no shuffle before the summary aggregation") {
     val p = plan("multimodal_pipeline")
     // resize → decode are partition-preserving mapPartitions; the only
