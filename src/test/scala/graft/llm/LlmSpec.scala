@@ -540,6 +540,38 @@ class LlmSpec extends SparkSpec {
     assert(lowCap.contains((0L, 2L)))
   }
 
+  test("capped minhash keying: hard per-bucket df bound under adversarial collisions (F3c)") {
+    // tiny token alphabet → massive shingle sharing → hot level-0 band
+    // buckets that FORCE the widening, the 100 TB dup-heavy worst case
+    val rnd = new scala.util.Random(42)
+    val adv = (0L until 300L).map { i =>
+      (i, Seq.fill(12)("t" + rnd.nextInt(6)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val maxDf = 4
+    val distinctSigs = Dedup.minhashSigRows(adv)
+      .select(col("mh"), Dedup.minhashSigKey.as("sk"))
+      .dropDuplicates("sk")
+    val keyed = Dedup.cappedMinhashKeys(distinctSigs, maxDf)
+    // THE bound the whole scale argument rests on: no final bucket
+    // holds more than maxDf distinct signatures, on ANY corpus
+    val hottest = keyed.groupBy(col("band"), col("lvl"), col("bkey"))
+      .count().agg(max(col("count"))).head.getLong(0)
+    assert(hottest <= maxDf, s"bucket of $hottest > cap $maxDf")
+    // and the fixture is genuinely adversarial: widening ENGAGED
+    // (level-0 buckets overflowed and were re-keyed)
+    assert(keyed.filter(col("lvl") > 0).count() > 0)
+    // every signature still carries all 4 bands (widening re-keys,
+    // never drops)
+    val perSig = keyed.groupBy(col("sk")).count().select(col("count")).distinct().collect()
+    assert(perSig.map(_.getLong(0)).toSeq == Seq(4L))
+    // drop-only containment holds on the adversarial corpus too
+    val capped = Dedup.minhashLshCapped(spark, adv, maxDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val raw = Dedup.minhashLsh(spark, adv).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(raw))
+  }
+
   test("capped minhash recall vs exact on real documents (F3c)") {
     val d = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val exact = Dedup.minhashLsh(spark, d)
