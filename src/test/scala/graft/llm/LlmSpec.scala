@@ -264,6 +264,35 @@ class LlmSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("capped simhash keying: hard per-bucket df bound under adversarial collisions (F4c)") {
+    // low 45 bits (bands 0-2) drawn from THREE values → those bands'
+    // level-0 buckets hold ~n/3 sigs each; top 15 bits random → level-9
+    // injective. The widening must drive every bucket to df ≤ cap.
+    val rnd = new scala.util.Random(7)
+    val lows = Array(0x1234L, 0x777L, 0x2AAAL)
+    val sigs = (0 until 500).map { _ =>
+      lows(rnd.nextInt(3)) | ((rnd.nextLong() & 0x7FFFL) << 45)
+    }.distinct.toDF("simhash")
+    val nSigs = sigs.count()
+    val maxDf = 4
+    val keyed = Dedup.cappedBandKeys(spark, sigs, maxDf)
+    val hottest = keyed.groupBy(col("band"), col("lvl"), col("bkey"))
+      .count().agg(max(col("count"))).head.getLong(0)
+    assert(hottest <= maxDf, s"bucket of $hottest > cap $maxDf")
+    assert(keyed.filter(col("lvl") > 0).count() > 0) // widening engaged
+    // every sig keeps all 4 bands (re-keyed, never dropped)
+    assert(keyed.count() == 4L * nSigs)
+    // drop-only at sig level: capped pairs ⊆ the level-0 band join
+    // (= the keying at a cap nothing overflows)
+    val capped = Dedup.cappedSigPairs(spark, sigs, maxHamming = 60, maxDf)
+      .select(col("s1"), col("s2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val raw = Dedup.cappedSigPairs(spark, sigs, maxHamming = 60, maxDf = 1000000)
+      .select(col("s1"), col("s2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(raw))
+  }
+
   test("simhash clusters: one keeper per connected sig group (F4-clusters)") {
     val out = Dedup.simhashClusters(spark, docs, 6, maxDf = 1000).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
