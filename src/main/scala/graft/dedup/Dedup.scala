@@ -839,6 +839,18 @@ object Dedup {
     */
   def semanticClusters(vecs: DataFrame, tau: Double, codebook: DataFrame): DataFrame = {
     import graft.similarity.Ann
+    semanticClustersAssigned(vecs, tau, Ann.coarseAssign(vecs, codebook))
+  }
+
+  /** [[semanticClusters]] over a caller-supplied (vec_id, cent_id)
+    * coarse partition — the seam that lets the K∝corpus regime swap in
+    * the O(√K) two-level router (`Ann.coarseAssignTwoLevel`) without
+    * touching the prune: any assignment with one cell per vector
+    * yields the same candidate-bounding and subset-of-exact
+    * properties (cells just partition differently).
+    */
+  private[graft] def semanticClustersAssigned(vecs: DataFrame, tau: Double,
+                                              assignment: DataFrame): DataFrame = {
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       graft.functions.FloatDot.dot(a, b)
     // the (vec_id, cent_id) assignment feeds three consumers (both
@@ -846,7 +858,7 @@ object Dedup {
     // 16-byte/row table once instead of re-running the corpus×codebook
     // scoring per reference (the cached-MinHash-signature discipline;
     // at 100 TB this narrow table is what you'd checkpoint)
-    val assigned = Ann.coarseAssign(vecs, codebook).cachedOnce
+    val assigned = assignment.select(col("vec_id"), col("cent_id")).cachedOnce
     val cand = assigned.as("ja").join(assigned.as("jb"),
         col("ja.cent_id") === col("jb.cent_id") && col("ja.vec_id") < col("jb.vec_id"))
       .select(col("ja.vec_id").as("x"), col("jb.vec_id").as("y"))

@@ -154,6 +154,15 @@ object ScaleBench {
         // routing (F6d) over the same growing codebook — isolates the
         // quadratic term §6 root-causes in dedup_semantic and its
         // remedy, with no Lloyd/pair-join noise
+        // the composed end-to-end twin: same prune, the F6d O(√K)
+        // router supplying the coarse partition
+        "dedup_semantic_2level" -> (() =>
+          graft.dedup.Dedup.semanticClustersAssigned(vecs,
+            LlmQueries.EmbedCosineTau,
+            graft.similarity.Ann.coarseAssignTwoLevel(vecs,
+              graft.similarity.Ann.refinedCentroids(vecs,
+                LlmQueries.IvfCentroids * copies, LlmQueries.IvfLloydIters),
+              math.ceil(math.sqrt(LlmQueries.IvfCentroids * copies)).toInt))),
         "ann_assign_flat" -> (() =>
           graft.similarity.Ann.coarseAssign(vecs,
             graft.similarity.Ann.initialCentroids(vecs,
