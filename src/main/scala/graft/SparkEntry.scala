@@ -100,6 +100,7 @@ object SparkEntry {
     "ann_lsh" -> ((s, dir) => L.annLsh(s, dir)),
     "ann_ivf" -> ((s, dir) => L.annIvf(s, dir)),
     "ann_ivf_refined" -> ((s, dir) => L.annIvfRefined(s, dir)),
+    "ann_ivf_sampled" -> ((s, dir) => L.annIvfSampled(s, dir)),
     "ann_pq" -> ((s, dir) => L.annPq(s, dir)),
     "ann_ivf_pq" -> ((s, dir) => L.annIvfPq(s, dir)),
     "ann_quantized" -> ((s, dir) => L.annQuantized(s, dir)),
@@ -505,11 +506,12 @@ object SparkEntry {
     * lowest-cent_id tie-break, the Ann.coarseAssign/ivfTopKWith rule.
     * Shared by the IVF family and the SemDeDup oracle.
     */
-  private def ivfAssignCte(cents: String, name: String): String =
+  private def ivfAssignCte(cents: String, name: String,
+                           src: String = "n"): String =
     s"""$name AS (SELECT vec_id, cent_id FROM (
        |  SELECT n.vec_id, c.cent_id, row_number() OVER (PARTITION BY n.vec_id
        |    ORDER BY round(list_dot_product(n.emb, c.ce)/(n.nrm*c.cn), 6) DESC, c.cent_id) AS ark
-       |  FROM n CROSS JOIN $cents c) WHERE ark = 1)""".stripMargin
+       |  FROM $src n CROSS JOIN $cents c) WHERE ark = 1)""".stripMargin
 
   /** The Lloyd-refined codebook as DuckDB CTEs — `n` (normed vectors),
     * `c0` (lowest-K seed), then per-iteration assign → FIXED-POINT
@@ -518,27 +520,45 @@ object SparkEntry {
     * arithmetic; the final codebook CTE is [[LloydFinalCte]]. Shared by
     * ann_ivf_refined and dedup_semantic (VERDICT r6 #4).
     */
-  private lazy val LloydChainCtes: String = {
+  private def lloydChainCtesOver(src: String): String = {
     import graft.ops.{LlmQueries => LQ}
-    def lloydCte(prev: String, a: String, m: String, next: String) =
+    def lloydCte(a: String, m: String, prev: String, next: String) =
       s"""$m AS (SELECT a.cent_id, e.d,
          |  CAST(CAST(CAST(sum(CAST(round(e.v * 1000000.0) AS BIGINT)) AS DOUBLE)
          |    / (count(*) * 1000000.0) AS FLOAT) AS DOUBLE) AS mv
          |  FROM $a a JOIN (SELECT vec_id, generate_subscripts(emb,1) AS d, unnest(emb) AS v
-         |                  FROM n) e USING (vec_id)
+         |                  FROM $src) e USING (vec_id)
          |  GROUP BY 1,2),
          |${m}l AS (SELECT cent_id, list(mv ORDER BY d) AS ce FROM $m GROUP BY 1),
          |$next AS (SELECT p.cent_id, coalesce(l.ce, p.ce) AS ce,
          |  sqrt(list_dot_product(coalesce(l.ce, p.ce), coalesce(l.ce, p.ce))) AS cn
          |  FROM $prev p LEFT JOIN ${m}l l USING (cent_id))""".stripMargin
     val iterCtes = (1 to LQ.IvfLloydIters).map(i =>
-      ivfAssignCte(s"c${i - 1}", s"a$i") + ",\n" +
-        lloydCte(s"c${i - 1}", s"a$i", s"m$i", s"c$i")).mkString(",\n")
-    s"""n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
-       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),
-       |c0 AS (SELECT vec_id AS cent_id, emb AS ce, nrm AS cn FROM n
+      ivfAssignCte(s"c${i - 1}", s"a$i", src) + ",\n" +
+        lloydCte(s"a$i", s"m$i", s"c${i - 1}", s"c$i")).mkString(",\n")
+    s"""c0 AS (SELECT vec_id AS cent_id, emb AS ce, nrm AS cn FROM $src
        |  ORDER BY vec_id LIMIT ${LQ.IvfCentroids}),
        |$iterCtes""".stripMargin
+  }
+
+  private lazy val LloydChainCtes: String =
+    s"""n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),
+       |${lloydChainCtesOver("n")}""".stripMargin
+
+  /** The SAMPLE-trained Lloyd chain (F6e): the same c0→cN CTE names,
+    * but every training row comes from `ns` — the salted basis-point
+    * keep rule Ann.codebookTrainSample evaluates (h60 = first 15 md5
+    * hex digits as a 60-bit integer, the F24 rendering).
+    */
+  private lazy val LloydChainSampledCtes: String = {
+    import graft.ops.{LlmQueries => LQ}
+    s"""n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),
+       |ns AS (SELECT * FROM n
+       |  WHERE ('0x'||substr(md5(CAST(vec_id AS VARCHAR)||'#cbtrain'),1,15))::BIGINT % 10000
+       |        < ${LQ.CbSampleBp}),
+       |${lloydChainCtesOver("ns")}""".stripMargin
   }
 
   private lazy val LloydFinalCte = s"c${graft.ops.LlmQueries.IvfLloydIters}"
@@ -1010,6 +1030,32 @@ object SparkEntry {
       import graft.ops.{LlmQueries => LQ}
       val cf = LloydFinalCte
       s"""WITH $LloydChainCtes,
+         |${ivfAssignCte(cf, "assigned")},
+         |qa AS (SELECT n.vec_id AS q_id, c.cent_id,
+         |  row_number() OVER (PARTITION BY n.vec_id
+         |    ORDER BY round(list_dot_product(n.emb, c.ce)/(n.nrm*c.cn), 6) DESC, c.cent_id) AS crk
+         |  FROM n CROSS JOIN $cf c WHERE n.vec_id < ${LQ.AnnQueryMax}),
+         |probes AS (SELECT q_id, cent_id FROM qa WHERE crk <= ${LQ.IvfProbe}),
+         |scored AS (SELECT p.q_id, a.vec_id,
+         |  list_dot_product(nq.emb, nv.emb)/(nq.nrm*nv.nrm) AS cos
+         |  FROM assigned a JOIN probes p USING (cent_id)
+         |  JOIN n nq ON nq.vec_id = p.q_id JOIN n nv ON nv.vec_id = a.vec_id
+         |  WHERE a.vec_id <> p.q_id),
+         |rk AS (SELECT q_id, vec_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY round(cos,6) DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, rk, vec_id, round(cos,4) AS cos FROM rk
+         |WHERE rk <= ${LQ.AnnK}
+         |ORDER BY q_id, rk""".stripMargin
+    },
+    // F6e: IVF over the SAMPLE-trained codebook — training rows pass
+    // the salted h60 basis-point keep rule (the F24 rendering), the
+    // Lloyd chain is the shared CTE generator over `ns`, and the
+    // assignment/probe/rerank tail is byte-identical to ann_ivf_refined
+    "ann_ivf_sampled" -> {
+      import graft.ops.{LlmQueries => LQ}
+      val cf = LloydFinalCte
+      s"""WITH $LloydChainSampledCtes,
          |${ivfAssignCte(cf, "assigned")},
          |qa AS (SELECT n.vec_id AS q_id, c.cent_id,
          |  row_number() OVER (PARTITION BY n.vec_id

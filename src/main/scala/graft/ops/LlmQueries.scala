@@ -258,6 +258,24 @@ object LlmQueries {
       IvfCentroids, IvfProbe, IvfLloydIters)
   }
 
+  /** Codebook training-sample rate (basis points): 50% at test scale —
+    * large enough that K=32 seeds exist in every SF's sample, small
+    * enough that the sampled codebook measurably differs from F6c's
+    * (the spec pins both properties). Production: rate chosen so the
+    * SAMPLE is vocabulary-sized (e.g. 10-100× K vectors), making Lloyd
+    * training corpus-size-independent.
+    */
+  val CbSampleBp = 5000
+
+  /** F6e: IVF over the SAMPLE-trained codebook — Lloyd runs on the
+    * hash-stable 50% training sample; search is corpus-wide.
+    */
+  def annIvfSampled(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Ann.ivfTopKSampled(e.filter(col("vec_id") < AnnQueryMax), e, AnnK,
+      IvfCentroids, IvfProbe, IvfLloydIters, CbSampleBp)
+  }
+
   /** F25: top-k over int8-quantized codes — 4× smaller index and
     * rerank shuffle; per-vector scale cancels in code-space cosine.
     */

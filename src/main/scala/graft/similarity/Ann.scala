@@ -223,6 +223,49 @@ object Ann {
                      nCentroids: Int, nProbe: Int, iters: Int): DataFrame =
     ivfTopKWith(queries, vecs, k, nProbe, refinedCentroids(vecs, nCentroids, iters))
 
+  /** Hash-stable codebook TRAINING sample: keep a vector iff
+    * h60(vec_id + "#cbtrain") mod 10000 < rateBp — the F24/F21s salted
+    * basis-point discipline. A vector's training fate is a pure
+    * function of its id (stable under repartition and corpus growth;
+    * the '#cbtrain' salt decorrelates it from the F18 split and the
+    * F24 sampling), and the filter is map-only: it streams out of the
+    * scan, so the sample is never materialized as its own table.
+    */
+  def codebookTrainSample(vecs: DataFrame, rateBp: Int): DataFrame = {
+    require(rateBp > 0 && rateBp <= 10000,
+      s"rateBp is basis points in (0, 10000] (got $rateBp)")
+    val bucket = graft.text.TextFns
+      .h60(concat(col("vec_id").cast("string"), lit("#cbtrain"))) % 10000L
+    vecs.filter(bucket < rateBp)
+  }
+
+  /** F6e: SAMPLE-trained Lloyd codebook — k-means over the hash-stable
+    * [[codebookTrainSample]] instead of the full corpus. This is the
+    * 100 TB fix for the one O(n·K) term left in the semantic-dedup /
+    * IVF family: with K ∝ corpus (the SemDeDup discipline), full-corpus
+    * Lloyd refinement is O(n·K) = O(n²/cell-size) PER ITERATION —
+    * measured emerging in SURVEY §6 (the composed two-level twin's
+    * honest negative). Training on a fixed-rate sample makes
+    * each iteration O(sample·K) while the corpus-sized work drops to the
+    * single final assignment pass, which the F6d two-level router
+    * serves at O(√K)/row. Same seed rule (lowest-K vec_ids OF THE
+    * SAMPLE), same fixed-point mean arithmetic, so the DuckDB oracle
+    * replays the identical chain over the filtered rows.
+    */
+  def refinedCentroidsSampled(vecs: DataFrame, nCentroids: Int, iters: Int,
+                              rateBp: Int): DataFrame =
+    refinedCentroids(codebookTrainSample(vecs, rateBp), nCentroids, iters)
+
+  /** F6e entry: ivf top-k over the sample-trained codebook — the
+    * assignment/probe/rerank tail is byte-identical to [[ivfTopKRefined]];
+    * only the codebook's training rows differ.
+    */
+  def ivfTopKSampled(queries: DataFrame, vecs: DataFrame, k: Int,
+                     nCentroids: Int, nProbe: Int, iters: Int,
+                     rateBp: Int): DataFrame =
+    ivfTopKWith(queries, vecs, k, nProbe,
+      refinedCentroidsSampled(vecs, nCentroids, iters, rateBp))
+
   private def ivfTopKWith(queries: DataFrame, vecs: DataFrame, k: Int,
                           nProbe: Int, centroids: DataFrame): DataFrame = {
     val cents = broadcast(centroids)

@@ -506,6 +506,66 @@ class LlmSpec extends SparkSpec {
     assert(s2 < s1, s"lloyd iterations must contract ($s1 -> $s2)")
   }
 
+  test("sample-trained codebook: rate 10000 is the full-corpus codebook; 5000 is a real sample (F6e)") {
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def book(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Float]] =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    // rateBp = 10000 keeps every vector: the sampled trainer must
+    // reproduce F6c bit-for-bit (same seed rule, same fixed-point mean)
+    assert(book(Ann.refinedCentroidsSampled(e, 32, 2, 10000)) ==
+      book(Ann.refinedCentroids(e, 32, 2)))
+    // at 50% the sample is real: a codebook trained on half the rows
+    // must differ from the full-corpus one (else the filter is dead)
+    assert(book(Ann.refinedCentroidsSampled(e, 32, 2, 5000)) !=
+      book(Ann.refinedCentroids(e, 32, 2)))
+    val kept = Ann.codebookTrainSample(e, 5000).count()
+    val total = e.count()
+    info(s"training sample: $kept of $total vectors at 5000bp")
+    assert(kept > 0 && kept < total)
+  }
+
+  test("sample-trained codebook: invariant under repartition and out-of-sample growth (F6e)") {
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def book(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Float]] =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    val ev = e.select($"vec_id", $"embedding")
+    val base = book(Ann.refinedCentroidsSampled(ev, 32, 2, 5000))
+    // physical layout must not matter (hash-stable keep rule)
+    assert(book(Ann.refinedCentroidsSampled(ev.repartition(7), 32, 2, 5000)) == base)
+    // growing the corpus with rows the keep rule REJECTS must leave the
+    // trained codebook untouched — training reads only the sample, so a
+    // 100 TB corpus can stream past a vocabulary-sized trainer
+    val dim = e.head.getSeq[Float](1).size
+    val extraIds = Iterator.from(1000000).filter(id =>
+      graft.text.TextFns.h60Jvm(s"$id#cbtrain") % 10000L >= 5000L).take(20).toSeq
+    val extra = extraIds.map(id => (id.toLong, Array.fill(dim)(0.5f).toSeq))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    assert(book(Ann.refinedCentroidsSampled(ev.unionByName(extra), 32, 2, 5000)) == base)
+  }
+
+  test("sampled-codebook ivf: recall within tolerance of the refined codebook (F6e)") {
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter($"vec_id" < 5)
+    val brute = Ann.bruteTopK(q, e, 5).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame) =
+      (brute & df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet).size.toDouble / brute.size
+    val iters = graft.ops.LlmQueries.IvfLloydIters
+    val refined = recallOf(Ann.ivfTopKRefined(q, e, 5, nCentroids = 32, nProbe = 8, iters))
+    val s8 = recallOf(Ann.ivfTopKSampled(q, e, 5, nCentroids = 32, nProbe = 8, iters, rateBp = 5000))
+    val s16 = recallOf(Ann.ivfTopKSampled(q, e, 5, nCentroids = 32, nProbe = 16, iters, rateBp = 5000))
+    info(s"ivf recall: refined p8 $refined, sampled p8 $s8, sampled p16 $s16")
+    // the measured tradeoff (0.72 → 0.96 across p8..p16 at this toy
+    // 267-vector sample for K=32): a half-corpus codebook partitions
+    // less tightly, and the remedy is probe width, NOT more training
+    // data — at production K the sample is sized 10-100× K and the gap
+    // closes. Pin both ends: a floor at the narrow probe, and full
+    // recovery to the refined codebook's recall by 2× probes.
+    assert(s8 >= 0.70, s"sampled p8 recall $s8 under the measured 0.72")
+    assert(s16 >= refined,
+      s"sampled p16 recall $s16 must recover refined p8 level $refined")
+  }
+
   test("language id: stopword argmax with unknown fallback (F7)") {
     val d = Seq(
       (0L, "der hund und die katze ist ein tier"),
