@@ -163,6 +163,23 @@ object ScaleBench {
               graft.similarity.Ann.refinedCentroids(vecs,
                 LlmQueries.IvfCentroids * copies, LlmQueries.IvfLloydIters),
               math.ceil(math.sqrt(LlmQueries.IvfCentroids * copies)).toInt))),
+        // the fully-composed production shape (F6d + F6e): Lloyd
+        // trains on a sample held at ~2 vectors per centroid as K
+        // grows (rate ∝ K/n — vocabulary-sized training), final
+        // assignment through the O(√K) router; isolates whether the
+        // sampled trainer removes the training-side O(n·K) growth the
+        // _2level twin's honest negative named
+        "dedup_semantic_sampled2" -> (() => {
+          val k = LlmQueries.IvfCentroids * copies
+          val n = vecs.count()
+          val rateBp = math.min(10000L, math.max(1L, 10000L * 2 * k / n)).toInt
+          graft.dedup.Dedup.semanticClustersAssigned(vecs,
+            LlmQueries.EmbedCosineTau,
+            graft.similarity.Ann.coarseAssignTwoLevel(vecs,
+              graft.similarity.Ann.refinedCentroidsSampled(vecs, k,
+                LlmQueries.IvfLloydIters, rateBp),
+              math.ceil(math.sqrt(k)).toInt))
+        }),
         "ann_assign_flat" -> (() =>
           graft.similarity.Ann.coarseAssign(vecs,
             graft.similarity.Ann.initialCentroids(vecs,

@@ -148,6 +148,38 @@ class ConfSpec extends SparkSpec {
     assert(s(1).get("k").contains("vx"))
   }
 
+  test("storageMatch column agrees with a JVM first-match model over randomized rulesets") {
+    // the Column chain (coalesce of rlike whens) vs an independent
+    // java.util.regex model of "first rule whose pattern FINDS in the
+    // path, each file independently, default on miss" — one seeded
+    // batch instead of per-case Spark jobs (the ConfProps suite covers
+    // the pure parsers; this bridges the Catalyst evaluation once)
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val pats = Vector("^a", "b$", "\\.c", "a.b", "x", "9", "c\\.a", "^[ab]x*\\.")
+    def find(pat: String, path: String): Boolean =
+      java.util.regex.Pattern.compile(pat).matcher(path).find()
+    for (_ <- 1 to 8) {
+      val schemas = Seq.tabulate(rnd.nextInt(5))(i =>
+        Conf.SchemaEntry(s"s$i", pats(rnd.nextInt(pats.size)), s"${i + 1}m:1d"))
+      val aggs = Seq.tabulate(rnd.nextInt(5))(i =>
+        Conf.AggEntry(s"g$i", pats(rnd.nextInt(pats.size)), 0.1 * i,
+          Seq("sum", "last", "max")(i % 3)))
+      val paths = Seq.fill(40)(
+        Seq.fill(rnd.nextInt(7) + 1)("abcx9.".charAt(rnd.nextInt(6))).mkString)
+      val got = paths.toDF("path")
+        .select(col("path") +: Conf.storageMatch(col("path"), schemas, aggs): _*)
+        .collect().map(r => r.getString(0) ->
+          ((r.getString(1), r.getString(2), r.getString(3), r.getDouble(4)))).toMap
+      paths.foreach { p =>
+        val sm = schemas.find(r => find(r.pattern, p)).getOrElse(Conf.DefaultSchema)
+        val am = aggs.find(r => find(r.pattern, p)).getOrElse(Conf.DefaultAgg)
+        assert(got(p) == ((sm.name, sm.retentions, am.aggregationMethod, am.xFilesFactor)),
+          s"path '$p' schemas=$schemas aggs=$aggs")
+      }
+    }
+  }
+
   test("section lines tolerate trailing text (reference matcher is unanchored)") {
     // '[default] # catch-all' must START the section, not fall through
     // and leave its params in the previous one (L_DataDaemon.lua:114)
