@@ -61,6 +61,15 @@ object SparkEntry {
     "cgi_render_csv" -> ((s, dir) => T.cgiRenderCsv(s, dir)),
     "cgi_find" -> ((s, dir) => T.cgiFind(s, dir)),
     "cgi_expand" -> ((s, dir) => T.cgiExpand(s, dir)),
+    // C9. Graphite render-function pipeline
+    "gfn_sum_series" -> ((s, dir) => T.gfnSumSeries(s, dir)),
+    "gfn_summarize" -> ((s, dir) => T.gfnSummarize(s, dir)),
+    "gfn_derivative" -> ((s, dir) => T.gfnDerivative(s, dir)),
+    "gfn_integral" -> ((s, dir) => T.gfnIntegral(s, dir)),
+    "gfn_moving_top" -> ((s, dir) => T.gfnMovingTop(s, dir)),
+    "gfn_alias_nodes" -> ((s, dir) => T.gfnAliasNodes(s, dir)),
+    "gfn_pipeline" -> ((s, dir) => T.gfnPipeline(s, dir)),
+    "gfn_cgi_render" -> ((s, dir) => T.gfnCgiRender(s, dir)),
     // D. dataMine bridge
     "dm_resample" -> ((s, dir) => T.dmResample(s, dir)),
     "dm_resample_all" -> ((s, dir) => T.dmResampleAll(s, dir)),
@@ -208,6 +217,15 @@ object SparkEntry {
        |p AS (SELECT DISTINCT path FROM f),
        |g AS (SELECT p.path, s.t FROM p CROSS JOIN generate_series(1706097600, 1706659200, 3600) AS s(t))""".stripMargin
   private val FetchCte = fetchCteAgg("avg(value)", "avg(value)")
+
+  /** The C9 function-family frame: the B8 fetch grid joined to its
+    * values UNROUNDED (`fr`) — function math happens on raw doubles,
+    * each query's final projection applies the Eps-guarded round.
+    */
+  private val GfnFrameCte =
+    s"""$FetchCte,
+       |fr AS (SELECT g.path, g.t, a2.value AS value
+       |  FROM g LEFT JOIN a2 ON g.path = a2.path AND g.t = a2.bucket)""".stripMargin
 
   /** Shared DuckDB CTEs for the documents table: tokens + distinct
     * 3-word shingles (mirrors graft.text.TextFns).
@@ -1886,6 +1904,89 @@ object SparkEntry {
          | round(a2.value - 1e-9,4) AS value
          |FROM g LEFT JOIN a2 ON g.path = a2.path AND g.t = a2.bucket
          |ORDER BY 1, 2""".stripMargin,
+    // C9a: sumSeries + alias — per-timestamp sum across the fetched
+    // series (SQL sum ignores nulls, all-null stays null — graphite
+    // safeSum), renamed by the alias literal
+    "gfn_sum_series" ->
+      s"""WITH $GfnFrameCte
+         |SELECT 'clicks' AS path, t, round(sum(value) - 1e-9, 4) AS value
+         |FROM fr GROUP BY t ORDER BY 1, 2""".stripMargin,
+    // C9b: summarize to interval-aligned 4h buckets, per-bucket avg,
+    // the graphite-rendered series name
+    "gfn_summarize" ->
+      s"""WITH $GfnFrameCte
+         |SELECT 'summarize(' || path || ', "4hour", "avg")' AS path,
+         | t - t%14400 AS t, round(avg(value) - 1e-9, 4) AS value
+         |FROM fr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // C9c: nonNegativeDerivative — lag delta per series, negative
+    // steps (counter wraps) and gap-adjacent points null
+    "gfn_derivative" ->
+      s"""WITH $GfnFrameCte,
+         |d AS (SELECT path, t,
+         |  value - lag(value) OVER (PARTITION BY path ORDER BY t) AS dv FROM fr)
+         |SELECT 'nonNegativeDerivative(' || path || ')' AS path, t,
+         | round(CASE WHEN dv >= 0 THEN dv END - 1e-9, 4) AS value
+         |FROM d ORDER BY 1, 2""".stripMargin,
+    // C9d: integral — running non-null total per series, null at gaps
+    "gfn_integral" ->
+      s"""WITH $GfnFrameCte
+         |SELECT 'integral(' || path || ')' AS path, t,
+         | round(CASE WHEN value IS NOT NULL THEN sum(value) OVER (
+         |   PARTITION BY path ORDER BY t
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END - 1e-9, 4) AS value
+         |FROM fr ORDER BY 1, 2""".stripMargin,
+    // C9e: movingAverage(3) then highestCurrent(2) — trailing window
+    // mean (nulls ignored, leading partials included), series ranked by
+    // last non-null value on the round(,6) grid with path tie-break
+    "gfn_moving_top" ->
+      s"""WITH $GfnFrameCte,
+         |ma AS (SELECT 'movingAverage(' || path || ',3)' AS path, t,
+         |  avg(value) OVER (PARTITION BY path ORDER BY t
+         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS value FROM fr),
+         |cur AS (SELECT path,
+         |  (max(struct_pack(t := t, v := value)) FILTER (WHERE value IS NOT NULL)).v AS s
+         |  FROM ma GROUP BY 1),
+         |top AS (SELECT path FROM (SELECT path,
+         |    row_number() OVER (ORDER BY round(s, 6) DESC NULLS LAST, path) AS rk
+         |  FROM cur) WHERE rk <= 2)
+         |SELECT m.path, m.t, round(m.value - 1e-9, 4) AS value
+         |FROM ma m JOIN top USING (path) ORDER BY 1, 2""".stripMargin,
+    // C9f: highestAverage(3) then aliasByNode(1,2) — per-series mean
+    // ranking, then the path rebuilt from dot-components 1 and 2
+    "gfn_alias_nodes" ->
+      s"""WITH $GfnFrameCte,
+         |st AS (SELECT path, avg(value) AS s FROM fr GROUP BY 1),
+         |top AS (SELECT path FROM (SELECT path,
+         |    row_number() OVER (ORDER BY round(s, 6) DESC NULLS LAST, path) AS rk
+         |  FROM st) WHERE rk <= 3)
+         |SELECT string_split(f.path, '.')[2] || '.' || string_split(f.path, '.')[3] AS path,
+         | f.t, round(f.value - 1e-9, 4) AS value
+         |FROM fr f JOIN top ON f.path = top.path ORDER BY 1, 2""".stripMargin,
+    // C9g: the three-deep pipeline scale(summarize(sumSeries(...)))
+    // with the evaluator's rendered call text as the series name
+    "gfn_pipeline" ->
+      s"""WITH $GfnFrameCte,
+         |ss AS (SELECT t, sum(value) AS value FROM fr GROUP BY 1),
+         |sm AS (SELECT t - t%14400 AS t, max(value) AS value FROM ss GROUP BY 1)
+         |SELECT 'scale(summarize(sumSeries(vera.u1?.click), "4hour", "max"),0.5)' AS path,
+         | t, round(value * 0.5 - 1e-9, 4) AS value
+         |FROM sm ORDER BY 2""".stripMargin,
+    // C9h: the URL round trip — function target through /render
+    // format=csv; the env's -Eps input shift rides max() exactly
+    "gfn_cgi_render" ->
+      s"""WITH $M,
+         |f AS (SELECT path, ts, value - 1e-9 AS value FROM m
+         |  WHERE regexp_matches(path, '^vera\\.u1[^.]\\.click$$')),
+         |a1 AS (SELECT path, ts - ts%600 AS bucket, avg(value) AS value FROM f GROUP BY 1,2),
+         |a2 AS (SELECT path, bucket - bucket%3600 AS bucket, avg(value) AS value FROM a1 GROUP BY 1,2),
+         |p AS (SELECT DISTINCT path FROM f),
+         |g AS (SELECT p.path, s.t FROM p CROSS JOIN generate_series(1706097600, 1706659200, 3600) AS s(t)),
+         |fr2 AS (SELECT g.path, g.t, a2.value AS value
+         |  FROM g LEFT JOIN a2 ON g.path = a2.path AND g.t = a2.bucket)
+         |SELECT 'peak' AS target,
+         | strftime(make_timestamp(t*1000000), '%Y-%m-%d %H:%M:%S') AS ts_str,
+         | round(max(value), 4) AS value
+         |FROM fr2 GROUP BY t ORDER BY 1, 2""".stripMargin,
     // C8a: the URL-dispatched csv render. Same fetch pipeline as
     // render_csv, but the -Eps tie-guard is applied to the INPUT values
     // (the Cgi path has no post-fetch hook); avg is linear, so the two

@@ -180,6 +180,19 @@ object ScaleBench {
                 LlmQueries.IvfLloydIters, rateBp),
               math.ceil(math.sqrt(k)).toInt))
         }),
+        // the PQ family's wall-time evidence (r7 survey ranked #2):
+        // FIXED codebooks (the FAISS deployment regime — codebooks are
+        // an offline artifact; the K∝corpus routing regime is the
+        // assign rows' story), fixed query set, corpus growing under
+        // them: encode is one map-only pass, lists lengthen linearly,
+        // and the probed candidate stream carries m-byte codes — the
+        // r7 payload-free-argmax ⋈ codes-table shape is what scales
+        "ann_ivf_pq" -> (() =>
+          graft.similarity.Ann.ivfTopKPq(
+            vecs.filter(col("vec_id") < LlmQueries.AnnQueryMax),
+            vecs, LlmQueries.AnnK, LlmQueries.IvfCentroids,
+            LlmQueries.IvfProbe, LlmQueries.PqSubspaces,
+            LlmQueries.PqCodes)),
         "ann_assign_flat" -> (() =>
           graft.similarity.Ann.coarseAssign(vecs,
             graft.similarity.Ann.initialCentroids(vecs,

@@ -44,9 +44,18 @@ object Api {
     // single fetch regex — each expansion would otherwise run its OWN
     // raw scan + archive cascade (an N-alternative target cost N
     // fetches); only dotted alternatives (rare) need real expansion
+    def fetchGlob(t: String): DataFrame = {
+      val globs = if (bracesNeedExpansion(t)) Glob.expandBraces(t) else Seq(t)
+      globs.map(g =>
+        Fetch.fetch(spark, metrics, g, spec, method, xff, fromT, untilT, now))
+        .reduce(_ unionByName _)
+    }
+    // a target containing '(' is a render-FUNCTION pipeline
+    // (sumSeries/summarize/alias/…): parse and evaluate over the same
+    // fetch; plain globs keep the direct path
     val fetched = targets
-      .flatMap(t => if (bracesNeedExpansion(t)) Glob.expandBraces(t) else Seq(t))
-      .map(t => Fetch.fetch(spark, metrics, t, spec, method, xff, fromT, untilT, now))
+      .map(t => if (TargetExpr.isExpression(t)) TargetExpr.evalTarget(t, fetchGlob)
+                else fetchGlob(t))
       .reduce(_ unionByName _)
     format match {
       case "csv" => Render.csv(fetched)

@@ -448,6 +448,69 @@ object Queries {
       "/metrics/expand?query=vera.u%7B1,2,3%7D.*&leavesOnly=1", Now)
       .orderBy(col("path"))
 
+  // ---- C9. Graphite render-function pipeline ----------------------------
+
+  /** The raw fetch closure the function pipeline composes over — the
+    * same B8 archive cascade as [[fetch]], WITHOUT the final round
+    * (function math runs on raw values; each C9 query's projection
+    * applies the shared Eps-guarded round at the end).
+    */
+  private def gfnFetch(spark: SparkSession, dir: String)(glob: String): DataFrame =
+    Fetch.fetch(spark, Tables.metrics(spark, dir), glob,
+      Retention.parse("10m:1d,1h:7d,1d:60d"), "average", 0.0,
+      fetchFrom, Now, Now)
+
+  /** Parse + evaluate a render target through [[TargetExpr]] — every
+    * C9 driver query exercises the PARSER, not hand-built combinator
+    * chains, so the e2e surface is the one a Graphite client hits.
+    */
+  private def gfnEval(spark: SparkSession, dir: String, target: String): DataFrame =
+    TargetExpr.evalTarget(target, gfnFetch(spark, dir))
+      .select(col("path"), col("t"), round(col("value") - Eps, 4).as("value"))
+      .orderBy(col("path"), col("t"))
+
+  /** C9a: across-series sum renamed by alias — the most common
+    * Graphite one-liner.
+    */
+  def gfnSumSeries(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, """alias(sumSeries(vera.u1?.click),"clicks")""")
+
+  /** C9b: interval re-bucketing, 1h grid → 4h buckets, per-bucket avg. */
+  def gfnSummarize(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, """summarize(vera.u1?.click,"4hour","avg")""")
+
+  /** C9c: counter-style rate — negative steps (wraps) null out. */
+  def gfnDerivative(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, "nonNegativeDerivative(vera.u1?.click)")
+
+  /** C9d: running total per series; gap points stay null. */
+  def gfnIntegral(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, "integral(vera.u1?.click)")
+
+  /** C9e: smoothing + series selection — trailing 3-point mean, then
+    * the 2 series with the highest last non-null value.
+    */
+  def gfnMovingTop(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, "highestCurrent(movingAverage(vera.u1?.click,3),2)")
+
+  /** C9f: top-3 by mean, renamed to their user.event node pair. */
+  def gfnAliasNodes(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, "aliasByNode(highestAverage(vera.u1?.click,3),1,2)")
+
+  /** C9g: three-deep pipeline — combine, re-bucket (max), scale; the
+    * parenthesized name the evaluator renders is part of the contract.
+    */
+  def gfnPipeline(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, """scale(summarize(sumSeries(vera.u1?.click),"4hour","max"),0.5)""")
+
+  /** C9h: the URL round trip — a function target through Cgi.dispatch
+    * (maxSeries propagates the env's -Eps input shift exactly).
+    */
+  def gfnCgiRender(spark: SparkSession, dir: String): DataFrame =
+    Cgi.dispatch(spark, cgiEnv(spark, dir),
+      "/render?target=alias(maxSeries(vera.u1%3F.click),%27peak%27)" +
+        "&from=2024-01-24T12:40:00&until=2024-01-31T00:00:00&format=csv", Now)
+
   // ---- D. dataMine bridge -----------------------------------------------
 
   val dmT1 = 1704067200L

@@ -1,0 +1,253 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graphite render-target FUNCTIONS over the fetch frame
+  * (SURVEY.md §2.C9): the reference's render targets are plain globs
+  * (graphite_cgi.lua:318-338 passes each target straight to fetch),
+  * but every Graphite deployment composes them through the function
+  * pipeline (`sumSeries`, `summarize`, `alias`, ...) — the natural
+  * next ask of a user switching to this library, and pure
+  * DataFrame-combinator territory.
+  *
+  * Frame contract (shared with [[Fetch]]): `(path STRING, t BIGINT,
+  * value DOUBLE-nullable)` on a dense per-series time grid; gaps are
+  * nulls. Every function is one narrow declarative transform —
+  * groupBy(t) for the across-series combiners (one shuffle on the
+  * timestamp key, map-side combined), window-over-path for the
+  * per-series sequence functions (one shuffle on path — at 100 TB the
+  * frame arrives partitioned by path from the fetch, so AQE elides
+  * it), map-only for the pointwise family. Null semantics follow
+  * Graphite's safe* helpers: aggregates ignore nulls and return null
+  * only when every input is null (exactly SQL aggregate semantics, so
+  * the DuckDB oracles share the arithmetic by construction).
+  */
+object SeriesFunctions {
+
+  private val byPath = Window.partitionBy(col("path")).orderBy(col("t"))
+
+  private def frame(f: DataFrame, path: Column, t: Column, value: Column): DataFrame =
+    f.select(path.as("path"), t.as("t"), value.as("value"))
+
+  // ---- across-series combiners: one groupBy(t) shuffle ----
+
+  /** Per-timestamp aggregate across all input series, named `name`
+    * (Graphite names the combined series after the call text, e.g.
+    * `sumSeries(vera.u1?.click)` — the evaluator passes that in).
+    * Aggregates ignore nulls; an all-null timestamp stays null
+    * (Graphite safeSum/safeAvg/safeMin/safeMax).
+    */
+  def combine(f: DataFrame, func: String, name: String): DataFrame = {
+    val agg = func match {
+      case "sum" => sum(col("value"))
+      case "avg" => avg(col("value"))
+      case "min" => min(col("value"))
+      case "max" => max(col("value"))
+      // countSeries counts SERIES PRESENT (non-null values) at each
+      // point — Graphite's len(row), constant only on gap-free frames
+      case "count" => count(col("value"))
+      case other => throw new IllegalArgumentException(s"combine: unknown func '$other'")
+    }
+    f.groupBy(col("t")).agg(agg.as("value"))
+      .select(lit(name).as("path"), col("t"),
+        col("value").cast("double").as("value"))
+  }
+
+  def sumSeries(f: DataFrame, name: String): DataFrame = combine(f, "sum", name)
+  def averageSeries(f: DataFrame, name: String): DataFrame = combine(f, "avg", name)
+  def minSeries(f: DataFrame, name: String): DataFrame = combine(f, "min", name)
+  def maxSeries(f: DataFrame, name: String): DataFrame = combine(f, "max", name)
+
+  /** Union of series lists — Graphite `group()`; map-only. */
+  def group(fs: Seq[DataFrame]): DataFrame = fs.reduce(_ unionByName _)
+
+  // ---- renames: map-only ----
+
+  /** All series renamed to the literal `name` (Graphite `alias`). */
+  def alias(f: DataFrame, name: String): DataFrame =
+    frame(f, lit(name), col("t"), col("value"))
+
+  /** Path rebuilt from the selected dot-components (Graphite
+    * `aliasByNode`; negative indices count from the end, out-of-range
+    * indices drop — list semantics in both engines).
+    */
+  def aliasByNode(f: DataFrame, nodes: Seq[Int]): DataFrame = {
+    val parts = split(col("path"), "\\.")
+    val picked = nodes.map { i =>
+      // element_at is 1-based and supports negative-from-end
+      element_at(parts, if (i >= 0) i + 1 else i)
+    }
+    frame(f, concat_ws(".", picked: _*), col("t"), col("value"))
+  }
+
+  // ---- pointwise: map-only, name-wrapped like Graphite ----
+
+  private def wrap(fn: String, extra: String): Column =
+    concat(lit(s"$fn("), col("path"),
+      lit(if (extra.isEmpty) ")" else s",$extra)"))
+
+  def scale(f: DataFrame, k: Double): DataFrame =
+    frame(f, wrap("scale", fmtNum(k)), col("t"), col("value") * k)
+
+  def offset(f: DataFrame, k: Double): DataFrame =
+    frame(f, wrap("offset", fmtNum(k)), col("t"), col("value") + k)
+
+  def absolute(f: DataFrame): DataFrame =
+    frame(f, wrap("absolute", ""), col("t"), abs(col("value")))
+
+  // ---- per-series sequence functions: one window over path ----
+
+  /** Point-to-point delta; null where either endpoint is a gap
+    * (Graphite `derivative` — None propagates).
+    */
+  def derivative(f: DataFrame): DataFrame =
+    frame(f, wrap("derivative", ""), col("t"),
+      col("value") - lag(col("value"), 1).over(byPath))
+
+  /** Delta clamped to counters: a negative step (counter wrap/reset)
+    * reads as null, not a huge negative spike (Graphite
+    * `nonNegativeDerivative`).
+    */
+  def nonNegativeDerivative(f: DataFrame): DataFrame = {
+    val d = col("value") - lag(col("value"), 1).over(byPath)
+    frame(f, wrap("nonNegativeDerivative", ""), col("t"),
+      when(d >= 0, d))
+  }
+
+  /** Per-second rate: delta over the grid step derived from the
+    * timestamps themselves (Graphite `perSecond`).
+    */
+  def perSecond(f: DataFrame): DataFrame = {
+    val d = col("value") - lag(col("value"), 1).over(byPath)
+    val dt = col("t") - lag(col("t"), 1).over(byPath)
+    frame(f, wrap("perSecond", ""), col("t"),
+      when(d >= 0 && dt > 0, d / dt))
+  }
+
+  /** Running total per series; gap points stay null, non-gap points
+    * accumulate every non-null value so far (Graphite `integral`).
+    */
+  def integral(f: DataFrame): DataFrame =
+    frame(f, wrap("integral", ""), col("t"),
+      when(col("value").isNotNull,
+        sum(col("value")).over(byPath.rowsBetween(Window.unboundedPreceding, 0))))
+
+  /** Trailing n-point mean, nulls ignored inside the window; leading
+    * partial windows average what exists (the SQL window’s natural
+    * reading — pinned identically in the oracle; graphite-web itself
+    * changed leading-edge semantics across versions).
+    */
+  def movingAverage(f: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"movingAverage window must be >= 1 (got $n)")
+    frame(f, wrap("movingAverage", n.toString), col("t"),
+      avg(col("value")).over(byPath.rowsBetween(-(n - 1), 0)))
+  }
+
+  /** Gaps filled with the last seen value per series; leading gaps
+    * (nothing seen yet) stay null (Graphite `keepLastValue` with no
+    * limit — the same last-hold rule as [[Fetch.fillGaps]]).
+    */
+  def keepLastValue(f: DataFrame): DataFrame =
+    frame(f, wrap("keepLastValue", ""), col("t"),
+      last(col("value"), ignoreNulls = true)
+        .over(byPath.rowsBetween(Window.unboundedPreceding, 0)))
+
+  /** Every timestamp shifted by `sec` (Graphite `timeShift` as a frame
+    * combinator: the shift re-labels the fetched window rather than
+    * re-fetching — callers wanting data from the shifted window fetch
+    * with shifted from/until, as graphite-web does internally).
+    */
+  def timeShift(f: DataFrame, sec: Long, shiftText: String): DataFrame =
+    frame(f, wrap("timeShift", "\"" + shiftText + "\""),
+      col("t") + sec, col("value"))
+
+  // ---- time re-bucketing: one groupBy(path, bucket) shuffle ----
+
+  /** Graphite `summarize(series, interval, func)`: interval-aligned
+    * buckets (t − t mod interval), per-bucket sum/avg/max/min/last;
+    * `last` takes the latest NON-NULL point in the bucket; an all-gap
+    * bucket is null. One map-side-combined aggregation.
+    */
+  def summarize(f: DataFrame, intervalSec: Long, func: String,
+                intervalText: String): DataFrame = {
+    require(intervalSec >= 1, s"summarize interval must be >= 1s (got $intervalSec)")
+    val agg: Column = func match {
+      case "sum" => sum(col("value"))
+      case "avg" | "average" => avg(col("value"))
+      case "max" => max(col("value"))
+      case "min" => min(col("value"))
+      case "last" => max(when(col("value").isNotNull,
+        struct(col("t"), col("value")))).getField("value")
+      case other => throw new IllegalArgumentException(s"summarize: unknown func '$other'")
+    }
+    f.groupBy(col("path"), (col("t") - col("t") % intervalSec).as("t"))
+      .agg(agg.cast("double").as("value"))
+      .select(concat(lit("summarize("), col("path"),
+        lit(s""", "$intervalText", "$func")""")).as("path"),
+        col("t"), col("value"))
+  }
+
+  // ---- series selection: rank whole series, keep top n ----
+
+  /** Top-n series by a per-series statistic (Graphite
+    * `highestCurrent` / `highestAverage` / `highestMax`): `current` is
+    * the last non-null value. Series keep their own names; ties break
+    * by path for engine-stable selection. One aggregate over the frame
+    * (K series rows) broadcast back — never a sort of the frame.
+    */
+  def highest(f: DataFrame, n: Int, stat: String): DataFrame = {
+    require(n >= 1, s"highest: n must be >= 1 (got $n)")
+    val statAgg: Column = stat match {
+      case "current" => max(when(col("value").isNotNull,
+        struct(col("t"), col("value")))).getField("value")
+      case "average" => avg(col("value"))
+      case "max" => max(col("value"))
+      case other => throw new IllegalArgumentException(s"highest: unknown stat '$other'")
+    }
+    // rank on round(stat, 6): raw doubles could differ between engines
+    // in the last ulp (accumulation order), and the path tie-break then
+    // decides — the ANN-family ranking discipline
+    val ranked = f.groupBy(col("path")).agg(statAgg.as("s"))
+      .select(col("path"), row_number().over(
+        Window.orderBy(round(col("s"), 6).desc_nulls_last, col("path"))).as("rk"))
+      .filter(col("rk") <= n)
+      .select(col("path"))
+    // the ranked list is ≤ n rows — broadcast semi join, no shuffle of
+    // the frame
+    f.join(broadcast(ranked), Seq("path"), "left_semi")
+  }
+
+  def highestCurrent(f: DataFrame, n: Int): DataFrame = highest(f, n, "current")
+  def highestAverage(f: DataFrame, n: Int): DataFrame = highest(f, n, "average")
+  def highestMax(f: DataFrame, n: Int): DataFrame = highest(f, n, "max")
+
+  /** Graphite interval strings: `"1hour"`, `"30min"`, `"10s"`, `"1d"`
+    * — number + unit prefix (graphite's parseTimeOffset unit table).
+    */
+  def parseInterval(s: String): Long = {
+    val m = """^(\d+)\s*([a-z]*)$""".r
+    s.trim.toLowerCase match {
+      case m(n, u) =>
+        val unit = u match {
+          case "" | "s" | "sec" | "second" | "seconds" => 1L
+          case "min" | "minute" | "minutes" => 60L
+          case "h" | "hour" | "hours" => 3600L
+          case "d" | "day" | "days" => 86400L
+          case "w" | "week" | "weeks" => 7L * 86400L
+          case "y" | "year" | "years" => 365L * 86400L
+          case other => throw new IllegalArgumentException(s"unknown interval unit '$other'")
+        }
+        n.toLong * unit
+      case other => throw new IllegalArgumentException(s"bad interval '$other'")
+    }
+  }
+
+  /** Number rendering for wrapped names: integral doubles print
+    * without the trailing `.0` (Graphite prints `scale(x,2)`).
+    */
+  private[tsdb] def fmtNum(v: Double): String =
+    if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
+    else String.format(java.util.Locale.ROOT, "%s", Double.box(v))
+}

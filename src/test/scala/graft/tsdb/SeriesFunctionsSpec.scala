@@ -1,0 +1,127 @@
+package graft.tsdb
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.tsdb.TargetExpr._
+
+/** C9 render-function pipeline: parser/AST round trips, evaluator
+  * dispatch, and the null semantics of the functions the driver
+  * oracles don't individually pin (perSecond, keepLastValue,
+  * countSeries, group, timeShift, negative aliasByNode indices).
+  */
+class SeriesFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame(rows: (String, Long, java.lang.Double)*): DataFrame =
+    rows.toDF("path", "t", "value")
+
+  private def vals(df: DataFrame): Seq[(String, Long, Option[Double])] =
+    df.orderBy("path", "t").collect().toSeq.map(r =>
+      (r.getString(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+
+  test("parser: nested calls, quoted strings, numbers, globs") {
+    val e = parse("""summarize(sumSeries(vera.u1?.click), '1hour', "avg")""")
+    assert(e == CallExpr("summarize", Seq(
+      SeriesArg(CallExpr("sumSeries", Seq(SeriesArg(PathExpr("vera.u1?.click"))))),
+      StrArg("1hour"), StrArg("avg"))))
+    assert(render(e) == """summarize(sumSeries(vera.u1?.click),"1hour","avg")""")
+    // numbers: ints render without .0, negatives and floats survive
+    assert(parse("scale(a.b,-1.5)") ==
+      CallExpr("scale", Seq(SeriesArg(PathExpr("a.b")), NumArg(-1.5))))
+    assert(render(parse("scale(a.b,2)")) == "scale(a.b,2)")
+    // a leading-digit glob is a path, not a number
+    assert(parse("sumSeries(1min.cpu.*)") ==
+      CallExpr("sumSeries", Seq(SeriesArg(PathExpr("1min.cpu.*")))))
+    // bools parse as keywords
+    assert(parse("f(a.b,true,false)") == CallExpr("f",
+      Seq(SeriesArg(PathExpr("a.b")), BoolArg(true), BoolArg(false))))
+    // braces/brackets ride the path token
+    assert(parse("sum(vera.u{1,2}.click)") ==
+      CallExpr("sum", Seq(SeriesArg(PathExpr("vera.u{1,2}.click")))))
+  }
+
+  test("parser: loud failures on malformed targets and bad arguments") {
+    intercept[IllegalArgumentException](parse("sumSeries(a.b"))
+    intercept[IllegalArgumentException](parse("sumSeries(a.b))"))
+    intercept[IllegalArgumentException](parse("alias(a.b,'unterminated"))
+    intercept[IllegalArgumentException](parse(""))
+    val fetch = (_: String) => frame(("x", 0L, 1.0))
+    intercept[IllegalArgumentException](evalTarget("noSuchFunction(a.b)", fetch))
+    intercept[IllegalArgumentException](evalTarget("alias(a.b,5)", fetch)) // number where string
+    intercept[IllegalArgumentException](evalTarget("scale(a.b)", fetch)) // arity
+    intercept[IllegalArgumentException](evalTarget("movingAverage(a.b,2.5)", fetch)) // non-integer n
+  }
+
+  test("combine: all-null timestamps stay null; countSeries counts non-null values") {
+    val f = frame(("a", 0L, 1.0), ("a", 60L, null), ("a", 120L, 2.0),
+      ("b", 0L, 3.0), ("b", 60L, null), ("b", 120L, null))
+    assert(vals(SeriesFunctions.sumSeries(f, "s")) ==
+      Seq(("s", 0L, Some(4.0)), ("s", 60L, None), ("s", 120L, Some(2.0))))
+    assert(vals(SeriesFunctions.combine(f, "count", "c")) ==
+      Seq(("c", 0L, Some(2.0)), ("c", 60L, Some(0.0)), ("c", 120L, Some(1.0))))
+  }
+
+  test("perSecond: delta over grid step, wraps and gaps null") {
+    val f = frame(("a", 0L, 10.0), ("a", 60L, 130.0), ("a", 120L, 10.0),
+      ("a", 180L, null), ("a", 240L, 70.0))
+    assert(vals(SeriesFunctions.perSecond(f)) == Seq(
+      ("perSecond(a)", 0L, None),       // no predecessor
+      ("perSecond(a)", 60L, Some(2.0)), // (130-10)/60
+      ("perSecond(a)", 120L, None),     // counter wrap (negative)
+      ("perSecond(a)", 180L, None),     // gap
+      ("perSecond(a)", 240L, None)))    // predecessor is a gap
+  }
+
+  test("keepLastValue holds across gaps; leading gaps stay null") {
+    val f = frame(("a", 0L, null), ("a", 60L, 5.0), ("a", 120L, null), ("a", 180L, null))
+    assert(vals(SeriesFunctions.keepLastValue(f)) == Seq(
+      ("keepLastValue(a)", 0L, None), ("keepLastValue(a)", 60L, Some(5.0)),
+      ("keepLastValue(a)", 120L, Some(5.0)), ("keepLastValue(a)", 180L, Some(5.0))))
+  }
+
+  test("timeShift relabels timestamps; bare interval strings shift back") {
+    val f = frame(("a", 3600L, 1.0))
+    assert(vals(SeriesFunctions.timeShift(f, -3600L, "1h")) ==
+      Seq(("""timeShift(a,"1h")""", 0L, Some(1.0))))
+    val fetch = (_: String) => f
+    assert(vals(evalTarget("timeShift(a,'1h')", fetch)).head._2 == 0L)
+    assert(vals(evalTarget("timeShift(a,'+1h')", fetch)).head._2 == 7200L)
+  }
+
+  test("aliasByNode: negative indices count from the end, group unions") {
+    val f = frame(("vera.u7.click", 0L, 1.0))
+    assert(vals(SeriesFunctions.aliasByNode(f, Seq(-1, 0))) ==
+      Seq(("click.vera", 0L, Some(1.0))))
+    val g = evalTarget("group(alias(a.b,'x'),alias(a.b,'y'))", (_: String) => f)
+    assert(vals(g).map(_._1).sorted == Seq("x", "y"))
+  }
+
+  test("summarize last: latest non-null point per bucket; empty bucket null") {
+    val f = frame(("a", 0L, 1.0), ("a", 60L, 2.0), ("a", 120L, null),
+      ("a", 240L, null), ("a", 300L, null))
+    assert(vals(SeriesFunctions.summarize(f, 240L, "last", "4min")) == Seq(
+      ("""summarize(a, "4min", "last")""", 0L, Some(2.0)),
+      ("""summarize(a, "4min", "last")""", 240L, None)))
+  }
+
+  test("parseInterval: graphite unit spellings") {
+    import SeriesFunctions.parseInterval
+    assert(parseInterval("1hour") == 3600L)
+    assert(parseInterval("30min") == 1800L)
+    assert(parseInterval("10s") == 10L)
+    assert(parseInterval("2d") == 172800L)
+    assert(parseInterval("1week") == 604800L)
+    assert(parseInterval("90") == 90L)
+    intercept[IllegalArgumentException](parseInterval("1fortnight"))
+  }
+
+  test("highestCurrent selection keeps whole series, ranked on the rounded stat") {
+    val f = frame(("a", 0L, 9.0), ("a", 60L, 1.0),
+      ("b", 0L, 0.0), ("b", 60L, 5.0),
+      ("c", 0L, 0.0), ("c", 60L, 3.0))
+    // current(a)=1, current(b)=5, current(c)=3 → top2 = b, c
+    assert(vals(SeriesFunctions.highestCurrent(f, 2)).map(_._1).distinct.sorted ==
+      Seq("b", "c"))
+  }
+}
