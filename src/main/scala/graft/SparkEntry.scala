@@ -143,6 +143,7 @@ object SparkEntry {
     "stream_ann_assign" -> ((s, dir) => L.streamAnnAssign(s, dir)),
     "ann_assign_2level" -> ((s, dir) => L.annAssign2Level(s, dir)),
     "stream_tokenize" -> ((s, dir) => L.streamTokenize(s, dir)),
+    "stream_keywords" -> ((s, dir) => L.streamKeywords(s, dir)),
     "multimodal_pipeline" -> ((s, dir) =>
       graft.multimodal.BinaryPipeline.pipelineSummary(s, graft.core.Tables.documents(s, dir)))
   )
@@ -1381,6 +1382,29 @@ object SparkEntry {
     // batch twin runs the identical projection, so the oracle is shared
     "corpus_bpe_apply" -> BpeApplyOracleSql,
     "stream_tokenize" -> BpeApplyOracleSql,
+    // G11: in-flight keyword tagging — the frozen artifact (top-V
+    // vocab df + corpus N) is replayed as CTEs, per-doc tf joins it
+    // LEFT (OOV → df 0, the idf ceiling), same round(,6)-desc-token
+    // rank and Eps'd projection as F30
+    "stream_keywords" -> {
+      import graft.ops.{LlmQueries => LQ}
+      s"""WITH $TK,
+         |tok AS (SELECT doc_id, unnest(toks) AS token FROM tk),
+         |voc AS (SELECT token, count(*) AS tfc, count(DISTINCT doc_id) AS df
+         |  FROM tok GROUP BY 1 ORDER BY tfc DESC, token LIMIT ${LQ.VocabTopN}),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |tfd AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+         |sc AS (SELECT t.doc_id, t.token, t.tf,
+         |  t.tf * ln((nn.n + 1)*1.0/(coalesce(v.df, 0) + 1)) AS s
+         |  FROM tfd t LEFT JOIN voc v USING (token) CROSS JOIN nn),
+         |rkd AS (SELECT doc_id, token, tf, s,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY round(s, 6) DESC, token) AS rk
+         |  FROM sc)
+         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, token, tf,
+         |  round(s - 1e-9, 4) + 0.0 AS tfidf
+         |FROM rkd WHERE rk <= ${LQ.KeywordsTopK}
+         |ORDER BY doc_id, rk""".stripMargin
+    },
     // F18: hash-stable split — same h60(doc_id) % denom arithmetic as
     // graft.ops.Sampling.split, CASE rendered from the same weights
     "corpus_split" -> {

@@ -489,6 +489,22 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** G11 batch twin: in-flight keyword tagging under the frozen
+    * (token → df, N) artifact — df table = the F17 top-V vocabulary's
+    * df column (bounded by contract: V rows ship as expression
+    * literals), N = the training corpus size. OOV tokens score at the
+    * df = 0 idf ceiling.
+    */
+  def streamKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dfTable = Analysis.vocab(docs, VocabTopN)
+      .select(col("token"), col("df"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.streaming.CarbonStream.keywordsStream(docs, dfTable,
+      docs.count(), KeywordsTopK)
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** F18: deterministic hash-stable train/val/test split. */
   def corpusSplit(spark: SparkSession, dir: String): DataFrame =
     Sampling.split(Tables.documents(spark, dir), SplitWeights)

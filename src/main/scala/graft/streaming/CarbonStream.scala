@@ -306,6 +306,20 @@ object CarbonStream {
   def tokenizeStream(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
     graft.text.Bpe.applyTokens(docs, merges)
 
+  /** G11: in-flight keyword tagging — each incoming document gets its
+    * top-k TF-IDF keywords AT INGEST against the FROZEN df artifact
+    * the last batch sweep trained (F30 recomputes df from the corpus
+    * it scores — two corpus passes, inherently batch; the stream
+    * variant freezes (token → df, N) the way G10 freezes the BPE merge
+    * table). Stateless map-only — the whole rank happens inside the
+    * row ([[graft.text.Analysis.keywordsRowwise]]); no state store, no
+    * shuffle, mode-agnostic: the batch twin (the driver oracle) IS
+    * this function on a batch Dataset.
+    */
+  def keywordsStream(docs: DataFrame, dfTable: Seq[(String, Long)],
+                     nDocs: Long, k: Int): DataFrame =
+    graft.text.Analysis.keywordsRowwise(docs, dfTable, nDocs, k)
+
   def simhashDedupStream(docs: DataFrame): Dataset[SigDecision] = {
     import docs.sparkSession.implicits._
     docs

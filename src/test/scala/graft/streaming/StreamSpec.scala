@@ -373,6 +373,42 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming keywords tag in-flight under a frozen df table (G11)") {
+    import graft.streaming.CarbonStream
+    implicit val sqlCtx = spark.sqlContext
+    // frozen artifact: "common" seen in 9 of 10 training docs, "rare"
+    // in 1; "novel" is OOV (df 0 → the idf ceiling ln(N+1))
+    val dfTable = Seq(("common", 9L), ("rare", 1L), ("the", 10L))
+    val n = 10L
+    val source = MemoryStream[(Long, String)]
+    val out = CarbonStream.keywordsStream(
+      source.toDF().toDF("doc_id", "text"), dfTable, n, 2)
+    val query = out.writeStream
+      .format("memory").queryName("g11_kw").outputMode("append").start()
+    try {
+      source.addData((0L, "the common common rare"))
+      query.processAllAvailable()
+      source.addData((1L, "novel the")) // stateless across batches
+      query.processAllAvailable()
+      val rows = spark.table("g11_kw").orderBy("doc_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      // doc 0: rare tf1·ln(11/2)=1.70 > common tf2·ln(11/10)=0.19 > the
+      // doc 1: OOV novel tf1·ln(11/1)=2.40 outranks the
+      assert(rows.toSeq == Seq(
+        (0L, 1L, "rare", 1L), (0L, 2L, "common", 2L),
+        (1L, 1L, "novel", 1L), (1L, 2L, "the", 1L)))
+      // batch/stream bit-equality: same projection on a batch frame
+      val batch = CarbonStream.keywordsStream(
+        Seq((0L, "the common common rare"), (1L, "novel the"))
+          .toDF("doc_id", "text"), dfTable, n, 2)
+        .orderBy("doc_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      val streamed = spark.table("g11_kw").orderBy("doc_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      assert(streamed.toSeq == batch.toSeq)
+    } finally query.stop()
+  }
+
   test("streaming simhash dedup batch twin agrees on keepers (G4)") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),
