@@ -69,6 +69,8 @@ object SparkEntry {
     "gfn_moving_top" -> ((s, dir) => T.gfnMovingTop(s, dir)),
     "gfn_alias_nodes" -> ((s, dir) => T.gfnAliasNodes(s, dir)),
     "gfn_pipeline" -> ((s, dir) => T.gfnPipeline(s, dir)),
+    "gfn_divide" -> ((s, dir) => T.gfnDivide(s, dir)),
+    "gfn_percent_filter" -> ((s, dir) => T.gfnPercentFilter(s, dir)),
     "gfn_cgi_render" -> ((s, dir) => T.gfnCgiRender(s, dir)),
     // D. dataMine bridge
     "dm_resample" -> ((s, dir) => T.dmResample(s, dir)),
@@ -227,6 +229,19 @@ object SparkEntry {
     s"""$FetchCte,
        |fr AS (SELECT g.path, g.t, a2.value AS value
        |  FROM g LEFT JOIN a2 ON g.path = a2.path AND g.t = a2.bucket)""".stripMargin
+
+  /** A suffixed copy of the same frame chain for queries combining TWO
+    * fetches (divideSeries) — every CTE name carries `id` so two
+    * instances coexist in one WITH.
+    */
+  private def gfnFrameCteNamed(pathRe: String, id: String): String =
+    s"""f$id AS (SELECT * FROM m WHERE regexp_matches(path, '$pathRe')),
+       |a1$id AS (SELECT path, ts - ts%600 AS bucket, avg(value) AS value FROM f$id GROUP BY 1,2),
+       |a2$id AS (SELECT path, bucket - bucket%3600 AS bucket, avg(value) AS value FROM a1$id GROUP BY 1,2),
+       |p$id AS (SELECT DISTINCT path FROM f$id),
+       |g$id AS (SELECT p$id.path, s.t FROM p$id CROSS JOIN generate_series(1706097600, 1706659200, 3600) AS s(t)),
+       |fr$id AS (SELECT g$id.path, g$id.t, a2$id.value AS value
+       |  FROM g$id LEFT JOIN a2$id ON g$id.path = a2$id.path AND g$id.t = a2$id.bucket)""".stripMargin
 
   /** Shared DuckDB CTEs for the documents table: tokens + distinct
     * 3-word shingles (mirrors graft.text.TextFns).
@@ -1995,6 +2010,28 @@ object SparkEntry {
          |SELECT 'scale(summarize(sumSeries(vera.u1?.click), "4hour", "max"),0.5)' AS path,
          | t, round(value * 0.5 - 1e-9, 4) AS value
          |FROM sm ORDER BY 2""".stripMargin,
+    // C9i: divideSeries over two combined fetches — per-t ratio of the
+    // click and error sums; zero/absent divisor points null
+    "gfn_divide" ->
+      s"""WITH $M,
+         |${gfnFrameCteNamed("^vera\\.u1[^.]\\.click$$", "c")},
+         |${gfnFrameCteNamed("^vera\\.u1[^.]\\.error$$", "e")},
+         |dc AS (SELECT t, sum(value) AS v FROM frc GROUP BY 1),
+         |de AS (SELECT t, sum(value) AS dv FROM fre GROUP BY 1)
+         |SELECT 'divideSeries(sumSeries(vera.u1?.click),sumSeries(vera.u1?.error))' AS path,
+         | dc.t, round(CASE WHEN de.dv <> 0 THEN dc.v/de.dv END - 1e-9, 4) AS value
+         |FROM dc LEFT JOIN de USING (t) ORDER BY 2""".stripMargin,
+    // C9j: averageAbove gate then asPercent — per-series mean filter on
+    // the round(,6) grid, each survivor as share of the group total
+    "gfn_percent_filter" ->
+      s"""WITH $GfnFrameCte,
+         |st AS (SELECT path, avg(value) AS s FROM fr GROUP BY 1),
+         |keep AS (SELECT path FROM st WHERE round(s, 6) > 30),
+         |kf AS (SELECT f.* FROM fr f JOIN keep USING (path)),
+         |tot AS (SELECT t, sum(value) AS tot FROM kf GROUP BY 1)
+         |SELECT 'asPercent(' || k.path || ')' AS path, k.t,
+         | round(CASE WHEN tot.tot <> 0 THEN k.value*100.0/tot.tot END - 1e-9, 4) AS value
+         |FROM kf k LEFT JOIN tot USING (t) ORDER BY 1, 2""".stripMargin,
     // C9h: the URL round trip — function target through /render
     // format=csv; the env's -Eps input shift rides max() exactly
     "gfn_cgi_render" ->

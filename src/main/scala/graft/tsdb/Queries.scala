@@ -503,6 +503,19 @@ object Queries {
   def gfnPipeline(spark: SparkSession, dir: String): DataFrame =
     gfnEval(spark, dir, """scale(summarize(sumSeries(vera.u1?.click),"4hour","max"),0.5)""")
 
+  /** C9i: series math — click/error ratio of the two combined streams;
+    * zero or absent divisor points null out.
+    */
+  def gfnDivide(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir,
+      "divideSeries(sumSeries(vera.u1?.click),sumSeries(vera.u1?.error))")
+
+  /** C9j: stat filter + share-of-group — series averaging above the
+    * gate, each point as a percentage of the surviving group's total.
+    */
+  def gfnPercentFilter(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, "asPercent(averageAbove(vera.u1?.click,30))")
+
   /** C9h: the URL round trip — a function target through Cgi.dispatch
     * (maxSeries propagates the env's -Eps input shift exactly).
     */

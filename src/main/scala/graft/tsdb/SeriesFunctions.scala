@@ -63,6 +63,79 @@ object SeriesFunctions {
   /** Union of series lists — Graphite `group()`; map-only. */
   def group(fs: Seq[DataFrame]): DataFrame = fs.reduce(_ unionByName _)
 
+  /** Point-wise ratio of two single-series operands (Graphite
+    * `divideSeries`): the divisor is first collapsed with safeSum the
+    * way graphite-web does when handed a multi-series divisor; a zero
+    * or null divisor point yields null. One equi-join on t — the
+    * divisor side is a combined single series (one row per grid point),
+    * broadcast.
+    */
+  def divideSeries(dividend: DataFrame, divisor: DataFrame, name: String): DataFrame = {
+    val d = broadcast(divisor.groupBy(col("t"))
+      .agg(sum(col("value")).as("dv")))
+    frame(dividend.join(d, Seq("t"), "left"),
+      lit(name), col("t"),
+      when(col("dv") =!= 0, col("value") / col("dv")))
+  }
+
+  /** Each series as a per-timestamp percentage of the group total
+    * (Graphite `asPercent` with no total argument): one groupBy(t)
+    * total joined back on t; an all-null or zero total point is null.
+    * Series keep graphite's wrapped names.
+    */
+  def asPercent(f: DataFrame): DataFrame = {
+    val tot = f.groupBy(col("t")).agg(sum(col("value")).as("tot"))
+    frame(f.join(broadcast(tot), Seq("t"), "left"),
+      wrap("asPercent", ""), col("t"),
+      when(col("tot") =!= 0, col("value") * 100.0 / col("tot")))
+  }
+
+  // ---- series filters: per-series stat gate, broadcast semi/anti ----
+
+  /** Keep series whose per-series aggregate clears a threshold
+    * (Graphite `averageAbove`/`averageBelow`/`maximumAbove`/
+    * `minimumAbove`/`currentAbove`/...): the K-row stat table filters
+    * on the round(,6) grid and semi-joins back — the highest/lowest
+    * selection shape without the rank.
+    */
+  def filterByStat(f: DataFrame, stat: String, op: String, threshold: Double): DataFrame = {
+    val statAgg: Column = stat match {
+      case "average" => avg(col("value"))
+      case "max" => max(col("value"))
+      case "min" => min(col("value"))
+      case "current" => max(when(col("value").isNotNull,
+        struct(col("t"), col("value")))).getField("value")
+      case other => throw new IllegalArgumentException(s"filterByStat: unknown stat '$other'")
+    }
+    val cmp: Column = op match {
+      case "above" => round(col("s"), 6) > threshold
+      case "below" => round(col("s"), 6) < threshold
+      case other => throw new IllegalArgumentException(s"filterByStat: unknown op '$other'")
+    }
+    val keep = f.groupBy(col("path")).agg(statAgg.as("s"))
+      .filter(cmp).select(col("path"))
+    f.join(broadcast(keep), Seq("path"), "left_semi")
+  }
+
+  /** Keep / drop series whose NAME matches a Java regex (Graphite
+    * `grep` / `exclude`); map-only… the match is a scan-stage filter.
+    */
+  def grep(f: DataFrame, pattern: String): DataFrame =
+    f.filter(col("path").rlike(pattern))
+
+  def exclude(f: DataFrame, pattern: String): DataFrame =
+    f.filter(!col("path").rlike(pattern))
+
+  /** First n series in path order (Graphite `limit`; deterministic —
+    * graphite-web takes store order, which is not an order at all).
+    */
+  def limitSeries(f: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"limit: n must be >= 1 (got $n)")
+    val keep = f.select(col("path")).distinct()
+      .orderBy(col("path")).limit(n)
+    f.join(broadcast(keep), Seq("path"), "left_semi")
+  }
+
   // ---- renames: map-only ----
 
   /** All series renamed to the literal `name` (Graphite `alias`). */

@@ -116,6 +116,44 @@ class SeriesFunctionsSpec extends SparkSpec {
     intercept[IllegalArgumentException](parseInterval("1fortnight"))
   }
 
+  test("divideSeries: zero and absent divisor points null; multi-series divisor collapses") {
+    val a = frame(("a", 0L, 10.0), ("a", 60L, 6.0), ("a", 120L, 5.0), ("a", 180L, 1.0))
+    val b = frame(("b1", 0L, 2.0), ("b1", 60L, 0.0), ("b1", 120L, null),
+      ("b2", 0L, 3.0), ("b2", 60L, 0.0), ("b2", 120L, null))
+    // divisor collapses to safeSum: t0=5, t60=0 (→null), t120 all-null
+    // (→null), t180 absent from divisor (→null)
+    assert(vals(SeriesFunctions.divideSeries(a, b, "r")) == Seq(
+      ("r", 0L, Some(2.0)), ("r", 60L, None), ("r", 120L, None), ("r", 180L, None)))
+  }
+
+  test("asPercent: share of group total per timestamp; zero totals null") {
+    val f = frame(("a", 0L, 1.0), ("b", 0L, 3.0),
+      ("a", 60L, 0.0), ("b", 60L, 0.0), ("a", 120L, null), ("b", 120L, 2.0))
+    assert(vals(SeriesFunctions.asPercent(f)) == Seq(
+      ("asPercent(a)", 0L, Some(25.0)), ("asPercent(a)", 60L, None),
+      ("asPercent(a)", 120L, None),
+      ("asPercent(b)", 0L, Some(75.0)), ("asPercent(b)", 60L, None),
+      ("asPercent(b)", 120L, Some(100.0))))
+  }
+
+  test("filterByStat / grep / exclude / limit select series") {
+    val f = frame(("x.a", 0L, 1.0), ("x.a", 60L, 5.0),
+      ("x.b", 0L, 10.0), ("x.b", 60L, 2.0),
+      ("y.c", 0L, 3.0), ("y.c", 60L, 3.0))
+    def paths(df: DataFrame) = vals(df).map(_._1).distinct.sorted
+    assert(paths(SeriesFunctions.filterByStat(f, "average", "above", 3.5)) == Seq("x.b"))
+    assert(paths(SeriesFunctions.filterByStat(f, "max", "below", 5.5)) == Seq("x.a", "y.c"))
+    // current = last non-null: x.a→5, x.b→2, y.c→3
+    assert(paths(SeriesFunctions.filterByStat(f, "current", "above", 2.5)) == Seq("x.a", "y.c"))
+    assert(paths(SeriesFunctions.grep(f, "^x\\.")) == Seq("x.a", "x.b"))
+    assert(paths(SeriesFunctions.exclude(f, "\\.b$")) == Seq("x.a", "y.c"))
+    assert(paths(SeriesFunctions.limitSeries(f, 2)) == Seq("x.a", "x.b"))
+    // evaluator dispatch for the whole family
+    val fetch = (_: String) => f
+    assert(paths(evalTarget("limit(exclude(grep(x.*,'^x'),'b$'),1)", fetch)) == Seq("x.a"))
+    assert(paths(evalTarget("averageAbove(x.*,3.5)", fetch)) == Seq("x.b"))
+  }
+
   test("highestCurrent selection keeps whole series, ranked on the rounded stat") {
     val f = frame(("a", 0L, 9.0), ("a", 60L, 1.0),
       ("b", 0L, 0.0), ("b", 60L, 5.0),
