@@ -331,6 +331,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOf(p, "Exchange hashpartitioning") <= 3, p.take(3000))
   }
 
+  test("gfn combiners aggregate map-side; selection broadcasts, never sorts the frame") {
+    val p = plan("gfn_sum_series")
+    // sumSeries = one map-side-combined groupBy(t) on the fetch frame
+    assert(p.contains("partial_sum"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    val top = plan("gfn_moving_top")
+    // highestCurrent: the ≤n ranked list returns as a broadcast
+    // left-semi — the frame itself is never globally sorted or
+    // sort-merge-joined
+    assert(top.contains("BroadcastHashJoin") && top.contains("LeftSemi"),
+      top.take(3000))
+    assert(!top.contains("SortMergeJoin"), top.take(3000))
+    val pf = plan("gfn_percent_filter")
+    assert(!pf.contains("SortMergeJoin"), pf.take(3000))
+  }
+
+  test("stream_keywords is map-only: frozen artifact as literals, no join, no shuffle") {
+    val p = plan("stream_keywords")
+    // the in-row rank: the only exchange is the output sort's range
+    // partitioning — this is what makes the operator stream-safe
+    assert(countOf(p, "Exchange hashpartitioning") == 0, p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
   test("no unbounded cartesian product in any driver query") {
     // broadcast nested-loop joins over bounded broadcasts (band index,
     // centroid codebook, query subset, 1-row bounds) are fine; a
