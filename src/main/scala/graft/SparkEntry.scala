@@ -112,6 +112,7 @@ object SparkEntry {
     "ann_ivf" -> ((s, dir) => L.annIvf(s, dir)),
     "ann_ivf_refined" -> ((s, dir) => L.annIvfRefined(s, dir)),
     "ann_ivf_sampled" -> ((s, dir) => L.annIvfSampled(s, dir)),
+    "ann_ivf_sampled2" -> ((s, dir) => L.annIvfSampled2(s, dir)),
     "ann_pq" -> ((s, dir) => L.annPq(s, dir)),
     "ann_ivf_pq" -> ((s, dir) => L.annIvfPq(s, dir)),
     "ann_quantized" -> ((s, dir) => L.annQuantized(s, dir)),
@@ -596,6 +597,63 @@ object SparkEntry {
   }
 
   private lazy val LloydFinalCte = s"c${graft.ops.LlmQueries.IvfLloydIters}"
+
+  /** The F6d two-level argmax as CTEs assigning `src` rows against
+    * codebook CTE `cents` → `name` = (vec_id, cent_id): super-codebook
+    * (G lowest cent_ids), centroid→super map, level-1 routing, level-2
+    * member argmax — all on the shared round(cos,6)/lowest-id rule.
+    * Per-iteration inside the F6f hierarchical Lloyd chain.
+    */
+  private def twoLevelAssignCte(cents: String, name: String, src: String,
+                                g: Int): String =
+    s"""${name}sup AS (SELECT cent_id AS super_id, ce AS se, cn AS sn FROM $cents
+       |  ORDER BY cent_id LIMIT $g),
+       |${name}cmap AS (SELECT cent_id, super_id, ce, cn FROM (
+       |  SELECT c.cent_id, s.super_id, c.ce, c.cn,
+       |    row_number() OVER (PARTITION BY c.cent_id
+       |      ORDER BY round(list_dot_product(c.ce, s.se)/(c.cn*s.sn), 6) DESC, s.super_id) AS rk
+       |  FROM $cents c CROSS JOIN ${name}sup s) WHERE rk = 1),
+       |${name}r1 AS (SELECT vec_id, super_id FROM (
+       |  SELECT n.vec_id, s.super_id,
+       |    row_number() OVER (PARTITION BY n.vec_id
+       |      ORDER BY round(list_dot_product(n.emb, s.se)/(n.nrm*s.sn), 6) DESC, s.super_id) AS rk
+       |  FROM $src n CROSS JOIN ${name}sup s) WHERE rk = 1),
+       |$name AS (SELECT vec_id, cent_id FROM (
+       |  SELECT n.vec_id, m.cent_id,
+       |    row_number() OVER (PARTITION BY n.vec_id
+       |      ORDER BY round(list_dot_product(n.emb, m.ce)/(n.nrm*m.cn), 6) DESC, m.cent_id) AS rk
+       |  FROM $src n JOIN ${name}r1 r1 USING (vec_id)
+       |  JOIN ${name}cmap m ON m.super_id = r1.super_id) t WHERE rk = 1)""".stripMargin
+
+  /** The F6f hierarchical Lloyd chain over the sampled rows: same
+    * c0→cN names and fixed-point mean CTEs as the flat chain, but each
+    * iteration's assignment is the two-level router.
+    */
+  private lazy val LloydChainSampled2Ctes: String = {
+    import graft.ops.{LlmQueries => LQ}
+    def lloydCte(a: String, m: String, prev: String, next: String) =
+      s"""$m AS (SELECT a.cent_id, e.d,
+         |  CAST(CAST(CAST(sum(CAST(round(e.v * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |    / (count(*) * 1000000.0) AS FLOAT) AS DOUBLE) AS mv
+         |  FROM $a a JOIN (SELECT vec_id, generate_subscripts(emb,1) AS d, unnest(emb) AS v
+         |                  FROM ns) e USING (vec_id)
+         |  GROUP BY 1,2),
+         |${m}l AS (SELECT cent_id, list(mv ORDER BY d) AS ce FROM $m GROUP BY 1),
+         |$next AS (SELECT p.cent_id, coalesce(l.ce, p.ce) AS ce,
+         |  sqrt(list_dot_product(coalesce(l.ce, p.ce), coalesce(l.ce, p.ce))) AS cn
+         |  FROM $prev p LEFT JOIN ${m}l l USING (cent_id))""".stripMargin
+    val iterCtes = (1 to LQ.IvfLloydIters).map(i =>
+      twoLevelAssignCte(s"c${i - 1}", s"a$i", "ns", LQ.SuperCells) + ",\n" +
+        lloydCte(s"a$i", s"m$i", s"c${i - 1}", s"c$i")).mkString(",\n")
+    s"""n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),
+       |ns AS (SELECT * FROM n
+       |  WHERE ('0x'||substr(md5(CAST(vec_id AS VARCHAR)||'#cbtrain'),1,15))::BIGINT % 10000
+       |        < ${LQ.CbSampleBp}),
+       |c0 AS (SELECT vec_id AS cent_id, emb AS ce, nrm AS cn FROM ns
+       |  ORDER BY vec_id LIMIT ${LQ.IvfCentroids}),
+       |$iterCtes""".stripMargin
+  }
 
   /** MinHash params / stopword dict rendered from the same Scala
     * constants the Spark plans use — single source of truth.
@@ -1090,6 +1148,31 @@ object SparkEntry {
       import graft.ops.{LlmQueries => LQ}
       val cf = LloydFinalCte
       s"""WITH $LloydChainSampledCtes,
+         |${ivfAssignCte(cf, "assigned")},
+         |qa AS (SELECT n.vec_id AS q_id, c.cent_id,
+         |  row_number() OVER (PARTITION BY n.vec_id
+         |    ORDER BY round(list_dot_product(n.emb, c.ce)/(n.nrm*c.cn), 6) DESC, c.cent_id) AS crk
+         |  FROM n CROSS JOIN $cf c WHERE n.vec_id < ${LQ.AnnQueryMax}),
+         |probes AS (SELECT q_id, cent_id FROM qa WHERE crk <= ${LQ.IvfProbe}),
+         |scored AS (SELECT p.q_id, a.vec_id,
+         |  list_dot_product(nq.emb, nv.emb)/(nq.nrm*nv.nrm) AS cos
+         |  FROM assigned a JOIN probes p USING (cent_id)
+         |  JOIN n nq ON nq.vec_id = p.q_id JOIN n nv ON nv.vec_id = a.vec_id
+         |  WHERE a.vec_id <> p.q_id),
+         |rk AS (SELECT q_id, vec_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY round(cos,6) DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, rk, vec_id, round(cos,4) AS cos FROM rk
+         |WHERE rk <= ${LQ.AnnK}
+         |ORDER BY q_id, rk""".stripMargin
+    },
+    // F6f: IVF over the hierarchically-sample-trained codebook — the
+    // Lloyd chain's per-iteration assignment is the F6d two-level
+    // router; the search tail is unchanged
+    "ann_ivf_sampled2" -> {
+      import graft.ops.{LlmQueries => LQ}
+      val cf = LloydFinalCte
+      s"""WITH $LloydChainSampled2Ctes,
          |${ivfAssignCte(cf, "assigned")},
          |qa AS (SELECT n.vec_id AS q_id, c.cent_id,
          |  row_number() OVER (PARTITION BY n.vec_id

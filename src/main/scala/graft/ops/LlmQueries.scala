@@ -276,6 +276,16 @@ object LlmQueries {
       IvfCentroids, IvfProbe, IvfLloydIters, CbSampleBp)
   }
 
+  /** F6f: IVF over the hierarchically-sample-trained codebook — the
+    * production trainer: Lloyd on the sample with each iteration's
+    * assignment routed through the F6d super-cells (O(s·√K)/iter).
+    */
+  def annIvfSampled2(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Ann.ivfTopKSampled2Level(e.filter(col("vec_id") < AnnQueryMax), e, AnnK,
+      IvfCentroids, IvfProbe, IvfLloydIters, CbSampleBp, SuperCells)
+  }
+
   /** F25: top-k over int8-quantized codes — 4× smaller index and
     * rerank shuffle; per-vector scale cancels in code-space cosine.
     */

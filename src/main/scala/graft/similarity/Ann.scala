@@ -193,29 +193,38 @@ object Ann {
         .agg(max_by(struct(col("embedding").as("ve"), col("cent_id")),
           struct(round(col("csim"), 6).as("s"), (-col("cent_id")).as("t"))).as("a"))
         .select(col("a.cent_id").as("cent_id"), col("a.ve").as("ve"))
-      // element-wise mean: one narrow (cent_id, dim, value) aggregation;
-      // sort_array(collect_list(struct)) makes the rebuild order-exact
-      // (collect_list alone is partition-order-dependent)
-      val means = assigned
-        .select(col("cent_id"), posexplode(col("ve")).as(Seq("d", "comp")))
-        .groupBy(col("cent_id"), col("d"))
-        .agg(sum(round(col("comp") * 1e6, 0).cast("long")).as("ms"),
-          count(lit(1)).as("mn"))
-        .withColumn("m", col("ms").cast("double") / (col("mn").cast("double") * 1e6))
-        .groupBy(col("cent_id"))
-        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
-          x => x.getField("m").cast("float")).as("mce"))
-      // means is K rows but sits behind a corpus-wide aggregate whose
-      // size ESTIMATE blocks auto-broadcast — pin it, or this tiny
-      // codebook join becomes a SortMergeJoin
-      cents = cents.join(broadcast(means), Seq("cent_id"), "left")
-        .select(col("cent_id"), coalesce(col("mce"), col("ce")).as("ce"))
-        .withColumn("cn", norm(col("ce")))
-        // tiny (K rows) but consumed by every later iteration/stage —
-        // uncached, each reference re-runs the whole Lloyd chain
-        .cachedOnce
+      cents = lloydMeans(assigned, cents)
     }
     cents
+  }
+
+  /** One Lloyd mean-rebuild step shared by the flat and two-level
+    * trainers: `assigned` is (cent_id, ve) — element-wise FIXED-POINT
+    * mean (1e-6-grid integer sum / count, order-independent, the
+    * engine-parity contract), one narrow (cent_id, dim, value)
+    * aggregation; sort_array(collect_list(struct)) makes the rebuild
+    * order-exact (collect_list alone is partition-order-dependent);
+    * a centroid whose list goes empty keeps its previous value.
+    */
+  private def lloydMeans(assigned: DataFrame, prev: DataFrame): DataFrame = {
+    val means = assigned
+      .select(col("cent_id"), posexplode(col("ve")).as(Seq("d", "comp")))
+      .groupBy(col("cent_id"), col("d"))
+      .agg(sum(round(col("comp") * 1e6, 0).cast("long")).as("ms"),
+        count(lit(1)).as("mn"))
+      .withColumn("m", col("ms").cast("double") / (col("mn").cast("double") * 1e6))
+      .groupBy(col("cent_id"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+        x => x.getField("m").cast("float")).as("mce"))
+    // means is K rows but sits behind a corpus-wide aggregate whose
+    // size ESTIMATE blocks auto-broadcast — pin it, or this tiny
+    // codebook join becomes a SortMergeJoin
+    prev.join(broadcast(means), Seq("cent_id"), "left")
+      .select(col("cent_id"), coalesce(col("mce"), col("ce")).as("ce"))
+      .withColumn("cn", norm(col("ce")))
+      // tiny (K rows) but consumed by every later iteration/stage —
+      // uncached, each reference re-runs the whole Lloyd chain
+      .cachedOnce
   }
 
   /** F6c entry: ivf top-k over the Lloyd-refined codebook. */
@@ -265,6 +274,54 @@ object Ann {
                      rateBp: Int): DataFrame =
     ivfTopKWith(queries, vecs, k, nProbe,
       refinedCentroidsSampled(vecs, nCentroids, iters, rateBp))
+
+  /** F6f: HIERARCHICAL Lloyd training — each iteration's assignment
+    * runs through the F6d O(√K) router instead of flat-scoring all K
+    * centroids per row. This is the remaining composition for the
+    * K ∝ corpus regime: F6e cut the `n` factor (train on a sample),
+    * this cuts the `K` factor — together, training is O(s·√K) per
+    * iteration, and NOTHING in the codebook pipeline scales with
+    * n·K any more.
+    *
+    * The router returns the payload-free (vec_id, cent_id) table
+    * (24-byte rows — the PQ index-build discipline: never carry float
+    * payloads through an argmax), embeddings re-attach by one vec_id
+    * equi-join for the mean rebuild, and the rebuild itself is the
+    * shared fixed-point [[lloydMeans]]. APPROXIMATE the same way F6d
+    * is: on clusterable data the routed argmax equals the flat one,
+    * and at nSuper = K the router provably degenerates to flat
+    * assignment (spec-pinned: bit-identical codebooks).
+    */
+  def refinedCentroidsTwoLevel(vecs: DataFrame, nCentroids: Int, iters: Int,
+                               nSuper: Int): DataFrame = {
+    val v = vecs.select(col("vec_id"), col("embedding"))
+    var cents = initialCentroids(vecs, nCentroids)
+    for (_ <- 0 until iters) {
+      val assigned = coarseAssignTwoLevel(v, cents, nSuper)
+        .join(v, Seq("vec_id"))
+        .select(col("cent_id"), col("embedding").as("ve"))
+      cents = lloydMeans(assigned, cents)
+    }
+    cents
+  }
+
+  /** F6f composed with F6e: the production codebook trainer — sampled
+    * rows × hierarchical assignment, O(s·√K)/iteration.
+    */
+  def refinedCentroidsSampled2Level(vecs: DataFrame, nCentroids: Int,
+                                    iters: Int, rateBp: Int,
+                                    nSuper: Int): DataFrame =
+    refinedCentroidsTwoLevel(codebookTrainSample(vecs, rateBp),
+      nCentroids, iters, nSuper)
+
+  /** F6f entry: ivf top-k over the hierarchically-sample-trained
+    * codebook; the search tail is unchanged.
+    */
+  def ivfTopKSampled2Level(queries: DataFrame, vecs: DataFrame, k: Int,
+                           nCentroids: Int, nProbe: Int, iters: Int,
+                           rateBp: Int, nSuper: Int): DataFrame =
+    ivfTopKWith(queries, vecs, k, nProbe,
+      refinedCentroidsSampled2Level(vecs, nCentroids, iters, rateBp, nSuper))
 
   private def ivfTopKWith(queries: DataFrame, vecs: DataFrame, k: Int,
                           nProbe: Int, centroids: DataFrame): DataFrame = {

@@ -1191,6 +1191,45 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("hierarchical lloyd: nSuper = K degenerates to the flat trainer bit-for-bit (F6f)") {
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def book(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Float]] =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    // with G = K every centroid is its own super (self-cosine 1.0 wins
+    // the centroid→super argmax), so level-1 routing IS the flat
+    // argmax and level-2 scores exactly the winner — the router
+    // provably degenerates to flat assignment, hence identical Lloyd
+    // iterations and an identical codebook
+    assert(book(Ann.refinedCentroidsTwoLevel(e, 32, 2, nSuper = 32)) ==
+      book(Ann.refinedCentroids(e, 32, 2)))
+    // at G = √K on near-uniform-random data the routed assignments
+    // genuinely differ, so the trained codebook must differ too (else
+    // the router seam is dead code in the trainer)
+    assert(book(Ann.refinedCentroidsTwoLevel(e, 32, 2, nSuper = 6)) !=
+      book(Ann.refinedCentroids(e, 32, 2)))
+  }
+
+  test("hierarchical lloyd equals flat training on clustered data (F6f)") {
+    // the F6d cone fixture: every row's best cell's super is its own
+    // best super, so routed assignment == flat assignment on EVERY
+    // iteration ⇒ identical codebooks (the k-means premise regime)
+    def v(a: Float, b: Float, c: Float, d: Float) = Array(a, b, c, d)
+    val rows = Seq(
+      (0L, v(1, 0, 0, 0)), (1L, v(0, 1, 0, 0)),
+      (2L, v(0, 0, 1, 0)), (3L, v(0, 0, 0, 1)),
+      (4L, v(0.9f, 0.1f, 0, 0)), (5L, v(0, 0.9f, 0.1f, 0)),
+      (6L, v(0, 0, 0.9f, 0.1f)), (7L, v(0.1f, 0, 0, 0.9f)),
+      (10L, v(0.95f, 0.05f, 0, 0)), (11L, v(0.88f, 0.12f, 0, 0)),
+      (12L, v(0.02f, 0.97f, 0.03f, 0)), (13L, v(0, 0.85f, 0.15f, 0)),
+      (14L, v(0.01f, 0, 0.99f, 0.08f)), (15L, v(0, 0, 0.86f, 0.14f)),
+      (16L, v(0.12f, 0, 0, 0.92f)), (17L, v(0.07f, 0, 0, 0.97f)))
+    val vecs = rows.toDF("vec_id", "embedding")
+    def book(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Float]] =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    assert(book(Ann.refinedCentroidsTwoLevel(vecs, 8, 2, nSuper = 4)) ==
+      book(Ann.refinedCentroids(vecs, 8, 2)))
+  }
+
   test("semantic dedup: cluster-then-prune, planted near-dups (F28)") {
     import graft.dedup.Dedup
     // codebook = lowest 4 vec_ids (the e0..e3 basis); 10/11/12 are
