@@ -350,34 +350,25 @@ object Analysis {
     * df table the last batch sweep trained (the F21/G10 frozen-artifact
     * shape: vocabulary-sized, shipped as expression literals).
     *
-    * Everything happens INSIDE the row: tf per distinct token via a
-    * filter-count over the token array, df via element_at on the
-    * literal map (out-of-vocabulary tokens read df = 0 — a token the
-    * training sweep never saw is maximally distinctive, the add-one
-    * idf ceiling ln(N+1)), rank via array_sort on (−round(score, 6),
-    * token) structs, slice(k), posexplode. Map-only: no shuffle, no
-    * state store, no watermark — usable verbatim under
-    * Structured Streaming, and the batch twin (the driver oracle) IS
-    * this projection on a batch frame. Per-row cost is O(L·D) for L
-    * tokens / D distinct — the row-local price of zero shuffles.
+    * Everything happens INSIDE the row, in ONE compiled pass
+    * ([[graft.functions.KeywordTopK]] — hash-count the tokens, score
+    * against the frozen df map held as a reference object, sort the D
+    * distinct entries, take k; out-of-vocabulary tokens read df = 0 —
+    * a token the training sweep never saw is maximally distinctive,
+    * the add-one idf ceiling ln(N+1)). Map-only: no shuffle, no state
+    * store, no watermark — usable verbatim under Structured Streaming,
+    * and the batch twin (the driver oracle) IS this projection on a
+    * batch frame. (First shape: declarative transform/filter-count —
+    * O(L·D) interpreted string compares, 7.1 s on the sf0.1 bench; the
+    * kernel is O(L + D log D) inside whole-stage codegen.)
     */
   def keywordsRowwise(docs: DataFrame, dfTable: Seq[(String, Long)],
                       nDocs: Long, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
     require(dfTable.nonEmpty, "frozen df table must be non-empty")
-    val dfMap = map_from_arrays(
-      lit(dfTable.map(_._1).toArray), lit(dfTable.map(_._2).toArray))
-    val toks = tokens(col("text"))
-    val scored = transform(array_distinct(toks), t => {
-      val tf = size(filter(toks, x => x === t)).cast("long")
-      val df = coalesce(element_at(dfMap, t), lit(0L))
-      val s = tf.cast("double") *
-        log(lit((nDocs + 1).toDouble) / (df + lit(1L)).cast("double"))
-      struct((lit(0.0) - round(s, 6)).as("negs"), t.as("token"),
-        tf.as("tf"), s.as("s"))
-    })
-    docs.select(col("doc_id"),
-      posexplode(slice(array_sort(scored), 1, k)).as(Seq("pos", "kw")))
+    val top = graft.functions.KeywordTopK.topk(
+      tokens(col("text")), dfTable, nDocs, k)
+    docs.select(col("doc_id"), posexplode(top).as(Seq("pos", "kw")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("rk"),
         col("kw.token").as("token"), col("kw.tf").as("tf"),
         round(col("kw.s") - lit(1e-9), 4).as("tfidf"))
