@@ -29,6 +29,20 @@ import graft.ops.LlmQueries
   */
 object ScaleBench {
 
+  /** Synthetic dense fetch frame for the C9 rows: 500·copies series ×
+    * 157 hourly points, deterministic values with every 13th point a
+    * gap (null) so the safe-aggregate paths are exercised at scale.
+    */
+  private def gfnFrame(spark: SparkSession, copies: Int): DataFrame = {
+    val nSeries = 500L * copies
+    spark.range(nSeries * 157)
+      .select(
+        concat(lit("s."), (col("id") / 157).cast("long").cast("string")).as("path"),
+        (lit(1706097600L) + (col("id") % 157) * 3600L).as("t"),
+        when((col("id") % 13) =!= 0,
+          ((col("id") * 37 % 1000).cast("double") / 10.0)).as("value"))
+  }
+
   private def timeNoop(spark: SparkSession, mk: () => DataFrame): Double = {
     val times = scala.collection.mutable.ArrayBuffer[Double]()
     def converged: Boolean = {
@@ -193,6 +207,20 @@ object ScaleBench {
             vecs, LlmQueries.AnnK, LlmQueries.IvfCentroids,
             LlmQueries.IvfProbe, LlmQueries.PqSubspaces,
             LlmQueries.PqCodes)),
+        // metric-side scale evidence for the C9 render-function family
+        // (r7): a dense fetch frame of 500·copies series × 157 hourly
+        // points, driven through the three plan classes — groupBy(t)
+        // combine, window+broadcast-semi selection, groupBy(path,
+        // bucket) summarize; all linear-shuffle shapes that must stay
+        // flat-ish as the series count grows
+        "gfn_combine" -> (() =>
+          graft.tsdb.SeriesFunctions.sumSeries(gfnFrame(spark, copies), "s")),
+        "gfn_select" -> (() =>
+          graft.tsdb.SeriesFunctions.highestCurrent(
+            graft.tsdb.SeriesFunctions.movingAverage(gfnFrame(spark, copies), 3), 5)),
+        "gfn_summarize" -> (() =>
+          graft.tsdb.SeriesFunctions.summarize(
+            gfnFrame(spark, copies), 14400L, "avg", "4hour")),
         "ann_assign_flat" -> (() =>
           graft.similarity.Ann.coarseAssign(vecs,
             graft.similarity.Ann.initialCentroids(vecs,
