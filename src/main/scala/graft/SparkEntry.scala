@@ -102,6 +102,7 @@ object SparkEntry {
     "dedup_embed_cosine_clusters" -> ((s, dir) => L.dedupEmbedCosineClusters(s, dir)),
     "dedup_embed_cosine" -> ((s, dir) => L.dedupEmbedCosine(s, dir)),
     "dedup_semantic" -> ((s, dir) => L.dedupSemantic(s, dir)),
+    "dedup_semantic_routed" -> ((s, dir) => L.dedupSemanticRouted(s, dir)),
     "dedup_embed_cosine_lsh" -> ((s, dir) => L.dedupEmbedCosineLsh(s, dir)),
     "dedup_image_phash" -> ((s, dir) => L.dedupImagePhash(s, dir)),
     "dedup_simhash" -> ((s, dir) => L.dedupSimhash(s, dir)),
@@ -1211,6 +1212,28 @@ object SparkEntry {
       import graft.ops.{LlmQueries => LQ}
       s"""WITH $LloydChainCtes,
          |${ivfAssignCte(LloydFinalCte, "va")},
+         |prs AS (SELECT ja.vec_id AS x, jb.vec_id AS y
+         |  FROM va ja JOIN va jb ON ja.cent_id = jb.cent_id AND ja.vec_id < jb.vec_id
+         |  JOIN n a ON a.vec_id = ja.vec_id JOIN n b ON b.vec_id = jb.vec_id
+         |  WHERE list_dot_product(a.emb,b.emb)/(a.nrm*b.nrm) >= ${LQ.EmbedCosineTau}),
+         |mn AS (SELECT vec_id, min(nbr) AS mn FROM (
+         |    SELECT x AS vec_id, y AS nbr FROM prs
+         |    UNION ALL SELECT y AS vec_id, x AS nbr FROM prs) e GROUP BY 1)
+         |SELECT v.vec_id, va.cent_id,
+         | least(v.vec_id, coalesce(m.mn, v.vec_id)) AS cluster_id,
+         | CASE WHEN least(v.vec_id, coalesce(m.mn, v.vec_id)) = v.vec_id
+         |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+         |FROM embeddings v JOIN va USING (vec_id) LEFT JOIN mn m ON m.vec_id = v.vec_id
+         |ORDER BY 1""".stripMargin
+    },
+    // F28b: the PRODUCTION SemDeDup composition under the gate — the
+    // hierarchical sampled trainer's codebook (the F6f CTE chain) with
+    // the corpus routed through the F6d two-level argmax, then the
+    // same in-cell pair join and min-label tail as dedup_semantic
+    "dedup_semantic_routed" -> {
+      import graft.ops.{LlmQueries => LQ}
+      s"""WITH $LloydChainSampled2Ctes,
+         |${twoLevelAssignCte(LloydFinalCte, "va", "n", LQ.SuperCells)},
          |prs AS (SELECT ja.vec_id AS x, jb.vec_id AS y
          |  FROM va ja JOIN va jb ON ja.cent_id = jb.cent_id AND ja.vec_id < jb.vec_id
          |  JOIN n a ON a.vec_id = ja.vec_id JOIN n b ON b.vec_id = jb.vec_id

@@ -199,6 +199,20 @@ object LlmQueries {
       Ann.refinedCentroids(e, IvfCentroids, IvfLloydIters))
   }
 
+  /** F28b: the PRODUCTION SemDeDup composition — codebook trained by
+    * the hierarchical sampled trainer (F6f: sample rows × routed
+    * assignment, O(s·√K)/iter), corpus assigned through the F6d
+    * router (O(n·√K)), prune unchanged. This is the pipeline §6's
+    * scale rows measure; here it sits under the full correctness gate.
+    */
+  def dedupSemanticRouted(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val book = Ann.refinedCentroidsSampled2Level(e, IvfCentroids,
+      IvfLloydIters, CbSampleBp, SuperCells)
+    Dedup.semanticClustersAssigned(e, EmbedCosineTau,
+      Ann.coarseAssignTwoLevel(e, book, SuperCells))
+  }
+
   // image near-dup thresholds: twins measured at hamming ≤ 2 (re-encode
   // ≤ 1, slight resize ≤ 2 with the interior-sampled hash) — inside the
   // 4-band pigeonhole guarantee of ≤ 3, so every planted pair is FOUND

@@ -1230,6 +1230,24 @@ class LlmSpec extends SparkSpec {
       book(Ann.refinedCentroids(vecs, 8, 2)))
   }
 
+  test("routed semantic dedup: drops are a subset of the exact graph's drops (F28b)") {
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val routed = graft.ops.LlmQueries
+      .dedupSemanticRouted(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val exact = graft.ops.LlmQueries
+      .dedupEmbedCosineClusters(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // a routed drop means an in-cell above-τ pair with a smaller id —
+    // a subset of the exact pair graph, so the exact clusters must
+    // drop that vector too (the cells only LOSE candidate pairs)
+    val droppedRouted = routed.filter(_._2 == 0L).keySet
+    val droppedExact = exact.filter(_._2 == 0L).keySet
+    assert(droppedRouted.subsetOf(droppedExact),
+      s"routed-only drops: ${droppedRouted -- droppedExact}")
+    info(s"drops: routed ${droppedRouted.size} ⊆ exact ${droppedExact.size}")
+  }
+
   test("semantic dedup: cluster-then-prune, planted near-dups (F28)") {
     import graft.dedup.Dedup
     // codebook = lowest 4 vec_ids (the e0..e3 basis); 10/11/12 are
