@@ -70,6 +70,7 @@ object SparkEntry {
     "gfn_alias_nodes" -> ((s, dir) => T.gfnAliasNodes(s, dir)),
     "gfn_pipeline" -> ((s, dir) => T.gfnPipeline(s, dir)),
     "gfn_divide" -> ((s, dir) => T.gfnDivide(s, dir)),
+    "gfn_clamp_window" -> ((s, dir) => T.gfnClampWindow(s, dir)),
     "gfn_percent_filter" -> ((s, dir) => T.gfnPercentFilter(s, dir)),
     "gfn_cgi_render" -> ((s, dir) => T.gfnCgiRender(s, dir)),
     // D. dataMine bridge
@@ -2138,6 +2139,16 @@ object SparkEntry {
          |SELECT 'asPercent(' || k.path || ')' AS path, k.t,
          | round(CASE WHEN tot.tot <> 0 THEN k.value*100.0/tot.tot END - 1e-9, 4) AS value
          |FROM kf k LEFT JOIN tot USING (t) ORDER BY 1, 2""".stripMargin,
+    // C9k: clamp → per-series rebase → trailing window sum, graphite
+    // name-wrapping at each stage
+    "gfn_clamp_window" ->
+      s"""WITH $GfnFrameCte,
+         |cl AS (SELECT path, t, CASE WHEN value >= 10 THEN value END AS value FROM fr),
+         |oz AS (SELECT path, t, value - min(value) OVER (PARTITION BY path) AS value FROM cl)
+         |SELECT 'movingSum(offsetToZero(removeBelowValue(' || path || ',10)),3)' AS path, t,
+         | round(sum(value) OVER (PARTITION BY path ORDER BY t
+         |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) - 1e-9, 4) + 0.0 AS value
+         |FROM oz ORDER BY 1, 2""".stripMargin,
     // C9h: the URL round trip — function target through /render
     // format=csv; the env's -Eps input shift rides max() exactly
     "gfn_cgi_render" ->

@@ -516,6 +516,13 @@ object Queries {
   def gfnPercentFilter(spark: SparkSession, dir: String): DataFrame =
     gfnEval(spark, dir, "asPercent(averageAbove(vera.u1?.click,30))")
 
+  /** C9k: clamp → rebase → window composed — outliers gapped below 10,
+    * each series shifted to its own zero, trailing 3-point sum.
+    */
+  def gfnClampWindow(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir,
+      "movingSum(offsetToZero(removeBelowValue(vera.u1?.click,10)),3)")
+
   /** C9h: the URL round trip — a function target through Cgi.dispatch
     * (maxSeries propagates the env's -Eps input shift exactly).
     */

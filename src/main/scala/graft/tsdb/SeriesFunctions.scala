@@ -218,6 +218,37 @@ object SeriesFunctions {
       avg(col("value")).over(byPath.rowsBetween(-(n - 1), 0)))
   }
 
+  /** Points below/above the threshold become gaps (Graphite
+    * `removeBelowValue` / `removeAboveValue`) — map-only; the clamp
+    * turns outliers into nulls the safe-aggregates then ignore.
+    */
+  def removeBelowValue(f: DataFrame, v: Double): DataFrame =
+    frame(f, wrap("removeBelowValue", fmtNum(v)), col("t"),
+      when(col("value") >= v, col("value")))
+
+  def removeAboveValue(f: DataFrame, v: Double): DataFrame =
+    frame(f, wrap("removeAboveValue", fmtNum(v)), col("t"),
+      when(col("value") <= v, col("value")))
+
+  /** Each series shifted down by its own minimum (Graphite
+    * `offsetToZero`): one per-series min window, no extra shuffle past
+    * the path partitioning the sequence family already uses.
+    */
+  def offsetToZero(f: DataFrame): DataFrame =
+    frame(f, wrap("offsetToZero", ""), col("t"),
+      col("value") - min(col("value")).over(
+        Window.partitionBy(col("path"))))
+
+  /** Trailing n-point sum, nulls ignored; an all-null window is null
+    * (Graphite `movingSum`, same window discipline as
+    * [[movingAverage]]).
+    */
+  def movingSum(f: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"movingSum window must be >= 1 (got $n)")
+    frame(f, wrap("movingSum", n.toString), col("t"),
+      sum(col("value")).over(byPath.rowsBetween(-(n - 1), 0)))
+  }
+
   /** Gaps filled with the last seen value per series; leading gaps
     * (nothing seen yet) stay null (Graphite `keepLastValue` with no
     * limit — the same last-hold rule as [[Fetch.fillGaps]]).

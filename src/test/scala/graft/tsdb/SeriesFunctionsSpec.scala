@@ -154,6 +154,25 @@ class SeriesFunctionsSpec extends SparkSpec {
     assert(paths(evalTarget("averageAbove(x.*,3.5)", fetch)) == Seq("x.b"))
   }
 
+  test("clamp/rebase/movingSum: nulls from clamping ignored by the window") {
+    val f = frame(("a", 0L, 5.0), ("a", 60L, 20.0), ("a", 120L, 12.0), ("a", 180L, null))
+    // removeBelowValue(10): 5 → null; offsetToZero: min of {20,12}=12
+    assert(vals(SeriesFunctions.offsetToZero(
+      SeriesFunctions.removeBelowValue(f, 10.0))).map(_._3) ==
+      Seq(None, Some(8.0), Some(0.0), None))
+    // movingSum(2) over the rebased series: windows ignore nulls,
+    // all-null windows stay null
+    assert(vals(SeriesFunctions.movingSum(SeriesFunctions.offsetToZero(
+      SeriesFunctions.removeBelowValue(f, 10.0)), 2)).map(_._3) ==
+      Seq(None, Some(8.0), Some(8.0), Some(0.0)))
+    assert(vals(SeriesFunctions.removeAboveValue(f, 12.0)).map(_._3) ==
+      Seq(Some(5.0), None, Some(12.0), None))
+    // evaluator dispatch incl. the graphite-wrapped names
+    val out = evalTarget("movingSum(offsetToZero(removeBelowValue(a,10)),2)",
+      (_: String) => f)
+    assert(vals(out).head._1 == "movingSum(offsetToZero(removeBelowValue(a,10)),2)")
+  }
+
   test("highestCurrent selection keeps whole series, ranked on the rounded stat") {
     val f = frame(("a", 0L, 9.0), ("a", 60L, 1.0),
       ("b", 0L, 0.0), ("b", 60L, 5.0),
