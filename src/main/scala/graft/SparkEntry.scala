@@ -71,6 +71,7 @@ object SparkEntry {
     "gfn_pipeline" -> ((s, dir) => T.gfnPipeline(s, dir)),
     "gfn_divide" -> ((s, dir) => T.gfnDivide(s, dir)),
     "gfn_clamp_window" -> ((s, dir) => T.gfnClampWindow(s, dir)),
+    "gfn_timeshift" -> ((s, dir) => T.gfnTimeshift(s, dir)),
     "gfn_percent_filter" -> ((s, dir) => T.gfnPercentFilter(s, dir)),
     "gfn_cgi_render" -> ((s, dir) => T.gfnCgiRender(s, dir)),
     // D. dataMine bridge
@@ -2149,6 +2150,24 @@ object SparkEntry {
          | round(sum(value) OVER (PARTITION BY path ORDER BY t
          |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) - 1e-9, 4) + 0.0 AS value
          |FROM oz ORDER BY 1, 2""".stripMargin,
+    // C9l: timeShift("1d") — the shifted window ages off the 1h
+    // archive's 7-day retention, so the oracle replays the THIRD
+    // cascade level (86400 buckets) on the day-quantized shifted grid,
+    // sums across series, and relabels +86400 back onto render time
+    "gfn_timeshift" ->
+      s"""WITH $M,
+         |f AS (SELECT * FROM m WHERE regexp_matches(path, '^vera\\.u1[^.]\\.click$$')),
+         |a1 AS (SELECT path, ts - ts%600 AS bucket, avg(value) AS value FROM f GROUP BY 1,2),
+         |a2 AS (SELECT path, bucket - bucket%3600 AS bucket, avg(value) AS value FROM a1 GROUP BY 1,2),
+         |a3 AS (SELECT path, bucket - bucket%86400 AS bucket, avg(value) AS value FROM a2 GROUP BY 1,2),
+         |p AS (SELECT DISTINCT path FROM f),
+         |g AS (SELECT p.path, s.t FROM p CROSS JOIN generate_series(1705968000, 1706572800, 86400) AS s(t)),
+         |fr AS (SELECT g.path, g.t, a3.value AS value
+         |  FROM g LEFT JOIN a3 ON g.path = a3.path AND g.t = a3.bucket),
+         |ss AS (SELECT t, sum(value) AS value FROM fr GROUP BY 1)
+         |SELECT 'timeShift(sumSeries(vera.u1?.click),"1d")' AS path,
+         | t + 86400 AS t, round(value - 1e-9, 4) AS value
+         |FROM ss ORDER BY 2""".stripMargin,
     // C9h: the URL round trip — function target through /render
     // format=csv; the env's -Eps input shift rides max() exactly
     "gfn_cgi_render" ->

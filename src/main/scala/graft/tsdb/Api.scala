@@ -44,18 +44,20 @@ object Api {
     // single fetch regex — each expansion would otherwise run its OWN
     // raw scan + archive cascade (an N-alternative target cost N
     // fetches); only dotted alternatives (rare) need real expansion
-    def fetchGlob(t: String): DataFrame = {
+    def fetchGlob(t: String, shiftSec: Long): DataFrame = {
       val globs = if (bracesNeedExpansion(t)) Glob.expandBraces(t) else Seq(t)
       globs.map(g =>
-        Fetch.fetch(spark, metrics, g, spec, method, xff, fromT, untilT, now))
+        Fetch.fetch(spark, metrics, g, spec, method, xff,
+          fromT + shiftSec, untilT + shiftSec, now))
         .reduce(_ unionByName _)
     }
     // a target containing '(' is a render-FUNCTION pipeline
     // (sumSeries/summarize/alias/…): parse and evaluate over the same
-    // fetch; plain globs keep the direct path
+    // fetch — window-aware, so timeShift subtrees fetch their shifted
+    // window; plain globs keep the direct path
     val fetched = targets
-      .map(t => if (TargetExpr.isExpression(t)) TargetExpr.evalTarget(t, fetchGlob)
-                else fetchGlob(t))
+      .map(t => if (TargetExpr.isExpression(t)) TargetExpr.evalTargetAt(t, fetchGlob)
+                else fetchGlob(t, 0L))
       .reduce(_ unionByName _)
     format match {
       case "csv" => Render.csv(fetched)

@@ -455,17 +455,18 @@ object Queries {
     * (function math runs on raw values; each C9 query's projection
     * applies the shared Eps-guarded round at the end).
     */
-  private def gfnFetch(spark: SparkSession, dir: String)(glob: String): DataFrame =
+  private def gfnFetch(spark: SparkSession, dir: String)
+                      (glob: String, shiftSec: Long): DataFrame =
     Fetch.fetch(spark, Tables.metrics(spark, dir), glob,
       Retention.parse("10m:1d,1h:7d,1d:60d"), "average", 0.0,
-      fetchFrom, Now, Now)
+      fetchFrom + shiftSec, Now + shiftSec, Now)
 
   /** Parse + evaluate a render target through [[TargetExpr]] — every
     * C9 driver query exercises the PARSER, not hand-built combinator
     * chains, so the e2e surface is the one a Graphite client hits.
     */
   private def gfnEval(spark: SparkSession, dir: String, target: String): DataFrame =
-    TargetExpr.evalTarget(target, gfnFetch(spark, dir))
+    TargetExpr.evalTargetAt(target, gfnFetch(spark, dir))
       .select(col("path"), col("t"), round(col("value") - Eps, 4).as("value"))
       .orderBy(col("path"), col("t"))
 
@@ -522,6 +523,14 @@ object Queries {
   def gfnClampWindow(spark: SparkSession, dir: String): DataFrame =
     gfnEval(spark, dir,
       "movingSum(offsetToZero(removeBelowValue(vera.u1?.click,10)),3)")
+
+  /** C9l: timeShift with a true shifted-window fetch — "1d" draws
+    * yesterday's combined series at today's timestamps; the shifted
+    * window falls off the 1h archive's 7-day retention, so the fetch
+    * cascades into the 1d archive (whisper semantics under shift).
+    */
+  def gfnTimeshift(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, "timeShift(sumSeries(vera.u1?.click),'1d')")
 
   /** C9h: the URL round trip — a function target through Cgi.dispatch
     * (maxSeries propagates the env's -Eps input shift exactly).

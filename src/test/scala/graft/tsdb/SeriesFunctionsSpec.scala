@@ -80,13 +80,26 @@ class SeriesFunctionsSpec extends SparkSpec {
       ("keepLastValue(a)", 120L, Some(5.0)), ("keepLastValue(a)", 180L, Some(5.0))))
   }
 
-  test("timeShift relabels timestamps; bare interval strings shift back") {
+  test("timeShift refetches the shifted window and relabels onto the render grid") {
+    // the frame-level combinator is a pure relabel
     val f = frame(("a", 3600L, 1.0))
     assert(vals(SeriesFunctions.timeShift(f, -3600L, "1h")) ==
       Seq(("""timeShift(a,"1h")""", 0L, Some(1.0))))
-    val fetch = (_: String) => f
-    assert(vals(evalTarget("timeShift(a,'1h')", fetch)).head._2 == 0L)
-    assert(vals(evalTarget("timeShift(a,'+1h')", fetch)).head._2 == 7200L)
+    // window-aware evaluation: fetchAt encodes the requested shift in
+    // both the timestamp and the value, so the assertions pin that the
+    // subtree fetched the SHIFTED window and its points came back onto
+    // the render grid (graphite: "1d" draws yesterday's data at
+    // today's timestamps)
+    val fetchAt = (_: String, shift: Long) => frame(("a", 3600L + shift, shift.toDouble))
+    val back = vals(TargetExpr.evalAt(parse("timeShift(a,'1h')"), fetchAt, 0L))
+    assert(back == Seq(("""timeShift(a,"1h")""", 3600L, Some(-3600.0))))
+    val fwd = vals(TargetExpr.evalAt(parse("timeShift(a,'+1h')"), fetchAt, 0L))
+    assert(fwd == Seq(("""timeShift(a,"+1h")""", 3600L, Some(3600.0))))
+    // nested shifts accumulate in the fetch and unwind in the relabel
+    val nest = vals(TargetExpr.evalAt(
+      parse("timeShift(timeShift(a,'1h'),'1h')"), fetchAt, 0L))
+    assert(nest == Seq(
+      ("""timeShift(timeShift(a,"1h"),"1h")""", 3600L, Some(-7200.0))))
   }
 
   test("aliasByNode: negative indices count from the end, group unions") {
