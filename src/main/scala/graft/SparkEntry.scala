@@ -129,6 +129,7 @@ object SparkEntry {
     "text_lm_score" -> ((s, dir) => L.textLmScore(s, dir)),
     "text_lm_bigram" -> ((s, dir) => L.textLmBigram(s, dir)),
     "text_keywords" -> ((s, dir) => L.textKeywords(s, dir)),
+    "text_boilerplate" -> ((s, dir) => L.textBoilerplate(s, dir)),
     "embed_norm_stats" -> ((s, dir) => L.embedNormStats(s, dir)),
     "corpus_curation" -> ((s, dir) => L.corpusCuration(s, dir)),
     "corpus_curation_decontam" -> ((s, dir) => L.corpusCurationDecontam(s, dir)),
@@ -1672,6 +1673,31 @@ object SparkEntry {
          |  round(s - 1e-9, 4) + 0.0 AS tfidf
          |FROM rkd WHERE rk <= $k
          |ORDER BY doc_id, rk""".stripMargin
+    },
+    // F31: line-level boilerplate removal — the planted multi-line
+    // fixture (12-token chunks + id-arithmetic nav/footer lines) built
+    // identically in both engines, then the published keep rule (≥4
+    // tokens AND ≥1 English stopword) and the cleaned-text md5 witness
+    "text_boilerplate" -> {
+      import graft.text.{Analysis => A}
+      val lt = A.BoilerLineTokens
+      s"""WITH $TK,
+         |ln AS (SELECT doc_id, toks, CAST(ceil(len(toks)/$lt.0) AS INT) AS nl FROM tk),
+         |chunks AS (SELECT doc_id,
+         |  list_transform(range(0, nl), i -> array_to_string(toks[(i*$lt+1):(i*$lt+$lt)], ' ')) AS ch
+         |  FROM ln),
+         |p1 AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+         |  THEN list_prepend('${A.BoilerNavLine}', ch) ELSE ch END AS c2 FROM chunks),
+         |p2 AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+         |  THEN list_append(c2, '${A.BoilerFooterLine}') ELSE c2 END AS lines FROM p1),
+         |strip AS (SELECT doc_id, lines,
+         |  list_filter(lines, l -> len(string_split(l, ' ')) >= 4
+         |    AND list_has_any(string_split(l, ' '), [$EnStopwordList])) AS kept
+         |  FROM p2)
+         |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+         | CAST(len(kept) AS BIGINT) AS n_kept,
+         | md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+         |FROM strip ORDER BY doc_id""".stripMargin
     },
     // F8b: duplicate n-gram fraction per doc (2- and 3-grams); the
     // lead-window shingle build mirrors SHD, `+ 0.0` normalizes

@@ -392,6 +392,13 @@ object LlmQueries {
   def textKeywords(spark: SparkSession, dir: String): DataFrame =
     Analysis.keywords(Tables.documents(spark, dir), KeywordsTopK)
 
+  /** F31: line-level boilerplate removal over the planted multi-line
+    * fixture — nav/footer lines stripped, sentential chunks kept.
+    */
+  def textBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    Analysis.boilerplateStrip(
+      Analysis.boilerPlanted(Tables.documents(spark, dir)))
+
   /** F23b: add-one bigram LM transition scoring (same top-V reference
     * vocabulary as F23, OOV collapsed to UNK before counting).
     */

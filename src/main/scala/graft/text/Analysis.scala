@@ -374,6 +374,63 @@ object Analysis {
         round(col("kw.s") - lit(1e-9), 4).as("tfidf"))
   }
 
+  // ---- F31: line-level boilerplate removal --------------------------
+
+  /** Tokens per rendered line when chunking the single-line synthetic
+    * corpus into a multi-line fixture; the planted nav/footer lines
+    * below are stopword-free, which is exactly what the filter keys on.
+    */
+  val BoilerLineTokens = 12
+  val BoilerNavLine = "home about contact sitemap login"
+  val BoilerFooterLine = "copyright 2024 rights reserved"
+
+  /** Deterministic multi-line fixture over the synthetic corpus (the
+    * F20/F22 planted-fixture pattern — the construction IS the oracle):
+    * each document's token stream chunks into 12-token lines, every
+    * even doc gains the nav line up front, every doc_id%3==0 doc the
+    * footer line at the end. Both engines rebuild the identical text,
+    * so expected line counts are pure id arithmetic.
+    */
+  def boilerPlanted(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nLines = ceil(size(toks).cast("double") / BoilerLineTokens).cast("int")
+    val chunks = transform(sequence(lit(0), nLines - 1),
+      i => concat_ws(" ",
+        slice(toks, i * BoilerLineTokens + 1, lit(BoilerLineTokens))))
+    val withNav = when(col("doc_id") % 2 === 0,
+      concat(array(lit(BoilerNavLine)), chunks)).otherwise(chunks)
+    val withFooter = when(col("doc_id") % 3 === 0,
+      concat(withNav, array(lit(BoilerFooterLine)))).otherwise(withNav)
+    docs.select(col("doc_id"), array_join(withFooter, "\n").as("text"))
+  }
+
+  /** F31: line-level boilerplate removal — the jusText-lite curation
+    * stage (RefinedWeb/C4 discipline): nav bars, footers, and cookie
+    * banners are LINES, not documents, so document-level quality
+    * scores miss them; the filter walks each document's lines and
+    * keeps only plausibly-sentential ones. Keep rule (published,
+    * engine-portable): ≥ 4 tokens AND at least one English stopword —
+    * short link lists and all-keyword nav lines fail one or both.
+    *
+    * Map-only: split, filter with an array predicate, re-join — no
+    * explode, no shuffle; at 100 TB this rides the ingest scan like
+    * F22. Output: per-doc line counts (the audit trail) and md5 of
+    * the cleaned text (the content witness).
+    */
+  def boilerplateStrip(docs: DataFrame): DataFrame = {
+    val en = typedLit(TextFns.stopwords("en").toSeq.sorted)
+    val lines = split(col("text"), "\n")
+    val kept = filter(lines, l => {
+      val lt = split(l, " ")
+      size(lt) >= 4 && arrays_overlap(lt, en)
+    })
+    docs.select(col("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      md5(array_join(kept, "\n")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** F23b: add-one BIGRAM LM scoring — the context-aware upgrade of
     * [[lmScore]] a quality pipeline reaches for when unigram stats
     * stop separating fluent text from shuffled tokens (a bag-of-words

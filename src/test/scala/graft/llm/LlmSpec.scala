@@ -566,6 +566,35 @@ class LlmSpec extends SparkSpec {
       s"sampled p16 recall $s16 must recover refined p8 level $refined")
   }
 
+  test("boilerplate strip: keep rule edges and planted-line round trip (F31)") {
+    // hand-built lines: the keep rule is ≥4 tokens AND ≥1 en stopword
+    val d = Seq(
+      (0L, "the cat sat here\nhome about contact sitemap login\nshort the\nnav bar link list")
+    ).toDF("doc_id", "text")
+    val r = Analysis.boilerplateStrip(d).head
+    assert(r.getLong(1) == 4L) // n_lines
+    assert(r.getLong(2) == 1L) // only "the cat sat here" survives
+    // md5 of exactly that line
+    val exp = java.security.MessageDigest.getInstance("MD5")
+      .digest("the cat sat here".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getString(3) == exp)
+    // planted fixture round trip: a doc whose every 12-token chunk
+    // carries a stopword keeps ALL its chunks — the strip removes
+    // exactly the planted nav/footer lines and the cleaned text equals
+    // the chunked original
+    val base = ("the quick brown fox jumps over a lazy dog near the bank " * 3).trim
+    val docs = Seq((6L, base)).toDF("doc_id", "text") // even + %3==0: both plants
+    val planted = Analysis.boilerPlanted(docs)
+    val line1 = planted.head.getString(1).split("\n")
+    assert(line1.head == Analysis.BoilerNavLine && line1.last == Analysis.BoilerFooterLine)
+    val out = Analysis.boilerplateStrip(planted).head
+    assert(out.getLong(1) == out.getLong(2) + 2) // exactly the 2 planted lines dropped
+    val chunksOnly = line1.drop(1).dropRight(1).mkString("\n")
+    val expClean = java.security.MessageDigest.getInstance("MD5")
+      .digest(chunksOnly.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.getString(3) == expClean)
+  }
+
   test("language id: stopword argmax with unknown fallback (F7)") {
     val d = Seq(
       (0L, "der hund und die katze ist ein tier"),
