@@ -130,6 +130,7 @@ object SparkEntry {
     "text_lm_bigram" -> ((s, dir) => L.textLmBigram(s, dir)),
     "text_keywords" -> ((s, dir) => L.textKeywords(s, dir)),
     "text_boilerplate" -> ((s, dir) => L.textBoilerplate(s, dir)),
+    "text_domains" -> ((s, dir) => L.textDomains(s, dir)),
     "embed_norm_stats" -> ((s, dir) => L.embedNormStats(s, dir)),
     "corpus_curation" -> ((s, dir) => L.corpusCuration(s, dir)),
     "corpus_curation_decontam" -> ((s, dir) => L.corpusCurationDecontam(s, dir)),
@@ -1698,6 +1699,23 @@ object SparkEntry {
          | CAST(len(kept) AS BIGINT) AS n_kept,
          | md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
          |FROM strip ORDER BY doc_id""".stripMargin
+    },
+    // F32: per-domain URL statistics — planting replayed in SQL, the
+    // same Java∩RE2 pattern extracts, hosts aggregate per domain
+    "text_domains" -> {
+      import graft.text.{Analysis => A}
+      s"""WITH planted AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 5 = 0
+         |    THEN ' visit https://news' || (doc_id % 7) || '.example.com/p' || doc_id
+         |    ELSE '' END ||
+         |  CASE WHEN doc_id % 9 = 0
+         |    THEN ' see http://blog' || (doc_id % 4) || '.test.org/x'
+         |    ELSE '' END AS text FROM documents),
+         |u AS (SELECT doc_id, unnest(regexp_extract_all(text, '${A.UrlRe}')) AS url
+         |  FROM planted)
+         |SELECT regexp_replace(url, '^https?://', '') AS domain,
+         | count(DISTINCT doc_id) AS n_docs, count(*) AS n_urls
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
     },
     // F8b: duplicate n-gram fraction per doc (2- and 3-grams); the
     // lead-window shingle build mirrors SHD, `+ 0.0` normalizes

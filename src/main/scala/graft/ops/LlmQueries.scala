@@ -399,6 +399,10 @@ object LlmQueries {
     Analysis.boilerplateStrip(
       Analysis.boilerPlanted(Tables.documents(spark, dir)))
 
+  /** F32: per-domain URL statistics over the planted-URL fixture. */
+  def textDomains(spark: SparkSession, dir: String): DataFrame =
+    Analysis.domainStats(Analysis.urlPlanted(Tables.documents(spark, dir)))
+
   /** F23b: add-one bigram LM transition scoring (same top-V reference
     * vocabulary as F23, OOV collapsed to UNK before counting).
     */

@@ -431,6 +431,46 @@ object Analysis {
       .orderBy(col("doc_id"))
   }
 
+  // ---- F32: URL/domain statistics -----------------------------------
+
+  /** Java∩RE2 URL pattern (the F22 dialect discipline — no lookaround,
+    * no backreferences, runs literally in both engines).
+    */
+  val UrlRe = "https?://[A-Za-z0-9.-]+"
+
+  /** Deterministic URL planting (the F20/F22 fixture pattern): every
+    * 5th doc gains a news link on a doc_id%7-derived host, every 9th a
+    * blog link on a doc_id%4-derived host — expected domain counts are
+    * pure id arithmetic and hosts repeat, so the per-domain aggregate
+    * has real multiplicity.
+    */
+  def urlPlanted(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      col("text"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" visit https://news"), (col("doc_id") % 7).cast("string"),
+          lit(".example.com/p"), col("doc_id").cast("string"))).otherwise(lit("")),
+      when(col("doc_id") % 9 === 0,
+        concat(lit(" see http://blog"), (col("doc_id") % 4).cast("string"),
+          lit(".test.org/x"))).otherwise(lit(""))).as("text"))
+
+  /** F32: per-domain URL statistics — the signal domain blocklists and
+    * source-mix reports run on (a crawl-curation pipeline decides
+    * keep/drop per REGISTERED HOST, not per document): extract every
+    * URL, reduce to its host, count documents and occurrences per
+    * host. One map-only extract (codegen'd regexp) + one
+    * map-side-combined aggregate; no join. Output ordered by domain.
+    */
+  def domainStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(expr(s"regexp_extract_all(text, '$UrlRe', 0)")).as("url"))
+      .select(col("doc_id"),
+        regexp_replace(col("url"), "^https?://", "").as("domain"))
+      .groupBy(col("domain"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_urls"))
+      .orderBy(col("domain"))
+
   /** F23b: add-one BIGRAM LM scoring — the context-aware upgrade of
     * [[lmScore]] a quality pipeline reaches for when unigram stats
     * stop separating fluent text from shuffled tokens (a bag-of-words

@@ -595,6 +595,25 @@ class LlmSpec extends SparkSpec {
     assert(out.getString(3) == expClean)
   }
 
+  test("domain stats: multi-url docs, host multiplicity, scheme strip (F32)") {
+    val d = Seq(
+      (0L, "x https://a.com/p1 then https://a.com/p2 and http://b.org/q"),
+      (1L, "y https://a.com/other"),
+      (2L, "no links here")).toDF("doc_id", "text")
+    val out = Analysis.domainStats(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // a.com: docs {0,1}, 3 urls; b.org: doc {0}, 1 url
+    assert(out.toSeq == Seq(("a.com", 2L, 3L), ("b.org", 1L, 1L)))
+    // planted fixture arithmetic: doc_ids 0..499, %5 → 100 news urls
+    // over hosts news(doc_id%7); %9 → 56 blog urls over blog(doc_id%4)
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val planted = Analysis.domainStats(Analysis.urlPlanted(docs)).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    assert(planted.map(_._2).sum == docs.count() / 5 + (docs.count() + 8) / 9)
+    assert(planted.count(_._1.startsWith("news")) == 7)
+    assert(planted.count(_._1.startsWith("blog")) == 4)
+  }
+
   test("language id: stopword argmax with unknown fallback (F7)") {
     val d = Seq(
       (0L, "der hund und die katze ist ein tier"),
