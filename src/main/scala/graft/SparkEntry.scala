@@ -131,6 +131,7 @@ object SparkEntry {
     "text_keywords" -> ((s, dir) => L.textKeywords(s, dir)),
     "text_boilerplate" -> ((s, dir) => L.textBoilerplate(s, dir)),
     "text_domains" -> ((s, dir) => L.textDomains(s, dir)),
+    "text_gopher_rules" -> ((s, dir) => L.textGopherRules(s, dir)),
     "embed_norm_stats" -> ((s, dir) => L.embedNormStats(s, dir)),
     "corpus_curation" -> ((s, dir) => L.corpusCuration(s, dir)),
     "corpus_curation_decontam" -> ((s, dir) => L.corpusCurationDecontam(s, dir)),
@@ -1716,6 +1717,31 @@ object SparkEntry {
          |SELECT regexp_replace(url, '^https?://', '') AS domain,
          | count(DISTINCT doc_id) AS n_docs, count(*) AS n_urls
          |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // F33: Gopher rule bundle — every signal recomputed in SQL, rule
+    // boundaries tested on the round(,6) grid, symbol_ratio's -0.0
+    // normalized
+    "text_gopher_rules" -> {
+      import graft.text.{Analysis => A}
+      s"""WITH $TK,
+         |s AS (SELECT doc_id, text, len(toks) AS n,
+         |  list_sum(list_transform(toks, x -> length(x)))*1.0/len(toks) AS mwl,
+         |  len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$$')))*1.0/len(toks) AS alpha,
+         |  len(list_filter(toks, x -> x IN ($EnStopwordList))) AS stopc,
+         |  (length(text) - length(regexp_replace(text, '[#|]', '', 'g')))*1.0/length(text) AS symr
+         | FROM tk)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         | round(mwl - 1e-9, 4) AS mean_wlen,
+         | round(alpha - 1e-9, 4) AS alpha_ratio,
+         | CAST(stopc AS BIGINT) AS stop_count,
+         | round(symr - 1e-9, 4) + 0.0 AS symbol_ratio,
+         | CASE WHEN n BETWEEN ${A.GopherMinTokens} AND ${A.GopherMaxTokens}
+         |   AND round(mwl, 6) BETWEEN ${A.GopherMinMeanWlen} AND ${A.GopherMaxMeanWlen}
+         |   AND round(alpha, 6) >= ${A.GopherMinAlphaRatio}
+         |   AND stopc >= ${A.GopherMinStopwords}
+         |   AND round(symr, 6) <= ${A.GopherMaxSymbolRatio}
+         | THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+         |FROM s ORDER BY doc_id""".stripMargin
     },
     // F8b: duplicate n-gram fraction per doc (2- and 3-grams); the
     // lead-window shingle build mirrors SHD, `+ 0.0` normalizes

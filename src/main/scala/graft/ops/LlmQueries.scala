@@ -403,6 +403,10 @@ object LlmQueries {
   def textDomains(spark: SparkSession, dir: String): DataFrame =
     Analysis.domainStats(Analysis.urlPlanted(Tables.documents(spark, dir)))
 
+  /** F33: the Gopher quality-rule bundle with per-rule audit columns. */
+  def textGopherRules(spark: SparkSession, dir: String): DataFrame =
+    Analysis.gopherRules(Tables.documents(spark, dir))
+
   /** F23b: add-one bigram LM transition scoring (same top-V reference
     * vocabulary as F23, OOV collapsed to UNK before counting).
     */

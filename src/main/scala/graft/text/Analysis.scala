@@ -471,6 +471,57 @@ object Analysis {
         count(lit(1)).as("n_urls"))
       .orderBy(col("domain"))
 
+  // ---- F33: Gopher-style quality rule bundle ------------------------
+
+  /** Published rule thresholds (Rae et al. 2021 Gopher §A1.1 family,
+    * scaled to the synthetic corpus's 10-99-token documents): each rule
+    * is a REASONED boolean, the bundle keep is their conjunction, and
+    * every boundary test runs on the round(,6) grid so engine ulps
+    * can't flip a verdict.
+    */
+  val GopherMinTokens = 30L
+  val GopherMaxTokens = 100000L
+  val GopherMinMeanWlen = 3.0
+  val GopherMaxMeanWlen = 10.0
+  val GopherMinAlphaRatio = 0.7
+  val GopherMinStopwords = 2L
+  val GopherMaxSymbolRatio = 0.1
+
+  /** F33: the Gopher quality-rule bundle — the industry-standard
+    * document filter set a crawl pipeline runs before any model-based
+    * scoring: token-count bounds, mean-word-length band, alphabetic
+    * word ratio, minimum stopword evidence, symbol-density cap. One
+    * map-only projection (in-row array predicates, no explode, no
+    * shuffle — the F22 rides-the-scan shape); output keeps every
+    * signal (the audit columns a threshold sweep re-cuts without
+    * recomputing) plus the conjunction keep.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val en = typedLit(TextFns.stopwords("en").toSeq.sorted)
+    val toks = tokens(col("text"))
+    val n = size(toks).cast("long")
+    val mwl = aggregate(toks, lit(0L), (acc, x) => acc + length(x))
+      .cast("double") / n.cast("double")
+    val alpha = size(filter(toks, x => x.rlike("^[a-z]+$")))
+      .cast("double") / n.cast("double")
+    val stopc = size(filter(toks, x => array_contains(en, x))).cast("long")
+    val symr = (length(col("text")) -
+      length(regexp_replace(col("text"), "[#|]", ""))).cast("double") /
+      length(col("text")).cast("double")
+    val keep = n.between(GopherMinTokens, GopherMaxTokens) &&
+      round(mwl, 6).between(GopherMinMeanWlen, GopherMaxMeanWlen) &&
+      round(alpha, 6) >= GopherMinAlphaRatio &&
+      stopc >= GopherMinStopwords &&
+      round(symr, 6) <= GopherMaxSymbolRatio
+    docs.select(col("doc_id"), n.as("n_tokens"),
+      round(mwl - lit(1e-9), 4).as("mean_wlen"),
+      round(alpha - lit(1e-9), 4).as("alpha_ratio"),
+      stopc.as("stop_count"),
+      (round(symr - lit(1e-9), 4) + lit(0.0)).as("symbol_ratio"),
+      when(keep, 1L).otherwise(0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** F23b: add-one BIGRAM LM scoring — the context-aware upgrade of
     * [[lmScore]] a quality pipeline reaches for when unigram stats
     * stop separating fluent text from shuffled tokens (a bag-of-words

@@ -614,6 +614,27 @@ class LlmSpec extends SparkSpec {
     assert(planted.count(_._1.startsWith("blog")) == 4)
   }
 
+  test("gopher rules: each rule vetoes independently; audit columns exact (F33)") {
+    // 30 tokens, mean length (28·5+3+3)/30 = 4.87, two stopwords
+    val good = (Seq.fill(28)("table") ++ Seq("the", "and")).mkString(" ")
+    val d = Seq(
+      (0L, good),                                 // passes everything
+      (1L, "too short but the a"),                // fails MinTokens
+      (3L, Seq.fill(30)("xx#|xx").mkString(" ")), // symbol ratio + no stopwords
+      (4L, good.replaceFirst("table", "t4ble"))   // alpha dips but stays ≥0.7 → keep
+    ).toDF("doc_id", "text")
+    val out = Analysis.gopherRules(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(4), r.getDouble(5), r.getLong(6))).toMap
+    assert(out(0L)._4 == 1L)
+    assert(out(1L)._1 < Analysis.GopherMinTokens && out(1L)._4 == 0L)
+    assert(out(3L)._2 == 0L && out(3L)._3 > Analysis.GopherMaxSymbolRatio && out(3L)._4 == 0L)
+    assert(out(4L)._4 == 1L)
+    // word-length band: a doc of only 1-char tokens fails the floor
+    val short = Seq((0L, Seq.fill(40)("a").mkString(" "))).toDF("doc_id", "text")
+    val r = Analysis.gopherRules(short).head
+    assert(r.getDouble(2) < Analysis.GopherMinMeanWlen && r.getLong(6) == 0L)
+  }
+
   test("language id: stopword argmax with unknown fallback (F7)") {
     val d = Seq(
       (0L, "der hund und die katze ist ein tier"),
