@@ -132,6 +132,7 @@ object SparkEntry {
     "text_boilerplate" -> ((s, dir) => L.textBoilerplate(s, dir)),
     "text_domains" -> ((s, dir) => L.textDomains(s, dir)),
     "text_gopher_rules" -> ((s, dir) => L.textGopherRules(s, dir)),
+    "text_entropy" -> ((s, dir) => L.textEntropy(s, dir)),
     "embed_norm_stats" -> ((s, dir) => L.embedNormStats(s, dir)),
     "corpus_curation" -> ((s, dir) => L.corpusCuration(s, dir)),
     "corpus_curation_decontam" -> ((s, dir) => L.corpusCurationDecontam(s, dir)),
@@ -1743,6 +1744,18 @@ object SparkEntry {
          | THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
          |FROM s ORDER BY doc_id""".stripMargin
     },
+    // F34: unigram token entropy — H = ln n − (Σ tf·ln tf)/n with the
+    // tf·ln tf terms on the 1e-6 grid so the sum is integer-exact
+    "text_entropy" ->
+      s"""WITH $TK,
+         |tok AS (SELECT doc_id, unnest(toks) AS token FROM tk),
+         |tfd AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_distinct,
+         | round(ln(CAST(sum(tf) AS DOUBLE)) -
+         |   sum(CAST(round(tf * ln(CAST(tf AS DOUBLE)) * 1000000.0) AS BIGINT))*1.0
+         |     / (CAST(sum(tf) AS DOUBLE) * 1000000.0) - 1e-9, 4) AS entropy
+         |FROM tfd GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
     // F8b: duplicate n-gram fraction per doc (2- and 3-grams); the
     // lead-window shingle build mirrors SHD, `+ 0.0` normalizes
     // DuckDB's IEEE -0.0 to the +0.0 Spark's BigDecimal round emits

@@ -407,6 +407,10 @@ object LlmQueries {
   def textGopherRules(spark: SparkSession, dir: String): DataFrame =
     Analysis.gopherRules(Tables.documents(spark, dir))
 
+  /** F34: per-document unigram token entropy (fixed-point sum). */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame =
+    Analysis.tokenEntropy(Tables.documents(spark, dir))
+
   /** F23b: add-one bigram LM transition scoring (same top-V reference
     * vocabulary as F23, OOV collapsed to UNK before counting).
     */

@@ -306,6 +306,16 @@ object CarbonStream {
   def tokenizeStream(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
     graft.text.Bpe.applyTokens(docs, merges)
 
+  /** G12: in-flight Gopher-rule gating — the F33 filter bundle applied
+    * AT INGEST (the earliest place a crawl pipeline can refuse junk):
+    * stateless map-only, the one shared projection
+    * ([[graft.text.Analysis.gopherRulesRows]]) so stream and batch
+    * verdicts cannot drift; spec-only BY DESIGN like G7 — a separate
+    * oracle would duplicate F33's char-for-char.
+    */
+  def gopherGateStream(docs: DataFrame): DataFrame =
+    graft.text.Analysis.gopherRulesRows(docs)
+
   /** G11: in-flight keyword tagging — each incoming document gets its
     * top-k TF-IDF keywords AT INGEST against the FROZEN df artifact
     * the last batch sweep trained (F30 recomputes df from the corpus

@@ -496,7 +496,14 @@ object Analysis {
     * signal (the audit columns a threshold sweep re-cuts without
     * recomputing) plus the conjunction keep.
     */
-  def gopherRules(docs: DataFrame): DataFrame = {
+  def gopherRules(docs: DataFrame): DataFrame =
+    gopherRulesRows(docs).orderBy(col("doc_id"))
+
+  /** The unordered F33 projection — shared verbatim by the batch
+    * operator and the G12 streaming gate (a streaming Dataset cannot
+    * sort), so stream and batch verdicts cannot drift.
+    */
+  def gopherRulesRows(docs: DataFrame): DataFrame = {
     val en = typedLit(TextFns.stopwords("en").toSeq.sorted)
     val toks = tokens(col("text"))
     val n = size(toks).cast("long")
@@ -519,6 +526,33 @@ object Analysis {
       stopc.as("stop_count"),
       (round(symr - lit(1e-9), 4) + lit(0.0)).as("symbol_ratio"),
       when(keep, 1L).otherwise(0L).as("keep"))
+  }
+
+  /** F34: per-document unigram token entropy — the diversity signal
+    * that separates natural prose from keyword stuffing and template
+    * spam at equal length (a doc repeating 3 tokens and one using 90
+    * distinct ones score identically on token COUNT): Shannon entropy
+    * of the in-doc token distribution via the factored form
+    * H = ln n − (Σ tf·ln tf)/n, which needs only the per-(doc, token)
+    * counts. Engine parity: each tf·ln(tf) term lands on the 1e-6
+    * fixed-point grid and the per-doc SUM is integer-exact (the F23
+    * Lloyd discipline — a double sum would be accumulation-order-
+    * dependent), so both engines compute bit-identical entropies
+    * before the one final division. One narrow groupBy(doc, token) +
+    * one per-doc aggregate — no window, no join.
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val tfd = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    tfd.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n"),
+        count(lit(1)).as("n_distinct"),
+        sum(round(col("tf").cast("double") * log(col("tf").cast("double")) * 1e6, 0)
+          .cast("long")).as("s_fp"))
+      .select(col("doc_id"), col("n"), col("n_distinct"),
+        round(log(col("n").cast("double")) -
+          col("s_fp").cast("double") / (col("n").cast("double") * 1e6) -
+          lit(1e-9), 4).as("entropy"))
       .orderBy(col("doc_id"))
   }
 

@@ -635,6 +635,23 @@ class LlmSpec extends SparkSpec {
     assert(r.getDouble(2) < Analysis.GopherMinMeanWlen && r.getLong(6) == 0L)
   }
 
+  test("token entropy: uniform maxes, repetition collapses, hand arithmetic (F34)") {
+    val d = Seq(
+      (0L, "a b c d"),          // uniform over 4: H = ln 4
+      (1L, "a a a a"),          // single token: H = 0
+      (2L, "a a b b b c")       // H = ln 6 − (2ln2 + 3ln3)/6
+    ).toDF("doc_id", "text")
+    val out = Analysis.tokenEntropy(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L) == ((4L, 4L, math.rint((math.log(4) - 1e-9) * 1e4) / 1e4)))
+    assert(out(1L)._3 == 0.0 && out(1L)._2 == 1L)
+    val h2 = math.log(6) - (2 * math.log(2) + 3 * math.log(3)) / 6
+    assert(math.abs(out(2L)._3 - h2) < 1e-3)
+    // the separation the operator exists for: same token count, very
+    // different diversity
+    assert(out(0L)._3 > out(1L)._3)
+  }
+
   test("language id: stopword argmax with unknown fallback (F7)") {
     val d = Seq(
       (0L, "der hund und die katze ist ein tier"),

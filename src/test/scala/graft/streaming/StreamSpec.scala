@@ -409,6 +409,33 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming gopher gate verdicts match batch bit-for-bit (G12)") {
+    import graft.streaming.CarbonStream
+    implicit val sqlCtx = spark.sqlContext
+    val good = (Seq.fill(28)("table") ++ Seq("the", "and")).mkString(" ")
+    val texts = Seq((0L, good), (1L, "too short the a"),
+      (2L, Seq.fill(30)("xx#|xx").mkString(" ")))
+    val source = MemoryStream[(Long, String)]
+    val out = CarbonStream.gopherGateStream(source.toDF().toDF("doc_id", "text"))
+    val query = out.writeStream
+      .format("memory").queryName("g12_gate").outputMode("append").start()
+    try {
+      source.addData(texts(0), texts(1))
+      query.processAllAvailable()
+      source.addData(texts(2)) // stateless across batches
+      query.processAllAvailable()
+      val rows = spark.table("g12_gate").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(6)))
+      assert(rows.toSeq == Seq((0L, 1L), (1L, 0L), (2L, 0L)))
+      // every audit column bit-equal to the batch twin
+      val batch = graft.text.Analysis.gopherRules(texts.toDF("doc_id", "text"))
+        .collect().map(r => r.toSeq).toSeq
+      val streamed = spark.table("g12_gate").orderBy("doc_id")
+        .collect().map(r => r.toSeq).toSeq
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
   test("streaming simhash dedup batch twin agrees on keepers (G4)") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),
