@@ -142,6 +142,8 @@ object SparkEntry {
     "corpus_bpe_apply" -> ((s, dir) => L.corpusBpeApply(s, dir)),
     "corpus_split" -> ((s, dir) => L.corpusSplit(s, dir)),
     "corpus_sample" -> ((s, dir) => L.corpusSample(s, dir)),
+    "corpus_mix_plan" -> ((s, dir) => L.corpusMixPlan(s, dir)),
+    "corpus_mix_apply" -> ((s, dir) => L.corpusMixApply(s, dir)),
     "corpus_quality_buckets" -> ((s, dir) => L.corpusQualityBuckets(s, dir)),
     "corpus_report" -> ((s, dir) => L.corpusReport(s, dir)),
     "corpus_pack" -> ((s, dir) => L.corpusPack(s, dir)),
@@ -1548,6 +1550,43 @@ object SparkEntry {
     // F24: stratified mixture sampling — same salted-h60 basis-point
     // arithmetic as graft.ops.Sampling.sampleByStratum; the rate CASE
     // is rendered from the same Seq, unlisted langs take the default
+    // F35: token budgets → basis-point keep rates, all-integer
+    // (DuckDB `//` floor-div replays Spark's explicit floor)
+    "corpus_mix_plan" -> {
+      import graft.ops.{LlmQueries => LQ}
+      val caseSql = LQ.MixTargets.map { case (l, t) => s"WHEN '$l' THEN $t" }.mkString(" ")
+      s"""WITH $TK,
+         |avail AS (SELECT d.lang, CAST(sum(len(t.toks)) AS BIGINT) AS available
+         |  FROM tk t JOIN documents d USING (doc_id) GROUP BY 1),
+         |pl AS (SELECT lang, available,
+         |  CAST(CASE lang $caseSql ELSE ${LQ.MixDefaultTarget} END AS BIGINT) AS target
+         |  FROM avail)
+         |SELECT lang, available, target,
+         | CAST(least(10000, target * 10000 // available) AS BIGINT) AS rate_bp,
+         | CAST(available * least(10000, target * 10000 // available) // 10000 AS BIGINT) AS expected
+         |FROM pl ORDER BY lang""".stripMargin
+    },
+    // F35b: the full plan-then-apply loop — planned rates drive the
+    // salted F24 keep rule, kept mass reported per stratum (an
+    // excluded stratum vanishes from the report in both engines)
+    "corpus_mix_apply" -> {
+      import graft.ops.{LlmQueries => LQ}
+      val caseSql = LQ.MixTargets.map { case (l, t) => s"WHEN '$l' THEN $t" }.mkString(" ")
+      s"""WITH $TK,
+         |avail AS (SELECT d.lang, CAST(sum(len(t.toks)) AS BIGINT) AS available
+         |  FROM tk t JOIN documents d USING (doc_id) GROUP BY 1),
+         |rt AS (SELECT lang,
+         |  least(10000, CAST(CASE lang $caseSql ELSE ${LQ.MixDefaultTarget} END AS BIGINT)
+         |    * 10000 // available) AS rate_bp FROM avail),
+         |k AS (SELECT d.doc_id, d.lang, len(t.toks) AS ntok,
+         |  ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)||'#sample'),1,15))::BIGINT % 10000 AS bucket
+         |  FROM tk t JOIN documents d USING (doc_id))
+         |SELECT k.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(k.ntok) AS BIGINT) AS kept_tokens
+         |FROM k JOIN rt ON k.lang = rt.lang
+         |WHERE k.bucket < rt.rate_bp
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "corpus_sample" -> {
       val cases = graft.ops.LlmQueries.SampleRatesBp
         .map { case (n, bp) => s"WHEN lang = '$n' THEN $bp" }.mkString(" ")

@@ -568,6 +568,39 @@ object LlmQueries {
   def corpusQualityBuckets(spark: SparkSession, dir: String): DataFrame =
     Sampling.qualityBuckets(Tables.documents(spark, dir), QualityBucketN)
 
+  // F35 token budgets: en under-supplied (real downsample rate), de
+  // OVER budget (rate caps at 10000 — keep everything), zh excluded
+  // (rate 0), es/fr fall to the default
+  val MixTargets: Seq[(String, Long)] = Seq(("en", 6000L), ("de", 9000L), ("zh", 0L))
+  val MixDefaultTarget = 1500L
+
+  /** F35: mixture planning — per-stratum token budgets → the
+    * basis-point keep rates the F24 sampler consumes.
+    */
+  def corpusMixPlan(spark: SparkSession, dir: String): DataFrame =
+    Sampling.mixPlan(Tables.documents(spark, dir), MixTargets, MixDefaultTarget)
+
+  /** F35b: plan-then-apply — the planner's rates (a bounded K-row
+    * collect: one row per stratum BY CONSTRUCTION) feed the F24
+    * sampler, and the report shows kept docs / token mass per lang —
+    * the full budget→sample loop a pipeline actually runs.
+    */
+  def corpusMixApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val rates = Sampling.mixPlan(docs, MixTargets, MixDefaultTarget)
+      .select(col("lang"), col("rate_bp")).collect()
+      .map(r => (r.getString(0), r.getLong(1).toInt)).toSeq
+    val keep = Sampling.sampleByStratum(docs, rates, defaultBp = 0)
+      .select(col("doc_id"), col("keep"))
+    docs.join(keep, "doc_id")
+      .filter(col("keep") === 1L)
+      .select(col("lang"),
+        size(graft.text.TextFns.tokens(col("text"))).cast("long").as("ntok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("kept_tokens"))
+      .orderBy(col("lang"))
+  }
+
   /** F24: deterministic stratified mixture sampling over `lang`. */
   def corpusSample(spark: SparkSession, dir: String): DataFrame =
     Sampling.sampleByStratum(Tables.documents(spark, dir),

@@ -136,4 +136,42 @@ object Sampling {
       when(bucket < rateCol, 1L).otherwise(0L).as("keep"))
       .orderBy(col(idCol))
   }
+
+  /** F35: mixture PLANNING — the step before [[sampleByStratum]]: a
+    * training run fixes a token BUDGET per stratum ("20M German, 5M
+    * code, the rest English"), and the planner turns budgets into the
+    * basis-point keep rates the sampler consumes: rate_bp =
+    * min(10000, ⌊target·10000 / available⌋) — integer arithmetic
+    * end-to-end (no float thresholds to diverge between engines), a
+    * stratum with more budget than supply caps at keep-everything, an
+    * unlisted stratum falls to `defaultTarget`. One map-side-combined
+    * aggregate over the corpus (available token mass per stratum) and
+    * a K-row projection; output carries the audit columns (available,
+    * target, rate, expected kept tokens = available·rate/10000) a
+    * human signs off on before the sampler runs.
+    */
+  def mixPlan(docs: DataFrame, targets: Seq[(String, Long)],
+              defaultTarget: Long, strataCol: String = "lang"): DataFrame = {
+    require(targets.forall(_._2 >= 0) && defaultTarget >= 0,
+      "token targets must be non-negative")
+    val targetCol = targets.foldRight(lit(defaultTarget)) {
+      case ((name, t), rest) => when(col(strataCol) === name, t).otherwise(rest)
+    }
+    docs
+      .select(col(strataCol),
+        size(graft.text.TextFns.tokens(col("text"))).cast("long").as("ntok"))
+      .groupBy(col(strataCol))
+      .agg(sum(col("ntok")).as("available"))
+      .select(col(strataCol), col("available"), targetCol.as("target"),
+        // floor-division via floor(double): Column `/` on longs widens
+        // to double silently, so make the floor EXPLICIT; products
+        // stay far under 2^53, where the double round trip is exact
+        least(lit(10000L),
+          floor((targetCol * 10000L).cast("double") / col("available"))
+            .cast("long")).as("rate_bp"))
+      .withColumn("expected",
+        floor((col("available") * col("rate_bp")).cast("double") / 10000L)
+          .cast("long"))
+      .orderBy(col(strataCol))
+  }
 }

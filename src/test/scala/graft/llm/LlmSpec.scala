@@ -652,6 +652,32 @@ class LlmSpec extends SparkSpec {
     assert(out(0L)._3 > out(1L)._3)
   }
 
+  test("mix planning: budgets to rates, cap and exclusion; apply keeps accordingly (F35)") {
+    import graft.ops.Sampling
+    // hand-built corpus: en 20 tokens over 2 docs, de 6 tokens, zh 4
+    val d = Seq(
+      (0L, ("w " * 10).trim, "en"), (1L, ("w " * 10).trim, "en"),
+      (2L, ("x " * 6).trim, "de"), (3L, ("y " * 4).trim, "zh")
+    ).toDF("doc_id", "text", "lang")
+    val plan = Sampling.mixPlan(d, Seq(("en", 5L), ("de", 100L), ("zh", 0L)), 1L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // en: 5·10000/20 = 2500bp, expected 20·2500/10000 = 5
+    assert(plan("en") == ((20L, 5L, 2500L, 5L)))
+    // de: budget over supply → rate caps at keep-everything
+    assert(plan("de") == ((6L, 100L, 10000L, 6L)))
+    // zh: excluded
+    assert(plan("zh")._3 == 0L)
+    // apply: rate-10000 stratum keeps every doc, rate-0 none — exact,
+    // not statistical
+    val rates = plan.map { case (l, v) => (l, v._3.toInt) }.toSeq
+    val kept = Sampling.sampleByStratum(d, rates, defaultBp = 0)
+      .filter(col("keep") === 1L).collect()
+      .map(_.getString(1)).groupBy(identity).view.mapValues(_.size).toMap
+    assert(kept.getOrElse("de", 0) == 1)
+    assert(!kept.contains("zh"))
+  }
+
   test("language id: stopword argmax with unknown fallback (F7)") {
     val d = Seq(
       (0L, "der hund und die katze ist ein tier"),
