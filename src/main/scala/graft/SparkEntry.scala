@@ -96,6 +96,7 @@ object SparkEntry {
     "dedup_substring_scrub" -> ((s, dir) => L.dedupSubstringScrub(s, dir)),
     "dedup_minhash" -> ((s, dir) => L.dedupMinhash(s, dir)),
     "dedup_minhash_capped" -> ((s, dir) => L.dedupMinhashCapped(s, dir)),
+    "dedup_minhash_bucket_stats" -> ((s, dir) => L.dedupMinhashBucketStats(s, dir)),
     "dedup_minhash_clusters" -> ((s, dir) => L.dedupMinhashClusters(s, dir)),
     "dedup_minhash_est" -> ((s, dir) => L.dedupMinhashEst(s, dir)),
     "dedup_jaccard_clusters" -> ((s, dir) => L.dedupJaccardClusters(s, dir)),
@@ -961,6 +962,17 @@ object SparkEntry {
          |  FROM sarr m1 JOIN sarr m2 ON m1.sk = m2.sk AND m1.doc_id < m2.doc_id)
          |SELECT x, y FROM (SELECT * FROM mcross UNION ALL SELECT * FROM mintra) t
          |ORDER BY 1,2""".stripMargin,
+    // F3s: the df-cap bound as data — bucket stats per (band, level)
+    // over the same mkeyed CTE the capped pair join consumes
+    "dedup_minhash_bucket_stats" ->
+      s"""WITH $TK, $SHD,
+         |$MinhashBandsCtes,
+         |$MinhashCappedCtes,
+         |bstat AS (SELECT band, lvl, bkey, count(*) AS df FROM mkeyed GROUP BY 1,2,3)
+         |SELECT CAST(band AS BIGINT) AS band, CAST(lvl AS BIGINT) AS lvl,
+         | CAST(count(*) AS BIGINT) AS n_buckets,
+         | CAST(sum(df) AS BIGINT) AS n_sigs, CAST(max(df) AS BIGINT) AS max_df
+         |FROM bstat GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // F3e: slot-agreement jaccard estimate over the capped candidate
     // graph — matches/12 per pair; estimates live on the k/12 grid, so
     // round(,4) never lands on a boundary in either engine

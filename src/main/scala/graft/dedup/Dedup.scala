@@ -539,6 +539,31 @@ object Dedup {
     minhashSigRows(docs)
       .select(col("doc_id"), col("mh"), minhashSigKey.as("sk")).cachedOnce
 
+  /** F3s: per-(band, widening-level) bucket statistics of the capped
+    * keying — the df-cap guarantee turned into a VERIFIED artifact
+    * instead of a docstring claim: for every band, how many distinct
+    * signatures landed at each widening level, across how many
+    * buckets, and the LARGEST bucket (which must be ≤ maxDf — the
+    * hard bound the whole 100 TB candidate-join story rests on; an
+    * operator change that silently broke the cap would flip this
+    * query's rows before any wall-clock regression showed). Shares
+    * the session-cached signature table and the keyed build with the
+    * F3c family; one extra bounded aggregate.
+    */
+  def minhashBucketStats(spark: SparkSession, docs: DataFrame,
+                         maxDf: Int): DataFrame = {
+    val sig = cachedSigTable(docs)
+    val keyed = cappedMinhashKeys(sig.select("sk", "mh").dropDuplicates("sk"), maxDf)
+    keyed.groupBy(col("band"), col("lvl"), col("bkey"))
+      .agg(count(lit(1)).as("df"))
+      .groupBy(col("band"), col("lvl"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("df")).as("n_sigs"),
+        max(col("df")).as("max_df"))
+      .select(col("band").cast("long").as("band"), col("lvl"),
+        col("n_buckets"), col("n_sigs"), col("max_df"))
+      .orderBy(col("band"), col("lvl"))
+  }
+
   /** Capped candidate pairs from a prebuilt signature table (the
     * [[minhashLshCapped]] body, shared with [[minhashJaccardEst]]).
     */

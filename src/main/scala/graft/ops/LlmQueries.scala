@@ -242,6 +242,12 @@ object LlmQueries {
     Dedup.simhashPairsCapped(spark, Tables.documents(spark, dir),
       SimhashMaxHamming, SimhashMaxDf)
 
+  /** F3s: the df-cap bound as data — per-(band, level) bucket stats of
+    * the capped MinHash keying; max_df ≤ MinhashMaxDf by construction.
+    */
+  def dedupMinhashBucketStats(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashBucketStats(spark, Tables.documents(spark, dir), MinhashMaxDf)
+
   /** O(n)-output keep/drop decisions from the capped candidate graph. */
   def dedupSimhashClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashClusters(spark, Tables.documents(spark, dir),

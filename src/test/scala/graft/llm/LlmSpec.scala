@@ -678,6 +678,25 @@ class LlmSpec extends SparkSpec {
     assert(!kept.contains("zh"))
   }
 
+  test("minhash bucket stats: every bucket honors the df cap; sig mass conserved (F3s)") {
+    import graft.dedup.Dedup
+    import graft.ops.{LlmQueries => LQ}
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val stats = Dedup.minhashBucketStats(spark, docs, LQ.MinhashMaxDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // the hard bound the 100 TB candidate join rests on
+    stats.foreach { case (b, l, _, _, maxDf) =>
+      assert(maxDf <= LQ.MinhashMaxDf, s"band $b lvl $l max_df $maxDf over cap")
+    }
+    // every band accounts for every distinct signature exactly once
+    val nSigs = Dedup.minhashBucketStats(spark, docs, LQ.MinhashMaxDf)
+      .groupBy("band").sum("n_sigs").collect().map(_.getLong(1)).toSet
+    assert(nSigs.size == 1, s"bands disagree on signature mass: $nSigs")
+    // an adversarial cap of 1 forces deep widening yet still holds
+    val tight = Dedup.minhashBucketStats(spark, docs, 1).collect()
+    tight.foreach(r => assert(r.getLong(4) <= 1L))
+  }
+
   test("language id: stopword argmax with unknown fallback (F7)") {
     val d = Seq(
       (0L, "der hund und die katze ist ein tier"),
