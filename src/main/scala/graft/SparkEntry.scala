@@ -74,6 +74,11 @@ object SparkEntry {
     "gfn_timeshift" -> ((s, dir) => T.gfnTimeshift(s, dir)),
     "gfn_percent_filter" -> ((s, dir) => T.gfnPercentFilter(s, dir)),
     "gfn_cgi_render" -> ((s, dir) => T.gfnCgiRender(s, dir)),
+    "gfn_npercentile" -> ((s, dir) => T.gfnNPercentile(s, dir)),
+    "gfn_stdev" -> ((s, dir) => T.gfnStdev(s, dir)),
+    "gfn_sort_maxima" -> ((s, dir) => T.gfnSortMaxima(s, dir)),
+    "gfn_percent_const" -> ((s, dir) => T.gfnPercentConst(s, dir)),
+    "gfn_divide_list" -> ((s, dir) => T.gfnDivideList(s, dir)),
     // D. dataMine bridge
     "dm_resample" -> ((s, dir) => T.dmResample(s, dir)),
     "dm_resample_all" -> ((s, dir) => T.dmResampleAll(s, dir)),
@@ -2302,6 +2307,59 @@ object SparkEntry {
          |SELECT 'timeShift(sumSeries(vera.u1?.click),"1d")' AS path,
          | t + 86400 AS t, round(value - 1e-9, 4) AS value
          |FROM ss ORDER BY 2""".stripMargin,
+    // C9m: nPercentile(90) — discrete per-series percentile (sorted
+    // non-null values, element max(1, floor(.9*(cnt+1)))) broadcast
+    // back as a flat line over the grid
+    "gfn_npercentile" ->
+      s"""WITH $GfnFrameCte,
+         |nn AS (SELECT path, value,
+         |  row_number() OVER (PARTITION BY path ORDER BY value, t) AS rn,
+         |  count(*) OVER (PARTITION BY path) AS cnt
+         |  FROM fr WHERE value IS NOT NULL),
+         |pv AS (SELECT path, value AS pv FROM nn
+         |  WHERE rn = greatest(1, CAST(floor(0.9*(cnt+1)) AS BIGINT)))
+         |SELECT 'nPercentile(' || f.path || ',90)' AS path, f.t,
+         | round(pv.pv - 1e-9, 4) AS value
+         |FROM fr f LEFT JOIN pv USING (path) ORDER BY 1, 2""".stripMargin,
+    // C9n: stdev(6) — trailing-window population stddev via the same
+    // explicit moment formula the Spark side evaluates (√((Σv² −
+    // (Σv)²/n)/n) over the ordered 6-row frame), nulls ignored,
+    // all-null window null
+    "gfn_stdev" ->
+      s"""WITH $GfnFrameCte,
+         |w AS (SELECT path, t,
+         |  count(value) OVER win AS cnt, sum(value) OVER win AS s,
+         |  sum(value*value) OVER win AS s2
+         |  FROM fr WINDOW win AS (PARTITION BY path ORDER BY t
+         |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+         |SELECT 'stdev(' || path || ',6)' AS path, t,
+         | round(CASE WHEN cnt > 0
+         |   THEN sqrt(greatest(0, (s2 - s*s/cnt)/cnt)) END - 1e-9, 4) + 0.0 AS value
+         |FROM w ORDER BY 1, 2""".stripMargin,
+    // C9o: limit(sortByMaxima, 2) — series ranked by max on the
+    // round(,6) grid with path tie-break, first two kept
+    "gfn_sort_maxima" ->
+      s"""WITH $GfnFrameCte,
+         |st AS (SELECT path, max(value) AS s FROM fr GROUP BY 1),
+         |top AS (SELECT path FROM (SELECT path,
+         |    row_number() OVER (ORDER BY round(s, 6) DESC NULLS LAST, path) AS rk
+         |  FROM st) WHERE rk <= 2)
+         |SELECT f.path, f.t, round(f.value - 1e-9, 4) AS value
+         |FROM fr f JOIN top USING (path) ORDER BY 1, 2""".stripMargin,
+    // C9p: asPercent against a constant total — pure map-only scaling
+    "gfn_percent_const" ->
+      s"""WITH $GfnFrameCte
+         |SELECT 'asPercent(' || path || ',120)' AS path, t,
+         | round(value*100.0/120 - 1e-9, 4) AS value
+         |FROM fr ORDER BY 1, 2""".stripMargin,
+    // C9q: per-dividend divideSeries — each series over the group sum,
+    // one named output per dividend input; zero/absent divisor null
+    "gfn_divide_list" ->
+      s"""WITH $GfnFrameCte,
+         |dv AS (SELECT t, sum(value) AS dv FROM fr GROUP BY 1)
+         |SELECT 'divideSeries(' || f.path || ',sumSeries(vera.u1?.click))' AS path,
+         | f.t, round(CASE WHEN dv.dv <> 0 THEN f.value/dv.dv END - 1e-9, 4) AS value
+         |FROM fr f LEFT JOIN dv USING (t) ORDER BY 1, 2""".stripMargin,
     // C9h: the URL round trip — function target through /render
     // format=csv; the env's -Eps input shift rides max() exactly
     "gfn_cgi_render" ->

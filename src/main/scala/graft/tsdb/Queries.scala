@@ -532,6 +532,40 @@ object Queries {
   def gfnTimeshift(spark: SparkSession, dir: String): DataFrame =
     gfnEval(spark, dir, "timeShift(sumSeries(vera.u1?.click),'1d')")
 
+  /** C9m: nPercentile — each series flattened to its 90th-percentile
+    * reference line; the discrete selection rule makes cross-engine
+    * parity exact (an integer pick, not interpolation).
+    */
+  def gfnNPercentile(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, "nPercentile(vera.u1?.click,90)")
+
+  /** C9n: stdev — trailing 6-point population deviation per series;
+    * the volatility channel graphite dashboards alarm on.
+    */
+  def gfnStdev(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, "stdev(vera.u1?.click,6)")
+
+  /** C9o: sortByMaxima + limit — the graphite idiom for "the two
+    * spikiest series"; the rank tag rides the frame to limit, which
+    * consumes it (K-row ordering, never a frame sort).
+    */
+  def gfnSortMaxima(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, "limit(sortByMaxima(vera.u1?.click),2)")
+
+  /** C9p: asPercent with a constant total — map-only share-of-budget
+    * scaling.
+    */
+  def gfnPercentConst(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, "asPercent(vera.u1?.click,120)")
+
+  /** C9q: per-dividend divideSeries — a MULTI-series dividend against
+    * one combined divisor yields one named ratio series per input
+    * (each u1x's share of the group click stream).
+    */
+  def gfnDivideList(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir,
+      "divideSeries(vera.u1?.click,sumSeries(vera.u1?.click))")
+
   /** C9h: the URL round trip — a function target through Cgi.dispatch
     * (maxSeries propagates the env's -Eps input shift exactly).
     */

@@ -63,18 +63,23 @@ object SeriesFunctions {
   /** Union of series lists — Graphite `group()`; map-only. */
   def group(fs: Seq[DataFrame]): DataFrame = fs.reduce(_ unionByName _)
 
-  /** Point-wise ratio of two single-series operands (Graphite
+  /** Point-wise ratio against a single divisor (Graphite
     * `divideSeries`): the divisor is first collapsed with safeSum the
     * way graphite-web does when handed a multi-series divisor; a zero
-    * or null divisor point yields null. One equi-join on t — the
-    * divisor side is a combined single series (one row per grid point),
-    * broadcast.
+    * or null divisor point yields null. PER-DIVIDEND naming — each
+    * dividend series keeps its identity wrapped as
+    * `divideSeries(<dividend>,<divisorText>)` (graphite names every
+    * output from the dividend it came from, so a multi-series dividend
+    * yields one ratio series per input). One equi-join on t — the
+    * divisor side is a combined single series (one row per grid
+    * point), broadcast.
     */
-  def divideSeries(dividend: DataFrame, divisor: DataFrame, name: String): DataFrame = {
+  def divideSeries(dividend: DataFrame, divisor: DataFrame, divisorText: String): DataFrame = {
     val d = broadcast(divisor.groupBy(col("t"))
       .agg(sum(col("value")).as("dv")))
     frame(dividend.join(d, Seq("t"), "left"),
-      lit(name), col("t"),
+      concat(lit("divideSeries("), col("path"), lit(s",$divisorText)")),
+      col("t"),
       when(col("dv") =!= 0, col("value") / col("dv")))
   }
 
@@ -87,6 +92,29 @@ object SeriesFunctions {
     val tot = f.groupBy(col("t")).agg(sum(col("value")).as("tot"))
     frame(f.join(broadcast(tot), Seq("t"), "left"),
       wrap("asPercent", ""), col("t"),
+      when(col("tot") =!= 0, col("value") * 100.0 / col("tot")))
+  }
+
+  /** `asPercent(series, total)` with a CONSTANT total — map-only, each
+    * point scaled to a share of the fixed budget; graphite's second
+    * form.
+    */
+  def asPercentConst(f: DataFrame, total: Double): DataFrame = {
+    require(total != 0, "asPercent: constant total must be non-zero")
+    frame(f, wrap("asPercent", fmtNum(total)), col("t"),
+      col("value") * 100.0 / total)
+  }
+
+  /** `asPercent(series, totalSeries)` — the total operand collapsed
+    * with safeSum per timestamp (graphite hands a multi-series total to
+    * sumSeries first), joined back broadcast; zero/absent total points
+    * null. Per-series naming wraps the total's rendered call text.
+    */
+  def asPercentOf(f: DataFrame, total: DataFrame, totalText: String): DataFrame = {
+    val tot = broadcast(total.groupBy(col("t")).agg(sum(col("value")).as("tot")))
+    frame(f.join(tot, Seq("t"), "left"),
+      concat(lit("asPercent("), col("path"), lit(s",$totalText)")),
+      col("t"),
       when(col("tot") =!= 0, col("value") * 100.0 / col("tot")))
   }
 
@@ -126,14 +154,74 @@ object SeriesFunctions {
   def exclude(f: DataFrame, pattern: String): DataFrame =
     f.filter(!col("path").rlike(pattern))
 
-  /** First n series in path order (Graphite `limit`; deterministic —
-    * graphite-web takes store order, which is not an order at all).
+  /** First n series — in `ord` order when an upstream `sortBy*` tagged
+    * the frame, else path order (Graphite `limit`; the path fallback is
+    * deterministic — graphite-web takes store order, which is not an
+    * order at all). The frame contract is restored on the way out: the
+    * ordering tag does not escape.
     */
   def limitSeries(f: DataFrame, n: Int): DataFrame = {
     require(n >= 1, s"limit: n must be >= 1 (got $n)")
-    val keep = f.select(col("path")).distinct()
-      .orderBy(col("path")).limit(n)
+    val keep =
+      if (f.columns.contains("ord"))
+        f.select(col("path"), col("ord")).distinct()
+          .orderBy(col("ord")).limit(n).select(col("path"))
+      else f.select(col("path")).distinct()
+        .orderBy(col("path")).limit(n)
     f.join(broadcast(keep), Seq("path"), "left_semi")
+      .select(col("path"), col("t"), col("value"))
+  }
+
+  // ---- series ordering: a K-row rank tag, never a sort of the frame ----
+
+  /** Shared `sortBy*` machinery: rank every series by a per-series
+    * aggregate on the round(,6) grid (the ANN-family ranking
+    * discipline — raw doubles can differ between engines in the last
+    * ulp, and the path tie-break then decides) and tag each row with
+    * its series' rank as an extra `ord` column. The ROWS never
+    * shuffle into a global sort — ordering a series LIST is a K-row
+    * problem, and downstream consumers ([[limitSeries]], a renderer
+    * emitting legend order) read the tag. K-row rank table broadcast
+    * back, same shape as [[highest]].
+    */
+  private def sortBySeriesStat(f: DataFrame, statAgg: Column,
+                               descending: Boolean): DataFrame = {
+    val s = if (descending) round(col("s"), 6).desc_nulls_last
+            else round(col("s"), 6).asc_nulls_last
+    val ranked = f.groupBy(col("path")).agg(statAgg.as("s"))
+      .select(col("path"),
+        row_number().over(Window.orderBy(s, col("path"))).as("ord"))
+    f.join(broadcast(ranked), Seq("path"))
+  }
+
+  /** Graphite `sortByMaxima`: series ordered by their maximum,
+    * highest first.
+    */
+  def sortByMaxima(f: DataFrame): DataFrame =
+    sortBySeriesStat(f, max(col("value")), descending = true)
+
+  /** Graphite `sortByMinima`: series ordered by their minimum, lowest
+    * first (graphite-web filters to series whose max > 0 — a legacy
+    * accident of its implementation, not ordering semantics; the
+    * ordering alone is what composes).
+    */
+  def sortByMinima(f: DataFrame): DataFrame =
+    sortBySeriesStat(f, min(col("value")), descending = false)
+
+  /** Graphite `sortByTotal`: series ordered by their safeSum, highest
+    * first.
+    */
+  def sortByTotal(f: DataFrame): DataFrame =
+    sortBySeriesStat(f, sum(col("value")), descending = true)
+
+  /** Graphite `sortByName`: natural path order — the rank tag makes
+    * the order explicit for `limit`/legend consumers.
+    */
+  def sortByName(f: DataFrame): DataFrame = {
+    val ranked = f.select(col("path")).distinct()
+      .select(col("path"),
+        row_number().over(Window.orderBy(col("path"))).as("ord"))
+    f.join(broadcast(ranked), Seq("path"))
   }
 
   // ---- renames: map-only ----
@@ -247,6 +335,50 @@ object SeriesFunctions {
     require(n >= 1, s"movingSum window must be >= 1 (got $n)")
     frame(f, wrap("movingSum", n.toString), col("t"),
       sum(col("value")).over(byPath.rowsBetween(-(n - 1), 0)))
+  }
+
+  /** Trailing n-point population standard deviation, nulls ignored
+    * inside the window; an all-null window is null (Graphite `stdev`).
+    * Written as the explicit moment formula √((Σv² − (Σv)²/n)/n) —
+    * not the engine's stddev_pop — so the oracle replays the SAME
+    * floating-point expression over the same ordered window and the
+    * two engines agree to the shared round-Eps grid; `greatest(0, ·)`
+    * clamps the −ulp a catastrophic cancellation can leave on a
+    * constant window.
+    */
+  def stdev(f: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"stdev window must be >= 1 (got $n)")
+    val w = byPath.rowsBetween(-(n - 1), 0)
+    val cnt = count(col("value")).over(w)
+    val s = sum(col("value")).over(w)
+    val s2 = sum(col("value") * col("value")).over(w)
+    frame(f, wrap("stdev", n.toString), col("t"),
+      when(cnt > 0, sqrt(greatest(lit(0.0), (s2 - s * s / cnt) / cnt))))
+  }
+
+  /** Graphite `nPercentile(series, p)`: every point of each series
+    * replaced by that series' p-th percentile — the flat reference
+    * line graphs draw against. The DISCRETE percentile (graphite's
+    * getPercentile with interpolate=False): sort the non-null values,
+    * take element max(1, ⌊p/100·(cnt+1)⌋) — an integer SELECTION, so
+    * both engines pick the identical stored double and cross-engine
+    * parity is exact by construction, no interpolation arithmetic to
+    * drift. Plan: the K-row percentile table (one rank filter over a
+    * per-series value window) broadcast back onto the grid; a series
+    * with no non-null points stays all-null.
+    */
+  def nPercentile(f: DataFrame, p: Double): DataFrame = {
+    require(p > 0 && p <= 100, s"nPercentile: p must be in (0,100] (got $p)")
+    val wv = Window.partitionBy(col("path")).orderBy(col("value"), col("t"))
+    val wp = Window.partitionBy(col("path"))
+    val pv = f.filter(col("value").isNotNull)
+      .select(col("path"), col("value"),
+        row_number().over(wv).as("rn"), count(lit(1)).over(wp).as("cnt"))
+      .filter(col("rn") === greatest(lit(1L),
+        floor(lit(p / 100.0) * (col("cnt") + 1)).cast("long")))
+      .select(col("path"), col("value").as("pv"))
+    frame(f.join(broadcast(pv), Seq("path"), "left"),
+      wrap("nPercentile", fmtNum(p)), col("t"), col("pv"))
   }
 
   /** Gaps filled with the last seen value per series; leading gaps

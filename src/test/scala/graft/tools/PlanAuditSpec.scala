@@ -347,6 +347,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pf.contains("SortMergeJoin"), pf.take(3000))
   }
 
+  test("gfn percentile/sort/divide family: K-row tables broadcast, frame never sorted") {
+    // nPercentile: the per-series percentile table joins back broadcast
+    // — the frame itself is never globally sorted
+    val np = plan("gfn_npercentile")
+    assert(np.contains("BroadcastHashJoin"), np.take(3000))
+    assert(!np.contains("SortMergeJoin"), np.take(3000))
+    // sortByMaxima+limit: the ordering lives in a ≤K-row rank table; the
+    // kept set returns as a broadcast left-semi, no frame-wide sort
+    val sm = plan("gfn_sort_maxima")
+    assert(sm.contains("LeftSemi") && sm.contains("BroadcastHashJoin"), sm.take(3000))
+    assert(!sm.contains("SortMergeJoin"), sm.take(3000))
+    // per-dividend divideSeries: the collapsed divisor (one row per
+    // grid point) broadcasts; the dividend stream is never shuffled
+    // into a sort-merge join
+    val dl = plan("gfn_divide_list")
+    assert(dl.contains("BroadcastHashJoin"), dl.take(3000))
+    assert(!dl.contains("SortMergeJoin"), dl.take(3000))
+    // asPercent(const) is pure map work over the fetch frame: exactly
+    // the fetch's own 3 hash exchanges (two rollup aggregations + the
+    // grid build), nothing added by the percent stage
+    val pc = plan("gfn_percent_const")
+    assert(!pc.contains("SortMergeJoin"), pc.take(3000))
+    assert(countOf(pc, "Exchange hashpartitioning") == 3, pc.take(3000))
+    // the percentile stage adds 2 exchanges over the fetch baseline
+    // (the non-null value window's path partitioning + the rank
+    // filter), never a frame-wide sort
+    assert(countOf(np, "Exchange hashpartitioning") == 5, np.take(3000))
+  }
+
   test("stream_keywords is map-only: frozen artifact as literals, no join, no shuffle") {
     val p = plan("stream_keywords")
     // the in-row rank: the only exchange is the output sort's range

@@ -134,9 +134,77 @@ class SeriesFunctionsSpec extends SparkSpec {
     val b = frame(("b1", 0L, 2.0), ("b1", 60L, 0.0), ("b1", 120L, null),
       ("b2", 0L, 3.0), ("b2", 60L, 0.0), ("b2", 120L, null))
     // divisor collapses to safeSum: t0=5, t60=0 (→null), t120 all-null
-    // (→null), t180 absent from divisor (→null)
-    assert(vals(SeriesFunctions.divideSeries(a, b, "r")) == Seq(
-      ("r", 0L, Some(2.0)), ("r", 60L, None), ("r", 120L, None), ("r", 180L, None)))
+    // (→null), t180 absent from divisor (→null); per-dividend naming
+    // wraps the dividend path around the divisor's call text
+    assert(vals(SeriesFunctions.divideSeries(a, b, "d")) == Seq(
+      ("divideSeries(a,d)", 0L, Some(2.0)), ("divideSeries(a,d)", 60L, None),
+      ("divideSeries(a,d)", 120L, None), ("divideSeries(a,d)", 180L, None)))
+  }
+
+  test("divideSeries: a multi-series dividend yields one named ratio per input") {
+    val a = frame(("a1", 0L, 10.0), ("a2", 0L, 4.0))
+    val b = frame(("b", 0L, 2.0))
+    assert(vals(SeriesFunctions.divideSeries(a, b, "b")) == Seq(
+      ("divideSeries(a1,b)", 0L, Some(5.0)), ("divideSeries(a2,b)", 0L, Some(2.0))))
+  }
+
+  test("asPercent 2-arg: constant total is map-only scaling; series total joins on t") {
+    val f = frame(("a", 0L, 30.0), ("a", 60L, null))
+    assert(vals(SeriesFunctions.asPercentConst(f, 120)) == Seq(
+      ("asPercent(a,120)", 0L, Some(25.0)), ("asPercent(a,120)", 60L, None)))
+    intercept[IllegalArgumentException](SeriesFunctions.asPercentConst(f, 0))
+    val tot = frame(("t1", 0L, 60.0), ("t2", 0L, 60.0), ("t1", 60L, 0.0))
+    assert(vals(SeriesFunctions.asPercentOf(f, tot, "x.*")) == Seq(
+      ("asPercent(a,x.*)", 0L, Some(25.0)), // 30*100/(60+60)
+      ("asPercent(a,x.*)", 60L, None)))     // zero total
+  }
+
+  test("nPercentile: discrete selection, flat line, all-null series stay null") {
+    // 9 non-null values 1..9 → p50 rank = floor(.5*10)=5 → value 5;
+    // p90 rank = floor(.9*10)=9 → value 9; p1 rank = max(1, 0) = 1
+    val rows = (1 to 9).map(i => ("a", i * 60L, java.lang.Double.valueOf(i))) :+
+      (("a", 600L, null: java.lang.Double)) :+ (("z", 0L, null: java.lang.Double))
+    val f = frame(rows: _*)
+    val p50 = vals(SeriesFunctions.nPercentile(f, 50))
+    assert(p50.filter(_._1 == "nPercentile(a,50)").forall(_._3 == Some(5.0)))
+    assert(p50.filter(_._1 == "nPercentile(z,50)").forall(_._3.isEmpty))
+    val p90 = vals(SeriesFunctions.nPercentile(f, 90))
+    assert(p90.filter(_._1 == "nPercentile(a,90)").forall(_._3 == Some(9.0)))
+    val p1 = vals(SeriesFunctions.nPercentile(f, 1))
+    assert(p1.filter(_._1 == "nPercentile(a,1)").forall(_._3 == Some(1.0)))
+  }
+
+  test("stdev: trailing-window population stddev, nulls ignored, all-null window null") {
+    val f = frame(("a", 0L, 2.0), ("a", 60L, 4.0), ("a", 120L, null),
+      ("a", 180L, 6.0), ("b", 0L, null))
+    val out = vals(SeriesFunctions.stdev(f, 3))
+    // t0: {2} → 0; t60: {2,4} → 1; t120: {2,4} → 1; t180: {4,6} → 1
+    assert(out == Seq(
+      ("stdev(a,3)", 0L, Some(0.0)), ("stdev(a,3)", 60L, Some(1.0)),
+      ("stdev(a,3)", 120L, Some(1.0)), ("stdev(a,3)", 180L, Some(1.0)),
+      ("stdev(b,3)", 0L, None)))
+  }
+
+  test("sortBy* tag series rank; limit consumes it and strips the tag") {
+    val f = frame(("a", 0L, 1.0), ("a", 60L, 9.0),   // max 9, sum 10, min 1
+      ("b", 0L, 5.0), ("b", 60L, 5.0),               // max 5, sum 10, min 5
+      ("c", 0L, 2.0), ("c", 60L, 3.0))               // max 3, sum 5,  min 2
+    def ordOf(df: DataFrame): Seq[(String, Int)] =
+      df.select(col("path"), col("ord")).distinct()
+        .orderBy(col("ord")).collect().toSeq
+        .map(r => (r.getString(0), r.getInt(1)))
+    assert(ordOf(SeriesFunctions.sortByMaxima(f)) == Seq(("a", 1), ("b", 2), ("c", 3)))
+    assert(ordOf(SeriesFunctions.sortByMinima(f)) == Seq(("a", 1), ("c", 2), ("b", 3)))
+    // sum ties (a,b at 10) break by path
+    assert(ordOf(SeriesFunctions.sortByTotal(f)) == Seq(("a", 1), ("b", 2), ("c", 3)))
+    assert(ordOf(SeriesFunctions.sortByName(f)) == Seq(("a", 1), ("b", 2), ("c", 3)))
+    // limit(sortByMinima, 2) keeps the two LOWEST-minimum series and
+    // restores the frame contract (no ord column)
+    val lim = SeriesFunctions.limitSeries(SeriesFunctions.sortByMinima(f), 2)
+    assert(lim.columns.toSeq == Seq("path", "t", "value"))
+    assert(vals(lim).map(_._1).distinct == Seq("a", "c"))
+    // without a tag, limit falls back to path order
+    assert(vals(SeriesFunctions.limitSeries(f, 2)).map(_._1).distinct == Seq("a", "b"))
   }
 
   test("asPercent: share of group total per timestamp; zero totals null") {
