@@ -123,6 +123,7 @@ object SparkEntry {
     "ann_ivf_sampled" -> ((s, dir) => L.annIvfSampled(s, dir)),
     "ann_ivf_sampled2" -> ((s, dir) => L.annIvfSampled2(s, dir)),
     "ann_pq" -> ((s, dir) => L.annPq(s, dir)),
+    "ann_pq_trained" -> ((s, dir) => L.annPqTrained(s, dir)),
     "ann_ivf_pq" -> ((s, dir) => L.annIvfPq(s, dir)),
     "ann_quantized" -> ((s, dir) => L.annQuantized(s, dir)),
     "ann_ivf_quantized" -> ((s, dir) => L.annIvfQuantized(s, dir)),
@@ -1396,6 +1397,72 @@ object SparkEntry {
          |      ORDER BY round(cw.cc - 2*list_dot_product(
          |        n.emb[cw.s*$sd+1 : cw.s*$sd+$sd], cw.cvec), 6) ASC, cw.j) AS ark
          |  FROM n CROSS JOIN cw) WHERE ark = 1),
+         |q AS (SELECT vec_id AS q_id, emb AS qe,
+         |  sqrt(list_dot_product(emb, emb)) AS qn FROM n
+         |  WHERE vec_id < ${LQ.AnnQueryMax}),
+         |terms AS (SELECT q.q_id, cd.vec_id,
+         |    CAST(round(list_dot_product(
+         |      q.qe[cd.s*$sd+1 : cd.s*$sd+$sd], cd.cvec) * 1e6, 0) AS BIGINT) AS tl,
+         |    CAST(round(cd.cc * 1e6, 0) AS BIGINT) AS ccl
+         |  FROM codes cd CROSS JOIN q WHERE cd.vec_id <> q.q_id),
+         |agg AS (SELECT q_id, vec_id, sum(tl) AS sl, sum(ccl) AS scc
+         |  FROM terms GROUP BY 1, 2),
+         |scored AS (SELECT a.q_id, a.vec_id,
+         |  (a.sl / 1e6) / (q.qn * sqrt(a.scc / 1e6)) AS cos
+         |  FROM agg a JOIN q ON q.q_id = a.q_id),
+         |rk AS (SELECT q_id, vec_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY round(cos,6) DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, rk, vec_id, round(cos,4) AS cos FROM rk
+         |WHERE rk <= ${LQ.AnnK}
+         |ORDER BY q_id, rk""".stripMargin
+    },
+    // F25g: the TRAINED product codebook — per-subspace Lloyd k-means
+    // over the '#pqtrain' hash sample (sub-vector explode, argmin of
+    // round(cc−2·sv·cw,6) with lowest-j tie, fixed-point 1e-6-grid
+    // means with the FLOAT pass, empty codewords keep their previous
+    // value), then ann_pq's encode/ADC tail over the final book
+    "ann_pq_trained" -> {
+      import graft.ops.{LlmQueries => LQ}
+      val sd = 64 / LQ.PqSubspaces
+      def iterCtes = (1 to LQ.PqTrainIters).map { i =>
+        val prev = s"b${i - 1}"
+        s"""pa$i AS (SELECT vec_id, s, j, sv FROM (
+           |  SELECT sub.vec_id, sub.s, b.j, sub.sv,
+           |    row_number() OVER (PARTITION BY sub.vec_id, sub.s
+           |      ORDER BY round(b.cc - 2*list_dot_product(sub.sv, b.cw), 6) ASC, b.j) AS ark
+           |  FROM sub JOIN $prev b USING (s)) WHERE ark = 1),
+           |pm$i AS (SELECT s, j, e.d,
+           |  CAST(CAST(CAST(sum(CAST(round(e.v * 1000000.0) AS BIGINT)) AS DOUBLE)
+           |    / (count(*) * 1000000.0) AS FLOAT) AS DOUBLE) AS mv
+           |  FROM (SELECT s, j, generate_subscripts(sv,1) AS d, unnest(sv) AS v
+           |        FROM pa$i) e
+           |  GROUP BY 1,2,3),
+           |pm${i}l AS (SELECT s, j, list(mv ORDER BY d) AS cw FROM pm$i GROUP BY 1,2),
+           |b$i AS (SELECT p.s, p.j, coalesce(l.cw, p.cw) AS cw,
+           |  list_dot_product(coalesce(l.cw, p.cw), coalesce(l.cw, p.cw)) AS cc
+           |  FROM $prev p LEFT JOIN pm${i}l l USING (s, j))""".stripMargin
+      }.mkString(",\n")
+      val bFinal = s"b${LQ.PqTrainIters}"
+      s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |ns AS (SELECT * FROM n
+         |  WHERE ('0x'||substr(md5(CAST(vec_id AS VARCHAR)||'#pqtrain'),1,15))::BIGINT % 10000
+         |        < ${LQ.PqTrainBp}),
+         |sub AS (SELECT vec_id, t.range AS s,
+         |    emb[t.range*$sd+1 : t.range*$sd+$sd] AS sv
+         |  FROM ns CROSS JOIN range(${LQ.PqSubspaces}) t),
+         |seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+         |  FROM ns ORDER BY vec_id LIMIT ${LQ.PqCodes}),
+         |b0 AS (SELECT sub.s, seed.j, sub.sv AS cw,
+         |    list_dot_product(sub.sv, sub.sv) AS cc
+         |  FROM sub JOIN seed USING (vec_id)),
+         |$iterCtes,
+         |codes AS (SELECT vec_id, s, j, cvec, cc FROM (
+         |  SELECT n.vec_id, b.s, b.j, b.cw AS cvec, b.cc,
+         |    row_number() OVER (PARTITION BY n.vec_id, b.s
+         |      ORDER BY round(b.cc - 2*list_dot_product(
+         |        n.emb[b.s*$sd+1 : b.s*$sd+$sd], b.cw), 6) ASC, b.j) AS ark
+         |  FROM n CROSS JOIN $bFinal b) WHERE ark = 1),
          |q AS (SELECT vec_id AS q_id, emb AS qe,
          |  sqrt(list_dot_product(emb, emb)) AS qn FROM n
          |  WHERE vec_id < ${LQ.AnnQueryMax}),

@@ -336,6 +336,21 @@ object LlmQueries {
       PqSubspaces, PqCodes)
   }
 
+  // F25g: PQ training — 2 Lloyd iterations per subspace over the
+  // 50% '#pqtrain' hash sample
+  val PqTrainIters = 2
+  val PqTrainBp = 5000
+
+  /** F25g: top-k over the TRAINED product codebook — per-subspace
+    * Lloyd k-means on the hash-stable sample (the FAISS
+    * ProductQuantizer.train step); encode/ADC tail unchanged.
+    */
+  def annPqTrained(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Ann.pqTopKTrained(e.filter(col("vec_id") < AnnQueryMax), e, AnnK,
+      PqSubspaces, PqCodes, PqTrainIters, PqTrainBp)
+  }
+
   /** F25d: IVF probe + PQ/ADC rerank — the FAISS IVFPQ composition:
     * float coarse routing, m-byte codes in the inverted lists,
     * table-lookup scoring inside probed lists.

@@ -528,8 +528,16 @@ object Ann {
     * float stream of [[bruteTopK]] becomes a 1-byte-per-8-dims code
     * stream.
     */
-  def pqTopK(queries: DataFrame, vecs: DataFrame, k: Int, m: Int, kc: Int): DataFrame = {
-    val book = pqCodebook(vecs, m, kc)
+  def pqTopK(queries: DataFrame, vecs: DataFrame, k: Int, m: Int, kc: Int): DataFrame =
+    pqTopKWithBook(queries, vecs, k, pqCodebook(vecs, m, kc))
+
+  /** The encode + ADC tail over an explicit codebook — shared by the
+    * slice-init [[pqTopK]] and the Lloyd-trained [[pqTopKTrained]], so
+    * "trained" changes only which codewords exist, never the scoring
+    * arithmetic.
+    */
+  def pqTopKWithBook(queries: DataFrame, vecs: DataFrame, k: Int,
+                     book: IndexedSeq[IndexedSeq[Array[Float]]]): DataFrame = {
     val b = book.map(_.toArray).toArray
     // cache the encoded index: `pcode` must reach the scoring join as a
     // MATERIALIZED attribute — left as a live expression, Catalyst
@@ -546,6 +554,128 @@ object Ann {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", adcCos(book))
     topK(scored, k)
+  }
+
+  /** Hash-stable PQ TRAINING sample — the [[codebookTrainSample]]
+    * discipline under its own '#pqtrain' salt (decorrelated from the
+    * coarse-codebook sample, the F18 split and the F24 sampling): a
+    * vector trains the product codebooks iff h60(vec_id + "#pqtrain")
+    * mod 10000 < rateBp. Map-only; the sample never materializes as
+    * its own table.
+    */
+  def pqTrainSample(vecs: DataFrame, rateBp: Int): DataFrame = {
+    require(rateBp > 0 && rateBp <= 10000,
+      s"rateBp is basis points in (0, 10000] (got $rateBp)")
+    val bucket = graft.text.TextFns
+      .h60(concat(col("vec_id").cast("string"), lit("#pqtrain"))) % 10000L
+    vecs.filter(bucket < rateBp)
+  }
+
+  /** F25g: TRAINED PQ codebook — per-subspace Lloyd k-means over the
+    * hash-stable sample, replacing [[pqCodebook]]'s slice-init
+    * codewords with codewords that actually minimize subspace
+    * quantization error (the FAISS `ProductQuantizer.train` step; the
+    * slice-init book is exactly k-means iteration 0). All m subspaces
+    * train in ONE DataFrame chain keyed by subspace id — per
+    * iteration: one broadcast-book argmin assignment over the
+    * (vec_id, s, sv) sub-vector table and one fixed-point mean
+    * rebuild — so the job count is `iters`×2 regardless of m (a
+    * per-subspace loop would run m× that), and per-iteration work is
+    * O(sample·m·kc) sub-dots, independent of corpus size.
+    *
+    * Engine-parity contracts, all inherited: argmin of
+    * round(cc − 2·sv·cw, 6) with lowest-j tie-break (the
+    * [[pqEncode]] rule, so training and encoding share one scoring
+    * law), fixed-point 1e-6-grid integer means with the FLOAT pass
+    * (the [[lloydMeans]] discipline — order-independent, bit-equal in
+    * DuckDB), seeds = sub-slices of the kc lowest SAMPLED vec_ids (the
+    * c0 rule). A codeword whose list goes empty keeps its previous
+    * value. Driver-side only at the END: the trained book collects as
+    * m·kc rows (the bounded-codebook contract) for the compiled encode
+    * kernel.
+    */
+  def pqCodebookTrained(vecs: DataFrame, m: Int, kc: Int, iters: Int,
+                        rateBp: Int): IndexedSeq[IndexedSeq[Array[Float]]] = {
+    val sample = pqTrainSample(vecs, rateBp)
+    val dim = vecs.select(size(col("embedding"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sd = dim / m
+    // (vec_id, s, sv): the m sub-vector slices of every sampled row —
+    // map-only explode, cached once (every iteration re-reads it)
+    val sub = sample.select(col("vec_id"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("embedding"), s * sd + 1, sd)): _*)).as(Seq("s", "sv")))
+      .cachedOnce
+    val seeds = sample.orderBy(col("vec_id")).limit(kc)
+      .select(col("vec_id"),
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).as("j"))
+    var book = sub.join(broadcast(seeds), Seq("vec_id"))
+      .select(col("s"), col("j"), col("sv").as("cw"))
+      .withColumn("cc", dot(col("cw"), col("cw")))
+      .cachedOnce
+    for (_ <- 0 until iters) {
+      val assigned = sub.join(broadcast(book), Seq("s"))
+        .withColumn("d2", col("cc") - lit(2.0) * dot(col("sv"), col("cw")))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(max_by(struct(col("sv").as("sv"), col("j")),
+          struct((-round(col("d2"), 6)).as("nd"), (-col("j")).as("nj"))).as("a"))
+        .select(col("s"), col("a.j").as("j"), col("a.sv").as("sv"))
+      val means = assigned
+        .select(col("s"), col("j"), posexplode(col("sv")).as(Seq("d", "comp")))
+        .groupBy(col("s"), col("j"), col("d"))
+        .agg(sum(round(col("comp") * 1e6, 0).cast("long")).as("ms"),
+          count(lit(1)).as("mn"))
+        .withColumn("mv", (col("ms").cast("double") /
+          (col("mn").cast("double") * 1e6)).cast("float"))
+        .groupBy(col("s"), col("j"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("mv")))),
+          x => x.getField("mv")).as("mcw"))
+      book = book.join(broadcast(means), Seq("s", "j"), "left")
+        .select(col("s"), col("j"), coalesce(col("mcw"), col("cw")).as("cw"))
+        .withColumn("cc", dot(col("cw"), col("cw")))
+        .cachedOnce
+    }
+    val rows = book.select(col("s"), col("j"), col("cw")).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Float](2).toArray)).toMap
+    (0 until m).map(s => (0 until kc).map(j => rows((s, j))))
+  }
+
+  /** F25g entry: the [[pqTopK]] surface over the trained book — same
+    * encode kernel, same ADC scoring, better codewords.
+    */
+  def pqTopKTrained(queries: DataFrame, vecs: DataFrame, k: Int, m: Int,
+                    kc: Int, iters: Int, rateBp: Int): DataFrame =
+    pqTopKWithBook(queries, vecs, k,
+      pqCodebookTrained(vecs, m, kc, iters, rateBp))
+
+  /** Mean subspace quantization error (Σ min_j ‖sv − cw_j‖² / rows) of
+    * a codebook over a vector set — the objective PQ training
+    * minimizes; the trained-vs-init improvement spec reads it.
+    */
+  def pqQuantizationError(vecs: DataFrame,
+                          book: IndexedSeq[IndexedSeq[Array[Float]]]): Double = {
+    val m = book.length
+    val dim = vecs.select(size(col("embedding"))).head.getInt(0)
+    val sd = dim / m
+    val sub = vecs.select(col("vec_id"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("embedding"), s * sd + 1, sd)): _*)).as(Seq("s", "sv")))
+    val bookDf = broadcast(
+      vecs.sparkSession.createDataFrame(
+        vecs.sparkSession.sparkContext.parallelize(
+          for { s <- 0 until m; j <- 0 until book(s).length }
+            yield org.apache.spark.sql.Row(s, j, book(s)(j).toSeq), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("j", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("cw",
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))))
+    sub.join(bookDf, Seq("s"))
+      // ‖sv−cw‖² = sv·sv − 2·sv·cw + cc, minimized per (vec_id, s)
+      .withColumn("d2", dot(col("sv"), col("sv")) -
+        lit(2.0) * dot(col("sv"), col("cw")) + dot(col("cw"), col("cw")))
+      .groupBy(col("vec_id"), col("s")).agg(min(col("d2")).as("md"))
+      .agg(avg(col("md"))).head.getDouble(0)
   }
 
   /** The ADC cosine column over rows carrying `pcode` (the m-byte

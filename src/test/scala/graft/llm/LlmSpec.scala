@@ -424,6 +424,43 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.3, s"pq recall $recall vs float32 brute force")
   }
 
+  test("trained pq codebook: error drops, stable, degenerates to init (F25g)") {
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val sample = Ann.pqTrainSample(e, 5000)
+    // iters=0 is exactly the slice-init book over the sample — the
+    // trained book IS k-means and slice-init is its iteration 0
+    val init = Ann.pqCodebookTrained(e, 8, 32, iters = 0, rateBp = 5000)
+    val untrained = Ann.pqCodebook(sample, 8, 32)
+    assert(init.flatten.map(_.toSeq) == untrained.flatten.map(_.toSeq))
+    // Lloyd monotonicity: each iteration cannot increase the training
+    // sample's quantization error (assignment and mean steps both
+    // minimize it); strict improvement expected on real data
+    val trained = Ann.pqCodebookTrained(e, 8, 32, iters = 2, rateBp = 5000)
+    val errInit = Ann.pqQuantizationError(sample, init)
+    val errTrained = Ann.pqQuantizationError(sample, trained)
+    assert(errTrained <= errInit + 1e-9,
+      s"trained error $errTrained vs init $errInit")
+    assert(errTrained < errInit * 0.95,
+      s"expected a real improvement: trained $errTrained vs init $errInit")
+    // artifact determinism: the book is a pure function of the id-
+    // hashed sample, so repartitioning the corpus cannot change it
+    val repart = Ann.pqCodebookTrained(e.repartition(7), 8, 32, 2, 5000)
+    assert(trained.flatten.map(_.toSeq) == repart.flatten.map(_.toSeq))
+    // trained ADC recall vs float32 brute force: a sanity floor, not a
+    // superiority claim — training minimizes subspace MSE, and on this
+    // near-isotropic synthetic corpus lower MSE does not monotonically
+    // buy top-k recall (measured 0.24 here vs slice-init's 0.30; on
+    // clusterable real embeddings the trained book is the FAISS
+    // default for a reason)
+    val q = e.filter($"vec_id" < 10)
+    val brute = Ann.bruteTopK(q, e, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pqt = Ann.pqTopKTrained(q, e, 5, 8, 32, 2, 5000).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & pqt).size.toDouble / brute.size
+    assert(recall >= 0.2, s"trained pq recall $recall vs brute force")
+  }
+
   test("ivf+pq tracks full-corpus ADC scoring (F25d)") {
     // same PQ codes and ADC tables, candidates bounded to probed IVF
     // cells — the result should largely coincide with full-scan PQ,
