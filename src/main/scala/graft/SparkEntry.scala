@@ -125,6 +125,7 @@ object SparkEntry {
     "ann_pq" -> ((s, dir) => L.annPq(s, dir)),
     "ann_pq_trained" -> ((s, dir) => L.annPqTrained(s, dir)),
     "ann_ivf_pq" -> ((s, dir) => L.annIvfPq(s, dir)),
+    "ann_ivf_pq_trained" -> ((s, dir) => L.annIvfPqTrained(s, dir)),
     "ann_quantized" -> ((s, dir) => L.annQuantized(s, dir)),
     "ann_ivf_quantized" -> ((s, dir) => L.annIvfQuantized(s, dir)),
     "text_langid" -> ((s, dir) => L.textLangid(s, dir)),
@@ -670,6 +671,51 @@ object SparkEntry {
        |  ORDER BY vec_id LIMIT ${LQ.IvfCentroids}),
        |$iterCtes""".stripMargin
   }
+
+  /** The F25g trained product codebook as DuckDB CTEs over an existing
+    * `n` (vec_id, emb DOUBLE[]) CTE: '#pqtrain' hash sample → sub-
+    * vector explode → slice-init seeds → per-iteration argmin /
+    * fixed-point-mean Lloyd chain, exactly Ann.pqCodebookTrained's
+    * arithmetic. Final book CTE is [[PqTrainedFinalCte]] with columns
+    * (s, j, cw, cc). Shared by ann_pq_trained and ann_ivf_pq_trained.
+    */
+  private lazy val PqTrainedBookCtes: String = {
+    import graft.ops.{LlmQueries => LQ}
+    val sd = 64 / LQ.PqSubspaces
+    val iterCtes = (1 to LQ.PqTrainIters).map { i =>
+      val prev = s"b${i - 1}"
+      s"""pa$i AS (SELECT vec_id, s, j, sv FROM (
+         |  SELECT sub.vec_id, sub.s, b.j, sub.sv,
+         |    row_number() OVER (PARTITION BY sub.vec_id, sub.s
+         |      ORDER BY round(b.cc - 2*list_dot_product(sub.sv, b.cw), 6) ASC, b.j) AS ark
+         |  FROM sub JOIN $prev b USING (s)) WHERE ark = 1),
+         |pm$i AS (SELECT s, j, e.d,
+         |  CAST(CAST(CAST(sum(CAST(round(e.v * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |    / (count(*) * 1000000.0) AS FLOAT) AS DOUBLE) AS mv
+         |  FROM (SELECT s, j, generate_subscripts(sv,1) AS d, unnest(sv) AS v
+         |        FROM pa$i) e
+         |  GROUP BY 1,2,3),
+         |pm${i}l AS (SELECT s, j, list(mv ORDER BY d) AS cw FROM pm$i GROUP BY 1,2),
+         |b$i AS (SELECT p.s, p.j, coalesce(l.cw, p.cw) AS cw,
+         |  list_dot_product(coalesce(l.cw, p.cw), coalesce(l.cw, p.cw)) AS cc
+         |  FROM $prev p LEFT JOIN pm${i}l l USING (s, j))""".stripMargin
+    }.mkString(",\n")
+    s"""ns AS (SELECT * FROM n
+       |  WHERE ('0x'||substr(md5(CAST(vec_id AS VARCHAR)||'#pqtrain'),1,15))::BIGINT % 10000
+       |        < ${LQ.PqTrainBp}),
+       |sub AS (SELECT vec_id, t.range AS s,
+       |    emb[t.range*$sd+1 : t.range*$sd+$sd] AS sv
+       |  FROM ns CROSS JOIN range(${LQ.PqSubspaces}) t),
+       |seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+       |  FROM ns ORDER BY vec_id LIMIT ${LQ.PqCodes}),
+       |b0 AS (SELECT sub.s, seed.j, sub.sv AS cw,
+       |    list_dot_product(sub.sv, sub.sv) AS cc
+       |  FROM sub JOIN seed USING (vec_id)),
+       |$iterCtes""".stripMargin
+  }
+
+  private lazy val PqTrainedFinalCte =
+    s"b${graft.ops.LlmQueries.PqTrainIters}"
 
   /** MinHash params / stopword dict rendered from the same Scala
     * constants the Spark plans use — single source of truth.
@@ -1425,44 +1471,14 @@ object SparkEntry {
     "ann_pq_trained" -> {
       import graft.ops.{LlmQueries => LQ}
       val sd = 64 / LQ.PqSubspaces
-      def iterCtes = (1 to LQ.PqTrainIters).map { i =>
-        val prev = s"b${i - 1}"
-        s"""pa$i AS (SELECT vec_id, s, j, sv FROM (
-           |  SELECT sub.vec_id, sub.s, b.j, sub.sv,
-           |    row_number() OVER (PARTITION BY sub.vec_id, sub.s
-           |      ORDER BY round(b.cc - 2*list_dot_product(sub.sv, b.cw), 6) ASC, b.j) AS ark
-           |  FROM sub JOIN $prev b USING (s)) WHERE ark = 1),
-           |pm$i AS (SELECT s, j, e.d,
-           |  CAST(CAST(CAST(sum(CAST(round(e.v * 1000000.0) AS BIGINT)) AS DOUBLE)
-           |    / (count(*) * 1000000.0) AS FLOAT) AS DOUBLE) AS mv
-           |  FROM (SELECT s, j, generate_subscripts(sv,1) AS d, unnest(sv) AS v
-           |        FROM pa$i) e
-           |  GROUP BY 1,2,3),
-           |pm${i}l AS (SELECT s, j, list(mv ORDER BY d) AS cw FROM pm$i GROUP BY 1,2),
-           |b$i AS (SELECT p.s, p.j, coalesce(l.cw, p.cw) AS cw,
-           |  list_dot_product(coalesce(l.cw, p.cw), coalesce(l.cw, p.cw)) AS cc
-           |  FROM $prev p LEFT JOIN pm${i}l l USING (s, j))""".stripMargin
-      }.mkString(",\n")
-      val bFinal = s"b${LQ.PqTrainIters}"
       s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |ns AS (SELECT * FROM n
-         |  WHERE ('0x'||substr(md5(CAST(vec_id AS VARCHAR)||'#pqtrain'),1,15))::BIGINT % 10000
-         |        < ${LQ.PqTrainBp}),
-         |sub AS (SELECT vec_id, t.range AS s,
-         |    emb[t.range*$sd+1 : t.range*$sd+$sd] AS sv
-         |  FROM ns CROSS JOIN range(${LQ.PqSubspaces}) t),
-         |seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
-         |  FROM ns ORDER BY vec_id LIMIT ${LQ.PqCodes}),
-         |b0 AS (SELECT sub.s, seed.j, sub.sv AS cw,
-         |    list_dot_product(sub.sv, sub.sv) AS cc
-         |  FROM sub JOIN seed USING (vec_id)),
-         |$iterCtes,
+         |$PqTrainedBookCtes,
          |codes AS (SELECT vec_id, s, j, cvec, cc FROM (
          |  SELECT n.vec_id, b.s, b.j, b.cw AS cvec, b.cc,
          |    row_number() OVER (PARTITION BY n.vec_id, b.s
          |      ORDER BY round(b.cc - 2*list_dot_product(
          |        n.emb[b.s*$sd+1 : b.s*$sd+$sd], b.cw), 6) ASC, b.j) AS ark
-         |  FROM n CROSS JOIN $bFinal b) WHERE ark = 1),
+         |  FROM n CROSS JOIN $PqTrainedFinalCte b) WHERE ark = 1),
          |q AS (SELECT vec_id AS q_id, emb AS qe,
          |  sqrt(list_dot_product(emb, emb)) AS qn FROM n
          |  WHERE vec_id < ${LQ.AnnQueryMax}),
@@ -1517,6 +1533,57 @@ object SparkEntry {
          |      ORDER BY round(cw.cc - 2*list_dot_product(
          |        n.emb[cw.s*$sd+1 : cw.s*$sd+$sd], cw.cvec), 6) ASC, cw.j) AS ark
          |  FROM n CROSS JOIN cw) WHERE ark = 1),
+         |q AS (SELECT vec_id AS q_id, emb AS qe, nrm AS qn FROM n
+         |  WHERE vec_id < ${LQ.AnnQueryMax}),
+         |cand AS (SELECT p.q_id, a.vec_id
+         |  FROM assigned a JOIN probes p USING (cent_id)
+         |  WHERE a.vec_id <> p.q_id),
+         |terms AS (SELECT ca.q_id, ca.vec_id,
+         |    CAST(round(list_dot_product(
+         |      q.qe[cd.s*$sd+1 : cd.s*$sd+$sd], cd.cvec) * 1e6, 0) AS BIGINT) AS tl,
+         |    CAST(round(cd.cc * 1e6, 0) AS BIGINT) AS ccl
+         |  FROM cand ca JOIN codes cd ON cd.vec_id = ca.vec_id
+         |  JOIN q ON q.q_id = ca.q_id),
+         |agg AS (SELECT q_id, vec_id, sum(tl) AS sl, sum(ccl) AS scc
+         |  FROM terms GROUP BY 1, 2),
+         |scored AS (SELECT a.q_id, a.vec_id,
+         |  (a.sl / 1e6) / (q.qn * sqrt(a.scc / 1e6)) AS cos
+         |  FROM agg a JOIN q ON q.q_id = a.q_id),
+         |rk AS (SELECT q_id, vec_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY round(cos,6) DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, rk, vec_id, round(cos,4) AS cos FROM rk
+         |WHERE rk <= ${LQ.AnnK}
+         |ORDER BY q_id, rk""".stripMargin
+    },
+    // F25h: IVF + TRAINED PQ — ann_ivf_pq's routing/probe/ADC CTEs
+    // verbatim, with the codeword table swapped for the F25g trained
+    // Lloyd chain (the shared PqTrainedBookCtes); only the codewords
+    // change, as in the Spark plan
+    "ann_ivf_pq_trained" -> {
+      import graft.ops.{LlmQueries => LQ}
+      val sd = 64 / LQ.PqSubspaces
+      s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),
+         |$PqTrainedBookCtes,
+         |cents AS (SELECT vec_id AS cent_id, emb AS ce, nrm AS cn FROM n
+         |  ORDER BY vec_id LIMIT ${LQ.IvfCentroids}),
+         |va AS (SELECT n.vec_id, c.cent_id,
+         |  row_number() OVER (PARTITION BY n.vec_id
+         |    ORDER BY round(list_dot_product(n.emb, c.ce)/(n.nrm*c.cn), 6) DESC, c.cent_id) AS ark
+         |  FROM n CROSS JOIN cents c),
+         |assigned AS (SELECT vec_id, cent_id FROM va WHERE ark = 1),
+         |qa AS (SELECT n.vec_id AS q_id, c.cent_id,
+         |  row_number() OVER (PARTITION BY n.vec_id
+         |    ORDER BY round(list_dot_product(n.emb, c.ce)/(n.nrm*c.cn), 6) DESC, c.cent_id) AS crk
+         |  FROM n CROSS JOIN cents c WHERE n.vec_id < ${LQ.AnnQueryMax}),
+         |probes AS (SELECT q_id, cent_id FROM qa WHERE crk <= ${LQ.IvfProbe}),
+         |codes AS (SELECT vec_id, s, j, cvec, cc FROM (
+         |  SELECT n.vec_id, b.s, b.j, b.cw AS cvec, b.cc,
+         |    row_number() OVER (PARTITION BY n.vec_id, b.s
+         |      ORDER BY round(b.cc - 2*list_dot_product(
+         |        n.emb[b.s*$sd+1 : b.s*$sd+$sd], b.cw), 6) ASC, b.j) AS ark
+         |  FROM n CROSS JOIN $PqTrainedFinalCte b) WHERE ark = 1),
          |q AS (SELECT vec_id AS q_id, emb AS qe, nrm AS qn FROM n
          |  WHERE vec_id < ${LQ.AnnQueryMax}),
          |cand AS (SELECT p.q_id, a.vec_id

@@ -361,6 +361,16 @@ object LlmQueries {
       IvfCentroids, IvfProbe, PqSubspaces, PqCodes)
   }
 
+  /** F25h: IVF + TRAINED PQ — the full production composition (float
+    * coarse routing over m-byte codes from the Lloyd-trained
+    * sub-quantizers).
+    */
+  def annIvfPqTrained(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Ann.ivfTopKPqTrained(e.filter(col("vec_id") < AnnQueryMax), e, AnnK,
+      IvfCentroids, IvfProbe, PqSubspaces, PqCodes, PqTrainIters, PqTrainBp)
+  }
+
   // F6d: G = ceil(sqrt(IvfCentroids)) super-cells — the O(sqrt K)
   // routing work point
   val SuperCells = 6

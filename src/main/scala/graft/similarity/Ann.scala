@@ -715,8 +715,25 @@ object Ann {
     * topK window.
     */
   def ivfTopKPq(queries: DataFrame, vecs: DataFrame, k: Int,
-                nCentroids: Int, nProbe: Int, m: Int, kc: Int): DataFrame = {
-    val book = pqCodebook(vecs, m, kc)
+                nCentroids: Int, nProbe: Int, m: Int, kc: Int): DataFrame =
+    ivfTopKPqWithBook(queries, vecs, k, nCentroids, nProbe,
+      pqCodebook(vecs, m, kc))
+
+  /** F25h entry: the IVFPQ composition over the Lloyd-TRAINED product
+    * codebook — the full production index build (FAISS's
+    * `IVFPQ.train` = coarse centroids + trained sub-quantizers): only
+    * the codewords change; routing, index join and ADC rerank are
+    * byte-identical to [[ivfTopKPq]].
+    */
+  def ivfTopKPqTrained(queries: DataFrame, vecs: DataFrame, k: Int,
+                       nCentroids: Int, nProbe: Int, m: Int, kc: Int,
+                       iters: Int, rateBp: Int): DataFrame =
+    ivfTopKPqWithBook(queries, vecs, k, nCentroids, nProbe,
+      pqCodebookTrained(vecs, m, kc, iters, rateBp))
+
+  private def ivfTopKPqWithBook(queries: DataFrame, vecs: DataFrame, k: Int,
+                                nCentroids: Int, nProbe: Int,
+                                book: IndexedSeq[IndexedSeq[Array[Float]]]): DataFrame = {
     val b = book.map(_.toArray).toArray
     // the index build is TWO independent corpus passes joined on
     // vec_id — the payload-free coarse argmax ([[coarseAssign]]: the

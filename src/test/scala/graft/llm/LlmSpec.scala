@@ -480,6 +480,21 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.25, s"ivfpq recall $recall vs float32 brute force")
   }
 
+  test("ivf over the trained book tracks full-scan trained PQ (F25h)") {
+    // the composition contract, restated over the trained codewords:
+    // cell restriction bounds candidates but must largely agree with
+    // the full-scan trained-ADC ranking
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pqt = pairs(Ann.pqTopKTrained(q, e, 5, 8, 32, 2, 5000))
+    val ivfpqt = pairs(Ann.ivfTopKPqTrained(q, e, 5, nCentroids = 32,
+      nProbe = 8, m = 8, kc = 32, iters = 2, rateBp = 5000))
+    val overlap = (pqt & ivfpqt).size.toDouble / pqt.size
+    assert(overlap >= 0.5, s"trained ivfpq-vs-pq overlap $overlap")
+  }
+
   test("quantized ivf tracks float ivf on real embeddings (F25b)") {
     // same probes (float coarse assignment), rerank on int8 codes —
     // the result set should almost coincide with float IVF's
