@@ -79,6 +79,8 @@ object SparkEntry {
     "gfn_sort_maxima" -> ((s, dir) => T.gfnSortMaxima(s, dir)),
     "gfn_percent_const" -> ((s, dir) => T.gfnPercentConst(s, dir)),
     "gfn_divide_list" -> ((s, dir) => T.gfnDivideList(s, dir)),
+    "gfn_most_deviant" -> ((s, dir) => T.gfnMostDeviant(s, dir)),
+    "gfn_lowest_sub" -> ((s, dir) => T.gfnLowestSub(s, dir)),
     // D. dataMine bridge
     "dm_resample" -> ((s, dir) => T.dmResample(s, dir)),
     "dm_resample_all" -> ((s, dir) => T.dmResampleAll(s, dir)),
@@ -2494,6 +2496,31 @@ object SparkEntry {
          |SELECT 'divideSeries(' || f.path || ',sumSeries(vera.u1?.click))' AS path,
          | f.t, round(CASE WHEN dv.dv <> 0 THEN f.value/dv.dv END - 1e-9, 4) AS value
          |FROM fr f LEFT JOIN dv USING (t) ORDER BY 1, 2""".stripMargin,
+    // C9r: mostDeviant(3) — per-series population variance via the
+    // stdev moment formula, top-3 on the round(,6) grid, path tie-break
+    "gfn_most_deviant" ->
+      s"""WITH $GfnFrameCte,
+         |st AS (SELECT path,
+         |  CASE WHEN count(value) > 0 THEN
+         |    (sum(value*value) - sum(value)*sum(value)/count(value))/count(value)
+         |  END AS v
+         |  FROM fr GROUP BY 1),
+         |top AS (SELECT path FROM (SELECT path,
+         |    row_number() OVER (ORDER BY round(v, 6) DESC NULLS LAST, path) AS rk
+         |  FROM st) WHERE rk <= 3)
+         |SELECT f.path, f.t, round(f.value - 1e-9, 4) AS value
+         |FROM fr f JOIN top USING (path) ORDER BY 1, 2""".stripMargin,
+    // C9s: lowestAverage(3) then aliasSub("^vera" → "v") — ascending
+    // mean rank with nulls last, then a map-only regex relabel
+    "gfn_lowest_sub" ->
+      s"""WITH $GfnFrameCte,
+         |st AS (SELECT path, avg(value) AS s FROM fr GROUP BY 1),
+         |low AS (SELECT path FROM (SELECT path,
+         |    row_number() OVER (ORDER BY round(s, 6) ASC NULLS LAST, path) AS rk
+         |  FROM st) WHERE rk <= 3)
+         |SELECT regexp_replace(f.path, '^vera', 'v') AS path, f.t,
+         | round(f.value - 1e-9, 4) AS value
+         |FROM fr f JOIN low USING (path) ORDER BY 1, 2""".stripMargin,
     // C9h: the URL round trip — function target through /render
     // format=csv; the env's -Eps input shift rides max() exactly
     "gfn_cgi_render" ->

@@ -566,6 +566,20 @@ object Queries {
     gfnEval(spark, dir,
       "divideSeries(vera.u1?.click,sumSeries(vera.u1?.click))")
 
+  /** C9r: mostDeviant — top-3 series by population variance, the
+    * graphite anomaly-surfacing selector; same moment formula as
+    * stdev, K-row rank, broadcast semi.
+    */
+  def gfnMostDeviant(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, "mostDeviant(vera.u1?.click,3)")
+
+  /** C9s: lowestAverage + aliasSub — the bottom-3 series by mean,
+    * paths rewritten by regex substitution (dashboard relabeling).
+    */
+  def gfnLowestSub(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir,
+      """aliasSub(lowestAverage(vera.u1?.click,3),"^vera","v")""")
+
   /** C9h: the URL round trip — a function target through Cgi.dispatch
     * (maxSeries propagates the env's -Eps input shift exactly).
     */

@@ -459,6 +459,62 @@ object SeriesFunctions {
   def highestAverage(f: DataFrame, n: Int): DataFrame = highest(f, n, "average")
   def highestMax(f: DataFrame, n: Int): DataFrame = highest(f, n, "max")
 
+  /** Bottom-n twin of [[highest]] (Graphite `lowestCurrent` /
+    * `lowestAverage`): same K-row stat rank, ascending, nulls last so
+    * an all-gap series never wins "lowest".
+    */
+  def lowest(f: DataFrame, n: Int, stat: String): DataFrame = {
+    require(n >= 1, s"lowest: n must be >= 1 (got $n)")
+    val statAgg: Column = stat match {
+      case "current" => max(when(col("value").isNotNull,
+        struct(col("t"), col("value")))).getField("value")
+      case "average" => avg(col("value"))
+      case "min" => min(col("value"))
+      case other => throw new IllegalArgumentException(s"lowest: unknown stat '$other'")
+    }
+    val ranked = f.groupBy(col("path")).agg(statAgg.as("s"))
+      .select(col("path"), row_number().over(
+        Window.orderBy(round(col("s"), 6).asc_nulls_last, col("path"))).as("rk"))
+      .filter(col("rk") <= n)
+      .select(col("path"))
+    f.join(broadcast(ranked), Seq("path"), "left_semi")
+  }
+
+  def lowestCurrent(f: DataFrame, n: Int): DataFrame = lowest(f, n, "current")
+  def lowestAverage(f: DataFrame, n: Int): DataFrame = lowest(f, n, "average")
+
+  /** Graphite `mostDeviant(series, n)`: top-n series by population
+    * variance — the same explicit moment formula as [[stdev]]
+    * ((Σv² − (Σv)²/cnt)/cnt over non-null points) so the oracle
+    * replays the identical float expression; rank on the round(,6)
+    * grid with path tie-break, broadcast semi back, never a frame
+    * sort.
+    */
+  def mostDeviant(f: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"mostDeviant: n must be >= 1 (got $n)")
+    val cnt = count(col("value"))
+    val s = sum(col("value"))
+    val s2 = sum(col("value") * col("value"))
+    val ranked = f.groupBy(col("path"))
+      .agg(when(cnt > 0,
+        (s2 - s * s / cnt) / cnt).as("v"))
+      .select(col("path"), row_number().over(
+        Window.orderBy(round(col("v"), 6).desc_nulls_last, col("path"))).as("rk"))
+      .filter(col("rk") <= n)
+      .select(col("path"))
+    f.join(broadcast(ranked), Seq("path"), "left_semi")
+  }
+
+  /** Graphite `aliasSub(series, search, replace)`: paths rewritten by
+    * a regex substitution — map-only. Patterns stay in the
+    * Java∩RE2 dialect (the F22 discipline) so the oracle's
+    * regexp_replace agrees; `$1`-style backreferences are Java-side
+    * only and out of the oracle contract.
+    */
+  def aliasSub(f: DataFrame, search: String, replace: String): DataFrame =
+    frame(f, regexp_replace(col("path"), search, replace),
+      col("t"), col("value"))
+
   /** Graphite interval strings: `"1hour"`, `"30min"`, `"10s"`, `"1d"`
     * — number + unit prefix (graphite's parseTimeOffset unit table).
     */

@@ -185,6 +185,25 @@ class SeriesFunctionsSpec extends SparkSpec {
       ("stdev(b,3)", 0L, None)))
   }
 
+  test("lowest / mostDeviant / currentBelow / aliasSub select and relabel") {
+    val f = frame(("a", 0L, 1.0), ("a", 60L, 1.0),    // mean 1, var 0, cur 1
+      ("b", 0L, 0.0), ("b", 60L, 10.0),               // mean 5, var 25, cur 10
+      ("c", 0L, 4.0), ("c", 60L, 2.0),                // mean 3, var 1, cur 2
+      ("z", 0L, null), ("z", 60L, null))              // all-gap: nulls last
+    def paths(df: DataFrame) = vals(df).map(_._1).distinct.sorted
+    assert(paths(SeriesFunctions.lowestAverage(f, 2)) == Seq("a", "c"))
+    assert(paths(SeriesFunctions.lowestCurrent(f, 2)) == Seq("a", "c"))
+    // an all-gap series never wins "lowest"
+    assert(!paths(SeriesFunctions.lowestAverage(f, 3)).contains("z"))
+    assert(paths(SeriesFunctions.mostDeviant(f, 2)) == Seq("b", "c"))
+    // currentBelow through the evaluator (filterByStat plumbing)
+    val fetch = (_: String) => f
+    assert(paths(evalTarget("currentBelow(x.*,5)", fetch)) == Seq("a", "c"))
+    // aliasSub: regex relabel, map-only
+    assert(vals(SeriesFunctions.aliasSub(f.filter(col("path") === "a"), "^a$", "alpha"))
+      .map(_._1).distinct == Seq("alpha"))
+  }
+
   test("sortBy* tag series rank; limit consumes it and strips the tag") {
     val f = frame(("a", 0L, 1.0), ("a", 60L, 9.0),   // max 9, sum 10, min 1
       ("b", 0L, 5.0), ("b", 60L, 5.0),               // max 5, sum 10, min 5
