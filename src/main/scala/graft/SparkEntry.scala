@@ -154,6 +154,7 @@ object SparkEntry {
     "corpus_sample" -> ((s, dir) => L.corpusSample(s, dir)),
     "corpus_mix_plan" -> ((s, dir) => L.corpusMixPlan(s, dir)),
     "corpus_mix_apply" -> ((s, dir) => L.corpusMixApply(s, dir)),
+    "stream_mix_gate" -> ((s, dir) => L.streamMixGate(s, dir)),
     "corpus_quality_buckets" -> ((s, dir) => L.corpusQualityBuckets(s, dir)),
     "corpus_report" -> ((s, dir) => L.corpusReport(s, dir)),
     "corpus_pack" -> ((s, dir) => L.corpusPack(s, dir)),
@@ -1739,6 +1740,27 @@ object SparkEntry {
          |FROM k JOIN rt ON k.lang = rt.lang
          |WHERE k.bucket < rt.rate_bp
          |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // G13: the frozen mixture plan as per-document ingest verdicts —
+    // the F35 rate derivation (rt) + the F24 salted keep rule, one row
+    // per document; a lang absent from the plan cannot occur (the plan
+    // covers every lang in the corpus by construction)
+    "stream_mix_gate" -> {
+      import graft.ops.{LlmQueries => LQ}
+      val caseSql = LQ.MixTargets.map { case (l, t) => s"WHEN '$l' THEN $t" }.mkString(" ")
+      s"""WITH $TK,
+         |avail AS (SELECT d.lang, CAST(sum(len(t.toks)) AS BIGINT) AS available
+         |  FROM tk t JOIN documents d USING (doc_id) GROUP BY 1),
+         |rt AS (SELECT lang,
+         |  least(10000, CAST(CASE lang $caseSql ELSE ${LQ.MixDefaultTarget} END AS BIGINT)
+         |    * 10000 // available) AS rate_bp FROM avail)
+         |SELECT d.doc_id, d.lang,
+         | ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)||'#sample'),1,15))::BIGINT % 10000 AS bucket,
+         | CAST(rt.rate_bp AS BIGINT) AS rate_bp,
+         | CASE WHEN ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)||'#sample'),1,15))::BIGINT % 10000
+         |        < rt.rate_bp THEN 1::BIGINT ELSE 0::BIGINT END AS keep
+         |FROM documents d JOIN rt ON d.lang = rt.lang
+         |ORDER BY d.doc_id""".stripMargin
     },
     "corpus_sample" -> {
       val cases = graft.ops.LlmQueries.SampleRatesBp

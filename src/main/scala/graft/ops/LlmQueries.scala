@@ -632,6 +632,20 @@ object LlmQueries {
       .orderBy(col("lang"))
   }
 
+  /** G13 batch twin: the frozen mixture-rate plan applied per document
+    * at ingest — rates come from the F35 planner (a bounded K-row
+    * collect), the verdict projection is the shared stream/batch
+    * sampler; output ordered for the oracle compare only.
+    */
+  def streamMixGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val rates = Sampling.mixPlan(docs, MixTargets, MixDefaultTarget)
+      .select(col("lang"), col("rate_bp")).collect()
+      .map(r => (r.getString(0), r.getLong(1).toInt)).toSeq
+    graft.streaming.CarbonStream.mixGateStream(docs, rates)
+      .orderBy(col("doc_id"))
+  }
+
   /** F24: deterministic stratified mixture sampling over `lang`. */
   def corpusSample(spark: SparkSession, dir: String): DataFrame =
     Sampling.sampleByStratum(Tables.documents(spark, dir),

@@ -120,7 +120,18 @@ object Sampling {
     */
   def sampleByStratum(docs: DataFrame, ratesBp: Seq[(String, Int)],
                       defaultBp: Int, strataCol: String = "lang",
-                      idCol: String = "doc_id"): DataFrame = {
+                      idCol: String = "doc_id"): DataFrame =
+    sampleByStratumRows(docs, ratesBp, defaultBp, strataCol, idCol)
+      .orderBy(col(idCol))
+
+  /** The UNORDERED keep projection behind [[sampleByStratum]] — one
+    * narrow map-only select, shared with the G13 streaming twin (a
+    * stream cannot sort; the batch entry adds the deterministic
+    * order on top).
+    */
+  def sampleByStratumRows(docs: DataFrame, ratesBp: Seq[(String, Int)],
+                          defaultBp: Int, strataCol: String = "lang",
+                          idCol: String = "doc_id"): DataFrame = {
     require(ratesBp.forall { case (_, bp) => bp >= 0 && bp <= 10000 },
       s"rates are basis points in [0, 10000] (got $ratesBp)")
     require(defaultBp >= 0 && defaultBp <= 10000,
@@ -134,7 +145,6 @@ object Sampling {
     docs.select(col(idCol), col(strataCol), bucket.as("bucket"),
       rateCol.as("rate_bp"),
       when(bucket < rateCol, 1L).otherwise(0L).as("keep"))
-      .orderBy(col(idCol))
   }
 
   /** F35: mixture PLANNING — the step before [[sampleByStratum]]: a

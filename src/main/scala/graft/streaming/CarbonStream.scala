@@ -316,6 +316,21 @@ object CarbonStream {
   def gopherGateStream(docs: DataFrame): DataFrame =
     graft.text.Analysis.gopherRulesRows(docs)
 
+  /** G13: in-flight mixture gating — the FROZEN F35 rate plan applied
+    * AT INGEST: each arriving document gets its keep/drop verdict
+    * under the batch-planned basis-point rates (the mixture plan is an
+    * offline artifact a human signed off on — K rows by construction —
+    * exactly how G10 freezes the BPE merge table and G11 the df
+    * artifact; re-planning belongs to the next batch sweep, not the
+    * hot path). Stateless map-only: the rate CASE ships as expression
+    * literals inside ONE narrow projection
+    * ([[graft.ops.Sampling.sampleByStratumRows]], shared with the F24
+    * batch sampler so stream and batch keep verdicts cannot drift); no
+    * state store, no shuffle.
+    */
+  def mixGateStream(docs: DataFrame, ratesBp: Seq[(String, Int)]): DataFrame =
+    graft.ops.Sampling.sampleByStratumRows(docs, ratesBp, defaultBp = 0)
+
   /** G11: in-flight keyword tagging — each incoming document gets its
     * top-k TF-IDF keywords AT INGEST against the FROZEN df artifact
     * the last batch sweep trained (F30 recomputes df from the corpus

@@ -229,7 +229,30 @@ object ScaleBench {
           graft.similarity.Ann.coarseAssignTwoLevel(vecs,
             graft.similarity.Ann.initialCentroids(vecs,
               LlmQueries.IvfCentroids * copies),
-            math.ceil(math.sqrt(LlmQueries.IvfCentroids * copies)).toInt))
+            math.ceil(math.sqrt(LlmQueries.IvfCentroids * copies)).toInt)),
+        // F25g/h: trained-PQ wall time under the FAISS deployment
+        // regime — sub-quantizers train on a FIXED-SIZE sample (rate ∝
+        // 1/copies, the dedup_semantic_sampled2 discipline: codebooks
+        // are an offline artifact sized by kc, not by the corpus), so
+        // training cost must stay flat while the map-only encode and
+        // the probed ADC candidate stream grow linearly. The timed
+        // section INCLUDES the training collect (it runs during plan
+        // build inside mk()).
+        "ann_ivf_pq_trained" -> (() =>
+          graft.similarity.Ann.ivfTopKPqTrained(
+            vecs.filter(col("vec_id") < LlmQueries.AnnQueryMax),
+            vecs, LlmQueries.AnnK, LlmQueries.IvfCentroids,
+            LlmQueries.IvfProbe, LlmQueries.PqSubspaces,
+            LlmQueries.PqCodes, LlmQueries.PqTrainIters,
+            math.max(1, LlmQueries.PqTrainBp / copies))),
+        // C9 additions: the percentile flat-line (per-series value
+        // window + K-row broadcast-back) and the variance selector
+        // (K-row stat + broadcast semi) — both must stay flat-ish as
+        // the series count grows
+        "gfn_npercentile" -> (() =>
+          graft.tsdb.SeriesFunctions.nPercentile(gfnFrame(spark, copies), 90)),
+        "gfn_most_deviant" -> (() =>
+          graft.tsdb.SeriesFunctions.mostDeviant(gfnFrame(spark, copies), 5))
       ) ++ (if (copies <= 10) Seq[(String, () => DataFrame)](
         // codec cost alone (decode + twin re-encode/resize), then the
         // full pipeline — the difference is the hash+band-join cost the

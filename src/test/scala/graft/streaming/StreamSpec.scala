@@ -373,6 +373,39 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming mixture gate verdicts under a frozen rate plan (G13)") {
+    import graft.streaming.CarbonStream
+    implicit val sqlCtx = spark.sqlContext
+    // frozen plan artifact: en kept at 50%, de kept fully, zh excluded;
+    // a lang missing from the plan falls to defaultBp = 0 (drop)
+    val rates = Seq(("en", 5000), ("de", 10000), ("zh", 0))
+    val source = MemoryStream[(Long, String)]
+    val out = CarbonStream.mixGateStream(
+      source.toDF().toDF("doc_id", "lang"), rates)
+    val query = out.writeStream
+      .format("memory").queryName("g13_mix").outputMode("append").start()
+    try {
+      source.addData((1L, "en"), (2L, "de"), (3L, "zh"))
+      query.processAllAvailable()
+      source.addData((4L, "fr"), (5L, "en")) // stateless across batches
+      query.processAllAvailable()
+      val rows = spark.table("g13_mix").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
+      // batch/stream bit-equality: the SAME projection on a batch frame
+      val batch = graft.ops.Sampling.sampleByStratum(
+        Seq((1L, "en"), (2L, "de"), (3L, "zh"), (4L, "fr"), (5L, "en"))
+          .toDF("doc_id", "lang"), rates, defaultBp = 0).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
+      assert(rows.toSeq == batch.toSeq)
+      // the frozen rules hold: de always kept, zh and unplanned fr
+      // always dropped, en decided by its salted hash bucket
+      val byId = rows.map(r => r._1 -> r).toMap
+      assert(byId(2L)._4 == 1L && byId(3L)._4 == 0L && byId(4L)._4 == 0L)
+      assert(rows.forall { case (_, _, rate, keep) =>
+        keep == 0L || rate > 0L })
+    } finally query.stop()
+  }
+
   test("streaming keywords tag in-flight under a frozen df table (G11)") {
     import graft.streaming.CarbonStream
     implicit val sqlCtx = spark.sqlContext

@@ -376,6 +376,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOf(np, "Exchange hashpartitioning") == 5, np.take(3000))
   }
 
+  test("stream_mix_gate is map-only: frozen rate plan as literals, no join") {
+    // the plan derivation is a bounded driver-side collect at build
+    // time; the gate itself must be one narrow projection — the only
+    // exchange is the output sort's range partitioning
+    val p = plan("stream_mix_gate")
+    assert(countOf(p, "Exchange hashpartitioning") == 0, p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
   test("stream_keywords is map-only: frozen artifact as literals, no join, no shuffle") {
     val p = plan("stream_keywords")
     // the in-row rank: the only exchange is the output sort's range
