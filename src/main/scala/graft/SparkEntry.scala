@@ -81,6 +81,9 @@ object SparkEntry {
     "gfn_divide_list" -> ((s, dir) => T.gfnDivideList(s, dir)),
     "gfn_most_deviant" -> ((s, dir) => T.gfnMostDeviant(s, dir)),
     "gfn_lowest_sub" -> ((s, dir) => T.gfnLowestSub(s, dir)),
+    "gfn_group_node" -> ((s, dir) => T.gfnGroupNode(s, dir)),
+    "gfn_integral_by" -> ((s, dir) => T.gfnIntegralBy(s, dir)),
+    "gfn_hitcount" -> ((s, dir) => T.gfnHitcount(s, dir)),
     // D. dataMine bridge
     "dm_resample" -> ((s, dir) => T.dmResample(s, dir)),
     "dm_resample_all" -> ((s, dir) => T.dmResampleAll(s, dir)),
@@ -2543,6 +2546,35 @@ object SparkEntry {
          |SELECT regexp_replace(f.path, '^vera', 'v') AS path, f.t,
          | round(f.value - 1e-9, 4) AS value
          |FROM fr f JOIN low USING (path) ORDER BY 1, 2""".stripMargin,
+    // C9t: groupByNode(1, sumSeries) — all u1x event streams, grouped
+    // by the user component, safeSum per (user, t); the wider glob's
+    // frame CTE carries every event type
+    "gfn_group_node" ->
+      s"""WITH $M,
+         |${gfnFrameCteNamed("^vera\\.u1[^.]\\.[^.]+$$", "g")}
+         |SELECT string_split(path, '.')[2] AS path, t,
+         | round(sum(value) - 1e-9, 4) AS value
+         |FROM frg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // C9u: integralByInterval("1day") — running total resetting at
+    // each day boundary; gap points stay null, non-gap points
+    // accumulate the bucket's non-nulls so far
+    "gfn_integral_by" ->
+      s"""WITH $GfnFrameCte
+         |SELECT 'integralByInterval(' || path || ',"1day")' AS path, t,
+         | round(CASE WHEN value IS NOT NULL THEN sum(value) OVER (
+         |   PARTITION BY path, t - t%86400 ORDER BY t
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END - 1e-9, 4) AS value
+         |FROM fr ORDER BY 1, 2""".stripMargin,
+    // C9v: hitcount over the combined series — value × (t − lag t)
+    // summed per day bucket; the first grid point has no step and
+    // contributes nothing
+    "gfn_hitcount" ->
+      s"""WITH $GfnFrameCte,
+         |ss AS (SELECT t, sum(value) AS value FROM fr GROUP BY 1),
+         |hc AS (SELECT t, value * (t - lag(t) OVER (ORDER BY t)) AS hc FROM ss)
+         |SELECT 'hitcount(sumSeries(vera.u1?.click), "1day")' AS path,
+         | t - t%86400 AS t, round(sum(hc) - 1e-9, 4) AS value
+         |FROM hc GROUP BY 2 ORDER BY 2""".stripMargin,
     // C9h: the URL round trip — function target through /render
     // format=csv; the env's -Eps input shift rides max() exactly
     "gfn_cgi_render" ->

@@ -580,6 +580,26 @@ object Queries {
     gfnEval(spark, dir,
       """aliasSub(lowestAverage(vera.u1?.click,3),"^vera","v")""")
 
+  /** C9t: groupByNode — every event stream of every u1x user, grouped
+    * by the user node and safeSum-collapsed per timestamp; THE
+    * graphite per-host/per-user rollup idiom.
+    */
+  def gfnGroupNode(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, """groupByNode(vera.u1?.*,1,"sumSeries")""")
+
+  /** C9u: integralByInterval — the per-day odometer: running total
+    * resetting at each day boundary.
+    */
+  def gfnIntegralBy(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, """integralByInterval(vera.u1?.click,"1day")""")
+
+  /** C9v: hitcount — the combined click rate × grid step summed per
+    * day bucket (rate → event-count conversion, mass-correct on
+    * irregular grids).
+    */
+  def gfnHitcount(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, """hitcount(sumSeries(vera.u1?.click),"1day")""")
+
   /** C9h: the URL round trip — a function target through Cgi.dispatch
     * (maxSeries propagates the env's -Eps input shift exactly).
     */

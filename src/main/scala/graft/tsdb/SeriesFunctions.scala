@@ -230,6 +230,34 @@ object SeriesFunctions {
   def alias(f: DataFrame, name: String): DataFrame =
     frame(f, lit(name), col("t"), col("value"))
 
+  /** All series renamed to their LAST dot-component (Graphite
+    * `aliasByMetric`) — map-only.
+    */
+  def aliasByMetric(f: DataFrame): DataFrame =
+    frame(f, element_at(split(col("path"), "\\."), -1),
+      col("t"), col("value"))
+
+  /** Graphite `groupByNode(series, nodeIndex, func)`: series grouped
+    * by one path component, each group collapsed per timestamp with
+    * the callback aggregate and named by its node value — THE graphite
+    * idiom for "total per host/user/datacenter". One map-side-combined
+    * groupBy(node, t) shuffle; aggregates ignore nulls, an all-null
+    * (node, t) stays null (the safe* rule).
+    */
+  def groupByNode(f: DataFrame, node: Int, func: String): DataFrame = {
+    val part = element_at(split(col("path"), "\\."),
+      if (node >= 0) node + 1 else node)
+    val g = f.select(part.as("path"), col("t"), col("value"))
+    val agg = func match {
+      case "sum" | "sumSeries" => sum(col("value"))
+      case "avg" | "averageSeries" => avg(col("value"))
+      case "min" | "minSeries" => min(col("value"))
+      case "max" | "maxSeries" => max(col("value"))
+      case other => throw new IllegalArgumentException(s"groupByNode: unknown func '$other'")
+    }
+    g.groupBy(col("path"), col("t")).agg(agg.cast("double").as("value"))
+  }
+
   /** Path rebuilt from the selected dot-components (Graphite
     * `aliasByNode`; negative indices count from the end, out-of-range
     * indices drop — list semantics in both engines).
@@ -398,6 +426,42 @@ object SeriesFunctions {
   def timeShift(f: DataFrame, sec: Long, shiftText: String): DataFrame =
     frame(f, wrap("timeShift", "\"" + shiftText + "\""),
       col("t") + sec, col("value"))
+
+  /** Running total that RESETS at each interval boundary (Graphite
+    * `integralByInterval`) — the per-day/per-hour odometer: one window
+    * over (path, bucket) ordered by t, no new shuffle class beyond the
+    * sequence family's path partitioning.
+    */
+  def integralByInterval(f: DataFrame, intervalSec: Long,
+                         intervalText: String): DataFrame = {
+    require(intervalSec >= 1, s"integralByInterval interval must be >= 1s (got $intervalSec)")
+    val bucket = col("t") - col("t") % intervalSec
+    val w = Window.partitionBy(col("path"), bucket).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    frame(f, wrap("integralByInterval", "\"" + intervalText + "\""), col("t"),
+      when(col("value").isNotNull, sum(col("value")).over(w)))
+  }
+
+  /** Graphite `hitcount(series, interval)`: rate × duration summed per
+    * interval-aligned bucket — converts a per-second rate series into
+    * event COUNTS per bucket. The per-point duration is the grid step
+    * derived from the timestamps themselves (t − lag(t), the perSecond
+    * rule, so irregular archives keep correct mass); a first point has
+    * no step and contributes nothing, an all-null bucket is null. One
+    * window + one map-side-combined groupBy.
+    */
+  def hitcount(f: DataFrame, intervalSec: Long,
+               intervalText: String): DataFrame = {
+    require(intervalSec >= 1, s"hitcount interval must be >= 1s (got $intervalSec)")
+    val dt = col("t") - lag(col("t"), 1).over(byPath)
+    val contrib = f.withColumn("hc", col("value") * dt)
+    contrib
+      .groupBy(col("path"), (col("t") - col("t") % intervalSec).as("t"))
+      .agg(sum(col("hc")).as("value"))
+      .select(concat(lit("hitcount("), col("path"),
+        lit(s""", "$intervalText")""")).as("path"),
+        col("t"), col("value").cast("double").as("value"))
+  }
 
   // ---- time re-bucketing: one groupBy(path, bucket) shuffle ----
 

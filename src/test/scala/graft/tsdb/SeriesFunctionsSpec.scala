@@ -204,6 +204,33 @@ class SeriesFunctionsSpec extends SparkSpec {
       .map(_._1).distinct == Seq("alpha"))
   }
 
+  test("groupByNode / aliasByMetric / integralByInterval / hitcount semantics") {
+    val f = frame(("dc1.hostA.cpu", 0L, 1.0), ("dc1.hostB.cpu", 0L, 2.0),
+      ("dc2.hostC.cpu", 0L, 4.0), ("dc1.hostA.cpu", 60L, null),
+      ("dc1.hostB.cpu", 60L, null), ("dc2.hostC.cpu", 60L, 8.0))
+    // groupByNode(0, sum): per-dc totals; all-null group point stays null
+    assert(vals(SeriesFunctions.groupByNode(f, 0, "sumSeries")) == Seq(
+      ("dc1", 0L, Some(3.0)), ("dc1", 60L, None),
+      ("dc2", 0L, Some(4.0)), ("dc2", 60L, Some(8.0))))
+    // negative node counts from the end
+    assert(vals(SeriesFunctions.groupByNode(f, -2, "maxSeries"))
+      .map(_._1).distinct.sorted == Seq("hostA", "hostB", "hostC"))
+    // aliasByMetric: last node, map-only
+    assert(vals(SeriesFunctions.aliasByMetric(f)).map(_._1).distinct == Seq("cpu"))
+    // integralByInterval: the running total RESETS at the boundary
+    val g = frame(("a", 0L, 1.0), ("a", 60L, 2.0), ("a", 120L, 3.0), ("a", 180L, 4.0))
+    assert(vals(SeriesFunctions.integralByInterval(g, 120L, "2min")).map(_._3) ==
+      Seq(Some(1.0), Some(3.0), Some(3.0), Some(7.0)))
+    // hitcount: value × derived step per bucket; the first point has
+    // no step and contributes nothing; an all-null bucket is null
+    val h = frame(("a", 0L, 5.0), ("a", 60L, 5.0), ("a", 120L, 1.0),
+      ("a", 180L, null), ("a", 240L, null))
+    assert(vals(SeriesFunctions.hitcount(h, 120L, "2min")) == Seq(
+      ("hitcount(a, \"2min\")", 0L, Some(300.0)),   // t60: 5*60 (t0 no step)
+      ("hitcount(a, \"2min\")", 120L, Some(60.0)),  // t120: 1*60; t180 null
+      ("hitcount(a, \"2min\")", 240L, None)))       // all-null bucket
+  }
+
   test("sortBy* tag series rank; limit consumes it and strips the tag") {
     val f = frame(("a", 0L, 1.0), ("a", 60L, 9.0),   // max 9, sum 10, min 1
       ("b", 0L, 5.0), ("b", 60L, 5.0),               // max 5, sum 10, min 5
