@@ -106,6 +106,7 @@ object SparkEntry {
     "dedup_substring_scrub" -> ((s, dir) => L.dedupSubstringScrub(s, dir)),
     "dedup_minhash" -> ((s, dir) => L.dedupMinhash(s, dir)),
     "dedup_minhash_capped" -> ((s, dir) => L.dedupMinhashCapped(s, dir)),
+    "dedup_incremental" -> ((s, dir) => L.dedupIncremental(s, dir)),
     "dedup_minhash_bucket_stats" -> ((s, dir) => L.dedupMinhashBucketStats(s, dir)),
     "dedup_minhash_clusters" -> ((s, dir) => L.dedupMinhashClusters(s, dir)),
     "dedup_minhash_est" -> ((s, dir) => L.dedupMinhashEst(s, dir)),
@@ -1020,6 +1021,48 @@ object SparkEntry {
          |  FROM sarr m1 JOIN sarr m2 ON m1.sk = m2.sk AND m1.doc_id < m2.doc_id)
          |SELECT x, y FROM (SELECT * FROM mcross UNION ALL SELECT * FROM mintra) t
          |ORDER BY 1,2""".stripMargin,
+    // F36: incremental ingest dedup — the shared signature/keying CTEs
+    // over the whole corpus (base ∪ incoming IS documents under the
+    // mod-4 arrival rule), then the incremental pair step: only
+    // incoming-bearing signatures on the join's left, priors = base
+    // signatures or earlier-arriving incoming signatures
+    "dedup_incremental" -> {
+      import graft.ops.{LlmQueries => LQ}
+      s"""WITH $TK, $SHD,
+         |$MinhashBandsCtes,
+         |$MinhashCappedCtes,
+         |flags AS (SELECT sa.doc_id, sa.sk,
+         |  CASE WHEN sa.doc_id % ${LQ.IncrementalMod} <> 0 THEN 1 ELSE 0 END AS is_base
+         |  FROM sarr sa),
+         |ski AS (SELECT sk, CAST(max(is_base) AS BIGINT) AS has_base,
+         |  min(CASE WHEN is_base = 0 THEN doc_id END) AS min_inc
+         |  FROM flags GROUP BY 1),
+         |incsk AS (SELECT sk FROM ski WHERE min_inc IS NOT NULL),
+         |mpair AS (SELECT DISTINCT a.sk AS ska, b.sk AS skb
+         |  FROM mkeyed a JOIN mkeyed b
+         |    ON a.band = b.band AND a.lvl = b.lvl AND a.bkey = b.bkey
+         |    AND a.sk <> b.sk
+         |  WHERE a.sk IN (SELECT sk FROM incsk)),
+         |nearsk AS (SELECT DISTINCT p.ska AS sk
+         |  FROM mpair p JOIN ski me ON p.ska = me.sk
+         |  JOIN ski o ON p.skb = o.sk
+         |  WHERE o.has_base = 1
+         |     OR (o.min_inc IS NOT NULL AND o.min_inc < me.min_inc)),
+         |inc AS (SELECT doc_id FROM documents WHERE doc_id % ${LQ.IncrementalMod} = 0),
+         |vf AS (SELECT i.doc_id, f.sk FROM inc i
+         |  LEFT JOIN flags f ON f.doc_id = i.doc_id),
+         |vv AS (SELECT vf.doc_id,
+         |  CASE WHEN vf.sk IS NULL THEN 'unique'
+         |       WHEN s.has_base = 1 OR s.min_inc < vf.doc_id THEN 'exact_dup'
+         |       WHEN n.sk IS NOT NULL THEN 'near_dup'
+         |       ELSE 'unique' END AS verdict
+         |  FROM vf LEFT JOIN ski s ON vf.sk = s.sk
+         |  LEFT JOIN nearsk n ON vf.sk = n.sk)
+         |SELECT doc_id, verdict,
+         | CASE WHEN verdict = 'unique' THEN CAST(1 AS BIGINT)
+         |      ELSE CAST(0 AS BIGINT) END AS keep
+         |FROM vv ORDER BY doc_id""".stripMargin
+    },
     // F3s: the df-cap bound as data — bucket stats per (band, level)
     // over the same mkeyed CTE the capped pair join consumes
     "dedup_minhash_bucket_stats" ->

@@ -667,6 +667,80 @@ object Dedup {
       .orderBy(col(idCol))
   }
 
+  /** F36: INCREMENTAL ingest dedup — the production shape for "dedupe
+    * the new crawl against the corpus": the BASE side is scanned (one
+    * signature pass) but NEVER paired against itself; every candidate
+    * pair has an incoming signature on its left, so pair work is
+    * bounded by |incoming| × the df cap regardless of how large the
+    * base has grown. A nightly re-dedup of a 100 TB corpus to admit a
+    * 100 GB crawl is exactly the O(n²-ish) job this replaces.
+    *
+    * Verdict per incoming doc, in precedence order:
+    *  - `exact_dup`  — its full 12-slot signature already exists in
+    *    the base, or an earlier (smaller doc_id) incoming doc carries
+    *    the same signature;
+    *  - `near_dup`   — its signature shares a capped band bucket with
+    *    a PRIOR signature: one present in the base, or one whose
+    *    earliest incoming doc is smaller than this signature's own
+    *    (the arrival-order rule that makes the verdict deterministic
+    *    and independent of partitioning);
+    *  - `unique`     — otherwise; docs too short to sign (< 3 tokens)
+    *    are unique by the F3k singleton rule.
+    *
+    * Machinery is the F3c family verbatim: one shared signature table
+    * over base ∪ incoming, distinct-signature collapse, df-capped
+    * slot-widened band keys — the only new piece is the left-side
+    * restriction of the band join to incoming-bearing signatures.
+    */
+  def minhashIncremental(spark: SparkSession, base: DataFrame,
+                         incoming: DataFrame, maxDf: Int): DataFrame = {
+    val all = base.select(col("doc_id"), col("text"))
+      .unionByName(incoming.select(col("doc_id"), col("text")))
+    val sig = cachedSigTable(all)
+    val flags = sig.select(col("doc_id"), col("sk"))
+      .join(base.select(col("doc_id"), lit(1L).as("is_base")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sk"),
+        coalesce(col("is_base"), lit(0L)).as("is_base"))
+    // per-signature incremental state: does the base own it, and which
+    // incoming doc reached it first
+    val ski = flags.groupBy(col("sk"))
+      .agg(max(col("is_base")).as("has_base"),
+        min(when(col("is_base") === 0, col("doc_id"))).as("min_inc"))
+      .cachedOnce
+    val keyed = cappedMinhashKeys(
+      sig.select("sk", "mh").dropDuplicates("sk"), maxDf).cachedOnce
+    // the left side carries ONLY incoming-bearing signatures — base
+    // sigs meet the join solely as right-side bucket members, so
+    // base×base pairs are never generated
+    val keyedInc = keyed.join(
+      ski.filter(col("min_inc").isNotNull).select(col("sk")), Seq("sk"))
+    val cand = keyedInc.as("a")
+      .join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.lvl") === col("b.lvl") &&
+          col("a.bkey") === col("b.bkey") && col("a.sk") =!= col("b.sk"))
+      .select(col("a.sk").as("ska"), col("b.sk").as("skb"))
+      .distinct()
+    val nearSk = cand
+      .join(ski.select(col("sk").as("ska"), col("min_inc").as("me_min")), "ska")
+      .join(ski.select(col("sk").as("skb"), col("has_base").as("o_base"),
+        col("min_inc").as("o_min")), "skb")
+      .filter(col("o_base") === 1 ||
+        (col("o_min").isNotNull && col("o_min") < col("me_min")))
+      .select(col("ska").as("sk"), lit(1L).as("near")).distinct()
+    incoming.select(col("doc_id"))
+      .join(flags.filter(col("is_base") === 0)
+        .select(col("doc_id"), col("sk")), Seq("doc_id"), "left")
+      .join(ski, Seq("sk"), "left")
+      .join(nearSk, Seq("sk"), "left")
+      .select(col("doc_id"),
+        when(col("sk").isNull, "unique")
+          .when(col("has_base") === 1 || col("min_inc") < col("doc_id"), "exact_dup")
+          .when(col("near").isNotNull, "near_dup")
+          .otherwise("unique").as("verdict"))
+      .withColumn("keep", when(col("verdict") === "unique", 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
+
   /** F2k: O(n)-output keep/drop over the df-capped shingle-Jaccard
     * candidate graph (the scale-path pair source), same one-step rule.
     */

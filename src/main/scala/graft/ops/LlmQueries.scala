@@ -147,6 +147,21 @@ object LlmQueries {
   def dedupMinhashClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashClusters(spark, Tables.documents(spark, dir), MinhashMaxDf)
 
+  // F36: every 4th doc arrives as the "new crawl"; the rest are the
+  // standing corpus
+  val IncrementalMod = 4
+
+  /** F36: incremental ingest dedup — the new-crawl batch deduped
+    * against the standing corpus without re-pairing the base.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.minhashIncremental(spark,
+      docs.filter(col("doc_id") % IncrementalMod =!= 0),
+      docs.filter(col("doc_id") % IncrementalMod === 0),
+      MinhashMaxDf)
+  }
+
   /** F3e: slot-agreement Jaccard estimate over the capped MinHash
     * candidate graph — ranks candidates without re-reading shingles.
     */

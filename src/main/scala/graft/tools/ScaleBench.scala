@@ -154,6 +154,18 @@ object ScaleBench {
             LlmQueries.FuzzyMinMatches)),
         "corpus_pack" -> (() =>
           graft.ops.Packing.pack(docs, LlmQueries.PackBudget)),
+        // F36: the incremental-ingest claim measured — the BASE grows
+        // ×copies while the incoming batch stays FIXED (every 37th doc
+        // of the unscaled corpus, ids shifted to a disjoint range).
+        // Pair work is left-bounded by incoming signatures, so wall
+        // time must grow only with the base's one signature/keying
+        // scan, never with base×base pairing.
+        "dedup_incremental" -> (() =>
+          graft.dedup.Dedup.minhashIncremental(spark, docs,
+            base.filter(col("doc_id") % LlmQueries.DecontamEvalMod === 0)
+              .select((col("doc_id") + lit(8000000000000L)).as("doc_id"),
+                col("text")),
+            LlmQueries.MinhashMaxDf)),
         "corpus_quality_buckets" -> (() =>
           graft.ops.Sampling.qualityBuckets(docs, LlmQueries.QualityBucketN)),
         // SemDeDup under the paper's discipline: K scales WITH the

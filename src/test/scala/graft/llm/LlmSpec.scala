@@ -205,6 +205,47 @@ class LlmSpec extends SparkSpec {
     assert(!out.exists(t => t._1 == 3L || t._2 == 3L))
   }
 
+  test("incremental dedup: verdicts by arrival rule, base never self-pairs (F36)") {
+    // base: two docs, themselves mutual duplicates (they must NOT
+    // affect incoming verdicts — only incoming rows appear in output)
+    val base = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "alpha beta gamma delta epsilon zeta"),
+      (102L, "one two three four five six seven")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (4L, "alpha beta gamma delta epsilon zeta"),   // exact copy of base
+      (8L, "quick brown fox jumps over the dog"),    // novel, first arrival
+      (12L, "quick brown fox jumps over the dog"),   // copy of 8 → exact_dup
+      (16L, "completely different content here now"),// novel
+      (20L, "xx")).toDF("doc_id", "text")            // < 3 tokens: no signature
+    val out = Dedup.minhashIncremental(spark, base, incoming, maxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList
+    assert(out.map(_._1) == List(4L, 8L, 12L, 16L, 20L)) // one row per incoming doc
+    val v = out.map(t => t._1 -> t._2).toMap
+    assert(v(4L) == "exact_dup")   // signature exists in base
+    assert(v(8L) == "unique")      // first arrival of its signature
+    assert(v(12L) == "exact_dup")  // earlier incoming doc 8 owns the sig
+    assert(v(16L) == "unique")
+    assert(v(20L) == "unique")     // unsignable → singleton rule
+    assert(out.forall(t => (t._3 == 1L) == (t._2 == "unique")))
+    // real-corpus invariants at sf0.001: exact verdicts replay the
+    // signature-group arithmetic; near verdicts are backed by a capped
+    // pair in the full-corpus graph (the drop-only subset contract)
+    val all = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val b = all.filter($"doc_id" % 4 =!= 0)
+    val i = all.filter($"doc_id" % 4 === 0)
+    val inc = Dedup.minhashIncremental(spark, b, i, maxDf = 64).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val pairs = Dedup.minhashLshCapped(spark, all, maxDf = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val paired = (pairs.map(_._1) ++ pairs.map(_._2)).toSet
+    val nears = inc.filter(_._2 == "near_dup").keySet
+    assert(nears.forall(paired.contains),
+      s"near_dup docs without a capped-graph pair: ${nears.filterNot(paired.contains)}")
+    assert(inc.values.toSet.intersect(Set("exact_dup", "unique")).size == 2,
+      "expected both exact dups and uniques on the real corpus")
+  }
+
   test("simhash: identical docs at hamming 0, unrelated docs excluded (F4)") {
     val out = Dedup.simhashPairs(spark, docs, 6).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -19,7 +19,9 @@ object TargetExprProps extends Properties("TargetExpr") {
   } yield comps.mkString(".")
 
   private val fnName: Gen[String] = Gen.oneOf(
-    "sumSeries", "alias", "scale", "movingAverage", "summarize", "f_1", "Gx")
+    "sumSeries", "alias", "scale", "movingAverage", "summarize", "f_1", "Gx",
+    "groupByNode", "nPercentile", "stdev", "sortByMaxima", "aliasSub",
+    "mostDeviant", "hitcount", "integralByInterval", "divideSeries")
 
   private val strArg: Gen[Arg] = Gen.oneOf(
     "1hour", "avg", "a b c", "x,y", "(paren)", "").map(StrArg.apply)
