@@ -2521,7 +2521,7 @@ object SparkEntry {
          |  count(*) OVER (PARTITION BY path) AS cnt
          |  FROM fr WHERE value IS NOT NULL),
          |pv AS (SELECT path, value AS pv FROM nn
-         |  WHERE rn = greatest(1, CAST(floor(0.9*(cnt+1)) AS BIGINT)))
+         |  WHERE rn = greatest(1, least(cnt, CAST(floor(0.9*(cnt+1)) AS BIGINT))))
          |SELECT 'nPercentile(' || f.path || ',90)' AS path, f.t,
          | round(pv.pv - 1e-9, 4) AS value
          |FROM fr f LEFT JOIN pv USING (path) ORDER BY 1, 2""".stripMargin,

@@ -402,8 +402,11 @@ object SeriesFunctions {
     val pv = f.filter(col("value").isNotNull)
       .select(col("path"), col("value"),
         row_number().over(wv).as("rn"), count(lit(1)).over(wp).as("cnt"))
-      .filter(col("rn") === greatest(lit(1L),
-        floor(lit(p / 100.0) * (col("cnt") + 1)).cast("long")))
+      // rank clamped to [1, cnt]: p=100 selects the max instead of
+      // overrunning the list (graphite's unclamped rule would index
+      // past the end there)
+      .filter(col("rn") === greatest(lit(1L), least(col("cnt"),
+        floor(lit(p / 100.0) * (col("cnt") + 1)).cast("long"))))
       .select(col("path"), col("value").as("pv"))
     frame(f.join(broadcast(pv), Seq("path"), "left"),
       wrap("nPercentile", fmtNum(p)), col("t"), col("pv"))

@@ -231,6 +231,80 @@ class SeriesFunctionsSpec extends SparkSpec {
       ("hitcount(a, \"2min\")", 240L, None)))       // all-null bucket
   }
 
+  test("randomized frames: window/selection functions match an independent scala model") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val rows: Seq[(String, Long, Option[Double])] =
+        for (p <- Seq("a", "b", "c", "d"); i <- 0 until 20) yield
+          (p, i * 60L,
+            if (rnd.nextDouble() < 0.2) None
+            else Some((rnd.nextInt(2000) - 1000) / 10.0))
+      val f = frame(rows.map { case (p, t, v) =>
+        (p, t, v.map(Double.box).map(_.asInstanceOf[java.lang.Double]).orNull) }: _*)
+      val byPath = rows.groupBy(_._1).map { case (p, rs) =>
+        p -> rs.sortBy(_._2).map(_._3) }
+      def close(a: Option[Double], b: Option[Double]): Boolean = (a, b) match {
+        case (Some(x), Some(y)) => math.abs(x - y) < 1e-9
+        case (None, None) => true
+        case _ => false
+      }
+      // movingSum(3): trailing 3-row sum over non-nulls, all-null → null
+      val msModel = byPath.flatMap { case (p, vs) =>
+        vs.indices.map { i =>
+          val w = vs.slice(math.max(0, i - 2), i + 1).flatten
+          (s"movingSum($p,3)", i * 60L,
+            if (w.isEmpty) None else Some(w.sum)) } }.toSeq.sortBy(r => (r._1, r._2))
+      val ms = vals(SeriesFunctions.movingSum(f, 3))
+      assert(ms.size == msModel.size &&
+        ms.zip(msModel).forall { case (x, y) => x._1 == y._1 && x._2 == y._2 && close(x._3, y._3) })
+      // stdev(4): population stddev over the trailing non-null window
+      val sdModel = byPath.flatMap { case (p, vs) =>
+        vs.indices.map { i =>
+          val w = vs.slice(math.max(0, i - 3), i + 1).flatten
+          val sd = if (w.isEmpty) None else {
+            val m = w.sum / w.size
+            Some(math.sqrt(math.max(0.0, w.map(x => (x - m) * (x - m)).sum / w.size)))
+          }
+          (s"stdev($p,4)", i * 60L, sd) } }.toSeq.sortBy(r => (r._1, r._2))
+      val sd = vals(SeriesFunctions.stdev(f, 4))
+      assert(sd.size == sdModel.size &&
+        sd.zip(sdModel).forall { case (x, y) => x._1 == y._1 && x._2 == y._2 &&
+          ((x._3.isEmpty && y._3.isEmpty) ||
+            math.abs(x._3.get - y._3.get) < 1e-6) })
+      // nPercentile(p): the discrete clamped-rank rule
+      for (p <- Seq(10.0, 50.0, 100.0)) {
+        val pvModel = byPath.map { case (path, vs) =>
+          val nn = vs.flatten.sorted
+          val pv = if (nn.isEmpty) None else {
+            val r = math.max(1L, math.min(nn.size.toLong,
+              math.floor(p / 100.0 * (nn.size + 1)).toLong))
+            Some(nn((r - 1).toInt))
+          }
+          path -> pv }
+        val got = vals(SeriesFunctions.nPercentile(f, p))
+        assert(got.forall { case (name, _, v) =>
+          val path = name.stripPrefix("nPercentile(").takeWhile(_ != ',')
+          close(v, pvModel(path)) })
+        // p=100 is the per-series max
+        if (p == 100.0)
+          assert(got.forall { case (name, _, v) =>
+            val path = name.stripPrefix("nPercentile(").takeWhile(_ != ',')
+            close(v, byPath(path).flatten.sorted.lastOption) })
+      }
+      // mostDeviant(2): top-2 population variances, path tie-break
+      val varByPath = byPath.map { case (p, vs) =>
+        val nn = vs.flatten
+        p -> (if (nn.isEmpty) None else {
+          val m = nn.sum / nn.size
+          Some(nn.map(x => (x - m) * (x - m)).sum / nn.size) }) }
+      val expect = varByPath.toSeq
+        .sortBy { case (p, v) => (-v.getOrElse(Double.NegativeInfinity), p) }
+        .take(2).map(_._1).sorted
+      val mdPaths = vals(SeriesFunctions.mostDeviant(f, 2)).map(_._1).distinct.sorted
+      assert(mdPaths == expect, s"mostDeviant $mdPaths vs model $expect")
+    }
+  }
+
   test("sortBy* tag series rank; limit consumes it and strips the tag") {
     val f = frame(("a", 0L, 1.0), ("a", 60L, 9.0),   // max 9, sum 10, min 1
       ("b", 0L, 5.0), ("b", 60L, 5.0),               // max 5, sum 10, min 5
