@@ -84,6 +84,9 @@ object SparkEntry {
     "gfn_group_node" -> ((s, dir) => T.gfnGroupNode(s, dir)),
     "gfn_integral_by" -> ((s, dir) => T.gfnIntegralBy(s, dir)),
     "gfn_hitcount" -> ((s, dir) => T.gfnHitcount(s, dir)),
+    "gfn_ema" -> ((s, dir) => T.gfnEma(s, dir)),
+    "gfn_linreg" -> ((s, dir) => T.gfnLinReg(s, dir)),
+    "gfn_range" -> ((s, dir) => T.gfnRange(s, dir)),
     // D. dataMine bridge
     "dm_resample" -> ((s, dir) => T.dmResample(s, dir)),
     "dm_resample_all" -> ((s, dir) => T.dmResampleAll(s, dir)),
@@ -2618,6 +2621,63 @@ object SparkEntry {
          |SELECT 'hitcount(sumSeries(vera.u1?.click), "1day")' AS path,
          | t - t%86400 AS t, round(sum(hc) - 1e-9, 4) AS value
          |FROM hc GROUP BY 2 ORDER BY 2""".stripMargin,
+    // C9w: exponentialMovingAverage(6) — α = 2/7; the WITH RECURSIVE
+    // replay executes the IDENTICAL multiply-add sequence as the
+    // in-row fold: null points emit null and leave the state
+    // untouched, the first non-null seeds the state
+    "gfn_ema" ->
+      s"""WITH RECURSIVE $GfnFrameCte,
+         |pts AS (SELECT path, t, value,
+         |  row_number() OVER (PARTITION BY path ORDER BY t) AS rn FROM fr),
+         |rec AS (
+         |  SELECT path, t, rn, value,
+         |    CASE WHEN value IS NOT NULL THEN value END AS ema
+         |  FROM pts WHERE rn = 1
+         |  UNION ALL
+         |  SELECT p.path, p.t, p.rn, p.value,
+         |    CASE WHEN p.value IS NULL THEN r.ema
+         |         WHEN r.ema IS NULL THEN p.value
+         |         ELSE (2.0/7.0)*p.value + (1.0 - 2.0/7.0)*r.ema END
+         |  FROM pts p JOIN rec r ON p.path = r.path AND p.rn = r.rn + 1)
+         |SELECT 'exponentialMovingAverage(' || path || ',6)' AS path, t,
+         | round(CASE WHEN value IS NOT NULL THEN ema END - 1e-9, 4) AS value
+         |FROM rec ORDER BY 1, 2""".stripMargin,
+    // C9x: linearRegression — integer-exact Σ sums over recentered t
+    // and fixed-point values, one closed-form float expression, the
+    // fitted line drawn at EVERY grid point
+    "gfn_linreg" ->
+      s"""WITH $GfnFrameCte,
+         |nn AS (SELECT path, t, CAST(round(value * 1e6) AS BIGINT) AS vfp,
+         |  t - min(t) OVER (PARTITION BY path) AS tr,
+         |  min(t) OVER (PARTITION BY path) AS t0
+         |  FROM fr WHERE value IS NOT NULL),
+         |fit AS (SELECT path, count(*) AS n, min(t0) AS t0,
+         |  sum(tr) AS st, sum(vfp) AS sv, sum(tr*vfp) AS stv, sum(tr*tr) AS stt
+         |  FROM nn GROUP BY 1),
+         |bb AS (SELECT path, t0, st, sv, n,
+         |  CAST(n*stv - st*sv AS DOUBLE) / CAST(n*stt - st*st AS DOUBLE) / 1e6 AS b
+         |  FROM fit WHERE n*stt - st*st <> 0),
+         |ab AS (SELECT path, t0, b,
+         |  (CAST(sv AS DOUBLE)/1e6 - b*CAST(st AS DOUBLE)) / CAST(n AS DOUBLE) AS a
+         |  FROM bb)
+         |SELECT 'linearRegression(' || f.path || ')' AS path, f.t,
+         | round(ab.a + ab.b * (f.t - ab.t0) - 1e-9, 4) AS value
+         |FROM fr f LEFT JOIN ab ON f.path = ab.path ORDER BY 1, 2""".stripMargin,
+    // C9y: rangeOfSeries + stddevSeries in one grouped result — the
+    // across-series spread (max−min) and the population deviation via
+    // the shared moment formula
+    "gfn_range" ->
+      s"""WITH $GfnFrameCte,
+         |rg AS (SELECT 'rangeOfSeries(vera.u1?.click)' AS path, t,
+         |  max(value) - min(value) AS value FROM fr GROUP BY t),
+         |sd AS (SELECT 'stddevSeries(vera.u1?.click)' AS path, t,
+         |  CASE WHEN count(value) > 0 THEN
+         |    sqrt(greatest(0, (sum(value*value) - sum(value)*sum(value)/count(value))
+         |      / count(value))) END AS value
+         |  FROM fr GROUP BY t)
+         |SELECT path, t, round(value - 1e-9, 4) + 0.0 AS value
+         |FROM (SELECT * FROM rg UNION ALL SELECT * FROM sd) u
+         |ORDER BY 1, 2""".stripMargin,
     // C9h: the URL round trip — function target through /render
     // format=csv; the env's -Eps input shift rides max() exactly
     "gfn_cgi_render" ->

@@ -600,6 +600,26 @@ object Queries {
   def gfnHitcount(spark: SparkSession, dir: String): DataFrame =
     gfnEval(spark, dir, """hitcount(sumSeries(vera.u1?.click),"1day")""")
 
+  /** C9w: exponentialMovingAverage — the recursive smoother as an
+    * in-row fold; nulls skip without disturbing the state.
+    */
+  def gfnEma(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, "exponentialMovingAverage(vera.u1?.click,6)")
+
+  /** C9x: linearRegression — per-series OLS trend line over the
+    * render window, integer-exact sums on the fixed-point grid.
+    */
+  def gfnLinReg(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, "linearRegression(vera.u1?.click)")
+
+  /** C9y: rangeOfSeries + stddevSeries — spread and dispersion across
+    * the fetched series per timestamp, grouped so both ship in one
+    * result.
+    */
+  def gfnRange(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir,
+      """group(rangeOfSeries(vera.u1?.click),stddevSeries(vera.u1?.click))""")
+
   /** C9h: the URL round trip — a function target through Cgi.dispatch
     * (maxSeries propagates the env's -Eps input shift exactly).
     */

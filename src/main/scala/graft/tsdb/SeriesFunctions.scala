@@ -48,6 +48,17 @@ object SeriesFunctions {
       // countSeries counts SERIES PRESENT (non-null values) at each
       // point — Graphite's len(row), constant only on gap-free frames
       case "count" => count(col("value"))
+      // rangeOfSeries: spread across series at each point
+      case "range" => max(col("value")) - min(col("value"))
+      // stddevSeries: population deviation ACROSS series per point,
+      // the explicit moment formula (the stdev discipline) so the
+      // oracle replays the same float expression
+      case "stddev" =>
+        when(count(col("value")) > 0,
+          sqrt(greatest(lit(0.0),
+            (sum(col("value") * col("value")) -
+              sum(col("value")) * sum(col("value")) / count(col("value"))) /
+              count(col("value")))))
       case other => throw new IllegalArgumentException(s"combine: unknown func '$other'")
     }
     f.groupBy(col("t")).agg(agg.as("value"))
@@ -410,6 +421,90 @@ object SeriesFunctions {
       .select(col("path"), col("value").as("pv"))
     frame(f.join(broadcast(pv), Seq("path"), "left"),
       wrap("nPercentile", fmtNum(p)), col("t"), col("pv"))
+  }
+
+  /** Graphite `exponentialMovingAverage(series, n)`: α = 2/(n+1),
+    * ema ← α·v + (1−α)·ema — the RECURSIVE smoother dashboards reach
+    * for past movingAverage. A running recurrence is not a SQL window
+    * aggregate, but per series it is a left fold: collect the ordered
+    * points (sort_array over the grid — bounded by the render window,
+    * the same contract every window function here relies on) and run
+    * the fold INSIDE the row with the `aggregate` higher-order
+    * function — stays in codegen, no UDF, no driver loop; K series
+    * fold in parallel. State rule (pinned identically in the oracle's
+    * WITH RECURSIVE): a null point emits null and leaves the state
+    * untouched; the first non-null point seeds the state with its own
+    * value. Both engines execute the identical multiply-add sequence
+    * in the identical order, so results agree bit-for-bit before the
+    * shared round.
+    */
+  def exponentialMovingAverage(f: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"exponentialMovingAverage window must be >= 1 (got $n)")
+    val alpha = 2.0 / (n + 1)
+    val pts = f.groupBy(col("path"))
+      .agg(sort_array(collect_list(struct(col("t"),
+        // nulls vanish from collect_list — encode them explicitly
+        struct(col("value").isNotNull.as("p"),
+          coalesce(col("value"), lit(0.0)).as("v")).as("pv")))).as("pts"))
+    val folded = aggregate(
+      col("pts"),
+      struct(lit(null).cast("double").as("ema"),
+        array().cast("array<struct<t:bigint,value:double>>").as("out")),
+      (acc, x) => {
+        val present = x.getField("pv").getField("p")
+        val v = x.getField("pv").getField("v")
+        val newEma = when(!present, acc.getField("ema"))
+          .when(acc.getField("ema").isNull, v)
+          .otherwise(lit(alpha) * v + lit(1.0 - alpha) * acc.getField("ema"))
+        struct(newEma.as("ema"),
+          concat(acc.getField("out"), array(struct(
+            x.getField("t").as("t"),
+            when(present, newEma).as("value")))).as("out"))
+      },
+      acc => acc.getField("out"))
+    frame(pts.select(col("path"), explode(folded).as("e")),
+      wrap("exponentialMovingAverage", n.toString),
+      col("e.t"), col("e.value"))
+  }
+
+  /** Graphite `linearRegression(series)`: each series replaced by its
+    * ordinary-least-squares fitted line over the render window —
+    * ŷ(t) = a + b·t at EVERY grid point (the fit fills gaps; that is
+    * the point of drawing a trend). Engine parity by integer-exact
+    * sums: per series, t recenters to its window minimum (bounded
+    * magnitudes) and values ride the 1e-6 fixed-point grid, so Σt′,
+    * Σv, Σt′v, Σt′² are exact BIGINTs in both engines and the
+    * closed-form slope/intercept is one identical float expression. A
+    * series with fewer than 2 distinct non-null timestamps has no line
+    * (null). One aggregate per series (K rows) broadcast back — never
+    * a frame sort.
+    */
+  def linearRegression(f: DataFrame): DataFrame = {
+    val nn = f.filter(col("value").isNotNull)
+      .select(col("path"), col("t"),
+        round(col("value") * 1e6, 0).cast("long").as("vfp"))
+      .withColumn("t0", min(col("t")).over(Window.partitionBy(col("path"))))
+      .withColumn("tr", col("t") - col("t0"))
+    val fit = nn.groupBy(col("path"))
+      .agg(count(lit(1)).as("n"), min(col("t0")).as("t0"),
+        sum(col("tr")).as("st"), sum(col("vfp")).as("sv"),
+        sum(col("tr") * col("vfp")).as("stv"),
+        sum(col("tr") * col("tr")).as("stt"))
+      // b = (nΣtv − ΣtΣv) / (nΣt² − (Σt)²) on the exact integer sums;
+      // a = (Σv − b·Σt′)/n in float AFTER b (the direct ΣvΣt² product
+      // overflows BIGINT; this form never multiplies two big sums);
+      // all-equal timestamps → zero denominator → no line
+      .withColumn("den", (col("n") * col("stt") - col("st") * col("st")).cast("double"))
+      .filter(col("den") =!= 0.0)
+      .withColumn("b",
+        (col("n") * col("stv") - col("st") * col("sv")).cast("double") /
+          col("den") / 1e6)
+      .select(col("path"), col("t0"), col("b"),
+        ((col("sv").cast("double") / 1e6 - col("b") * col("st").cast("double")) /
+          col("n").cast("double")).as("a"))
+    frame(f.join(broadcast(fit), Seq("path"), "left"),
+      wrap("linearRegression", ""), col("t"),
+      col("a") + col("b") * (col("t") - col("t0")))
   }
 
   /** Gaps filled with the last seen value per series; leading gaps

@@ -231,6 +231,34 @@ class SeriesFunctionsSpec extends SparkSpec {
       ("hitcount(a, \"2min\")", 240L, None)))       // all-null bucket
   }
 
+  test("ema / linearRegression / range-stddev combiners") {
+    // ema(3): α = 0.5 — hand-checkable halving recurrence; nulls skip
+    // without touching the state, leading state seeds from the first
+    // non-null
+    val f = frame(("a", 0L, null), ("a", 60L, 4.0), ("a", 120L, null),
+      ("a", 180L, 8.0), ("a", 240L, 2.0))
+    assert(vals(SeriesFunctions.exponentialMovingAverage(f, 3)) == Seq(
+      ("exponentialMovingAverage(a,3)", 0L, None),
+      ("exponentialMovingAverage(a,3)", 60L, Some(4.0)),   // seed
+      ("exponentialMovingAverage(a,3)", 120L, None),       // gap: state held
+      ("exponentialMovingAverage(a,3)", 180L, Some(6.0)),  // .5*8 + .5*4
+      ("exponentialMovingAverage(a,3)", 240L, Some(4.0)))) // .5*2 + .5*6
+    // linearRegression: exact line y = 1 + 0.01*t reproduced at every
+    // grid point INCLUDING the gap; <2 points → no line
+    val g = frame(("a", 0L, 1.0), ("a", 100L, 2.0), ("a", 200L, null),
+      ("a", 300L, 4.0), ("b", 0L, 7.0), ("b", 100L, null))
+    val lr = vals(SeriesFunctions.linearRegression(g))
+    assert(lr.filter(_._1 == "linearRegression(a)").map(_._3) ==
+      Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0)))
+    assert(lr.filter(_._1 == "linearRegression(b)").forall(_._3.isEmpty))
+    // rangeOfSeries / stddevSeries across series per t
+    val h = frame(("x", 0L, 2.0), ("y", 0L, 6.0), ("x", 60L, null), ("y", 60L, null))
+    assert(vals(SeriesFunctions.combine(h, "range", "r")) ==
+      Seq(("r", 0L, Some(4.0)), ("r", 60L, None)))
+    assert(vals(SeriesFunctions.combine(h, "stddev", "s")) ==
+      Seq(("s", 0L, Some(2.0)), ("s", 60L, None)))
+  }
+
   test("randomized frames: window/selection functions match an independent scala model") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 5) {
