@@ -110,6 +110,7 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) => L.dedupMinhash(s, dir)),
     "dedup_minhash_capped" -> ((s, dir) => L.dedupMinhashCapped(s, dir)),
     "dedup_incremental" -> ((s, dir) => L.dedupIncremental(s, dir)),
+    "stream_incremental_gate" -> ((s, dir) => L.streamIncrementalGate(s, dir)),
     "dedup_minhash_bucket_stats" -> ((s, dir) => L.dedupMinhashBucketStats(s, dir)),
     "dedup_minhash_clusters" -> ((s, dir) => L.dedupMinhashClusters(s, dir)),
     "dedup_minhash_est" -> ((s, dir) => L.dedupMinhashEst(s, dir)),
@@ -404,13 +405,25 @@ object SparkEntry {
     * comma-joined decimal slot values; DuckDB concat_ws casts BIGINT
     * identically), single source of truth like SimhashCappedKeyed.
     */
-  private lazy val MinhashCappedCtes: String = {
+  /** md5 band-key expression over a signature list column `s` at
+    * (band b, widening level j) — shared by the capped chain and the
+    * G14 incoming-key blocks.
+    */
+  private def minhashKeyExprSql(b: Int, j: Int): String =
+    graft.dedup.Dedup.minhashKeySlots(b, j).map(i => s"s[${i + 1}]")
+      .mkString("md5(concat_ws(',', ", ", ", "))")
+
+  private lazy val MinhashCappedCtes: String = minhashCappedCtesWhere("")
+
+  /** The capped-keying CTE chain with an optional doc filter on the
+    * signature source — `dsigWhere` restricts which docs' signatures
+    * enter the keyed index (the G14 base-only index build).
+    */
+  private def minhashCappedCtesWhere(dsigWhere: String): String = {
     import graft.dedup.{Dedup => D}
     val cap = graft.ops.LlmQueries.MinhashMaxDf
     val n = D.minhashWidenLevels
-    def keyExpr(b: Int, j: Int): String =
-      D.minhashKeySlots(b, j).map(i => s"s[${i + 1}]")
-        .mkString("md5(concat_ws(',', ", ", ", "))")
+    def keyExpr(b: Int, j: Int): String = minhashKeyExprSql(b, j)
     val bandBlocks = (0 until D.minhashNBands).map { b =>
       val kCols = (0 to n).map(j => s"${keyExpr(b, j)} AS k$j").mkString(",\n    ")
       s"SELECT sk, $b AS band,\n    $kCols\n  FROM dsig"
@@ -421,7 +434,7 @@ object SparkEntry {
     s"""sarr AS (SELECT doc_id, list(mh ORDER BY i) AS s,
        |    md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS sk
        |  FROM sigs GROUP BY 1),
-       |dsig AS (SELECT sk, any_value(s) AS s FROM sarr GROUP BY 1),
+       |dsig AS (SELECT sk, any_value(s) AS s FROM sarr $dsigWhere GROUP BY 1),
        |mbk AS (
        |  $bandBlocks),
        |mdk AS (SELECT *,
@@ -1061,6 +1074,41 @@ object SparkEntry {
          |       ELSE 'unique' END AS verdict
          |  FROM vf LEFT JOIN ski s ON vf.sk = s.sk
          |  LEFT JOIN nearsk n ON vf.sk = n.sk)
+         |SELECT doc_id, verdict,
+         | CASE WHEN verdict = 'unique' THEN CAST(1 AS BIGINT)
+         |      ELSE CAST(0 AS BIGINT) END AS keep
+         |FROM vv ORDER BY doc_id""".stripMargin
+    },
+    // G14: the ingest gate against the BASE-ONLY signature index — the
+    // capped chain keyed over base docs' signatures alone, the
+    // arriving side offering its key at every widening level, exact
+    // matches via the base sk set
+    "stream_incremental_gate" -> {
+      import graft.ops.{LlmQueries => LQ}
+      import graft.dedup.{Dedup => D}
+      val n = D.minhashWidenLevels
+      val ikeyBlocks = (for (b <- 0 until D.minhashNBands; j <- 0 to n) yield
+        s"SELECT doc_id, $b AS band, CAST($j AS BIGINT) AS lvl, ${minhashKeyExprSql(b, j)} AS key FROM isig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $TK, $SHD,
+         |$MinhashBandsCtes,
+         |${minhashCappedCtesWhere(s"WHERE doc_id % ${LQ.IncrementalMod} <> 0")},
+         |bsk AS (SELECT DISTINCT sk FROM sarr WHERE doc_id % ${LQ.IncrementalMod} <> 0),
+         |inc AS (SELECT doc_id FROM documents WHERE doc_id % ${LQ.IncrementalMod} = 0),
+         |isig AS (SELECT i.doc_id, sa.sk, sa.s FROM inc i JOIN sarr sa USING (doc_id)),
+         |ikeys AS (
+         |  $ikeyBlocks),
+         |near AS (SELECT DISTINCT k.doc_id FROM ikeys k
+         |  JOIN mkeyed m ON m.band = k.band AND m.lvl = k.lvl AND m.bkey = k.key),
+         |vv AS (SELECT i.doc_id,
+         |  CASE WHEN s.sk IS NULL THEN 'unique'
+         |       WHEN b.sk IS NOT NULL THEN 'exact_dup'
+         |       WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+         |       ELSE 'unique' END AS verdict
+         |  FROM inc i
+         |  LEFT JOIN isig s ON s.doc_id = i.doc_id
+         |  LEFT JOIN bsk b ON s.sk = b.sk
+         |  LEFT JOIN near nr ON nr.doc_id = i.doc_id)
          |SELECT doc_id, verdict,
          | CASE WHEN verdict = 'unique' THEN CAST(1 AS BIGINT)
          |      ELSE CAST(0 AS BIGINT) END AS keep

@@ -741,6 +741,64 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The standing corpus's dedup index — the STATIC side of the G14
+    * stream-static gate, built once per base refresh (the artifact a
+    * production ingest service holds): the base's distinct signature
+    * keys (`sks`: one sk per distinct signature) and its df-capped
+    * band buckets (`keys`: (sk, band, lvl, bkey)).
+    */
+  def incrementalIndex(spark: SparkSession, base: DataFrame,
+                       maxDf: Int): (DataFrame, DataFrame) = {
+    val sig = cachedSigTable(base)
+    val dsig = sig.select("sk", "mh").dropDuplicates("sk").cachedOnce
+    (dsig.select(col("sk")),
+      cappedMinhashKeys(dsig, maxDf).cachedOnce)
+  }
+
+  /** G14: in-flight incremental gate — each arriving document is
+    * checked against the STANDING corpus's signature index AT INGEST:
+    * `exact_dup` if its full signature exists in the base, `near_dup`
+    * if any of its band keys (computed at EVERY widening level — the
+    * base index stores each bucket at the one level its df fit, so
+    * the arriving side offers all 40 (band, lvl, key) candidates and
+    * the join picks the stored one), `unique` otherwise. This is the
+    * base-only prior rule: incoming-vs-incoming dups are the nightly
+    * F36 batch job's business; the gate's job is stopping re-crawls
+    * of what the corpus already holds before they land. Stream-safe
+    * shape: a map-only signature/key projection on the stream side +
+    * two stream-static left joins against the (refreshable) index —
+    * no state store, no stream-side aggregation.
+    */
+  def incrementalGateRows(docs: DataFrame, baseSks: DataFrame,
+                          baseKeys: DataFrame): DataFrame = {
+    val sig = minhashSigRows(docs)
+      .select(col("doc_id"), col("mh"), minhashSigKey.as("sk"))
+    val exact = sig.join(baseSks.select(col("sk"), lit(1L).as("ex")),
+      Seq("sk"), "left")
+    // the arriving doc's 40 candidate keys; a hit at ANY level of any
+    // band is a collision with a stored base bucket
+    val n = minhashWidenLevels
+    val bjk = for (b <- 0 until minhashNBands; j <- 0 to n) yield
+      struct(lit(b).as("band"), lit(j.toLong).as("lvl"),
+        minhashKeyCol(b, j).as("bkey"))
+    val nearHits = sig
+      .select(col("doc_id"), explode(array(bjk: _*)).as("k"))
+      .select(col("doc_id"), col("k.band").as("band"),
+        col("k.lvl").as("lvl"), col("k.bkey").as("bkey"))
+      .join(baseKeys.select(col("band"), col("lvl"), col("bkey"),
+        col("sk").as("bsk")), Seq("band", "lvl", "bkey"))
+      .select(col("doc_id")).distinct()
+      .withColumn("nr", lit(1L))
+    docs.select(col("doc_id"))
+      .join(exact.select(col("doc_id"), col("ex")), Seq("doc_id"), "left")
+      .join(nearHits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ex").isNotNull, "exact_dup")
+          .when(col("nr").isNotNull, "near_dup")
+          .otherwise("unique").as("verdict"))
+      .withColumn("keep", when(col("verdict") === "unique", 1L).otherwise(0L))
+  }
+
   /** F2k: O(n)-output keep/drop over the df-capped shingle-Jaccard
     * candidate graph (the scale-path pair source), same one-step rule.
     */

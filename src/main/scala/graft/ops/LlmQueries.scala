@@ -162,6 +162,20 @@ object LlmQueries {
       MinhashMaxDf)
   }
 
+  /** G14 batch twin: the in-flight gate against the standing corpus's
+    * signature index — base-only priors (incoming-vs-incoming is the
+    * nightly F36 job's business), verdicts a pure function of (doc,
+    * index) so per-micro-batch evaluation needs zero streaming state.
+    */
+  def streamIncrementalGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (sks, keys) = Dedup.incrementalIndex(spark,
+      docs.filter(col("doc_id") % IncrementalMod =!= 0), MinhashMaxDf)
+    Dedup.incrementalGateRows(
+      docs.filter(col("doc_id") % IncrementalMod === 0), sks, keys)
+      .orderBy(col("doc_id"))
+  }
+
   /** F3e: slot-agreement Jaccard estimate over the capped MinHash
     * candidate graph — ranks candidates without re-reading shingles.
     */

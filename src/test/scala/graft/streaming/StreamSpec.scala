@@ -406,6 +406,48 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming incremental gate: per-batch verdicts vs the base index (G14)") {
+    import graft.dedup.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    // the standing corpus: one doc whose exact copy and whose
+    // signature-level twin will arrive on the stream
+    val base = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val (sks, keys) = Dedup.incrementalIndex(spark, base, maxDf = 64)
+    // eagerly materialize the index (a stream cannot build it)
+    sks.count(); keys.count()
+    val source = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    // verdicts are a pure function of (doc, index): foreachBatch runs
+    // the batch gate per micro-batch with ZERO streaming state — the
+    // G6 store pattern, not a stateful operator
+    val query = source.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= Dedup.incrementalGateRows(batch, sks, keys).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        ()
+      }.start()
+    try {
+      source.addData(
+        (4L, "alpha beta gamma delta epsilon zeta eta theta"), // exact copy
+        (8L, "totally novel content that matches nothing at all"))
+      query.processAllAvailable()
+      source.addData((12L, "xx")) // unsignable → unique
+      query.processAllAvailable()
+      val v = got.map(r => r._1 -> r._2).toMap
+      assert(v(4L) == "exact_dup" && v(8L) == "unique" && v(12L) == "unique")
+      assert(got.forall(r => (r._3 == 1L) == (r._2 == "unique")))
+      // batch/stream agreement: the same rows through the batch twin
+      val batchOut = Dedup.incrementalGateRows(
+        Seq((4L, "alpha beta gamma delta epsilon zeta eta theta"),
+          (8L, "totally novel content that matches nothing at all"),
+          (12L, "xx")).toDF("doc_id", "text"), sks, keys)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got.toSet == batchOut)
+    } finally query.stop()
+  }
+
   test("streaming keywords tag in-flight under a frozen df table (G11)") {
     import graft.streaming.CarbonStream
     implicit val sqlCtx = spark.sqlContext
