@@ -111,6 +111,7 @@ object SparkEntry {
     "dedup_minhash_capped" -> ((s, dir) => L.dedupMinhashCapped(s, dir)),
     "dedup_incremental" -> ((s, dir) => L.dedupIncremental(s, dir)),
     "stream_incremental_gate" -> ((s, dir) => L.streamIncrementalGate(s, dir)),
+    "dedup_index_merge" -> ((s, dir) => L.dedupIndexMerge(s, dir)),
     "dedup_minhash_bucket_stats" -> ((s, dir) => L.dedupMinhashBucketStats(s, dir)),
     "dedup_minhash_clusters" -> ((s, dir) => L.dedupMinhashClusters(s, dir)),
     "dedup_minhash_est" -> ((s, dir) => L.dedupMinhashEst(s, dir)),
@@ -1114,6 +1115,17 @@ object SparkEntry {
          |      ELSE CAST(0 AS BIGINT) END AS keep
          |FROM vv ORDER BY doc_id""".stripMargin
     },
+    // F37: merge ≡ rebuild, stated cross-engine — the Spark side FOLDS
+    // the new batch into the standing index (touched-bucket re-keying
+    // only); the oracle rebuilds the whole capped keying from scratch
+    // over base ∪ incoming (= all documents). A hash match is the
+    // closure theorem verified, not just an implementation compare.
+    "dedup_index_merge" ->
+      s"""WITH $TK, $SHD,
+         |$MinhashBandsCtes,
+         |$MinhashCappedCtes
+         |SELECT sk, CAST(band AS BIGINT) AS band, CAST(lvl AS BIGINT) AS lvl, bkey
+         |FROM mkeyed ORDER BY sk, band""".stripMargin,
     // F3s: the df-cap bound as data — bucket stats per (band, level)
     // over the same mkeyed CTE the capped pair join consumes
     "dedup_minhash_bucket_stats" ->

@@ -751,8 +751,90 @@ object Dedup {
                        maxDf: Int): (DataFrame, DataFrame) = {
     val sig = cachedSigTable(base)
     val dsig = sig.select("sk", "mh").dropDuplicates("sk").cachedOnce
-    (dsig.select(col("sk")),
-      cappedMinhashKeys(dsig, maxDf).cachedOnce)
+    (dsig, cappedMinhashKeys(dsig, maxDf).cachedOnce)
+  }
+
+  /** The distinct (sk, mh) signature table of a document set — the
+    * portable currency of the incremental family (index sigs, F37
+    * merge batches).
+    */
+  def distinctSigs(docs: DataFrame): DataFrame =
+    cachedSigTable(docs).select(col("sk"), col("mh")).dropDuplicates("sk")
+
+  /** F37: standing-index REFRESH — fold a new batch's signatures into
+    * the capped-key index WITHOUT a full rebuild, closing the
+    * F36/G14 production loop (build once, gate all day, fold the
+    * survivors in at night; consecutive days compose). Correctness
+    * rests on a closure property of the widening schedule: level-j
+    * slot lists CONTAIN the level-0 list, so any level-j collision
+    * implies a level-0 collision — the level-0 bucket partition is
+    * closed under adding signatures, and only level-0 buckets that
+    * actually RECEIVE a new signature can see any df change at any
+    * level. The merge therefore re-keys exactly the touched buckets'
+    * member (sig, band) pairs — new members AND the old members a
+    * newly-overflowing bucket forces to a wider level — and keeps
+    * every other index row verbatim: merge(index(A), B) ≡
+    * index(A ∪ B) EXACTLY (the driver oracle states this cross-engine
+    * — the Spark side merges, DuckDB rebuilds from scratch, outputs
+    * must hash-match). Work: one map-only level-0 scan of the merged
+    * signature table + the full keying pipeline restricted to the
+    * touched cohort; nothing pairwise, nothing proportional to
+    * untouched-index size beyond the linear scan.
+    *
+    * Inputs: the standing index as (sigs = (sk, mh) distinct,
+    * keyed = (sk, band, lvl, bkey)) — [[incrementalIndex]]'s shape —
+    * and the new batch's (sk, mh) rows (need not be pre-deduped).
+    * Returns the refreshed (sigs, keyed) pair.
+    */
+  def indexMerge(spark: SparkSession, baseSigs: DataFrame,
+                 baseKeyed: DataFrame, newSigs: DataFrame,
+                 maxDf: Int): (DataFrame, DataFrame) = {
+    require(maxDf >= 1, s"maxDf must be >= 1 (got $maxDf)")
+    val n = minhashWidenLevels
+    val fresh = newSigs.select(col("sk"), col("mh")).dropDuplicates("sk")
+      .join(baseSigs.select(col("sk")), Seq("sk"), "left_anti")
+      .cachedOnce
+    val mergedSigs = baseSigs.select(col("sk"), col("mh"))
+      .unionByName(fresh).cachedOnce
+    def k0Structs = array((0 until minhashNBands).map(b =>
+      struct(lit(b).as("band"), minhashKeyCol(b, 0).as("key0"))): _*)
+    // touched level-0 buckets: the fresh signatures' per-band keys
+    val touched = fresh.select(explode(k0Structs).as("t"))
+      .select(col("t.band").as("band"), col("t.key0").as("key0"))
+      .distinct()
+    // cohort = every merged (sig, band) living in a touched bucket —
+    // by the closure property, the complete set of index rows whose
+    // level choice can change
+    val cohort = mergedSigs
+      .select(col("sk"), col("mh"), explode(k0Structs).as("t"))
+      .select(col("sk"), col("mh"), col("t.band").as("band"),
+        col("t.key0").as("key0"))
+      .join(broadcast(touched), Seq("band", "key0"), "left_semi")
+      .select(col("sk"), col("mh"), col("band"))
+      .cachedOnce
+    // re-run the standard keying pipeline restricted to the cohort:
+    // within a touched bucket the cohort holds ALL members, so cohort
+    // dfs equal global dfs at every level
+    val bjk = for (b <- 0 until minhashNBands; j <- 0 to n) yield
+      struct(lit(b).as("band"), lit(j).as("j"), minhashKeyCol(b, j).as("key"))
+    val exploded = cohort
+      .select(col("sk"), col("band"), explode(array(bjk: _*)).as("bjk"))
+      .filter(col("bjk.band") === col("band"))
+      .select(col("sk"), col("band"), col("bjk.j").as("j"),
+        col("bjk.key").as("key"))
+    val dfs = exploded.groupBy(col("band"), col("j"), col("key"))
+      .agg(count(lit(1)).as("df"))
+    val cohortKeyed = exploded.join(dfs, Seq("band", "j", "key"))
+      .groupBy(col("sk"), col("band"))
+      .agg(min(when(col("df") <= maxDf, struct(col("j"), col("key")))).as("lk"))
+      .select(col("sk"), col("band"),
+        col("lk").getField("j").cast("long").as("lvl"),
+        col("lk").getField("key").as("bkey"))
+    val mergedKeyed = baseKeyed
+      .join(cohort.select(col("sk"), col("band")).distinct(),
+        Seq("sk", "band"), "left_anti")
+      .unionByName(cohortKeyed)
+    (mergedSigs, mergedKeyed)
   }
 
   /** G14: in-flight incremental gate — each arriving document is

@@ -675,6 +675,25 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** F37: standing-index refresh — the day-2 batch folded into the
+    * day-1 index by re-keying only the touched level-0 buckets; the
+    * ORACLE REBUILDS FROM SCRATCH over the union, so a hash match IS
+    * the merge ≡ rebuild theorem checked cross-engine.
+    */
+  def dedupIndexMerge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (bSigs, bKeyed) = Dedup.incrementalIndex(spark,
+      docs.filter(col("doc_id") % IncrementalMod =!= 0), MinhashMaxDf)
+    val incSigs = Dedup.distinctSigs(
+      docs.filter(col("doc_id") % IncrementalMod === 0))
+    val (_, mergedKeyed) = Dedup.indexMerge(spark, bSigs, bKeyed,
+      incSigs, MinhashMaxDf)
+    mergedKeyed
+      .select(col("sk"), col("band").cast("long").as("band"),
+        col("lvl"), col("bkey"))
+      .orderBy(col("sk"), col("band"))
+  }
+
   /** F24: deterministic stratified mixture sampling over `lang`. */
   def corpusSample(spark: SparkSession, dir: String): DataFrame =
     Sampling.sampleByStratum(Tables.documents(spark, dir),

@@ -246,6 +246,41 @@ class LlmSpec extends SparkSpec {
       "expected both exact dups and uniques on the real corpus")
   }
 
+  test("index merge equals rebuild; overflow re-keys standing rows (F37)") {
+    val all = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val d1 = all.filter($"doc_id" % 4 =!= 0)
+    val d2 = all.filter($"doc_id" % 4 === 0)
+    def keyedSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("sk", "band", "lvl", "bkey").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getString(3))).toSet
+    for (cap <- Seq(64, 1)) {
+      val (bSigs, bKeyed) = Dedup.incrementalIndex(spark, d1, cap)
+      val (mSigs, mKeyed) = Dedup.indexMerge(spark, bSigs, bKeyed,
+        Dedup.distinctSigs(d2), cap)
+      val (rSigs, rKeyed) = Dedup.incrementalIndex(spark, all, cap)
+      // the closure theorem: folding day 2 in ≡ rebuilding from scratch
+      assert(keyedSet(mKeyed) == keyedSet(rKeyed), s"merge != rebuild at cap $cap")
+      assert(mSigs.select("sk").collect().map(_.getString(0)).toSet ==
+        rSigs.select("sk").collect().map(_.getString(0)).toSet)
+      if (cap == 1) {
+        // the interesting path must actually fire: at a tight cap some
+        // STANDING row is forced to a wider level by the new arrivals
+        val before = bKeyed.collect()
+          .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+        val after = keyedSet(mKeyed)
+          .map(t => (t._1, t._2) -> t._3).toMap
+        val widened = before.filter { case (k, lvl) =>
+          after.get(k).exists(_ > lvl) }
+        assert(widened.nonEmpty, "expected at least one standing row re-keyed wider")
+      }
+      // idempotence: merging sigs the index already holds is a no-op
+      val (iSigs, iKeyed) = Dedup.indexMerge(spark, rSigs, rKeyed,
+        Dedup.distinctSigs(d2), cap)
+      assert(keyedSet(iKeyed) == keyedSet(rKeyed))
+      assert(iSigs.count() == rSigs.count())
+    }
+  }
+
   test("simhash: identical docs at hamming 0, unrelated docs excluded (F4)") {
     val out = Dedup.simhashPairs(spark, docs, 6).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
