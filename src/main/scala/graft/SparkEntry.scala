@@ -137,6 +137,7 @@ object SparkEntry {
     "ann_pq_trained" -> ((s, dir) => L.annPqTrained(s, dir)),
     "ann_ivf_pq" -> ((s, dir) => L.annIvfPq(s, dir)),
     "ann_ivf_pq_trained" -> ((s, dir) => L.annIvfPqTrained(s, dir)),
+    "ann_ivf_pq_residual" -> ((s, dir) => L.annIvfPqResidual(s, dir)),
     "ann_quantized" -> ((s, dir) => L.annQuantized(s, dir)),
     "ann_ivf_quantized" -> ((s, dir) => L.annIvfQuantized(s, dir)),
     "text_langid" -> ((s, dir) => L.textLangid(s, dir)),
@@ -703,7 +704,13 @@ object SparkEntry {
     * arithmetic. Final book CTE is [[PqTrainedFinalCte]] with columns
     * (s, j, cw, cc). Shared by ann_pq_trained and ann_ivf_pq_trained.
     */
-  private lazy val PqTrainedBookCtes: String = {
+  private lazy val PqTrainedBookCtes: String = pqTrainedBookCtesOver("n")
+
+  /** The F25g trained-book chain over an arbitrary (vec_id, emb) CTE —
+    * `src = "n"` trains on raw vectors (F25g/h); the residual variant
+    * (F25i) passes its residual-vector CTE.
+    */
+  private def pqTrainedBookCtesOver(src: String): String = {
     import graft.ops.{LlmQueries => LQ}
     val sd = 64 / LQ.PqSubspaces
     val iterCtes = (1 to LQ.PqTrainIters).map { i =>
@@ -724,7 +731,7 @@ object SparkEntry {
          |  list_dot_product(coalesce(l.cw, p.cw), coalesce(l.cw, p.cw)) AS cc
          |  FROM $prev p LEFT JOIN pm${i}l l USING (s, j))""".stripMargin
     }.mkString(",\n")
-    s"""ns AS (SELECT * FROM n
+    s"""ns AS (SELECT * FROM $src
        |  WHERE ('0x'||substr(md5(CAST(vec_id AS VARCHAR)||'#pqtrain'),1,15))::BIGINT % 10000
        |        < ${LQ.PqTrainBp}),
        |sub AS (SELECT vec_id, t.range AS s,
@@ -1712,6 +1719,74 @@ object SparkEntry {
          |scored AS (SELECT a.q_id, a.vec_id,
          |  (a.sl / 1e6) / (q.qn * sqrt(a.scc / 1e6)) AS cos
          |  FROM agg a JOIN q ON q.q_id = a.q_id),
+         |rk AS (SELECT q_id, vec_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY round(cos,6) DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, rk, vec_id, round(cos,4) AS cos FROM rk
+         |WHERE rk <= ${LQ.AnnK}
+         |ORDER BY q_id, rk""".stripMargin
+    },
+    // F25i: residual IVFPQ — residuals float-rounded from the
+    // assignment, the trained chain over the residual CTE, ADC with
+    // the q·c / ‖c‖² / c·cw cross terms all on the BIGINT grid
+    "ann_ivf_pq_residual" -> {
+      import graft.ops.{LlmQueries => LQ}
+      val sd = 64 / LQ.PqSubspaces
+      val bFinal = s"b${LQ.PqTrainIters}"
+      s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),
+         |cents AS (SELECT vec_id AS cent_id, emb AS ce, nrm AS cn FROM n
+         |  ORDER BY vec_id LIMIT ${LQ.IvfCentroids}),
+         |va AS (SELECT n.vec_id, c.cent_id,
+         |  row_number() OVER (PARTITION BY n.vec_id
+         |    ORDER BY round(list_dot_product(n.emb, c.ce)/(n.nrm*c.cn), 6) DESC, c.cent_id) AS ark
+         |  FROM n CROSS JOIN cents c),
+         |assigned AS (SELECT vec_id, cent_id FROM va WHERE ark = 1),
+         |rvd AS (SELECT a.vec_id, a.cent_id, generate_subscripts(n.emb, 1) AS d,
+         |  unnest(n.emb) AS xv, unnest(c.ce) AS cv
+         |  FROM assigned a JOIN n USING (vec_id) JOIN cents c USING (cent_id)),
+         |nres AS (SELECT vec_id, any_value(cent_id) AS cent_id,
+         |  list(CAST(CAST(xv - cv AS FLOAT) AS DOUBLE) ORDER BY d) AS emb
+         |  FROM rvd GROUP BY vec_id),
+         |${pqTrainedBookCtesOver("nres")},
+         |codes AS (SELECT vec_id, cent_id, s, j, cvec, cc FROM (
+         |  SELECT r.vec_id, r.cent_id, b.s, b.j, b.cw AS cvec, b.cc,
+         |    row_number() OVER (PARTITION BY r.vec_id, b.s
+         |      ORDER BY round(b.cc - 2*list_dot_product(
+         |        r.emb[b.s*$sd+1 : b.s*$sd+$sd], b.cw), 6) ASC, b.j) AS ark
+         |  FROM nres r CROSS JOIN $bFinal b) WHERE ark = 1),
+         |q AS (SELECT vec_id AS q_id, emb AS qe, nrm AS qn FROM n
+         |  WHERE vec_id < ${LQ.AnnQueryMax}),
+         |qa AS (SELECT q.q_id, c.cent_id,
+         |  CAST(round(list_dot_product(q.qe, c.ce) * 1e6) AS BIGINT) AS qcl,
+         |  row_number() OVER (PARTITION BY q.q_id
+         |    ORDER BY round(list_dot_product(q.qe, c.ce)/(q.qn*c.cn), 6) DESC, c.cent_id) AS crk
+         |  FROM q CROSS JOIN cents c),
+         |probes AS (SELECT q_id, cent_id, qcl FROM qa WHERE crk <= ${LQ.IvfProbe}),
+         |ccent AS (SELECT cent_id,
+         |  CAST(round(list_dot_product(ce, ce) * 1e6) AS BIGINT) AS ccl2 FROM cents),
+         |ctab AS (SELECT c.cent_id, b.s, b.j,
+         |  CAST(round(list_dot_product(c.ce[b.s*$sd+1 : b.s*$sd+$sd], b.cw) * 1e6) AS BIGINT) AS ctl
+         |  FROM cents c CROSS JOIN $bFinal b),
+         |cand AS (SELECT p.q_id, a.vec_id, a.cent_id, p.qcl
+         |  FROM assigned a JOIN probes p USING (cent_id)
+         |  WHERE a.vec_id <> p.q_id),
+         |terms AS (SELECT ca.q_id, ca.vec_id, ca.qcl,
+         |    CAST(round(list_dot_product(
+         |      q.qe[cd.s*$sd+1 : cd.s*$sd+$sd], cd.cvec) * 1e6) AS BIGINT) AS tl,
+         |    ct.ctl, CAST(round(cd.cc * 1e6) AS BIGINT) AS ccl
+         |  FROM cand ca JOIN codes cd ON cd.vec_id = ca.vec_id
+         |  JOIN q ON q.q_id = ca.q_id
+         |  JOIN ctab ct ON ct.cent_id = ca.cent_id AND ct.s = cd.s AND ct.j = cd.j),
+         |agg AS (SELECT q_id, vec_id, any_value(qcl) AS qcl,
+         |  sum(tl) AS sl, sum(ctl) AS sct, sum(ccl) AS scc
+         |  FROM terms GROUP BY 1, 2),
+         |scored AS (SELECT a.q_id, a.vec_id,
+         |  ((a.qcl + a.sl) / 1e6) /
+         |  (q.qn * sqrt(greatest(0, cc.ccl2 + 2*a.sct + a.scc) / 1e6)) AS cos
+         |  FROM agg a JOIN q ON q.q_id = a.q_id
+         |  JOIN cand ca ON ca.q_id = a.q_id AND ca.vec_id = a.vec_id
+         |  JOIN ccent cc ON cc.cent_id = ca.cent_id),
          |rk AS (SELECT q_id, vec_id, cos,
          |  row_number() OVER (PARTITION BY q_id ORDER BY round(cos,6) DESC, vec_id) AS rk
          |  FROM scored)

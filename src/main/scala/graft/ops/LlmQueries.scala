@@ -400,6 +400,15 @@ object LlmQueries {
       IvfCentroids, IvfProbe, PqSubspaces, PqCodes, PqTrainIters, PqTrainBp)
   }
 
+  /** F25i: residual IVFPQ — the sub-quantizers encode x − centroid
+    * (FAISS's IndexIVFPQ), trained by the same sampled Lloyd chain.
+    */
+  def annIvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Ann.ivfTopKPqResidual(e.filter(col("vec_id") < AnnQueryMax), e, AnnK,
+      IvfCentroids, IvfProbe, PqSubspaces, PqCodes, PqTrainIters, PqTrainBp)
+  }
+
   // F6d: G = ceil(sqrt(IvfCentroids)) super-cells — the O(sqrt K)
   // routing work point
   val SuperCells = 6

@@ -731,6 +731,98 @@ object Ann {
     ivfTopKPqWithBook(queries, vecs, k, nCentroids, nProbe,
       pqCodebookTrained(vecs, m, kc, iters, rateBp))
 
+  /** F25i: RESIDUAL IVFPQ — the shape FAISS actually ships
+    * (`IndexIVFPQ` encodes r = x − c(x), not x): the sub-quantizers
+    * spend their bits on IN-CELL variation instead of re-describing
+    * the cell center the coarse index already knows. Pipeline:
+    * assignment as [[ivfTopKPq]], residuals via one broadcast-centroid
+    * join (float-rounded — `(x−c)` computed in double then cast to
+    * float, so both engines hold the identical residual), the F25g
+    * Lloyd trainer runs UNCHANGED on the residual vectors, and the
+    * map-only encode kernel consumes residual slices.
+    *
+    * Scoring reconstructs x̂ = c + r̂ implicitly:
+    * q·x̂ = q·c + Σ_s qtab[s][code]  (qtab = the standard ADC table
+    * against the RESIDUAL book), and ‖x̂‖² = ‖c‖² + 2Σ_s c_s·cw +
+    * Σ_s ‖cw‖² — the cross term rides a per-centroid m×kc lookup
+    * table (K·m·kc longs, a bounded broadcast artifact exactly like
+    * the codebook itself). Every term is a 1e-6-grid BIGINT, so the
+    * sums are integer-exact in both engines; the only float ops are
+    * the final sqrt and divide (the ADC discipline).
+    */
+  def ivfTopKPqResidual(queries: DataFrame, vecs: DataFrame, k: Int,
+                        nCentroids: Int, nProbe: Int, m: Int, kc: Int,
+                        iters: Int, rateBp: Int): DataFrame = {
+    val cents = broadcast(initialCentroids(vecs, nCentroids))
+    val assigned = coarseAssign(vecs, cents)
+    // float-rounded residuals: double-exact subtraction, then the
+    // float pass both engines replay
+    val res = vecs.join(assigned, Seq("vec_id")).join(cents, Seq("cent_id"))
+      .select(col("vec_id"), col("cent_id"),
+        zip_with(col("embedding"), col("ce"),
+          (x, c) => (x.cast("double") - c.cast("double")).cast("float"))
+          .as("rvec"))
+      .cachedOnce
+    val book = pqCodebookTrained(
+      res.select(col("vec_id"), col("rvec").as("embedding")), m, kc,
+      iters, rateBp)
+    val b = book.map(_.toArray).toArray
+    val codes = graft.core.Caching.CachedOps(
+      res.select(col("vec_id"), col("cent_id"),
+        graft.functions.PqKernels.encode(col("rvec"), b).as("pcode"))).cachedOnce
+    // per-centroid scoring artifacts: ‖c‖² and the c_s·cw cross table,
+    // K·(1 + m·kc) longs — bounded by the same argument as the book
+    val spark = vecs.sparkSession
+    val centLocal = cents.select(col("cent_id"), col("ce")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val sd = centLocal.head._2.length / m
+    def dotD(a: Array[Float], bb: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * bb(i).toDouble)
+    val centArt = centLocal.map { case (cid, ce) =>
+      val ctab = (for (s <- 0 until m; j <- 0 until kc) yield
+        math.round(dotD(ce.slice(s * sd, (s + 1) * sd), book(s)(j)) * 1e6)).toSeq
+      org.apache.spark.sql.Row(cid, math.round(selfDot(ce) * 1e6), ctab)
+    }
+    val centArtDf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(centArt.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cent_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ccl2",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ctab",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType))))))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding"),
+      norm(col("embedding")).as("qn"),
+      graft.functions.PqKernels.adcTab(col("embedding"), b).as("qtab"))
+    val qScored = q.crossJoin(cents)
+      .withColumn("csim", dot(col("embedding"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("qcl", round(dot(col("embedding"), col("ce")) * 1e6, 0).cast("long"))
+    val qw = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("csim"), 6).desc, col("cent_id"))
+    val probes = broadcast(qScored
+      .withColumn("crk", row_number().over(qw)).filter(col("crk") <= nProbe)
+      .select(col("q_id"), col("qtab"), col("qn"), col("cent_id"), col("qcl"))
+      .join(centArtDf, Seq("cent_id")))
+    val ccTab: IndexedSeq[IndexedSeq[Long]] =
+      book.map(_.map(cw => math.round(selfDot(cw) * 1e6)))
+    def codeAt(s: Int) = element_at(col("pcode"), s + 1).cast("int") + lit(1)
+    val adcL = (0 until m).map(s =>
+      element_at(element_at(col("qtab"), s + 1), codeAt(s))).reduce(_ + _)
+    val ctL = (0 until m).map(s =>
+      element_at(col("ctab"), lit(s * kc) + codeAt(s))).reduce(_ + _)
+    val ccL = (0 until m).map(s =>
+      element_at(array(ccTab(s).map(lit): _*), codeAt(s))).reduce(_ + _)
+    val scored = codes.join(probes, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        ((col("qcl") + adcL).cast("double") / lit(1e6)) /
+          (col("qn") * sqrt(greatest(lit(0L),
+            col("ccl2") + lit(2L) * ctL + ccL).cast("double") / lit(1e6))))
+    topK(scored, k)
+  }
+
   private def ivfTopKPqWithBook(queries: DataFrame, vecs: DataFrame, k: Int,
                                 nCentroids: Int, nProbe: Int,
                                 book: IndexedSeq[IndexedSeq[Array[Float]]]): DataFrame = {

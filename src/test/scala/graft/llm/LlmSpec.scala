@@ -571,6 +571,30 @@ class LlmSpec extends SparkSpec {
     assert(overlap >= 0.5, s"trained ivfpq-vs-pq overlap $overlap")
   }
 
+  test("residual ivfpq: valid results, recall A/B vs raw-vector ivfpq (F25i)") {
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = pairs(Ann.bruteTopK(q, e, 5))
+    val raw = pairs(Ann.ivfTopKPqTrained(q, e, 5, 32, 8, 8, 32, 2, 5000))
+    val resid = pairs(Ann.ivfTopKPqResidual(q, e, 5, 32, 8, 8, 32, 2, 5000))
+    val rRaw = (brute & raw).size.toDouble / brute.size
+    val rRes = (brute & resid).size.toDouble / brute.size
+    // A/B at equal bytes: on clusterable data residual coding wins by
+    // spending bits on in-cell variation; this synthetic corpus is
+    // near-isotropic, so assert a floor and that residual is not
+    // badly WORSE — and print the honest numbers for the survey
+    info(s"recall vs brute: raw=$rRaw residual=$rRes")
+    assert(rRes >= 0.2, s"residual ivfpq recall $rRes")
+    assert(rRes >= rRaw - 0.15, s"residual $rRes much worse than raw $rRaw")
+    // structural validity: exactly one result set per query, k rows
+    val rows = Ann.ivfTopKPqResidual(q, e, 5, 32, 8, 8, 32, 2, 5000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._2).sorted.toSeq == (1 to rs.size) && rs.size <= 5 })
+  }
+
   test("quantized ivf tracks float ivf on real embeddings (F25b)") {
     // same probes (float coarse assignment), rerank on int8 codes —
     // the result set should almost coincide with float IVF's
