@@ -87,6 +87,8 @@ object SparkEntry {
     "gfn_ema" -> ((s, dir) => T.gfnEma(s, dir)),
     "gfn_linreg" -> ((s, dir) => T.gfnLinReg(s, dir)),
     "gfn_range" -> ((s, dir) => T.gfnRange(s, dir)),
+    "gfn_moving_median" -> ((s, dir) => T.gfnMovingMedian(s, dir)),
+    "gfn_weighted_avg" -> ((s, dir) => T.gfnWeightedAvg(s, dir)),
     // D. dataMine bridge
     "dm_resample" -> ((s, dir) => T.dmResample(s, dir)),
     "dm_resample_all" -> ((s, dir) => T.dmResampleAll(s, dir)),
@@ -99,6 +101,7 @@ object SparkEntry {
     // F. LLM-pipeline operators
     "dedup_exact" -> ((s, dir) => L.dedupExact(s, dir)),
     "decontaminate" -> ((s, dir) => L.decontaminate(s, dir)),
+    "decontaminate_multi" -> ((s, dir) => L.decontaminateMulti(s, dir)),
     "decontaminate_overlap" -> ((s, dir) => L.decontaminateOverlap(s, dir)),
     "decontaminate_fuzzy" -> ((s, dir) => L.decontaminateFuzzy(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => L.dedupNgramJaccard(s, dir)),
@@ -820,6 +823,32 @@ object SparkEntry {
          |FROM d5 c JOIN rare USING (shingle) JOIN ev e USING (shingle)
          |GROUP BY 1, 2 HAVING count(*) >= ${graft.ops.LlmQueries.DecontamMinHits}
          |ORDER BY 1, 2""".stripMargin,
+    // F15d: the F15 pair chain rolled up per benchmark — eval docs
+    // partition into suites by integer arithmetic on their ids
+    "decontaminate_multi" -> {
+      import graft.ops.{LlmQueries => LQ}
+      s"""WITH dtk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         |d5 AS (SELECT DISTINCT doc_id, shingle FROM (
+         |  SELECT doc_id, tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w
+         |    || ' ' || lead(tok,3) OVER w || ' ' || lead(tok,4) OVER w AS shingle
+         |  FROM (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks,1) AS pos FROM dtk)
+         |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) s
+         | WHERE shingle IS NOT NULL),
+         |rare AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM d5 GROUP BY 1)
+         |  WHERE df <= ${LQ.DecontamMaxDf}),
+         |ev AS (SELECT doc_id AS eval_id, shingle FROM d5
+         |  WHERE doc_id % ${LQ.DecontamEvalMod} = 0),
+         |evb AS (SELECT doc_id AS eval_id,
+         |  (doc_id // ${LQ.DecontamEvalMod}) % ${LQ.DecontamBenches} AS bench_id
+         |  FROM documents WHERE doc_id % ${LQ.DecontamEvalMod} = 0),
+         |pairs AS (SELECT c.doc_id, e.eval_id, count(*) AS hits
+         |  FROM d5 c JOIN rare USING (shingle) JOIN ev e USING (shingle)
+         |  GROUP BY 1, 2 HAVING count(*) >= ${LQ.DecontamMinHits})
+         |SELECT b.bench_id, CAST(count(DISTINCT p.doc_id) AS BIGINT) AS n_contaminated,
+         | CAST(count(*) AS BIGINT) AS n_pairs, max(p.hits) AS max_hits
+         |FROM pairs p JOIN evb b USING (eval_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // F15b: per-eval-doc contamination fraction — corpus evidence per
     // eval gram reduces to (count, min doc) over per-doc-distinct rows;
     // one corpus occurrence leaks iff it is someone else's
@@ -2813,6 +2842,34 @@ object SparkEntry {
          |SELECT path, t, round(value - 1e-9, 4) + 0.0 AS value
          |FROM (SELECT * FROM rg UNION ALL SELECT * FROM sd) u
          |ORDER BY 1, 2""".stripMargin,
+    // C9z: movingMedian(5) — the window's non-null values sorted
+    // in-row, discrete clamped-rank selection at p=50
+    "gfn_moving_median" ->
+      s"""WITH $GfnFrameCte,
+         |wl AS (SELECT path, t,
+         |  list_sort(list_filter(list(value) OVER (PARTITION BY path ORDER BY t
+         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), x -> x IS NOT NULL)) AS arr
+         |  FROM fr)
+         |SELECT 'movingMedian(' || path || ',5)' AS path, t,
+         | round(CASE WHEN len(arr) > 0 THEN
+         |   arr[greatest(1, least(len(arr), CAST(floor(0.5*(len(arr)+1)) AS INT)))]
+         | END - 1e-9, 4) AS value
+         |FROM wl ORDER BY 1, 2""".stripMargin,
+    // C9aa: weightedAverage on the user node — Σ click·view / Σ view
+    // per t over node-matched pairs; weights count only when the value
+    // side is present
+    "gfn_weighted_avg" ->
+      s"""WITH $M,
+         |${gfnFrameCteNamed("^vera\\.u1[^.]\\.click$$", "a")},
+         |${gfnFrameCteNamed("^vera\\.u1[^.]\\.view$$", "w")},
+         |ka AS (SELECT string_split(path, '.')[2] AS k, t, value AS va FROM fra),
+         |kw AS (SELECT string_split(path, '.')[2] AS k, t, value AS vw FROM frw),
+         |j AS (SELECT ka.t, ka.va, kw.vw FROM ka JOIN kw ON ka.k = kw.k AND ka.t = kw.t),
+         |ag AS (SELECT t, sum(va*vw) AS num,
+         |  sum(CASE WHEN va IS NOT NULL THEN vw END) AS den FROM j GROUP BY 1)
+         |SELECT 'weightedAverage(vera.u1?.click,vera.u1?.view,1)' AS path, t,
+         | round(CASE WHEN den <> 0 THEN num/den END - 1e-9, 4) AS value
+         |FROM ag ORDER BY 2""".stripMargin,
     // C9h: the URL round trip — function target through /render
     // format=csv; the env's -Eps input shift rides max() exactly
     "gfn_cgi_render" ->

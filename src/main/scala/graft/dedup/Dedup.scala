@@ -137,6 +137,28 @@ object Dedup {
       .orderBy(col("doc_id"), col("eval_id"))
   }
 
+  /** F15d: PER-BENCHMARK contamination report — a suite owner runs
+    * decontamination against MANY benchmarks at once and signs off
+    * per benchmark, not per pair: the F15 pair machinery runs once
+    * over the union of all eval slices (one shingle pass, one
+    * broadcast — K benchmarks cost what one does), then pairs roll up
+    * by the eval docs' benchmark id into the per-suite verdict row
+    * (how many corpus docs are contaminated against THIS benchmark,
+    * how many leaking pairs, the worst overlap). Output is
+    * O(#benchmarks).
+    */
+  def decontaminateMulti(corpus: DataFrame, evalDocs: DataFrame, n: Int,
+                         minHits: Int, maxDf: Int): DataFrame = {
+    val pairs = decontaminate(corpus,
+      evalDocs.select(col("eval_id"), col("text")), n, minHits, maxDf)
+    pairs.join(broadcast(evalDocs.select(col("eval_id"), col("bench_id"))),
+        Seq("eval_id"))
+      .groupBy(col("bench_id"))
+      .agg(countDistinct(col("doc_id")).as("n_contaminated"),
+        count(lit(1)).as("n_pairs"), max(col("hits")).as("max_hits"))
+      .orderBy(col("bench_id"))
+  }
+
   /** F15b: eval-direction contamination FRACTION — for each eval doc,
     * the share of its distinct n-gram shingles that appear in some
     * OTHER corpus document, in basis points. This is the direction the

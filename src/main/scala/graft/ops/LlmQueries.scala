@@ -63,6 +63,23 @@ object LlmQueries {
     Dedup.decontaminate(docs, eval, DecontamN, DecontamMinHits, DecontamMaxDf)
   }
 
+  // F15d: the eval docs partition into 3 synthetic benchmark suites
+  val DecontamBenches = 3
+
+  /** F15d: per-benchmark contamination report — one pair pass over
+    * the union of eval slices, rolled up per suite.
+    */
+  def decontaminateMulti(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val eval = docs.filter(col("doc_id") % DecontamEvalMod === 0)
+      .select(col("doc_id").as("eval_id"),
+        (expr(s"doc_id div $DecontamEvalMod") % DecontamBenches)
+          .cast("long").as("bench_id"),
+        col("text"))
+    Dedup.decontaminateMulti(docs, eval, DecontamN, DecontamMinHits,
+      DecontamMaxDf)
+  }
+
   /** F15b: per-eval-doc contamination fraction (basis points) — the
     * eval-direction metric a suite owner thresholds on; self-leaks
     * excluded (the eval set is drawn from the corpus here).

@@ -620,6 +620,19 @@ object Queries {
     gfnEval(spark, dir,
       """group(rangeOfSeries(vera.u1?.click),stddevSeries(vera.u1?.click))""")
 
+  /** C9z: movingMedian — the robust trailing-5 smoother; discrete
+    * in-window selection, spike-proof where movingAverage is not.
+    */
+  def gfnMovingMedian(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, "movingMedian(vera.u1?.click,5)")
+
+  /** C9aa: weightedAverage — per-user click rates weighted by view
+    * volume, matched on the user node.
+    */
+  def gfnWeightedAvg(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir,
+      "weightedAverage(vera.u1?.click,vera.u1?.view,1)")
+
   /** C9h: the URL round trip — a function target through Cgi.dispatch
     * (maxSeries propagates the env's -Eps input shift exactly).
     */

@@ -507,6 +507,49 @@ object SeriesFunctions {
       col("a") + col("b") * (col("t") - col("t0")))
   }
 
+  /** Trailing n-point MEDIAN (Graphite `movingMedian`) — the robust
+    * smoother spikes cannot drag: the window's non-null values sort
+    * in-row (`collect_list` drops nulls; the frame is bounded by n)
+    * and the DISCRETE clamped-rank rule picks element
+    * max(1, min(cnt, ⌊(cnt+1)/2⌋)) — an integer selection, so both
+    * engines pick the identical stored double (the nPercentile
+    * discipline applied inside the window). An all-null window is
+    * null.
+    */
+  def movingMedian(f: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"movingMedian window must be >= 1 (got $n)")
+    val w = byPath.rowsBetween(-(n - 1), 0)
+    val arr = array_sort(collect_list(col("value")).over(w))
+    val cnt = size(arr)
+    val idx = greatest(lit(1), least(cnt,
+      floor(lit(0.5) * (cnt + 1)).cast("int")))
+    frame(f, wrap("movingMedian", n.toString), col("t"),
+      when(cnt > 0, element_at(arr, idx)))
+  }
+
+  /** Graphite `weightedAverage(seriesListAvg, seriesListWeight, node)`:
+    * the two lists matched by one path component, the per-timestamp
+    * weighted mean Σ aᵢ·wᵢ / Σ wᵢ over matched pairs — THE way to
+    * average per-host latencies weighted by per-host traffic. A
+    * weight only counts when its value is present (both-present
+    * pairs, graphite's safe rule); zero/absent weight mass → null.
+    * One equi-join on (node, t) + one groupBy(t) — both map-side
+    * combined.
+    */
+  def weightedAverage(fa: DataFrame, fw: DataFrame, node: Int,
+                      name: String): DataFrame = {
+    def keyed(df: DataFrame, vcol: String) = df.select(
+      element_at(split(col("path"), "\\."),
+        if (node >= 0) node + 1 else node).as("k"),
+      col("t"), col("value").as(vcol))
+    keyed(fa, "va").join(keyed(fw, "vw"), Seq("k", "t"))
+      .groupBy(col("t"))
+      .agg(sum(col("va") * col("vw")).as("num"),
+        sum(when(col("va").isNotNull, col("vw"))).as("den"))
+      .select(lit(name).as("path"), col("t"),
+        when(col("den") =!= 0, col("num") / col("den")).as("value"))
+  }
+
   /** Gaps filled with the last seen value per series; leading gaps
     * (nothing seen yet) stay null (Graphite `keepLastValue` with no
     * limit — the same last-hold rule as [[Fetch.fillGaps]]).

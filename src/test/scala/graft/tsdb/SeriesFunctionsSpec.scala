@@ -259,6 +259,32 @@ class SeriesFunctionsSpec extends SparkSpec {
       Seq(("s", 0L, Some(2.0)), ("s", 60L, None)))
   }
 
+  test("movingMedian / weightedAverage semantics") {
+    // movingMedian(3): spike at t=120 cannot drag the median the way
+    // it drags movingAverage; all-null window null
+    val f = frame(("a", 0L, 1.0), ("a", 60L, 2.0), ("a", 120L, 100.0),
+      ("a", 180L, 3.0), ("a", 240L, null), ("b", 0L, null))
+    assert(vals(SeriesFunctions.movingMedian(f, 3)) == Seq(
+      ("movingMedian(a,3)", 0L, Some(1.0)),    // {1}
+      ("movingMedian(a,3)", 60L, Some(1.0)),   // {1,2} → lower middle
+      ("movingMedian(a,3)", 120L, Some(2.0)),  // {1,2,100}
+      ("movingMedian(a,3)", 180L, Some(3.0)),  // {2,3,100}
+      ("movingMedian(a,3)", 240L, Some(3.0)),  // {3,100} → lower middle
+      ("movingMedian(b,3)", 0L, None)))
+    // weightedAverage matched on node 1: Σ a·w / Σ w; a missing value
+    // side removes its weight from the denominator; zero mass → null
+    val a = frame(("x.h1.lat", 0L, 10.0), ("x.h2.lat", 0L, 20.0),
+      ("x.h1.lat", 60L, null), ("x.h2.lat", 60L, 30.0),
+      ("x.h1.lat", 120L, 5.0), ("x.h2.lat", 120L, 5.0))
+    val w = frame(("x.h1.qps", 0L, 3.0), ("x.h2.qps", 0L, 1.0),
+      ("x.h1.qps", 60L, 9.0), ("x.h2.qps", 60L, 1.0),
+      ("x.h1.qps", 120L, 0.0), ("x.h2.qps", 120L, 0.0))
+    assert(vals(SeriesFunctions.weightedAverage(a, w, 1, "wa")) == Seq(
+      ("wa", 0L, Some(12.5)),  // (10·3 + 20·1)/(3+1)
+      ("wa", 60L, Some(30.0)), // h1 value missing → its 9.0 weight drops
+      ("wa", 120L, None)))     // zero weight mass
+  }
+
   test("randomized frames: window/selection functions match an independent scala model") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 5) {
