@@ -89,6 +89,7 @@ object SparkEntry {
     "gfn_range" -> ((s, dir) => T.gfnRange(s, dir)),
     "gfn_moving_median" -> ((s, dir) => T.gfnMovingMedian(s, dir)),
     "gfn_weighted_avg" -> ((s, dir) => T.gfnWeightedAvg(s, dir)),
+    "gfn_holt_winters" -> ((s, dir) => T.gfnHoltWinters(s, dir)),
     // D. dataMine bridge
     "dm_resample" -> ((s, dir) => T.dmResample(s, dir)),
     "dm_resample_all" -> ((s, dir) => T.dmResampleAll(s, dir)),
@@ -2870,6 +2871,44 @@ object SparkEntry {
          |SELECT 'weightedAverage(vera.u1?.click,vera.u1?.view,1)' AS path, t,
          | round(CASE WHEN den <> 0 THEN num/den END - 1e-9, 4) AS value
          |FROM ag ORDER BY 2""".stripMargin,
+    // C9ab: holtWintersForecast — the recursive triple smoother over
+    // the combined series; the WITH RECURSIVE carries (lvl, trd,
+    // season ring) and replays the IDENTICAL update sequence: seed on
+    // first non-null, gaps emit the forecast but hold the state, the
+    // ring slot k = (rn−1) mod 24 updates by list slicing
+    "gfn_holt_winters" ->
+      s"""WITH RECURSIVE $GfnFrameCte,
+         |ss AS (SELECT t, sum(value) AS value FROM fr GROUP BY 1),
+         |pts AS (SELECT t, value, row_number() OVER (ORDER BY t) AS rn FROM ss),
+         |zeros AS (SELECT list_transform(range(24), x -> CAST(0.0 AS DOUBLE)) AS z),
+         |rec AS (
+         |  SELECT p.t, p.rn, p.value,
+         |    CAST(NULL AS DOUBLE) AS fc,
+         |    CASE WHEN p.value IS NOT NULL THEN p.value END AS lvl,
+         |    CAST(0.0 AS DOUBLE) AS trd, (SELECT z FROM zeros) AS season
+         |  FROM pts p WHERE p.rn = 1
+         |  UNION ALL
+         |  SELECT p.t, p.rn, p.value,
+         |    CASE WHEN r.lvl IS NULL THEN NULL
+         |         ELSE r.lvl + r.trd + r.season[((p.rn-1) % 24) + 1] END AS fc,
+         |    CASE WHEN p.value IS NULL THEN r.lvl
+         |         WHEN r.lvl IS NULL THEN p.value
+         |         ELSE 0.1*(p.value - r.season[((p.rn-1) % 24) + 1])
+         |              + 0.9*(r.lvl + r.trd) END AS lvl,
+         |    CASE WHEN p.value IS NULL OR r.lvl IS NULL THEN r.trd
+         |         ELSE 0.0035*((0.1*(p.value - r.season[((p.rn-1) % 24) + 1])
+         |                       + 0.9*(r.lvl + r.trd)) - r.lvl)
+         |              + 0.9965*r.trd END AS trd,
+         |    CASE WHEN p.value IS NULL OR r.lvl IS NULL THEN r.season
+         |         ELSE r.season[1:((p.rn-1) % 24)]
+         |           || [0.1*(p.value - (0.1*(p.value - r.season[((p.rn-1) % 24) + 1])
+         |                               + 0.9*(r.lvl + r.trd)))
+         |               + 0.9*r.season[((p.rn-1) % 24) + 1]]
+         |           || r.season[((p.rn-1) % 24) + 2 :] END AS season
+         |  FROM pts p JOIN rec r ON p.rn = r.rn + 1)
+         |SELECT 'holtWintersForecast(sumSeries(vera.u1?.click),"1day")' AS path,
+         | t, round(fc - 1e-9, 4) AS value
+         |FROM rec ORDER BY 2""".stripMargin,
     // C9h: the URL round trip — function target through /render
     // format=csv; the env's -Eps input shift rides max() exactly
     "gfn_cgi_render" ->

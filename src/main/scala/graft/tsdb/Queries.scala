@@ -633,6 +633,14 @@ object Queries {
     gfnEval(spark, dir,
       "weightedAverage(vera.u1?.click,vera.u1?.view,1)")
 
+  /** C9ab: holtWintersForecast — the seasonal forecast over the
+    * combined click stream, 24-point (1-day) season on the hourly
+    * grid; the aberration stack's foundation.
+    */
+  def gfnHoltWinters(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir,
+      """holtWintersForecast(sumSeries(vera.u1?.click),"1day")""")
+
   /** C9h: the URL round trip — a function target through Cgi.dispatch
     * (maxSeries propagates the env's -Eps input shift exactly).
     */

@@ -467,6 +467,73 @@ object SeriesFunctions {
       col("e.t"), col("e.value"))
   }
 
+  /** Graphite `holtWintersForecast(series[, season])`: additive
+    * triple-exponential smoothing — level, trend and a seasonal ring
+    * of `L` grid slots, the Graphite aberration stack's foundation.
+    * Like [[exponentialMovingAverage]] this is a true recurrence, so
+    * it runs as an in-row left fold over the sorted collected grid,
+    * and the oracle's WITH RECURSIVE replays the IDENTICAL float
+    * sequence. Update rules (pinned in both engines; graphite's
+    * init is version-drifty, this one is documented):
+    * {{{
+    *   forecast_i = lvl + trd + season[i mod L]    (null until seeded)
+    *   lvl' = α(v − season[i mod L]) + (1−α)(lvl + trd)
+    *   trd' = β(lvl' − lvl) + (1−β) trd
+    *   season'[i mod L] = γ(v − lvl') + (1−γ) season[i mod L]
+    * }}}
+    * i is the GRID position (gaps advance the season ring), the first
+    * non-null point seeds lvl with its own value (trd 0, season all
+    * zeros), and null points emit the forecast but leave the state
+    * untouched — the EMA rules generalized. α=0.1, β=0.0035, γ=0.1,
+    * graphite's constants.
+    */
+  def holtWintersForecast(f: DataFrame, seasonPts: Int,
+                          seasonText: String): DataFrame = {
+    require(seasonPts >= 1, s"holtWinters season must be >= 1 point (got $seasonPts)")
+    val (alpha, beta, gamma) = (0.1, 0.0035, 0.1)
+    val L = seasonPts
+    val pts = f.groupBy(col("path"))
+      .agg(sort_array(collect_list(struct(col("t"),
+        struct(col("value").isNotNull.as("p"),
+          coalesce(col("value"), lit(0.0)).as("v")).as("pv")))).as("pts"))
+    val zeros = array_repeat(lit(0.0), L)
+    val folded = aggregate(
+      col("pts"),
+      struct(lit(null).cast("double").as("lvl"), lit(0.0).as("trd"),
+        zeros.as("season"),
+        array().cast("array<struct<t:bigint,value:double>>").as("out")),
+      (acc, x) => {
+        val i = size(acc.getField("out"))
+        val k = pmod(i, lit(L))                      // 0-based ring slot
+        val sk = element_at(acc.getField("season"), k + 1)
+        val present = x.getField("pv").getField("p")
+        val v = x.getField("pv").getField("v")
+        val lvl = acc.getField("lvl")
+        val trd = acc.getField("trd")
+        val fc = when(lvl.isNull, lit(null).cast("double"))
+          .otherwise(lvl + trd + sk)
+        val lvlN = when(!present, lvl)
+          .when(lvl.isNull, v)
+          .otherwise(lit(alpha) * (v - sk) + lit(1 - alpha) * (lvl + trd))
+        val trdN = when(!present || lvl.isNull, trd)
+          .otherwise(lit(beta) * (lvlN - lvl) + lit(1 - beta) * trd)
+        val skN = lit(gamma) * (v - lvlN) + lit(1 - gamma) * sk
+        val seasonN = when(!present || lvl.isNull, acc.getField("season"))
+          .otherwise(concat(
+            slice(acc.getField("season"), lit(1), k),
+            array(skN),
+            slice(acc.getField("season"), k + 2, lit(L) - k - 1)))
+        struct(lvlN.as("lvl"), trdN.as("trd"), seasonN.as("season"),
+          concat(acc.getField("out"), array(struct(
+            x.getField("t").as("t"), fc.as("value")))).as("out"))
+      },
+      acc => acc.getField("out"))
+    frame(pts.select(col("path"), explode(folded).as("e")),
+      concat(lit("holtWintersForecast("), col("path"),
+        lit(s""","$seasonText")""")),
+      col("e.t"), col("e.value"))
+  }
+
   /** Graphite `linearRegression(series)`: each series replaced by its
     * ordinary-least-squares fitted line over the render window —
     * ŷ(t) = a + b·t at EVERY grid point (the fit fills gaps; that is

@@ -285,6 +285,41 @@ class SeriesFunctionsSpec extends SparkSpec {
       ("wa", 120L, None)))     // zero weight mass
   }
 
+  test("holtWintersForecast: seed, gap-hold, ring update vs a scala model") {
+    val vals0: Seq[Option[Double]] = Seq(Some(10.0), Some(12.0), None,
+      Some(14.0), Some(11.0), Some(13.0), Some(15.0), Some(12.0))
+    val f = frame(vals0.zipWithIndex.map { case (v, i) =>
+      ("a", i * 60L, v.map(Double.box).map(_.asInstanceOf[java.lang.Double]).orNull) }: _*)
+    val L = 3
+    // independent replay of the documented rules
+    val (a, b, g) = (0.1, 0.0035, 0.1)
+    var lvl: Option[Double] = None; var trd = 0.0
+    val season = Array.fill(L)(0.0)
+    val expect = vals0.zipWithIndex.map { case (vo, i) =>
+      val k = i % L
+      val fc = lvl.map(l => l + trd + season(k))
+      vo.foreach { v =>
+        lvl match {
+          case None => lvl = Some(v)
+          case Some(l) =>
+            val lN = a * (v - season(k)) + (1 - a) * (l + trd)
+            trd = b * (lN - l) + (1 - b) * trd
+            season(k) = g * (v - lN) + (1 - g) * season(k)
+            lvl = Some(lN)
+        }
+      }
+      fc
+    }
+    val got = vals(SeriesFunctions.holtWintersForecast(f, L, "3min"))
+      .map(_._3)
+    assert(got.size == expect.size)
+    got.zip(expect).foreach {
+      case (Some(x), Some(y)) => assert(math.abs(x - y) < 1e-9, s"$x vs $y")
+      case (None, None) =>
+      case (x, y) => fail(s"$x vs $y")
+    }
+  }
+
   test("randomized frames: window/selection functions match an independent scala model") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 5) {
