@@ -128,6 +128,7 @@ object SparkEntry {
     "dedup_semantic_routed" -> ((s, dir) => L.dedupSemanticRouted(s, dir)),
     "dedup_embed_cosine_lsh" -> ((s, dir) => L.dedupEmbedCosineLsh(s, dir)),
     "dedup_image_phash" -> ((s, dir) => L.dedupImagePhash(s, dir)),
+    "ann_image_phash" -> ((s, dir) => L.annImagePhash(s, dir)),
     "dedup_simhash" -> ((s, dir) => L.dedupSimhash(s, dir)),
     "dedup_simhash_capped" -> ((s, dir) => L.dedupSimhashCapped(s, dir)),
     "dedup_simhash_clusters" -> ((s, dir) => L.dedupSimhashClusters(s, dir)),
@@ -1236,6 +1237,18 @@ object SparkEntry {
         |SELECT doc_id + 20000000 AS x, doc_id + 30000000 AS y FROM documents
         |  WHERE doc_id % 3 = 0 AND doc_id % 5 = 0 AND doc_id % 7 = 0
         |ORDER BY 1, 2""".stripMargin,
+    // F34: image SEARCH — each planted copy (the arriving "new crawl"
+    // side) finds exactly its own source in the originals' phash index:
+    // twins measured at hamming ≤ 2, nearest DISTINCT image at ≥ 15,
+    // so top-1 at τ=6 is the id-arithmetic source and the oracle never
+    // hashes a pixel
+    "ann_image_phash" ->
+      """SELECT doc_id + 20000000 AS q_id, doc_id AS match_id FROM documents
+        |  WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
+        |UNION ALL
+        |SELECT doc_id + 30000000 AS q_id, doc_id AS match_id FROM documents
+        |  WHERE doc_id % 3 = 0 AND doc_id % 7 = 0
+        |ORDER BY 1""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $TK,
          |$SIM,

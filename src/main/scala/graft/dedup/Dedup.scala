@@ -1276,6 +1276,70 @@ object Dedup {
     crossPairs.unionByName(intra).orderBy(col("x"), col("y"))
   }
 
+  /** F34: hamming-space top-k SEARCH over 60-bit signatures — ranked
+    * nearest-neighbour lookup against a STANDING signature index, the
+    * search twin of [[cappedPairsFromSigs]]: "which corpus items does
+    * this new item near-duplicate", ordered by distance, without ever
+    * pairing the base against itself (the [[minhashIncremental]]
+    * base-is-never-self-joined discipline, in hamming space).
+    *
+    * Candidate generation is the G14 all-level probe: the base index
+    * ([[cappedBandKeys]] over the base's DISTINCT signatures) stores
+    * each (sig, band) bucket at the ONE widening level its df fit, so
+    * the query side offers its key at EVERY level (40 narrow rows per
+    * distinct query signature — map-only) and the (band, lvl, key)
+    * equi-join picks out exactly the stored bucket. An identical
+    * signature collides at every level including the stored one; a
+    * near-duplicate at hamming ≤ 3 has an untouched band (4-band
+    * pigeonhole) and is found unless that band was df-widened past the
+    * differing bits — the same drop-only approximation as every capped
+    * family.
+    *
+    * Ranking: per query, row_number over (hamming asc, match_id asc) —
+    * deterministic; rows past `k` or past `maxHamming` are cut.
+    *
+    * Scale shape: the base is scanned once into the (cachedOnce,
+    * refreshable via [[indexMerge]]'s simhash twin) index; candidate
+    * volume is bounded by 40·|query sigs|·maxDf REGARDLESS of base
+    * size; the rank window partitions by q_id — high cardinality, no
+    * hot partition; id expansion joins carry 8-byte sigs, never
+    * payloads. Output (q_id, match_id, hamming, rank).
+    */
+  def hammingSearch(spark: SparkSession, baseSigs: DataFrame,
+                    querySigs: DataFrame, k: Int, maxHamming: Int,
+                    maxDf: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val n = simhashWidenLevels
+    // (match_id, simhash): consumed by the distinct-sig index build and
+    // the id expansion join
+    val base = baseSigs.select(col("match_id"), col("simhash")).cachedOnce
+    val keyed = cappedBandKeys(spark, base.select("simhash").distinct(), maxDf)
+    val qsig = querySigs.select(col("q_id"), col("simhash")).cachedOnce
+    val bandIdx = broadcast(spark.range(4).toDF("band"))
+    // every (band, level) key for each distinct query sig — map-only
+    val probes = qsig.select(col("simhash")).distinct()
+      .crossJoin(bandIdx)
+      .select(col("simhash"), col("band"),
+        posexplode(array((0 to n).map(j => expr(simhashKeyExpr(j))): _*))
+          .as(Seq("j", "key")))
+      .select(col("simhash").as("qs"), col("band"),
+        col("j").cast("long").as("lvl"), col("key").as("bkey"))
+    val candSigs = probes.join(keyed, Seq("band", "lvl", "bkey"))
+      .select(col("qs"), col("simhash").as("bs"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("qs").bitwiseXOR(col("bs"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("hamming"), col("match_id"))
+    candSigs
+      .join(qsig.select(col("q_id"), col("simhash").as("qs")), "qs")
+      .join(base.select(col("match_id"), col("simhash").as("bs")), "bs")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("match_id"), col("hamming"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** F4-scale clusters: O(n)-output keep/drop decisions instead of
     * Ω(n²) pairs (VERDICT r2 #1b). Star clustering, single pass: each
     * signature group's representative is its min doc_id; a group whose

@@ -102,6 +102,23 @@ object ImageDedup {
     graft.dedup.Dedup.cappedPairsFromSigs(spark, imageHashes(media),
       "media_id", maxHamming, maxDf)
 
+  /** F34: image near-dup SEARCH — ranked hamming top-k of arriving
+    * images against the standing corpus's perceptual-hash index
+    * ([[graft.dedup.Dedup.hammingSearch]] over [[aHash60]]
+    * signatures): "which corpus image does this new crawl image
+    * duplicate", the lookup a crawl-ingest service runs before
+    * admitting a payload. The query side is never paired against
+    * itself — incoming-vs-incoming dups are the nightly
+    * [[phashPairs]] batch job's business.
+    */
+  def phashSearch(spark: SparkSession, base: Dataset[MediaRecord],
+                  queries: Dataset[MediaRecord], k: Int, maxHamming: Int,
+                  maxDf: Int): DataFrame =
+    graft.dedup.Dedup.hammingSearch(spark,
+      imageHashes(base).select(col("media_id").as("match_id"), col("simhash")),
+      imageHashes(queries).select(col("media_id").as("q_id"), col("simhash")),
+      k, maxHamming, maxDf)
+
   /** splitmix64 finalizer — decorrelates per-(id, cell) intensities. */
   private def mix(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L

@@ -278,6 +278,24 @@ object LlmQueries {
       .select(col("x"), col("y"))
   }
 
+  /** F34: image near-dup SEARCH over the planted-twin fixture — the
+    * copies (re-encodes + resizes) arrive as the "new crawl" and are
+    * looked up against the ORIGINALS' standing phash index; each
+    * copy's top-1 at hamming ≤ τ must be its own source (nearest
+    * DISTINCT image measured at hamming ≥ 15, far past τ), so the
+    * expected result is pure id arithmetic — the oracle never hashes
+    * a pixel.
+    */
+  def annImagePhash(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.ImageDedup
+    val planted = ImageDedup.plantedImages(spark, Tables.documents(spark, dir))
+    ImageDedup.phashSearch(spark,
+      planted.filter(_.media_id < ImageDedup.ReencOffset),
+      planted.filter(_.media_id >= ImageDedup.ReencOffset),
+      1, PhashMaxHamming, PhashMaxDf)
+      .select(col("q_id"), col("match_id"))
+  }
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(spark, Tables.documents(spark, dir), SimhashMaxHamming)
 

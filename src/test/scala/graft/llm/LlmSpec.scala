@@ -246,6 +246,29 @@ class LlmSpec extends SparkSpec {
       "expected both exact dups and uniques on the real corpus")
   }
 
+  test("hamming search: ranked top-k, id tie-break, exact survives df-widening (F34)") {
+    // all sigs agree on bands 1-3 (bits 15+ zero), so at a generous cap
+    // every base sig is a candidate and the result IS brute force
+    val base = Seq((10L, 0L), (11L, 1L), (9L, 2L), (12L, 3L), (13L, 7L),
+      (14L, 4095L)).toDF("match_id", "simhash")
+    val queries = Seq((100L, 0L)).toDF("q_id", "simhash")
+    val out = Dedup.hammingSearch(spark, base, queries, 3, 6, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toList == List(
+      (100L, 10L, 0L, 1L), // exact
+      (100L, 9L, 1L, 2L),  // hamming 1 tie: smaller match_id ranks first
+      (100L, 11L, 1L, 3L)))
+    // τ cuts: sig 4095 (hamming 12) never surfaces even with room in k
+    val all = Dedup.hammingSearch(spark, base, queries, 10, 6, 64).collect()
+    assert(all.length == 5 && all.forall(_.getLong(2) <= 6))
+    // maxDf=1 widens every shared bucket to a level whose extension
+    // bits differ; the all-level probe still finds the IDENTICAL
+    // signature (an exact match collides at every level, G14 property)
+    val capped = Dedup.hammingSearch(spark, base, queries, 10, 6, 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(capped.contains((10L, 0L)))
+  }
+
   test("index merge equals rebuild; overflow re-keys standing rows (F37)") {
     val all = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val d1 = all.filter($"doc_id" % 4 =!= 0)

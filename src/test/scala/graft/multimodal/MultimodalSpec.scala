@@ -181,4 +181,21 @@ class MultimodalSpec extends SparkSpec {
       (15L, 15L + re), // id 15: re-encode twin
       (21L, 21L + rs))) // id 21: resize twin
   }
+
+  test("phash search: every planted copy's top-1 is its own source (F34)") {
+    val d = (0L until 30L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val planted = ImageDedup.plantedImages(spark, d)
+    val re = ImageDedup.ReencOffset
+    val rs = ImageDedup.ResizeOffset
+    // the copies arrive as queries against the originals' index; the
+    // query side is never self-paired, so the twin-twin pair (re, rs)
+    // that phashPairs reports cannot appear here
+    val out = ImageDedup.phashSearch(spark,
+      planted.filter(_.media_id < re),
+      planted.filter(_.media_id >= re), 1,
+      graft.ops.LlmQueries.PhashMaxHamming, graft.ops.LlmQueries.PhashMaxDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(out == Set((re, 0L, 1L), (rs, 0L, 1L),
+      (15L + re, 15L, 1L), (21L + rs, 21L, 1L)))
+  }
 }

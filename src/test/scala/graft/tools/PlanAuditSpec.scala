@@ -331,6 +331,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOf(p, "Exchange hashpartitioning") <= 3, p.take(3000))
   }
 
+  test("ann_image_phash: equi-join probe, q_id-ranked window, no frame sort-merge") {
+    val p = plan("ann_image_phash")
+    // candidate generation is a (band, lvl, bkey) hash equi-join against
+    // the standing index — the only nested-loop joins in the plan are
+    // the bounded 4-row band-index crosses (swept separately for
+    // CartesianProduct); the rank window partitions by q_id (high
+    // cardinality — no hot partition), ordered (hamming, match_id)
+    assert(p.contains("windowspecdefinition(q_id"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("gfn combiners aggregate map-side; selection broadcasts, never sorts the frame") {
     val p = plan("gfn_sum_series")
     // sumSeries = one map-side-combined groupBy(t) on the fetch frame
