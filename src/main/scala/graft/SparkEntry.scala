@@ -90,6 +90,13 @@ object SparkEntry {
     "gfn_moving_median" -> ((s, dir) => T.gfnMovingMedian(s, dir)),
     "gfn_weighted_avg" -> ((s, dir) => T.gfnWeightedAvg(s, dir)),
     "gfn_holt_winters" -> ((s, dir) => T.gfnHoltWinters(s, dir)),
+    "gfn_hw_bands" -> ((s, dir) => T.gfnHwBands(s, dir)),
+    "gfn_hw_aberration" -> ((s, dir) => T.gfnHwAberration(s, dir)),
+    "gfn_pointwise" -> ((s, dir) => T.gfnPointwise(s, dir)),
+    "gfn_changed_delay" -> ((s, dir) => T.gfnChangedDelay(s, dir)),
+    "gfn_diff_multiply" -> ((s, dir) => T.gfnDiffMultiply(s, dir)),
+    "gfn_percentile_gates" -> ((s, dir) => T.gfnPercentileGates(s, dir)),
+    "gfn_substr" -> ((s, dir) => T.gfnSubstr(s, dir)),
     // D. dataMine bridge
     "dm_resample" -> ((s, dir) => T.dmResample(s, dir)),
     "dm_resample_all" -> ((s, dir) => T.dmResampleAll(s, dir)),
@@ -2922,6 +2929,202 @@ object SparkEntry {
          |SELECT 'holtWintersForecast(sumSeries(vera.u1?.click),"1day")' AS path,
          | t, round(fc - 1e-9, 4) AS value
          |FROM rec ORDER BY 2""".stripMargin,
+    // C9ac: the confidence envelope — the SAME recursive state chain
+    // extended with a second (deviation) ring: dev'[k] = 0.1·|v − fc|
+    // + 0.9·dev[k] on present post-seed points; upper/lower = fc ±
+    // 3·dev[k] with the PRE-update slot (the season-ring discipline on
+    // the error channel)
+    "gfn_hw_bands" ->
+      s"""WITH RECURSIVE $GfnFrameCte,
+         |ss AS (SELECT t, sum(value) AS value FROM fr GROUP BY 1),
+         |pts AS (SELECT t, value, row_number() OVER (ORDER BY t) AS rn FROM ss),
+         |zeros AS (SELECT list_transform(range(24), x -> CAST(0.0 AS DOUBLE)) AS z),
+         |rec AS (
+         |  SELECT p.t, p.rn, p.value,
+         |    CAST(NULL AS DOUBLE) AS fc, CAST(NULL AS DOUBLE) AS dk,
+         |    CASE WHEN p.value IS NOT NULL THEN p.value END AS lvl,
+         |    CAST(0.0 AS DOUBLE) AS trd,
+         |    (SELECT z FROM zeros) AS season,
+         |    (SELECT z FROM zeros) AS dev
+         |  FROM pts p WHERE p.rn = 1
+         |  UNION ALL
+         |  SELECT p.t, p.rn, p.value,
+         |    CASE WHEN r.lvl IS NULL THEN NULL
+         |         ELSE r.lvl + r.trd + r.season[((p.rn-1) % 24) + 1] END AS fc,
+         |    r.dev[((p.rn-1) % 24) + 1] AS dk,
+         |    CASE WHEN p.value IS NULL THEN r.lvl
+         |         WHEN r.lvl IS NULL THEN p.value
+         |         ELSE 0.1*(p.value - r.season[((p.rn-1) % 24) + 1])
+         |              + 0.9*(r.lvl + r.trd) END AS lvl,
+         |    CASE WHEN p.value IS NULL OR r.lvl IS NULL THEN r.trd
+         |         ELSE 0.0035*((0.1*(p.value - r.season[((p.rn-1) % 24) + 1])
+         |                       + 0.9*(r.lvl + r.trd)) - r.lvl)
+         |              + 0.9965*r.trd END AS trd,
+         |    CASE WHEN p.value IS NULL OR r.lvl IS NULL THEN r.season
+         |         ELSE r.season[1:((p.rn-1) % 24)]
+         |           || [0.1*(p.value - (0.1*(p.value - r.season[((p.rn-1) % 24) + 1])
+         |                               + 0.9*(r.lvl + r.trd)))
+         |               + 0.9*r.season[((p.rn-1) % 24) + 1]]
+         |           || r.season[((p.rn-1) % 24) + 2 :] END AS season,
+         |    CASE WHEN p.value IS NULL OR r.lvl IS NULL THEN r.dev
+         |         ELSE r.dev[1:((p.rn-1) % 24)]
+         |           || [0.1*abs(p.value - (r.lvl + r.trd + r.season[((p.rn-1) % 24) + 1]))
+         |               + 0.9*r.dev[((p.rn-1) % 24) + 1]]
+         |           || r.dev[((p.rn-1) % 24) + 2 :] END AS dev
+         |  FROM pts p JOIN rec r ON p.rn = r.rn + 1)
+         |SELECT path, t, round(value - 1e-9, 4) AS value FROM (
+         |  SELECT 'holtWintersConfidenceLower(sumSeries(vera.u1?.click))' AS path,
+         |    t, fc - 3.0*dk AS value FROM rec
+         |  UNION ALL
+         |  SELECT 'holtWintersConfidenceUpper(sumSeries(vera.u1?.click))' AS path,
+         |    t, fc + 3.0*dk AS value FROM rec) u
+         |ORDER BY 1, 2""".stripMargin,
+    // C9ac: aberration — excursion past the same envelope; 0 inside,
+    // 0 at gaps and before the forecast seeds (alerting semantics:
+    // "no anomaly", never "no data")
+    "gfn_hw_aberration" ->
+      s"""WITH RECURSIVE $GfnFrameCte,
+         |ss AS (SELECT t, sum(value) AS value FROM fr GROUP BY 1),
+         |pts AS (SELECT t, value, row_number() OVER (ORDER BY t) AS rn FROM ss),
+         |zeros AS (SELECT list_transform(range(24), x -> CAST(0.0 AS DOUBLE)) AS z),
+         |rec AS (
+         |  SELECT p.t, p.rn, p.value,
+         |    CAST(NULL AS DOUBLE) AS fc, CAST(NULL AS DOUBLE) AS dk,
+         |    CASE WHEN p.value IS NOT NULL THEN p.value END AS lvl,
+         |    CAST(0.0 AS DOUBLE) AS trd,
+         |    (SELECT z FROM zeros) AS season,
+         |    (SELECT z FROM zeros) AS dev
+         |  FROM pts p WHERE p.rn = 1
+         |  UNION ALL
+         |  SELECT p.t, p.rn, p.value,
+         |    CASE WHEN r.lvl IS NULL THEN NULL
+         |         ELSE r.lvl + r.trd + r.season[((p.rn-1) % 24) + 1] END AS fc,
+         |    r.dev[((p.rn-1) % 24) + 1] AS dk,
+         |    CASE WHEN p.value IS NULL THEN r.lvl
+         |         WHEN r.lvl IS NULL THEN p.value
+         |         ELSE 0.1*(p.value - r.season[((p.rn-1) % 24) + 1])
+         |              + 0.9*(r.lvl + r.trd) END AS lvl,
+         |    CASE WHEN p.value IS NULL OR r.lvl IS NULL THEN r.trd
+         |         ELSE 0.0035*((0.1*(p.value - r.season[((p.rn-1) % 24) + 1])
+         |                       + 0.9*(r.lvl + r.trd)) - r.lvl)
+         |              + 0.9965*r.trd END AS trd,
+         |    CASE WHEN p.value IS NULL OR r.lvl IS NULL THEN r.season
+         |         ELSE r.season[1:((p.rn-1) % 24)]
+         |           || [0.1*(p.value - (0.1*(p.value - r.season[((p.rn-1) % 24) + 1])
+         |                               + 0.9*(r.lvl + r.trd)))
+         |               + 0.9*r.season[((p.rn-1) % 24) + 1]]
+         |           || r.season[((p.rn-1) % 24) + 2 :] END AS season,
+         |    CASE WHEN p.value IS NULL OR r.lvl IS NULL THEN r.dev
+         |         ELSE r.dev[1:((p.rn-1) % 24)]
+         |           || [0.1*abs(p.value - (r.lvl + r.trd + r.season[((p.rn-1) % 24) + 1]))
+         |               + 0.9*r.dev[((p.rn-1) % 24) + 1]]
+         |           || r.dev[((p.rn-1) % 24) + 2 :] END AS dev
+         |  FROM pts p JOIN rec r ON p.rn = r.rn + 1)
+         |SELECT 'holtWintersAberration(sumSeries(vera.u1?.click))' AS path, t,
+         | round(CASE WHEN value IS NULL OR fc IS NULL THEN 0.0
+         |        WHEN value > fc + 3.0*dk THEN value - (fc + 3.0*dk)
+         |        WHEN value < fc - 3.0*dk THEN value - (fc - 3.0*dk)
+         |        ELSE 0.0 END - 1e-9, 4) + 0.0 AS value
+         |FROM rec ORDER BY 2""".stripMargin,
+    // C9ad: the pointwise null/math family — five map-only transforms
+    // of the same raw frame, replayed as five UNION branches
+    "gfn_pointwise" ->
+      s"""WITH $GfnFrameCte,
+         |u AS (
+         |  SELECT 'transformNull(' || path || ',0)' AS path, t,
+         |    coalesce(value, 0.0) AS value FROM fr
+         |  UNION ALL
+         |  SELECT 'isNonNull(' || path || ')' AS path, t,
+         |    CASE WHEN value IS NOT NULL THEN 1.0 ELSE 0.0 END AS value FROM fr
+         |  UNION ALL
+         |  SELECT 'logarithm(' || path || ',10)' AS path, t,
+         |    CASE WHEN value > 0 THEN ln(value) / ln(10.0) END AS value FROM fr
+         |  UNION ALL
+         |  SELECT 'squareRoot(' || path || ')' AS path, t,
+         |    CASE WHEN value >= 0 THEN sqrt(value) END AS value FROM fr
+         |  UNION ALL
+         |  SELECT 'invert(' || path || ')' AS path, t,
+         |    CASE WHEN value <> 0 THEN 1.0/value END AS value FROM fr)
+         |SELECT path, t, round(value - 1e-9, 4) + 0.0 AS value FROM u
+         |ORDER BY 1, 2""".stripMargin,
+    // C9ae: changed + delay — one lag window each; changed needs BOTH
+    // points present and unequal
+    "gfn_changed_delay" ->
+      s"""WITH $GfnFrameCte,
+         |sq AS (SELECT path, t, value,
+         |  lag(value) OVER (PARTITION BY path ORDER BY t) AS pv,
+         |  lag(value, 2) OVER (PARTITION BY path ORDER BY t) AS dv
+         |  FROM fr),
+         |u AS (
+         |  SELECT 'changed(' || path || ')' AS path, t,
+         |    CASE WHEN value IS NOT NULL AND pv IS NOT NULL AND value <> pv
+         |         THEN 1.0 ELSE 0.0 END AS value FROM sq
+         |  UNION ALL
+         |  SELECT 'delay(' || path || ',2)' AS path, t, dv AS value FROM sq)
+         |SELECT path, t, round(value - 1e-9, 4) + 0.0 AS value FROM u
+         |ORDER BY 1, 2""".stripMargin,
+    // C9af: diffSeries (missing subtrahend subtracts 0, missing
+    // minuend stays null) + multiplySeries (any missing factor nulls
+    // the product; DuckDB's product() vs the in-row fold agree within
+    // the shared Eps+round, the stddevSeries moment-sum argument)
+    "gfn_diff_multiply" ->
+      s"""WITH $M,
+         |${gfnFrameCteNamed("^vera\\.u1[^.]\\.click$$", "c")},
+         |${gfnFrameCteNamed("^vera\\.u1[^.]\\.error$$", "e")},
+         |dc AS (SELECT t, sum(value) AS v FROM frc GROUP BY 1),
+         |de AS (SELECT t, sum(value) AS sv FROM fre GROUP BY 1),
+         |mp AS (SELECT t, count(*) AS n, count(value) AS nn,
+         |  product(value) AS pr FROM frc GROUP BY 1),
+         |u AS (
+         |  SELECT 'diffSeries(sumSeries(vera.u1?.click),sumSeries(vera.u1?.error))' AS path,
+         |    dc.t, dc.v - coalesce(de.sv, 0.0) AS value
+         |  FROM dc LEFT JOIN de USING (t)
+         |  UNION ALL
+         |  SELECT 'multiplySeries(vera.u1?.click)' AS path, t,
+         |    CASE WHEN nn = n AND n > 0 THEN pr END AS value FROM mp)
+         |SELECT path, t, round(value - 1e-9, 4) AS value FROM u
+         |ORDER BY 1, 2""".stripMargin,
+    // C9ag: percentile gates — the shared clamped discrete rank, per
+    // series (removeAbove/BelowPercentile) and per timestamp
+    // (percentileOfSeries)
+    "gfn_percentile_gates" ->
+      s"""WITH $GfnFrameCte,
+         |nn AS (SELECT path, value,
+         |  row_number() OVER (PARTITION BY path ORDER BY value, t) AS rn,
+         |  count(*) OVER (PARTITION BY path) AS cnt
+         |  FROM fr WHERE value IS NOT NULL),
+         |p90 AS (SELECT path, value AS pv FROM nn
+         |  WHERE rn = greatest(1, least(cnt, CAST(floor(0.90*(cnt+1)) AS BIGINT)))),
+         |p10 AS (SELECT path, value AS pv FROM nn
+         |  WHERE rn = greatest(1, least(cnt, CAST(floor(0.10*(cnt+1)) AS BIGINT)))),
+         |ps AS (SELECT t, list_sort(list_filter(list(value), x -> x IS NOT NULL)) AS arr
+         |  FROM fr GROUP BY 1),
+         |u AS (
+         |  SELECT 'removeAbovePercentile(' || f.path || ',90)' AS path, f.t,
+         |    CASE WHEN f.value <= p90.pv THEN f.value END AS value
+         |  FROM fr f LEFT JOIN p90 ON f.path = p90.path
+         |  UNION ALL
+         |  SELECT 'removeBelowPercentile(' || f.path || ',10)' AS path, f.t,
+         |    CASE WHEN f.value >= p10.pv THEN f.value END AS value
+         |  FROM fr f LEFT JOIN p10 ON f.path = p10.path
+         |  UNION ALL
+         |  SELECT 'percentileOfSeries(vera.u1?.click,90)' AS path, t,
+         |    CASE WHEN len(arr) > 0 THEN
+         |      arr[greatest(1, least(len(arr), CAST(floor(0.90*(len(arr)+1)) AS INT)))]
+         |    END AS value FROM ps)
+         |SELECT path, t, round(value - 1e-9, 4) AS value FROM u
+         |ORDER BY 1, 2""".stripMargin,
+    // C9ah: substr node slice over the top-2-by-average selection —
+    // the alias_nodes pattern with a range instead of a node list
+    "gfn_substr" ->
+      s"""WITH $GfnFrameCte,
+         |st AS (SELECT path, avg(value) AS s FROM fr GROUP BY 1),
+         |top AS (SELECT path FROM (SELECT path,
+         |    row_number() OVER (ORDER BY round(s, 6) DESC NULLS LAST, path) AS rk
+         |  FROM st) WHERE rk <= 2)
+         |SELECT string_split(f.path, '.')[2] || '.' || string_split(f.path, '.')[3] AS path,
+         | f.t, round(f.value - 1e-9, 4) AS value
+         |FROM fr f JOIN top ON f.path = top.path ORDER BY 1, 2""".stripMargin,
     // C9h: the URL round trip — function target through /render
     // format=csv; the env's -Eps input shift rides max() exactly
     "gfn_cgi_render" ->

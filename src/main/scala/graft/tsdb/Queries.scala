@@ -641,6 +641,63 @@ object Queries {
     gfnEval(spark, dir,
       """holtWintersForecast(sumSeries(vera.u1?.click),"1day")""")
 
+  /** C9ac: the Holt-Winters anomaly stack completed — the confidence
+    * envelope (forecast ± δ·seasonal deviation; both bands come out of
+    * the ONE shared fold) over the combined click stream.
+    */
+  def gfnHwBands(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir,
+      "holtWintersConfidenceBands(sumSeries(vera.u1?.click),3)")
+
+  /** C9ac: the aberration excursions — how far each actual point
+    * escapes the envelope; 0 inside, 0 at gaps (alerting semantics).
+    */
+  def gfnHwAberration(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir,
+      "holtWintersAberration(sumSeries(vera.u1?.click),3)")
+
+  /** C9ad: the pointwise null/math family over the raw 5-series glob —
+    * transformNull/isNonNull exercise the gap channel, logarithm/
+    * squareRoot/invert the value channel; every branch map-only.
+    */
+  def gfnPointwise(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir,
+      "group(transformNull(vera.u1?.click,0),isNonNull(vera.u1?.click)," +
+        "logarithm(vera.u1?.click,10),squareRoot(vera.u1?.click)," +
+        "invert(vera.u1?.click))")
+
+  /** C9ae: sequence probes — change detection and the N-step delayed
+    * twin (the "compare with 2 hours ago" building block).
+    */
+  def gfnChangedDelay(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir,
+      "group(changed(vera.u1?.click),delay(vera.u1?.click,2))")
+
+  /** C9af: two-list series math — click minus error per timestamp
+    * (missing subtrahend subtracts 0) and the all-series product
+    * (any missing factor nulls the point).
+    */
+  def gfnDiffMultiply(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir,
+      "group(diffSeries(sumSeries(vera.u1?.click),sumSeries(vera.u1?.error))," +
+        "multiplySeries(vera.u1?.click))")
+
+  /** C9ag: percentile gates — per-series p90/p10 outlier clips and the
+    * across-series p90 envelope, all on the shared discrete
+    * clamped-rank pick.
+    */
+  def gfnPercentileGates(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir,
+      "group(removeAbovePercentile(vera.u1?.click,90)," +
+        "removeBelowPercentile(vera.u1?.click,10)," +
+        "percentileOfSeries(vera.u1?.click,90))")
+
+  /** C9ah: substr node-slice relabel over a selection — parser
+    * coverage for the 3-int-arg form.
+    */
+  def gfnSubstr(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, "substr(highestAverage(vera.u1?.click,2),1,3)")
+
   /** C9h: the URL round trip — a function target through Cgi.dispatch
     * (maxSeries propagates the env's -Eps input shift exactly).
     */

@@ -406,11 +406,21 @@ object SeriesFunctions {
     * per-series value window) broadcast back onto the grid; a series
     * with no non-null points stays all-null.
     */
-  def nPercentile(f: DataFrame, p: Double): DataFrame = {
-    require(p > 0 && p <= 100, s"nPercentile: p must be in (0,100] (got $p)")
+  def nPercentile(f: DataFrame, p: Double): DataFrame =
+    frame(f.join(broadcast(seriesPercentile(f, p)), Seq("path"), "left"),
+      wrap("nPercentile", fmtNum(p)), col("t"), col("pv"))
+
+  /** Per-series discrete percentile value (path, pv): the clamped-rank
+    * selection rule shared by [[nPercentile]] and the
+    * removeAbove/BelowPercentile gates — rank = clamp(⌊p/100·(n+1)⌋,
+    * [1, n]) over each series' sorted non-null values, an integer pick
+    * of a stored double, so both engines select the identical value.
+    */
+  private def seriesPercentile(f: DataFrame, p: Double): DataFrame = {
+    require(p > 0 && p <= 100, s"percentile p must be in (0,100] (got $p)")
     val wv = Window.partitionBy(col("path")).orderBy(col("value"), col("t"))
     val wp = Window.partitionBy(col("path"))
-    val pv = f.filter(col("value").isNotNull)
+    f.filter(col("value").isNotNull)
       .select(col("path"), col("value"),
         row_number().over(wv).as("rn"), count(lit(1)).over(wp).as("cnt"))
       // rank clamped to [1, cnt]: p=100 selects the max instead of
@@ -419,8 +429,6 @@ object SeriesFunctions {
       .filter(col("rn") === greatest(lit(1L), least(col("cnt"),
         floor(lit(p / 100.0) * (col("cnt") + 1)).cast("long"))))
       .select(col("path"), col("value").as("pv"))
-    frame(f.join(broadcast(pv), Seq("path"), "left"),
-      wrap("nPercentile", fmtNum(p)), col("t"), col("pv"))
   }
 
   /** Graphite `exponentialMovingAverage(series, n)`: α = 2/(n+1),
@@ -488,7 +496,27 @@ object SeriesFunctions {
     * graphite's constants.
     */
   def holtWintersForecast(f: DataFrame, seasonPts: Int,
-                          seasonText: String): DataFrame = {
+                          seasonText: String): DataFrame =
+    frame(holtWintersFit(f, seasonPts),
+      concat(lit("holtWintersForecast("), col("path"),
+        lit(s""","$seasonText")""")),
+      col("t"), col("fc"))
+
+  /** The shared Holt-Winters fold — one pass producing, per grid
+    * point, the PRE-UPDATE forecast `fc` and seasonal deviation `dk`
+    * (γ-smoothed |actual − forecast| ring slot, graphite's
+    * holtWintersAnalysis deviation) alongside presence and the raw
+    * value. [[holtWintersForecast]], [[holtWintersConfidenceBands]]
+    * and [[holtWintersAberration]] are projections of this ONE float
+    * sequence, so forecast, bands and aberration can never disagree
+    * about the model state — and the WITH RECURSIVE oracles replay
+    * the identical sequence with a second (dev) ring. Deviation rule
+    * (pinned in both engines): dev'[k] = γ·|v − fc| + (1−γ)·dev[k]
+    * when the point is present and a forecast exists; gaps and the
+    * pre-seed prefix leave the ring untouched (the season-ring rules
+    * applied to the error channel).
+    */
+  private def holtWintersFit(f: DataFrame, seasonPts: Int): DataFrame = {
     require(seasonPts >= 1, s"holtWinters season must be >= 1 point (got $seasonPts)")
     val (alpha, beta, gamma) = (0.1, 0.0035, 0.1)
     val L = seasonPts
@@ -500,12 +528,15 @@ object SeriesFunctions {
     val folded = aggregate(
       col("pts"),
       struct(lit(null).cast("double").as("lvl"), lit(0.0).as("trd"),
-        zeros.as("season"),
-        array().cast("array<struct<t:bigint,value:double>>").as("out")),
+        zeros.as("season"), zeros.as("dev"),
+        array().cast(
+          "array<struct<t:bigint,present:boolean,v:double,fc:double,dk:double>>")
+          .as("out")),
       (acc, x) => {
         val i = size(acc.getField("out"))
         val k = pmod(i, lit(L))                      // 0-based ring slot
         val sk = element_at(acc.getField("season"), k + 1)
+        val dk = element_at(acc.getField("dev"), k + 1)
         val present = x.getField("pv").getField("p")
         val v = x.getField("pv").getField("v")
         val lvl = acc.getField("lvl")
@@ -523,15 +554,68 @@ object SeriesFunctions {
             slice(acc.getField("season"), lit(1), k),
             array(skN),
             slice(acc.getField("season"), k + 2, lit(L) - k - 1)))
+        // deviation ring: absolute forecast error, γ-smoothed at this
+        // slot; fc is non-null whenever lvl is (pre-seed rows hold)
+        val dkN = lit(gamma) * abs(v - fc) + lit(1 - gamma) * dk
+        val devN = when(!present || lvl.isNull, acc.getField("dev"))
+          .otherwise(concat(
+            slice(acc.getField("dev"), lit(1), k),
+            array(dkN),
+            slice(acc.getField("dev"), k + 2, lit(L) - k - 1)))
         struct(lvlN.as("lvl"), trdN.as("trd"), seasonN.as("season"),
+          devN.as("dev"),
           concat(acc.getField("out"), array(struct(
-            x.getField("t").as("t"), fc.as("value")))).as("out"))
+            x.getField("t").as("t"), present.as("present"), v.as("v"),
+            fc.as("fc"), dk.as("dk")))).as("out"))
       },
       acc => acc.getField("out"))
-    frame(pts.select(col("path"), explode(folded).as("e")),
-      concat(lit("holtWintersForecast("), col("path"),
-        lit(s""","$seasonText")""")),
-      col("e.t"), col("e.value"))
+    pts.select(col("path"), explode(folded).as("e"))
+      .select(col("path"), col("e.t").as("t"), col("e.present").as("present"),
+        col("e.v").as("v"), col("e.fc").as("fc"), col("e.dk").as("dk"))
+  }
+
+  /** Graphite `holtWintersConfidenceBands(series, delta)`: the
+    * forecast envelope — upper/lower = fc ± δ·dev[k], one pair of
+    * output series per input series (graphite's
+    * holtWintersConfidenceUpper/Lower naming). Both bands come out of
+    * ONE fold pass via a 2-row in-row explode — the fit is never
+    * evaluated twice. Null until the forecast seeds (fc null
+    * dominates the ± arithmetic), including at gap points where the
+    * envelope still draws (state held, forecast emitted — the
+    * forecast rules).
+    */
+  def holtWintersConfidenceBands(f: DataFrame, seasonPts: Int,
+                                 delta: Double): DataFrame = {
+    val fit = holtWintersFit(f, seasonPts)
+    val branches = explode(array(
+      struct(lit("holtWintersConfidenceUpper").as("nm"),
+        (col("fc") + lit(delta) * col("dk")).as("bv")),
+      struct(lit("holtWintersConfidenceLower").as("nm"),
+        (col("fc") - lit(delta) * col("dk")).as("bv"))))
+    fit.select(col("path"), col("t"), branches.as("b"))
+      .select(concat(col("b.nm"), lit("("), col("path"), lit(")")).as("path"),
+        col("t"), col("b.bv").as("value"))
+  }
+
+  /** Graphite `holtWintersAberration(series, delta)`: how far each
+    * actual point escapes the confidence envelope — v − upper above,
+    * v − lower below (negative), 0 inside; gaps and the pre-seed
+    * prefix are 0 (graphite emits 0, not null — an aberration series
+    * feeds alerting thresholds, where null would read as "no data"
+    * instead of "no anomaly").
+    */
+  def holtWintersAberration(f: DataFrame, seasonPts: Int,
+                            delta: Double): DataFrame = {
+    val fit = holtWintersFit(f, seasonPts)
+    val upper = col("fc") + lit(delta) * col("dk")
+    val lower = col("fc") - lit(delta) * col("dk")
+    frame(fit,
+      concat(lit("holtWintersAberration("), col("path"), lit(")")),
+      col("t"),
+      when(!col("present") || col("fc").isNull, lit(0.0))
+        .when(col("v") > upper, col("v") - upper)
+        .when(col("v") < lower, col("v") - lower)
+        .otherwise(lit(0.0)))
   }
 
   /** Graphite `linearRegression(series)`: each series replaced by its
@@ -786,6 +870,147 @@ object SeriesFunctions {
   def aliasSub(f: DataFrame, search: String, replace: String): DataFrame =
     frame(f, regexp_replace(col("path"), search, replace),
       col("t"), col("value"))
+
+  // ---- pointwise null/math transforms: map-only, ride the fetch scan ----
+
+  /** Graphite `transformNull(series, default)`: gaps become `default`
+    * — the "draw 0 instead of a hole" dashboard staple. Map-only.
+    */
+  def transformNull(f: DataFrame, default: Double): DataFrame =
+    frame(f, wrap("transformNull", fmtNum(default)), col("t"),
+      coalesce(col("value"), lit(default)))
+
+  /** Graphite `isNonNull(series)`: 1 where a value exists, 0 at gaps
+    * — the data-presence indicator summarize/integral turn into
+    * uptime counts. Map-only.
+    */
+  def isNonNull(f: DataFrame): DataFrame =
+    frame(f, wrap("isNonNull", ""), col("t"),
+      when(col("value").isNotNull, lit(1.0)).otherwise(lit(0.0)))
+
+  /** Graphite `logarithm(series, base)`: log_base(v); non-positive
+    * points null out (graphite draws nothing there). ln(v)/ln(base) —
+    * the identical two-float expression both engines evaluate.
+    */
+  def logarithm(f: DataFrame, base: Double): DataFrame = {
+    require(base > 0 && base != 1.0, s"logarithm base must be > 0, != 1 (got $base)")
+    frame(f, wrap("logarithm", fmtNum(base)), col("t"),
+      when(col("value") > 0.0, log(col("value")) / math.log(base)))
+  }
+
+  /** Graphite `squareRoot(series)`: √v; negative points null out. */
+  def squareRoot(f: DataFrame): DataFrame =
+    frame(f, wrap("squareRoot", ""), col("t"),
+      when(col("value") >= 0.0, sqrt(col("value"))))
+
+  /** Graphite `pow(series, factor)`: v^factor. */
+  def powSeries(f: DataFrame, factor: Double): DataFrame =
+    frame(f, wrap("pow", fmtNum(factor)), col("t"),
+      pow(col("value"), factor))
+
+  /** Graphite `invert(series)`: 1/v; zero points null out (the same
+    * divide-by-zero rule as divideSeries).
+    */
+  def invert(f: DataFrame): DataFrame =
+    frame(f, wrap("invert", ""), col("t"),
+      when(col("value") =!= 0.0, lit(1.0) / col("value")))
+
+  /** Graphite `changed(series)`: 1 when the value differs from the
+    * previous point's, else 0 — graphite's rule emits 0 unless BOTH
+    * this point and the previous are present and unequal. One lag
+    * window per series.
+    */
+  def changed(f: DataFrame): DataFrame = {
+    val prev = lag(col("value"), 1).over(byPath)
+    frame(f, wrap("changed", ""), col("t"),
+      when(col("value").isNotNull && prev.isNotNull && col("value") =!= prev,
+        lit(1.0)).otherwise(lit(0.0)))
+  }
+
+  /** Graphite `delay(series, steps)`: each point shows the value from
+    * `steps` grid points earlier (the head is null) — the self-join
+    * companion for "compare with N hours ago" arithmetic on one
+    * window. One lag window per series; negative steps look ahead.
+    */
+  def delay(f: DataFrame, steps: Int): DataFrame =
+    frame(f, wrap("delay", steps.toString), col("t"),
+      lag(col("value"), steps).over(byPath))
+
+  /** Graphite `substr(series, start[, stop])`: the path relabeled to a
+    * dot-node slice [start, stop) — 0-based, stop 0 = to the end
+    * (graphite's python-slice semantics on the split name). Map-only;
+    * the aliasByNode machinery generalized to a range.
+    */
+  def substrSeries(f: DataFrame, start: Int, stop: Int): DataFrame = {
+    val parts = split(col("path"), "\\.")
+    val upto = if (stop == 0) size(parts) else least(lit(stop), size(parts))
+    frame(f,
+      concat_ws(".", slice(parts, lit(start + 1), greatest(upto - start, lit(0)))),
+      col("t"), col("value"))
+  }
+
+  // ---- series math over two lists / percentile gates ----
+
+  /** Graphite `diffSeries(minuend, subtrahend)`: minuend − safeSum of
+    * the subtrahend list per timestamp; a missing subtrahend point
+    * subtracts 0, a missing minuend point stays null (graphite's
+    * safeDiff). PER-MINUEND naming, the divideSeries rule.
+    */
+  def diffSeries(f: DataFrame, sub: DataFrame, subText: String): DataFrame = {
+    val s = sub.groupBy(col("t")).agg(sum(col("value")).as("sv"))
+    frame(f.join(broadcast(s), Seq("t"), "left"),
+      concat(lit("diffSeries("), col("path"), lit(s",$subText)")),
+      col("t"), col("value") - coalesce(col("sv"), lit(0.0)))
+  }
+
+  /** Graphite `multiplySeries(seriesList)`: per-timestamp product
+    * across the list; any missing input point nulls the product
+    * (graphite's safeMul needs every factor). The product itself is
+    * DuckDB's product() aggregate on the oracle side — float multiply
+    * is order-sensitive only in the last ulps, absorbed by the shared
+    * Eps+round discipline exactly like the stddevSeries moment sums.
+    */
+  def multiplySeries(f: DataFrame, name: String): DataFrame =
+    f.groupBy(col("t"))
+      .agg(count(lit(1)).as("n"), count(col("value")).as("nn"),
+        sort_array(collect_list(struct(col("path"), col("value")))).as("vs"))
+      .select(lit(name).as("path"), col("t"),
+        when(col("nn") === col("n") && col("n") > 0,
+          aggregate(col("vs"), lit(1.0), (acc, x) => acc * x.getField("value")))
+          .as("value"))
+
+  /** Graphite `removeAbovePercentile(series, p)`: points above the
+    * series' own p-th percentile (the [[seriesPercentile]] discrete
+    * pick) null out — the robust outlier clip.
+    */
+  def removeAbovePercentile(f: DataFrame, p: Double): DataFrame =
+    frame(f.join(broadcast(seriesPercentile(f, p)), Seq("path"), "left"),
+      wrap("removeAbovePercentile", fmtNum(p)), col("t"),
+      when(col("value") <= col("pv"), col("value")))
+
+  /** Graphite `removeBelowPercentile(series, p)`: the mirror gate. */
+  def removeBelowPercentile(f: DataFrame, p: Double): DataFrame =
+    frame(f.join(broadcast(seriesPercentile(f, p)), Seq("path"), "left"),
+      wrap("removeBelowPercentile", fmtNum(p)), col("t"),
+      when(col("value") >= col("pv"), col("value")))
+
+  /** Graphite `percentileOfSeries(seriesList, p)`: ONE output series
+    * whose point at t is the p-th percentile ACROSS the input series'
+    * values at t — the same clamped discrete rank as [[nPercentile]],
+    * applied per timestamp instead of per series (an integer pick of
+    * a stored double; all-null timestamps stay null). One groupBy(t)
+    * shuffle, in-row sort of a K-value list.
+    */
+  def percentileOfSeries(f: DataFrame, p: Double, name: String): DataFrame = {
+    require(p > 0 && p <= 100, s"percentileOfSeries: p must be in (0,100] (got $p)")
+    val arr = array_sort(collect_list(col("value")))
+    f.groupBy(col("t")).agg(arr.as("arr"))
+      .select(lit(name).as("path"), col("t"),
+        when(size(col("arr")) > 0, element_at(col("arr"),
+          greatest(lit(1), least(size(col("arr")),
+            floor(lit(p / 100.0) * (size(col("arr")) + 1)).cast("int")))))
+          .as("value"))
+  }
 
   /** Graphite interval strings: `"1hour"`, `"30min"`, `"10s"`, `"1d"`
     * — number + unit prefix (graphite's parseTimeOffset unit table).

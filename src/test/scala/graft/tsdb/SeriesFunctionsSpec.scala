@@ -320,6 +320,130 @@ class SeriesFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("holtWinters bands/aberration: deviation ring vs the same scala model") {
+    val vals0: Seq[Option[Double]] = Seq(Some(10.0), Some(12.0), None,
+      Some(14.0), Some(11.0), Some(13.0), Some(15.0), Some(12.0))
+    val f = frame(vals0.zipWithIndex.map { case (v, i) =>
+      ("a", i * 60L, v.map(Double.box).map(_.asInstanceOf[java.lang.Double]).orNull) }: _*)
+    val L = 3
+    val delta = 2.0
+    // the forecast model extended with the deviation ring
+    val (a, b, g) = (0.1, 0.0035, 0.1)
+    var lvl: Option[Double] = None; var trd = 0.0
+    val season = Array.fill(L)(0.0)
+    val dev = Array.fill(L)(0.0)
+    case class Pt(fc: Option[Double], dk: Double, v: Option[Double])
+    val model = vals0.zipWithIndex.map { case (vo, i) =>
+      val k = i % L
+      val fc = lvl.map(l => l + trd + season(k))
+      val dk = dev(k)
+      vo.foreach { v =>
+        lvl match {
+          case None => lvl = Some(v)
+          case Some(l) =>
+            val lN = a * (v - season(k)) + (1 - a) * (l + trd)
+            trd = b * (lN - l) + (1 - b) * trd
+            season(k) = g * (v - lN) + (1 - g) * season(k)
+            dev(k) = g * math.abs(v - fc.get) + (1 - g) * dev(k)
+            lvl = Some(lN)
+        }
+      }
+      Pt(fc, dk, vo)
+    }
+    def close(x: Option[Double], y: Option[Double]): Unit = (x, y) match {
+      case (Some(p), Some(q)) => assert(math.abs(p - q) < 1e-9, s"$p vs $q")
+      case (None, None) =>
+      case other => fail(other.toString)
+    }
+    val bands = vals(SeriesFunctions.holtWintersConfidenceBands(f, L, delta))
+    val lower = bands.filter(_._1.startsWith("holtWintersConfidenceLower"))
+    val upper = bands.filter(_._1.startsWith("holtWintersConfidenceUpper"))
+    assert(lower.size == model.size && upper.size == model.size)
+    model.zipWithIndex.foreach { case (m, i) =>
+      close(upper(i)._3, m.fc.map(_ + delta * m.dk))
+      close(lower(i)._3, m.fc.map(_ - delta * m.dk))
+    }
+    // aberration: 0 at gaps and pre-seed, excursion outside the bands
+    val ab = vals(SeriesFunctions.holtWintersAberration(f, L, delta))
+    assert(ab.size == model.size)
+    model.zipWithIndex.foreach { case (m, i) =>
+      val expect = (m.v, m.fc) match {
+        case (Some(v), Some(fc)) =>
+          val (u, l) = (fc + delta * m.dk, fc - delta * m.dk)
+          if (v > u) v - u else if (v < l) v - l else 0.0
+        case _ => 0.0
+      }
+      close(ab(i)._3, Some(expect))
+    }
+    // the forecast projection is untouched by the shared-fit refactor
+    val fc0 = vals(SeriesFunctions.holtWintersForecast(f, L, "3min")).map(_._3)
+    model.zip(fc0).foreach { case (m, got) => close(got, m.fc) }
+  }
+
+  test("pointwise family: null/math rules") {
+    val f = frame(("a", 0L, 4.0), ("a", 60L, null), ("a", 120L, 0.0),
+      ("a", 180L, -9.0), ("a", 240L, 100.0))
+    assert(vals(SeriesFunctions.transformNull(f, 0.0)).map(_._3) ==
+      Seq(Some(4.0), Some(0.0), Some(0.0), Some(-9.0), Some(100.0)))
+    assert(vals(SeriesFunctions.isNonNull(f)).map(_._3) ==
+      Seq(Some(1.0), Some(0.0), Some(1.0), Some(1.0), Some(1.0)))
+    // log10: non-positive (0, -9) and gaps null out
+    assert(vals(SeriesFunctions.logarithm(f, 10.0)).map(_._3).map(_.map(v => math.rint(v * 1e9) / 1e9)) ==
+      Seq(Some(math.rint(math.log10(4.0) * 1e9) / 1e9), None, None, None, Some(2.0)))
+    assert(vals(SeriesFunctions.squareRoot(f)).map(_._3) ==
+      Seq(Some(2.0), None, Some(0.0), None, Some(10.0)))
+    assert(vals(SeriesFunctions.invert(f)).map(_._3) ==
+      Seq(Some(0.25), None, None, Some(-1.0 / 9.0), Some(0.01)))
+    assert(vals(SeriesFunctions.powSeries(f, 2.0)).map(_._3) ==
+      Seq(Some(16.0), None, Some(0.0), Some(81.0), Some(10000.0)))
+    // naming carries the argument
+    assert(vals(SeriesFunctions.transformNull(f, 0.0)).head._1 == "transformNull(a,0)")
+  }
+
+  test("changed/delay/substr: sequence + relabel rules") {
+    val f = frame(("x.h1.lat", 0L, 1.0), ("x.h1.lat", 60L, 1.0),
+      ("x.h1.lat", 120L, 2.0), ("x.h1.lat", 180L, null), ("x.h1.lat", 240L, 2.0))
+    // changed: both points present and unequal → 1; else 0 (incl. head
+    // and the null-neighbour positions)
+    assert(vals(SeriesFunctions.changed(f)).map(_._3) ==
+      Seq(Some(0.0), Some(0.0), Some(1.0), Some(0.0), Some(0.0)))
+    // delay(2): head nulls, values shift right by 2 grid steps
+    assert(vals(SeriesFunctions.delay(f, 2)).map(_._3) ==
+      Seq(None, None, Some(1.0), Some(1.0), Some(2.0)))
+    // substr(1,3): node slice; stop 0 = to the end
+    assert(vals(SeriesFunctions.substrSeries(f, 1, 3)).head._1 == "h1.lat")
+    assert(vals(SeriesFunctions.substrSeries(f, 2, 0)).head._1 == "lat")
+  }
+
+  test("diffSeries/multiplySeries/percentileOfSeries: list math rules") {
+    val m = frame(("a", 0L, 10.0), ("a", 60L, null), ("a", 120L, 5.0))
+    val s = frame(("b", 0L, 3.0), ("b", 60L, 2.0), ("b", 120L, null))
+    // missing subtrahend point subtracts 0; missing minuend stays null
+    assert(vals(SeriesFunctions.diffSeries(m, s, "b")).map(_._3) ==
+      Seq(Some(7.0), None, Some(5.0)))
+    assert(vals(SeriesFunctions.diffSeries(m, s, "b")).head._1 == "diffSeries(a,b)")
+    // product needs every factor present
+    val two = frame(("a", 0L, 3.0), ("b", 0L, 4.0),
+      ("a", 60L, 2.0), ("b", 60L, null))
+    assert(vals(SeriesFunctions.multiplySeries(two, "mul")).map(_._3) ==
+      Seq(Some(12.0), None))
+    // percentileOfSeries: across-series discrete pick per t
+    val three = frame(("a", 0L, 1.0), ("b", 0L, 9.0), ("c", 0L, 5.0),
+      ("a", 60L, null), ("b", 60L, null), ("c", 60L, null))
+    assert(vals(SeriesFunctions.percentileOfSeries(three, 50.0, "p")).map(_._3) ==
+      Seq(Some(5.0), None))
+    // removeAbove/BelowPercentile: the per-series gate
+    val g = frame((1 to 10).map(i =>
+      ("a", i * 60L, Double.box(i.toDouble * 10))): _*)
+    val above = vals(SeriesFunctions.removeAbovePercentile(g, 90.0)).map(_._3)
+    // p90 over 10 values: rank ⌊0.9·11⌋ = 9 → 90.0; 100.0 clips
+    assert(above == (1 to 10).map(i =>
+      if (i * 10 <= 90) Some(i * 10.0) else None))
+    val below = vals(SeriesFunctions.removeBelowPercentile(g, 10.0)).map(_._3)
+    // p10: rank ⌊0.1·11⌋ = 1 → 10.0; nothing below it
+    assert(below == (1 to 10).map(i => Some(i * 10.0)))
+  }
+
   test("randomized frames: window/selection functions match an independent scala model") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 5) {
