@@ -136,6 +136,7 @@ object SparkEntry {
     "dedup_embed_cosine_lsh" -> ((s, dir) => L.dedupEmbedCosineLsh(s, dir)),
     "dedup_image_phash" -> ((s, dir) => L.dedupImagePhash(s, dir)),
     "ann_image_phash" -> ((s, dir) => L.annImagePhash(s, dir)),
+    "stream_phash_gate" -> ((s, dir) => L.streamPhashGate(s, dir)),
     "dedup_simhash" -> ((s, dir) => L.dedupSimhash(s, dir)),
     "dedup_simhash_capped" -> ((s, dir) => L.dedupSimhashCapped(s, dir)),
     "dedup_simhash_clusters" -> ((s, dir) => L.dedupSimhashClusters(s, dir)),
@@ -162,6 +163,7 @@ object SparkEntry {
     "text_lm_bigram" -> ((s, dir) => L.textLmBigram(s, dir)),
     "text_keywords" -> ((s, dir) => L.textKeywords(s, dir)),
     "text_boilerplate" -> ((s, dir) => L.textBoilerplate(s, dir)),
+    "text_line_dedup" -> ((s, dir) => L.textLineDedup(s, dir)),
     "text_domains" -> ((s, dir) => L.textDomains(s, dir)),
     "text_gopher_rules" -> ((s, dir) => L.textGopherRules(s, dir)),
     "text_entropy" -> ((s, dir) => L.textEntropy(s, dir)),
@@ -1256,6 +1258,24 @@ object SparkEntry {
         |SELECT doc_id + 30000000 AS q_id, doc_id AS match_id FROM documents
         |  WHERE doc_id % 3 = 0 AND doc_id % 7 = 0
         |ORDER BY 1""".stripMargin,
+    // G15: the image ingest gate — base = originals with doc_id%4 != 0;
+    // a copy is a dup iff its source is indexed, %4==0 originals are
+    // unique (twins <= 2 hamming, nearest distinct >= 15; the oracle
+    // never hashes a pixel)
+    "stream_phash_gate" ->
+      """SELECT doc_id AS q_id, 'unique' AS verdict, CAST(1 AS BIGINT) AS keep
+        |FROM documents WHERE doc_id % 3 = 0 AND doc_id % 4 = 0
+        |UNION ALL
+        |SELECT doc_id + 20000000,
+        |  CASE WHEN doc_id % 4 <> 0 THEN 'dup' ELSE 'unique' END,
+        |  CASE WHEN doc_id % 4 <> 0 THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END
+        |FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
+        |UNION ALL
+        |SELECT doc_id + 30000000,
+        |  CASE WHEN doc_id % 4 <> 0 THEN 'dup' ELSE 'unique' END,
+        |  CASE WHEN doc_id % 4 <> 0 THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END
+        |FROM documents WHERE doc_id % 3 = 0 AND doc_id % 7 = 0
+        |ORDER BY 1""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $TK,
          |$SIM,
@@ -2149,6 +2169,37 @@ object SparkEntry {
          | CAST(len(kept) AS BIGINT) AS n_kept,
          | md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
          |FROM strip ORDER BY doc_id""".stripMargin
+    },
+    // F38: global line dedup — the same planted multi-line fixture,
+    // lines h60-hashed, per-line (df, min-doc) over per-doc-distinct
+    // rows, cut everywhere but the min doc, md5 witness ordered by
+    // position (the F16x oracle pattern one level up)
+    "text_line_dedup" -> {
+      import graft.text.{Analysis => A}
+      val lt = A.BoilerLineTokens
+      s"""WITH $TK,
+         |ln AS (SELECT doc_id, toks, CAST(ceil(len(toks)/$lt.0) AS INT) AS nl FROM tk),
+         |chunks AS (SELECT doc_id,
+         |  list_transform(range(0, nl), i -> array_to_string(toks[(i*$lt+1):(i*$lt+$lt)], ' ')) AS ch
+         |  FROM ln),
+         |p1 AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+         |  THEN list_prepend('${A.BoilerNavLine}', ch) ELSE ch END AS c2 FROM chunks),
+         |p2 AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+         |  THEN list_append(c2, '${A.BoilerFooterLine}') ELSE c2 END AS lines FROM p1),
+         |lx AS (SELECT doc_id, unnest(lines) AS line,
+         |  generate_subscripts(lines, 1) AS p FROM p2),
+         |hx AS (SELECT doc_id, p, line,
+         |  ('0x'||substr(md5(line),1,15))::BIGINT AS g FROM lx),
+         |dup AS (SELECT g, min(doc_id) AS dmin
+         |  FROM (SELECT DISTINCT doc_id, g FROM hx)
+         |  GROUP BY 1 HAVING count(*) >= 2),
+         |k AS (SELECT h.doc_id, h.p, h.line,
+         |  CASE WHEN d.g IS NOT NULL AND h.doc_id > d.dmin THEN 1 ELSE 0 END AS cut
+         |  FROM hx h LEFT JOIN dup d ON h.g = d.g)
+         |SELECT doc_id, count(*) AS n_lines, CAST(sum(cut) AS BIGINT) AS n_cut,
+         | md5(coalesce(string_agg(CASE WHEN cut = 0 THEN line END, chr(10) ORDER BY p), ''))
+         |   AS clean_md5
+         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
     },
     // F32: per-domain URL statistics — planting replayed in SQL, the
     // same Java∩RE2 pattern extracts, hosts aggregate per domain

@@ -1309,22 +1309,13 @@ object Dedup {
                     querySigs: DataFrame, k: Int, maxHamming: Int,
                     maxDf: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
-    val n = simhashWidenLevels
     // (match_id, simhash): consumed by the distinct-sig index build and
     // the id expansion join
     val base = baseSigs.select(col("match_id"), col("simhash")).cachedOnce
     val keyed = cappedBandKeys(spark, base.select("simhash").distinct(), maxDf)
     val qsig = querySigs.select(col("q_id"), col("simhash")).cachedOnce
-    val bandIdx = broadcast(spark.range(4).toDF("band"))
-    // every (band, level) key for each distinct query sig — map-only
-    val probes = qsig.select(col("simhash")).distinct()
-      .crossJoin(bandIdx)
-      .select(col("simhash"), col("band"),
-        posexplode(array((0 to n).map(j => expr(simhashKeyExpr(j))): _*))
-          .as(Seq("j", "key")))
-      .select(col("simhash").as("qs"), col("band"),
-        col("j").cast("long").as("lvl"), col("key").as("bkey"))
-    val candSigs = probes.join(keyed, Seq("band", "lvl", "bkey"))
+    val candSigs = hammingProbeKeys(spark, qsig.select(col("simhash")))
+      .join(keyed, Seq("band", "lvl", "bkey"))
       .select(col("qs"), col("simhash").as("bs"))
       .distinct()
       .withColumn("hamming", bit_count(col("qs").bitwiseXOR(col("bs"))).cast("long"))
@@ -1338,6 +1329,69 @@ object Dedup {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("match_id"), col("hamming"), col("rank"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Every (band, level) key for each distinct signature — the G14
+    * all-level probe offering against a [[cappedBandKeys]] index,
+    * shared by [[hammingSearch]] and [[hammingGateRows]]. Map-only:
+    * 40 narrow rows per distinct signature, no shuffle until the
+    * probe join itself.
+    */
+  private def hammingProbeKeys(spark: SparkSession, sigs: DataFrame): DataFrame = {
+    val n = simhashWidenLevels
+    val bandIdx = broadcast(spark.range(4).toDF("band"))
+    sigs.select(col("simhash")).distinct()
+      .crossJoin(bandIdx)
+      .select(col("simhash"), col("band"),
+        posexplode(array((0 to n).map(j => expr(simhashKeyExpr(j))): _*))
+          .as(Seq("j", "key")))
+      .select(col("simhash").as("qs"), col("band"),
+        col("j").cast("long").as("lvl"), col("key").as("bkey"))
+  }
+
+  /** The standing hamming-space index over a base signature set — the
+    * [[incrementalIndex]] shape for the 60-bit families: (distinct
+    * signature values, df-capped band buckets), both cachedOnce — the
+    * refreshable artifact an ingest gate holds between micro-batches.
+    */
+  def hammingIndex(spark: SparkSession, baseSigs: DataFrame,
+                   maxDf: Int): (DataFrame, DataFrame) = {
+    val sv = baseSigs.select(col("simhash")).distinct().cachedOnce
+    (sv, cappedBandKeys(spark, sv, maxDf).cachedOnce)
+  }
+
+  /** G15 core: in-flight hamming-space gate — each arriving signature
+    * checked against the STANDING index: `exact_dup` if the 60-bit
+    * signature itself exists in the base, `near_dup` if a DIFFERENT
+    * base signature sits within `maxHamming` (candidates via the
+    * all-level probe — the stored bucket is found at whatever level
+    * its df fit), `unique` otherwise. Base-only priors (the G14
+    * discipline): arriving-vs-arriving duplicates are the nightly
+    * batch job's business. Stream-safe: map-only signature/probe
+    * projection + two stream-static joins against the refreshable
+    * index — no state store, no stream-side aggregation.
+    */
+  def hammingGateRows(spark: SparkSession, querySigs: DataFrame,
+                      baseSigVals: DataFrame, baseKeyed: DataFrame,
+                      maxHamming: Int): DataFrame = {
+    val q = querySigs.select(col("q_id"), col("simhash"))
+    val exact = baseSigVals.select(col("simhash")).distinct()
+      .withColumn("ex", lit(1L))
+    val nearSigs = hammingProbeKeys(spark, q.select(col("simhash")))
+      .join(baseKeyed, Seq("band", "lvl", "bkey"))
+      .select(col("qs"), col("simhash").as("bs"))
+      .distinct()
+      .filter(col("qs") =!= col("bs") &&
+        bit_count(col("qs").bitwiseXOR(col("bs"))).cast("long") <= maxHamming)
+      .select(col("qs").as("simhash")).distinct()
+      .withColumn("nr", lit(1L))
+    q.join(exact, Seq("simhash"), "left")
+      .join(nearSigs, Seq("simhash"), "left")
+      .select(col("q_id"),
+        when(col("ex").isNotNull, "exact_dup")
+          .when(col("nr").isNotNull, "near_dup")
+          .otherwise("unique").as("verdict"))
+      .withColumn("keep", when(col("verdict") === "unique", 1L).otherwise(0L))
   }
 
   /** F4-scale clusters: O(n)-output keep/drop decisions instead of

@@ -119,6 +119,29 @@ object ImageDedup {
       imageHashes(queries).select(col("media_id").as("q_id"), col("simhash")),
       k, maxHamming, maxDf)
 
+  /** The standing corpus's image-hash index (G15) — distinct aHash60
+    * values + df-capped band buckets, the refreshable artifact an
+    * image-ingest gate holds between micro-batches.
+    */
+  def phashIndex(spark: SparkSession, base: Dataset[MediaRecord],
+                 maxDf: Int): (DataFrame, DataFrame) =
+    graft.dedup.Dedup.hammingIndex(spark,
+      imageHashes(base).select(col("simhash")), maxDf)
+
+  /** G15: in-flight image gate — arriving images hashed and checked
+    * against the standing index ([[graft.dedup.Dedup.hammingGateRows]]
+    * semantics): exact_dup on an identical hash, near_dup within
+    * `maxHamming` of a different stored hash, unique otherwise.
+    * Verdicts are a pure function of (image, index) — per-micro-batch
+    * evaluation needs zero streaming state.
+    */
+  def phashGateRows(spark: SparkSession, queries: Dataset[MediaRecord],
+                    baseSigVals: DataFrame, baseKeyed: DataFrame,
+                    maxHamming: Int): DataFrame =
+    graft.dedup.Dedup.hammingGateRows(spark,
+      imageHashes(queries).select(col("media_id").as("q_id"), col("simhash")),
+      baseSigVals, baseKeyed, maxHamming)
+
   /** splitmix64 finalizer — decorrelates per-(id, cell) intensities. */
   private def mix(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L

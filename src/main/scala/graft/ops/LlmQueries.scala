@@ -296,6 +296,32 @@ object LlmQueries {
       .select(col("q_id"), col("match_id"))
   }
 
+  /** G15 batch twin: the in-flight image gate — originals with
+    * media_id % 4 != 0 form the standing index; the arriving side is
+    * every planted copy plus the % 4 == 0 originals. A copy whose
+    * source is indexed is a dup (twins ≤ 2 hamming, τ=6); a copy of
+    * an unindexed original, and every % 4 == 0 original itself, is
+    * unique (nearest distinct image ≥ 15) — all pure id arithmetic.
+    * The exact/near distinction is NOT id-derivable for images (a
+    * lossless re-encode hashes identically, a lossy one may flip a
+    * bit), so the driver projection collapses verdicts to dup/unique;
+    * the three-way split is pinned by the literal-signature ScalaTest.
+    */
+  def streamPhashGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.ImageDedup
+    val planted = ImageDedup.plantedImages(spark, Tables.documents(spark, dir))
+    val base = planted.filter(r =>
+      r.media_id < ImageDedup.ReencOffset && r.media_id % IncrementalMod != 0)
+    val queries = planted.filter(r =>
+      r.media_id >= ImageDedup.ReencOffset || r.media_id % IncrementalMod == 0)
+    val (sigs, keyed) = ImageDedup.phashIndex(spark, base, PhashMaxDf)
+    ImageDedup.phashGateRows(spark, queries, sigs, keyed, PhashMaxHamming)
+      .select(col("q_id"),
+        when(col("verdict") === "unique", "unique").otherwise("dup").as("verdict"),
+        col("keep"))
+      .orderBy(col("q_id"))
+  }
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(spark, Tables.documents(spark, dir), SimhashMaxHamming)
 
@@ -502,6 +528,16 @@ object LlmQueries {
   def textBoilerplate(spark: SparkSession, dir: String): DataFrame =
     Analysis.boilerplateStrip(
       Analysis.boilerPlanted(Tables.documents(spark, dir)))
+
+  /** F38: global line dedup over the SAME multi-line fixture as F31 —
+    * the planted nav/footer lines are cross-document duplicates by
+    * construction (every even / %3 doc carries the identical string),
+    * and the corpus's own exact-dup documents duplicate whole chunk
+    * sets; each repeated line survives only in its minimum doc.
+    */
+  def textLineDedup(spark: SparkSession, dir: String): DataFrame =
+    Analysis.lineDedupScrub(
+      Analysis.boilerPlanted(Tables.documents(spark, dir)), 2)
 
   /** F32: per-domain URL statistics over the planted-URL fixture. */
   def textDomains(spark: SparkSession, dir: String): DataFrame =

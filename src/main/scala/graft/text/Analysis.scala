@@ -431,6 +431,58 @@ object Analysis {
       .orderBy(col("doc_id"))
   }
 
+  // ---- F38: global line-level deduplication ---------------------------
+
+  /** F38: GLOBAL line dedup — the CCNet/RefinedWeb cross-document line
+    * rule that [[boilerplateStrip]]'s per-doc heuristic cannot express:
+    * a line is boilerplate BECAUSE it repeats across documents (nav
+    * bars, cookie banners, licence blocks), so the decision needs
+    * corpus-wide line frequencies. A line whose distinct-document
+    * count reaches `minDf` keeps ONLY its minimum-doc copy (the keep_id
+    * convention of every dedup family; that doc keeps all its intra-doc
+    * repeats — the family is inter-doc, F8b owns within-doc
+    * repetition); every other document cuts it. Complements F16x: the
+    * span scrub needs w-token verbatim runs, this catches short exact
+    * lines a 50-gram can never see.
+    *
+    * Scale shape (the F16x discipline): lines are h60-hashed BEFORE
+    * the global aggregate, so the corpus-wide shuffle carries (doc_id,
+    * 8-byte key) — never line text; the per-line stats are ONE
+    * map-side-combinable count/min over per-doc-distinct rows; cut
+    * positions come back as a (doc_id, p) anti-pattern join against
+    * the cached narrow position table; text is touched exactly twice
+    * (hash pass + witness reconstruction), both map-side. Output per
+    * doc: line counts and the md5 of the kept text — the F16x
+    * audit-plus-witness contract.
+    */
+  def lineDedupScrub(docs: DataFrame, minDf: Int): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2 (got $minDf)")
+    // narrow positioned line-hash table: consumed by the stats
+    // aggregate and the cut join — never carries line text
+    val hl = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("p", "line")))
+      .select(col("doc_id"), col("p"), TextFns.h60(col("line")).as("g"))
+      .cachedOnce
+    val dup = hl.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("dmin"))
+      .filter(col("df") >= minDf)
+    val cuts = hl.join(dup, Seq("g"))
+      .filter(col("doc_id") > col("dmin"))
+      .select(col("doc_id"), col("p"))
+    docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("p", "line")))
+      .join(cuts.withColumn("cut", lit(1L)), Seq("doc_id", "p"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(coalesce(col("cut"), lit(0L))).as("n_cut"),
+        md5(concat_ws("\n", transform(
+          array_sort(collect_list(when(col("cut").isNull,
+            struct(col("p").as("p"), col("line").as("line"))))),
+          s => s.getField("line")))).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- F32: URL/domain statistics -----------------------------------
 
   /** Java∩RE2 URL pattern (the F22 dialect discipline — no lookaround,

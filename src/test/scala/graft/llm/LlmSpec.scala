@@ -246,6 +246,24 @@ class LlmSpec extends SparkSpec {
       "expected both exact dups and uniques on the real corpus")
   }
 
+  test("global line dedup: min doc keeps, others cut, witness md5 (F38)") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Seq(
+      (0L, "nav\nA\nB"),   // owns nav and A (min doc)
+      (1L, "nav\nC"),      // nav cut
+      (2L, "A\nnav\nD\nA"),// nav + both A copies cut (inter-doc rule)
+      (3L, "E\nE")         // intra-doc repeat only: df=1, both kept
+    ).toDF("doc_id", "text")
+    val out = graft.text.Analysis.lineDedupScrub(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toList == List(
+      (0L, 3L, 0L, md5hex("nav\nA\nB")),
+      (1L, 2L, 1L, md5hex("C")),
+      (2L, 4L, 3L, md5hex("D")),
+      (3L, 2L, 0L, md5hex("E\nE"))))
+  }
+
   test("hamming search: ranked top-k, id tie-break, exact survives df-widening (F34)") {
     // all sigs agree on bands 1-3 (bits 15+ zero), so at a generous cap
     // every base sig is a candidate and the result IS brute force
@@ -267,6 +285,20 @@ class LlmSpec extends SparkSpec {
     val capped = Dedup.hammingSearch(spark, base, queries, 10, 6, 1)
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(capped.contains((10L, 0L)))
+  }
+
+  test("hamming gate: exact/near/unique verdicts against the standing index (G15)") {
+    val base = Seq((10L, 0L), (11L, 1024L)).toDF("match_id", "simhash")
+    val (sv, keyed) = Dedup.hammingIndex(spark, base.select($"simhash"), 64)
+    val queries = Seq(
+      (100L, 0L),      // identical signature → exact_dup
+      (101L, 3L),      // hamming 2 from sig 0 → near_dup
+      (102L, 65535L)   // ≥ 15 from every base sig → unique
+    ).toDF("q_id", "simhash")
+    val out = Dedup.hammingGateRows(spark, queries, sv, keyed, 6).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList.sortBy(_._1)
+    assert(out == List((100L, "exact_dup", 0L), (101L, "near_dup", 0L),
+      (102L, "unique", 1L)))
   }
 
   test("index merge equals rebuild; overflow re-keys standing rows (F37)") {

@@ -448,6 +448,53 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming phash gate: per-batch image verdicts vs the standing index (G15)") {
+    import graft.multimodal.ImageDedup
+    import graft.multimodal.BinaryPipeline.MediaRecord
+    implicit val sqlCtx = spark.sqlContext
+    // planted fixture: images 0/3/6/9; id 0 gains a re-encoded and a
+    // resized copy. Standing index = images 0 and 3, built ONCE and
+    // eagerly materialized (a stream cannot build it)
+    val d = (0L until 12L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val planted = ImageDedup.plantedImages(spark, d).collect()
+    val base = planted.filter(r =>
+      r.media_id < ImageDedup.ReencOffset && r.media_id <= 3L).toSeq.toDS()
+    val (sv, keyed) = ImageDedup.phashIndex(spark, base, 64)
+    sv.count(); keyed.count()
+    // arrivals: both planted copies of image 0 (re-encode + resize —
+    // twins within the band guarantee) and unindexed original 6
+    // (~30 hamming from everything in the index)
+    val reenc = planted.find(_.media_id == ImageDedup.ReencOffset).get
+    val resized = planted.find(_.media_id == ImageDedup.ResizeOffset).get
+    val novel = planted.find(_.media_id == 6L).get
+    val source = MemoryStream[MediaRecord]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    val query = source.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[MediaRecord], _: Long) =>
+        got ++= ImageDedup.phashGateRows(spark, batch, sv, keyed, 6).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        ()
+      }.start()
+    try {
+      source.addData(reenc, novel)
+      query.processAllAvailable()
+      source.addData(resized) // cross-batch: the index is unchanged
+      query.processAllAvailable()
+      val v = got.map(r => r._1 -> r._2).toMap
+      // a re-encode/resize may hash identically (exact) or within the
+      // band guarantee (near) — either way a dup, never unique
+      assert(v(ImageDedup.ReencOffset) != "unique")
+      assert(v(ImageDedup.ResizeOffset) != "unique")
+      assert(v(6L) == "unique")
+      assert(got.forall(r => (r._3 == 1L) == (r._2 == "unique")))
+      // batch/stream agreement
+      val batchOut = ImageDedup.phashGateRows(spark,
+        Seq(reenc, novel, resized).toDS(), sv, keyed, 6)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got.toSet == batchOut)
+    } finally query.stop()
+  }
+
   test("streaming keywords tag in-flight under a frozen df table (G11)") {
     import graft.streaming.CarbonStream
     implicit val sqlCtx = spark.sqlContext
