@@ -149,6 +149,7 @@ object SparkEntry {
     "ann_pq" -> ((s, dir) => L.annPq(s, dir)),
     "ann_pq_trained" -> ((s, dir) => L.annPqTrained(s, dir)),
     "ann_ivf_pq" -> ((s, dir) => L.annIvfPq(s, dir)),
+    "ann_ivf_pq_refine" -> ((s, dir) => L.annIvfPqRefine(s, dir)),
     "ann_ivf_pq_trained" -> ((s, dir) => L.annIvfPqTrained(s, dir)),
     "ann_ivf_pq_residual" -> ((s, dir) => L.annIvfPqResidual(s, dir)),
     "ann_quantized" -> ((s, dir) => L.annQuantized(s, dir)),
@@ -1742,6 +1743,71 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY q_id ORDER BY round(cos,6) DESC, vec_id) AS rk
          |  FROM scored)
          |SELECT q_id, rk, vec_id, round(cos,4) AS cos FROM rk
+         |WHERE rk <= ${LQ.AnnK}
+         |ORDER BY q_id, rk""".stripMargin
+    },
+    // F25j: IVFPQ + exact refine — the ann_ivf_pq chain verbatim with
+    // the rank cut widened to k*refine (the ADC shortlist), then the
+    // stored floats re-score exactly and re-rank to k (the
+    // ann_cosine_topk arithmetic restricted to the shortlist)
+    "ann_ivf_pq_refine" -> {
+      import graft.ops.{LlmQueries => LQ}
+      val sd = 64 / LQ.PqSubspaces
+      s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),
+         |cents AS (SELECT vec_id AS cent_id, emb AS ce, nrm AS cn FROM n
+         |  ORDER BY vec_id LIMIT ${LQ.IvfCentroids}),
+         |va AS (SELECT n.vec_id, c.cent_id,
+         |  row_number() OVER (PARTITION BY n.vec_id
+         |    ORDER BY round(list_dot_product(n.emb, c.ce)/(n.nrm*c.cn), 6) DESC, c.cent_id) AS ark
+         |  FROM n CROSS JOIN cents c),
+         |assigned AS (SELECT vec_id, cent_id FROM va WHERE ark = 1),
+         |qa AS (SELECT n.vec_id AS q_id, c.cent_id,
+         |  row_number() OVER (PARTITION BY n.vec_id
+         |    ORDER BY round(list_dot_product(n.emb, c.ce)/(n.nrm*c.cn), 6) DESC, c.cent_id) AS crk
+         |  FROM n CROSS JOIN cents c WHERE n.vec_id < ${LQ.AnnQueryMax}),
+         |probes AS (SELECT q_id, cent_id FROM qa WHERE crk <= ${LQ.IvfProbe}),
+         |cwv AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, emb
+         |  FROM n ORDER BY vec_id LIMIT ${LQ.PqCodes}),
+         |cw AS (SELECT t.range AS s, c.j,
+         |    c.emb[t.range*$sd+1 : t.range*$sd+$sd] AS cvec,
+         |    list_dot_product(c.emb[t.range*$sd+1 : t.range*$sd+$sd],
+         |                     c.emb[t.range*$sd+1 : t.range*$sd+$sd]) AS cc
+         |  FROM cwv c CROSS JOIN range(${LQ.PqSubspaces}) t),
+         |codes AS (SELECT vec_id, s, j, cvec, cc FROM (
+         |  SELECT n.vec_id, cw.s, cw.j, cw.cvec, cw.cc,
+         |    row_number() OVER (PARTITION BY n.vec_id, cw.s
+         |      ORDER BY round(cw.cc - 2*list_dot_product(
+         |        n.emb[cw.s*$sd+1 : cw.s*$sd+$sd], cw.cvec), 6) ASC, cw.j) AS ark
+         |  FROM n CROSS JOIN cw) WHERE ark = 1),
+         |q AS (SELECT vec_id AS q_id, emb AS qe, nrm AS qn FROM n
+         |  WHERE vec_id < ${LQ.AnnQueryMax}),
+         |cand AS (SELECT p.q_id, a.vec_id
+         |  FROM assigned a JOIN probes p USING (cent_id)
+         |  WHERE a.vec_id <> p.q_id),
+         |terms AS (SELECT ca.q_id, ca.vec_id,
+         |    CAST(round(list_dot_product(
+         |      q.qe[cd.s*$sd+1 : cd.s*$sd+$sd], cd.cvec) * 1e6, 0) AS BIGINT) AS tl,
+         |    CAST(round(cd.cc * 1e6, 0) AS BIGINT) AS ccl
+         |  FROM cand ca JOIN codes cd ON cd.vec_id = ca.vec_id
+         |  JOIN q ON q.q_id = ca.q_id),
+         |agg AS (SELECT q_id, vec_id, sum(tl) AS sl, sum(ccl) AS scc
+         |  FROM terms GROUP BY 1, 2),
+         |scored AS (SELECT a.q_id, a.vec_id,
+         |  (a.sl / 1e6) / (q.qn * sqrt(a.scc / 1e6)) AS cos
+         |  FROM agg a JOIN q ON q.q_id = a.q_id),
+         |rk AS (SELECT q_id, vec_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY round(cos,6) DESC, vec_id) AS rk
+         |  FROM scored),
+         |short AS (SELECT q_id, vec_id FROM rk WHERE rk <= ${LQ.AnnK * LQ.PqRefine}),
+         |ex AS (SELECT sh.q_id, sh.vec_id,
+         |  list_dot_product(q2.qe, n2.emb) / (q2.qn * n2.nrm) AS cos
+         |  FROM short sh JOIN n n2 ON n2.vec_id = sh.vec_id
+         |               JOIN q q2 ON q2.q_id = sh.q_id),
+         |rk2 AS (SELECT q_id, vec_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY round(cos,6) DESC, vec_id) AS rk
+         |  FROM ex)
+         |SELECT q_id, rk, vec_id, round(cos,4) AS cos FROM rk2
          |WHERE rk <= ${LQ.AnnK}
          |ORDER BY q_id, rk""".stripMargin
     },

@@ -451,6 +451,19 @@ object LlmQueries {
       IvfCentroids, IvfProbe, PqSubspaces, PqCodes)
   }
 
+  // exact-refine shortlist width: the ADC index returns k·PqRefine
+  // candidates; the stored floats re-rank them to k
+  val PqRefine = 4
+
+  /** F25j: IVFPQ + exact refine — the FAISS IndexRefineFlat tail:
+    * ADC shortlist of k·PqRefine, stored-float exact re-rank to k.
+    */
+  def annIvfPqRefine(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Ann.ivfTopKPqRefined(e.filter(col("vec_id") < AnnQueryMax), e, AnnK,
+      IvfCentroids, IvfProbe, PqSubspaces, PqCodes, PqRefine)
+  }
+
   /** F25h: IVF + TRAINED PQ — the full production composition (float
     * coarse routing over m-byte codes from the Lloyd-trained
     * sub-quantizers).

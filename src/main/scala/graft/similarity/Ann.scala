@@ -731,6 +731,38 @@ object Ann {
     ivfTopKPqWithBook(queries, vecs, k, nCentroids, nProbe,
       pqCodebookTrained(vecs, m, kc, iters, rateBp))
 
+  /** F25j: IVFPQ + exact REFINE — FAISS's `IndexRefineFlat` tail: the
+    * ADC index returns a k·`refine` SHORTLIST (cheap, compressed,
+    * approximate), then the stored float vectors re-score exactly and
+    * re-rank to top-k. This is how production deployments buy back
+    * the PQ quantization loss without ever scanning floats corpus-wide:
+    * the exact pass touches |queries|·k·refine candidates — point
+    * lookups against the id-keyed vector table, never a corpus scan —
+    * so its cost is query-bounded and corpus-size-independent.
+    *
+    * The shortlist stage is [[ivfTopKPq]] byte-for-byte (same routing,
+    * same ADC arithmetic, only k widened), so refine composes with any
+    * book variant; the re-rank is the [[bruteTopK]] scoring contract
+    * (exact FloatDot cosine, round(cos,6)/vec_id rank, round(cos,4)
+    * projection) restricted to the shortlist.
+    */
+  def ivfTopKPqRefined(queries: DataFrame, vecs: DataFrame, k: Int,
+                       nCentroids: Int, nProbe: Int, m: Int, kc: Int,
+                       refine: Int): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1 (got $refine)")
+    val shortlist = ivfTopKPq(queries, vecs, k * refine,
+      nCentroids, nProbe, m, kc).select(col("q_id"), col("vec_id"))
+    val v = vecs.select(col("vec_id"), col("embedding").as("ve"),
+      norm(col("embedding")).as("vn"))
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("qe"), norm(col("embedding")).as("qn")))
+    val scored = shortlist
+      .join(v, Seq("vec_id"))
+      .join(q, Seq("q_id"))
+      .withColumn("cos", dot(col("qe"), col("ve")) / (col("qn") * col("vn")))
+    topK(scored, k)
+  }
+
   /** F25i: RESIDUAL IVFPQ — the shape FAISS actually ships
     * (`IndexIVFPQ` encodes r = x − c(x), not x): the sub-quantizers
     * spend their bits on IN-CELL variation instead of re-describing

@@ -611,6 +611,34 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.25, s"ivfpq recall $recall vs float32 brute force")
   }
 
+  test("ivfpq + exact refine: recall never below plain ivfpq; exact order wins (F25j)") {
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = pairs(Ann.bruteTopK(q, e, 5))
+    val plain = Ann.ivfTopKPq(q, e, 5, 32, 8, 8, 32)
+    val refined = Ann.ivfTopKPqRefined(q, e, 5, 32, 8, 8, 32, refine = 4)
+    // structural validity: k rows per query, rank 1..k
+    val byQ = refined.collect().groupBy(_.getLong(0))
+    assert(byQ.values.forall(rs => rs.map(_.getLong(1)).sorted.toSeq == (1L to 5L)))
+    val rPlain = (brute & pairs(plain)).size.toDouble / brute.size
+    val rRef = (brute & pairs(refined)).size.toDouble / brute.size
+    info(s"recall vs brute: adc=$rPlain refined=$rRef")
+    // exact re-ranking of a 4x shortlist can only fix ADC ordering
+    // mistakes inside the probed lists — never fall below plain ADC
+    assert(rRef >= rPlain, s"refined $rRef below plain adc $rPlain")
+    // within the probed lists the refined ranking IS the exact
+    // ranking: every refined hit that brute also probes agrees on cos
+    val refCos = refined.collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val bruteCos = Ann.bruteTopK(q, e, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    refCos.keys.filter(bruteCos.contains).foreach { k =>
+      assert(math.abs(refCos(k) - bruteCos(k)) < 1e-9,
+        s"$k: refined cos ${refCos(k)} != exact ${bruteCos(k)}")
+    }
+  }
+
   test("ivf over the trained book tracks full-scan trained PQ (F25h)") {
     // the composition contract, restated over the trained codewords:
     // cell restriction bounds candidates but must largely agree with
