@@ -97,6 +97,8 @@ object SparkEntry {
     "gfn_diff_multiply" -> ((s, dir) => T.gfnDiffMultiply(s, dir)),
     "gfn_percentile_gates" -> ((s, dir) => T.gfnPercentileGates(s, dir)),
     "gfn_substr" -> ((s, dir) => T.gfnSubstr(s, dir)),
+    "gfn_smart_summarize" -> ((s, dir) => T.gfnSmartSummarize(s, dir)),
+    "gfn_timestack" -> ((s, dir) => T.gfnTimestack(s, dir)),
     // D. dataMine bridge
     "dm_resample" -> ((s, dir) => T.dmResample(s, dir)),
     "dm_resample_all" -> ((s, dir) => T.dmResampleAll(s, dir)),
@@ -176,6 +178,7 @@ object SparkEntry {
     "corpus_bpe_sampled" -> ((s, dir) => L.corpusBpeSampled(s, dir)),
     "corpus_bpe_apply" -> ((s, dir) => L.corpusBpeApply(s, dir)),
     "corpus_split" -> ((s, dir) => L.corpusSplit(s, dir)),
+    "corpus_epoch_order" -> ((s, dir) => L.corpusEpochOrder(s, dir)),
     "corpus_sample" -> ((s, dir) => L.corpusSample(s, dir)),
     "corpus_mix_plan" -> ((s, dir) => L.corpusMixPlan(s, dir)),
     "corpus_mix_apply" -> ((s, dir) => L.corpusMixApply(s, dir)),
@@ -2021,6 +2024,19 @@ object SparkEntry {
          |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % $denom AS bucket
          |  FROM documents) b ORDER BY doc_id""".stripMargin
     },
+    // F39: epoch-salted hash-bucketed training order — the same h60
+    // salt arithmetic, bucket = h % B, pos = rank by (h, doc_id)
+    // within bucket
+    "corpus_epoch_order" -> {
+      import graft.ops.{LlmQueries => LQ}
+      s"""SELECT doc_id, bucket,
+         |  row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS pos
+         |FROM (SELECT doc_id,
+         |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR) || '#epoch${LQ.EpochN}'),1,15))::BIGINT AS h,
+         |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR) || '#epoch${LQ.EpochN}'),1,15))::BIGINT % ${LQ.EpochBuckets} AS bucket
+         |  FROM documents) b
+         |ORDER BY bucket, pos""".stripMargin
+    },
     // F24: stratified mixture sampling — same salted-h60 basis-point
     // arithmetic as graft.ops.Sampling.sampleByStratum; the rate CASE
     // is rendered from the same Seq, unlisted langs take the default
@@ -3230,6 +3246,41 @@ object SparkEntry {
          |      arr[greatest(1, least(len(arr), CAST(floor(0.90*(len(arr)+1)) AS INT)))]
          |    END AS value FROM ps)
          |SELECT path, t, round(value - 1e-9, 4) AS value FROM u
+         |ORDER BY 1, 2""".stripMargin,
+    // C9ai: smartSummarize — per-series window-start-aligned buckets
+    // (t0 = the frame's min t), same aggregate dispatch as summarize
+    "gfn_smart_summarize" ->
+      s"""WITH $GfnFrameCte,
+         |t0 AS (SELECT path, min(t) AS t0 FROM fr GROUP BY 1),
+         |sb AS (SELECT f.path, f.t - ((f.t - t0.t0) % 18000) AS b, f.value
+         |  FROM fr f JOIN t0 USING (path)),
+         |ag AS (SELECT path, b AS t, max(value) AS value FROM sb GROUP BY 1,2)
+         |SELECT 'smartSummarize(' || path || ', "5hour", "max")' AS path, t,
+         | round(value - 1e-9, 4) AS value FROM ag ORDER BY 1, 2""".stripMargin,
+    // C9aj: timeStack — three shifted-window fetches over the SAME
+    // hourly archive chain (shifts are 3600-multiples, so each grid is
+    // the render grid slid back), relabeled onto the render window
+    "gfn_timestack" ->
+      s"""WITH $M,
+         |f AS (SELECT * FROM m WHERE regexp_matches(path, '^vera\\.u1[^.]\\.click$$')),
+         |a1 AS (SELECT path, ts - ts%600 AS bucket, avg(value) AS value FROM f GROUP BY 1,2),
+         |a2 AS (SELECT path, bucket - bucket%3600 AS bucket, avg(value) AS value FROM a1 GROUP BY 1,2),
+         |p AS (SELECT DISTINCT path FROM f),
+         |g0 AS (SELECT p.path, s.t FROM p CROSS JOIN generate_series(1706097600, 1706659200, 3600) AS s(t)),
+         |fr0 AS (SELECT g0.path, g0.t, a2.value FROM g0 LEFT JOIN a2 ON g0.path = a2.path AND g0.t = a2.bucket),
+         |ss0 AS (SELECT t, sum(value) AS value FROM fr0 GROUP BY 1),
+         |g1 AS (SELECT p.path, s.t FROM p CROSS JOIN generate_series(1706083200, 1706644800, 3600) AS s(t)),
+         |fr1 AS (SELECT g1.path, g1.t, a2.value FROM g1 LEFT JOIN a2 ON g1.path = a2.path AND g1.t = a2.bucket),
+         |ss1 AS (SELECT t, sum(value) AS value FROM fr1 GROUP BY 1),
+         |g2 AS (SELECT p.path, s.t FROM p CROSS JOIN generate_series(1706068800, 1706630400, 3600) AS s(t)),
+         |fr2 AS (SELECT g2.path, g2.t, a2.value FROM g2 LEFT JOIN a2 ON g2.path = a2.path AND g2.t = a2.bucket),
+         |ss2 AS (SELECT t, sum(value) AS value FROM fr2 GROUP BY 1)
+         |SELECT path, t, round(value - 1e-9, 4) AS value FROM (
+         |  SELECT 'timeShift(sumSeries(vera.u1?.click),"4hour,0")' AS path, t, value FROM ss0
+         |  UNION ALL
+         |  SELECT 'timeShift(sumSeries(vera.u1?.click),"4hour,1")' AS path, t + 14400 AS t, value FROM ss1
+         |  UNION ALL
+         |  SELECT 'timeShift(sumSeries(vera.u1?.click),"4hour,2")' AS path, t + 28800 AS t, value FROM ss2) u
          |ORDER BY 1, 2""".stripMargin,
     // C9ah: substr node slice over the top-2-by-average selection —
     // the alias_nodes pattern with a range instead of a node list

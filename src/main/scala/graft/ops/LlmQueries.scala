@@ -705,6 +705,15 @@ object LlmQueries {
   def corpusSplit(spark: SparkSession, dir: String): DataFrame =
     Sampling.split(Tables.documents(spark, dir), SplitWeights)
 
+  // F39: epoch-order constants — 64 read shards, epoch 1 in the driver
+  // query (epoch 0's decorrelation is spec-pinned)
+  val EpochBuckets = 64
+  val EpochN = 1
+
+  /** F39: the epoch-salted hash-bucketed training order. */
+  def corpusEpochOrder(spark: SparkSession, dir: String): DataFrame =
+    Sampling.epochOrder(Tables.documents(spark, dir), EpochN, EpochBuckets)
+
   // F24 mixture rates (basis points): downsample the bulk language,
   // keep the curated slices whole; es/zh are deliberately UNLISTED so
   // the driver query exercises the default-rate fallback path too

@@ -40,6 +40,37 @@ object Sampling {
       .orderBy(col(idCol))
   }
 
+  /** F39: EPOCH-SHUFFLED training order — the deterministic "shuffle"
+    * a 100 TB training run actually performs: a true global random
+    * permutation is a full sort nobody runs at scale; the production
+    * shape is hash-bucketed reshuffling — each doc lands in bucket
+    * h60(doc_id‖"#epoch"‖e) mod `nBuckets` (epoch-SALTED, so
+    * consecutive epochs decorrelate without any state), readers
+    * consume buckets in order, and WITHIN a bucket the read order is
+    * the hash rank — deterministic, partition-count-independent, and
+    * independent of input row order (the F24/F18 salted-hash
+    * discipline applied to ordering instead of membership).
+    *
+    * Scale shape: one shuffle keyed by bucket; the rank window
+    * partitions by bucket (each ~n/nBuckets rows — nBuckets is the
+    * shard knob, sized so a bucket fits an executor); no global sort,
+    * no driver collect. Output (doc_id, bucket, pos), pos 1-based
+    * within bucket.
+    */
+  def epochOrder(docs: DataFrame, epoch: Int, nBuckets: Int,
+                 idCol: String = "doc_id"): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
+    val h = graft.text.TextFns.h60(
+      concat(col(idCol).cast("string"), lit(s"#epoch$epoch")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("h"), col(idCol))
+    docs.select(col(idCol), h.as("h"))
+      .withColumn("bucket", pmod(col("h"), lit(nBuckets.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("bucket"), col("pos"))
+      .orderBy(col("bucket"), col("pos"))
+  }
+
   /** F29: exact global quality-quantile buckets — the curriculum /
     * mixing stage that needs each document's PERCENTILE of the F8
     * quality score, not the raw value (thresholds like "drop the worst

@@ -264,7 +264,51 @@ object ScaleBench {
         "gfn_npercentile" -> (() =>
           graft.tsdb.SeriesFunctions.nPercentile(gfnFrame(spark, copies), 90)),
         "gfn_most_deviant" -> (() =>
-          graft.tsdb.SeriesFunctions.mostDeviant(gfnFrame(spark, copies), 5))
+          graft.tsdb.SeriesFunctions.mostDeviant(gfnFrame(spark, copies), 5)),
+        // F34/G15 machinery in isolation: the standing hamming index
+        // grows ×copies under a FIXED 500-query batch. Signatures are
+        // synthesized directly (h60 of the id) so the row measures the
+        // index build + all-level probe + rank — the codec cost the
+        // image rows already own is kept out. Queries are one-bit
+        // twins of base sigs 0..99, so the probe join has real hits.
+        "hamming_search" -> (() => {
+          val nb = 50000L * copies
+          val mask = (1L << 60) - 1
+          val baseSigs = spark.range(nb).select(col("id").as("match_id"),
+            graft.text.TextFns.h60(col("id").cast("string"))
+              .bitwiseAND(lit(mask)).as("simhash"))
+          val qs = spark.range(500).select(
+            (col("id") + lit(9000000000L)).as("q_id"),
+            graft.text.TextFns.h60((col("id") % 100).cast("string"))
+              .bitwiseAND(lit(mask)).bitwiseXOR(lit(1L)).as("simhash"))
+          graft.dedup.Dedup.hammingSearch(spark, baseSigs, qs, 3,
+            LlmQueries.PhashMaxHamming, LlmQueries.PhashMaxDf)
+        }),
+        // F38: global line dedup over the multi-line fixture — one
+        // 8-byte-key line shuffle + per-doc witness rebuild; dup-line
+        // df grows ×copies but the per-line stat is one aggregate row
+        "text_line_dedup" -> (() =>
+          graft.text.Analysis.lineDedupScrub(
+            graft.text.Analysis.boilerPlanted(docs), 2)),
+        // F25j: the refine tail on top of the fixed-book IVFPQ row —
+        // the exact re-rank touches |queries|·k·refine point lookups,
+        // so the delta vs ann_ivf_pq must stay ~constant as the
+        // corpus grows
+        "ann_ivf_pq_refine" -> (() =>
+          graft.similarity.Ann.ivfTopKPqRefined(
+            vecs.filter(col("vec_id") < LlmQueries.AnnQueryMax),
+            vecs, LlmQueries.AnnK, LlmQueries.IvfCentroids,
+            LlmQueries.IvfProbe, LlmQueries.PqSubspaces,
+            LlmQueries.PqCodes, LlmQueries.PqRefine)),
+        // C9 additions: the Holt-Winters fold (per-series in-row
+        // recurrence — K series fold in parallel, one collect_list
+        // shuffle) and the across-series percentile (one groupBy(t))
+        "gfn_hw_bands" -> (() =>
+          graft.tsdb.SeriesFunctions.holtWintersConfidenceBands(
+            gfnFrame(spark, copies), 24, 3.0)),
+        "gfn_percentile_series" -> (() =>
+          graft.tsdb.SeriesFunctions.percentileOfSeries(
+            gfnFrame(spark, copies), 90.0, "pos"))
       ) ++ (if (copies <= 10) Seq[(String, () => DataFrame)](
         // codec cost alone (decode + twin re-encode/resize), then the
         // full pipeline — the difference is the hash+band-join cost the

@@ -698,6 +698,22 @@ object Queries {
   def gfnSubstr(spark: SparkSession, dir: String): DataFrame =
     gfnEval(spark, dir, "substr(highestAverage(vera.u1?.click,2),1,3)")
 
+  /** C9ai: smartSummarize — buckets aligned to the series' own window
+    * start instead of the epoch grid ("5hour" deliberately: the render
+    * window start is 4-hour-aligned, so "4hour" would coincide with
+    * plain summarize and test nothing).
+    */
+  def gfnSmartSummarize(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, """smartSummarize(vera.u1?.click,"5hour","max")""")
+
+  /** C9aj: timeStack — the series overlaid with its own past: 0/4/8
+    * hour shifted instances, each a TRUE shifted-window fetch
+    * relabeled onto the render grid ("4hour" keeps every instance
+    * inside the 1h archive; the archive-flip case is gfn_timeshift's).
+    */
+  def gfnTimestack(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, """timeStack(sumSeries(vera.u1?.click),"4hour",0,2)""")
+
   /** C9h: the URL round trip — a function target through Cgi.dispatch
     * (maxSeries propagates the env's -Eps input shift exactly).
     */

@@ -781,6 +781,36 @@ object SeriesFunctions {
         col("t"), col("value"))
   }
 
+  /** Graphite `smartSummarize(series, interval[, func])`: summarize
+    * with buckets aligned to each series' own WINDOW START instead of
+    * the epoch grid — "4hour" buckets begin at the first grid point,
+    * not at 00:00/04:00/... wall-clock boundaries (graphite aligns to
+    * series.start; the frame carries no fetch metadata, so the
+    * per-series min(t) IS the window start — documented contract).
+    * Same aggregate dispatch as [[summarize]]; one extra per-series
+    * min window before the groupBy.
+    */
+  def smartSummarize(f: DataFrame, intervalSec: Long, func: String,
+                     intervalText: String): DataFrame = {
+    require(intervalSec >= 1, s"smartSummarize interval must be >= 1s (got $intervalSec)")
+    val agg: Column = func match {
+      case "sum" => sum(col("value"))
+      case "avg" | "average" => avg(col("value"))
+      case "max" => max(col("value"))
+      case "min" => min(col("value"))
+      case "last" => max(when(col("value").isNotNull,
+        struct(col("t"), col("value")))).getField("value")
+      case other => throw new IllegalArgumentException(s"smartSummarize: unknown func '$other'")
+    }
+    val t0 = min(col("t")).over(Window.partitionBy(col("path")))
+    f.withColumn("b", col("t") - pmod(col("t") - t0, lit(intervalSec)))
+      .groupBy(col("path"), col("b").as("t"))
+      .agg(agg.cast("double").as("value"))
+      .select(concat(lit("smartSummarize("), col("path"),
+        lit(s""", "$intervalText", "$func")""")).as("path"),
+        col("t"), col("value"))
+  }
+
   // ---- series selection: rank whole series, keep top n ----
 
   /** Top-n series by a per-series statistic (Graphite

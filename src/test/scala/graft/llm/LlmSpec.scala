@@ -246,6 +246,26 @@ class LlmSpec extends SparkSpec {
       "expected both exact dups and uniques on the real corpus")
   }
 
+  test("epoch order: deterministic, repartition-invariant, epoch-salted (F39)") {
+    val docs = (0L until 200L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame, epoch: Int) =
+      graft.ops.Sampling.epochOrder(df, epoch, 8).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val e1 = run(docs, 1)
+    assert(e1.map(_._1).toSet == (0L until 200L).toSet) // every doc exactly once
+    // positions are a 1..count permutation within each bucket
+    e1.groupBy(_._2).values.foreach { rs =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.size).toSeq)
+    }
+    // partition-count independence: the order is a pure function of ids
+    assert(e1.sortBy(_._1).toSeq == run(docs.repartition(7), 1).sortBy(_._1).toSeq)
+    // epoch salting decorrelates consecutive epochs
+    assert(e1.sortBy(_._1).map(t => (t._2, t._3)).toSeq !=
+      run(docs, 2).sortBy(_._1).map(t => (t._2, t._3)).toSeq)
+    // no empty shard at 25 docs/bucket
+    assert(e1.map(_._2).distinct.size == 8)
+  }
+
   test("global line dedup: min doc keeps, others cut, witness md5 (F38)") {
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -102,6 +102,27 @@ class SeriesFunctionsSpec extends SparkSpec {
       ("""timeShift(timeShift(a,"1h"),"1h")""", 3600L, Some(-7200.0))))
   }
 
+  test("timeStack: shifted instances refetch their windows; smartSummarize aligns to window start") {
+    // timeStack(a,'1h',0,2): three instances shifted 0/-1h/-2h, each
+    // fetching ITS window (value encodes the shift) and relabeling
+    // back onto the render grid
+    val fetchAt = (_: String, shift: Long) => frame(("a", 3600L + shift, shift.toDouble))
+    val stack = vals(TargetExpr.evalAt(parse("timeStack(a,'1h',0,2)"), fetchAt, 0L))
+    assert(stack == Seq(
+      ("""timeShift(a,"1h,0")""", 3600L, Some(0.0)),
+      ("""timeShift(a,"1h,1")""", 3600L, Some(-3600.0)),
+      ("""timeShift(a,"1h,2")""", 3600L, Some(-7200.0))))
+    // smartSummarize: buckets start at the series' own min t (100),
+    // not the epoch grid — summarize at the same interval differs
+    val f = frame(("a", 100L, 1.0), ("a", 160L, 5.0),
+      ("a", 220L, 2.0), ("a", 280L, 7.0))
+    assert(vals(SeriesFunctions.smartSummarize(f, 120L, "max", "2min")) ==
+      Seq(("""smartSummarize(a, "2min", "max")""", 100L, Some(5.0)),
+        ("""smartSummarize(a, "2min", "max")""", 220L, Some(7.0))))
+    assert(vals(SeriesFunctions.summarize(f, 120L, "max", "2min")).map(_._2) ==
+      Seq(0L, 120L, 240L)) // epoch-aligned buckets split the same points 3 ways
+  }
+
   test("aliasByNode: negative indices count from the end, group unions") {
     val f = frame(("vera.u7.click", 0L, 1.0))
     assert(vals(SeriesFunctions.aliasByNode(f, Seq(-1, 0))) ==
