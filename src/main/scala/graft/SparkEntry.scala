@@ -152,6 +152,7 @@ object SparkEntry {
     "ann_pq_trained" -> ((s, dir) => L.annPqTrained(s, dir)),
     "ann_ivf_pq" -> ((s, dir) => L.annIvfPq(s, dir)),
     "ann_ivf_pq_refine" -> ((s, dir) => L.annIvfPqRefine(s, dir)),
+    "ann_hybrid_rrf" -> ((s, dir) => L.annHybridRrf(s, dir)),
     "ann_ivf_pq_trained" -> ((s, dir) => L.annIvfPqTrained(s, dir)),
     "ann_ivf_pq_residual" -> ((s, dir) => L.annIvfPqResidual(s, dir)),
     "ann_quantized" -> ((s, dir) => L.annQuantized(s, dir)),
@@ -1969,6 +1970,48 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY q_id ORDER BY round(cos,6) DESC, vec_id) AS rk FROM scored)
         |SELECT q_id, rk, vec_id, round(cos,4) AS cos FROM rk WHERE rk <= 5
         |ORDER BY q_id, rk""".stripMargin,
+    // F40: hybrid RRF — the exact-cosine ranking and the
+    // keyword-overlap ranking replayed, fused 1/(60+rk) + 1/(60+rk),
+    // re-ranked on the rounded fusion score with id tie-break
+    "ann_hybrid_rrf" -> {
+      import graft.ops.{LlmQueries => LQ}
+      s"""WITH $TK,
+         |n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, emb AS qe, nrm AS qn FROM n WHERE vec_id < ${LQ.AnnQueryMax}),
+         |dscored AS (SELECT q.q_id, v.vec_id, list_dot_product(q.qe, v.emb)/(q.qn*v.nrm) AS cos
+         |  FROM n v CROSS JOIN q WHERE v.vec_id <> q.q_id),
+         |drk AS (SELECT q_id, vec_id AS id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY round(cos,6) DESC, vec_id) AS rk
+         |  FROM dscored),
+         |dense AS (SELECT q_id, id, rk FROM drk WHERE rk <= ${LQ.AnnK}),
+         |tok AS (SELECT doc_id, unnest(toks) AS token FROM tk),
+         |tfd AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+         |dfs AS (SELECT token, count(*) AS df FROM tfd GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |sc AS (SELECT t.doc_id, t.token,
+         |  row_number() OVER (PARTITION BY t.doc_id
+         |    ORDER BY round(t.tf * ln((nn.n + 1)*1.0/(d.df + 1)), 6) DESC, t.token) AS krk
+         |  FROM tfd t JOIN dfs d USING (token) CROSS JOIN nn),
+         |kws AS (SELECT doc_id, token FROM sc WHERE krk <= ${LQ.KeywordsTopK}),
+         |ov AS (SELECT a.doc_id AS q_id, b.doc_id, count(*) AS overlap
+         |  FROM kws a JOIN kws b ON a.token = b.token AND a.doc_id <> b.doc_id
+         |  WHERE a.doc_id < ${LQ.AnnQueryMax}
+         |  GROUP BY 1, 2),
+         |srk AS (SELECT q_id, doc_id AS id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY overlap DESC, doc_id) AS rk
+         |  FROM ov),
+         |sparse AS (SELECT q_id, id, rk FROM srk WHERE rk <= ${LQ.AnnK}),
+         |fused AS (SELECT coalesce(d.q_id, s2.q_id) AS q_id, coalesce(d.id, s2.id) AS id,
+         |  coalesce(1.0/(d.rk + 60), 0.0) + coalesce(1.0/(s2.rk + 60), 0.0) AS rrf
+         |  FROM dense d FULL OUTER JOIN sparse s2 ON d.q_id = s2.q_id AND d.id = s2.id),
+         |frk AS (SELECT q_id, id, rrf,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY round(rrf, 9) DESC, id) AS rk
+         |  FROM fused)
+         |SELECT q_id, CAST(rk AS BIGINT) AS rk, id, round(rrf, 6) AS rrf
+         |FROM frk WHERE rk <= ${LQ.AnnK}
+         |ORDER BY q_id, rk""".stripMargin
+    },
     // F17: tokenizer-corpus vocabulary stats — tf/df per token, top-N
     // by tf with token tie-break (deterministic cutoff)
     "corpus_vocab" ->

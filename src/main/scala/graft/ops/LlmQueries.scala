@@ -455,6 +455,22 @@ object LlmQueries {
   // candidates; the stored floats re-rank them to k
   val PqRefine = 4
 
+  /** F40: hybrid dense+sparse retrieval — exact-cosine top-k over the
+    * embeddings fused with the keyword-overlap top-k over the SAME
+    * ids' documents (vec_id ≡ doc_id in the synthetic corpus) by
+    * Reciprocal Rank Fusion at k0=60. Rank-only fusion: neither
+    * scorer's scale is calibrated, absence from a list contributes 0.
+    */
+  def annHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val dense = Ann.bruteTopK(e.filter(col("vec_id") < AnnQueryMax), e, AnnK)
+      .select(col("q_id"), col("vec_id").as("id"), col("rk"))
+    val sparse = graft.text.Analysis.keywordOverlapTopK(
+      Tables.documents(spark, dir), AnnQueryMax, KeywordsTopK, AnnK)
+      .select(col("q_id"), col("doc_id").as("id"), col("rk"))
+    Ann.rrfFuse(dense, sparse, AnnK)
+  }
+
   /** F25j: IVFPQ + exact refine — the FAISS IndexRefineFlat tail:
     * ADC shortlist of k·PqRefine, stored-float exact re-rank to k.
     */

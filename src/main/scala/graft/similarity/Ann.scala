@@ -731,6 +731,39 @@ object Ann {
     ivfTopKPqWithBook(queries, vecs, k, nCentroids, nProbe,
       pqCodebookTrained(vecs, m, kc, iters, rateBp))
 
+  /** F40: Reciprocal-Rank-Fusion of two ranked candidate lists — the
+    * standard hybrid-retrieval combiner (Cormack et al. 2009, the
+    * fusion Elasticsearch/Vespa/Weaviate ship for dense+sparse):
+    * rrf(d) = Σ_lists 1/(k0 + rank_list(d)), absent-from-a-list
+    * contributes 0 — rank-only fusion, so the two scorers' scales
+    * never need calibrating. Inputs are (q_id, id, rk) ranked lists;
+    * output re-ranks by (rrf desc, id) cut at k.
+    *
+    * Engine parity: each term is 1.0/(integer) — bit-identical in both
+    * engines — and the sum has a fixed two-term order; the rank
+    * window rounds at 9 dp (RRF deltas are ≥1e-4 apart at k0=60 list
+    * depth ≤ a few hundred). Scale shape: both inputs are top-k lists
+    * (|queries|·k rows) — the fusion join and window are
+    * query-bounded, corpus-size-independent; the heavy lifting stays
+    * in the list producers.
+    */
+  def rrfFuse(dense: DataFrame, sparse: DataFrame, k: Int,
+              k0: Int = 60): DataFrame = {
+    require(k >= 1 && k0 >= 1, s"k/k0 must be >= 1 (got $k, $k0)")
+    val d = dense.select(col("q_id"), col("id"),
+      (lit(1.0) / (col("rk") + lit(k0))).as("ds"))
+    val sp = sparse.select(col("q_id"), col("id"),
+      (lit(1.0) / (col("rk") + lit(k0))).as("ss"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("rrf"), 9).desc, col("id"))
+    d.join(sp, Seq("q_id", "id"), "full")
+      .withColumn("rrf", coalesce(col("ds"), lit(0.0)) + coalesce(col("ss"), lit(0.0)))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("id"), round(col("rrf"), 6).as("rrf"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** F25j: IVFPQ + exact REFINE — FAISS's `IndexRefineFlat` tail: the
     * ADC index returns a k·`refine` SHORTLIST (cheap, compressed,
     * approximate), then the stored float vectors re-score exactly and

@@ -374,6 +374,34 @@ object Analysis {
         round(col("kw.s") - lit(1e-9), 4).as("tfidf"))
   }
 
+  /** F40 sparse side: keyword-overlap candidate ranking — for each
+    * query doc, other docs ranked by how many of the two docs' top-k
+    * TF-IDF keywords ([[keywords]]) they share, the cheap lexical
+    * retrieval leg a hybrid search fuses with the dense ANN leg. The
+    * join is an inverted-index equi-join on keyword; TF-IDF top-k
+    * already suppresses stopwords, so per-keyword fan-out is bounded
+    * by the term's df (a df cap composes here exactly like
+    * [[graft.dedup.Dedup.ngramJaccardCapped]] if a corpus needs it).
+    * Docs sharing no keyword are absent — the RRF combiner treats
+    * absence as rank-∞ (contributes 0).
+    */
+  def keywordOverlapTopK(docs: DataFrame, queryMax: Long, kw: Int,
+                         k: Int): DataFrame = {
+    // both join sides read the keyword lists — cache the narrow table
+    val kws = keywords(docs, kw).select(col("doc_id"), col("token")).cachedOnce
+    val qk = kws.filter(col("doc_id") < queryMax)
+      .select(col("doc_id").as("q_id"), col("token"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("overlap").desc, col("doc_id"))
+    qk.join(kws, Seq("token"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("doc_id"), col("overlap"))
+  }
+
   // ---- F31: line-level boilerplate removal --------------------------
 
   /** Tokens per rendered line when chunking the single-line synthetic

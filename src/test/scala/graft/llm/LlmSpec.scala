@@ -631,6 +631,36 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.25, s"ivfpq recall $recall vs float32 brute force")
   }
 
+  test("hybrid RRF: rank-only fusion, absence contributes 0, id tie-break (F40)") {
+    val dense = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L)).toDF("q_id", "id", "rk")
+    val sparse = Seq((1L, 11L, 1L), (1L, 13L, 2L)).toDF("q_id", "id", "rk")
+    val out = Ann.rrfFuse(dense, sparse, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // 11 is in both lists: 1/62 + 1/61 beats every single-list score;
+    // then dense rank 1 (1/61), sparse rank 2 (1/62), dense rank 3
+    assert(out.map(_._3).toSeq == Seq(11L, 10L, 13L, 12L))
+    assert(out.map(_._2).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(math.abs(out.head._4 -
+      math.rint((1.0 / 62 + 1.0 / 61) * 1e6) / 1e6) < 1e-9)
+    // identical fusion scores order by id ascending
+    val d2 = Seq((2L, 21L, 1L)).toDF("q_id", "id", "rk")
+    val s2 = Seq((2L, 20L, 1L)).toDF("q_id", "id", "rk")
+    assert(Ann.rrfFuse(d2, s2, 2).collect().map(_.getLong(2)).toSeq == Seq(20L, 21L))
+    // the composed driver shape returns k valid rows per query on the
+    // real corpus, and every row is backed by at least one source list
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dl = Ann.bruteTopK(e.filter($"vec_id" < 5), e, 5)
+      .select($"q_id", $"vec_id".as("id"), $"rk")
+    val sl = graft.text.Analysis.keywordOverlapTopK(docs, 5, 5, 5)
+      .select($"q_id", $"doc_id".as("id"), $"rk")
+    val fused = Ann.rrfFuse(dl, sl, 5).collect()
+    assert(fused.groupBy(_.getLong(0)).values.forall(_.length == 5))
+    val src = (dl.collect().map(r => (r.getLong(0), r.getLong(1))) ++
+      sl.collect().map(r => (r.getLong(0), r.getLong(1)))).toSet
+    assert(fused.forall(r => src.contains((r.getLong(0), r.getLong(2)))))
+  }
+
   test("ivfpq + exact refine: recall never below plain ivfpq; exact order wins (F25j)") {
     val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter($"vec_id" < 10)
