@@ -125,6 +125,7 @@ object SparkEntry {
     "dedup_incremental" -> ((s, dir) => L.dedupIncremental(s, dir)),
     "stream_incremental_gate" -> ((s, dir) => L.streamIncrementalGate(s, dir)),
     "dedup_index_merge" -> ((s, dir) => L.dedupIndexMerge(s, dir)),
+    "dedup_simhash_index_merge" -> ((s, dir) => L.dedupSimhashIndexMerge(s, dir)),
     "dedup_minhash_bucket_stats" -> ((s, dir) => L.dedupMinhashBucketStats(s, dir)),
     "dedup_minhash_clusters" -> ((s, dir) => L.dedupMinhashClusters(s, dir)),
     "dedup_minhash_est" -> ((s, dir) => L.dedupMinhashEst(s, dir)),
@@ -1293,6 +1294,16 @@ object SparkEntry {
     // same pipeline over DISTINCT sigs with hot band buckets re-keyed by
     // extra simhash bits until df ≤ cap (drop-only approximation;
     // identical-sig pairs come from the intra-group expansion)
+    // F41: hamming-index merge ≡ rebuild — the oracle IS the theorem:
+    // DuckDB rebuilds the capped keying from scratch over ALL sigs,
+    // Spark merges the batch into the standing index; hash match
+    // verifies the level-0-closure argument cross-engine
+    "dedup_simhash_index_merge" ->
+      s"""WITH $TK,
+         |$SIM,
+         |$SimhashCappedKeyed
+         |SELECT simhash, band, CAST(lvl AS BIGINT) AS lvl, bkey
+         |FROM keyed ORDER BY 1, 2""".stripMargin,
     "dedup_simhash_capped" ->
       s"""WITH $TK,
          |$SIM,

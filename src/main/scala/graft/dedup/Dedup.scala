@@ -1360,6 +1360,65 @@ object Dedup {
     (sv, cappedBandKeys(spark, sv, maxDf).cachedOnce)
   }
 
+  /** F41: standing HAMMING-index refresh — [[indexMerge]]'s theorem in
+    * 60-bit signature space, closing the F34/G15 loop the way F37
+    * closed F36/G14: fold a batch's signatures into the capped-key
+    * index WITHOUT a full rebuild. The closure property holds
+    * verbatim: a level-j key is the level-0 band value OR-extended
+    * with higher bits ([[simhashKeyExpr]]), so any level-j collision
+    * implies a level-0 collision — only level-0 buckets that RECEIVE
+    * a new signature can see any df change at any level, and a level-j
+    * bucket lies entirely inside one level-0 bucket, so the cohort
+    * (every merged signature in a touched level-0 bucket) sees
+    * cohort-local dfs equal to global dfs at every level. The merge
+    * re-keys exactly the cohort's (sig, band) rows — new members AND
+    * standing members a newly-overflowing bucket forces wider — and
+    * keeps every other index row verbatim: merge(index(A), B) ≡
+    * index(A ∪ B) EXACTLY (the driver oracle states this cross-engine:
+    * Spark merges, DuckDB rebuilds from scratch).
+    *
+    * Inputs are [[hammingIndex]]'s shape — (distinct simhash values,
+    * (simhash, band, lvl, bkey)) — plus the batch's signature values
+    * (need not be pre-deduped). Returns the refreshed pair.
+    */
+  def hammingIndexMerge(spark: SparkSession, baseSigVals: DataFrame,
+                        baseKeyed: DataFrame, newSigVals: DataFrame,
+                        maxDf: Int): (DataFrame, DataFrame) = {
+    require(maxDf >= 1, s"maxDf must be >= 1 (got $maxDf)")
+    val n = simhashWidenLevels
+    val bandIdx = broadcast(spark.range(4).toDF("band"))
+    val fresh = newSigVals.select(col("simhash")).distinct()
+      .join(baseSigVals.select(col("simhash")), Seq("simhash"), "left_anti")
+      .cachedOnce
+    val mergedSigs = baseSigVals.select(col("simhash"))
+      .unionByName(fresh).cachedOnce
+    def k0(df: DataFrame) = df.crossJoin(bandIdx)
+      .select(col("simhash"), col("band"), expr(simhashKeyExpr(0)).as("key0"))
+    // touched level-0 buckets: the fresh signatures' per-band values
+    val touched = k0(fresh).select(col("band"), col("key0")).distinct()
+    val cohort = k0(mergedSigs)
+      .join(broadcast(touched), Seq("band", "key0"), "left_semi")
+      .select(col("simhash"), col("band"))
+      .cachedOnce
+    // the standard keying pipeline restricted to the cohort
+    val exploded = cohort
+      .select(col("simhash"), col("band"),
+        posexplode(array((0 to n).map(j => expr(simhashKeyExpr(j))): _*))
+          .as(Seq("j", "key")))
+    val dfs = exploded.groupBy(col("band"), col("j"), col("key"))
+      .agg(count(lit(1)).as("df"))
+    val cohortKeyed = exploded.join(dfs, Seq("band", "j", "key"))
+      .groupBy(col("simhash"), col("band"))
+      .agg(min(when(col("df") <= maxDf, struct(col("j"), col("key")))).as("lk"))
+      .select(col("simhash"), col("band"),
+        col("lk").getField("j").cast("long").as("lvl"),
+        col("lk").getField("key").as("bkey"))
+    val mergedKeyed = baseKeyed
+      .join(cohort, Seq("simhash", "band"), "left_anti")
+      .unionByName(cohortKeyed)
+    (mergedSigs, mergedKeyed)
+  }
+
   /** G15 core: in-flight hamming-space gate — each arriving signature
     * checked against the STANDING index: `exact_dup` if the 60-bit
     * signature itself exists in the base, `near_dup` if a DIFFERENT

@@ -812,6 +812,28 @@ object LlmQueries {
       .orderBy(col("sk"), col("band"))
   }
 
+  /** F41: hamming-index refresh — the F37 merge≡rebuild theorem in
+    * 60-bit signature space (the F34/G15 standing index): base = the
+    * %4≠0 docs' simhash values, batch = the %4==0 docs'; Spark MERGES
+    * (re-keying only the touched level-0 buckets' cohort), the oracle
+    * REBUILDS from scratch over the union — a hash match verifies the
+    * closure argument cross-engine.
+    */
+  def dedupSimhashIndexMerge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sim = Dedup.simhash(spark, docs)
+    val (bSigs, bKeyed) = Dedup.hammingIndex(spark,
+      sim.filter(col("doc_id") % IncrementalMod =!= 0).select(col("simhash")),
+      SimhashMaxDf)
+    val (_, mergedKeyed) = Dedup.hammingIndexMerge(spark, bSigs, bKeyed,
+      sim.filter(col("doc_id") % IncrementalMod === 0).select(col("simhash")),
+      SimhashMaxDf)
+    mergedKeyed
+      .select(col("simhash"), col("band").cast("long").as("band"),
+        col("lvl"), col("bkey"))
+      .orderBy(col("simhash"), col("band"))
+  }
+
   /** F24: deterministic stratified mixture sampling over `lang`. */
   def corpusSample(spark: SparkSession, dir: String): DataFrame =
     Sampling.sampleByStratum(Tables.documents(spark, dir),

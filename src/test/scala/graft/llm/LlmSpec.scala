@@ -307,6 +307,36 @@ class LlmSpec extends SparkSpec {
     assert(capped.contains((10L, 0L)))
   }
 
+  test("hamming index merge equals rebuild; idempotent; overflow re-keys wider (F41)") {
+    val all = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sim = Dedup.simhash(spark, all)
+    val s1 = sim.filter($"doc_id" % 4 =!= 0).select($"simhash")
+    val s2 = sim.filter($"doc_id" % 4 === 0).select($"simhash")
+    def keyedSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("simhash", "band", "lvl", "bkey").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    for (cap <- Seq(64, 1)) {
+      val (bS, bK) = Dedup.hammingIndex(spark, s1, cap)
+      val bKeyed = keyedSet(bK)
+      val (mS, mK) = Dedup.hammingIndexMerge(spark, bS, bK, s2, cap)
+      val (rS, rK) = Dedup.hammingIndex(spark, sim.select($"simhash"), cap)
+      assert(keyedSet(mK) == keyedSet(rK), s"merge != rebuild at cap $cap")
+      assert(mS.collect().map(_.getLong(0)).toSet ==
+        rS.collect().map(_.getLong(0)).toSet)
+      // idempotence: folding the same batch again is a no-op
+      val (_, iK) = Dedup.hammingIndexMerge(spark, mS, mK, s2, cap)
+      assert(keyedSet(iK) == keyedSet(mK), s"re-merge not idempotent at cap $cap")
+      if (cap == 1) {
+        // a newly-overflowing bucket must re-key at least one STANDING
+        // (base) row to a wider level
+        val bLvl = bKeyed.map(t => (t._1, t._2) -> t._3).toMap
+        val widened = keyedSet(mK).filter(t =>
+          bLvl.get((t._1, t._2)).exists(_ < t._3))
+        assert(widened.nonEmpty, "cap-1 merge widened no standing row")
+      }
+    }
+  }
+
   test("hamming gate: exact/near/unique verdicts against the standing index (G15)") {
     val base = Seq((10L, 0L), (11L, 1024L)).toDF("match_id", "simhash")
     val (sv, keyed) = Dedup.hammingIndex(spark, base.select($"simhash"), 64)
