@@ -146,6 +146,9 @@ object SparkEntry {
     "ann_cosine_topk" -> ((s, dir) => L.annCosineTopk(s, dir)),
     "ann_lsh" -> ((s, dir) => L.annLsh(s, dir)),
     "ann_ivf" -> ((s, dir) => L.annIvf(s, dir)),
+    "ann_filtered" -> ((s, dir) => L.annFiltered(s, dir)),
+    "ann_mips" -> ((s, dir) => L.annMips(s, dir)),
+    "ann_mips_lsh" -> ((s, dir) => L.annMipsLsh(s, dir)),
     "ann_ivf_refined" -> ((s, dir) => L.annIvfRefined(s, dir)),
     "ann_ivf_sampled" -> ((s, dir) => L.annIvfSampled(s, dir)),
     "ann_ivf_sampled2" -> ((s, dir) => L.annIvfSampled2(s, dir)),
@@ -800,6 +803,37 @@ object SparkEntry {
        |  SELECT vec_id, unnest([$packs]) AS u FROM bk))""".stripMargin
   }
 
+  /** Shared DuckDB CTEs for the MIPS reduction (F43s): the corpus side
+    * augmented with CAST(sqrt(M² − ‖x‖²) AS FLOAT) (the exact
+    * float-pass the Spark plan takes), the query side with 0, both
+    * bucketed by the SAME dim+1 hyperplanes Ann.mipsTopKLsh evaluates.
+    */
+  private val MipsBucketCtes: String = {
+    import graft.ops.{LlmQueries => LQ}
+    val nT = 4
+    val bkCols = (0 until nT).map(t =>
+      graft.similarity.Ann.bucketSqlExpr("ae", LQ.LshPlanes, LQ.EmbedDim + 1, nT, t) +
+        s" AS bk$t").mkString(",\n  ")
+    val packs = (0 until nT).map(t => s"struct_pack(t := $t, b := bk$t)").mkString(", ")
+    s"""n AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |m AS (SELECT max(list_dot_product(emb, emb)) AS m2 FROM n),
+       |vaug AS (SELECT vec_id, list_append(emb,
+       |  CAST(CAST(sqrt(m.m2 - list_dot_product(emb, emb)) AS FLOAT) AS DOUBLE)) AS ae
+       |  FROM n CROSS JOIN m),
+       |qaug AS (SELECT vec_id, list_append(emb, 0.0) AS ae FROM n
+       |  WHERE vec_id < ${LQ.AnnQueryMax}),
+       |vbk AS (SELECT vec_id,
+       |  $bkCols
+       |  FROM vaug),
+       |qbk AS (SELECT vec_id,
+       |  $bkCols
+       |  FROM qaug),
+       |vbb AS (SELECT vec_id, u.t AS t, u.b AS b FROM (
+       |  SELECT vec_id, unnest([$packs]) AS u FROM vbk)),
+       |qbb AS (SELECT vec_id, u.t AS t, u.b AS b FROM (
+       |  SELECT vec_id, unnest([$packs]) AS u FROM qbk))""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     // ---- G. streaming batch twin ----
     "stream_rollup" ->
@@ -1386,6 +1420,73 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY q_id ORDER BY round(cos,6) DESC, vec_id) AS rk
          |  FROM scored)
          |SELECT q_id, rk, vec_id, round(cos,4) AS cos FROM rk
+         |WHERE rk <= ${LQ.AnnK}
+         |ORDER BY q_id, rk""".stripMargin
+    },
+    // F42: metadata-filtered IVF search — centroids and probe lists
+    // from the FULL corpus (the standing index), the vector-side
+    // assignment restricted to rows passing the label predicate (the
+    // pre-filter shape: filtering before the per-row pure-function
+    // assignment ≡ filtering the materialized lists)
+    "ann_filtered" -> {
+      import graft.ops.{LlmQueries => LQ}
+      s"""WITH n AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),
+         |cents AS (SELECT vec_id AS cent_id, emb AS ce, nrm AS cn FROM n
+         |  ORDER BY vec_id LIMIT ${LQ.IvfCentroids}),
+         |va AS (SELECT n.vec_id, c.cent_id,
+         |  row_number() OVER (PARTITION BY n.vec_id
+         |    ORDER BY round(list_dot_product(n.emb, c.ce)/(n.nrm*c.cn), 6) DESC, c.cent_id) AS ark
+         |  FROM n CROSS JOIN cents c WHERE n.label % ${LQ.FilterLabelMod} = 0),
+         |assigned AS (SELECT vec_id, cent_id FROM va WHERE ark = 1),
+         |qa AS (SELECT n.vec_id AS q_id, c.cent_id,
+         |  row_number() OVER (PARTITION BY n.vec_id
+         |    ORDER BY round(list_dot_product(n.emb, c.ce)/(n.nrm*c.cn), 6) DESC, c.cent_id) AS crk
+         |  FROM n CROSS JOIN cents c WHERE n.vec_id < ${LQ.AnnQueryMax}),
+         |probes AS (SELECT q_id, cent_id FROM qa WHERE crk <= ${LQ.IvfProbe}),
+         |scored AS (SELECT p.q_id, a.vec_id,
+         |  list_dot_product(nq.emb, nv.emb)/(nq.nrm*nv.nrm) AS cos
+         |  FROM assigned a JOIN probes p USING (cent_id)
+         |  JOIN n nq ON nq.vec_id = p.q_id JOIN n nv ON nv.vec_id = a.vec_id
+         |  WHERE a.vec_id <> p.q_id),
+         |rk AS (SELECT q_id, vec_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY round(cos,6) DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, rk, vec_id, round(cos,4) AS cos FROM rk
+         |WHERE rk <= ${LQ.AnnK}
+         |ORDER BY q_id, rk""".stripMargin
+    },
+    // F43: exact maximum-inner-product top-k — the cosine tail with
+    // the raw dot as the score (no normalization)
+    "ann_mips" -> {
+      import graft.ops.{LlmQueries => LQ}
+      s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, emb AS qe FROM n WHERE vec_id < ${LQ.AnnQueryMax}),
+         |scored AS (SELECT q.q_id, v.vec_id, list_dot_product(q.qe, v.emb) AS dp
+         |  FROM n v CROSS JOIN q WHERE v.vec_id <> q.q_id),
+         |rk AS (SELECT q_id, vec_id, dp,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY round(dp,6) DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, rk, vec_id, round(dp,4) AS dp FROM rk
+         |WHERE rk <= ${LQ.AnnK}
+         |ORDER BY q_id, rk""".stripMargin
+    },
+    // F43s: bucketed MIPS — candidates from the augmented-space LSH
+    // buckets (corpus side carries sqrt(M²−‖x‖²) through FLOAT, query
+    // side 0 — the exact reduction arithmetic), raw-dot scoring
+    "ann_mips_lsh" -> {
+      import graft.ops.{LlmQueries => LQ}
+      s"""WITH $MipsBucketCtes,
+         |cand AS (SELECT DISTINCT q.vec_id AS q_id, v.vec_id AS vec_id
+         |  FROM vbb v JOIN qbb q ON q.t = v.t AND q.b = v.b
+         |    AND v.vec_id <> q.vec_id),
+         |scored AS (SELECT c.q_id, c.vec_id,
+         |  list_dot_product(nq.emb, nv.emb) AS dp
+         |  FROM cand c JOIN n nq ON nq.vec_id = c.q_id JOIN n nv ON nv.vec_id = c.vec_id),
+         |rk AS (SELECT q_id, vec_id, dp,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY round(dp,6) DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, rk, vec_id, round(dp,4) AS dp FROM rk
          |WHERE rk <= ${LQ.AnnK}
          |ORDER BY q_id, rk""".stripMargin
     },

@@ -359,6 +359,39 @@ object LlmQueries {
     Ann.ivfTopK(e.filter(col("vec_id") < AnnQueryMax), e, AnnK, IvfCentroids, IvfProbe)
   }
 
+  /** F43: exact maximum-inner-product top-k — the recommendation-model
+    * objective (user·item), where normalizing away magnitude is wrong.
+    */
+  def annMips(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Ann.mipsBruteTopK(e.filter(col("vec_id") < AnnQueryMax), e, AnnK)
+  }
+
+  /** F43s: bucketed MIPS — candidates from hyperplane LSH over the
+    * norm-AUGMENTED vectors (the Bachrach/Neyshabur reduction), raw
+    * inner-product exact scoring.
+    */
+  def annMipsLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Ann.mipsTopKLsh(e.filter(col("vec_id") < AnnQueryMax), e, AnnK,
+      LshPlanes, EmbedDim)
+  }
+
+  // F42: the filtered-search predicate — even labels (~half the
+  // corpus: selective enough that post-filtering an unfiltered
+  // k-shortlist would starve, the case pre-filtering exists for)
+  val FilterLabelMod = 2
+
+  /** F42: metadata-filtered vector search — top-k among even-label
+    * vectors only, served from the STANDING full-corpus IVF codebook
+    * with the predicate applied to the lists before ranking.
+    */
+  def annFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Ann.ivfTopKFiltered(e.filter(col("vec_id") < AnnQueryMax), e, AnnK,
+      IvfCentroids, IvfProbe, col("label") % FilterLabelMod === 0)
+  }
+
   val IvfLloydIters = 2
 
   /** F6c: IVF with a Lloyd-refined codebook (2 iterations). */

@@ -232,6 +232,112 @@ object Ann {
                      nCentroids: Int, nProbe: Int, iters: Int): DataFrame =
     ivfTopKWith(queries, vecs, k, nProbe, refinedCentroids(vecs, nCentroids, iters))
 
+  // ---- F43: maximum-inner-product search (MIPS) ----------------------
+
+  /** Shared rank-and-project tail of the MIPS surfaces: rank on
+    * round(dp,6) with vec_id tie-break, project round(dp,4) — the
+    * [[topK]] contract with the raw INNER PRODUCT as the score.
+    */
+  private def topKDot(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("dp"), 6).desc, col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id"),
+        round(col("dp"), 4).as("dp"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** F43: exact maximum-INNER-PRODUCT top-k — the recommendation-model
+    * objective (user·item score), where cosine's normalization is
+    * wrong: a long vector IS a better match. Same plan class as
+    * [[bruteTopK]] (query side broadcast, corpus streams one codegen
+    * stage, no shuffle).
+    */
+  def mipsBruteTopK(queries: DataFrame, vecs: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col("vec_id").as("q_id"), col("embedding").as("qe")))
+    val scored = vecs.select(col("vec_id"), col("embedding").as("ve"))
+      .crossJoin(q)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("dp", dot(col("qe"), col("ve")))
+    topKDot(scored, k)
+  }
+
+  /** F43s: bucketed MIPS via the norm-AUGMENTATION reduction (Bachrach
+    * et al. RecSys'14; Neyshabur & Srebro ICML'15): append component
+    * sqrt(M² − ‖x‖²) to every corpus vector (M = max corpus norm) and
+    * 0 to every query — augmented corpus vectors all have norm exactly
+    * M, so per-query augmented-space COSINE order equals raw
+    * inner-product order, and the entire cosine index machinery (here
+    * the multi-table hyperplane LSH of [[lshTopK]]) serves MIPS
+    * unchanged. Candidates come from the augmented-space buckets;
+    * scoring is the RAW dot product (exact — the reduction
+    * approximates candidate generation, never scores; the augmented
+    * query's trailing 0 makes augmented dot ≡ raw dot, so one array
+    * serves both).
+    *
+    * Engine parity: M² is a 1-row double aggregate over the same
+    * FloatDot arithmetic both engines run; the augmented component
+    * passes through FLOAT (the [[planeSqlLiteral]] widening contract),
+    * so both engines hash bit-identical augmented vectors to the same
+    * buckets. At 100 TB, M is an index-build-time artifact (one
+    * reduce), and the per-table candidate joins are the [[lshTopK]]
+    * bucket equi-joins — never a cross join.
+    */
+  def mipsTopKLsh(queries: DataFrame, vecs: DataFrame, k: Int,
+                  nPlanes: Int, dim: Int, nTables: Int = 4): DataFrame = {
+    val pls = planes(nPlanes, dim + 1)
+    val m2 = vecs.agg(max(dot(col("embedding"), col("embedding"))).as("m2"))
+    val aug = vecs.crossJoin(broadcast(m2)).select(col("vec_id"),
+      col("embedding").as("ve"),
+      concat(col("embedding"), array(
+        sqrt(col("m2") - dot(col("embedding"), col("embedding")))
+          .cast("float"))).as("ae"))
+    val v = aug.select(col("vec_id"), col("ve"),
+      posexplode(tableBuckets(col("ae"), pls, nTables)).as(Seq("vt", "vb")))
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("qe"),
+      concat(col("embedding"), array(lit(0.0f))).as("ae"))
+      .select(col("q_id"), col("qe"),
+        posexplode(tableBuckets(col("ae"), pls, nTables)).as(Seq("qt", "qb"))))
+    val scored = v.join(q,
+        col("qt") === col("vt") && col("qb") === col("vb") &&
+          col("vec_id") =!= col("q_id"))
+      // multi-table collisions duplicate (q, v) pairs — dedup needed
+      // here for the same reason as lshTopK (not the IVF paths)
+      .dropDuplicates("q_id", "vec_id")
+      .withColumn("dp", dot(col("qe"), col("ve")))
+    topKDot(scored, k)
+  }
+
+  /** F42: metadata-FILTERED vector search — top-k among only the
+    * vectors satisfying `pred`, served from the STANDING index (the
+    * coarse codebook is built over the FULL corpus; a production index
+    * is not retrained per predicate). This is the pre-filter shape
+    * every vector store ships for selective predicates: the filter is
+    * applied to the inverted lists BEFORE ranking, so the k survivors
+    * are guaranteed to satisfy it — post-filtering an unfiltered
+    * shortlist of k would return < k (or garbage recall) whenever the
+    * predicate is selective.
+    *
+    * Spark shape: because the coarse assignment is a per-row pure
+    * function of (vector, broadcast codebook), filtering the vectors
+    * BEFORE assignment is semantically identical to filtering the
+    * materialized lists — and strictly better as a plan, since the
+    * predicate lands on the parquet scan (PushedFilters) and the
+    * assignment aggregate never touches excluded rows. At 100 TB the
+    * candidate stream shrinks by the predicate's selectivity before
+    * the one cent_id shuffle. Exactness contract: with nProbe =
+    * nCentroids this IS brute-force search over the filtered set
+    * (spec-pinned).
+    */
+  def ivfTopKFiltered(queries: DataFrame, vecs: DataFrame, k: Int,
+                      nCentroids: Int, nProbe: Int, pred: Column): DataFrame =
+    ivfTopKWith(queries, vecs.filter(pred), k, nProbe,
+      initialCentroids(vecs, nCentroids))
+
   /** Hash-stable codebook TRAINING sample: keep a vector iff
     * h60(vec_id + "#cbtrain") mod 10000 < rateBp — the F24/F21s salted
     * basis-point discipline. A vector's training fate is a pure

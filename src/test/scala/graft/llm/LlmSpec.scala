@@ -788,6 +788,88 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("filtered ivf: predicate holds on every row; full probe IS brute over the filtered set (F42)") {
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter($"vec_id" < 10)
+    val pred = $"label" % 2 === 0
+    // the driver shape: every returned neighbor satisfies the predicate
+    val res = Ann.ivfTopKFiltered(q, e, 5, nCentroids = 32, nProbe = 8, pred)
+    val labelOf = e.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number]("label").longValue).toMap
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(labelOf(r.getLong(2)) % 2 == 0,
+      s"vec ${r.getLong(2)} violates the filter"))
+    // exactness contract: nProbe = nCentroids probes every list, so
+    // filtered IVF degenerates to brute-force search over the
+    // filtered set — row-for-row equal, scores included
+    val full = Ann.ivfTopKFiltered(q, e, 5, 32, nProbe = 32, pred).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val brute = Ann.bruteTopK(q, e.filter(pred), 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(full == brute, "full-probe filtered IVF must equal filtered brute force")
+    // at the driver's probe width, recall vs filtered brute stays usable
+    val bruteSet = brute.map(t => (t._1, t._3)).toSet
+    val ivfSet = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bruteSet & ivfSet).size.toDouble / bruteSet.size
+    assert(recall >= 0.3, s"filtered recall $recall too low")
+    // post-filtering an UNFILTERED k-shortlist starves: strictly fewer
+    // surviving rows than the pre-filtered search returns (the reason
+    // this operator exists)
+    val post = Ann.ivfTopK(q, e, 5, 32, 8).collect()
+      .filter(r => labelOf(r.getLong(2)) % 2 == 0)
+    assert(post.length < rows.length,
+      s"post-filter kept ${post.length} rows vs pre-filter ${rows.length}")
+  }
+
+  test("mips: reduction theorem holds — augmented cosine order IS dot order; lsh recall (F43)") {
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter($"vec_id" < 10)
+    val brute = Ann.mipsBruteTopK(q, e, 5)
+    // MIPS sees magnitude where cosine cannot: plant a 3× rescale of
+    // query 0's MIPS top-1 — the rescale must take over rank 1 (its
+    // dot triples; its cosine is unchanged)
+    val top1 = brute.collect().filter(_.getLong(0) == 0L).head
+    assert(top1.getDouble(3) > 0, "corpus sanity: top dot must be positive")
+    val big = e.filter($"vec_id" === top1.getLong(2)).select(
+      lit(900000L).as("vec_id"),
+      expr("transform(embedding, v -> cast(v * 3.0f as float))").as("embedding"),
+      $"label")
+    val planted = Ann.mipsBruteTopK(q, e.unionByName(big), 5).collect()
+      .filter(_.getLong(0) == 0L)
+    assert(planted.head.getLong(2) == 900000L,
+      "3×-rescaled top-1 must outrank its original under MIPS")
+    // the reduction theorem, checked end to end: augment the corpus
+    // with sqrt(M²−‖x‖²) and queries with 0, rank by COSINE in the
+    // augmented space — the (q, vec) result set must be the brute-MIPS
+    // set (cos and dp live on different rounding grids, so compare
+    // membership, not scores)
+    val m2 = e.agg(max(expr(
+      "aggregate(zip_with(embedding, embedding, (a, b) -> cast(a as double) * b), 0d, (s, x) -> s + x)"))).head.getDouble(0)
+    val aug = e.select($"vec_id",
+      concat($"embedding", array(sqrt(lit(m2) -
+        graft.functions.FloatDot.dot($"embedding", $"embedding")).cast("float"))).as("embedding"))
+    val qaug = q.select($"vec_id", concat($"embedding", array(lit(0.0f))).as("embedding"))
+    val viaCosine = Ann.bruteTopK(qaug, aug, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val direct = brute.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(viaCosine == direct,
+      "augmented-cosine top-k must equal inner-product top-k")
+    // bucketed MIPS: candidates only from augmented-space buckets,
+    // exact dot scores (subset soundness), usable recall
+    val lsh = Ann.mipsTopKLsh(q, e, 5, 8, 64)
+    val bruteScores = brute.collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val lshRows = lsh.collect()
+    lshRows.foreach { r =>
+      bruteScores.get((r.getLong(0), r.getLong(2)))
+        .foreach(dp => assert(math.abs(dp - r.getDouble(3)) < 1e-9))
+    }
+    val recall = (direct & lshRows.map(r => (r.getLong(0), r.getLong(2))).toSet)
+      .size.toDouble / direct.size
+    assert(recall >= 0.2, s"mips lsh recall $recall too low")
+  }
+
   test("lloyd-refined ivf: recall at least matches the lowest-id codebook (F6c)") {
     val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter($"vec_id" < 5)

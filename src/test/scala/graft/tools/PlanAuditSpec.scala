@@ -244,6 +244,30 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ann_filtered: label predicate reaches the parquet scan; ivf shape intact") {
+    val p = plan("ann_filtered")
+    // the pre-filter shape's whole point: the predicate lands on the
+    // candidate-side SCAN (PushedFilters), so excluded rows never enter
+    // the assignment aggregate, let alone the cent_id shuffle
+    assert(p.contains("PushedFilters: [IsNotNull(label)"), p.take(3000))
+    // and the plan stays ann_ivf's: 3 hash exchanges, no extra dedup
+    assert(countOf(p, "Exchange hashpartitioning") == 3, p.take(3000))
+  }
+
+  test("ann_mips: corpus streams one stage; lsh variant joins on buckets only") {
+    val brute = plan("ann_mips")
+    // exact MIPS = bruteTopK's shape: broadcast query side, zero hash
+    // exchanges before the topK window
+    assert(countOf(brute, "Exchange hashpartitioning") == 1, brute.take(3000))
+    assert(countOf(brute, "BroadcastNestedLoopJoin") == 1, brute.take(3000))
+    val lsh = plan("ann_mips_lsh")
+    // the reduction rides the existing bucket machinery: the M²
+    // aggregate is a 1-row broadcast, candidates come from a broadcast
+    // bucket join, never a full cross join of corpus × corpus
+    assert(countOf(lsh, "BroadcastHashJoin") >= 1, lsh.take(3000))
+    assert(!lsh.contains("SortMergeJoin"), lsh.take(3000))
+  }
+
   test("capped minhash consumers share the session-cached keyed table") {
     // the 40-rows/sig keyed table (cappedMinhashKeys) and the signature
     // table are cachedOnce at ONE plan shape — so in a session that
