@@ -132,6 +132,7 @@ object SparkEntry {
     "dedup_jaccard_clusters" -> ((s, dir) => L.dedupJaccardClusters(s, dir)),
     "dedup_cc_clusters" -> ((s, dir) => L.dedupCcClusters(s, dir)),
     "dedup_cc_sizes" -> ((s, dir) => L.dedupCcSizes(s, dir)),
+    "dedup_soft" -> ((s, dir) => L.dedupSoft(s, dir)),
     "dedup_embed_cosine_clusters" -> ((s, dir) => L.dedupEmbedCosineClusters(s, dir)),
     "dedup_embed_cosine" -> ((s, dir) => L.dedupEmbedCosine(s, dir)),
     "dedup_semantic" -> ((s, dir) => L.dedupSemantic(s, dir)),
@@ -175,6 +176,8 @@ object SparkEntry {
     "text_domains" -> ((s, dir) => L.textDomains(s, dir)),
     "text_gopher_rules" -> ((s, dir) => L.textGopherRules(s, dir)),
     "text_entropy" -> ((s, dir) => L.textEntropy(s, dir)),
+    "quality_classifier_train" -> ((s, dir) => L.qualityClassifierTrain(s, dir)),
+    "quality_classifier_score" -> ((s, dir) => L.qualityClassifierScore(s, dir)),
     "embed_norm_stats" -> ((s, dir) => L.embedNormStats(s, dir)),
     "corpus_curation" -> ((s, dir) => L.corpusCuration(s, dir)),
     "corpus_curation_decontam" -> ((s, dir) => L.corpusCurationDecontam(s, dir)),
@@ -196,6 +199,7 @@ object SparkEntry {
     "stream_sig_dedup" -> ((s, dir) => L.streamSigDedup(s, dir)),
     "stream_decontaminate" -> ((s, dir) => L.streamDecontaminate(s, dir)),
     "stream_quality_gate" -> ((s, dir) => L.streamQualityGate(s, dir)),
+    "stream_cls_gate" -> ((s, dir) => L.streamClsGate(s, dir)),
     "stream_ann_assign" -> ((s, dir) => L.streamAnnAssign(s, dir)),
     "ann_assign_2level" -> ((s, dir) => L.annAssign2Level(s, dir)),
     "stream_tokenize" -> ((s, dir) => L.streamTokenize(s, dir)),
@@ -521,6 +525,45 @@ object SparkEntry {
   }
 
   private lazy val BpeOracleSql: String = bpeMergesOracleSql("documents")
+
+  /** F42 classifier GD unroll as DuckDB CTEs — the exact
+    * per-token/per-doc fixed-point law graft.text.Classifier evaluates
+    * (1e-12 grid z terms, 1e-9 grid gradient terms, fast-sigmoid link,
+    * η·(s/(N·1e9)) update in the same operation order), iterated
+    * [[graft.text.Classifier.Iters]] times as chained CTEs; bias rides
+    * the gradient union as bucket −1 and its own c{t} chain.
+    */
+  private lazy val ClassifierCtes: String = {
+    import graft.text.{Classifier => C}
+    val d = C.Dim
+    val eta = C.Eta
+    val sb = new StringBuilder
+    sb ++= s"""$TK,
+      |base AS (SELECT doc_id, toks, len(toks) AS n,
+      |  CASE WHEN ${qualityScoreSql(EnStopwordList)} >= ${C.LabelMin} THEN 1.0 ELSE 0.0 END AS y
+      |  FROM tk WHERE text IS NOT NULL),
+      |nn AS (SELECT count(*) AS nd FROM base),
+      |tok AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT % $d AS b, n, y
+      |  FROM (SELECT doc_id, unnest(toks) AS tok, n, y FROM base)),
+      |w0 AS (SELECT range AS b, 0.0 AS w FROM range($d)),
+      |c0 AS (SELECT 0.0 AS bias)""".stripMargin
+    for (t <- 0 until C.Iters) {
+      sb ++= s""",
+        |z$t AS (SELECT t.doc_id, any_value(t.y) AS y,
+        |  (SELECT bias FROM c$t) + CAST(sum(CAST(round((w.w/t.n)*1000000000000.0) AS BIGINT)) AS DOUBLE)/1000000000000.0 AS z
+        |  FROM tok t JOIN w$t w USING (b) GROUP BY t.doc_id),
+        |e$t AS (SELECT doc_id, (0.5 + z/(2.0*(1.0+abs(z)))) - y AS err FROM z$t),
+        |g$t AS (SELECT b, sum(fx) AS s FROM (
+        |  SELECT t.b AS b, CAST(round((e.err/t.n)*1000000000.0) AS BIGINT) AS fx
+        |    FROM tok t JOIN e$t e USING (doc_id)
+        |  UNION ALL SELECT CAST(-1 AS BIGINT) AS b, CAST(round(err*1000000000.0) AS BIGINT) AS fx FROM e$t
+        |  ) u GROUP BY b),
+        |w${t + 1} AS (SELECT w.b, w.w - $eta*(CAST(coalesce(g.s,0) AS DOUBLE)/((SELECT nd FROM nn)*1000000000.0)) AS w
+        |  FROM w$t w LEFT JOIN g$t g ON w.b = g.b),
+        |c${t + 1} AS (SELECT (SELECT bias FROM c$t) - $eta*(CAST(coalesce((SELECT s FROM g$t WHERE b = -1),0) AS DOUBLE)/((SELECT nd FROM nn)*1000000000.0)) AS bias)""".stripMargin
+    }
+    sb.toString
+  }
 
   /** The F21s sampled document source as a DuckDB subquery — the SAME
     * salted h60 keep rule LlmQueries.bpeSampleDocs evaluates.
@@ -1039,6 +1082,27 @@ object SparkEntry {
          |  CAST(count(*) - 1 AS BIGINT) AS n_removed
          |FROM lab GROUP BY 1 HAVING count(*) >= 2
          |ORDER BY size DESC, cluster_id""".stripMargin,
+    // F45: soft dedup — 1/|cluster| weights over the same recursive
+    // closure labels; singletons weigh exactly 1.0
+    "dedup_soft" ->
+      s"""WITH RECURSIVE $TK, $SHD,
+         |$JaccardCappedCtes,
+         |prs AS (SELECT x, y
+         |  FROM inter JOIN sizes sa ON sa.doc_id=x JOIN sizes sb ON sb.doc_id=y
+         |  WHERE i*1.0/(sa.n+sb.n-i) >= 0.8),
+         |edges AS (SELECT x AS u, y AS v FROM prs
+         |  UNION ALL SELECT y AS u, x AS v FROM prs),
+         |reach(u, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v),
+         |lab AS (SELECT u, min(lbl) AS cluster_id FROM reach GROUP BY u),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
+         |  FROM lab GROUP BY 1)
+         |SELECT lab.u AS doc_id, lab.cluster_id, sz.size,
+         |  round(1.0/sz.size - 1e-9, 4) + 0.0 AS weight
+         |FROM lab JOIN sz USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
     // F16: verbatim >=50-token-span pairs — hashed 50-gram equi-join
     // with the df cap (Dedup.substringPairs); n_grams = shared grams
     "dedup_substring" ->
@@ -2492,6 +2556,45 @@ object SparkEntry {
          |     / (CAST(sum(tf) AS DOUBLE) * 1000000.0) - 1e-9, 4) AS entropy
          |FROM tfd GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+    // F42: hashed-unigram logistic classifier, trained weights — the
+    // full GD unroll replayed on the shared fixed-point grids; `+ 0.0`
+    // normalizes never-touched buckets' -0.0
+    "quality_classifier_train" -> {
+      val it = graft.text.Classifier.Iters
+      s"""WITH $ClassifierCtes
+         |SELECT b AS bucket, round(w - 1e-9, 6) + 0.0 AS weight FROM (
+         |  SELECT CAST(-1 AS BIGINT) AS b, bias AS w FROM c$it
+         |  UNION ALL SELECT b, w FROM w$it) u
+         |ORDER BY bucket""".stripMargin
+    },
+    // F42: frozen-weight scoring — one more z pass under the final
+    // w/c tables, fast-sigmoid prob on the 4-dp grid
+    "quality_classifier_score" -> {
+      val it = graft.text.Classifier.Iters
+      s"""WITH $ClassifierCtes,
+         |zf AS (SELECT t.doc_id, any_value(t.y) AS y,
+         |  (SELECT bias FROM c$it) + CAST(sum(CAST(round((w.w/t.n)*1000000000000.0) AS BIGINT)) AS DOUBLE)/1000000000000.0 AS z
+         |  FROM tok t JOIN w$it w USING (b) GROUP BY t.doc_id)
+         |SELECT doc_id, CAST(y AS BIGINT) AS label,
+         |  round((0.5 + z/(2.0*(1.0+abs(z)))) - 1e-9, 4) + 0.0 AS prob,
+         |  CASE WHEN (0.5 + z/(2.0*(1.0+abs(z)))) >= 0.5
+         |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pred
+         |FROM zf ORDER BY doc_id""".stripMargin
+    },
+    // G16: the frozen-classifier ingest gate — the same trained
+    // w/c chain, label-free scoring projection (kept = σ(z) ≥ 0.5)
+    "stream_cls_gate" -> {
+      val it = graft.text.Classifier.Iters
+      s"""WITH $ClassifierCtes,
+         |zf AS (SELECT t.doc_id,
+         |  (SELECT bias FROM c$it) + CAST(sum(CAST(round((w.w/t.n)*1000000000000.0) AS BIGINT)) AS DOUBLE)/1000000000000.0 AS z
+         |  FROM tok t JOIN w$it w USING (b) GROUP BY t.doc_id)
+         |SELECT doc_id,
+         |  round((0.5 + z/(2.0*(1.0+abs(z)))) - 1e-9, 4) + 0.0 AS prob,
+         |  CASE WHEN (0.5 + z/(2.0*(1.0+abs(z)))) >= 0.5
+         |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS kept
+         |FROM zf ORDER BY doc_id""".stripMargin
+    },
     // F8b: duplicate n-gram fraction per doc (2- and 3-grams); the
     // lead-window shingle build mirrors SHD, `+ 0.0` normalizes
     // DuckDB's IEEE -0.0 to the +0.0 Spark's BigDecimal round emits

@@ -1007,6 +1007,32 @@ object Dedup {
         (col("size") - 1L).as("n_removed"))
       .orderBy(col("size").desc, col("cluster_id"))
 
+  /** F45: SOFT dedup — duplicate DOWN-WEIGHTING instead of removal
+    * (keep-one-per-cluster discards the copies' context diversity;
+    * weighting each member 1/|cluster| keeps every copy while the
+    * cluster's total sampling mass equals one document's — the soft
+    * alternative recent data-mixture work prefers, and the number a
+    * mixture sampler consumes directly as a rate multiplier). Input is
+    * the F19 fixpoint label table; output one row per doc:
+    * (doc_id, cluster_id, size, weight), weight = 1/size on the 4-dp
+    * grid — singletons weigh exactly 1.0, so Σweight over the corpus
+    * is the effective post-dedup document count.
+    *
+    * Scale shape: one map-side-combinable count keyed by cluster_id,
+    * then a join back on the SAME key (the aggregation's partitioning
+    * is reused — no second wide shuffle of the label table); output is
+    * O(corpus), pairwise work stays wherever the label build paid it.
+    */
+  def softDedupWeights(labels: DataFrame): DataFrame = {
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("size"))
+    labels.select(col("doc_id"), col("cluster_id"))
+      .join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("size"),
+        round(lit(1.0) / col("size") - 1e-9, 4).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
   /** F13k: O(n)-output keep/drop over the embedding-cosine pair graph.
     * Takes the pair source as an argument so the exact graph (oracle)
     * and the LSH-bucketed graph (100 TB path) share the rule.

@@ -226,6 +226,13 @@ object LlmQueries {
   def dedupCcSizes(spark: SparkSession, dir: String): DataFrame =
     Dedup.ccSizes(dedupCcClusters(spark, dir))
 
+  /** F45: soft dedup — 1/|cluster| training weights over the F19
+    * fixpoint labels (Dedup.softDedupWeights); every doc kept, each
+    * duplicate cluster's total mass = one document.
+    */
+  def dedupSoft(spark: SparkSession, dir: String): DataFrame =
+    Dedup.softDedupWeights(dedupCcClusters(spark, dir))
+
   /** O(n) keep/drop from the exact embed-cosine pair graph; swap in
     * `Dedup.embedCosineLshPairs` for the LSH-bucketed 100 TB path.
     */
@@ -576,6 +583,36 @@ object LlmQueries {
   def textLmScore(spark: SparkSession, dir: String): DataFrame =
     Analysis.lmScore(Tables.documents(spark, dir), VocabTopN)
 
+  /** F42 weak-label column shared by both classifier queries: F8 4-dp
+    * quality score ≥ [[graft.text.Classifier.LabelMin]] (the
+    * "looks-like-the-reference-corpus" bit a production pipeline gets
+    * from a curated corpus; here derived one-source from the F8 rule
+    * so the oracle renders the identical CASE).
+    */
+  private def classifierLabel: org.apache.spark.sql.Column = {
+    val (_, score) = Analysis.scoreSignals
+    when(score >= graft.text.Classifier.LabelMin, 1.0).otherwise(0.0)
+  }
+
+  /** F42: train the hashed-unigram logistic quality classifier
+    * (full-batch GD, [[graft.text.Classifier.Iters]] iterations) and
+    * emit the frozen model: (bucket, weight), bias at bucket −1.
+    */
+  def qualityClassifierTrain(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val m = graft.text.Classifier.train(docs, classifierLabel)
+    graft.text.Classifier.weightsDf(spark, m)
+  }
+
+  /** F42: train, then score the corpus map-only under the frozen
+    * weights — (doc_id, label, prob, pred).
+    */
+  def qualityClassifierScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val m = graft.text.Classifier.train(docs, classifierLabel)
+    graft.text.Classifier.score(docs, classifierLabel, m)
+  }
+
   // F30: keywords per doc — enough to see real separation, small
   // enough that the per-doc window output stays readable
   val KeywordsTopK = 5
@@ -882,6 +919,17 @@ object LlmQueries {
       .qualityGateStream(Tables.documents(spark, dir),
         CurationMinScore, CurationMinTokens, CurationLang)
       .orderBy(col("doc_id"))
+
+  /** G16 batch twin: the frozen-classifier ingest gate — train F44 on
+    * the corpus (the offline artifact), then the one shared map-only
+    * scoring projection.
+    */
+  def streamClsGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val m = graft.text.Classifier.train(docs, classifierLabel)
+    graft.streaming.CarbonStream.clsGateStream(docs, m)
+      .orderBy(col("doc_id"))
+  }
 
   /** G9 batch twin: row-wise streaming IVF assignment computed
     * batch-side — the codebook (K rows by construction) collects once

@@ -331,6 +331,21 @@ object CarbonStream {
   def mixGateStream(docs: DataFrame, ratesBp: Seq[(String, Int)]): DataFrame =
     graft.ops.Sampling.sampleByStratumRows(docs, ratesBp, defaultBp = 0)
 
+  /** G16: in-flight MODEL-based quality gating — the FROZEN F44
+    * classifier applied at ingest, downstream of G12's rule bundle
+    * (rules refuse structural junk; the model scores what remains —
+    * the two-stage filter every production crawl pipeline runs). The
+    * weights are a batch-trained artifact (65 doubles by construction
+    * — the G9-codebook bounded-broadcast argument) shipping as
+    * expression literals inside ONE narrow projection
+    * ([[graft.text.Classifier.scoreRows]], the in-row z fold shared
+    * with the F44 batch scorer so stream and batch verdicts cannot
+    * drift); stateless, map-only, mode-agnostic.
+    */
+  def clsGateStream(docs: DataFrame,
+                    m: graft.text.Classifier.Model): DataFrame =
+    graft.text.Classifier.scoreRows(docs, m)
+
   /** G11: in-flight keyword tagging — each incoming document gets its
     * top-k TF-IDF keywords AT INGEST against the FROZEN df artifact
     * the last batch sweep trained (F30 recomputes df from the corpus

@@ -1904,4 +1904,120 @@ class LlmSpec extends SparkSpec {
       assert(s < L.CurationMinScore || n < L.CurationMinTokens)
     }
   }
+
+  test("soft dedup: 1/|cluster| weights, singleton weighs 1.0 (F45)") {
+    // a 3-member component + a singleton, labels as F19 emits them
+    val labels = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L))
+      .toDF("doc_id", "cluster_id")
+    val out = graft.dedup.Dedup.softDedupWeights(labels).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 3L, 0.3333), (1L, 0L, 3L, 0.3333), (2L, 0L, 3L, 0.3333),
+      (3L, 3L, 1L, 1.0)))
+  }
+
+  test("soft dedup on the real corpus: every cluster's mass ≈ 1 (F45)") {
+    val out = graft.ops.LlmQueries.dedupSoft(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(out.length == docs.count()) // every doc kept — soft, not hard
+    // per-cluster sampling mass = 1 document (up to the 4-dp grid)
+    out.groupBy(_._2).foreach { case (_, members) =>
+      assert(math.abs(members.map(_._4).sum - 1.0) < 0.01)
+      assert(members.map(_._3).distinct.size == 1) // consistent size col
+      assert(members.head._3 == members.length)    // size IS the count
+    }
+    // multi-member clusters exist on the synthetic corpus (planted dups)
+    assert(out.exists(_._3 > 1L))
+  }
+
+  /** Independent JVM replay of the F42 GD law (same fixed-point grids,
+    * fast sigmoid, update order; shares only h60Jvm with main code) —
+    * the bit-equality witness for the distributed implementation.
+    */
+  private def refClassifier(docs: Seq[(String, Double)], iters: Int,
+                            eta: Double): (Array[Double], Double) = {
+    val D = graft.text.Classifier.Dim
+    // Spark's Round(double): BigDecimal.valueOf + HALF_UP
+    def rnd(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val toks = docs.map(_._1.toLowerCase(java.util.Locale.ROOT).split(" ", -1))
+    val buckets = toks.map(_.map(t => (TextFns.h60Jvm(t) % D).toInt))
+    val ys = docs.map(_._2)
+    val nD = docs.size * 1e9
+    val w = Array.fill(D)(0.0)
+    var bias = 0.0
+    for (_ <- 0 until iters) {
+      val gs = Array.fill(D)(0L)
+      var gb = 0L
+      for (i <- docs.indices) {
+        val n = toks(i).length
+        var zs = 0L
+        buckets(i).foreach(b => zs += rnd(w(b) / n * 1e12))
+        val z = bias + zs.toDouble / 1e12
+        val p = 0.5 + z / (2.0 * (1.0 + math.abs(z)))
+        val err = p - ys(i)
+        buckets(i).foreach(b => gs(b) += rnd(err / n * 1e9))
+        gb += rnd(err * 1e9)
+      }
+      for (b <- 0 until D) w(b) = w(b) - eta * (gs(b).toDouble / nD)
+      bias = bias - eta * (gb.toDouble / nD)
+    }
+    (w, bias)
+  }
+
+  test("quality classifier: Spark GD equals the independent JVM model bit-for-bit (F42)") {
+    val C = graft.text.Classifier
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val label = when(col("doc_id") % 2 === 0, 1.0).otherwise(0.0)
+    val m = C.train(docs, label)
+    val rows = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(1), if (r.getLong(0) % 2 == 0) 1.0 else 0.0)).toSeq
+    val (rw, rb) = refClassifier(rows, C.Iters, C.Eta)
+    assert(m.bias == rb) // exact double equality — the fixed-point claim
+    assert(m.w.toSeq == rw.toSeq)
+    // and the trained model is not the zero model
+    assert(m.w.exists(_ != 0.0))
+  }
+
+  test("quality classifier: weights bit-stable under repartition (F42)") {
+    val C = graft.text.Classifier
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val label = when(col("doc_id") % 2 === 0, 1.0).otherwise(0.0)
+    val m1 = C.train(docs, label)
+    val m2 = C.train(docs.repartition(7), label)
+    assert(m1.bias == m2.bias)
+    assert(m1.w.toSeq == m2.w.toSeq)
+  }
+
+  test("quality classifier: separable planted corpus classified perfectly (F42)") {
+    val C = graft.text.Classifier
+    val docs = (
+      (0 until 20).map(i => (i.toLong, "alpha beta alpha")) ++
+        (20 until 40).map(i => (i.toLong, "gamma delta gamma"))
+      ).toDF("doc_id", "text")
+    val label = when(col("text").contains("alpha"), 1.0).otherwise(0.0)
+    val m = C.train(docs, label)
+    val out = C.score(docs, label, m).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.length == 40)
+    out.foreach { case (_, y, _, pred) => assert(pred == y) }
+    // the two classes separate in probability, not just at the 0.5 line
+    val pPos = out.filter(_._2 == 1L).map(_._3)
+    val pNeg = out.filter(_._2 == 0L).map(_._3)
+    assert(pPos.min > pNeg.max)
+  }
+
+  test("quality classifier: training beats the p=0.5 start on the real corpus (F42)") {
+    val L = graft.ops.LlmQueries
+    val out = L.qualityClassifierScore(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    // mean |p − y| at iteration 0 is exactly 0.5 (all p = 0.5);
+    // a trained model must do strictly better
+    val meanErr = out.map { case (y, p) => math.abs(p - y) }.sum / out.length
+    assert(meanErr < 0.5)
+    // both label directions exist at sf0.001 under the driver threshold
+    assert(out.exists(_._1 == 1L) && out.exists(_._1 == 0L))
+  }
 }

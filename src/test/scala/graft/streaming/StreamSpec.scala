@@ -406,6 +406,44 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming classifier gate: frozen weights, stream ≡ batch (G16)") {
+    import org.apache.spark.sql.functions.{col, when}
+    import graft.streaming.CarbonStream
+    implicit val sqlCtx = spark.sqlContext
+    // the frozen artifact: F44 trained on a tiny separable corpus
+    val corpus = (
+      (0 until 10).map(i => (i.toLong, "alpha beta alpha")) ++
+        (10 until 20).map(i => (i.toLong, "gamma delta gamma"))
+      ).toDF("doc_id", "text")
+    val label = when(col("text").contains("alpha"), 1.0).otherwise(0.0)
+    val m = graft.text.Classifier.train(corpus, label)
+    val source = MemoryStream[(Long, String)]
+    val out = CarbonStream.clsGateStream(
+      source.toDF().toDF("doc_id", "text"), m)
+    val query = out.writeStream
+      .format("memory").queryName("g16_cls").outputMode("append").start()
+    try {
+      source.addData((100L, "alpha beta alpha"), (101L, "gamma delta gamma"))
+      query.processAllAvailable()
+      // stateless across batches: verdicts depend only on (doc, model)
+      source.addData((102L, "alpha alpha alpha"))
+      query.processAllAvailable()
+      val rows = spark.table("g16_cls").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      // batch/stream bit-equality: the SAME projection on a batch frame
+      val batch = CarbonStream.clsGateStream(
+        Seq((100L, "alpha beta alpha"), (101L, "gamma delta gamma"),
+          (102L, "alpha alpha alpha")).toDF("doc_id", "text"), m)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      assert(rows.toSeq == batch.toSeq)
+      val byId = rows.map(r => r._1 -> r).toMap
+      assert(byId(100L)._3 == 1L && byId(101L)._3 == 0L && byId(102L)._3 == 1L)
+      // probabilities separate in the model's trained direction
+      assert(byId(102L)._2 > byId(101L)._2)
+    } finally query.stop()
+  }
+
   test("streaming incremental gate: per-batch verdicts vs the base index (G14)") {
     import graft.dedup.Dedup
     implicit val sqlCtx = spark.sqlContext

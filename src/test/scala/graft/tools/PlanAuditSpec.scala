@@ -50,6 +50,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOf(cascade, "Exchange hashpartitioning") == 3, cascade.take(2000))
   }
 
+  test("stream_cls_gate scoring is map-only: frozen weights as literals") {
+    // the F44/G16 scoring projection: the in-row z fold with the model
+    // as a 64-slot literal array — no join, no aggregation shuffle
+    // (training runs eagerly while BUILDING the frame; the asserted
+    // plan is the scoring query a stream executes per event)
+    val p = plan("stream_cls_gate")
+    assert(countOf(p, "Exchange hashpartitioning") == 0, p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
   test("text_repetition is map-only: no aggregation shuffle, no join") {
     val p = plan("text_repetition")
     // the per-row shingle arithmetic must never grow a shuffle (the
