@@ -99,6 +99,12 @@ object SparkEntry {
     "gfn_substr" -> ((s, dir) => T.gfnSubstr(s, dir)),
     "gfn_smart_summarize" -> ((s, dir) => T.gfnSmartSummarize(s, dir)),
     "gfn_timestack" -> ((s, dir) => T.gfnTimestack(s, dir)),
+    "gfn_moving_minmax" -> ((s, dir) => T.gfnMovingMinmax(s, dir)),
+    "gfn_interpolate" -> ((s, dir) => T.gfnInterpolate(s, dir)),
+    "gfn_wildcards" -> ((s, dir) => T.gfnWildcards(s, dir)),
+    "gfn_slice_scale" -> ((s, dir) => T.gfnSliceScale(s, dir)),
+    "gfn_band_select" -> ((s, dir) => T.gfnBandSelect(s, dir)),
+    "gfn_outside_avg" -> ((s, dir) => T.gfnOutsideAvg(s, dir)),
     // D. dataMine bridge
     "dm_resample" -> ((s, dir) => T.dmResample(s, dir)),
     "dm_resample_all" -> ((s, dir) => T.dmResampleAll(s, dir)),
@@ -133,6 +139,7 @@ object SparkEntry {
     "dedup_cc_clusters" -> ((s, dir) => L.dedupCcClusters(s, dir)),
     "dedup_cc_sizes" -> ((s, dir) => L.dedupCcSizes(s, dir)),
     "dedup_soft" -> ((s, dir) => L.dedupSoft(s, dir)),
+    "dedup_url" -> ((s, dir) => L.dedupUrl(s, dir)),
     "dedup_embed_cosine_clusters" -> ((s, dir) => L.dedupEmbedCosineClusters(s, dir)),
     "dedup_embed_cosine" -> ((s, dir) => L.dedupEmbedCosine(s, dir)),
     "dedup_semantic" -> ((s, dir) => L.dedupSemantic(s, dir)),
@@ -1103,6 +1110,33 @@ object SparkEntry {
          |  round(1.0/sz.size - 1e-9, 4) + 0.0 AS weight
          |FROM lab JOIN sz USING (cluster_id)
          |ORDER BY doc_id""".stripMargin,
+    // F46: URL canonicalization dedup — the identical regexp chain in
+    // RE2 spelling ('g' flags where the Spark side replaces globally,
+    // \1 backrefs in replacements), then the F1-style count/min
+    "dedup_url" ->
+      s"""WITH uv AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+         |  WHEN 0 THEN 'https://site'||(doc_id%5)||'.example.com/a'||(doc_id%11)
+         |  WHEN 1 THEN 'HTTPS://SITE'||(doc_id%5)||'.EXAMPLE.COM:443/a'||(doc_id%11)||'#sec'||(doc_id%3)
+         |  WHEN 2 THEN 'https://www.site'||(doc_id%5)||'.example.com/a'||(doc_id%11)||'/?utm_source=s'||(doc_id%2)
+         |  ELSE 'https://site'||(doc_id%5)||'.example.com/a'||(doc_id%11)||'?id='||(doc_id%5)||'&utm_campaign=c'
+         |  END AS url FROM documents),
+         |c1 AS (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS u FROM uv),
+         |c2 AS (SELECT doc_id,
+         |  lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', 0))
+         |    || substr(u, length(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', 0)) + 1) AS u
+         |  FROM c1),
+         |c3 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+         |    '^(https://[^/:?]*):443([/?]|$$)', '\\1\\2'),
+         |    '^(http://[^/:?]*):80([/?]|$$)', '\\1\\2') AS u FROM c2),
+         |c4 AS (SELECT doc_id, regexp_replace(u, '^(https?://)www\\.', '\\1') AS u FROM c3),
+         |c5 AS (SELECT doc_id, regexp_replace(u,
+         |    '([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*', '\\1', 'g') AS u FROM c4),
+         |c6 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(u,
+         |    '\\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]$$', ''), '/+$$', '') AS u FROM c5)
+         |SELECT u AS url_canon, CAST(count(*) AS BIGINT) AS n_urls,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS keeper
+         |FROM c6 GROUP BY 1 ORDER BY 1""".stripMargin,
     // F16: verbatim >=50-token-span pairs — hashed 50-gram equi-join
     // with the df cap (Dedup.substringPairs); n_grams = shared grams
     "dedup_substring" ->
@@ -3267,6 +3301,96 @@ object SparkEntry {
          |   arr[greatest(1, least(len(arr), CAST(floor(0.5*(len(arr)+1)) AS INT)))]
          | END - 1e-9, 4) AS value
          |FROM wl ORDER BY 1, 2""".stripMargin,
+    // C9ak: forward fill → min-gate selection → 3-point trailing min →
+    // 2-point trailing max; selection keeps the keepLastValue-wrapped
+    // names, the window pair wraps them further
+    "gfn_moving_minmax" ->
+      s"""WITH $GfnFrameCte,
+         |kl AS (SELECT path, t, last_value(value IGNORE NULLS) OVER (PARTITION BY path ORDER BY t
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value FROM fr),
+         |sel AS (SELECT path FROM kl GROUP BY path HAVING round(min(value), 6) < 20),
+         |mn AS (SELECT kl.path, t, min(value) OVER (PARTITION BY kl.path ORDER BY t
+         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS v
+         |  FROM kl JOIN sel USING (path))
+         |SELECT 'movingMax(movingMin(keepLastValue(' || path || '),3),2)' AS path, t,
+         | round(max(v) OVER (PARTITION BY path ORDER BY t
+         |   ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) - 1e-9, 4) AS value
+         |FROM mn ORDER BY 1, 2""".stripMargin,
+    // C9al: linear fill between non-null neighbours by TIMESTAMP; ends
+    // with no neighbour stay null — the same two null-skipping windows
+    "gfn_interpolate" ->
+      s"""WITH $GfnFrameCte,
+         |ip AS (SELECT path, t, value,
+         |  last_value(value IGNORE NULLS) OVER wp AS pv,
+         |  last_value(CASE WHEN value IS NOT NULL THEN t END IGNORE NULLS) OVER wp AS pt,
+         |  first_value(value IGNORE NULLS) OVER wn AS nv,
+         |  first_value(CASE WHEN value IS NOT NULL THEN t END IGNORE NULLS) OVER wn AS nt
+         |  FROM fr WINDOW
+         |   wp AS (PARTITION BY path ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |   wn AS (PARTITION BY path ORDER BY t ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+         |SELECT 'interpolate(' || path || ')' AS path, t,
+         | round(CASE WHEN value IS NOT NULL THEN value
+         |   ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END - 1e-9, 4) AS value
+         |FROM ip ORDER BY 1, 2""".stripMargin,
+    // C9am: wildcard merge — node 1 removed (DuckDB lambda index is
+    // 1-based: i != 2), series summed under the reduced name
+    "gfn_wildcards" ->
+      s"""WITH $GfnFrameCte,
+         |w AS (SELECT array_to_string(list_filter(string_split(path, '.'),
+         |    (x,i) -> i != 2), '.') AS path, t, value FROM fr)
+         |SELECT path, t, round(sum(value) - 1e-9, 4) AS value
+         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // C9an: timeSlice nulls points outside the middle window, then
+    // scaleToSeconds multiplies by 60/step with step = the series' own
+    // min Δt (3600 on this grid)
+    "gfn_slice_scale" ->
+      s"""WITH $GfnFrameCte,
+         |sl AS (SELECT path, t, CASE WHEN t >= 1706184000 AND t <= 1706500800
+         |  THEN value END AS value FROM fr),
+         |st AS (SELECT path, t, value, min(dt) OVER (PARTITION BY path) AS step FROM (
+         |  SELECT path, t, value, t - lag(t) OVER (PARTITION BY path ORDER BY t) AS dt
+         |  FROM sl) x)
+         |SELECT 'scaleToSeconds(timeSlice(' || path || ',1706184000,1706500800),60)' AS path, t,
+         | round(value * (60.0 / step) - 1e-9, 4) AS value
+         |FROM st ORDER BY 1, 2""".stripMargin,
+    // C9ao: per-timestamp (20th, 80th) percentile band across series
+    // over the forward-filled frame; keep series with any point at or
+    // outside an edge (graphite's open-interval rule)
+    "gfn_band_select" ->
+      s"""WITH $GfnFrameCte,
+         |kl AS (SELECT path, t, last_value(value IGNORE NULLS) OVER (PARTITION BY path ORDER BY t
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value FROM fr),
+         |band AS (SELECT t, list_sort(list_filter(list(value), x -> x IS NOT NULL)) AS arr
+         |  FROM kl GROUP BY t),
+         |bp AS (SELECT t,
+         |  CASE WHEN len(arr) > 0 THEN arr[greatest(1, least(len(arr),
+         |    CAST(floor(0.2*(len(arr)+1)) AS INT)))] END AS lo,
+         |  CASE WHEN len(arr) > 0 THEN arr[greatest(1, least(len(arr),
+         |    CAST(floor(0.8*(len(arr)+1)) AS INT)))] END AS hi
+         |  FROM band),
+         |keep AS (SELECT DISTINCT path FROM kl JOIN bp USING (t)
+         |  WHERE value <= lo OR value >= hi)
+         |SELECT 'keepLastValue(' || kl.path || ')' AS path, t,
+         | round(value - 1e-9, 4) AS value
+         |FROM kl JOIN keep USING (path) ORDER BY 1, 2""".stripMargin,
+    // C9ap: series whose mean leaves the (30th, 70th) band of all
+    // means (round-6 comparisons — both sides computed floats), each
+    // painted as its constant average line
+    "gfn_outside_avg" ->
+      s"""WITH $GfnFrameCte,
+         |av AS (SELECT path, avg(value) AS m FROM fr GROUP BY 1),
+         |bd AS (SELECT list_sort(list_filter(list(m), x -> x IS NOT NULL)) AS arr FROM av),
+         |bp AS (SELECT
+         |  CASE WHEN len(arr) > 0 THEN arr[greatest(1, least(len(arr),
+         |    CAST(floor(0.3*(len(arr)+1)) AS INT)))] END AS lo,
+         |  CASE WHEN len(arr) > 0 THEN arr[greatest(1, least(len(arr),
+         |    CAST(floor(0.7*(len(arr)+1)) AS INT)))] END AS hi
+         |  FROM bd),
+         |keep AS (SELECT path, m FROM av CROSS JOIN bp
+         |  WHERE round(m, 6) <= round(lo, 6) OR round(m, 6) >= round(hi, 6))
+         |SELECT 'aggregateLine(' || fr.path || ',''avg'')' AS path, t,
+         | round(m - 1e-9, 4) AS value
+         |FROM fr JOIN keep ON fr.path = keep.path ORDER BY 1, 2""".stripMargin,
     // C9aa: weightedAverage on the user node — Σ click·view / Σ view
     // per t over node-matched pairs; weights count only when the value
     // side is present

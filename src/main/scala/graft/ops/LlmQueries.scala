@@ -233,6 +233,14 @@ object LlmQueries {
   def dedupSoft(spark: SparkSession, dir: String): DataFrame =
     Dedup.softDedupWeights(dedupCcClusters(spark, dir))
 
+  /** F46: URL canonicalization dedup over the planted variant table —
+    * case/port/fragment/www/utm forms collapse per id-arithmetic
+    * class, the real-query form stays distinct.
+    */
+  def dedupUrl(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Urls.urlDedup(
+      graft.text.Urls.urlVariantsPlanted(Tables.documents(spark, dir)))
+
   /** O(n) keep/drop from the exact embed-cosine pair graph; swap in
     * `Dedup.embedCosineLshPairs` for the LSH-bucketed 100 TB path.
     */

@@ -714,6 +714,50 @@ object Queries {
   def gfnTimestack(spark: SparkSession, dir: String): DataFrame =
     gfnEval(spark, dir, """timeStack(sumSeries(vera.u1?.click),"4hour",0,2)""")
 
+  /** C9ak: window min/max ladder over the forward-filled, min-gated
+    * series — minimumBelow keeps series whose (filled) minimum sits
+    * under the gate, then a 3-point trailing min smoothed by a 2-point
+    * trailing max (the classic envelope pair).
+    */
+  def gfnMovingMinmax(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir,
+      "movingMax(movingMin(minimumBelow(keepLastValue(vera.u1?.click),20),3),2)")
+
+  /** C9al: linear gap interpolation — the sparse click frame's null
+    * runs fill by timestamp between non-null neighbours; edges stay
+    * null.
+    */
+  def gfnInterpolate(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, "interpolate(vera.u1?.click)")
+
+  /** C9am: wildcard merge — the user node (position 1) removed, series
+    * summed under the reduced name (groupByNode's keep-all-but dual).
+    */
+  def gfnWildcards(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, "sumSeriesWithWildcards(vera.u1?.click,1)")
+
+  /** C9an: time slicing re-expressed as a rate — points outside the
+    * middle window null out, survivors scale to per-minute (60/step
+    * with the step derived from the series' own grid).
+    */
+  def gfnSliceScale(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir,
+      "scaleToSeconds(timeSlice(vera.u1?.click,1706184000,1706500800),60)")
+
+  /** C9ao: percentile-band series selection — series with ≥1 filled
+    * point outside the per-timestamp (20th, 80th) band across series.
+    */
+  def gfnBandSelect(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, "removeBetweenPercentile(keepLastValue(vera.u1?.click),80)")
+
+  /** C9ap: mean-outlier selection + stat line — series whose mean
+    * leaves the (30th, 70th) band of all means, each painted as its
+    * constant average line.
+    */
+  def gfnOutsideAvg(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir,
+      """aggregateLine(averageOutsidePercentile(vera.u1?.click,70),"avg")""")
+
   /** C9h: the URL round trip — a function target through Cgi.dispatch
     * (maxSeries propagates the env's -Eps input shift exactly).
     */

@@ -1066,6 +1066,169 @@ object SeriesFunctions {
   /** Number rendering for wrapped names: integral doubles print
     * without the trailing `.0` (Graphite prints `scale(x,2)`).
     */
+  // ---- r7 batch 5: window min/max, gap interpolation, time slicing,
+  //      rate re-scaling, stat lines, wildcard merge, percentile-band
+  //      series selection ----
+
+  /** Trailing n-point minimum (Graphite `movingMin`): null-ignoring
+    * window aggregate, all-null window → null — the movingSum shape
+    * with `min`.
+    */
+  def movingMin(f: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"movingMin window must be >= 1 (got $n)")
+    frame(f, wrap("movingMin", n.toString), col("t"),
+      min(col("value")).over(byPath.rowsBetween(-(n - 1), 0)))
+  }
+
+  /** Trailing n-point maximum (Graphite `movingMax`). */
+  def movingMax(f: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"movingMax window must be >= 1 (got $n)")
+    frame(f, wrap("movingMax", n.toString), col("t"),
+      max(col("value")).over(byPath.rowsBetween(-(n - 1), 0)))
+  }
+
+  /** Linear gap fill (Graphite `interpolate`): a null run between two
+    * non-null neighbours fills linearly by TIMESTAMP (not row index —
+    * identical here on dense grids, but the law is the honest one);
+    * leading/trailing nulls have no neighbour on one side and stay
+    * null. Two null-skipping windows per series (previous / next
+    * non-null (t, value)), then pure per-row arithmetic — no join, one
+    * path-keyed window shuffle like every sequence function.
+    */
+  def interpolate(f: DataFrame): DataFrame = {
+    val wp = byPath.rowsBetween(Window.unboundedPreceding, -1)
+    val wn = byPath.rowsBetween(1, Window.unboundedFollowing)
+    val pv = last(col("value"), ignoreNulls = true).over(wp)
+    val pt = last(when(col("value").isNotNull, col("t")), ignoreNulls = true).over(wp)
+    val nv = first(col("value"), ignoreNulls = true).over(wn)
+    val nt = first(when(col("value").isNotNull, col("t")), ignoreNulls = true).over(wn)
+    frame(f, wrap("interpolate", ""), col("t"),
+      when(col("value").isNotNull, col("value"))
+        .otherwise(pv + (nv - pv) * (col("t") - pt) / (nt - pt)))
+  }
+
+  /** Keep only points with startT ≤ t ≤ endT (Graphite `timeSlice`;
+    * this form takes epoch seconds — the target grammar's number
+    * argument). The grid stays, outside points null — map-only.
+    */
+  def timeSlice(f: DataFrame, startT: Long, endT: Long): DataFrame =
+    frame(f, wrap("timeSlice", s"$startT,$endT"), col("t"),
+      when(col("t") >= startT && col("t") <= endT, col("value")))
+
+  /** Graphite `scaleToSeconds(series, seconds)`: each point ×
+    * seconds/step — re-expresses a per-interval count as a per-N-second
+    * rate. The step is derived from the series' own grid (min Δt per
+    * series — the hitcount discipline; constant on fetch grids), so
+    * the function needs no out-of-band metadata. A one-point series
+    * has no derivable step and nulls out.
+    */
+  def scaleToSeconds(f: DataFrame, seconds: Int): DataFrame = {
+    require(seconds >= 1, s"scaleToSeconds: seconds must be >= 1 (got $seconds)")
+    val wp = Window.partitionBy(col("path"))
+    val withStep = f
+      .withColumn("dt", col("t") - lag(col("t"), 1).over(byPath))
+      .withColumn("step", min(col("dt")).over(wp))
+    frame(withStep, wrap("scaleToSeconds", seconds.toString), col("t"),
+      col("value") * (lit(seconds.toDouble) / col("step")))
+  }
+
+  /** Constant per-series stat line (Graphite `aggregateLine`): the
+    * series' avg/min/max painted at EVERY grid point (the reference
+    * line a dashboard draws behind the live series). K-row stat table
+    * broadcast back onto the grid.
+    */
+  def aggregateLine(f: DataFrame, func: String): DataFrame = {
+    val agg = func match {
+      case "avg" | "average" => avg(col("value"))
+      case "min" => min(col("value"))
+      case "max" => max(col("value"))
+      case other => throw new IllegalArgumentException(s"aggregateLine: unknown func '$other'")
+    }
+    val tab = f.groupBy(col("path")).agg(agg.as("lv"))
+    frame(f.join(broadcast(tab), Seq("path"), "left"),
+      concat(lit("aggregateLine("), col("path"), lit(s",'$func')")),
+      col("t"), col("lv"))
+  }
+
+  /** Aggregate after REMOVING the given 0-based path nodes (Graphite
+    * `sumSeriesWithWildcards` / `averageSeriesWithWildcards`): series
+    * whose names differ only at the removed positions merge under the
+    * reduced name — groupByNode generalized to keep-all-but. One
+    * groupBy(name′, t), map-side combined.
+    */
+  def aggWithWildcards(f: DataFrame, func: String, positions: Seq[Int]): DataFrame = {
+    require(positions.nonEmpty && positions.forall(_ >= 0),
+      s"aggWithWildcards: positions must be non-negative (got $positions)")
+    val parts = split(col("path"), "\\.")
+    val reduced = array_join(
+      filter(parts, (_, i) => !i.isin(positions.map(Int.box): _*)), ".")
+    val agg = func match {
+      case "sum" => sum(col("value"))
+      case "avg" => avg(col("value"))
+      case other => throw new IllegalArgumentException(s"aggWithWildcards: unknown func '$other'")
+    }
+    f.select(reduced.as("path"), col("t"), col("value"))
+      .groupBy(col("path"), col("t"))
+      .agg(agg.cast("double").as("value"))
+  }
+
+  /** The clamped discrete-rank pick over a sorted in-row list — the
+    * [[seriesPercentile]] rule as a bare Column (shared by
+    * [[percentileOfSeries]] and the band selectors).
+    */
+  private def pickPercentile(arr: Column, p: Double): Column =
+    when(size(arr) > 0, element_at(arr,
+      greatest(lit(1), least(size(arr),
+        floor(lit(p / 100.0) * (size(arr) + 1)).cast("int")))))
+
+  /** Graphite `removeBetweenPercentile(seriesList, n)` (n folded to
+    * ≥ 50): keep series with at least one point OUTSIDE the open
+    * per-timestamp ((100−n)th, nth) percentile band across series —
+    * the "show me only the outliers" selector. One groupBy(t) builds
+    * both band edges from a single sorted list; the survivor set is a
+    * K-row broadcast semi-join like every selection function.
+    */
+  def removeBetweenPercentile(f: DataFrame, nIn: Double): DataFrame = {
+    val p = if (nIn < 50) 100 - nIn else nIn
+    val band = f.groupBy(col("t"))
+      .agg(array_sort(collect_list(col("value"))).as("arr"))
+      .select(col("t"), pickPercentile(col("arr"), 100 - p).as("lo"),
+        pickPercentile(col("arr"), p).as("hi"))
+    val keep = f.join(broadcast(band), Seq("t"))
+      .filter(col("value") <= col("lo") || col("value") >= col("hi"))
+      .select(col("path")).distinct()
+    f.join(broadcast(keep), Seq("path"), "left_semi")
+  }
+
+  /** Graphite `averageOutsidePercentile(seriesList, n)` (n folded to
+    * ≥ 50): keep series whose MEAN lies outside the open percentile
+    * band of all series' means — a K-row problem end-to-end (per-series
+    * avg table, band over the K means, semi-join back). Comparisons on
+    * the round-6 grid (the filterByStat engine-stability discipline —
+    * both sides are independently computed floats here).
+    */
+  def averageOutsidePercentile(f: DataFrame, nIn: Double): DataFrame = {
+    val p = if (nIn < 50) 100 - nIn else nIn
+    val avgs = f.groupBy(col("path")).agg(avg(col("value")).as("m"))
+    val band = avgs.agg(array_sort(collect_list(col("m"))).as("arr"))
+      .select(pickPercentile(col("arr"), 100 - p).as("lo"),
+        pickPercentile(col("arr"), p).as("hi"))
+    val keep = avgs.crossJoin(broadcast(band))
+      .filter(round(col("m"), 6) <= round(col("lo"), 6) ||
+        round(col("m"), 6) >= round(col("hi"), 6))
+      .select(col("path"))
+    f.join(broadcast(keep), Seq("path"), "left_semi")
+  }
+
+  /** Graphite `fallbackSeries(seriesList, fallback)`: the fallback
+    * list stands in when the primary is EMPTY (a dead glob, a gone
+    * host). The emptiness probe is a bounded limit-1 scan at eval time
+    * — render evaluation is per-request, not a standing plan, and the
+    * probe touches one partition of the already-filtered fetch.
+    */
+  def fallbackSeries(primary: DataFrame, fallback: DataFrame): DataFrame =
+    if (primary.isEmpty) fallback else primary
+
   private[tsdb] def fmtNum(v: Double): String =
     if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
     else String.format(java.util.Locale.ROOT, "%s", Double.box(v))

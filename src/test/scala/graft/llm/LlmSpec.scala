@@ -1931,6 +1931,46 @@ class LlmSpec extends SparkSpec {
     assert(out.exists(_._3 > 1L))
   }
 
+  test("url canonicalization: each rule and their composition (F46)") {
+    def canon(u: String): String =
+      Seq(u).toDF("url").select(graft.text.Urls.canonicalize(col("url")))
+        .head.getString(0)
+    assert(canon("https://h.com/p#sec2") == "https://h.com/p")
+    // authority lowers, path case survives
+    assert(canon("HTTPS://H.COM/Path") == "https://h.com/Path")
+    assert(canon("https://h.com:443/p") == "https://h.com/p")
+    assert(canon("http://h.com:80") == "http://h.com")
+    assert(canon("https://h.com:8443/p") == "https://h.com:8443/p") // real port kept
+    assert(canon("https://www.h.com/p") == "https://h.com/p")
+    assert(canon("https://h.com/p?utm_source=a&id=1&utm_campaign=b")
+      == "https://h.com/p?id=1")
+    assert(canon("https://h.com/p?utm_source=x&utm_medium=y") == "https://h.com/p")
+    assert(canon("https://h.com/p/") == "https://h.com/p")
+    assert(canon("https://h.com/") == "https://h.com")
+    assert(canon("HTTPS://WWW.H.COM:443/p/?utm_source=x#f") == "https://h.com/p")
+    // scheme is identity — never merged
+    assert(canon("http://h.com/p") != canon("https://h.com/p"))
+  }
+
+  test("url dedup merges variant forms per id-arithmetic class (F46)") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = docs.count()
+    val out = graft.ops.LlmQueries.dedupUrl(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // independent arithmetic model of the planted variants' canonical form
+    val expected = (0L until n).groupBy { id =>
+      val base = s"https://site${id % 5}.example.com/a${id % 11}"
+      if (id % 4 == 3) s"$base?id=${id % 5}" else base
+    }
+    assert(out.keySet == expected.keySet)
+    expected.foreach { case (u, ids) =>
+      assert(out(u) == ((ids.size.toLong, ids.size.toLong, ids.min)))
+    }
+    // real multiplicity: some canonical URL unifies ≥2 raw forms
+    assert(expected.values.exists(_.size >= 2))
+  }
+
   /** Independent JVM replay of the F42 GD law (same fixed-point grids,
     * fast sigmoid, update order; shares only h60Jvm with main code) —
     * the bit-equality witness for the distributed implementation.

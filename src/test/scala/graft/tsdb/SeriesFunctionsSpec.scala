@@ -616,4 +616,105 @@ class SeriesFunctionsSpec extends SparkSpec {
     assert(vals(SeriesFunctions.highestCurrent(f, 2)).map(_._1).distinct.sorted ==
       Seq("b", "c"))
   }
+
+  test("movingMin/movingMax: null-ignoring windows, all-null window is null") {
+    val f = frame(("a", 0L, 5.0), ("a", 60L, null), ("a", 120L, 2.0), ("a", 180L, 7.0))
+    assert(vals(SeriesFunctions.movingMin(f, 2)) == Seq(
+      ("movingMin(a,2)", 0L, Some(5.0)), ("movingMin(a,2)", 60L, Some(5.0)),
+      ("movingMin(a,2)", 120L, Some(2.0)), ("movingMin(a,2)", 180L, Some(2.0))))
+    assert(vals(SeriesFunctions.movingMax(f, 2)) == Seq(
+      ("movingMax(a,2)", 0L, Some(5.0)), ("movingMax(a,2)", 60L, Some(5.0)),
+      ("movingMax(a,2)", 120L, Some(2.0)), ("movingMax(a,2)", 180L, Some(7.0))))
+    // a window with no values at all: single null run at the head
+    val g = frame(("b", 0L, null), ("b", 60L, 4.0))
+    assert(vals(SeriesFunctions.movingMin(g, 1)) == Seq(
+      ("movingMin(b,1)", 0L, None), ("movingMin(b,1)", 60L, Some(4.0))))
+  }
+
+  test("interpolate: linear by timestamp inside, edges stay null") {
+    val f = frame(("a", 0L, null), ("a", 60L, 10.0), ("a", 120L, null),
+      ("a", 180L, null), ("a", 240L, 40.0), ("a", 300L, null))
+    assert(vals(SeriesFunctions.interpolate(f)) == Seq(
+      ("interpolate(a)", 0L, None),          // no left neighbour
+      ("interpolate(a)", 60L, Some(10.0)),
+      ("interpolate(a)", 120L, Some(20.0)),  // 10 + 30·(60/180)
+      ("interpolate(a)", 180L, Some(30.0)),
+      ("interpolate(a)", 240L, Some(40.0)),
+      ("interpolate(a)", 300L, None)))       // no right neighbour
+  }
+
+  test("timeSlice nulls outside the window; scaleToSeconds uses the series' own step") {
+    val f = frame(("a", 0L, 6.0), ("a", 60L, 12.0), ("a", 120L, 18.0))
+    assert(vals(SeriesFunctions.timeSlice(f, 60, 120)) == Seq(
+      ("timeSlice(a,60,120)", 0L, None),
+      ("timeSlice(a,60,120)", 60L, Some(12.0)),
+      ("timeSlice(a,60,120)", 120L, Some(18.0))))
+    // step = 60s grid → ×(1/60): per-minute counts become per-second
+    assert(vals(SeriesFunctions.scaleToSeconds(f, 1)) == Seq(
+      ("scaleToSeconds(a,1)", 0L, Some(0.1)),
+      ("scaleToSeconds(a,1)", 60L, Some(0.2)),
+      ("scaleToSeconds(a,1)", 120L, Some(0.3))))
+    // a one-point series has no derivable step → null
+    assert(vals(SeriesFunctions.scaleToSeconds(frame(("b", 0L, 5.0)), 60)) ==
+      Seq(("scaleToSeconds(b,60)", 0L, None)))
+  }
+
+  test("aggregateLine paints the per-series stat at every grid point") {
+    val f = frame(("a", 0L, 1.0), ("a", 60L, null), ("a", 120L, 3.0))
+    assert(vals(SeriesFunctions.aggregateLine(f, "avg")) == Seq(
+      ("aggregateLine(a,'avg')", 0L, Some(2.0)),
+      ("aggregateLine(a,'avg')", 60L, Some(2.0)),  // nulls painted too
+      ("aggregateLine(a,'avg')", 120L, Some(2.0))))
+    assert(vals(SeriesFunctions.aggregateLine(f, "max")).head._3 == Some(3.0))
+  }
+
+  test("withWildcards merge: removed nodes collapse series, nulls ignored") {
+    val f = frame(("vera.u1.click", 0L, 1.0), ("vera.u2.click", 0L, 2.0),
+      ("vera.u1.view", 0L, 10.0), ("vera.u1.click", 60L, null),
+      ("vera.u2.click", 60L, null))
+    assert(vals(SeriesFunctions.aggWithWildcards(f, "sum", Seq(1))) == Seq(
+      ("vera.click", 0L, Some(3.0)), ("vera.click", 60L, None),
+      ("vera.view", 0L, Some(10.0))))
+    assert(vals(SeriesFunctions.aggWithWildcards(f, "avg", Seq(1)))
+      .head._3 == Some(1.5))
+  }
+
+  test("percentile-band selection: outliers kept, interior dropped") {
+    // five flat series 1..5 — per-t band (p=80): lo = rank 1 (=1),
+    // hi = rank 4 (=4); kept = any v ≤ 1 or ≥ 4 → series 1, 4, 5
+    val f = frame((1 to 5).flatMap(i =>
+      Seq((s"s$i", 0L, java.lang.Double.valueOf(i.toDouble)),
+        (s"s$i", 60L, java.lang.Double.valueOf(i.toDouble)))): _*)
+    assert(vals(SeriesFunctions.removeBetweenPercentile(f, 80))
+      .map(_._1).distinct.sorted == Seq("s1", "s4", "s5"))
+    // the n<50 fold: 20 ≡ 80
+    assert(vals(SeriesFunctions.removeBetweenPercentile(f, 20))
+      .map(_._1).distinct.sorted == Seq("s1", "s4", "s5"))
+    // averageOutsidePercentile on the same frame: means are 1..5,
+    // band (30th,70th) = (1, 4) → kept: means ≤1 or ≥4
+    assert(vals(SeriesFunctions.averageOutsidePercentile(f, 70))
+      .map(_._1).distinct.sorted == Seq("s1", "s4", "s5"))
+  }
+
+  test("fallbackSeries: empty primary falls back, non-empty wins") {
+    val primary = frame(("a", 0L, 1.0))
+    val fb = frame(("fallback", 0L, 9.0))
+    assert(vals(SeriesFunctions.fallbackSeries(primary, fb)).head._1 == "a")
+    assert(vals(SeriesFunctions.fallbackSeries(
+      primary.filter(col("path") === "nope"), fb)).head._1 == "fallback")
+    // through the evaluator: a dead glob falls back to the live one
+    val fetch = (g: String) =>
+      if (g == "dead.glob") primary.filter(col("path") === "nope") else primary
+    assert(vals(TargetExpr.evalTarget("fallbackSeries(dead.glob,live.glob)", fetch))
+      .head._1 == "a")
+  }
+
+  test("minimumBelow through the evaluator keeps series under the gate") {
+    val f = frame(("a", 0L, 1.0), ("a", 60L, 9.0),
+      ("b", 0L, 5.0), ("b", 60L, 9.0))
+    val fetch = (_: String) => f
+    // min(a)=1 < 3 keeps; min(b)=5 drops
+    assert(vals(TargetExpr.evalTarget("minimumBelow(x.y,3)", fetch))
+      .map(_._1).distinct == Seq("a"))
+  }
 }
