@@ -154,6 +154,8 @@ object SparkEntry {
     "ann_cosine_topk" -> ((s, dir) => L.annCosineTopk(s, dir)),
     "ann_lsh" -> ((s, dir) => L.annLsh(s, dir)),
     "ann_ivf" -> ((s, dir) => L.annIvf(s, dir)),
+    "ann_range" -> ((s, dir) => L.annRange(s, dir)),
+    "ann_range_ivf" -> ((s, dir) => L.annRangeIvf(s, dir)),
     "ann_filtered" -> ((s, dir) => L.annFiltered(s, dir)),
     "ann_mips" -> ((s, dir) => L.annMips(s, dir)),
     "ann_mips_lsh" -> ((s, dir) => L.annMipsLsh(s, dir)),
@@ -195,6 +197,7 @@ object SparkEntry {
     "corpus_split" -> ((s, dir) => L.corpusSplit(s, dir)),
     "corpus_epoch_order" -> ((s, dir) => L.corpusEpochOrder(s, dir)),
     "corpus_sample" -> ((s, dir) => L.corpusSample(s, dir)),
+    "corpus_sample_weighted" -> ((s, dir) => L.corpusSampleWeighted(s, dir)),
     "corpus_mix_plan" -> ((s, dir) => L.corpusMixPlan(s, dir)),
     "corpus_mix_apply" -> ((s, dir) => L.corpusMixApply(s, dir)),
     "stream_mix_gate" -> ((s, dir) => L.streamMixGate(s, dir)),
@@ -207,6 +210,7 @@ object SparkEntry {
     "stream_decontaminate" -> ((s, dir) => L.streamDecontaminate(s, dir)),
     "stream_quality_gate" -> ((s, dir) => L.streamQualityGate(s, dir)),
     "stream_cls_gate" -> ((s, dir) => L.streamClsGate(s, dir)),
+    "stream_url_gate" -> ((s, dir) => L.streamUrlGate(s, dir)),
     "stream_ann_assign" -> ((s, dir) => L.streamAnnAssign(s, dir)),
     "ann_assign_2level" -> ((s, dir) => L.annAssign2Level(s, dir)),
     "stream_tokenize" -> ((s, dir) => L.streamTokenize(s, dir)),
@@ -532,6 +536,33 @@ object SparkEntry {
   }
 
   private lazy val BpeOracleSql: String = bpeMergesOracleSql("documents")
+
+  /** The F46 planted-variant + canonicalization chain as DuckDB CTEs
+    * over `src` — the identical 6-stage regexp law graft.text.Urls
+    * evaluates, in RE2 spelling. Every CTE name and the value column
+    * carry the suffix `s` so two instances coexist in one WITH (the
+    * G17 gate joins the base index against the arriving batch).
+    */
+  private def urlCanonCtes(src: String, s: String): String =
+    s"""uv$s AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+       |  WHEN 0 THEN 'https://site'||(doc_id%5)||'.example.com/a'||(doc_id%11)
+       |  WHEN 1 THEN 'HTTPS://SITE'||(doc_id%5)||'.EXAMPLE.COM:443/a'||(doc_id%11)||'#sec'||(doc_id%3)
+       |  WHEN 2 THEN 'https://www.site'||(doc_id%5)||'.example.com/a'||(doc_id%11)||'/?utm_source=s'||(doc_id%2)
+       |  ELSE 'https://site'||(doc_id%5)||'.example.com/a'||(doc_id%11)||'?id='||(doc_id%5)||'&utm_campaign=c'
+       |  END AS url FROM $src),
+       |c1$s AS (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS u$s FROM uv$s),
+       |c2$s AS (SELECT doc_id,
+       |  lower(regexp_extract(u$s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', 0)) ||
+       |  substr(u$s, length(regexp_extract(u$s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', 0)) + 1) AS u$s
+       |  FROM c1$s),
+       |c3$s AS (SELECT doc_id, regexp_replace(regexp_replace(u$s,
+       |    '^(https://[^/:?]*):443([/?]|$$)', '\\1\\2'),
+       |    '^(http://[^/:?]*):80([/?]|$$)', '\\1\\2') AS u$s FROM c2$s),
+       |c4$s AS (SELECT doc_id, regexp_replace(u$s, '^(https?://)www\\.', '\\1') AS u$s FROM c3$s),
+       |c5$s AS (SELECT doc_id, regexp_replace(u$s,
+       |    '([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*', '\\1', 'g') AS u$s FROM c4$s),
+       |c6$s AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(u$s,
+       |    '\\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]$$', ''), '/+$$', '') AS u$s FROM c5$s)""".stripMargin
 
   /** F42 classifier GD unroll as DuckDB CTEs — the exact
     * per-token/per-doc fixed-point law graft.text.Classifier evaluates
@@ -1114,29 +1145,24 @@ object SparkEntry {
     // RE2 spelling ('g' flags where the Spark side replaces globally,
     // \1 backrefs in replacements), then the F1-style count/min
     "dedup_url" ->
-      s"""WITH uv AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
-         |  WHEN 0 THEN 'https://site'||(doc_id%5)||'.example.com/a'||(doc_id%11)
-         |  WHEN 1 THEN 'HTTPS://SITE'||(doc_id%5)||'.EXAMPLE.COM:443/a'||(doc_id%11)||'#sec'||(doc_id%3)
-         |  WHEN 2 THEN 'https://www.site'||(doc_id%5)||'.example.com/a'||(doc_id%11)||'/?utm_source=s'||(doc_id%2)
-         |  ELSE 'https://site'||(doc_id%5)||'.example.com/a'||(doc_id%11)||'?id='||(doc_id%5)||'&utm_campaign=c'
-         |  END AS url FROM documents),
-         |c1 AS (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS u FROM uv),
-         |c2 AS (SELECT doc_id,
-         |  lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', 0))
-         |    || substr(u, length(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', 0)) + 1) AS u
-         |  FROM c1),
-         |c3 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
-         |    '^(https://[^/:?]*):443([/?]|$$)', '\\1\\2'),
-         |    '^(http://[^/:?]*):80([/?]|$$)', '\\1\\2') AS u FROM c2),
-         |c4 AS (SELECT doc_id, regexp_replace(u, '^(https?://)www\\.', '\\1') AS u FROM c3),
-         |c5 AS (SELECT doc_id, regexp_replace(u,
-         |    '([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*', '\\1', 'g') AS u FROM c4),
-         |c6 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(u,
-         |    '\\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]$$', ''), '/+$$', '') AS u FROM c5)
+      s"""WITH ${urlCanonCtes("documents", "")}
          |SELECT u AS url_canon, CAST(count(*) AS BIGINT) AS n_urls,
          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          |  min(doc_id) AS keeper
          |FROM c6 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // G17: the URL frontier gate — the even-half's canonical set as
+    // the standing index (its own chain instance), every variant
+    // arriving with shifted ids; seen/fetch from the left join
+    "stream_url_gate" ->
+      s"""WITH ${urlCanonCtes("(SELECT * FROM documents WHERE doc_id % 2 = 0)", "b")},
+         |idx AS (SELECT DISTINCT ub AS u FROM c6b),
+         |${urlCanonCtes("documents", "")},
+         |inc AS (SELECT doc_id + 5000000 AS doc_id, u FROM c6)
+         |SELECT inc.doc_id, inc.u AS url_canon,
+         |  CASE WHEN idx.u IS NULL THEN 0::BIGINT ELSE 1::BIGINT END AS seen,
+         |  CASE WHEN idx.u IS NULL THEN 1::BIGINT ELSE 0::BIGINT END AS fetch
+         |FROM inc LEFT JOIN idx ON inc.u = idx.u
+         |ORDER BY inc.doc_id""".stripMargin,
     // F16: verbatim >=50-token-span pairs — hashed 50-gram equi-join
     // with the df cap (Dedup.substringPairs); n_grams = shared grams
     "dedup_substring" ->
@@ -1493,6 +1519,45 @@ object SparkEntry {
     // F6b: IVF top-k — nearest-of-K coarse assignment (round(csim,6)
     // DESC, cent_id tie-break, like Ann.ivfTopK's max_by struct), probe
     // the nProbe nearest lists per query, exact-rerank inside them
+    // F48: exact range search — membership on the round-6 grid, no
+    // rank window at all
+    "ann_range" -> {
+      import graft.ops.{LlmQueries => LQ}
+      s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings)
+         |SELECT q.vec_id AS q_id, v.vec_id,
+         |  round(list_dot_product(q.emb, v.emb)/(q.nrm*v.nrm), 4) AS cos
+         |FROM n q CROSS JOIN n v
+         |WHERE q.vec_id < ${LQ.AnnQueryMax} AND v.vec_id <> q.vec_id
+         |  AND round(list_dot_product(q.emb, v.emb)/(q.nrm*v.nrm), 6) >= ${LQ.EmbedCosineTau}
+         |ORDER BY q_id, v.vec_id""".stripMargin
+    },
+    // F48 IVF: the ann_ivf assignment/probe CTEs with the radius
+    // filter replacing the rank cut
+    "ann_range_ivf" -> {
+      import graft.ops.{LlmQueries => LQ}
+      s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),
+         |cents AS (SELECT vec_id AS cent_id, emb AS ce, nrm AS cn FROM n
+         |  ORDER BY vec_id LIMIT ${LQ.IvfCentroids}),
+         |va AS (SELECT n.vec_id, c.cent_id,
+         |  row_number() OVER (PARTITION BY n.vec_id
+         |    ORDER BY round(list_dot_product(n.emb, c.ce)/(n.nrm*c.cn), 6) DESC, c.cent_id) AS ark
+         |  FROM n CROSS JOIN cents c),
+         |assigned AS (SELECT vec_id, cent_id FROM va WHERE ark = 1),
+         |qa AS (SELECT n.vec_id AS q_id, c.cent_id,
+         |  row_number() OVER (PARTITION BY n.vec_id
+         |    ORDER BY round(list_dot_product(n.emb, c.ce)/(n.nrm*c.cn), 6) DESC, c.cent_id) AS crk
+         |  FROM n CROSS JOIN cents c WHERE n.vec_id < ${LQ.AnnQueryMax}),
+         |probes AS (SELECT q_id, cent_id FROM qa WHERE crk <= ${LQ.IvfProbe})
+         |SELECT p.q_id, a.vec_id,
+         |  round(list_dot_product(nq.emb, nv.emb)/(nq.nrm*nv.nrm), 4) AS cos
+         |FROM assigned a JOIN probes p USING (cent_id)
+         |JOIN n nq ON nq.vec_id = p.q_id JOIN n nv ON nv.vec_id = a.vec_id
+         |WHERE a.vec_id <> p.q_id
+         |  AND round(list_dot_product(nq.emb, nv.emb)/(nq.nrm*nv.nrm), 6) >= ${LQ.EmbedCosineTau}
+         |ORDER BY p.q_id, a.vec_id""".stripMargin
+    },
     "ann_ivf" -> {
       import graft.ops.{LlmQueries => LQ}
       s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
@@ -2361,6 +2426,35 @@ object SparkEntry {
          |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#sample'),1,15))::BIGINT % 10000 AS bucket,
          |    CAST(CASE $cases ELSE ${graft.ops.LlmQueries.SampleDefaultBp} END AS BIGINT) AS rate_bp
          |  FROM documents) b ORDER BY doc_id""".stripMargin
+    },
+    // F47: the F24 hash/CASE sampler with each doc's rate integer-
+    // divided by its recursive-closure cluster size (DuckDB // ≡ Spark
+    // div on positive operands)
+    "corpus_sample_weighted" -> {
+      val cases = graft.ops.LlmQueries.SampleRatesBp
+        .map { case (n, bp) => s"WHEN lang = '$n' THEN $bp" }.mkString(" ")
+      s"""WITH RECURSIVE $TK, $SHD,
+         |$JaccardCappedCtes,
+         |prs AS (SELECT x, y
+         |  FROM inter JOIN sizes sa ON sa.doc_id=x JOIN sizes sb ON sb.doc_id=y
+         |  WHERE i*1.0/(sa.n+sb.n-i) >= 0.8),
+         |edges AS (SELECT x AS u, y AS v FROM prs
+         |  UNION ALL SELECT y AS u, x AS v FROM prs),
+         |reach(u, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v),
+         |lab AS (SELECT u, min(lbl) AS cluster_id FROM reach GROUP BY u),
+         |sz AS (SELECT lab.u AS doc_id, CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS size FROM lab),
+         |smp AS (SELECT doc_id, lang,
+         |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#sample'),1,15))::BIGINT % 10000 AS bucket,
+         |    CAST(CASE $cases ELSE ${graft.ops.LlmQueries.SampleDefaultBp} END AS BIGINT) AS rate_bp
+         |  FROM documents)
+         |SELECT s.doc_id, s.lang, s.bucket, s.rate_bp, z.size,
+         | s.rate_bp // z.size AS eff_bp,
+         | CASE WHEN s.bucket < s.rate_bp // z.size THEN 1::BIGINT ELSE 0::BIGINT END AS keep
+         |FROM smp s JOIN sz z ON s.doc_id = z.doc_id
+         |ORDER BY s.doc_id""".stripMargin
     },
     "text_langid" ->
       s"""WITH $TK,

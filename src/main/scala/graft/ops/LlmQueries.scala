@@ -374,6 +374,22 @@ object LlmQueries {
     Ann.ivfTopK(e.filter(col("vec_id") < AnnQueryMax), e, AnnK, IvfCentroids, IvfProbe)
   }
 
+  // F48: range radius — the F13 τ (the two operators answer the same
+  // "all near-copies" question from opposite ends: F13 corpus×corpus,
+  // F48 per-query against the standing index)
+  /** F48: exact range search — all neighbours with cos ≥ τ. */
+  def annRange(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Ann.bruteRange(e.filter(col("vec_id") < AnnQueryMax), e, EmbedCosineTau)
+  }
+
+  /** F48 scale path: the radius filter served from the IVF probes. */
+  def annRangeIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Ann.ivfRange(e.filter(col("vec_id") < AnnQueryMax), e, EmbedCosineTau,
+      IvfCentroids, IvfProbe)
+  }
+
   /** F43: exact maximum-inner-product top-k — the recommendation-model
     * objective (user·item), where normalizing away magnitude is wrong.
     */
@@ -916,6 +932,30 @@ object LlmQueries {
   def corpusSample(spark: SparkSession, dir: String): DataFrame =
     Sampling.sampleByStratum(Tables.documents(spark, dir),
       SampleRatesBp, SampleDefaultBp)
+
+  /** F47: duplicate-aware weighted sampling — the F24 rates scaled per
+    * doc by the F45 soft-dedup weight (eff_bp = rate_bp div size), so
+    * each dup cluster's expected kept mass is one document's.
+    */
+  def corpusSampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    Sampling.sampleWeighted(Tables.documents(spark, dir),
+      dedupSoft(spark, dir), SampleRatesBp, SampleDefaultBp)
+
+  /** G17 batch twin: the URL frontier gate — the even-doc half's
+    * canonical URL set is the standing index; every planted variant
+    * arrives (ids shifted to a disjoint range) and gets its
+    * seen/fetch verdict against it.
+    */
+  def streamUrlGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val idx = graft.text.Urls.urlDedup(
+      graft.text.Urls.urlVariantsPlanted(docs.filter(col("doc_id") % 2 === 0)))
+      .select(col("url_canon"))
+    val incoming = graft.text.Urls.urlVariantsPlanted(docs)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("url"))
+    graft.streaming.CarbonStream.urlGateStream(incoming, idx)
+      .orderBy(col("doc_id"))
+  }
 
   /** G8 batch twin: the in-flight quality/language gate computed
     * batch-side — CarbonStream.qualityGateStream is mode-agnostic, so

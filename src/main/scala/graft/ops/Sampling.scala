@@ -178,6 +178,36 @@ object Sampling {
       when(bucket < rateCol, 1L).otherwise(0L).as("keep"))
   }
 
+  /** F47: duplicate-aware WEIGHTED sampling — the F24 stratum sampler
+    * with each document's keep rate scaled by its F45 soft-dedup
+    * weight: eff_bp = rate_bp div size (PURE integer division, the
+    * F21c engine-portability discipline), so a duplicate cluster's
+    * expected post-sampling mass equals ONE document's at the stratum
+    * rate — soft dedup applied AT THE SAMPLING STAGE instead of as a
+    * separate corpus rewrite (one fewer full-corpus materialization in
+    * the pipeline; the standard trick when the sampler is the next
+    * stage anyway). `weights` is the F45 table (doc_id, size ...);
+    * keep stays a pure function of (doc_id, lang, cluster size), so
+    * the sample is repartition-stable like F24's.
+    *
+    * Scale shape: the F24 projection is map-only; the only addition is
+    * one equi-join on doc_id against the weight table — at 100 TB both
+    * sides are corpus-sized but the join is a co-partitionable id join
+    * (and the weight table is the label build's output, already keyed
+    * by doc).
+    */
+  def sampleWeighted(docs: DataFrame, weights: DataFrame,
+                     ratesBp: Seq[(String, Int)], defaultBp: Int,
+                     strataCol: String = "lang"): DataFrame =
+    sampleByStratumRows(docs, ratesBp, defaultBp, strataCol)
+      .drop("keep")
+      .join(weights.select(col("doc_id"), col("size")), Seq("doc_id"))
+      .withColumn("eff_bp", expr("rate_bp div size"))
+      .select(col("doc_id"), col(strataCol), col("bucket"), col("rate_bp"),
+        col("size"), col("eff_bp"),
+        when(col("bucket") < col("eff_bp"), 1L).otherwise(0L).as("keep"))
+      .orderBy(col("doc_id"))
+
   /** F35: mixture PLANNING — the step before [[sampleByStratum]]: a
     * training run fixes a token BUDGET per stratum ("20M German, 5M
     * code, the rest English"), and the planner turns budgets into the

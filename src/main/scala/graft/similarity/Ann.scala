@@ -468,6 +468,66 @@ object Ann {
     topK(scored, k)
   }
 
+  /** F48: exact RANGE search — every neighbour within a similarity
+    * radius (cos ≥ τ) instead of a fixed k (FAISS `range_search`; the
+    * "find ALL near-copies" regime where the right k is unknowable —
+    * dedup triage, contamination sweeps, recall-complete retrieval).
+    * The bruteTopK broadcast-query/streaming-corpus shape with the
+    * rank window replaced by a radius filter — no window at all, so
+    * the per-query result size is data-dependent and the plan is one
+    * map-only pass over the corpus. The τ test runs on the round-6
+    * grid (the topK ordering discipline, applied to membership).
+    */
+  def bruteRange(queries: DataFrame, vecs: DataFrame, tau: Double): DataFrame = {
+    val q = broadcast(queries.select(
+      col("vec_id").as("q_id"), col("embedding").as("qe"), norm(col("embedding")).as("qn")))
+    vecs.select(col("vec_id"), col("embedding").as("ve"), norm(col("embedding")).as("vn"))
+      .crossJoin(q)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("qe"), col("ve")) / (col("qn") * col("vn")))
+      .filter(round(col("cos"), 6) >= tau)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("vec_id"))
+  }
+
+  /** F48 scale path: range search served from the standing IVF index —
+    * the ivfTopKWith candidate machinery verbatim (payload-free
+    * argmax assignment, broadcast probe lists, no candidate dedup —
+    * the F25d uniqueness proof) with the radius filter in place of the
+    * rank window. nProbe = nCentroids IS brute force over the corpus
+    * (the F42 exactness contract transfers: every list is probed, so
+    * every vector is scored).
+    */
+  def ivfRange(queries: DataFrame, vecs: DataFrame, tau: Double,
+               nCentroids: Int, nProbe: Int): DataFrame = {
+    val cents = broadcast(initialCentroids(vecs, nCentroids))
+    val v = vecs.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val assigned = v.crossJoin(cents)
+      .withColumn("csim", dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("embedding").as("ve"), col("nrm").as("vn"), col("cent_id")),
+        struct(round(col("csim"), 6).as("s"), (-col("cent_id")).as("t"))).as("a"))
+      .select(col("vec_id"), col("a.ve").as("ve"), col("a.vn").as("vn"),
+        col("a.cent_id").as("cent_id"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val qScored = q.crossJoin(cents)
+      .withColumn("csim", dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+    val qw = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("csim"), 6).desc, col("cent_id"))
+    val probes = broadcast(qScored
+      .withColumn("crk", row_number().over(qw)).filter(col("crk") <= nProbe)
+      .select(col("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cent_id")))
+    assigned.join(probes, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("qe"), col("ve")) / (col("qn") * col("vn")))
+      .filter(round(col("cos"), 6) >= tau)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("vec_id"))
+  }
+
   // ---- F25: int8-quantized scoring ------------------------------------
 
   /** F25: symmetric per-vector int8 quantization — the memory/shuffle

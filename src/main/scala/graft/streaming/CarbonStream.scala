@@ -346,6 +346,25 @@ object CarbonStream {
                     m: graft.text.Classifier.Model): DataFrame =
     graft.text.Classifier.scoreRows(docs, m)
 
+  /** G17: in-flight URL frontier gate — the G14 refreshable-index
+    * discipline at the FETCH frontier (the earliest gate a crawl has:
+    * a URL whose canonical form the corpus already owns never costs a
+    * fetch): each arriving URL canonicalizes map-only (the F46 chain)
+    * and left-joins the standing corpus's canonical-URL set; `fetch` =
+    * 1 only for unseen canonical forms. Zero streaming state — the
+    * index is a static DataFrame rebuilt/merged by the batch sweep
+    * (itself one F46 aggregate), exactly how G14 holds the signature
+    * index and G15 the hamming index.
+    */
+  def urlGateStream(urls: DataFrame, baseCanon: DataFrame): DataFrame =
+    urls.select(col("doc_id"),
+      graft.text.Urls.canonicalize(col("url")).as("url_canon"))
+      .join(baseCanon.select(col("url_canon"), lit(1L).as("seen0")),
+        Seq("url_canon"), "left")
+      .select(col("doc_id"), col("url_canon"),
+        coalesce(col("seen0"), lit(0L)).as("seen"),
+        when(col("seen0").isNull, 1L).otherwise(0L).as("fetch"))
+
   /** G11: in-flight keyword tagging — each incoming document gets its
     * top-k TF-IDF keywords AT INGEST against the FROZEN df artifact
     * the last batch sweep trained (F30 recomputes df from the corpus

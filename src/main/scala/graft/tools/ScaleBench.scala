@@ -308,7 +308,45 @@ object ScaleBench {
             gfnFrame(spark, copies), 24, 3.0)),
         "gfn_percentile_series" -> (() =>
           graft.tsdb.SeriesFunctions.percentileOfSeries(
-            gfnFrame(spark, copies), 90.0, "pos"))
+            gfnFrame(spark, copies), 90.0, "pos")),
+        // F44: classifier GD at scale — each of the 3 iterations is one
+        // map-only z/err pass over the cached base + one explode into a
+        // ≤65-key map-side-combined aggregate; wall time must grow
+        // ~linearly with the corpus while the collected artifact stays
+        // 65 rows (training runs inside mk() like the trained-PQ row)
+        "quality_classifier" -> (() => {
+          val (_, score) = graft.text.Analysis.scoreSignals
+          val label = when(score >= graft.text.Classifier.LabelMin, 1.0)
+            .otherwise(0.0)
+          val m = graft.text.Classifier.train(docs, label)
+          graft.text.Classifier.score(docs, label, m)
+        }),
+        // F46: the map-only canonicalization regexp chain + one
+        // count/min aggregate keyed by the canonical string — the F1
+        // shape; must stay linear
+        "dedup_url" -> (() =>
+          graft.text.Urls.urlDedup(graft.text.Urls.urlVariantsPlanted(docs))),
+        // F45 over F19 at scale: replica cliques deepen ×copies but
+        // min-label propagation converges in O(log diameter) rounds on
+        // clique-ish components; the weights pass itself is one count +
+        // same-key join
+        "dedup_soft" -> (() =>
+          graft.dedup.Dedup.softDedupWeights(
+            graft.dedup.Dedup.ccClusters(docs.select(col("doc_id")),
+              graft.dedup.Dedup.ngramJaccardCapped(docs,
+                LlmQueries.JaccardTau, LlmQueries.JaccardMaxDf)
+                .select(col("x"), col("y")),
+              LlmQueries.CcMaxIter))),
+        // C9 batch-5 scale rows: interpolate = two null-skipping
+        // windows per series (flat per series, linear total);
+        // removeBetweenPercentile = one groupBy(t) whose in-row sorted
+        // list grows with the series count (the linear-in-K across-
+        // series term percentileOfSeries already owns)
+        "gfn_interpolate" -> (() =>
+          graft.tsdb.SeriesFunctions.interpolate(gfnFrame(spark, copies))),
+        "gfn_band_select" -> (() =>
+          graft.tsdb.SeriesFunctions.removeBetweenPercentile(
+            gfnFrame(spark, copies), 80))
       ) ++ (if (copies <= 10) Seq[(String, () => DataFrame)](
         // codec cost alone (decode + twin re-encode/resize), then the
         // full pipeline — the difference is the hash+band-join cost the

@@ -1931,6 +1931,73 @@ class LlmSpec extends SparkSpec {
     assert(out.exists(_._3 > 1L))
   }
 
+  test("range search: radius membership, ivf ⊆ exact, full probe ≡ exact (F48)") {
+    // the synthetic corpus has no true near-dups (max cos ~0.5), so
+    // plant one perturbed copy of each query vector — range search's
+    // whole regime is "find ALL near-copies", so the planted twin MUST
+    // appear in every variant's result
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding")
+    val planted = e.filter($"vec_id" < 10)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        expr("transform(embedding, (v, i) -> cast(v * 1.01f + 0.02f * sin(i) as float))")
+          .as("embedding"))
+    val corpus = e.unionByName(planted)
+    val q = e.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exact = rows(Ann.bruteRange(q, corpus, 0.95))
+    // every planted twin found, radius membership holds
+    (0L until 10L).foreach { id =>
+      assert(exact.exists(t => t._1 == id && t._2 == id + 100000L)) }
+    assert(exact.forall(_._3 >= 0.95 - 1e-4))
+    // bucketed candidates are a sound subset with identical scores
+    val ivf = rows(Ann.ivfRange(q, corpus, 0.95, 32, 8))
+    val exMap = exact.map(t => (t._1, t._2) -> t._3).toMap
+    ivf.foreach(t => assert(exMap.get((t._1, t._2)).contains(t._3)))
+    // a twin lands in its source's own coarse list ⇒ IVF finds it even
+    // at nProbe=8 (the nearest list is always probed first)
+    (0L until 10L).foreach { id =>
+      assert(ivf.exists(t => t._1 == id && t._2 == id + 100000L)) }
+    // probing every list IS brute force — row-for-row, same order
+    assert(rows(Ann.ivfRange(q, corpus, 0.95, 32, 32)) == exact)
+  }
+
+  test("weighted sampling: eff rate = rate div cluster size (F47)") {
+    val docs = Seq((0L, "en"), (1L, "en"), (2L, "en"), (3L, "de"))
+      .toDF("doc_id", "lang")
+    val weights = Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 1L))
+      .toDF("doc_id", "size")
+    val out = graft.ops.Sampling.sampleWeighted(docs, weights,
+      Seq(("en", 9000), ("de", 10000)), 0)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // en cluster of 3 at 9000 bp → 3000 each; de singleton at 10000
+    out.foreach { case (id, bucket, rate, size, eff, keep) =>
+      assert(eff == rate / size)
+      assert(keep == (if (bucket < eff) 1L else 0L))
+    }
+    assert(out.find(_._1 == 0L).get._5 == 3000L)
+    assert(out.find(_._1 == 3L).get._5 == 10000L)
+    assert(out.find(_._1 == 3L).get._6 == 1L) // full-rate singleton always kept
+  }
+
+  test("weighted sampling on the real corpus: subset of the plain sample (F47)") {
+    val L = graft.ops.LlmQueries
+    val w = L.corpusSampleWeighted(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val plain = L.corpusSample(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(w.keySet == plain.keySet) // one verdict per doc, same corpus
+    // eff ≤ rate pointwise ⇒ weighted keeps are a subset of plain keeps
+    w.foreach { case (id, (size, _, keep)) =>
+      if (keep == 1L) assert(plain(id) == 1L)
+      if (size == 1L) assert(keep == plain(id)) // singletons unchanged
+    }
+    // multi-member clusters exist, so the subset is proper somewhere
+    assert(w.values.exists(_._1 > 1L))
+  }
+
   test("url canonicalization: each rule and their composition (F46)") {
     def canon(u: String): String =
       Seq(u).toDF("url").select(graft.text.Urls.canonicalize(col("url")))

@@ -444,6 +444,49 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming URL frontier gate: canonical forms vs the standing index (G17)") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.CarbonStream
+    implicit val sqlCtx = spark.sqlContext
+    val baseUrls = Seq((1L, "https://h.com/p"), (2L, "https://x.org/q?id=1"))
+      .toDF("doc_id", "url")
+    val idx = graft.text.Urls.urlDedup(baseUrls).select(col("url_canon"))
+    idx.count() // materialize the standing index (a stream cannot build it)
+    val source = MemoryStream[(Long, String)]
+    val out = CarbonStream.urlGateStream(
+      source.toDF().toDF("doc_id", "url"), idx)
+    val query = out.writeStream
+      .format("memory").queryName("g17_url").outputMode("append").start()
+    try {
+      source.addData(
+        (10L, "HTTPS://H.COM:443/p#x"),     // canonicalizes into the index
+        (11L, "https://brand.new/r"))        // unseen → fetch
+      query.processAllAvailable()
+      // stateless across batches: www + trailing-slash variant of a
+      // base URL is still seen; a tracked variant of the unseen one is
+      // STILL unseen (the index, not batch history, decides)
+      source.addData(
+        (12L, "https://www.h.com/p/"),
+        (13L, "https://brand.new/r?utm_source=x"))
+      query.processAllAvailable()
+      val rows = spark.table("g17_url").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq == Seq(
+        (10L, "https://h.com/p", 1L, 0L),
+        (11L, "https://brand.new/r", 0L, 1L),
+        (12L, "https://h.com/p", 1L, 0L),
+        (13L, "https://brand.new/r", 0L, 1L)))
+      // batch/stream equality: the SAME projection on a batch frame
+      val batch = CarbonStream.urlGateStream(
+        Seq((10L, "HTTPS://H.COM:443/p#x"), (11L, "https://brand.new/r"),
+          (12L, "https://www.h.com/p/"), (13L, "https://brand.new/r?utm_source=x"))
+          .toDF("doc_id", "url"), idx)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq == batch.toSeq)
+    } finally query.stop()
+  }
+
   test("streaming incremental gate: per-batch verdicts vs the base index (G14)") {
     import graft.dedup.Dedup
     implicit val sqlCtx = spark.sqlContext
