@@ -22,6 +22,8 @@ object SparkEntry {
     "q5_multijoin" -> ((s, dir) => Relational.q5MultiJoin(s, dir)),
     "topk_window" -> ((s, dir) => Relational.topkWindow(s, dir)),
     "event_sessionize" -> ((s, dir) => Relational.eventSessionize(s, dir)),
+    "events_asof" -> ((s, dir) => Relational.eventsAsof(s, dir)),
+    "events_interval_count" -> ((s, dir) => Relational.eventsIntervalCount(s, dir)),
     // A. Carbon ingest
     "carbon_parse" -> ((s, dir) => T.carbonParse(s, dir)),
     "carbon_rewrite" -> ((s, dir) => T.carbonRewrite(s, dir)),
@@ -198,6 +200,7 @@ object SparkEntry {
     "corpus_epoch_order" -> ((s, dir) => L.corpusEpochOrder(s, dir)),
     "corpus_sample" -> ((s, dir) => L.corpusSample(s, dir)),
     "corpus_sample_weighted" -> ((s, dir) => L.corpusSampleWeighted(s, dir)),
+    "corpus_cardinality_hll" -> ((s, dir) => L.corpusCardinalityHll(s, dir)),
     "corpus_mix_plan" -> ((s, dir) => L.corpusMixPlan(s, dir)),
     "corpus_mix_apply" -> ((s, dir) => L.corpusMixApply(s, dir)),
     "stream_mix_gate" -> ((s, dir) => L.streamMixGate(s, dir)),
@@ -3963,6 +3966,95 @@ object SparkEntry {
         |SELECT user_id,
         | CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         | count(*) AS n_events
-        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // E6: as-of join — the same union-and-carry law in window SQL
+    // (NOT DuckDB's native ASOF JOIN: its equal-timestamp tie rule is
+    // unstated; this CTE chain pins ours exactly — right-before-left
+    // at equal t via the isl sort key, max event_id among equal-t
+    // right rows via the id sort key)
+    "events_asof" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isl
+        | FROM events WHERE event_type IN ('purchase', 'click')),
+        |w AS (
+        | SELECT user_id, t, event_id, isl,
+        |  last_value(CASE WHEN isl = 0 THEN event_id END IGNORE NULLS) OVER cw AS asof_id,
+        |  last_value(CASE WHEN isl = 0 THEN t END IGNORE NULLS) OVER cw AS asof_t
+        | FROM e
+        | WINDOW cw AS (PARTITION BY user_id ORDER BY t, isl, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, t,
+        | coalesce(asof_id, -1) AS asof_id, coalesce(asof_t, -1) AS asof_t,
+        | coalesce(t - asof_t, -1) AS lag_s
+        |FROM w WHERE isl = 1 ORDER BY event_id""".stripMargin,
+    // E7: keyless point-in-interval range join — the oracle states the
+    // SEMANTICS as the plain BETWEEN theta-join; the Spark side's
+    // bucketed equi-join must reproduce it row for row
+    "events_interval_count" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+        | FROM events),
+        |g AS (
+        | SELECT user_id, event_id, t,
+        |  CASE WHEN lag(t) OVER uw IS NULL OR t - lag(t) OVER uw > 1800
+        |       THEN 1 ELSE 0 END AS ns
+        | FROM e
+        | WINDOW uw AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |s AS (
+        | SELECT user_id, t,
+        |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seq
+        | FROM g),
+        |iv AS (
+        | SELECT CAST(user_id * 100000 + seq AS BIGINT) AS interval_id,
+        |  min(t) AS t0, max(t) AS t1
+        | FROM s GROUP BY user_id, seq)
+        |SELECT iv.interval_id, iv.t0, iv.t1, count(*) AS n_events
+        |FROM iv JOIN e ON e.t BETWEEN iv.t0 AND iv.t1
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    // F49: the deterministic HLL law replayed end-to-end — hex-string
+    // rho extraction, BIGINT-exact register sums, the single-constant
+    // raw estimate, the Flajolet linear-counting branch on the 1e-6
+    // ln grid; the '*' row estimates from MERGED registers (max), the
+    // sketch's defining property
+    "corpus_cardinality_hll" ->
+      s"""WITH tok AS (
+         | SELECT lang, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+         |h AS (SELECT lang, token, md5(token) AS hx FROM tok),
+         |br AS (SELECT lang,
+         |  ('0x' || substr(hx, 1, 2))::BIGINT AS bucket,
+         |  ltrim(substr(hx, 3, 13), '0') AS trimmed FROM h),
+         |rr AS (SELECT lang, bucket,
+         |  CASE WHEN length(trimmed) = 0 THEN 53
+         |   ELSE (13 - length(trimmed)) * 4 +
+         |    CASE WHEN substr(trimmed, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 0
+         |         WHEN substr(trimmed, 1, 1) IN ('4','5','6','7') THEN 1
+         |         WHEN substr(trimmed, 1, 1) IN ('2','3') THEN 2
+         |         ELSE 3 END + 1 END AS rho
+         | FROM br),
+         |regs AS (SELECT lang, bucket, CAST(max(rho) AS BIGINT) AS register
+         | FROM rr GROUP BY 1, 2),
+         |allregs AS (SELECT lang, bucket, register FROM regs
+         | UNION ALL
+         | SELECT '*' AS lang, bucket, CAST(max(register) AS BIGINT) AS register
+         | FROM regs GROUP BY bucket),
+         |agg AS (SELECT lang,
+         |  CAST(sum(1::BIGINT << CAST(53 - register AS INT)) AS BIGINT) AS sp,
+         |  CAST(count(*) AS BIGINT) AS nb
+         | FROM allregs GROUP BY 1),
+         |e2 AS (SELECT lang, 256 - nb AS v0,
+         |  CAST(sp + (256 - nb) * (1::BIGINT << 53) AS BIGINT) AS s FROM agg),
+         |e3 AS (SELECT lang, v0, ${graft.ops.Sketch.AlphaNum} / CAST(s AS DOUBLE) AS raw
+         | FROM e2),
+         |e4 AS (SELECT lang,
+         |  round(CASE WHEN v0 > 0 AND raw <= 640.0
+         |   THEN round(ln(256.0 / CAST(v0 AS DOUBLE)) * 1e6, 0) / 1e6 * 256.0
+         |   ELSE raw END, 4) AS hll_est FROM e3),
+         |ex AS (SELECT lang, count(DISTINCT token) AS n_exact FROM tok GROUP BY 1
+         | UNION ALL
+         | SELECT '*' AS lang, count(DISTINCT token) AS n_exact FROM tok)
+         |SELECT ex.lang, ex.n_exact, e4.hll_est
+         |FROM ex JOIN e4 USING (lang) ORDER BY ex.lang""".stripMargin
   )
 }

@@ -941,6 +941,32 @@ object LlmQueries {
     Sampling.sampleWeighted(Tables.documents(spark, dir),
       dedupSoft(spark, dir), SampleRatesBp, SampleDefaultBp)
 
+  /** F49: deterministic HLL cardinality report — per-lang distinct
+    * token counts, exact AND sketched, plus the '*' row whose estimate
+    * comes from MERGING the per-lang sketches (register max), not from
+    * rescanning: the associativity that makes the sketch the 100 TB
+    * answer to `count(DISTINCT)`. The exact column rides along to
+    * REPORT accuracy — production uses the registers alone.
+    */
+  def corpusCardinalityHll(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Caching._
+    val tok = Tables.documents(spark, dir)
+      .select(col("lang"), explode(graft.text.TextFns.tokens(col("text"))).as("token"))
+    // ≤ 5 langs × 256 registers — the bounded sketch artifact, cached
+    // because both the per-lang estimates and the merged '*' row read it
+    val regs = Sketch.hllRegisters(tok, "lang", "token").cachedOnce
+    val perLang = tok
+      .groupBy(col("lang")).agg(countDistinct(col("token")).as("n_exact"))
+      .join(Sketch.hllEstimate(regs, "lang"), Seq("lang"))
+    val star = tok.agg(countDistinct(col("token")).as("n_exact"))
+      .withColumn("lang", lit("*"))
+      .join(Sketch.hllEstimate(
+        Sketch.hllMergeAll(regs, "*", "lang"), "lang"), Seq("lang"))
+    perLang.unionByName(star)
+      .select(col("lang"), col("n_exact"), col("hll_est"))
+      .orderBy(col("lang"))
+  }
+
   /** G17 batch twin: the URL frontier gate — the even-doc half's
     * canonical URL set is the standing index; every planted variant
     * arrives (ids shifted to a disjoint range) and gets its

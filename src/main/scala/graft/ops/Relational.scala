@@ -83,6 +83,129 @@ object Relational {
       .orderBy(col("o_custkey"), col("rk"))
   }
 
+  /** E6: AS-OF join — for every left row, the single most recent right
+    * row with the same key and `t_r <= t_l` (the canonical time-series
+    * lookup Spark has no native operator for; kdb's `aj`, DuckDB's
+    * ASOF JOIN, Flink's temporal join). Tie contract, fully
+    * deterministic: a same-instant right row DOES match (`<=`), and
+    * among right rows sharing the winning timestamp the one with the
+    * greatest id wins.
+    *
+    * Implementation is the union-and-carry shape, NOT a range join:
+    * tag both sides, union into ONE stream, shuffle ONCE by key, sort
+    * within partitions by (t, side, id) — right-before-left at equal t
+    * encodes the `<=` — and carry the last-seen right row forward with
+    * `last(ignoreNulls)`. A naive `t_r <= t_l` theta-join shuffles
+    * O(|L|·avg-candidates) rows and then pays a per-left max; this
+    * plan moves O(|L|+|R|) narrow rows through exactly one exchange,
+    * which is what an as-of against a 100 TB event store needs. Skew
+    * is bounded by the largest single key's row count — the same bound
+    * the application's own per-key semantics already impose.
+    *
+    * `left`/`right` both expose (`key`, `t`, `id`); left rows keep
+    * their id under its own name, the matched right row arrives as
+    * (asof_id, asof_t, lag_s), NULL when no right row precedes (left
+    * as-of). Payload columns re-join narrowly on id downstream — the
+    * carried stream stays 4 columns wide on purpose.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               key: String = "user_id", t: String = "t",
+               id: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = left.select(col(key), col(t), col(id), lit(1L).as("is_l"))
+    val r = right.select(col(key), col(t), col(id), lit(0L).as("is_l"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(t), col("is_l"), col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("asof_id",
+        last(when(col("is_l") === 0L, col(id)), ignoreNulls = true).over(w))
+      .withColumn("asof_t",
+        last(when(col("is_l") === 0L, col(t)), ignoreNulls = true).over(w))
+      .filter(col("is_l") === 1L)
+      .select(col(id), col(key), col(t),
+        col("asof_id"), col("asof_t"), (col(t) - col("asof_t")).as("lag_s"))
+  }
+
+  /** E6 driver shape: attribute every purchase to the user's most
+    * recent click at-or-before it (the ad-attribution query). A
+    * purchase with no prior click carries the −1 sentinel (the
+    * operator itself returns NULLs — the driver compare's sort-based
+    * hash cannot order NULL against BIGINT, so the QUERY pins a
+    * sentinel; timestamps and ids are nonnegative, −1 is unambiguous).
+    */
+  def eventsAsof(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("long").as("t"), col("event_type"))
+    asofJoin(
+      e.filter(col("event_type") === "purchase").drop("event_type"),
+      e.filter(col("event_type") === "click").drop("event_type"))
+      .select(col("event_id"), col("user_id"), col("t"),
+        coalesce(col("asof_id"), lit(-1L)).as("asof_id"),
+        coalesce(col("asof_t"), lit(-1L)).as("asof_t"),
+        coalesce(col("lag_s"), lit(-1L)).as("lag_s"))
+      .orderBy(col("event_id"))
+  }
+
+  /** E7: point-in-interval RANGE join with NO equi key — the second
+    * classic operator Spark lacks natively (DuckDB/Postgres express it
+    * as `t BETWEEN t0 AND t1`; Spark's only native plan for it is a
+    * broadcast-nested-loop or cartesian product, O(|P|·|I|) compares).
+    * The scale path is time-BUCKETING: each interval explodes to the
+    * coarse buckets it covers (`sequence(t0 div W, t1 div W)`), each
+    * point maps to its single bucket, the two sides meet in an
+    * EQUI-join on the bucket, and the exact containment predicate
+    * filters the candidates. Shuffle volume O(|P| + Σ spans/W) instead
+    * of the all-pairs compare; (interval, point) pairs are unique by
+    * construction (one bucket per point, each bucket once per
+    * interval), so no dedup shuffle. Pick W near the typical interval
+    * span: W too small explodes long intervals, W too large widens
+    * candidate lists — either way correctness holds, only the
+    * candidate volume moves.
+    *
+    * `points` = (point_id, t); `intervals` = (interval_id, t0, t1),
+    * closed on both ends. Output carries (interval_id, t0, t1,
+    * point_id, t) so downstream aggregates need no join back.
+    */
+  def intervalJoinBucketed(points: DataFrame, intervals: DataFrame,
+                           bucketW: Long): DataFrame = {
+    val iv = intervals.select(col("interval_id"), col("t0"), col("t1"),
+      explode(expr(s"sequence(t0 div $bucketW, t1 div $bucketW)")).as("bucket"))
+    val pt = points.select(col("point_id"), col("t"),
+      expr(s"t div $bucketW").as("bucket"))
+    iv.join(pt, Seq("bucket"))
+      .filter(col("t") >= col("t0") && col("t") <= col("t1"))
+      .select(col("interval_id"), col("t0"), col("t1"), col("point_id"), col("t"))
+  }
+
+  /** E7 driver shape: per-user sessions (the E5 gap rule) become the
+    * interval table; every event corpus-wide (ANY user — deliberately
+    * no equi key, this is the range join's regime) is counted into the
+    * sessions whose span covers its timestamp. W = 1800 s, the gap
+    * bound, so a session of n events explodes to at most n+1 buckets.
+    */
+  def eventsIntervalCount(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts").cast("long").as("t"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val sw = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = e
+      .withColumn("gap", col("t") - lag(col("t"), 1).over(w))
+      .withColumn("ns", when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+      .withColumn("seq", sum(col("ns")).over(sw))
+      .groupBy(col("user_id"), col("seq"))
+      .agg(min(col("t")).as("t0"), max(col("t")).as("t1"))
+      .select((col("user_id") * 100000L + col("seq")).as("interval_id"),
+        col("t0"), col("t1"))
+    intervalJoinBucketed(
+      e.select(col("event_id").as("point_id"), col("t")), sessions, 1800L)
+      .groupBy(col("interval_id"), col("t0"), col("t1"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("interval_id"))
+  }
+
   /** E5: sessionize the event stream — lag window per user, session
     * break at >30 min gaps, one session count row per user.
     */

@@ -43,6 +43,18 @@ object ScaleBench {
           ((col("id") * 37 % 1000).cast("double") / 10.0)).as("value"))
   }
 
+  /** Synthetic event stream for the E6/E7 rows: 10k·copies events over
+    * a fixed 31-day span, 150·copies users, type by id mod 5 —
+    * deterministic, so the as-of/interval candidate structure is
+    * identical across runs.
+    */
+  private def eventsFrame(spark: SparkSession, copies: Int): DataFrame =
+    spark.range(10000L * copies).select(
+      col("id").as("event_id"),
+      (col("id") % (150L * copies)).as("user_id"),
+      (lit(1704067200L) + (col("id") * 267L) % 2678400L).as("t"),
+      (col("id") % 5L).as("typ"))
+
   private def timeNoop(spark: SparkSession, mk: () => DataFrame): Double = {
     val times = scala.collection.mutable.ArrayBuffer[Double]()
     def converged: Boolean = {
@@ -346,7 +358,36 @@ object ScaleBench {
           graft.tsdb.SeriesFunctions.interpolate(gfnFrame(spark, copies))),
         "gfn_band_select" -> (() =>
           graft.tsdb.SeriesFunctions.removeBetweenPercentile(
-            gfnFrame(spark, copies), 80))
+            gfnFrame(spark, copies), 80)),
+        // E6 at scale: both sides of the as-of grow ×copies; the one
+        // key shuffle moves O(|L|+|R|) narrow rows — must stay linear
+        "events_asof" -> (() => {
+          val ev = eventsFrame(spark, copies)
+          graft.ops.Relational.asofJoin(
+            ev.filter(col("typ") === 2L).drop("typ"),
+            ev.filter(col("typ") === 0L).drop("typ"))
+        }),
+        // E7 at scale: the production framing — a FIXED window set (the
+        // report intervals) against a growing point stream; candidates
+        // grow with the in-window point density, i.e. linearly
+        "interval_join" -> (() => {
+          val iv = spark.range(1000).select(col("id").as("interval_id"),
+            (lit(1704067200L) + col("id") * 2678L).as("t0"),
+            (lit(1704067200L) + col("id") * 2678L + 1800L).as("t1"))
+          graft.ops.Relational.intervalJoinBucketed(
+            eventsFrame(spark, copies)
+              .select(col("event_id").as("point_id"), col("t")), iv, 1800L)
+        }),
+        // F49 at scale: the sketch path alone (registers + estimate) —
+        // one map-side-combined max whose survivor set stays 256 rows
+        // per slice at ANY corpus size; wall time is the token scan
+        "hll_sketch" -> (() => {
+          val tok = docs.select(
+            (col("doc_id") % 5L).cast("string").as("slice"),
+            explode(graft.text.TextFns.tokens(col("text"))).as("token"))
+          graft.ops.Sketch.hllEstimate(
+            graft.ops.Sketch.hllRegisters(tok, "slice", "token"), "slice")
+        })
       ) ++ (if (copies <= 10) Seq[(String, () => DataFrame)](
         // codec cost alone (decode + twin re-encode/resize), then the
         // full pipeline — the difference is the hash+band-join cost the

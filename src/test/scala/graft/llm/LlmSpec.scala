@@ -1998,6 +1998,68 @@ class LlmSpec extends SparkSpec {
     assert(w.values.exists(_._1 > 1L))
   }
 
+  test("hll rho law: leading-zero-bit extraction from the hex field (F49)") {
+    import graft.ops.Sketch
+    // rho = leading zero BITS of the 52-bit field + 1, via hex string ops
+    val cases = Seq(
+      "8000000000000" -> 1L,  // MSB set
+      "f000000000000" -> 1L,
+      "4000000000000" -> 2L, "7fffafff00001" -> 2L,
+      "2000000000000" -> 3L, "3000000000000" -> 3L,
+      "1000000000000" -> 4L,
+      "0800000000000" -> 5L,  // one zero hex digit, then MSB of next
+      "0100000000000" -> 8L,
+      "00f0000000000" -> 9L,
+      "0000000000001" -> 52L, // minimal nonzero value
+      "0000000000000" -> 53L) // all zeros -> sentinel max
+    val df = cases.map(_._1).toDF("field")
+      .select(col("field"), Sketch.rhoFromField(col("field")).as("rho"))
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    cases.foreach { case (f, want) => assert(got(f) == want, f) }
+  }
+
+  test("hll merge = register max = the sketch of the union (F49)") {
+    import graft.ops.Sketch
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val tok = docs.select(col("lang"),
+      explode(graft.text.TextFns.tokens(col("text"))).as("token"))
+    val regs = Sketch.hllRegisters(tok, "lang", "token")
+    // merging per-lang sketches (max per bucket) must equal sketching
+    // the whole corpus directly — associativity IS the operator
+    val merged = Sketch.hllMergeAll(regs, "*", "lang")
+      .select("bucket", "register").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = Sketch.hllRegisters(
+        tok.withColumn("lang", lit("*")), "lang", "token")
+      .select("bucket", "register").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == direct)
+    // registers are order-free: repartition changes nothing
+    val reparts = Sketch.hllRegisters(tok.repartition(7), "lang", "token")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val plain = regs.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(reparts == plain)
+    // buckets live in [0, 256)
+    assert(plain.keys.forall { case (_, b) => b >= 0L && b < 256L })
+  }
+
+  test("hll estimate lands within the sketch's error regime (F49)") {
+    val out = graft.ops.LlmQueries
+      .corpusCardinalityHll(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == Seq("*", "de", "en", "es", "fr", "zh"))
+    out.foreach { case (lang, exact, est) =>
+      assert(exact > 0)
+      val rel = math.abs(est - exact) / exact.toDouble
+      // sigma = 1.04/sqrt(256) = 6.5%; 3 sigma = 20%
+      assert(rel <= 0.20, s"$lang: est $est vs exact $exact (rel $rel)")
+    }
+    // '*' exact is the distinct union, >= the largest slice
+    val star = out.find(_._1 == "*").get._2
+    assert(star >= out.filter(_._1 != "*").map(_._2).max)
+  }
+
   test("url canonicalization: each rule and their composition (F46)") {
     def canon(u: String): String =
       Seq(u).toDF("url").select(graft.text.Urls.canonicalize(col("url")))

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** E6 as-of join and E7 bucketed interval join: the tie/boundary law
+  * on hand fixtures, then equivalence against the brute-force
+  * theta-join definition on the real corpus (the oracle states the
+  * same semantics in SQL; these pin the Scala seam directly).
+  */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def asofRows(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long)]) =
+    Relational.asofJoin(
+      left.toDF("user_id", "t", "event_id"),
+      right.toDF("user_id", "t", "event_id"))
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+
+  test("as-of join: <= contract, ties, no-match, key isolation (E6)") {
+    val out = asofRows(
+      // (user, t, id) left rows
+      Seq((1L, 100L, 10L), // after two clicks at 40,60 -> latest 60 wins
+        (1L, 60L, 11L),    // SAME instant as a click -> matches it (<=)
+        (1L, 30L, 12L),    // before every click -> no match
+        (2L, 100L, 13L),   // user 2's clicks are invisible to user 1
+        (3L, 100L, 14L)),  // user with no clicks at all -> no match
+      // (user, t, id) right rows; user 2 has two clicks at the SAME t
+      Seq((1L, 40L, 20L), (1L, 60L, 21L),
+        (2L, 50L, 22L), (2L, 50L, 23L)))
+    assert(out.toSeq == Seq(
+      (10L, 1L, 100L, Some(21L), Some(60L)),
+      (11L, 1L, 60L, Some(21L), Some(60L)), // same-instant click matches
+      (12L, 1L, 30L, None, None),
+      (13L, 2L, 100L, Some(23L), Some(50L)), // equal-t tie -> max id wins
+      (14L, 3L, 100L, None, None)))
+  }
+
+  test("as-of join equals the brute theta-join definition on the corpus (E6)") {
+    val e = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_id"), col("ts").cast("long").as("t"),
+        col("event_type"))
+    val l = e.filter(col("event_type") === "purchase").drop("event_type")
+    val r = e.filter(col("event_type") === "click").drop("event_type")
+    val fast = Relational.asofJoin(l, r).collect()
+      .map(x => (x.getLong(0), Option(x.get(3)).map(_.asInstanceOf[Long]))).toMap
+    // brute: join all t_r <= t_l candidates, keep max (t, id)
+    val brute = l.as("l").join(r.as("r"),
+        col("l.user_id") === col("r.user_id") && col("r.t") <= col("l.t"), "left")
+      .groupBy(col("l.event_id").as("eid"))
+      .agg(max_by(col("r.event_id"),
+        struct(col("r.t"), col("r.event_id"))).as("asof_id"))
+      .collect().map(x => (x.getLong(0), Option(x.get(1)).map(_.asInstanceOf[Long]))).toMap
+    assert(fast.size == brute.size)
+    assert(fast == brute)
+  }
+
+  test("interval join: boundaries closed, multi-bucket spans, W-invariance (E7)") {
+    val intervals = Seq((100L, 10L, 30L), (200L, 25L, 26L), (300L, 50L, 50L))
+      .toDF("interval_id", "t0", "t1")
+    val points = Seq((1L, 9L), (2L, 10L), (3L, 25L), (4L, 30L), (5L, 31L),
+      (6L, 50L), (7L, 26L)).toDF("point_id", "t")
+    def pairs(w: Long) =
+      Relational.intervalJoinBucketed(points, intervals, w)
+        .select("interval_id", "point_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = Set(
+      (100L, 2L), (100L, 3L), (100L, 4L), (100L, 7L), // [10,30] closed ends
+      (200L, 3L), (200L, 7L),                          // nested interval
+      (300L, 6L))                                      // degenerate [50,50]
+    // the bucket width moves candidate volume, never the result
+    Seq(1L, 7L, 1800L, 1000000L).foreach(w => assert(pairs(w) == expect, s"W=$w"))
+  }
+
+  test("interval count equals the brute BETWEEN join on the corpus (E7)") {
+    val out = Relational.eventsIntervalCount(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    // brute theta-join over the same session intervals
+    val e = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_id"), col("ts").cast("long").as("t"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val sessions = e
+      .withColumn("gap", col("t") - lag(col("t"), 1).over(w))
+      .withColumn("ns", when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+      .withColumn("seq", sum(col("ns")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("seq"))
+      .agg(min(col("t")).as("t0"), max(col("t")).as("t1"))
+      .select((col("user_id") * 100000L + col("seq")).as("interval_id"),
+        col("t0"), col("t1"))
+    val brute = sessions.join(e, e("t") >= sessions("t0") && e("t") <= sessions("t1"))
+      .groupBy("interval_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == brute)
+    // every session contains at least its own events
+    assert(out.values.forall(_ >= 1L))
+  }
+
+  test("as-of join plan: ONE hash exchange carries both sides (E6)") {
+    val e = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_id"), col("ts").cast("long").as("t"),
+        col("event_type"))
+    val plan = Relational.asofJoin(
+        e.filter(col("event_type") === "purchase").drop("event_type"),
+        e.filter(col("event_type") === "click").drop("event_type"))
+      .queryExecution.executedPlan.toString
+    // the union is narrow; the single window shuffle on the key is the
+    // ENTIRE data movement — no join operator exists in this plan
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, s"$hashEx hash exchanges\n" +
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!plan.contains("Join"), "as-of must not plan a join")
+  }
+
+  test("interval join plan: bucketed equi-join, no nested-loop product (E7)") {
+    val plan = Relational.eventsIntervalCount(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      plan.linesIterator.take(5).mkString("\n"))
+  }
+}
