@@ -23,6 +23,7 @@ object SparkEntry {
     "topk_window" -> ((s, dir) => Relational.topkWindow(s, dir)),
     "event_sessionize" -> ((s, dir) => Relational.eventSessionize(s, dir)),
     "events_asof" -> ((s, dir) => Relational.eventsAsof(s, dir)),
+    "events_asof_tol" -> ((s, dir) => Relational.eventsAsofTol(s, dir)),
     "events_interval_count" -> ((s, dir) => Relational.eventsIntervalCount(s, dir)),
     // A. Carbon ingest
     "carbon_parse" -> ((s, dir) => T.carbonParse(s, dir)),
@@ -201,6 +202,7 @@ object SparkEntry {
     "corpus_sample" -> ((s, dir) => L.corpusSample(s, dir)),
     "corpus_sample_weighted" -> ((s, dir) => L.corpusSampleWeighted(s, dir)),
     "corpus_cardinality_hll" -> ((s, dir) => L.corpusCardinalityHll(s, dir)),
+    "corpus_cardinality_incremental" -> ((s, dir) => L.corpusCardinalityIncremental(s, dir)),
     "corpus_mix_plan" -> ((s, dir) => L.corpusMixPlan(s, dir)),
     "corpus_mix_apply" -> ((s, dir) => L.corpusMixApply(s, dir)),
     "stream_mix_gate" -> ((s, dir) => L.streamMixGate(s, dir)),
@@ -3973,17 +3975,7 @@ object SparkEntry {
     // at equal t via the isl sort key, max event_id among equal-t
     // right rows via the id sort key)
     "events_asof" ->
-      """WITH e AS (
-        | SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
-        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isl
-        | FROM events WHERE event_type IN ('purchase', 'click')),
-        |w AS (
-        | SELECT user_id, t, event_id, isl,
-        |  last_value(CASE WHEN isl = 0 THEN event_id END IGNORE NULLS) OVER cw AS asof_id,
-        |  last_value(CASE WHEN isl = 0 THEN t END IGNORE NULLS) OVER cw AS asof_t
-        | FROM e
-        | WINDOW cw AS (PARTITION BY user_id ORDER BY t, isl, event_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      s"""WITH $AsofCtes
         |SELECT event_id, user_id, t,
         | coalesce(asof_id, -1) AS asof_id, coalesce(asof_t, -1) AS asof_t,
         | coalesce(t - asof_t, -1) AS lag_s
@@ -4019,42 +4011,95 @@ object SparkEntry {
     // ln grid; the '*' row estimates from MERGED registers (max), the
     // sketch's defining property
     "corpus_cardinality_hll" ->
-      s"""WITH tok AS (
-         | SELECT lang, unnest(string_split(lower(text), ' ')) AS token FROM documents),
-         |h AS (SELECT lang, token, md5(token) AS hx FROM tok),
-         |br AS (SELECT lang,
-         |  ('0x' || substr(hx, 1, 2))::BIGINT AS bucket,
-         |  ltrim(substr(hx, 3, 13), '0') AS trimmed FROM h),
-         |rr AS (SELECT lang, bucket,
-         |  CASE WHEN length(trimmed) = 0 THEN 53
-         |   ELSE (13 - length(trimmed)) * 4 +
-         |    CASE WHEN substr(trimmed, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 0
-         |         WHEN substr(trimmed, 1, 1) IN ('4','5','6','7') THEN 1
-         |         WHEN substr(trimmed, 1, 1) IN ('2','3') THEN 2
-         |         ELSE 3 END + 1 END AS rho
-         | FROM br),
-         |regs AS (SELECT lang, bucket, CAST(max(rho) AS BIGINT) AS register
-         | FROM rr GROUP BY 1, 2),
+      s"""WITH ${hllRegsCtes("documents", "")},
          |allregs AS (SELECT lang, bucket, register FROM regs
          | UNION ALL
          | SELECT '*' AS lang, bucket, CAST(max(register) AS BIGINT) AS register
          | FROM regs GROUP BY bucket),
-         |agg AS (SELECT lang,
-         |  CAST(sum(1::BIGINT << CAST(53 - register AS INT)) AS BIGINT) AS sp,
-         |  CAST(count(*) AS BIGINT) AS nb
-         | FROM allregs GROUP BY 1),
-         |e2 AS (SELECT lang, 256 - nb AS v0,
-         |  CAST(sp + (256 - nb) * (1::BIGINT << 53) AS BIGINT) AS s FROM agg),
-         |e3 AS (SELECT lang, v0, ${graft.ops.Sketch.AlphaNum} / CAST(s AS DOUBLE) AS raw
-         | FROM e2),
-         |e4 AS (SELECT lang,
-         |  round(CASE WHEN v0 > 0 AND raw <= 640.0
-         |   THEN round(ln(256.0 / CAST(v0 AS DOUBLE)) * 1e6, 0) / 1e6 * 256.0
-         |   ELSE raw END, 4) AS hll_est FROM e3),
+         |${hllEstCtes("allregs", "")},
          |ex AS (SELECT lang, count(DISTINCT token) AS n_exact FROM tok GROUP BY 1
          | UNION ALL
          | SELECT '*' AS lang, count(DISTINCT token) AS n_exact FROM tok)
          |SELECT ex.lang, ex.n_exact, e4.hll_est
-         |FROM ex JOIN e4 USING (lang) ORDER BY ex.lang""".stripMargin
+         |FROM ex JOIN e4 USING (lang) ORDER BY ex.lang""".stripMargin,
+    // F49b: the merge theorem as an oracle row — registers from the
+    // two halves max-merged vs a fresh full sketch; the two estimate
+    // chains run independently and MUST agree
+    "corpus_cardinality_incremental" ->
+      s"""WITH ${hllRegsCtes("(SELECT * FROM documents WHERE doc_id % 2 = 0)", "b")},
+         |${hllRegsCtes("(SELECT * FROM documents WHERE doc_id % 2 <> 0)", "i")},
+         |mg AS (SELECT lang, bucket, CAST(max(register) AS BIGINT) AS register
+         | FROM (SELECT * FROM regsb UNION ALL SELECT * FROM regsi) u
+         | GROUP BY 1, 2),
+         |${hllRegsCtes("documents", "f")},
+         |${hllEstCtes("mg", "m")},
+         |${hllEstCtes("regsf", "f")}
+         |SELECT e4m.lang, e4m.hll_est AS est_merged, e4f.hll_est AS est_full
+         |FROM e4m JOIN e4f USING (lang) ORDER BY e4m.lang""".stripMargin,
+    // E6b: the same carry chain + the tolerance CASE — an
+    // out-of-window carried match nulls to the sentinel exactly like
+    // no-match (the carried row is the latest candidate, so every
+    // other candidate is staler)
+    "events_asof_tol" ->
+      s"""WITH $AsofCtes
+         |SELECT event_id, user_id, t,
+         | coalesce(CASE WHEN t - asof_t <= 3600 THEN asof_id END, -1) AS asof_id,
+         | coalesce(CASE WHEN t - asof_t <= 3600 THEN asof_t END, -1) AS asof_t,
+         | coalesce(CASE WHEN t - asof_t <= 3600 THEN t - asof_t END, -1) AS lag_s
+         |FROM w WHERE isl = 1 ORDER BY event_id""".stripMargin
   )
+
+  /** E6 union-and-carry chain as window SQL — shared by the plain and
+    * tolerance as-of oracles (one law, two post-filters).
+    */
+  private val AsofCtes: String =
+    """e AS (
+      | SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+      |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isl
+      | FROM events WHERE event_type IN ('purchase', 'click')),
+      |w AS (
+      | SELECT user_id, t, event_id, isl,
+      |  last_value(CASE WHEN isl = 0 THEN event_id END IGNORE NULLS) OVER cw AS asof_id,
+      |  last_value(CASE WHEN isl = 0 THEN t END IGNORE NULLS) OVER cw AS asof_t
+      | FROM e
+      | WINDOW cw AS (PARTITION BY user_id ORDER BY t, isl, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""".stripMargin
+
+  /** F49 register-build CTEs over `src` — the identical md5/hex rho
+    * law graft.ops.Sketch evaluates, suffix `s` so several instances
+    * coexist in one WITH (the F49b merge oracle needs three).
+    */
+  private def hllRegsCtes(src: String, s: String): String =
+    s"""tok$s AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS token FROM $src),
+       |h$s AS (SELECT lang, token, md5(token) AS hx FROM tok$s),
+       |br$s AS (SELECT lang,
+       |  ('0x' || substr(hx, 1, 2))::BIGINT AS bucket,
+       |  ltrim(substr(hx, 3, 13), '0') AS trimmed FROM h$s),
+       |rr$s AS (SELECT lang, bucket,
+       |  CASE WHEN length(trimmed) = 0 THEN 53
+       |   ELSE (13 - length(trimmed)) * 4 +
+       |    CASE WHEN substr(trimmed, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 0
+       |         WHEN substr(trimmed, 1, 1) IN ('4','5','6','7') THEN 1
+       |         WHEN substr(trimmed, 1, 1) IN ('2','3') THEN 2
+       |         ELSE 3 END + 1 END AS rho
+       | FROM br$s),
+       |regs$s AS (SELECT lang, bucket, CAST(max(rho) AS BIGINT) AS register
+       | FROM rr$s GROUP BY 1, 2)""".stripMargin
+
+  /** F49 estimate CTEs from a register table `regs`: BIGINT-exact
+    * harmonic sum, the shared α literal, the linear-counting branch.
+    */
+  private def hllEstCtes(regs: String, s: String): String =
+    s"""agg$s AS (SELECT lang,
+       |  CAST(sum(1::BIGINT << CAST(53 - register AS INT)) AS BIGINT) AS sp,
+       |  CAST(count(*) AS BIGINT) AS nb
+       | FROM $regs GROUP BY 1),
+       |e2$s AS (SELECT lang, 256 - nb AS v0,
+       |  CAST(sp + (256 - nb) * (1::BIGINT << 53) AS BIGINT) AS s FROM agg$s),
+       |e3$s AS (SELECT lang, v0, ${graft.ops.Sketch.AlphaNum} / CAST(s AS DOUBLE) AS raw
+       | FROM e2$s),
+       |e4$s AS (SELECT lang,
+       |  round(CASE WHEN v0 > 0 AND raw <= 640.0
+       |   THEN round(ln(256.0 / CAST(v0 AS DOUBLE)) * 1e6, 0) / 1e6 * 256.0
+       |   ELSE raw END, 4) AS hll_est FROM e3$s)""".stripMargin
 }

@@ -967,6 +967,31 @@ object LlmQueries {
       .orderBy(col("lang"))
   }
 
+  /** F49b: INCREMENTAL cardinality maintenance — the property that
+    * makes the sketch an operations win, as an oracle-checked row:
+    * merging the standing corpus's registers with an arriving batch's
+    * registers (max per bucket) yields the IDENTICAL estimate to
+    * re-sketching everything — no rescan of the base, ever. The
+    * output carries both estimates; they are equal by the merge
+    * theorem (registers are maxes; max is associative), and the
+    * oracle recomputes both sides independently.
+    */
+  def corpusCardinalityIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def tokOf(df: DataFrame) = df.select(col("lang"),
+      explode(graft.text.TextFns.tokens(col("text"))).as("token"))
+    val merged = Sketch
+      .hllRegisters(tokOf(docs.filter(col("doc_id") % 2 === 0)), "lang", "token")
+      .unionByName(Sketch
+        .hllRegisters(tokOf(docs.filter(col("doc_id") % 2 =!= 0)), "lang", "token"))
+      .groupBy(col("lang"), col("bucket")).agg(max(col("register")).as("register"))
+    val full = Sketch.hllRegisters(tokOf(docs), "lang", "token")
+    Sketch.hllEstimate(merged, "lang").withColumnRenamed("hll_est", "est_merged")
+      .join(Sketch.hllEstimate(full, "lang")
+        .withColumnRenamed("hll_est", "est_full"), Seq("lang"))
+      .orderBy(col("lang"))
+  }
+
   /** G17 batch twin: the URL frontier gate — the even-doc half's
     * canonical URL set is the standing index; every planted variant
     * arrives (ids shifted to a disjoint range) and gets its

@@ -127,6 +127,40 @@ object Relational {
         col("asof_id"), col("asof_t"), (col(t) - col("asof_t")).as("lag_s"))
   }
 
+  /** E6b: as-of join WITH TOLERANCE — the production variant (kdb's
+    * windowed `aj`, pandas merge_asof(tolerance=...)): a right row
+    * older than `tol` seconds must NOT match (a quote that stale is no
+    * quote). Pure post-filter on [[asofJoin]]'s carry: the carried row
+    * is the LATEST candidate, so if IT is out of tolerance every other
+    * candidate is older still — nulling the carried match is exactly
+    * "no match within tolerance". Same single-exchange plan.
+    */
+  def asofJoinTol(left: DataFrame, right: DataFrame, tol: Long,
+                  key: String = "user_id", t: String = "t",
+                  id: String = "event_id"): DataFrame =
+    asofJoin(left, right, key, t, id)
+      .select(col(id), col(key), col(t),
+        when(col("lag_s") <= tol, col("asof_id")).as("asof_id"),
+        when(col("lag_s") <= tol, col("asof_t")).as("asof_t"),
+        when(col("lag_s") <= tol, col("lag_s")).as("lag_s"))
+
+  /** E6b driver shape: purchases attributed to clicks inside a 1-hour
+    * window only (−1 sentinels as in [[eventsAsof]]).
+    */
+  def eventsAsofTol(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("long").as("t"), col("event_type"))
+    asofJoinTol(
+      e.filter(col("event_type") === "purchase").drop("event_type"),
+      e.filter(col("event_type") === "click").drop("event_type"), 3600L)
+      .select(col("event_id"), col("user_id"), col("t"),
+        coalesce(col("asof_id"), lit(-1L)).as("asof_id"),
+        coalesce(col("asof_t"), lit(-1L)).as("asof_t"),
+        coalesce(col("lag_s"), lit(-1L)).as("lag_s"))
+      .orderBy(col("event_id"))
+  }
+
   /** E6 driver shape: attribute every purchase to the user's most
     * recent click at-or-before it (the ad-attribution query). A
     * purchase with no prior click carries the −1 sentinel (the

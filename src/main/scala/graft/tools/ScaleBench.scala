@@ -43,15 +43,16 @@ object ScaleBench {
           ((col("id") * 37 % 1000).cast("double") / 10.0)).as("value"))
   }
 
-  /** Synthetic event stream for the E6/E7 rows: 10k·copies events over
-    * a fixed 31-day span, 150·copies users, type by id mod 5 —
+  /** Synthetic event stream for the E6/E7 rows: 250k·copies events
+    * over a fixed 31-day span, 1000·copies users, type by id mod 5 —
     * deterministic, so the as-of/interval candidate structure is
-    * identical across runs.
+    * identical across runs, and big enough (5M rows at ×20) that the
+    * per-row term dominates job overhead.
     */
   private def eventsFrame(spark: SparkSession, copies: Int): DataFrame =
-    spark.range(10000L * copies).select(
+    spark.range(250000L * copies).select(
       col("id").as("event_id"),
-      (col("id") % (150L * copies)).as("user_id"),
+      (col("id") % (1000L * copies)).as("user_id"),
       (lit(1704067200L) + (col("id") * 267L) % 2678400L).as("t"),
       (col("id") % 5L).as("typ"))
 

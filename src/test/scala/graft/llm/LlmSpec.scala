@@ -2044,6 +2044,17 @@ class LlmSpec extends SparkSpec {
     assert(plain.keys.forall { case (_, b) => b >= 0L && b < 256L })
   }
 
+  test("hll incremental maintenance: merged halves == fresh full sketch (F49b)") {
+    val out = graft.ops.LlmQueries
+      .corpusCardinalityIncremental(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    // not approximately — IDENTICALLY: registers are maxes, max is
+    // associative, so the estimates are the same doubles
+    out.foreach { case (lang, merged, full) =>
+      assert(merged == full, s"$lang: $merged != $full") }
+  }
+
   test("hll estimate lands within the sketch's error regime (F49)") {
     val out = graft.ops.LlmQueries
       .corpusCardinalityHll(spark, "/root/testdata/sf0.001")

@@ -101,6 +101,38 @@ class RelationalSpec extends SparkSpec {
     assert(out.values.forall(_ >= 1L))
   }
 
+  test("as-of with tolerance: stale carried matches null out (E6b)") {
+    val left = Seq((1L, 100L, 10L), (1L, 50L, 11L)).toDF("user_id", "t", "event_id")
+    val right = Seq((1L, 40L, 20L)).toDF("user_id", "t", "event_id")
+    def rows(tol: Long) = Relational.asofJoinTol(left, right, tol)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long])))
+    // lag 60 for id 10, lag 10 for id 11
+    assert(rows(100L).toSeq == Seq((10L, Some(20L)), (11L, Some(20L))))
+    assert(rows(30L).toSeq == Seq((10L, None), (11L, Some(20L))))
+    assert(rows(10L).toSeq == Seq((10L, None), (11L, Some(20L)))) // <= boundary
+    assert(rows(9L).toSeq == Seq((10L, None), (11L, None)))
+    // on the corpus: every tolerance match IS the plain as-of match
+    // (the carry never changes, it only gets filtered)
+    val e = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_id"), col("ts").cast("long").as("t"),
+        col("event_type"))
+    val l = e.filter(col("event_type") === "purchase").drop("event_type")
+    val r = e.filter(col("event_type") === "click").drop("event_type")
+    val plain = Relational.asofJoin(l, r).collect()
+      .map(x => x.getLong(0) -> Option(x.get(3)).map(_.asInstanceOf[Long])).toMap
+    val tol = Relational.asofJoinTol(l, r, 3600L).collect()
+      .map(x => (x.getLong(0), Option(x.get(3)).map(_.asInstanceOf[Long]),
+        Option(x.get(5)).map(_.asInstanceOf[Long])))
+    tol.foreach { case (eid, m, lag) =>
+      m match {
+        case Some(_) => assert(m == plain(eid) && lag.exists(_ <= 3600L))
+        case None    => () // either no match at all or a stale one
+      }
+    }
+    assert(tol.exists(_._2.isEmpty) && tol.exists(_._2.nonEmpty))
+  }
+
   test("as-of join plan: ONE hash exchange carries both sides (E6)") {
     val e = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("user_id"), col("event_id"), col("ts").cast("long").as("t"),
