@@ -170,6 +170,8 @@ object SparkEntry {
     "ann_ivf_pq" -> ((s, dir) => L.annIvfPq(s, dir)),
     "ann_ivf_pq_refine" -> ((s, dir) => L.annIvfPqRefine(s, dir)),
     "ann_hybrid_rrf" -> ((s, dir) => L.annHybridRrf(s, dir)),
+    "ann_bm25" -> ((s, dir) => L.annBm25(s, dir)),
+    "dedup_cdc" -> ((s, dir) => L.dedupCdc(s, dir)),
     "ann_ivf_pq_trained" -> ((s, dir) => L.annIvfPqTrained(s, dir)),
     "ann_ivf_pq_residual" -> ((s, dir) => L.annIvfPqResidual(s, dir)),
     "ann_quantized" -> ((s, dir) => L.annQuantized(s, dir)),
@@ -221,7 +223,9 @@ object SparkEntry {
     "stream_tokenize" -> ((s, dir) => L.streamTokenize(s, dir)),
     "stream_keywords" -> ((s, dir) => L.streamKeywords(s, dir)),
     "multimodal_pipeline" -> ((s, dir) =>
-      graft.multimodal.BinaryPipeline.pipelineSummary(s, graft.core.Tables.documents(s, dir)))
+      graft.multimodal.BinaryPipeline.pipelineSummary(s, graft.core.Tables.documents(s, dir))),
+    "audio_frames" -> ((s, dir) =>
+      graft.multimodal.Audio.frameFeatures(s, graft.core.Tables.documents(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2291,6 +2295,97 @@ object SparkEntry {
          |SELECT q_id, CAST(rk AS BIGINT) AS rk, id, round(rrf, 6) AS rrf
          |FROM frk WHERE rk <= ${LQ.AnnK}
          |ORDER BY q_id, rk""".stripMargin
+    },
+    // F50: Okapi BM25 — query terms = the F30 top-keyword chain,
+    // per-TERM score snapped to a 1e-6 fixed-point BIGINT (identical
+    // scalar expression shape in both engines) so the per-(q,d) sum is
+    // integer-exact; rank compares the integers
+    "ann_bm25" -> {
+      import graft.ops.{LlmQueries => LQ}
+      import graft.text.{Analysis => A}
+      s"""WITH $TK,
+         |tok AS (SELECT doc_id, unnest(toks) AS token FROM tk),
+         |tfd AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+         |dfs AS (SELECT token, count(*) AS df FROM tfd GROUP BY 1),
+         |dls AS (SELECT doc_id, sum(tf) AS dl FROM tfd GROUP BY 1),
+         |nn AS (SELECT count(*) AS n, sum(len(toks)) AS tot FROM tk),
+         |sc AS (SELECT t.doc_id, t.token,
+         |  row_number() OVER (PARTITION BY t.doc_id
+         |    ORDER BY round(t.tf * ln((nn.n + 1)*1.0/(d.df + 1)), 6) DESC, t.token) AS krk
+         |  FROM tfd t JOIN dfs d USING (token) CROSS JOIN nn),
+         |qk AS (SELECT doc_id AS q_id, token FROM sc
+         |  WHERE krk <= ${LQ.KeywordsTopK} AND doc_id < ${LQ.AnnQueryMax}),
+         |cand AS (SELECT q.q_id, t.doc_id,
+         |  CAST(round(ln(1.0 + (nn.n - d.df + 0.5)/(d.df + 0.5))
+         |    * (t.tf * (${A.Bm25K1} + 1.0)
+         |       / (t.tf + ${A.Bm25K1} * (1.0 - ${A.Bm25B}
+         |          + ${A.Bm25B} * l.dl / (CAST(nn.tot AS DOUBLE) / CAST(nn.n AS DOUBLE)))))
+         |    * 1e6, 0) AS BIGINT) AS t_fp
+         |  FROM qk q JOIN tfd t USING (token) JOIN dfs d USING (token)
+         |  JOIN dls l ON l.doc_id = t.doc_id CROSS JOIN nn
+         |  WHERE t.doc_id <> q.q_id),
+         |sc2 AS (SELECT q_id, doc_id, sum(t_fp) AS s_fp FROM cand GROUP BY 1, 2),
+         |rkd AS (SELECT q_id, doc_id, s_fp,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY s_fp DESC, doc_id) AS rk FROM sc2)
+         |SELECT q_id, CAST(rk AS BIGINT) AS rk, doc_id, round(s_fp / 1e6, 6) AS bm25
+         |FROM rkd WHERE rk <= ${LQ.AnnK}
+         |ORDER BY q_id, rk""".stripMargin
+    },
+    // F51: REAL WAV decode + framed features — the payload samples are
+    // id arithmetic, so the oracle replays the WHOLE pipeline (clip
+    // shape, frame split incl. the partial tail, Σs² energy, strict
+    // zero crossings) in SQL without touching a byte; every feature is
+    // integer-exact, so the hash compare carries no float tolerance
+    "audio_frames" -> {
+      val fs = graft.multimodal.Audio.FrameSize
+      s"""WITH aud AS (SELECT doc_id AS media_id,
+         |    CAST(512 + doc_id % 777 AS BIGINT) AS ns,
+         |    8000 + (doc_id % 4) * 4000 AS sr
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |fr AS (SELECT media_id, ns, sr,
+         |    unnest(range(0, CAST(ceil(ns/$fs.0) AS BIGINT))) AS frame_idx FROM aud),
+         |sm AS (SELECT media_id, ns, sr, frame_idx,
+         |    unnest(range(frame_idx*$fs, least((frame_idx+1)*$fs, ns))) AS i FROM fr),
+         |sv AS (SELECT media_id, ns, sr, frame_idx, i,
+         |    ((media_id*31 + i*7) % 2003) - 1001 AS s FROM sm),
+         |lg AS (SELECT media_id, ns, sr, frame_idx, i, s,
+         |    lag(s) OVER (PARTITION BY media_id, frame_idx ORDER BY i) AS ps FROM sv),
+         |ft AS (SELECT media_id, sr, ns, frame_idx,
+         |    count(*) AS n, sum(s*s) AS energy_sq,
+         |    sum(CASE WHEN ps IS NOT NULL AND ps * s < 0 THEN 1 ELSE 0 END) AS zero_cross
+         |  FROM lg GROUP BY 1, 2, 3, 4)
+         |SELECT media_id, CAST(sr AS INT) AS sample_rate, CAST(ns AS INT) AS n_samples,
+         |  CAST(frame_idx AS INT) AS frame_idx, CAST(n AS INT) AS n,
+         |  CAST(energy_sq AS BIGINT) AS energy_sq, CAST(zero_cross AS BIGINT) AS zero_cross
+         |FROM ft ORDER BY media_id, frame_idx""".stripMargin
+    },
+    // F52: content-defined chunking dedup — the in-row boundary rule
+    // (h60(token) % W == 0, never the last token), chunk spans, md5
+    // content hashes, and the per-hash (df, first-copy-keeps) window
+    // all replayed over the same token arrays
+    "dedup_cdc" -> {
+      val w = graft.dedup.Dedup.CdcW
+      s"""WITH $TK,
+         |tokp AS (SELECT doc_id, toks, len(toks) AS n FROM tk),
+         |bnd AS (SELECT doc_id, toks, n,
+         |  list_filter(range(1, n + 1), p -> p < n
+         |    AND ('0x'||substr(md5(toks[CAST(p AS INT)]),1,15))::BIGINT % $w = 0) AS bps
+         |  FROM tokp),
+         |sp AS (SELECT doc_id, toks,
+         |  list_prepend(CAST(1 AS BIGINT), list_transform(bps, p -> p + 1)) AS starts,
+         |  list_append(bps, CAST(n AS BIGINT)) AS ends FROM bnd),
+         |ch AS (SELECT doc_id, unnest(range(0, len(starts))) AS k, starts, ends, toks FROM sp),
+         |ct AS (SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+         |  CAST(ends[CAST(k+1 AS INT)] - starts[CAST(k+1 AS INT)] + 1 AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(
+         |    toks[CAST(starts[CAST(k+1 AS INT)] AS INT):CAST(ends[CAST(k+1 AS INT)] AS INT)],
+         |    ' ')) AS chunk_md5 FROM ch),
+         |fin AS (SELECT doc_id, chunk_idx, n_tokens, chunk_md5,
+         |  count(*) OVER (PARTITION BY chunk_md5) AS df,
+         |  row_number() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_idx) = 1 AS keep
+         |  FROM ct)
+         |SELECT doc_id, chunk_idx, n_tokens, chunk_md5, CAST(df AS BIGINT) AS df, keep
+         |FROM fin ORDER BY doc_id, chunk_idx""".stripMargin
     },
     // F17: tokenizer-corpus vocabulary stats — tf/df per token, top-N
     // by tf with token tie-break (deterministic cutoff)

@@ -1538,4 +1538,59 @@ object Dedup {
       .distinct()
       .orderBy(col("x"), col("y"))
   }
+
+  // ---- F52: content-defined chunking dedup --------------------------
+
+  /** Expected chunk length in tokens: a boundary falls AFTER token p
+    * when h60(token_p) % CdcW == 0, so ~1/W of tokens end a chunk.
+    */
+  val CdcW = 16
+
+  /** F52: content-defined chunking (CDC) dedup — the STORAGE-layer
+    * dedup shape (rsync/LBFS/casync/restic): chunk boundaries derive
+    * from CONTENT, not offsets, so an insertion near the start of a
+    * document shifts every byte offset but re-synchronizes at the
+    * next content boundary — only the edited chunk's hash changes,
+    * and the shared tail still dedups against the original (the spec
+    * pins exactly this property; fixed-size blocks lose it, which is
+    * the whole reason CDC exists). Tokens stand in for bytes (the
+    * repo's corpus unit); the boundary rule h60(token) % W == 0 is
+    * the rolling-hash cut rule with a token-level window.
+    *
+    * Chunking is fully IN-ROW (filter/transform over the token array
+    * — map-only, stays in whole-stage codegen); the only shuffle is
+    * the per-chunk-hash window that computes occurrence counts and
+    * elects the canonical copy (first by (doc_id, chunk_idx) — the
+    * dedup store's "store once, reference elsewhere" rule). Per-chunk
+    * state is O(distinct chunks); no pairwise work anywhere, so the
+    * operator scales like F1 exact dedup regardless of corpus size.
+    */
+  def dedupCdc(spark: SparkSession, docs: DataFrame, w: Int = CdcW): DataFrame = {
+    require(w >= 1, s"chunk window must be >= 1 (got $w)")
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    // 1-based positions that END a chunk (never the last token: a
+    // trailing boundary would mint an empty chunk)
+    val bnd = filter(sequence(lit(1), n),
+      p => p < n && h60(element_at(toks, p)) % w === 0)
+    val starts = concat(array(lit(1)), transform(bnd, p => p + 1))
+    val ends = concat(bnd, array(n))
+    val chunks = transform(sequence(lit(0), size(starts) - 1),
+      k => struct(
+        (element_at(ends, k + 1) - element_at(starts, k + 1) + 1).as("n_tokens"),
+        array_join(slice(toks, element_at(starts, k + 1),
+          element_at(ends, k + 1) - element_at(starts, k + 1) + 1), " ")
+          .as("chunk_text")))
+    val ct = docs.select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.n_tokens").cast("long").as("n_tokens"),
+        md5(col("c.chunk_text")).as("chunk_md5"))
+    val w0 = org.apache.spark.sql.expressions.Window.partitionBy(col("chunk_md5"))
+    val wOrd = w0.orderBy(col("doc_id"), col("chunk_idx"))
+    ct.withColumn("df", count(lit(1)).over(w0))
+      .withColumn("keep", (row_number().over(wOrd) === 1).cast("boolean"))
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        col("chunk_md5"), col("df"), col("keep"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
 }

@@ -37,6 +37,12 @@ object LlmQueries {
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(Tables.documents(spark, dir), JaccardTau)
 
+  /** F52: content-defined chunking dedup — storage-layer chunk store
+    * (in-row boundary rule, one chunk-hash shuffle).
+    */
+  def dedupCdc(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupCdc(spark, Tables.documents(spark, dir))
+
   /** The 100 TB-shaped variant: stop-shingles with df > JaccardMaxDf
     * are dropped before the pair join (Dedup.ngramJaccardCapped).
     */
@@ -534,6 +540,15 @@ object LlmQueries {
       .select(col("q_id"), col("doc_id").as("id"), col("rk"))
     Ann.rrfFuse(dense, sparse, AnnK)
   }
+
+  /** F50: Okapi BM25 ranked retrieval — the calibrated sparse-leg
+    * scorer over the inverted index (query = top-keyword terms of the
+    * query docs, candidates = term-posting fan-out, integer-exact
+    * fixed-point term sums).
+    */
+  def annBm25(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Analysis.bm25TopK(
+      Tables.documents(spark, dir), AnnQueryMax, KeywordsTopK, AnnK)
 
   /** F25j: IVFPQ + exact refine — the FAISS IndexRefineFlat tail:
     * ADC shortlist of k·PqRefine, stored-float exact re-rank to k.

@@ -402,6 +402,74 @@ object Analysis {
       .select(col("q_id"), col("rk"), col("doc_id"), col("overlap"))
   }
 
+  // ---- F50: Okapi BM25 ranked retrieval -----------------------------
+
+  /** Okapi BM25 parameters — the standard Robertson/Sparck-Jones
+    * defaults every search engine ships (Lucene's BM25Similarity).
+    */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** F50: Okapi BM25 ranked retrieval — the CALIBRATED sparse leg
+    * next to [[keywordOverlapTopK]]'s raw overlap counts (F40 fuses
+    * legs rank-only because overlap isn't score-calibrated; BM25 is
+    * the scoring rule a production hybrid actually runs on its
+    * inverted index). Query = the query doc's top-kw TF-IDF keywords
+    * (the [[keywords]] chain — bounding per-query terms keeps the
+    * inverted-index fan-out at kw·df regardless of document length),
+    * scored against every other doc:
+    *
+    *   bm25(q,d) = Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)),
+    *   idf(t)    = ln(1 + (N−df+0.5)/(df+0.5))
+    *
+    * Cross-engine parity: each TERM's score is computed by the same
+    * scalar expression shape in both engines and snapped to a 1e-6
+    * fixed-point BIGINT, so the per-(q,d) SUM is integer-exact and
+    * accumulation-order-free (the F23 discipline); ranking compares
+    * the integers, never floats. Plan shape: the corpus is touched by
+    * one tokenize shuffle (the (doc,token,tf) table, shared via
+    * cachedOnce with F30/F40 in-session); df/dl are narrow
+    * aggregates of it; the stats row is a 1-row broadcast; candidate
+    * volume is Σ_{t∈queries} df(t) — a df cap composes exactly like
+    * [[graft.dedup.Dedup.ngramJaccardCapped]] if a corpus needs it.
+    */
+  def bm25TopK(docs: DataFrame, queryMax: Long, kw: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val tfd = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .cachedOnce
+    val dfs = tfd.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dls = tfd.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    // N counts ALL docs (a zero-token doc has no tfd rows but is a
+    // real corpus member); avgdl likewise averages over N
+    val stats = broadcast(
+      docs.select(size(tokens(col("text"))).cast("long").as("dl0"))
+        .agg(count(lit(1)).as("n"), sum(col("dl0")).as("tot")))
+    val qk = keywords(docs, kw).filter(col("doc_id") < queryMax)
+      .select(col("doc_id").as("q_id"), col("token"))
+    val avgdl = col("tot").cast("double") / col("n").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfp = col("tf").cast("double") * (lit(Bm25K1) + lit(1.0)) /
+      (col("tf").cast("double") + lit(Bm25K1) *
+        (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl").cast("double") / avgdl))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("s_fp").desc, col("doc_id"))
+    qk.join(tfd, Seq("token"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(dfs, Seq("token"))
+      .join(dls, Seq("doc_id"))
+      .crossJoin(stats)
+      .withColumn("t_fp", round(idf * tfp * lit(1e6), 0).cast("long"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("t_fp")).as("s_fp"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("doc_id"),
+        round(col("s_fp").cast("double") / lit(1e6), 6).as("bm25"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   // ---- F31: line-level boilerplate removal --------------------------
 
   /** Tokens per rendered line when chunking the single-line synthetic

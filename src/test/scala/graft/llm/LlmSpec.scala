@@ -691,6 +691,85 @@ class LlmSpec extends SparkSpec {
     assert(fused.forall(r => src.contains((r.getLong(0), r.getLong(2)))))
   }
 
+  test("cdc dedup: boundaries from content, insert re-syncs, first copy keeps (F52)") {
+    import graft.dedup.Dedup
+    import graft.text.TextFns.h60Jvm
+    // find real boundary/non-boundary tokens under the driver W
+    val cands = (0 until 4000).map(i => s"w$i")
+    val bTok = cands.find(t => h60Jvm(t) % Dedup.CdcW == 0).get
+    val pTok +: pRest = cands.filter(t => h60Jvm(t) % Dedup.CdcW != 0).take(12).toList: @unchecked
+    val plain = pRest.take(8) // 8 non-boundary filler tokens
+    // shared tail: boundary token then a chunk of filler
+    val tail = s"$bTok ${plain.mkString(" ")}"
+    val docA = s"${pTok} ${pTok} $tail"      // prefix of 2 tokens
+    val docB = s"${plain(0)} $tail"          // DIFFERENT 1-token prefix
+    val docs = Seq((10L, docA), (11L, docB)).toDF("doc_id", "text")
+    val out = Dedup.dedupCdc(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getBoolean(5)))
+    // both docs split into [prefix..bTok] + [shared 8-token tail]:
+    // offsets differ (3-token vs 2-token head) but the boundary is
+    // CONTENT-defined, so the tail chunk hashes identically — df 2,
+    // first copy (doc 10) keeps, doc 11's copy dedups away
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(10L).length == 2 && byDoc(11L).length == 2)
+    val tailA = byDoc(10L).maxBy(_._2)
+    val tailB = byDoc(11L).maxBy(_._2)
+    assert(tailA._4 == tailB._4 && tailA._3 == 8 && tailB._3 == 8)
+    assert(tailA._5 == 2 && tailA._6 && !tailB._6)
+    // the heads differ → unique chunks, both kept
+    val headA = byDoc(10L).minBy(_._2); val headB = byDoc(11L).minBy(_._2)
+    assert(headA._4 != headB._4 && headA._5 == 1 && headA._6 && headB._6)
+    // trailing-boundary token must NOT mint an empty chunk; a
+    // single-token doc is one chunk of itself
+    val edge = Seq((1L, s"${plain(1)} $bTok"), (2L, plain(2))).toDF("doc_id", "text")
+    val eo = Dedup.dedupCdc(spark, edge).collect()
+    assert(eo.count(_.getLong(0) == 1L) == 1 && eo.count(_.getLong(0) == 2L) == 1)
+    assert(eo.forall(_.getLong(2) >= 1))
+    // corpus-level conservation: chunk token counts cover every token
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val total = Dedup.dedupCdc(spark, corpus)
+      .agg(sum($"n_tokens")).collect().head.getLong(0)
+    val expect = corpus.select(sum(size(split(lower($"text"), " "))))
+      .collect().head.getLong(0)
+    assert(total == expect, s"chunk coverage $total vs $expect")
+  }
+
+  test("bm25: hand-computed scores, self-exclusion, integer-rank order (F50)") {
+    import graft.text.{Analysis => A}
+    // doc 0 is the query; its top-2 TF-IDF keywords are apple, banana
+    val docs = Seq(
+      (0L, "apple banana apple"),
+      (1L, "apple cherry"),
+      (2L, "banana banana durian")).toDF("doc_id", "text")
+    val out = A.bm25TopK(docs, queryMax = 1, kw = 2, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // independent model replaying the published formula
+    val N = 3.0; val avgdl = 8.0 / 3.0
+    def idf(df: Long) = math.log(1.0 + (N - df + 0.5) / (df + 0.5))
+    def tfp(tf: Long, dl: Long) =
+      tf * (A.Bm25K1 + 1.0) /
+        (tf + A.Bm25K1 * (1.0 - A.Bm25B + A.Bm25B * dl / avgdl))
+    def fp(terms: Seq[(Long, Long, Long)]) = // (tf, df, dl)
+      terms.map { case (tf, df, dl) => math.round(idf(df) * tfp(tf, dl) * 1e6) }.sum
+    val d1 = fp(Seq((1L, 2L, 2L)))         // doc 1: apple only
+    val d2 = fp(Seq((2L, 2L, 3L)))         // doc 2: banana tf=2
+    assert(d2 > d1) // banana's double tf in a 3-token doc outranks
+    assert(out.map(_._3).toSeq == Seq(2L, 1L))   // self (doc 0) excluded
+    assert(out.map(_._2).toSeq == Seq(1L, 2L))
+    assert(math.abs(out(0)._4 - math.rint(d2 / 1e6 * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(out(1)._4 - math.rint(d1 / 1e6 * 1e6) / 1e6) < 1e-9)
+    // real corpus: k rows per query, ranks 1..k, scores non-increasing
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val byQ = A.bm25TopK(corpus, 5, 5, 5).collect().groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length))
+      val scores = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("ivfpq + exact refine: recall never below plain ivfpq; exact order wins (F25j)") {
     val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter($"vec_id" < 10)
