@@ -108,6 +108,10 @@ object SparkEntry {
     "gfn_slice_scale" -> ((s, dir) => T.gfnSliceScale(s, dir)),
     "gfn_band_select" -> ((s, dir) => T.gfnBandSelect(s, dir)),
     "gfn_outside_avg" -> ((s, dir) => T.gfnOutsideAvg(s, dir)),
+    "gfn_aggregate_minmax" -> ((s, dir) => T.gfnAggregateMinmax(s, dir)),
+    "gfn_group_nodes" -> ((s, dir) => T.gfnGroupNodes(s, dir)),
+    "gfn_multiply_wildcards" -> ((s, dir) => T.gfnMultiplyWildcards(s, dir)),
+    "gfn_keeplast_unique" -> ((s, dir) => T.gfnKeeplastUnique(s, dir)),
     // D. dataMine bridge
     "dm_resample" -> ((s, dir) => T.dmResample(s, dir)),
     "dm_resample_all" -> ((s, dir) => T.dmResampleAll(s, dir)),
@@ -3585,6 +3589,58 @@ object SparkEntry {
          |SELECT 'aggregateLine(' || fr.path || ',''avg'')' AS path, t,
          | round(m - 1e-9, 4) AS value
          |FROM fr JOIN keep ON fr.path = keep.path ORDER BY 1, 2""".stripMargin,
+    // C9aq: aggregate(...,"range") → minMax — across-series spread per
+    // t (all-null stays null), then per-series [0,1] normalization
+    // against the combined series' own non-null min/max (flat → 0)
+    "gfn_aggregate_minmax" ->
+      s"""WITH $GfnFrameCte,
+         |rg AS (SELECT 'aggregate(vera.u1?.click,"range")' AS path, t,
+         |  max(value) - min(value) AS value FROM fr GROUP BY 2),
+         |mm AS (SELECT path, t, value,
+         |  min(value) OVER (PARTITION BY path) AS mn,
+         |  max(value) OVER (PARTITION BY path) AS mx FROM rg)
+         |SELECT 'minMax(' || path || ')' AS path, t,
+         | round(CASE WHEN value IS NULL THEN NULL
+         |   WHEN mx = mn THEN 0.0 ELSE (value - mn)/(mx - mn) END - 1e-9, 4) + 0.0 AS value
+         |FROM mm ORDER BY 1, 2""".stripMargin,
+    // C9ar: groupByNodes(1,2) — every u1x event stream grouped under
+    // the dot-joined (user, event) node pair, safeSum per (key, t)
+    "gfn_group_nodes" ->
+      s"""WITH $M,
+         |${gfnFrameCteNamed("^vera\\.u1[^.]\\.[^.]+$$", "g")}
+         |SELECT string_split(path, '.')[2] || '.' || string_split(path, '.')[3] AS path, t,
+         | round(sum(value) - 1e-9, 4) AS value
+         |FROM frg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // C9as: multiplySeriesWithWildcards(1) — names reduced by dropping
+    // node 1 merge under 'vera.click'; per-t product with the
+    // any-missing-factor-nulls law (DuckDB product() vs the sorted
+    // in-row fold agree within the shared Eps+round — the
+    // multiplySeries argument)
+    "gfn_multiply_wildcards" ->
+      s"""WITH $GfnFrameCte
+         |SELECT 'vera.click' AS path, t,
+         | round(CASE WHEN count(*) = count(value) AND count(*) > 0
+         |   THEN product(value) END - 1e-9, 4) AS value
+         |FROM fr GROUP BY 2 ORDER BY 1, 2""".stripMargin,
+    // C9at: unique() collapses the duplicate series from overlapping
+    // globs (group(u1?.click, u11.click) carries u11 twice), then
+    // keepLastValue(2) bridges gaps of at most 2 consecutive nulls
+    // (row-position arithmetic: rows since last non-null), wrapped by
+    // the secondYAxis axis marker
+    "gfn_keeplast_unique" ->
+      s"""WITH $GfnFrameCte,
+         |tag AS (SELECT path, t, value,
+         |  row_number() OVER (PARTITION BY path ORDER BY t) AS rn FROM fr),
+         |st AS (SELECT path, t, value, rn,
+         |  max(CASE WHEN value IS NOT NULL THEN rn END) OVER (
+         |    PARTITION BY path ORDER BY rn) AS li,
+         |  last_value(value IGNORE NULLS) OVER (PARTITION BY path ORDER BY rn
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hv
+         |  FROM tag)
+         |SELECT 'secondYAxis(keepLastValue(' || path || ',2))' AS path, t,
+         | round(CASE WHEN value IS NOT NULL THEN value
+         |   WHEN rn - li <= 2 THEN hv END - 1e-9, 4) AS value
+         |FROM st ORDER BY 1, 2""".stripMargin,
     // C9aa: weightedAverage on the user node — Σ click·view / Σ view
     // per t over node-matched pairs; weights count only when the value
     // side is present

@@ -758,6 +758,34 @@ object Queries {
     gfnEval(spark, dir,
       """aggregateLine(averageOutsidePercentile(vera.u1?.click,70),"avg")""")
 
+  /** C9aq: the generic combiner + normalization — across-series
+    * spread per timestamp (aggregate..."range"), rescaled to [0,1]
+    * against its own min/max (minMax).
+    */
+  def gfnAggregateMinmax(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, """minMax(aggregate(vera.u1?.click,"range"))""")
+
+  /** C9ar: multi-node rollup — series collapse under the dot-joined
+    * (user, event) node pair, per-timestamp sum.
+    */
+  def gfnGroupNodes(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, """groupByNodes(vera.u1?.*,"sum",1,2)""")
+
+  /** C9as: wildcard product — names merged at node 1, per-timestamp
+    * product with the any-missing-factor-nulls law.
+    */
+  def gfnMultiplyWildcards(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, "multiplySeriesWithWildcards(vera.u1?.click,1)")
+
+  /** C9at: bounded gap bridging — gaps of ≤ 2 consecutive nulls carry
+    * the last value, longer outages stay broken; composed under a
+    * duplicate-collapsing unique() over overlapping globs and the
+    * secondYAxis name marker.
+    */
+  def gfnKeeplastUnique(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir,
+      "secondYAxis(keepLastValue(unique(group(vera.u1?.click,vera.u11.click)),2))")
+
   /** C9h: the URL round trip — a function target through Cgi.dispatch
     * (maxSeries propagates the env's -Eps input shift exactly).
     */

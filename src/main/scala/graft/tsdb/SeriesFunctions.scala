@@ -1229,6 +1229,125 @@ object SeriesFunctions {
   def fallbackSeries(primary: DataFrame, fallback: DataFrame): DataFrame =
     if (primary.isEmpty) fallback else primary
 
+  /** Graphite 1.1 `aggregate(seriesList, func)` — the generic
+    * combiner front-end: one name, every across-series aggregate
+    * (graphite deprecated the individual sumSeries-style functions in
+    * its favor). Canonicalizes graphite's spelling variants and
+    * dispatches to [[combine]]'s shared table, so the arithmetic has
+    * exactly one source; unknown funcs fail loudly.
+    */
+  def aggregateSeries(f: DataFrame, func: String, name: String): DataFrame = {
+    val canon = func match {
+      case "sum" | "total" => "sum"
+      case "avg" | "average" => "avg"
+      case "min" => "min"
+      case "max" => "max"
+      case "count" => "count"
+      case "range" | "rangeOf" => "range"
+      case "stddev" => "stddev"
+      case other =>
+        throw new IllegalArgumentException(s"aggregate: unknown func '$other'")
+    }
+    combine(f, canon, name)
+  }
+
+  /** Graphite `groupByNodes(seriesList, func, *nodes)` — the
+    * multi-dimension rollup ([[groupByNode]] generalized): series
+    * collapse under the dot-joined SELECTED node values (per-host AND
+    * per-metric at once, where groupByNode keeps only one dimension).
+    * One map-side-combined groupBy(key, t); `concat_ws` drops null
+    * (out-of-range) components — list semantics in both engines.
+    */
+  def groupByNodes(f: DataFrame, func: String, nodes: Seq[Int]): DataFrame = {
+    require(nodes.nonEmpty, "groupByNodes: need at least one node index")
+    val parts = split(col("path"), "\\.")
+    val key = concat_ws(".",
+      nodes.map(i => element_at(parts, if (i >= 0) i + 1 else i)): _*)
+    val agg = func match {
+      case "sum" | "sumSeries" => sum(col("value"))
+      case "avg" | "averageSeries" => avg(col("value"))
+      case "min" | "minSeries" => min(col("value"))
+      case "max" | "maxSeries" => max(col("value"))
+      case other => throw new IllegalArgumentException(s"groupByNodes: unknown func '$other'")
+    }
+    f.select(key.as("path"), col("t"), col("value"))
+      .groupBy(col("path"), col("t")).agg(agg.cast("double").as("value"))
+  }
+
+  /** Graphite 1.1 `minMax(seriesList)` — per-series [0,1]
+    * normalization against the series' own non-null min/max (the
+    * compare-shapes-not-scales overlay): a flat series (max == min)
+    * reads 0, nulls stay null. Two per-series windows, no shuffle
+    * beyond the fetch frame's partitioning.
+    */
+  def minMax(f: DataFrame): DataFrame = {
+    val wp = Window.partitionBy(col("path"))
+    val mn = min(col("value")).over(wp)
+    val mx = max(col("value")).over(wp)
+    frame(f, wrap("minMax", ""), col("t"),
+      when(col("value").isNotNull,
+        when(mx === mn, 0.0).otherwise((col("value") - mn) / (mx - mn))))
+  }
+
+  /** Graphite `unique(seriesList)` — duplicate series collapse, the
+    * cleanup after `group()` of overlapping globs (each shared series
+    * would otherwise render — and aggregate — twice). Overlapping
+    * globs duplicate IDENTICAL (path, t, value) rows in the frame
+    * model, so set-distinct is exactly graphite's first-occurrence
+    * rule.
+    */
+  def uniqueSeries(f: DataFrame): DataFrame = f.distinct()
+
+  /** Graphite `secondYAxis(seriesList)` — the right-axis marker: a
+    * pure name wrap the renderer interprets; values untouched,
+    * map-only.
+    */
+  def secondYAxis(f: DataFrame): DataFrame =
+    frame(f, wrap("secondYAxis", ""), col("t"), col("value"))
+
+  /** Graphite `multiplySeriesWithWildcards(seriesList, *positions)` —
+    * the product twin of [[aggWithWildcards]]: series whose names
+    * differ only at the removed positions multiply under the reduced
+    * name, with [[multiplySeries]]'s null law (any missing factor
+    * nulls the product) and its sorted in-row fold so the product
+    * order is deterministic.
+    */
+  def multiplyWithWildcards(f: DataFrame, positions: Seq[Int]): DataFrame = {
+    require(positions.nonEmpty && positions.forall(_ >= 0),
+      s"multiplySeriesWithWildcards: positions must be non-negative (got $positions)")
+    val parts = split(col("path"), "\\.")
+    val reduced = array_join(
+      filter(parts, (_, i) => !i.isin(positions.map(Int.box): _*)), ".")
+    f.select(reduced.as("path"), col("t"), col("value"))
+      .groupBy(col("path"), col("t"))
+      .agg(count(lit(1)).as("n"), count(col("value")).as("nn"),
+        sort_array(collect_list(struct(col("value").as("value")))).as("vs"))
+      .select(col("path"), col("t"),
+        when(col("nn") === col("n") && col("n") > 0,
+          aggregate(col("vs"), lit(1.0), (acc, x) => acc * x.getField("value")))
+          .as("value"))
+  }
+
+  /** Graphite `keepLastValue(series, limit)` — the bounded-bridge
+    * form: gaps of at most `limit` consecutive nulls carry the last
+    * seen value; longer outages stay broken (the unlimited overload
+    * bridges everything — hiding a dead host behind its last reading
+    * is exactly what the limit exists to prevent). Row-position
+    * arithmetic over two per-series windows: gap length = rows since
+    * the last non-null.
+    */
+  def keepLastValue(f: DataFrame, limit: Int): DataFrame = {
+    require(limit >= 1, s"keepLastValue: limit must be >= 1 (got $limit)")
+    val wp = byPath.rowsBetween(Window.unboundedPreceding, 0)
+    val tagged = f.withColumn("rn", row_number().over(byPath))
+    frame(tagged
+      .withColumn("li", max(when(col("value").isNotNull, col("rn"))).over(wp))
+      .withColumn("hv", last(col("value"), ignoreNulls = true).over(wp)),
+      wrap("keepLastValue", limit.toString), col("t"),
+      when(col("value").isNotNull, col("value"))
+        .when(col("rn") - col("li") <= limit, col("hv")))
+  }
+
   private[tsdb] def fmtNum(v: Double): String =
     if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
     else String.format(java.util.Locale.ROOT, "%s", Double.box(v))

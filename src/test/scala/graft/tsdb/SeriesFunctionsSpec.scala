@@ -717,4 +717,76 @@ class SeriesFunctionsSpec extends SparkSpec {
     assert(vals(TargetExpr.evalTarget("minimumBelow(x.y,3)", fetch))
       .map(_._1).distinct == Seq("a"))
   }
+
+  test("aggregate dispatches every combine func; unknown funcs fail loudly") {
+    val f = frame(("a", 0L, 1.0), ("b", 0L, 5.0), ("a", 60L, null), ("b", 60L, null))
+    val fetch = (_: String) => f
+    def at0(target: String) = vals(TargetExpr.evalTarget(target, fetch)).head._3.get
+    assert(at0("""aggregate(x.y,"sum")""") == 6.0)
+    assert(at0("""aggregate(x.y,"average")""") == 3.0)
+    assert(at0("""aggregate(x.y,"range")""") == 4.0)
+    assert(at0("""aggregate(x.y,"max")""") == 5.0)
+    // all-null timestamp stays null under every func (safe* rule)
+    assert(vals(TargetExpr.evalTarget("""aggregate(x.y,"sum")""", fetch))(1)._3.isEmpty)
+    // the combined series is named by the call text
+    assert(vals(TargetExpr.evalTarget("""aggregate(x.y,"min")""", fetch))
+      .head._1 == """aggregate(x.y,"min")""")
+    intercept[IllegalArgumentException](
+      TargetExpr.evalTarget("""aggregate(x.y,"median")""", fetch).collect())
+  }
+
+  test("groupByNodes joins the selected node values; multi-dim rollup") {
+    val f = frame(
+      ("dc1.hostA.cpu", 0L, 1.0), ("dc1.hostA.mem", 0L, 10.0),
+      ("dc2.hostA.cpu", 0L, 2.0), ("dc1.hostB.cpu", 0L, 4.0))
+    val fetch = (_: String) => f
+    // nodes (1,2): host.metric — dc1/dc2 hostA cpu merge
+    val out = vals(TargetExpr.evalTarget("""groupByNodes(x.y,"sum",1,2)""", fetch))
+    assert(out.toSet == Set(
+      ("hostA.cpu", 0L, Some(3.0)), ("hostA.mem", 0L, Some(10.0)),
+      ("hostB.cpu", 0L, Some(4.0))))
+  }
+
+  test("minMax normalizes per series; flat series reads 0; nulls survive") {
+    val f = frame(("a", 0L, 2.0), ("a", 60L, null), ("a", 120L, 6.0),
+      ("b", 0L, 5.0), ("b", 60L, 5.0))
+    val out = vals(SeriesFunctions.minMax(f))
+    assert(out == Seq(
+      ("minMax(a)", 0L, Some(0.0)), ("minMax(a)", 60L, None),
+      ("minMax(a)", 120L, Some(1.0)),
+      ("minMax(b)", 0L, Some(0.0)), ("minMax(b)", 60L, Some(0.0))))
+  }
+
+  test("unique collapses overlapping-glob duplicates; keepLastValue limit bridges") {
+    // group of overlapping globs duplicates the shared series' rows
+    val a = frame(("a", 0L, 1.0), ("a", 60L, null), ("a", 120L, null),
+      ("a", 180L, null), ("a", 240L, 5.0))
+    val dup = SeriesFunctions.group(Seq(a, a))
+    assert(dup.count() == 10)
+    val u = SeriesFunctions.uniqueSeries(dup)
+    assert(u.count() == 5)
+    // limit 2: the 3-null run bridges only its first 2 nulls
+    val out = vals(SeriesFunctions.keepLastValue(u, 2))
+    assert(out == Seq(
+      ("keepLastValue(a,2)", 0L, Some(1.0)), ("keepLastValue(a,2)", 60L, Some(1.0)),
+      ("keepLastValue(a,2)", 120L, Some(1.0)), ("keepLastValue(a,2)", 180L, None),
+      ("keepLastValue(a,2)", 240L, Some(5.0))))
+    // leading gap: nothing seen yet stays null even within the limit
+    val lead = frame(("x", 0L, null), ("x", 60L, 3.0))
+    assert(vals(SeriesFunctions.keepLastValue(lead, 2)).head._3.isEmpty)
+  }
+
+  test("multiplySeriesWithWildcards: reduced-name product, missing factor nulls") {
+    val f = frame(("r.a.cpu", 0L, 2.0), ("r.b.cpu", 0L, 3.0),
+      ("r.a.cpu", 60L, 4.0), ("r.b.cpu", 60L, null))
+    val out = vals(TargetExpr.evalTarget("multiplySeriesWithWildcards(x.y,1)",
+      (_: String) => f))
+    assert(out == Seq(("r.cpu", 0L, Some(6.0)), ("r.cpu", 60L, None)))
+  }
+
+  test("secondYAxis wraps the name and touches nothing else") {
+    val f = frame(("a", 0L, 1.5))
+    assert(vals(SeriesFunctions.secondYAxis(f)) ==
+      Seq(("secondYAxis(a)", 0L, Some(1.5))))
+  }
 }
