@@ -176,6 +176,8 @@ object SparkEntry {
     "ann_hybrid_rrf" -> ((s, dir) => L.annHybridRrf(s, dir)),
     "ann_bm25" -> ((s, dir) => L.annBm25(s, dir)),
     "dedup_cdc" -> ((s, dir) => L.dedupCdc(s, dir)),
+    "corpus_dsir" -> ((s, dir) => L.corpusDsir(s, dir)),
+    "stream_dsir_gate" -> ((s, dir) => L.streamDsirGate(s, dir)),
     "ann_ivf_pq_trained" -> ((s, dir) => L.annIvfPqTrained(s, dir)),
     "ann_ivf_pq_residual" -> ((s, dir) => L.annIvfPqResidual(s, dir)),
     "ann_quantized" -> ((s, dir) => L.annQuantized(s, dir)),
@@ -324,6 +326,36 @@ object SparkEntry {
        |g$id AS (SELECT p$id.path, s.t FROM p$id CROSS JOIN generate_series(1706097600, 1706659200, 3600) AS s(t)),
        |fr$id AS (SELECT g$id.path, g$id.t, a2$id.value AS value
        |  FROM g$id LEFT JOIN a2$id ON g$id.path = a2$id.path AND g$id.t = a2$id.bucket)""".stripMargin
+
+  /** The F53/G18 shared oracle: hashed-unigram DSIR scoring — the two
+    * driver entries compute identical output by construction (shared
+    * delta-table arithmetic; batch join+groupBy vs the stream's in-row
+    * map-literal fold differ only in plan shape).
+    */
+  private lazy val DsirOracleSql: String = {
+    import graft.ops.{LlmQueries => LQ, Sampling => SA}
+    val B = SA.DsirBuckets
+    val denom = LQ.SplitWeights.map(_._2).sum
+    s"""WITH $TK,
+       |tok AS (SELECT doc_id, unnest(toks) AS token FROM tk),
+       |tb AS (SELECT doc_id, ('0x'||substr(md5(token),1,15))::BIGINT % $B AS b,
+       |  ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % $denom AS sb FROM tok),
+       |raw AS (SELECT b, count(*) AS rc FROM tb GROUP BY 1),
+       |tgt AS (SELECT b, count(*) AS tc FROM tb
+       |  WHERE sb >= ${LQ.dsirValLower} AND sb < ${LQ.dsirValUpper} GROUP BY 1),
+       |tot AS (SELECT count(*) AS rt,
+       |  count(CASE WHEN sb >= ${LQ.dsirValLower} AND sb < ${LQ.dsirValUpper} THEN 1 END) AS tt
+       |  FROM tb),
+       |del AS (SELECT raw.b,
+       |  CAST(round((ln((coalesce(tc, 0) + 1) * 1.0 / (tt + $B))
+       |    - ln((rc + 1) * 1.0 / (rt + $B))) * 1e6, 0) AS BIGINT) AS dfp
+       |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
+       |sc AS (SELECT doc_id, count(*) AS n_tokens, sum(dfp) AS wfp
+       |  FROM tb JOIN del USING (b) GROUP BY 1)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  round(wfp / 1e6, 6) AS logw, wfp > 0 AS keep
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
 
   /** Shared DuckDB CTEs for the documents table: tokens + distinct
     * 3-word shingles (mirrors graft.text.TextFns).
@@ -2391,6 +2423,16 @@ object SparkEntry {
          |SELECT doc_id, chunk_idx, n_tokens, chunk_md5, CAST(df AS BIGINT) AS df, keep
          |FROM fin ORDER BY doc_id, chunk_idx""".stripMargin
     },
+    // F53: DSIR importance scoring — hashed-unigram target/raw
+    // distributions with add-one smoothing, the per-bucket log-ratio
+    // snapped to a 1e-6 fixed-point BIGINT so each document's sum is
+    // integer-exact; target = the F18 'val' split bucket range
+    "corpus_dsir" -> DsirOracleSql,
+    // G18: the frozen-artifact ingest gate — output ≡ F53 by
+    // construction (one shared delta-table build; in-row fold vs
+    // join+groupBy is a plan difference, not a semantics one), so the
+    // same oracle cross-checks the map-literal scoring path
+    "stream_dsir_gate" -> DsirOracleSql,
     // F17: tokenizer-corpus vocabulary stats — tf/df per token, top-N
     // by tf with token tie-break (deterministic cutoff)
     "corpus_vocab" ->

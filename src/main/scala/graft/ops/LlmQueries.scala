@@ -43,6 +43,44 @@ object LlmQueries {
   def dedupCdc(spark: SparkSession, dir: String): DataFrame =
     Dedup.dedupCdc(spark, Tables.documents(spark, dir))
 
+  /** F53: DSIR importance scoring — the target distribution is the
+    * F18 'val' split (hash-stable trusted slice), raw = the whole
+    * corpus; the split-rule arithmetic is derived from SplitWeights so
+    * the two operators can never disagree about what 'val' means.
+    */
+  def corpusDsir(spark: SparkSession, dir: String): DataFrame = {
+    val b = graft.text.TextFns.h60(col("doc_id").cast("string")) %
+      SplitWeights.map(_._2).sum.toLong
+    Sampling.dsirScore(Tables.documents(spark, dir),
+      b >= dsirValLower && b < dsirValUpper)
+  }
+
+  /** The 'val' split's [lower, upper) bucket range under
+    * [[SplitWeights]] — shared by the F53 driver entry and its oracle.
+    */
+  lazy val dsirValLower: Long =
+    SplitWeights.takeWhile(_._1 != "val").map(_._2).sum.toLong
+  lazy val dsirValUpper: Long =
+    dsirValLower + SplitWeights.find(_._1 == "val").get._2
+
+  /** G18 batch twin: the frozen-artifact DSIR ingest gate — the F53
+    * B-row delta table collects once (bounded by construction), then
+    * ONE map-only in-row projection scores every document. Output ≡
+    * F53 by construction (shared [[Sampling.dsirDeltas]] arithmetic),
+    * so the two entries share one oracle — the same cross-check
+    * discipline as F21c/G10.
+    */
+  def streamDsirGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val b = graft.text.TextFns.h60(col("doc_id").cast("string")) %
+      SplitWeights.map(_._2).sum.toLong
+    val deltas = Sampling.dsirDeltaTable(docs,
+      b >= dsirValLower && b < dsirValUpper)
+    graft.streaming.CarbonStream
+      .dsirGateStream(docs, deltas, Sampling.DsirBuckets)
+      .orderBy(col("doc_id"))
+  }
+
   /** The 100 TB-shaped variant: stop-shingles with df > JaccardMaxDf
     * are dropped before the pair join (Dedup.ngramJaccardCapped).
     */

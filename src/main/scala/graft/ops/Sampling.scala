@@ -245,4 +245,86 @@ object Sampling {
           .cast("long"))
       .orderBy(col(strataCol))
   }
+
+  // ---- F53: DSIR importance scoring ---------------------------------
+
+  /** Hashed-feature space size for [[dsirScore]] — the DSIR paper's
+    * hashed n-gram buckets (they use 10k over uni+bigrams; 512 over
+    * unigrams matches this corpus's vocabulary scale).
+    */
+  val DsirBuckets = 512
+
+  /** F53: Data Selection with Importance Resampling (Xie et al. 2023)
+    * — the published recipe for "select raw pretraining data that
+    * LOOKS LIKE a trusted target corpus": fit smoothed bag-of-
+    * hashed-ngrams unigram distributions over a TARGET slice (p) and
+    * the RAW corpus (q), score every document by its importance
+    * log-weight Σ_tokens (ln p_b − ln q_b), and keep documents the
+    * target distribution favors. The per-BUCKET log-ratio is computed
+    * once in the B-row feature table and snapped to a 1e-6
+    * fixed-point BIGINT, so each document's sum is integer-exact and
+    * accumulation-order-free (the F23/F50 discipline) — the keep gate
+    * compares an exact integer against 0 (weight > 1 ⇔ the doc is
+    * likelier under the target). Budgeted selection (the paper's
+    * resample-to-k) composes with F29's exact-rank machinery over the
+    * logw column; the gate form here is the streaming-friendly shape.
+    *
+    * Scale: ONE corpus tokenize shuffle (map-side-combined bucket
+    * counts + the per-doc sum reuse the same exploded stream, cached
+    * narrow); the B-row delta table is a broadcast; no pairwise work,
+    * no global sort. `targetPred` is a Column over doc_id — the
+    * driver passes the F18 'val' split rule, so the trusted slice is
+    * hash-stable and never moves under corpus growth.
+    */
+  def dsirScore(docs: DataFrame, targetPred: Column,
+                nBuckets: Int = DsirBuckets): DataFrame = {
+    val (tb, del) = dsirDeltas(docs, targetPred, nBuckets)
+    tb.join(del, Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("dfp")).as("wfp"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("wfp").cast("double") / lit(1e6), 6).as("logw"),
+        (col("wfp") > 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The F53 feature chain: the per-token (doc_id, bucket) stream and
+    * the B-row fixed-point log-ratio table — ONE source for the batch
+    * scorer and the G18 frozen-artifact collector, so the two can
+    * never disagree about the distribution arithmetic.
+    */
+  private[graft] def dsirDeltas(docs: DataFrame, targetPred: Column,
+                                nBuckets: Int): (DataFrame, DataFrame) = {
+    import graft.core.Caching._
+    require(nBuckets >= 2, s"nBuckets must be >= 2 (got $nBuckets)")
+    val tb = docs
+      .select(col("doc_id"),
+        explode(graft.text.TextFns.tokens(col("text"))).as("token"))
+      .select(col("doc_id"),
+        (graft.text.TextFns.h60(col("token")) % nBuckets).as("b"))
+      .cachedOnce
+    val raw = tb.groupBy(col("b")).agg(count(lit(1)).as("rc"))
+    val tgt = tb.filter(targetPred).groupBy(col("b")).agg(count(lit(1)).as("tc"))
+    val tot = broadcast(tb.agg(count(lit(1)).as("rt"),
+      count(when(targetPred, 1)).as("tt")))
+    // every raw bucket gets a delta row (target ⊆ raw corpus, so the
+    // left join loses nothing); add-one smoothing keeps ln finite on
+    // target-absent buckets
+    val del = broadcast(raw.join(tgt, Seq("b"), "left").crossJoin(tot)
+      .select(col("b"),
+        round((log((coalesce(col("tc"), lit(0L)) + lit(1L)).cast("double") /
+            (col("tt") + lit(nBuckets.toLong)).cast("double")) -
+          log((col("rc") + lit(1L)).cast("double") /
+            (col("rt") + lit(nBuckets.toLong)).cast("double"))) * lit(1e6), 0)
+          .cast("long").as("dfp")))
+    (tb, del)
+  }
+
+  /** The B-row artifact collected for frozen shipping (bounded by
+    * construction: ≤ nBuckets rows — the G9-codebook argument).
+    */
+  def dsirDeltaTable(docs: DataFrame, targetPred: Column,
+                     nBuckets: Int = DsirBuckets): Seq[(Long, Long)] =
+    dsirDeltas(docs, targetPred, nBuckets)._2.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
 }

@@ -346,6 +346,32 @@ object CarbonStream {
                     m: graft.text.Classifier.Model): DataFrame =
     graft.text.Classifier.scoreRows(docs, m)
 
+  /** G18: in-flight DSIR gate — the FROZEN F53 log-ratio table
+    * applied at ingest (train the distributions in the nightly batch
+    * sweep, gate the crawl all day — the G10/G11/G16 frozen-artifact
+    * shape): the B-row fixed-point delta table ships as ONE map
+    * literal inside a single narrow projection, each document's
+    * importance log-weight summed IN-ROW by the `aggregate`
+    * higher-order function (integer adds — whole-stage codegen, no
+    * UDF), keep = sum > 0. Stateless, map-only, mode-agnostic; a
+    * token hashing to a bucket the training corpus never populated
+    * reads delta 0 (neutral — no evidence either way).
+    */
+  def dsirGateStream(docs: DataFrame, deltas: Seq[(Long, Long)],
+                     nBuckets: Int): DataFrame = {
+    require(deltas.nonEmpty, "frozen delta table must be non-empty")
+    require(deltas.size <= nBuckets,
+      s"delta table larger than the bucket space (${deltas.size} > $nBuckets)")
+    val dmap = map(deltas.flatMap { case (b, d) => Seq(lit(b), lit(d)) }: _*)
+    val toks = graft.text.TextFns.tokens(col("text"))
+    val wfp = aggregate(toks, lit(0L), (acc, t) =>
+      acc + coalesce(element_at(dmap, graft.text.TextFns.h60(t) % nBuckets),
+        lit(0L)))
+    docs.select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+      round(wfp.cast("double") / lit(1e6), 6).as("logw"),
+      (wfp > 0).as("keep"))
+  }
+
   /** G17: in-flight URL frontier gate — the G14 refreshable-index
     * discipline at the FETCH frontier (the earliest gate a crawl has:
     * a URL whose canonical form the corpus already owns never costs a

@@ -735,6 +735,47 @@ class LlmSpec extends SparkSpec {
     assert(total == expect, s"chunk coverage $total vs $expect")
   }
 
+  test("dsir: target-favored docs keep, fixed-point model match, repartition-stable (F53)") {
+    import graft.ops.Sampling
+    import graft.text.TextFns.h60Jvm
+    // the target slice needs real token MASS relative to the add-one
+    // smoothing denominator (tt + B), and the raw corpus needs
+    // non-target mass — with a toy target every smoothed log-ratio
+    // goes negative (measured: a 3-token target scores -0.67 on its
+    // own tokens)
+    val toks = Map(
+      0L -> (Seq.fill(100)("good") ++ Seq.fill(100)("nice")), // target
+      1L -> Seq("good", "nice"),             // raw doc resembling the target
+      2L -> Seq("spam", "junk", "spam", "junk"),
+      3L -> (Seq.fill(100)("spam") ++ Seq.fill(100)("junk"))) // raw bulk
+    val docs = toks.toSeq.map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.dsirScore(d, $"doc_id" === 0).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val m = run(docs)
+    // independent model replaying the published formula
+    val B = Sampling.DsirBuckets
+    def bkt(t: String) = h60Jvm(t) % B
+    val all = toks.values.flatten.toSeq
+    val rt = all.size.toLong; val tt = toks(0L).size.toLong
+    val rc = all.groupBy(bkt).map { case (k, v) => (k, v.size.toLong) }
+    val tc = toks(0L).groupBy(bkt).map { case (k, v) => (k, v.size.toLong) }
+    def r0(x: Double) = BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def dfp(b: Long) = r0((math.log((tc.getOrElse(b, 0L) + 1).toDouble / (tt + B)) -
+      math.log((rc(b) + 1).toDouble / (rt + B))) * 1e6)
+    def wfp(id: Long) = toks(id).map(t => dfp(bkt(t))).sum
+    assert(wfp(1L) > 0 && wfp(2L) < 0) // target-like keeps, spam drops
+    for (id <- Seq(0L, 1L, 2L, 3L)) {
+      assert(m(id)._1 == toks(id).size)
+      assert(math.abs(m(id)._2 - wfp(id) / 1e6) < 2e-6, s"logw doc $id")
+      assert(m(id)._3 == (wfp(id) > 0), s"keep doc $id")
+    }
+    // the score is a pure function of content — partitioning never moves it
+    assert(run(docs.repartition(7)) == m)
+  }
+
   test("bm25: hand-computed scores, self-exclusion, integer-rank order (F50)") {
     import graft.text.{Analysis => A}
     // doc 0 is the query; its top-2 TF-IDF keywords are apple, banana

@@ -444,6 +444,55 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming DSIR gate: frozen delta table, stream ≡ batch scorer (G18)") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.CarbonStream
+    import graft.ops.Sampling
+    implicit val sqlCtx = spark.sqlContext
+    // frozen artifact: deltas trained on a corpus whose target slice
+    // (doc 0) is token-heavy enough to beat the smoothing denominator
+    val corpus = (
+      Seq((0L, (Seq.fill(100)("good") ++ Seq.fill(100)("nice")).mkString(" "))) ++
+        Seq((1L, Seq.fill(200)("spam").mkString(" ")))
+      ).toDF("doc_id", "text")
+    val deltas = Sampling.dsirDeltaTable(corpus, col("doc_id") === 0)
+    val source = MemoryStream[(Long, String)]
+    val out = CarbonStream.dsirGateStream(
+      source.toDF().toDF("doc_id", "text"), deltas, Sampling.DsirBuckets)
+    val query = out.writeStream
+      .format("memory").queryName("g18_dsir").outputMode("append").start()
+    try {
+      source.addData((100L, "good nice good"), (101L, "spam spam"))
+      query.processAllAvailable()
+      // stateless: verdicts are pure functions of (doc, frozen table)
+      source.addData((102L, "good unseen_token"))
+      query.processAllAvailable()
+      val rows = spark.table("g18_dsir").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      // batch/stream bit-equality: the SAME projection on a batch frame
+      val batch = CarbonStream.dsirGateStream(
+        Seq((100L, "good nice good"), (101L, "spam spam"),
+          (102L, "good unseen_token")).toDF("doc_id", "text"),
+        deltas, Sampling.DsirBuckets)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      assert(rows.toSeq == batch.toSeq)
+      val byId = rows.map(r => r._1 -> r).toMap
+      // target-like keeps, spam drops; the unseen token reads a
+      // neutral 0 so doc 102 rides on "good" alone
+      assert(byId(100L)._4 && !byId(101L)._4 && byId(102L)._4)
+      assert(byId(100L)._2 == 3 && byId(102L)._2 == 2)
+      // and the batch F53 scorer agrees with the frozen-gate path on
+      // the training corpus itself (shared arithmetic, different plan)
+      val f53 = Sampling.dsirScore(corpus, col("doc_id") === 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      val gate = CarbonStream.dsirGateStream(corpus, deltas, Sampling.DsirBuckets)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      assert(f53.toSeq == gate.toSeq)
+    } finally query.stop()
+  }
+
   test("streaming URL frontier gate: canonical forms vs the standing index (G17)") {
     import org.apache.spark.sql.functions.col
     import graft.streaming.CarbonStream
