@@ -438,6 +438,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(3000))
   }
 
+  test("stream_dsir_gate is map-only: frozen delta map as a literal, no join") {
+    // the in-row fold over the map literal — zero hash exchanges is
+    // what makes the gate stream-safe (the only exchange is the
+    // output sort's range partitioning)
+    val p = plan("stream_dsir_gate")
+    assert(countOf(p, "Exchange hashpartitioning") == 0, p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("dedup_cdc: in-row chunking, one chunk-hash shuffle, no join") {
+    // boundary detection + span slicing happen inside the row; the
+    // ONLY hash exchange is the per-chunk-md5 window electing
+    // (df, keeper) — the F1 scaling class
+    val p = plan("dedup_cdc")
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p.take(3000))
+    assert(p.contains("hashpartitioning(chunk_md5"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("audio_frames: batched codec stage is shuffle-free") {
+    // decode + frame features ride mapPartitions on the scan; the
+    // only exchange is the output sort's range partitioning
+    val p = plan("audio_frames")
+    assert(countOf(p, "Exchange hashpartitioning") == 0, p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
   test("no unbounded cartesian product in any driver query") {
     // broadcast nested-loop joins over bounded broadcasts (band index,
     // centroid codebook, query subset, 1-row bounds) are fine; a
