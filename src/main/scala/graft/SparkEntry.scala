@@ -108,6 +108,8 @@ object SparkEntry {
     "gfn_slice_scale" -> ((s, dir) => T.gfnSliceScale(s, dir)),
     "gfn_band_select" -> ((s, dir) => T.gfnBandSelect(s, dir)),
     "gfn_outside_avg" -> ((s, dir) => T.gfnOutsideAvg(s, dir)),
+    "gfn_consolidate" -> ((s, dir) => T.gfnConsolidate(s, dir)),
+    "cgi_render_maxdp" -> ((s, dir) => T.cgiRenderMaxdp(s, dir)),
     "gfn_aggregate_minmax" -> ((s, dir) => T.gfnAggregateMinmax(s, dir)),
     "gfn_group_nodes" -> ((s, dir) => T.gfnGroupNodes(s, dir)),
     "gfn_multiply_wildcards" -> ((s, dir) => T.gfnMultiplyWildcards(s, dir)),
@@ -3631,6 +3633,29 @@ object SparkEntry {
          |SELECT 'aggregateLine(' || fr.path || ',''avg'')' AS path, t,
          | round(m - 1e-9, 4) AS value
          |FROM fr JOIN keep ON fr.path = keep.path ORDER BY 1, 2""".stripMargin,
+    // C9: consolidateBy + maxDataPoints — the renderer's point-budget
+    // consolidation: factor = ceil(n/24) integer buckets IN ROW ORDER,
+    // nulls dropped inside a bucket (SQL aggregate semantics), bucket
+    // keeps its first timestamp; the max-tagged clicks take per-bucket
+    // max, the untagged views the average default (consolidateBy
+    // OVERRIDES the default — fn rides the wrapped name)
+    "gfn_consolidate" ->
+      s"""WITH $M,
+         |${gfnFrameCteNamed("^vera\\.u1[^.]\\.click$$", "a")},
+         |${gfnFrameCteNamed("^vera\\.u1[^.]\\.view$$", "w")},
+         |u AS (SELECT 'consolidateBy(' || path || ',"max")' AS path, t, value,
+         |    'max' AS fn FROM fra
+         |  UNION ALL SELECT path, t, value, 'avg' AS fn FROM frw),
+         |tg AS (SELECT path, t, value, fn,
+         |  row_number() OVER (PARTITION BY path ORDER BY t) AS rn,
+         |  count(*) OVER (PARTITION BY path) AS n FROM u),
+         |bk AS (SELECT path, t, value, fn,
+         |  (rn - 1) // CAST(ceil(n / 24.0) AS BIGINT) AS b FROM tg),
+         |cg AS (SELECT path, fn, b, min(t) AS t,
+         |  avg(value) AS c_avg, max(value) AS c_max FROM bk GROUP BY 1, 2, 3)
+         |SELECT path, t,
+         | round(CASE WHEN fn = 'max' THEN c_max ELSE c_avg END - 1e-9, 4) AS value
+         |FROM cg ORDER BY 1, 2""".stripMargin,
     // C9aq: aggregate(...,"range") → minMax — across-series spread per
     // t (all-null stays null), then per-series [0,1] normalization
     // against the combined series' own non-null min/max (flat → 0)
@@ -3666,8 +3691,10 @@ object SparkEntry {
          |FROM fr GROUP BY 2 ORDER BY 1, 2""".stripMargin,
     // C9at: unique() collapses the duplicate series from overlapping
     // globs (group(u1?.click, u11.click) carries u11 twice), then
-    // keepLastValue(2) bridges gaps of at most 2 consecutive nulls
-    // (row-position arithmetic: rows since last non-null), wrapped by
+    // keepLastValue(...,2) bridges only consecutive-null runs whose
+    // WHOLE length is <= 2 (graphite's rule — a 3-null gap stays
+    // fully broken; gap length = next non-null rn − last non-null
+    // rn − 1, trailing runs measured to one-past-end), wrapped by
     // the secondYAxis axis marker
     "gfn_keeplast_unique" ->
       s"""WITH $GfnFrameCte,
@@ -3676,12 +3703,17 @@ object SparkEntry {
          |st AS (SELECT path, t, value, rn,
          |  max(CASE WHEN value IS NOT NULL THEN rn END) OVER (
          |    PARTITION BY path ORDER BY rn) AS li,
+         |  min(CASE WHEN value IS NOT NULL THEN rn END) OVER (
+         |    PARTITION BY path ORDER BY rn
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni,
+         |  max(rn) OVER (PARTITION BY path) AS mx,
          |  last_value(value IGNORE NULLS) OVER (PARTITION BY path ORDER BY rn
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hv
          |  FROM tag)
-         |SELECT 'secondYAxis(keepLastValue(' || path || ',2))' AS path, t,
+         |SELECT 'secondYAxis(keepLastValue(' || path || '))' AS path, t,
          | round(CASE WHEN value IS NOT NULL THEN value
-         |   WHEN rn - li <= 2 THEN hv END - 1e-9, 4) AS value
+         |   WHEN li IS NOT NULL AND coalesce(ni, mx + 1) - li - 1 <= 2
+         |   THEN hv END - 1e-9, 4) AS value
          |FROM st ORDER BY 1, 2""".stripMargin,
     // C9aa: weightedAverage on the user node — Σ click·view / Σ view
     // per t over node-matched pairs; weights count only when the value
@@ -4000,6 +4032,31 @@ object SparkEntry {
          | round(a2.value,4) AS value
          |FROM g LEFT JOIN a2 ON g.path = a2.path AND g.t = a2.bucket
          |ORDER BY 1, 2""".stripMargin,
+    // C8d: the URL-dispatched maxDataPoints render — same -Eps-shifted
+    // fetch as cgi_render_csv (max and avg are order-preserving /
+    // linear, so the input-side shift survives consolidation), the
+    // consolidateBy(...,'max') target's integer-bucket consolidation
+    // (factor ceil(157/24)=7), csv's round(,4) at the very end
+    "cgi_render_maxdp" ->
+      s"""WITH $M,
+         |f AS (SELECT path, ts, value - 1e-9 AS value FROM m
+         |  WHERE regexp_matches(path, '^vera\\.u1[^.]\\.click$$')),
+         |a1 AS (SELECT path, ts - ts%600 AS bucket, avg(value) AS value FROM f GROUP BY 1,2),
+         |a2 AS (SELECT path, bucket - bucket%3600 AS bucket, avg(value) AS value FROM a1 GROUP BY 1,2),
+         |p AS (SELECT DISTINCT path FROM f),
+         |g AS (SELECT p.path, s.t FROM p CROSS JOIN generate_series(1706097600, 1706659200, 3600) AS s(t)),
+         |fr AS (SELECT 'consolidateBy(' || g.path || ',"max")' AS path, g.t, a2.value AS value
+         |  FROM g LEFT JOIN a2 ON g.path = a2.path AND g.t = a2.bucket),
+         |tg AS (SELECT path, t, value,
+         |  row_number() OVER (PARTITION BY path ORDER BY t) AS rn,
+         |  count(*) OVER (PARTITION BY path) AS n FROM fr),
+         |bk AS (SELECT path, t, value,
+         |  (rn - 1) // CAST(ceil(n / 24.0) AS BIGINT) AS b FROM tg),
+         |cg AS (SELECT path, b, min(t) AS t, max(value) AS v FROM bk GROUP BY 1, 2)
+         |SELECT path AS target,
+         | strftime(make_timestamp(t*1000000), '%Y-%m-%d %H:%M:%S') AS ts_str,
+         | round(v, 4) AS value
+         |FROM cg ORDER BY 1, 2""".stripMargin,
     // C8b: URL-dispatched completer find (escaped glob, one query —
     // the relational completer shape without the fixture's q column)
     "cgi_find" ->

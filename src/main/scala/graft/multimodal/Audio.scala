@@ -118,7 +118,12 @@ object Audio {
         }
         bb.position(math.min(next, bb.limit()))
       }
-      for ((f, ch, rate) <- fmt if f == 1 && bits == 16; d <- data)
+      // ch == 1 is part of the guard, not just metadata: frameBatch
+      // treats clip.samples as ONE mono stream, so a stereo payload
+      // that decoded here would silently frame interleaved samples
+      // (wrong energies/zero-crossings, doubled n_samples) instead of
+      // taking the undecoded/None poison path.
+      for ((f, ch, rate) <- fmt if f == 1 && bits == 16 && ch == 1; d <- data)
         yield AudioClip(rate, ch, d)
     } catch { case scala.util.control.NonFatal(_) => None }
   }

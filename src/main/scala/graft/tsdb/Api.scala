@@ -31,12 +31,16 @@ object Api {
       now, svgOpts = None)
 
   /** Full form: `svgOpts` carries the graph options when format=svg
-    * (None = the title-only default).
+    * (None = the title-only default); `maxDataPoints` is the client's
+    * point budget (Grafana sends it on every request) — each series
+    * over budget is consolidated by its [[SeriesFunctions.consolidateBy]]
+    * tag (default average) before rendering.
     */
   def render(spark: SparkSession, metrics: DataFrame, targets: Seq[String],
              from: Option[String], until: Option[String], format: String,
              spec: Seq[Retention.Archive], method: String, xff: Double,
-             now: Long, svgOpts: Option[Render.SvgOptions]): DataFrame = {
+             now: Long, svgOpts: Option[Render.SvgOptions],
+             maxDataPoints: Option[Int] = None): DataFrame = {
     require(targets.nonEmpty, "at least one target required")
     val fromT = from.flatMap(TimeParse.getTime(_, now)).getOrElse(now - 24 * 3600)
     val untilT = until.flatMap(TimeParse.getTime(_, now)).getOrElse(now)
@@ -55,10 +59,16 @@ object Api {
     // (sumSeries/summarize/alias/…): parse and evaluate over the same
     // fetch — window-aware, so timeShift subtrees fetch their shifted
     // window; plain globs keep the direct path
-    val fetched = targets
+    val evaluated = targets
       .map(t => if (TargetExpr.isExpression(t)) TargetExpr.evalTargetAt(t, fetchGlob)
                 else fetchGlob(t, 0L))
       .reduce(_ unionByName _)
+    // the render-time point budget: consolidation is the LAST step
+    // before formatting, after every function has run (graphite's
+    // renderView order) — the consolidateBy tag set anywhere in the
+    // pipeline rides the series name to here
+    val fetched = maxDataPoints
+      .map(SeriesFunctions.consolidate(evaluated, _)).getOrElse(evaluated)
     format match {
       case "csv" => Render.csv(fetched)
       case "json" => Render.json(fetched)

@@ -146,9 +146,13 @@ object Cgi {
           case f @ ("csv" | "json") => f
           case _ => "svg"
         }
+        // maxDataPoints: every Grafana request sends it; non-positive
+        // or non-numeric values are ignored (graphite treats a bad
+        // value as absent rather than erroring the whole render)
+        val maxDp = first("maxDataPoints").flatMap(_.toIntOption).filter(_ >= 1)
         Api.render(spark, env.metrics, targets, first("from"),
           first("until"), format, env.spec, env.method, env.xff, now,
-          svgOpts = Some(svgOptions(p, targets)))
+          svgOpts = Some(svgOptions(p, targets)), maxDataPoints = maxDp)
       case other =>
         // the reference's 501 handler (graphite_cgi.lua:218-220)
         throw new UnsupportedOperationException(s"Not Implemented: $other")

@@ -434,6 +434,18 @@ object Queries {
       "/render?target=vera.u1%3F.click&from=2024-01-24T12:40:00" +
         "&until=2024-01-31T00:00:00&format=csv", Now)
 
+  /** C8d: /render with maxDataPoints — the Grafana-shaped URL: the
+    * consolidateBy(...,'max') function target parses from the query
+    * string, fetches through the archive cascade, and the renderer
+    * consolidates each series' 157 grid points to 23 (factor 7, the
+    * tag's max per bucket) before the csv shape.
+    */
+  def cgiRenderMaxdp(spark: SparkSession, dir: String): DataFrame =
+    Cgi.dispatch(spark, cgiEnv(spark, dir),
+      "/render?target=consolidateBy(vera.u1%3F.click,'max')" +
+        "&from=2024-01-24T12:40:00&until=2024-01-31T00:00:00" +
+        "&format=csv&maxDataPoints=24", Now)
+
   /** C8b: /metrics/find with format=completer and an escaped glob;
     * trailing-slash script normalization on the way.
     */
@@ -757,6 +769,23 @@ object Queries {
   def gfnOutsideAvg(spark: SparkSession, dir: String): DataFrame =
     gfnEval(spark, dir,
       """aggregateLine(averageOutsidePercentile(vera.u1?.click,70),"avg")""")
+
+  /** C9aq: consolidateBy + the renderer's maxDataPoints budget — the
+    * max-tagged click series consolidates per-bucket MAX while the
+    * untagged view series takes the average default (the tag rides
+    * the wrapped name; consolidateBy OVERRIDES the default, never the
+    * other way). 157 grid points at budget 24 → factor ceil(157/24)=7
+    * → 23 output points per series, each bucket keeping its first
+    * timestamp.
+    */
+  def gfnConsolidate(spark: SparkSession, dir: String): DataFrame = {
+    val f = TargetExpr
+      .evalTargetAt("""consolidateBy(vera.u1?.click,"max")""", gfnFetch(spark, dir))
+      .unionByName(TargetExpr.evalTargetAt("vera.u1?.view", gfnFetch(spark, dir)))
+    SeriesFunctions.consolidate(f, 24)
+      .select(col("path"), col("t"), round(col("value") - Eps, 4).as("value"))
+      .orderBy(col("path"), col("t"))
+  }
 
   /** C9aq: the generic combiner + normalization — across-series
     * spread per timestamp (aggregate..."range"), rescaled to [0,1]

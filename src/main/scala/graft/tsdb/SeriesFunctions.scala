@@ -28,6 +28,50 @@ object SeriesFunctions {
 
   private val byPath = Window.partitionBy(col("path")).orderBy(col("t"))
 
+  /** ONE canonical name per aggregate callback, shared by every
+    * grouped combiner (combine / aggregateSeries / groupByNode /
+    * groupByNodes): graphite accepts both the short callback name and
+    * the `*Series` function alias, and all four entry points must
+    * agree on coverage — re-implementing the table per function is
+    * exactly how callbacks like "range" end up valid in one and
+    * throwing in another.
+    */
+  private def canonAgg(func: String, ctx: String): String = func match {
+    case "sum" | "total" | "sumSeries" => "sum"
+    case "avg" | "average" | "averageSeries" => "avg"
+    case "min" | "minSeries" => "min"
+    case "max" | "maxSeries" => "max"
+    case "count" | "countSeries" => "count"
+    case "range" | "rangeOf" | "rangeOfSeries" => "range"
+    case "stddev" | "stddevSeries" => "stddev"
+    case other => throw new IllegalArgumentException(s"$ctx: unknown func '$other'")
+  }
+
+  /** The single aggregate-Column source behind [[canonAgg]]'s names —
+    * arithmetic lives here ONCE so per-t combiners and per-(key,t)
+    * rollups can't drift.
+    */
+  private def aggExpr(canon: String): Column = canon match {
+    case "sum" => sum(col("value"))
+    case "avg" => avg(col("value"))
+    case "min" => min(col("value"))
+    case "max" => max(col("value"))
+    // count counts SERIES PRESENT (non-null values) at each point —
+    // Graphite's len(row), constant only on gap-free frames
+    case "count" => count(col("value"))
+    // range: spread across series at each point
+    case "range" => max(col("value")) - min(col("value"))
+    // stddev: population deviation ACROSS series per point, the
+    // explicit moment formula (the stdev discipline) so the oracle
+    // replays the same float expression
+    case "stddev" =>
+      when(count(col("value")) > 0,
+        sqrt(greatest(lit(0.0),
+          (sum(col("value") * col("value")) -
+            sum(col("value")) * sum(col("value")) / count(col("value"))) /
+            count(col("value")))))
+  }
+
   private def frame(f: DataFrame, path: Column, t: Column, value: Column): DataFrame =
     f.select(path.as("path"), t.as("t"), value.as("value"))
 
@@ -40,27 +84,7 @@ object SeriesFunctions {
     * (Graphite safeSum/safeAvg/safeMin/safeMax).
     */
   def combine(f: DataFrame, func: String, name: String): DataFrame = {
-    val agg = func match {
-      case "sum" => sum(col("value"))
-      case "avg" => avg(col("value"))
-      case "min" => min(col("value"))
-      case "max" => max(col("value"))
-      // countSeries counts SERIES PRESENT (non-null values) at each
-      // point — Graphite's len(row), constant only on gap-free frames
-      case "count" => count(col("value"))
-      // rangeOfSeries: spread across series at each point
-      case "range" => max(col("value")) - min(col("value"))
-      // stddevSeries: population deviation ACROSS series per point,
-      // the explicit moment formula (the stdev discipline) so the
-      // oracle replays the same float expression
-      case "stddev" =>
-        when(count(col("value")) > 0,
-          sqrt(greatest(lit(0.0),
-            (sum(col("value") * col("value")) -
-              sum(col("value")) * sum(col("value")) / count(col("value"))) /
-              count(col("value")))))
-      case other => throw new IllegalArgumentException(s"combine: unknown func '$other'")
-    }
+    val agg = aggExpr(canonAgg(func, "combine"))
     f.groupBy(col("t")).agg(agg.as("value"))
       .select(lit(name).as("path"), col("t"),
         col("value").cast("double").as("value"))
@@ -259,14 +283,8 @@ object SeriesFunctions {
     val part = element_at(split(col("path"), "\\."),
       if (node >= 0) node + 1 else node)
     val g = f.select(part.as("path"), col("t"), col("value"))
-    val agg = func match {
-      case "sum" | "sumSeries" => sum(col("value"))
-      case "avg" | "averageSeries" => avg(col("value"))
-      case "min" | "minSeries" => min(col("value"))
-      case "max" | "maxSeries" => max(col("value"))
-      case other => throw new IllegalArgumentException(s"groupByNode: unknown func '$other'")
-    }
-    g.groupBy(col("path"), col("t")).agg(agg.cast("double").as("value"))
+    g.groupBy(col("path"), col("t"))
+      .agg(aggExpr(canonAgg(func, "groupByNode")).cast("double").as("value"))
   }
 
   /** Path rebuilt from the selected dot-components (Graphite
@@ -781,6 +799,74 @@ object SeriesFunctions {
         col("t"), col("value"))
   }
 
+  /** Graphite `consolidateBy(seriesList, "func")` — sets the
+    * CONSOLIDATION function the renderer applies when a series carries
+    * more points than the client's `maxDataPoints`; the data itself is
+    * untouched here (graphite stores the tag as a series attribute and
+    * renames the series `consolidateBy(name,"func")`). The frame model
+    * has no attribute channel besides the name, so the tag RIDES the
+    * wrapped name — which is simultaneously the display name graphite
+    * gives — and [[consolidate]] parses it back out. Map-only.
+    */
+  def consolidateBy(f: DataFrame, func: String): DataFrame = {
+    val allowed = Set("sum", "average", "avg", "min", "max", "first", "last")
+    require(allowed.contains(func),
+      s"consolidateBy: unknown func '$func' (one of ${allowed.toSeq.sorted.mkString(",")})")
+    frame(f, concat(lit("consolidateBy("), col("path"), lit(s""","$func")""")),
+      col("t"), col("value"))
+  }
+
+  /** The renderer's `maxDataPoints` consolidation (graphite
+    * render/datalib: `valuesPerPoint = ceil(len(series) /
+    * maxDataPoints)`, points bucketed IN ROW ORDER in groups of that
+    * factor, each bucket aggregated by the series' consolidation
+    * function — the [[consolidateBy]] tag, default average; nulls are
+    * dropped inside a bucket, an all-null bucket stays null; the
+    * bucket keeps its FIRST timestamp, which on the dense fetch grid
+    * is graphite's `start + i·step·factor`). A series already within
+    * the budget passes through unchanged (factor 1 buckets are
+    * singletons).
+    *
+    * Integer arithmetic throughout (`div`, not float division) so the
+    * DuckDB oracle replays bucket boundaries exactly. One
+    * groupBy(path, bucket) shuffle; at scale the frame is already
+    * partitioned by path from the fetch, so AQE sees a local
+    * aggregation. The six candidate aggregates all ride ONE pass —
+    * dispatch happens per-GROUP on the parsed tag, not per-row.
+    */
+  def consolidate(f: DataFrame, maxDataPoints: Int): DataFrame = {
+    require(maxDataPoints >= 1,
+      s"consolidate: maxDataPoints must be >= 1 (got $maxDataPoints)")
+    val wAll = Window.partitionBy(col("path"))
+    val tagged = f
+      .withColumn("rn", row_number().over(byPath))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("fct",
+        ceil(col("n") / lit(maxDataPoints.toDouble)).cast("long"))
+      .withColumn("b", expr("(rn - 1) div fct"))
+    val fn = regexp_extract(col("path"),
+      "consolidateBy\\(.*,\"(\\w+)\"\\)", 1)
+    tagged.groupBy(col("path"), col("b"))
+      .agg(
+        min(col("t")).as("t"),
+        avg(col("value")).as("c_avg"),
+        sum(col("value")).as("c_sum"),
+        min(col("value")).as("c_min"),
+        max(col("value")).as("c_max"),
+        min(when(col("value").isNotNull, struct(col("t"), col("value"))))
+          .getField("value").as("c_first"),
+        max(when(col("value").isNotNull, struct(col("t"), col("value"))))
+          .getField("value").as("c_last"))
+      .select(col("path"), col("t"),
+        when(fn === "sum", col("c_sum"))
+          .when(fn === "min", col("c_min"))
+          .when(fn === "max", col("c_max"))
+          .when(fn === "first", col("c_first"))
+          .when(fn === "last", col("c_last"))
+          .otherwise(col("c_avg")) // avg/average and the untagged default
+          .cast("double").as("value"))
+  }
+
   /** Graphite `smartSummarize(series, interval[, func])`: summarize
     * with buckets aligned to each series' own WINDOW START instead of
     * the epoch grid — "4hour" buckets begin at the first grid point,
@@ -1236,20 +1322,8 @@ object SeriesFunctions {
     * dispatches to [[combine]]'s shared table, so the arithmetic has
     * exactly one source; unknown funcs fail loudly.
     */
-  def aggregateSeries(f: DataFrame, func: String, name: String): DataFrame = {
-    val canon = func match {
-      case "sum" | "total" => "sum"
-      case "avg" | "average" => "avg"
-      case "min" => "min"
-      case "max" => "max"
-      case "count" => "count"
-      case "range" | "rangeOf" => "range"
-      case "stddev" => "stddev"
-      case other =>
-        throw new IllegalArgumentException(s"aggregate: unknown func '$other'")
-    }
-    combine(f, canon, name)
-  }
+  def aggregateSeries(f: DataFrame, func: String, name: String): DataFrame =
+    combine(f, canonAgg(func, "aggregate"), name)
 
   /** Graphite `groupByNodes(seriesList, func, *nodes)` — the
     * multi-dimension rollup ([[groupByNode]] generalized): series
@@ -1263,15 +1337,9 @@ object SeriesFunctions {
     val parts = split(col("path"), "\\.")
     val key = concat_ws(".",
       nodes.map(i => element_at(parts, if (i >= 0) i + 1 else i)): _*)
-    val agg = func match {
-      case "sum" | "sumSeries" => sum(col("value"))
-      case "avg" | "averageSeries" => avg(col("value"))
-      case "min" | "minSeries" => min(col("value"))
-      case "max" | "maxSeries" => max(col("value"))
-      case other => throw new IllegalArgumentException(s"groupByNodes: unknown func '$other'")
-    }
     f.select(key.as("path"), col("t"), col("value"))
-      .groupBy(col("path"), col("t")).agg(agg.cast("double").as("value"))
+      .groupBy(col("path"), col("t"))
+      .agg(aggExpr(canonAgg(func, "groupByNodes")).cast("double").as("value"))
   }
 
   /** Graphite 1.1 `minMax(seriesList)` — per-series [0,1]
@@ -1329,23 +1397,36 @@ object SeriesFunctions {
   }
 
   /** Graphite `keepLastValue(series, limit)` — the bounded-bridge
-    * form: gaps of at most `limit` consecutive nulls carry the last
-    * seen value; longer outages stay broken (the unlimited overload
-    * bridges everything — hiding a dead host behind its last reading
-    * is exactly what the limit exists to prevent). Row-position
-    * arithmetic over two per-series windows: gap length = rows since
-    * the last non-null.
+    * form: a consecutive-null run of at most `limit` points carries
+    * the last seen value across its WHOLE length; a longer run stays
+    * entirely broken (the unlimited overload bridges everything —
+    * hiding a dead host behind its last reading is exactly what the
+    * limit exists to prevent). Row-position arithmetic over per-series
+    * windows: gap length = next non-null position − last non-null
+    * position − 1.
     */
   def keepLastValue(f: DataFrame, limit: Int): DataFrame = {
     require(limit >= 1, s"keepLastValue: limit must be >= 1 (got $limit)")
     val wp = byPath.rowsBetween(Window.unboundedPreceding, 0)
+    val wf = byPath.rowsBetween(0, Window.unboundedFollowing)
     val tagged = f.withColumn("rn", row_number().over(byPath))
+    // Graphite bridges a consecutive-None run ONLY when the WHOLE run
+    // is <= limit — a 3-null gap with limit 2 stays fully broken. Gap
+    // length for a null row = (next non-null rn, or one-past-end for a
+    // trailing gap) - last non-null rn - 1; graphite's final loop
+    // fills a trailing run <= limit the same way. Leading gaps (no
+    // carried value) stay null. Named without the limit arg, as
+    // graphite does.
     frame(tagged
       .withColumn("li", max(when(col("value").isNotNull, col("rn"))).over(wp))
+      .withColumn("ni", min(when(col("value").isNotNull, col("rn"))).over(wf))
+      .withColumn("mx", max(col("rn")).over(Window.partitionBy(col("path"))))
       .withColumn("hv", last(col("value"), ignoreNulls = true).over(wp)),
-      wrap("keepLastValue", limit.toString), col("t"),
+      wrap("keepLastValue", ""), col("t"),
       when(col("value").isNotNull, col("value"))
-        .when(col("rn") - col("li") <= limit, col("hv")))
+        .when(col("li").isNotNull &&
+          coalesce(col("ni"), col("mx") + 1) - col("li") - 1 <= limit,
+          col("hv")))
   }
 
   private[tsdb] def fmtNum(v: Double): String =

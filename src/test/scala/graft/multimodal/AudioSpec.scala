@@ -38,6 +38,12 @@ class AudioSpec extends SparkSpec {
     val lying = base.clone()
     lying(43) = 127 // data chunk claims more bytes than remain
     assert(decodeWav(lying).isEmpty)
+    // stereo PCM16 rejects too: frameBatch assumes a mono stream, so
+    // an interleaved payload must take the None poison path rather
+    // than silently framing interleaved samples
+    val stereo = base.clone()
+    stereo(22) = 2 // fmt channels field (LE short at offset 22) = 2
+    assert(decodeWav(stereo).isEmpty)
     // undecodable payload emits no rows, kills no task
     val out = frameBatch(Seq(MediaRecord(1L, "audio",
       "garbage".getBytes, -1, -1, 1)), 4)

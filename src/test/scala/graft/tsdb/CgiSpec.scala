@@ -82,6 +82,29 @@ class CgiSpec extends SparkSpec {
       == Seq("a.x", "b.y"))
   }
 
+  test("maxDataPoints consolidates the render; bad values are ignored") {
+    // 0..120 on the 1m archive = 3 grid points; budget 2 → factor 2 →
+    // 2 output rows (bucket max under the consolidateBy tag)
+    val base = "/render?target=consolidateBy(a.x,'max')" +
+      "&from=1970-01-01T00:00:00&until=1970-01-01T00:02:00&format=csv"
+    val out = Cgi.dispatch(spark, env, base + "&maxDataPoints=2", 120L).collect()
+    assert(out.length == 2)
+    assert(out.map(_.getString(0)).distinct.toSeq ==
+      Seq("""consolidateBy(a.x,"max")"""))
+    // bucket 0 = max(t0=1.0, t60=3.0) = 3.0 at the bucket's first
+    // timestamp; bucket 1 = the all-null t120 tail stays null
+    assert(out.map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq ==
+      Seq(Some(3.0), None))
+    // a budget the series already fits passes through unchanged
+    val full = Cgi.dispatch(spark, env, base + "&maxDataPoints=100", 120L).collect()
+    assert(full.length == 3)
+    // non-numeric / non-positive budgets read as absent, not an error
+    assert(Cgi.dispatch(spark, env, base + "&maxDataPoints=abc", 120L)
+      .collect().length == 3)
+    assert(Cgi.dispatch(spark, env, base + "&maxDataPoints=0", 120L)
+      .collect().length == 3)
+  }
+
   test("svg graph options ride the URL (L_DataGraph.lua:199-203,255-278)") {
     val doc = Cgi.dispatch(spark, env,
       "/render?target=a.x&target=b.y&from=1970-01-01T00:00:00" +

@@ -765,15 +765,62 @@ class SeriesFunctionsSpec extends SparkSpec {
     assert(dup.count() == 10)
     val u = SeriesFunctions.uniqueSeries(dup)
     assert(u.count() == 5)
-    // limit 2: the 3-null run bridges only its first 2 nulls
+    // limit 2: the 3-null run stays ENTIRELY broken (graphite bridges
+    // a consecutive-None run only when its whole length is <= limit)
     val out = vals(SeriesFunctions.keepLastValue(u, 2))
     assert(out == Seq(
-      ("keepLastValue(a,2)", 0L, Some(1.0)), ("keepLastValue(a,2)", 60L, Some(1.0)),
-      ("keepLastValue(a,2)", 120L, Some(1.0)), ("keepLastValue(a,2)", 180L, None),
-      ("keepLastValue(a,2)", 240L, Some(5.0))))
+      ("keepLastValue(a)", 0L, Some(1.0)), ("keepLastValue(a)", 60L, None),
+      ("keepLastValue(a)", 120L, None), ("keepLastValue(a)", 180L, None),
+      ("keepLastValue(a)", 240L, Some(5.0))))
+    // a 2-null run bridges in full, and a trailing run <= limit fills
+    // too (graphite's final consecutiveNones check after the loop)
+    val b = frame(("b", 0L, 1.0), ("b", 60L, null), ("b", 120L, null),
+      ("b", 180L, 7.0), ("b", 240L, null))
+    assert(vals(SeriesFunctions.keepLastValue(b, 2)) == Seq(
+      ("keepLastValue(b)", 0L, Some(1.0)), ("keepLastValue(b)", 60L, Some(1.0)),
+      ("keepLastValue(b)", 120L, Some(1.0)), ("keepLastValue(b)", 180L, Some(7.0)),
+      ("keepLastValue(b)", 240L, Some(7.0))))
+    // a trailing run longer than the limit stays broken
+    val c = frame(("c", 0L, 1.0), ("c", 60L, null), ("c", 120L, null),
+      ("c", 180L, null))
+    assert(vals(SeriesFunctions.keepLastValue(c, 2)).map(_._3) ==
+      Seq(Some(1.0), None, None, None))
     // leading gap: nothing seen yet stays null even within the limit
     val lead = frame(("x", 0L, null), ("x", 60L, 3.0))
     assert(vals(SeriesFunctions.keepLastValue(lead, 2)).head._3.isEmpty)
+  }
+
+  test("consolidateBy tag overrides the default; maxDataPoints consolidation") {
+    // 6 points, budget 3 → factor 2: row-order buckets of 2
+    val a = frame(("a", 0L, 1.0), ("a", 60L, 5.0), ("a", 120L, 2.0),
+      ("a", 180L, null), ("a", 240L, null), ("a", 300L, null))
+    val tagged = SeriesFunctions.consolidateBy(a, "max")
+    // graphite's rename carries the tag; values untouched by the tag
+    assert(vals(tagged).map(_._1).distinct == Seq("""consolidateBy(a,"max")"""))
+    assert(vals(tagged).map(_._3) == vals(a).map(_._3))
+    // the tag OVERRIDES the default: per-bucket max, nulls dropped
+    // inside a bucket, the all-null bucket stays null, first t kept
+    assert(vals(SeriesFunctions.consolidate(tagged, 3)) == Seq(
+      ("""consolidateBy(a,"max")""", 0L, Some(5.0)),
+      ("""consolidateBy(a,"max")""", 120L, Some(2.0)),
+      ("""consolidateBy(a,"max")""", 240L, None)))
+    // untagged series consolidate by the AVERAGE default — NOT the
+    // storage method: the render path never passes method here
+    assert(vals(SeriesFunctions.consolidate(a, 3)) == Seq(
+      ("a", 0L, Some(3.0)), ("a", 120L, Some(2.0)), ("a", 240L, None)))
+    // first/last pick the first/last NON-NULL inside the bucket
+    val fl = frame(("b", 0L, null), ("b", 60L, 7.0),
+      ("b", 120L, 9.0), ("b", 180L, null))
+    assert(vals(SeriesFunctions.consolidate(
+      SeriesFunctions.consolidateBy(fl, "first"), 2)).map(_._3) ==
+      Seq(Some(7.0), Some(9.0)))
+    assert(vals(SeriesFunctions.consolidate(
+      SeriesFunctions.consolidateBy(fl, "last"), 2)).map(_._3) ==
+      Seq(Some(7.0), Some(9.0)))
+    // a series within the budget passes through unchanged
+    assert(vals(SeriesFunctions.consolidate(a, 6)) == vals(a))
+    // unknown consolidation functions fail loudly at tag time
+    intercept[IllegalArgumentException](SeriesFunctions.consolidateBy(a, "median"))
   }
 
   test("multiplySeriesWithWildcards: reduced-name product, missing factor nulls") {
