@@ -110,6 +110,7 @@ object SparkEntry {
     "gfn_outside_avg" -> ((s, dir) => T.gfnOutsideAvg(s, dir)),
     "gfn_consolidate" -> ((s, dir) => T.gfnConsolidate(s, dir)),
     "cgi_render_maxdp" -> ((s, dir) => T.cgiRenderMaxdp(s, dir)),
+    "gfn_wrap_counter" -> ((s, dir) => T.gfnWrapCounter(s, dir)),
     "gfn_aggregate_minmax" -> ((s, dir) => T.gfnAggregateMinmax(s, dir)),
     "gfn_group_nodes" -> ((s, dir) => T.gfnGroupNodes(s, dir)),
     "gfn_multiply_wildcards" -> ((s, dir) => T.gfnMultiplyWildcards(s, dir)),
@@ -3633,6 +3634,27 @@ object SparkEntry {
          |SELECT 'aggregateLine(' || fr.path || ',''avg'')' AS path, t,
          | round(m - 1e-9, 4) AS value
          |FROM fr JOIN keep ON fr.path = keep.path ORDER BY 1, 2""".stripMargin,
+    // C9: counter-wrap recovery — a decrease whose current reading
+    // fits under the 10000 ceiling is a WRAP (delta = max − prev +
+    // curr + 1), a decrease above it stays a reset (null); perSecond
+    // divides the same recovered delta by the step. A null prev makes
+    // the wrap arithmetic null (the first WHEN's unknown falls
+    // through, the second computes with NULL) — both engines agree.
+    "gfn_wrap_counter" ->
+      s"""WITH $GfnFrameCte,
+         |d AS (SELECT path, t, value,
+         |  lag(value) OVER (PARTITION BY path ORDER BY t) AS pv,
+         |  t - lag(t) OVER (PARTITION BY path ORDER BY t) AS dt FROM fr)
+         |SELECT 'nonNegativeDerivative(' || path || ')' AS path, t,
+         | round(CASE WHEN value - pv >= 0 THEN value - pv
+         |   WHEN 10000 >= value THEN 10000 - pv + value + 1 END - 1e-9, 4) AS value
+         |FROM d
+         |UNION ALL
+         |SELECT 'perSecond(' || path || ')' AS path, t,
+         | round(CASE WHEN value - pv >= 0 AND dt > 0 THEN (value - pv)/dt
+         |   WHEN 10000 >= value AND dt > 0 THEN (10000 - pv + value + 1)/dt
+         |   END - 1e-9, 4) AS value
+         |FROM d ORDER BY 1, 2""".stripMargin,
     // C9: consolidateBy + maxDataPoints — the renderer's point-budget
     // consolidation: factor = ceil(n/24) integer buckets IN ROW ORDER,
     // nulls dropped inside a bucket (SQL aggregate semantics), bucket

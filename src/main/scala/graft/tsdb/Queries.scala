@@ -770,6 +770,19 @@ object Queries {
     gfnEval(spark, dir,
       """aggregateLine(averageOutsidePercentile(vera.u1?.click,70),"avg")""")
 
+  /** C9as: counter-wrap recovery — both maxValue forms over the same
+    * per-series frame: every DECREASE whose current reading fits under
+    * the 10000 ceiling reads as a wrap (delta = max − prev + curr + 1;
+    * the click series rises and falls, so the wrap branch fires at
+    * every drop), perSecond divides the same recovered delta by the
+    * grid step. The no-maxValue oracles (gfn_derivative) stay
+    * untouched — wraps only exist when a ceiling is declared.
+    */
+  def gfnWrapCounter(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir,
+      "group(nonNegativeDerivative(vera.u1?.click,10000)," +
+        "perSecond(vera.u1?.click,10000))")
+
   /** C9aq: consolidateBy + the renderer's maxDataPoints budget — the
     * max-tagged click series consolidates per-bucket MAX while the
     * untagged view series takes the average default (the tag rides

@@ -334,6 +334,23 @@ object SeriesFunctions {
       when(d >= 0, d))
   }
 
+  /** Counter-wrap recovery (Graphite `nonNegativeDerivative(series,
+    * maxValue)`) — the network-counter idiom: a negative step where
+    * the current reading fits under the counter's ceiling reads as a
+    * WRAP, delta = maxValue − prev + curr + 1 (the counter ran to
+    * maxValue, rolled to 0, and climbed to curr); a negative step
+    * ABOVE the ceiling is still a reset → null. Same name as the
+    * no-maxValue form (graphite doesn't render the ceiling).
+    */
+  def nonNegativeDerivative(f: DataFrame, maxValue: Double): DataFrame = {
+    val prev = lag(col("value"), 1).over(byPath)
+    val d = col("value") - prev
+    frame(f, wrap("nonNegativeDerivative", ""), col("t"),
+      when(d >= 0, d)
+        .when(lit(maxValue) >= col("value"),
+          lit(maxValue) - prev + col("value") + 1))
+  }
+
   /** Per-second rate: delta over the grid step derived from the
     * timestamps themselves (Graphite `perSecond`).
     */
@@ -342,6 +359,20 @@ object SeriesFunctions {
     val dt = col("t") - lag(col("t"), 1).over(byPath)
     frame(f, wrap("perSecond", ""), col("t"),
       when(d >= 0 && dt > 0, d / dt))
+  }
+
+  /** `perSecond(series, maxValue)` — [[perSecond]] with the same
+    * wrap-delta recovery as [[nonNegativeDerivative]]'s maxValue form,
+    * divided by the step.
+    */
+  def perSecond(f: DataFrame, maxValue: Double): DataFrame = {
+    val prev = lag(col("value"), 1).over(byPath)
+    val d = col("value") - prev
+    val dt = col("t") - lag(col("t"), 1).over(byPath)
+    frame(f, wrap("perSecond", ""), col("t"),
+      when(d >= 0 && dt > 0, d / dt)
+        .when(lit(maxValue) >= col("value") && dt > 0,
+          (lit(maxValue) - prev + col("value") + 1) / dt))
   }
 
   /** Running total per series; gap points stay null, non-gap points

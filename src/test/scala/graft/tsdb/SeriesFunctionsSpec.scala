@@ -790,6 +790,30 @@ class SeriesFunctionsSpec extends SparkSpec {
     assert(vals(SeriesFunctions.keepLastValue(lead, 2)).head._3.isEmpty)
   }
 
+  test("nonNegativeDerivative/perSecond maxValue: counter-wrap recovery") {
+    // an 8-bit counter: climbs, wraps past 255, then "resets" to a
+    // value ABOVE the ceiling (impossible for a real 8-bit counter →
+    // null, graphite's rule: wrap only when curr <= maxValue)
+    val c = frame(("c", 0L, 250.0), ("c", 60L, 253.0), ("c", 120L, 2.0),
+      ("c", 180L, 300.0), ("c", 240L, 280.0))
+    val d = vals(SeriesFunctions.nonNegativeDerivative(c, 255.0))
+    assert(d.map(_._3) == Seq(
+      None,          // no prev
+      Some(3.0),     // plain positive step
+      Some(5.0),     // wrap: 255 - 253 + 2 + 1
+      Some(298.0),   // positive step (even though curr > max)
+      None))         // decrease with curr 280 > 255: reset, not wrap
+    // the maxValue form keeps the plain name (graphite renders no ceiling)
+    assert(d.map(_._1).distinct == Seq("nonNegativeDerivative(c)"))
+    // perSecond divides the same recovered deltas by the 60s step
+    val p = vals(SeriesFunctions.perSecond(c, 255.0))
+    assert(p.map(_._3) == Seq(
+      None, Some(3.0 / 60), Some(5.0 / 60), Some(298.0 / 60), None))
+    // without a ceiling, every decrease stays null (existing contract)
+    assert(vals(SeriesFunctions.nonNegativeDerivative(c)).map(_._3) ==
+      Seq(None, Some(3.0), None, Some(298.0), None))
+  }
+
   test("consolidateBy tag overrides the default; maxDataPoints consolidation") {
     // 6 points, budget 3 → factor 2: row-order buckets of 2
     val a = frame(("a", 0L, 1.0), ("a", 60L, 5.0), ("a", 120L, 2.0),
