@@ -24,6 +24,7 @@ object SparkEntry {
     "event_sessionize" -> ((s, dir) => Relational.eventSessionize(s, dir)),
     "events_asof" -> ((s, dir) => Relational.eventsAsof(s, dir)),
     "events_asof_tol" -> ((s, dir) => Relational.eventsAsofTol(s, dir)),
+    "stream_asof_enrich" -> ((s, dir) => Relational.streamAsofEnrich(s, dir)),
     "events_interval_count" -> ((s, dir) => Relational.eventsIntervalCount(s, dir)),
     // A. Carbon ingest
     "carbon_parse" -> ((s, dir) => T.carbonParse(s, dir)),
@@ -4248,6 +4249,32 @@ object SparkEntry {
     // right rows via the id sort key)
     "events_asof" ->
       s"""WITH $AsofCtes
+        |SELECT event_id, user_id, t,
+        | coalesce(asof_id, -1) AS asof_id, coalesce(asof_t, -1) AS asof_t,
+        | coalesce(t - asof_t, -1) AS lag_s
+        |FROM w WHERE isl = 1 ORDER BY event_id""".stripMargin,
+    // G19: streaming as-of enrichment — the oracle IS E6's carry SQL
+    // with the snapshot/arrival split filters (clicks before the
+    // boundary, purchases at-or-after): under that split the
+    // latest-per-key stream-static join the Spark side runs is
+    // PROVABLY the as-of carry, and the hash match verifies the
+    // theorem cross-engine (the staleness contract's exact regime)
+    "stream_asof_enrich" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isl
+        | FROM events
+        | WHERE (event_type = 'click'
+        |         AND CAST(floor(epoch(ts)) AS BIGINT) < 1705363200)
+        |    OR (event_type = 'purchase'
+        |         AND CAST(floor(epoch(ts)) AS BIGINT) >= 1705363200)),
+        |w AS (
+        | SELECT user_id, t, event_id, isl,
+        |  last_value(CASE WHEN isl = 0 THEN event_id END IGNORE NULLS) OVER cw AS asof_id,
+        |  last_value(CASE WHEN isl = 0 THEN t END IGNORE NULLS) OVER cw AS asof_t
+        | FROM e
+        | WINDOW cw AS (PARTITION BY user_id ORDER BY t, isl, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_id, user_id, t,
         | coalesce(asof_id, -1) AS asof_id, coalesce(asof_t, -1) AS asof_t,
         | coalesce(t - asof_t, -1) AS lag_s

@@ -161,6 +161,61 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** G19 support: the latest-right-row-per-key INDEX an
+    * enrich-at-ingest join consumes (Flink's temporal-join build side
+    * as a refreshable artifact). ONE max aggregate over the standing
+    * corpus — K rows out, K = #keys, the broadcastable side of the
+    * stream-static join. Ties at equal t resolve to the max id, the
+    * SAME tie rule [[asofJoin]]'s (t, is_l, id) sort encodes — which
+    * is what makes the enrich ≡ as-of theorem below exact, not
+    * approximate. Lexicographic struct max = (max t, then max id).
+    */
+  def latestIndex(right: DataFrame, key: String = "user_id",
+                  t: String = "t", id: String = "event_id"): DataFrame =
+    right.groupBy(col(key))
+      .agg(max(struct(col(t).as("t"), col(id).as("id"))).as("m"))
+      .select(col(key), col("m.id").as("asof_id"), col("m.t").as("asof_t"))
+
+  /** Refresh the standing index with a new batch's index WITHOUT a
+    * corpus rebuild: max is associative and commutative, so
+    * merge(latestIndex(A), latestIndex(B)) ≡ latestIndex(A ∪ B) — the
+    * same merge≡rebuild closure F37/F41 prove for the dedup indexes.
+    * Work ∝ |index| + |delta|, never ∝ |corpus|.
+    */
+  def latestIndexMerge(a: DataFrame, b: DataFrame,
+                       key: String = "user_id"): DataFrame =
+    a.unionByName(b).groupBy(col(key))
+      .agg(max(struct(col("asof_t").as("t"), col("asof_id").as("id"))).as("m"))
+      .select(col(key), col("m.id").as("asof_id"), col("m.t").as("asof_t"))
+
+  /** G19 driver shape (batch twin of
+    * [[graft.streaming.CarbonStream.asofEnrichStream]]): the standing
+    * snapshot = clicks BEFORE the batch boundary, the arriving stream
+    * = purchases AT-OR-AFTER it. Under exactly that split — every
+    * arriving t ≥ boundary > every snapshot t — the latest-per-key
+    * join IS [[asofJoin]]'s carry on the union, so the DuckDB oracle
+    * replays E6's OWN window SQL with the split filters and the hash
+    * match proves the theorem cross-engine. −1 sentinels as in
+    * [[eventsAsof]].
+    */
+  val SnapshotT0 = 1705363200L // 2024-01-16, mid-corpus batch boundary
+  def streamAsofEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("long").as("t"), col("event_type"))
+    val snapshot = e.filter(col("event_type") === "click" &&
+      col("t") < SnapshotT0).drop("event_type")
+    val arriving = e.filter(col("event_type") === "purchase" &&
+      col("t") >= SnapshotT0).drop("event_type")
+    graft.streaming.CarbonStream
+      .asofEnrichStream(arriving, latestIndex(snapshot))
+      .select(col("event_id"), col("user_id"), col("t"),
+        coalesce(col("asof_id"), lit(-1L)).as("asof_id"),
+        coalesce(col("asof_t"), lit(-1L)).as("asof_t"),
+        coalesce(col("lag_s"), lit(-1L)).as("lag_s"))
+      .orderBy(col("event_id"))
+  }
+
   /** E6 driver shape: attribute every purchase to the user's most
     * recent click at-or-before it (the ad-attribution query). A
     * purchase with no prior click carries the −1 sentinel (the

@@ -391,6 +391,35 @@ object CarbonStream {
         coalesce(col("seen0"), lit(0L)).as("seen"),
         when(col("seen0").isNull, 1L).otherwise(0L).as("fetch"))
 
+  /** G19: streaming as-of ENRICHMENT — E6's union-and-carry is batch;
+    * the production twin enriches AT INGEST: each arriving event
+    * left-joins the latest right-side row for its key from the
+    * standing [[graft.ops.Relational.latestIndex]] snapshot (Flink's
+    * processing-time temporal join). Zero streaming state — the index
+    * is a static K-row DataFrame rebuilt or
+    * [[graft.ops.Relational.latestIndexMerge]]-merged by batch sweeps
+    * (the G14/G15/G17 refreshable-index discipline), and Spark
+    * broadcasts it into a map-only stream-static join.
+    *
+    * STALENESS CONTRACT: an arriving event sees the index AS-OF the
+    * last batch boundary — right rows arriving after the sweep are
+    * invisible until the next refresh, and the index holds only the
+    * LATEST row per key, so a late event older than the index entry
+    * gets NULL (the `asof_t <= t` guard) even where batch E6 would
+    * find an older right row. Under the production split (every
+    * arriving t ≥ boundary > every snapshot t) the guard never fires
+    * and enrich ≡ as-of exactly — the oracle's theorem.
+    */
+  def asofEnrichStream(events: DataFrame, index: DataFrame,
+                       key: String = "user_id", t: String = "t",
+                       id: String = "event_id"): DataFrame =
+    events.select(col(id), col(key), col(t))
+      .join(index, Seq(key), "left")
+      .select(col(id), col(key), col(t),
+        when(col("asof_t") <= col(t), col("asof_id")).as("asof_id"),
+        when(col("asof_t") <= col(t), col("asof_t")).as("asof_t"),
+        when(col("asof_t") <= col(t), col(t) - col("asof_t")).as("lag_s"))
+
   /** G11: in-flight keyword tagging — each incoming document gets its
     * top-k TF-IDF keywords AT INGEST against the FROZEN df artifact
     * the last batch sweep trained (F30 recomputes df from the corpus

@@ -59,6 +59,42 @@ class RelationalSpec extends SparkSpec {
     assert(fast == brute)
   }
 
+  test("latestIndex: tie rule, merge ≡ rebuild, enrich ≡ as-of on the split (G19)") {
+    // the index keeps ONE row per key: max (t, id) — the E6 tie rule
+    val a = Seq((1L, 100L, 10L), (1L, 200L, 20L), (2L, 300L, 30L),
+      (2L, 301L, 30L)).toDF("user_id", "event_id", "t")
+    assert(Relational.latestIndex(a).orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 200L, 20L), (2L, 301L, 30L)))
+    // merge of two batch indexes ≡ the index rebuilt from the union
+    // (max associativity — work ∝ |index|+|delta|, never ∝ corpus)
+    val b = Seq((1L, 150L, 15L), (3L, 500L, 50L))
+      .toDF("user_id", "event_id", "t")
+    val merged = Relational.latestIndexMerge(
+      Relational.latestIndex(a), Relational.latestIndex(b))
+    val rebuilt = Relational.latestIndex(a.unionByName(b))
+    assert(merged.orderBy("user_id").collect().toSeq ==
+      rebuilt.orderBy("user_id").collect().toSeq)
+    // the driver oracle's theorem on the real corpus: under the
+    // snapshot/arrival split, enrich-from-index ≡ E6's union-and-carry
+    val e = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_id"), col("ts").cast("long").as("t"),
+        col("event_type"))
+    val t0 = Relational.SnapshotT0
+    val snap = e.filter(col("event_type") === "click" && col("t") < t0)
+      .drop("event_type")
+    val arr = e.filter(col("event_type") === "purchase" && col("t") >= t0)
+      .drop("event_type")
+    val enrich = graft.streaming.CarbonStream
+      .asofEnrichStream(arr, Relational.latestIndex(snap))
+      .collect().map(x => (x.getLong(0),
+        Option(x.get(3)).map(_.asInstanceOf[Long]))).toMap
+    val asof = Relational.asofJoin(arr, snap)
+      .collect().map(x => (x.getLong(0),
+        Option(x.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(enrich.nonEmpty && enrich == asof)
+  }
+
   test("interval join: boundaries closed, multi-bucket spans, W-invariance (E7)") {
     val intervals = Seq((100L, 10L, 30L), (200L, 25L, 26L), (300L, 50L, 50L))
       .toDF("interval_id", "t0", "t1")

@@ -373,6 +373,56 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming as-of enrichment: static index, staleness, zero state (G19)") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.CarbonStream
+    import graft.ops.Relational
+    implicit val sqlCtx = spark.sqlContext
+    // standing snapshot: two rows for key 1 (latest survives), an
+    // equal-t tie for key 2 (max id — the E6 carry's tie rule)
+    val snap = Seq((1L, 100L, 10L), (1L, 200L, 20L),
+      (2L, 300L, 30L), (2L, 301L, 30L)).toDF("user_id", "event_id", "t")
+    val idx = Relational.latestIndex(snap)
+    idx.count() // materialize: the stream consumes a FINISHED artifact
+    val source = MemoryStream[(Long, Long, Long)]
+    val out = CarbonStream.asofEnrichStream(
+      source.toDF().toDF("event_id", "user_id", "t"), idx)
+    val query = out.writeStream
+      .format("memory").queryName("g19_asof").outputMode("append").start()
+    try {
+      source.addData((1000L, 1L, 25L), (1001L, 3L, 25L), (1002L, 2L, 25L))
+      query.processAllAvailable()
+      // the staleness contract: nothing that "arrived" since the sweep
+      // is visible — the second micro-batch still sees the boundary
+      // snapshot, untouched
+      source.addData((1003L, 1L, 99L))
+      query.processAllAvailable()
+      // zero streaming state: a stream-static join keeps no state store
+      assert(query.lastProgress.stateOperators.isEmpty)
+      def shape(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+        (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(5)) -1L else r.getLong(5))).toSeq
+      val rows = shape(spark.table("g19_asof").orderBy("event_id").collect())
+      assert(rows == Seq(
+        (1000L, 200L, 5L),   // enriched from the snapshot's latest
+        (1001L, -1L, -1L),   // unknown key
+        (1002L, -1L, -1L),   // LATE: index t=30 > event t=25 → no match
+        (1003L, 200L, 79L))) // stale by design: still the boundary index
+      // batch/stream equality: the same projection on a batch frame
+      val batch = shape(CarbonStream.asofEnrichStream(
+        Seq((1000L, 1L, 25L), (1001L, 3L, 25L), (1002L, 2L, 25L),
+          (1003L, 1L, 99L)).toDF("event_id", "user_id", "t"), idx)
+        .orderBy("event_id").collect())
+      assert(rows == batch)
+      // plan pin: the K-row index broadcasts — no sort-merge join in
+      // the batch twin's physical plan
+      val plan = CarbonStream.asofEnrichStream(
+        Seq((1000L, 1L, 25L)).toDF("event_id", "user_id", "t"), idx)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"))
+    } finally query.stop()
+  }
+
   test("streaming mixture gate verdicts under a frozen rate plan (G13)") {
     import graft.streaming.CarbonStream
     implicit val sqlCtx = spark.sqlContext
