@@ -112,6 +112,7 @@ object SparkEntry {
     "gfn_consolidate" -> ((s, dir) => T.gfnConsolidate(s, dir)),
     "cgi_render_maxdp" -> ((s, dir) => T.cgiRenderMaxdp(s, dir)),
     "gfn_wrap_counter" -> ((s, dir) => T.gfnWrapCounter(s, dir)),
+    "gfn_apply_by_node" -> ((s, dir) => T.gfnApplyByNode(s, dir)),
     "gfn_aggregate_minmax" -> ((s, dir) => T.gfnAggregateMinmax(s, dir)),
     "gfn_group_nodes" -> ((s, dir) => T.gfnGroupNodes(s, dir)),
     "gfn_multiply_wildcards" -> ((s, dir) => T.gfnMultiplyWildcards(s, dir)),
@@ -3635,6 +3636,22 @@ object SparkEntry {
          |SELECT 'aggregateLine(' || fr.path || ',''avg'')' AS path, t,
          | round(m - 1e-9, 4) AS value
          |FROM fr JOIN keep ON fr.path = keep.path ORDER BY 1, 2""".stripMargin,
+    // C9: applyByNode — the template divideSeries(%.click,%.error)
+    // evaluated per 2-node user prefix: dividend joined to its own
+    // group's safeSum-collapsed divisor on (user, t); zero/absent
+    // divisor nulls; graphite's target.replace('%',prefix) naming
+    "gfn_apply_by_node" ->
+      s"""WITH $M,
+         |${gfnFrameCteNamed("^vera\\.u1[^.]\\.click$$", "a")},
+         |${gfnFrameCteNamed("^vera\\.u1[^.]\\.error$$", "w")},
+         |ka AS (SELECT string_split(path, '.')[2] AS u, path, t, value FROM fra),
+         |ke AS (SELECT string_split(path, '.')[2] AS u, t, sum(value) AS dv
+         |  FROM frw GROUP BY 1, 2)
+         |SELECT 'divideSeries(' || ka.path || ',vera.' || ka.u || '.error)' AS path,
+         | ka.t,
+         | round(CASE WHEN dv <> 0 THEN value/dv END - 1e-9, 4) AS value
+         |FROM ka LEFT JOIN ke ON ka.u = ke.u AND ka.t = ke.t
+         |ORDER BY 1, 2""".stripMargin,
     // C9: counter-wrap recovery — a decrease whose current reading
     // fits under the 10000 ceiling is a WRAP (delta = max − prev +
     // curr + 1), a decrease above it stays a reset (null); perSecond

@@ -770,6 +770,16 @@ object Queries {
     gfnEval(spark, dir,
       """aggregateLine(averageOutsidePercentile(vera.u1?.click,70),"avg")""")
 
+  /** C9at: applyByNode — the per-node-group sub-pipeline idiom
+    * groupByNode cannot express (it collapses; this composes): each
+    * user's click/error ratio from ONE glob, the template
+    * `divideSeries(%.click,%.error)` evaluated per 2-node prefix with
+    * one fetch per leaf and one shuffle per stage (never per group).
+    */
+  def gfnApplyByNode(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir,
+      """applyByNode(vera.u1?.click,1,"divideSeries(%.click,%.error)")""")
+
   /** C9as: counter-wrap recovery — both maxValue forms over the same
     * per-series frame: every DECREASE whose current reading fits under
     * the 10000 ceiling reads as a wrap (delta = max − prev + curr + 1;

@@ -36,7 +36,7 @@ object SeriesFunctions {
     * exactly how callbacks like "range" end up valid in one and
     * throwing in another.
     */
-  private def canonAgg(func: String, ctx: String): String = func match {
+  private[tsdb] def canonAgg(func: String, ctx: String): String = func match {
     case "sum" | "total" | "sumSeries" => "sum"
     case "avg" | "average" | "averageSeries" => "avg"
     case "min" | "minSeries" => "min"
@@ -51,7 +51,7 @@ object SeriesFunctions {
     * arithmetic lives here ONCE so per-t combiners and per-(key,t)
     * rollups can't drift.
     */
-  private def aggExpr(canon: String): Column = canon match {
+  private[tsdb] def aggExpr(canon: String): Column = canon match {
     case "sum" => sum(col("value"))
     case "avg" => avg(col("value"))
     case "min" => min(col("value"))

@@ -790,6 +790,54 @@ class SeriesFunctionsSpec extends SparkSpec {
     assert(vals(SeriesFunctions.keepLastValue(lead, 2)).head._3.isEmpty)
   }
 
+  test("applyByNode: per-group template, group-count-independent plan") {
+    // hosts a/b carry err+total; host c has ONLY total — matched by
+    // the template's %.total leg but absent from the input glob's
+    // series, so it is NOT a group (graphite's prefix-set rule)
+    val rows = frame(
+      ("h.a.err", 0L, 1.0), ("h.a.err", 60L, 2.0),
+      ("h.a.total", 0L, 4.0), ("h.a.total", 60L, 8.0),
+      ("h.b.err", 0L, 3.0), ("h.b.err", 60L, null),
+      ("h.b.total", 0L, 6.0), ("h.b.total", 60L, 0.0),
+      ("h.c.total", 0L, 99.0))
+    def fetchAt(rs: DataFrame)(glob: String, shift: Long): DataFrame = {
+      val re = "^" + glob.replace(".", "\\.").replace("*", "[^.]+")
+        .replace("?", "[^.]") + "$"
+      rs.filter(col("path").rlike(re))
+    }
+    val out = TargetExpr.evalTargetAt(
+      """applyByNode(h.*.err,1,"divideSeries(%.err,%.total)")""", fetchAt(rows))
+    assert(vals(out) == Seq(
+      ("divideSeries(h.a.err,h.a.total)", 0L, Some(0.25)),
+      ("divideSeries(h.a.err,h.a.total)", 60L, Some(0.25)),
+      ("divideSeries(h.b.err,h.b.total)", 0L, Some(0.5)),
+      ("divideSeries(h.b.err,h.b.total)", 60L, None))) // null/0 → null
+    // newName renames per prefix
+    val named = TargetExpr.evalTargetAt(
+      """applyByNode(h.*.err,1,"divideSeries(%.err,%.total)","%.ratio")""",
+      fetchAt(rows))
+    assert(vals(named).map(_._1).distinct == Seq("h.a.ratio", "h.b.ratio"))
+    // per-group combiner: sums stay INSIDE the group (h.c excluded)
+    val s = TargetExpr.evalTargetAt(
+      """applyByNode(h.*.err,1,"sumSeries(%.*)")""", fetchAt(rows))
+    assert(vals(s) == Seq(
+      ("sumSeries(h.a.*)", 0L, Some(5.0)), ("sumSeries(h.a.*)", 60L, Some(10.0)),
+      ("sumSeries(h.b.*)", 0L, Some(9.0)), ("sumSeries(h.b.*)", 60L, Some(0.0))))
+    // ONE shuffle per stage, not per group: the physical plan's
+    // exchange count does not grow with the number of groups
+    def exchanges(df: DataFrame): Int =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    val many = frame((0 until 8).flatMap(i => Seq(
+      (s"h.x$i.err", 0L, java.lang.Double.valueOf(1.0)),
+      (s"h.x$i.total", 0L, java.lang.Double.valueOf(2.0)))): _*)
+    val target = """applyByNode(h.*.err,1,"divideSeries(%.err,%.total)")"""
+    assert(exchanges(TargetExpr.evalTargetAt(target, fetchAt(rows))) ==
+      exchanges(TargetExpr.evalTargetAt(target, fetchAt(many))))
+    // an unsupported per-series function inside a template fails loudly
+    intercept[IllegalArgumentException](TargetExpr.evalTargetAt(
+      """applyByNode(h.*.err,1,"derivative(%.err)")""", fetchAt(rows)))
+  }
+
   test("nonNegativeDerivative/perSecond maxValue: counter-wrap recovery") {
     // an 8-bit counter: climbs, wraps past 255, then "resets" to a
     // value ABOVE the ceiling (impossible for a real 8-bit counter →
