@@ -129,6 +129,7 @@ object SparkEntry {
     // F. LLM-pipeline operators
     "dedup_exact" -> ((s, dir) => L.dedupExact(s, dir)),
     "decontaminate" -> ((s, dir) => L.decontaminate(s, dir)),
+    "decontaminate_normalized" -> ((s, dir) => L.decontaminateNormalized(s, dir)),
     "decontaminate_multi" -> ((s, dir) => L.decontaminateMulti(s, dir)),
     "decontaminate_overlap" -> ((s, dir) => L.decontaminateOverlap(s, dir)),
     "decontaminate_fuzzy" -> ((s, dir) => L.decontaminateFuzzy(s, dir)),
@@ -216,6 +217,8 @@ object SparkEntry {
     "corpus_sample_weighted" -> ((s, dir) => L.corpusSampleWeighted(s, dir)),
     "corpus_cardinality_hll" -> ((s, dir) => L.corpusCardinalityHll(s, dir)),
     "corpus_cardinality_incremental" -> ((s, dir) => L.corpusCardinalityIncremental(s, dir)),
+    "corpus_quantile_sketch" -> ((s, dir) => L.corpusQuantileSketch(s, dir)),
+    "corpus_quantile_incremental" -> ((s, dir) => L.corpusQuantileIncremental(s, dir)),
     "corpus_mix_plan" -> ((s, dir) => L.corpusMixPlan(s, dir)),
     "corpus_mix_apply" -> ((s, dir) => L.corpusMixApply(s, dir)),
     "stream_mix_gate" -> ((s, dir) => L.streamMixGate(s, dir)),
@@ -991,6 +994,30 @@ object SparkEntry {
     // 37th doc; hits = distinct shared shingles per (corpus, eval) pair
     "decontaminate" ->
       s"""WITH dtk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         |d5 AS (SELECT DISTINCT doc_id, shingle FROM (
+         |  SELECT doc_id, tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w
+         |    || ' ' || lead(tok,3) OVER w || ' ' || lead(tok,4) OVER w AS shingle
+         |  FROM (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks,1) AS pos FROM dtk)
+         |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) s
+         | WHERE shingle IS NOT NULL),
+         |rare AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM d5 GROUP BY 1)
+         |  WHERE df <= ${graft.ops.LlmQueries.DecontamMaxDf}),
+         |ev AS (SELECT doc_id AS eval_id, shingle FROM d5
+         |  WHERE doc_id % ${graft.ops.LlmQueries.DecontamEvalMod} = 0)
+         |SELECT c.doc_id, e.eval_id, count(*) AS hits
+         |FROM d5 c JOIN rare USING (shingle) JOIN ev e USING (shingle)
+         |GROUP BY 1, 2 HAVING count(*) >= ${graft.ops.LlmQueries.DecontamMinHits}
+         |ORDER BY 1, 2""".stripMargin,
+    // F15n: the normalized-mode leak check — the SAME d5/rare/ev chain
+    // as F15 but over case-folded, punctuation-stripped,
+    // whitespace-collapsed text (RE2 'g' replaces = Spark's
+    // global-by-default regexp_replace); trivial reformatting can no
+    // longer hide a leak
+    "decontaminate_normalized" ->
+      s"""WITH dtk AS (SELECT doc_id, string_split(
+         |  trim(regexp_replace(regexp_replace(lower(text),
+         |    '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS toks
+         |  FROM documents),
          |d5 AS (SELECT DISTINCT doc_id, shingle FROM (
          |  SELECT doc_id, tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w
          |    || ' ' || lead(tok,3) OVER w || ' ' || lead(tok,4) OVER w AS shingle
@@ -4321,6 +4348,67 @@ object SparkEntry {
         |SELECT iv.interval_id, iv.t0, iv.t1, count(*) AS n_events
         |FROM iv JOIN e ON e.t BETWEEN iv.t0 AND iv.t1
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    // F54: the deterministic quantile-sketch law replayed end-to-end —
+    // binary-string octave (no float log), integer sub-bucket, count
+    // registers, cumulative-rank pick, bucket-lower-bound estimate;
+    // the '*' row sketches the doubled corpus directly, which must
+    // equal the Spark side's register-SUM merge (count associativity);
+    // the exact rank-selected percentile is the audit column
+    "corpus_quantile_sketch" ->
+      s"""WITH d AS (SELECT lang,
+         |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS v FROM documents),
+         |dd AS (SELECT lang, v FROM d UNION ALL SELECT '*' AS lang, v FROM d),
+         |b AS (SELECT lang,
+         |  CASE WHEN v <= 0 THEN -1
+         |       ELSE (length(bin(v)) - 1) * 16 +
+         |            ((v - (CAST(1 AS BIGINT) << (length(bin(v)) - 1))) * 16)
+         |              // (CAST(1 AS BIGINT) << (length(bin(v)) - 1))
+         |  END AS qb FROM dd),
+         |regs AS (SELECT lang, qb, count(*) AS cnt FROM b GROUP BY 1, 2),
+         |cum AS (SELECT lang, qb,
+         |  sum(cnt) OVER (PARTITION BY lang ORDER BY qb) AS cum,
+         |  sum(cnt) OVER (PARTITION BY lang) AS n FROM regs),
+         |qs AS (SELECT CAST(unnest([5000, 9000, 9900]) AS BIGINT) AS q_bp),
+         |hit AS (SELECT lang, q_bp, min(qb) AS qb FROM cum CROSS JOIN qs
+         |  WHERE cum > (q_bp * (n - 1)) // 10000 GROUP BY 1, 2),
+         |est AS (SELECT lang, q_bp,
+         |  CAST(CASE WHEN qb < 0 THEN 0
+         |       ELSE (CAST(1 AS BIGINT) << (qb // 16)) +
+         |            ((qb % 16) * (CAST(1 AS BIGINT) << (qb // 16))) // 16
+         |  END AS BIGINT) AS q_est FROM hit),
+         |rk AS (SELECT lang, v,
+         |  row_number() OVER (PARTITION BY lang ORDER BY v) - 1 AS rn,
+         |  count(*) OVER (PARTITION BY lang) AS n FROM dd),
+         |ex AS (SELECT lang, q_bp, v AS q_exact FROM rk JOIN qs
+         |  ON rk.rn = (qs.q_bp * (rk.n - 1)) // 10000)
+         |SELECT lang, q_bp, q_est, q_exact FROM est JOIN ex USING (lang, q_bp)
+         |ORDER BY 1, 2""".stripMargin,
+    // F54b: merge ≡ rebuild for the count registers — the Spark side
+    // estimates ONLY from the two halves' summed registers; the
+    // oracle re-sketches the whole corpus from scratch; hash equality
+    // is the theorem, cross-engine
+    "corpus_quantile_incremental" ->
+      s"""WITH d AS (SELECT lang,
+         |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS v FROM documents),
+         |b AS (SELECT lang,
+         |  CASE WHEN v <= 0 THEN -1
+         |       ELSE (length(bin(v)) - 1) * 16 +
+         |            ((v - (CAST(1 AS BIGINT) << (length(bin(v)) - 1))) * 16)
+         |              // (CAST(1 AS BIGINT) << (length(bin(v)) - 1))
+         |  END AS qb FROM d),
+         |regs AS (SELECT lang, qb, count(*) AS cnt FROM b GROUP BY 1, 2),
+         |cum AS (SELECT lang, qb,
+         |  sum(cnt) OVER (PARTITION BY lang ORDER BY qb) AS cum,
+         |  sum(cnt) OVER (PARTITION BY lang) AS n FROM regs),
+         |qs AS (SELECT CAST(unnest([5000, 9000, 9900]) AS BIGINT) AS q_bp),
+         |hit AS (SELECT lang, q_bp, min(qb) AS qb FROM cum CROSS JOIN qs
+         |  WHERE cum > (q_bp * (n - 1)) // 10000 GROUP BY 1, 2)
+         |SELECT lang, q_bp,
+         | CAST(CASE WHEN qb < 0 THEN 0
+         |      ELSE (CAST(1 AS BIGINT) << (qb // 16)) +
+         |           ((qb % 16) * (CAST(1 AS BIGINT) << (qb // 16))) // 16
+         | END AS BIGINT) AS q_est FROM hit
+         |ORDER BY 1, 2""".stripMargin,
     // F49: the deterministic HLL law replayed end-to-end — hex-string
     // rho extraction, BIGINT-exact register sums, the single-constant
     // raw estimate, the Flajolet linear-counting branch on the 1e-6

@@ -137,6 +137,26 @@ object Dedup {
       .orderBy(col("doc_id"), col("eval_id"))
   }
 
+  /** F15n: NORMALIZATION-AWARE decontamination — [[decontaminate]]
+    * over [[graft.text.TextFns.normalizeForMatch]]ed text on both
+    * sides: real leak checks (Dolma, CCNet) case-fold and strip
+    * punctuation before shingling, because a benchmark answer pasted
+    * into a crawl rarely survives verbatim — exact space-token
+    * shingles provably miss a copy that merely changed case or
+    * punctuation (the planted spec). The exact mode stays the F15
+    * default; this is the mode a suite owner actually signs off on.
+    * Same scale shape (the normalization is one extra map-only Column
+    * before the shared shingle chain).
+    */
+  def decontaminateNormalized(corpus: DataFrame, evalDocs: DataFrame,
+                              n: Int, minHits: Int, maxDf: Int): DataFrame =
+    decontaminate(
+      corpus.select(col("doc_id"),
+        graft.text.TextFns.normalizeForMatch(col("text")).as("text")),
+      evalDocs.select(col("eval_id"),
+        graft.text.TextFns.normalizeForMatch(col("text")).as("text")),
+      n, minHits, maxDf)
+
   /** F15d: PER-BENCHMARK contamination report — a suite owner runs
     * decontamination against MANY benchmarks at once and signs off
     * per benchmark, not per pair: the F15 pair machinery runs once

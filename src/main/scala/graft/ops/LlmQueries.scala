@@ -107,6 +107,18 @@ object LlmQueries {
     Dedup.decontaminate(docs, eval, DecontamN, DecontamMinHits, DecontamMaxDf)
   }
 
+  /** F15n: the normalized-mode leak check — same eval slice and
+    * thresholds as F15, text case-folded/punct-stripped on BOTH sides
+    * through the one shared normalization Column.
+    */
+  def decontaminateNormalized(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val eval = docs.filter(col("doc_id") % DecontamEvalMod === 0)
+      .select(col("doc_id").as("eval_id"), col("text"))
+    Dedup.decontaminateNormalized(docs, eval, DecontamN, DecontamMinHits,
+      DecontamMaxDf)
+  }
+
   // F15d: the eval docs partition into 3 synthetic benchmark suites
   val DecontamBenches = 3
 
@@ -1018,6 +1030,59 @@ object LlmQueries {
     perLang.unionByName(star)
       .select(col("lang"), col("n_exact"), col("hll_est"))
       .orderBy(col("lang"))
+  }
+
+  /** F54: deterministic log-bucket quantile sketch — p50/p90/p99
+    * whitespace-token length per lang, plus the '*' row whose
+    * registers come from SUMMING the per-lang registers (count
+    * associativity), not from rescanning. The exact rank-selected
+    * percentile rides along as the accuracy audit (the F49 n_exact
+    * pattern — production consumes the registers alone; at 100 TB the
+    * exact column is the thing this sketch exists to avoid).
+    */
+  val QuantileQs = Seq(5000, 9000, 9900)
+  def corpusQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Caching._
+    import org.apache.spark.sql.expressions.Window
+    val vals = Tables.documents(spark, dir).select(col("lang"),
+      size(graft.text.TextFns.tokens(col("text"))).cast("long").as("v"))
+    // ≤ langs × ~64·QSub rows — the bounded sketch artifact, cached
+    // because the per-lang estimates and the '*' row both read it
+    val regs = Sketch.qRegisters(vals, "lang", col("v")).cachedOnce
+    val est = Sketch.qEstimate(
+      regs.unionByName(Sketch.qMergeAll(regs, "*", "lang")),
+      "lang", QuantileQs)
+    val withStar = vals.unionByName(vals.withColumn("lang", lit("*")))
+    val ranked = withStar
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("lang")).orderBy(col("v")))
+          .cast("long") - 1)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    val exact = ranked
+      .select(col("lang"), col("rn"), col("n"), col("v"),
+        explode(array(QuantileQs.map(q => lit(q.toLong)): _*)).as("q_bp"))
+      .filter(col("rn") === expr("q_bp * (n - 1) div 10000"))
+      .select(col("lang"), col("q_bp"), col("v").as("q_exact"))
+    est.join(exact, Seq("lang", "q_bp"))
+      .orderBy(col("lang"), col("q_bp"))
+  }
+
+  /** F54b: INCREMENTAL quantile maintenance — the arriving batch's
+    * registers SUM into the standing corpus's (the F49b shape): the
+    * Spark side estimates only from the merged halves, the oracle
+    * re-sketches everything from scratch, and the hash match proves
+    * merge ≡ rebuild for the count registers cross-engine.
+    */
+  def corpusQuantileIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def valsOf(df: DataFrame) = df.select(col("lang"),
+      size(graft.text.TextFns.tokens(col("text"))).cast("long").as("v"))
+    val merged = Sketch.qMerge(
+      Sketch.qRegisters(valsOf(docs.filter(col("doc_id") % 2 === 0)), "lang", col("v")),
+      Sketch.qRegisters(valsOf(docs.filter(col("doc_id") % 2 =!= 0)), "lang", col("v")),
+      "lang")
+    Sketch.qEstimate(merged, "lang", QuantileQs)
+      .orderBy(col("lang"), col("q_bp"))
   }
 
   /** F49b: INCREMENTAL cardinality maintenance — the property that

@@ -90,6 +90,84 @@ object Sketch {
     regs.groupBy(col("bucket")).agg(max(col("register")).as("register"))
       .withColumn(slice, lit(asSlice))
 
+  // ---- F54: deterministic log-bucket quantile sketch ----------------
+
+  /** Sub-buckets per binary octave for the F54 quantile sketch:
+    * relative value error within a bucket ≤ 1/QSub ≈ 6% (the
+    * DDSketch / HDR-histogram accuracy model at γ ≈ 1 + 1/16).
+    */
+  val QSub = 16
+
+  /** F54 registers: per-(slice, bucket) COUNTS over a log-bucketed
+    * integer value — p50/p95/p99 per slice over 100 TB without a
+    * global sort. The F49 determinism discipline applied to
+    * percentiles: the bucket id is pure INTEGER arithmetic both
+    * engines share —
+    *
+    *  - e  = floor(log₂ v) via the BINARY-STRING length (`bin()` in
+    *         both engines; no float log, so no off-by-one at exact
+    *         powers of two)
+    *  - p  = 2^e (an exact shift)
+    *  - id = e·QSub + ((v − p)·QSub div p);  v ≤ 0 → the −1 underflow
+    *         bucket
+    *
+    * ONE map-side-combined count aggregate; ≤ ~64·QSub rows per slice
+    * survive the combine, so the shuffle carries registers, not
+    * values. Counts merge ASSOCIATIVELY (integer sums) — daily
+    * sketches fold into monthly without rescanning, the same closure
+    * [[hllMergeAll]] gives cardinalities.
+    */
+  def qRegisters(df: DataFrame, slice: String, value: Column): DataFrame =
+    df.select(col(slice), value.cast("long").as("v"))
+      .withColumn("e", (length(bin(col("v"))) - 1).cast("int"))
+      .withColumn("p", expr("shiftleft(cast(1 as bigint), e)"))
+      .withColumn("qb",
+        when(col("v") <= 0, lit(-1L))
+          .otherwise(col("e").cast("long") * QSub +
+            expr(s"(v - p) * $QSub div p")))
+      .groupBy(col(slice), col("qb"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge two F54 sketches: per-(slice, bucket) count sums —
+    * merge ≡ direct by sum associativity (the F49b theorem's twin).
+    */
+  def qMerge(a: DataFrame, b: DataFrame, slice: String): DataFrame =
+    a.unionByName(b).groupBy(col(slice), col("qb"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+
+  /** All slices folded into one sketch under `asSlice` — the '*' row. */
+  def qMergeAll(regs: DataFrame, asSlice: String, slice: String): DataFrame =
+    regs.groupBy(col("qb")).agg(sum(col("cnt")).cast("long").as("cnt"))
+      .withColumn(slice, lit(asSlice))
+
+  /** Quantile estimates from F54 registers: for each q (basis points),
+    * rank = q·(n−1) div 10000 and the estimate is the LOWER BOUND of
+    * the first bucket whose cumulative count exceeds the rank —
+    * integer arithmetic end to end, so both engines agree bit-for-bit
+    * (no interpolation, no float ranks). K-row input (the register
+    * table), one cumulative window per slice.
+    */
+  def qEstimate(regs: DataFrame, slice: String, qsBp: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = Window.partitionBy(col(slice)).orderBy(col("qb"))
+    val wa = Window.partitionBy(col(slice))
+    regs
+      .withColumn("cum", sum(col("cnt")).over(wc))
+      .withColumn("n", sum(col("cnt")).over(wa))
+      .select(col(slice), col("qb"), col("cum"), col("n"),
+        explode(array(qsBp.map(q => lit(q.toLong)): _*)).as("q_bp"))
+      .withColumn("rank", expr("q_bp * (n - 1) div 10000"))
+      .filter(col("cum") > col("rank"))
+      .groupBy(col(slice), col("q_bp"))
+      .agg(min(col("qb")).as("qb"))
+      .withColumn("e", expr(s"cast(qb div $QSub as int)"))
+      .withColumn("p", expr("shiftleft(cast(1 as bigint), e)"))
+      .select(col(slice), col("q_bp"),
+        when(col("qb") < 0, lit(0L))
+          .otherwise(col("p") + expr(s"(qb % $QSub) * p div $QSub"))
+          .as("q_est"))
+  }
+
   /** Estimate per slice from registers: integer-exact harmonic-mean
     * denominator, one double division, Flajolet small-range branch.
     */

@@ -235,19 +235,28 @@ object CarbonStream {
     * operator's arithmetic.
     */
   def decontaminateStream(docs: DataFrame, evalDocs: DataFrame,
-                          n: Int, minHits: Int): Dataset[ContamDecision] = {
+                          n: Int, minHits: Int,
+                          normalized: Boolean = false): Dataset[ContamDecision] = {
     import docs.sparkSession.implicits._
     import graft.text.TextFns
+    // normalized mode: the F15n leak-check normalization, shared with
+    // the batch family — eval side through the ONE Column source,
+    // stream side through its spec-pinned JVM twin
+    val evalIn =
+      if (normalized) evalDocs.select(col("eval_id"),
+        TextFns.normalizeForMatch(col("text")).as("text"))
+      else evalDocs
     // benchmark-sized by contract: collect + broadcast (a benchmark
     // too large to broadcast is a corpus, and belongs in batch F15)
     val evalSet = graft.dedup.Dedup
-      .docShingles(evalDocs, n, "eval_id")
+      .docShingles(evalIn, n, "eval_id")
       .select(TextFns.h60(col("shingle")).as("h")).distinct()
       .as[Long].collect().toSet
     val bc = docs.sparkSession.sparkContext.broadcast(evalSet)
     docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val hits = TextFns.shinglesJvm(text, n)
+        val t = if (normalized) TextFns.normalizeForMatchJvm(text) else text
+        val hits = TextFns.shinglesJvm(t, n)
           .count(s => bc.value.contains(TextFns.h60Jvm(s)))
         ContamDecision(id, hits.toLong, if (hits >= minHits) 1L else 0L)
       }

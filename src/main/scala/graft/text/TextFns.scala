@@ -68,6 +68,26 @@ object TextFns {
     */
   def tokens(text: Column): Column = split(lower(text), " ")
 
+  /** Leak-check text normalization (the Dolma/CCNet discipline):
+    * case-fold, strip every non-alphanumeric glyph to a space,
+    * collapse whitespace runs, trim — so trivial reformatting (case,
+    * punctuation, spacing) cannot hide a contamination leak. ONE
+    * source for the F15 family's normalized mode and the G5 ingest
+    * gate; exact mode (no normalization) stays the default everywhere.
+    * Java ∩ RE2 regexes only (the F46 portability rule).
+    */
+  def normalizeForMatch(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** JVM twin of [[normalizeForMatch]] for the per-row streaming path;
+    * Column/JVM agreement is pinned by spec. Locale.ROOT so the
+    * case-fold can never pick up Turkish-I surprises from the host.
+    */
+  def normalizeForMatchJvm(s: String): String =
+    s.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^a-z0-9\\s]", " ").replaceAll("\\s+", " ").trim
+
   /** Distinct n-word shingles of a token array (≥n tokens required —
     * guard with size() upstream). `transform` over an index sequence
     * keeps this inside whole-stage codegen.

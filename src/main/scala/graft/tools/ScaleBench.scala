@@ -388,6 +388,19 @@ object ScaleBench {
             explode(graft.text.TextFns.tokens(col("text"))).as("token"))
           graft.ops.Sketch.hllEstimate(
             graft.ops.Sketch.hllRegisters(tok, "slice", "token"), "slice")
+        }),
+        // F54 at scale: log-bucket quantile registers + estimate — one
+        // map-side-combined count whose survivor set is ≤ ~64·16 rows
+        // per slice at ANY corpus size (no global sort, no exact audit
+        // column here); wall time is the token-count scan, same shape
+        // as hll_sketch
+        "quantile_sketch" -> (() => {
+          val vals = docs.select(
+            (col("doc_id") % 5L).cast("string").as("slice"),
+            size(graft.text.TextFns.tokens(col("text"))).cast("long").as("v"))
+          graft.ops.Sketch.qEstimate(
+            graft.ops.Sketch.qRegisters(vals, "slice", col("v")),
+            "slice", LlmQueries.QuantileQs)
         })
       ) ++ (if (copies <= 10) Seq[(String, () => DataFrame)](
         // codec cost alone (decode + twin re-encode/resize), then the

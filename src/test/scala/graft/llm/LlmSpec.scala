@@ -1497,6 +1497,42 @@ class LlmSpec extends SparkSpec {
     assert(LlmQueries.bpeSampleDocs(docs).count() < docs.count())
   }
 
+  test("normalized decontamination catches the leak exact mode misses (F15n)") {
+    import graft.dedup.Dedup
+    // a benchmark answer pasted with punctuation/spacing edits: exact
+    // space-token 5-grams all differ (tokens() already lowercases, so
+    // the MISS comes from ",", "--", "!" and the double space), but
+    // normalization recovers the identical token stream
+    val corpus = Seq(
+      (1L, "The quick, brown fox -- jumps over the  lazy dog tonight!"),
+      (2L, "completely unrelated text about nothing in particular at all"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("eval_id", "text")
+    assert(Dedup.decontaminate(corpus, eval, 5, 1, 64).count() == 0)
+    // normalized: all 6 of the 10-token answer's 5-grams surface
+    val out = Dedup.decontaminateNormalized(corpus, eval, 5, 3, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 100L, 6L)))
+    // the ONE normalization source: Column ≡ JVM twin on tricky input
+    val tricky = Seq("A--b  c!!", " MiXeD   spacing\tand\nlines ", "",
+      "...", "ümlaut Ö 5")
+    val viaCol = tricky.toDF("text")
+      .select(graft.text.TextFns.normalizeForMatch(col("text")))
+      .as[String].collect().toSeq
+    assert(viaCol == tricky.map(graft.text.TextFns.normalizeForMatchJvm))
+    // G5 stream gate in normalized mode agrees; exact mode still misses
+    val sg = graft.streaming.CarbonStream
+      .decontaminateStream(corpus, eval, 5, 3, normalized = true)
+      .collect().map(d => d.doc_id -> d.contaminated).toMap
+    assert(sg(1L) == 1L && sg(2L) == 0L)
+    val sx = graft.streaming.CarbonStream
+      .decontaminateStream(corpus, eval, 5, 3)
+      .collect().map(d => d.doc_id -> d.contaminated).toMap
+    assert(sx(1L) == 0L)
+  }
+
   test("decontaminate overlap: full/none/partial with self-exclusion (F15b)") {
     val T = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val U = "unique solitary content appearing nowhere else in the corpus today"
@@ -2116,6 +2152,55 @@ class LlmSpec extends SparkSpec {
     }
     // multi-member clusters exist, so the subset is proper somewhere
     assert(w.values.exists(_._1 > 1L))
+  }
+
+  test("quantile sketch bucket law, merge ≡ direct, accuracy bound (F54)") {
+    import graft.ops.Sketch
+    // bucket arithmetic on hand-computed cases: e from the binary
+    // string, 16 sub-buckets per octave, v<=0 underflows to -1
+    val cases = Seq(
+      0L -> -1L, -5L -> -1L,
+      1L -> 0L,              // e=0, p=1, sub=0
+      2L -> 16L, 3L -> 24L,  // e=1: sub = (v-2)*16 div 2
+      16L -> 64L,            // e=4, sub 0 — exact power of two
+      17L -> 65L, 31L -> 79L,
+      1000L -> 159L)         // e=9, p=512: 144 + (488*16) div 512 = 159
+    val got = Sketch.qRegisters(
+      cases.map { case (v, _) => ("x", v) }.toDF("lang", "v"),
+      "lang", col("v"))
+      .collect().map(r => r.getLong(1)).toSet
+    assert(got == cases.map(_._2).toSet)
+    // the estimate is the bucket LOWER BOUND: a single-value slice
+    // estimates within 1/16 relative error below the true value
+    val one = Sketch.qEstimate(Sketch.qRegisters(
+      Seq(("y", 1000L)).toDF("lang", "v"), "lang", col("v")),
+      "lang", Seq(5000))
+      .collect().head.getLong(2)
+    assert(one == 512L + (159L % 16) * 512L / 16) // = 992, <= 1000
+    assert(one <= 1000L && one >= 1000L * 15 / 16)
+    // merge ≡ direct on the real corpus (count-sum associativity),
+    // and registers are repartition-invariant
+    val vals = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("lang"),
+        size(graft.text.TextFns.tokens(col("text"))).cast("long").as("v"))
+    def regMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = regMap(Sketch.qRegisters(vals, "lang", col("v")))
+    val halves = regMap(Sketch.qMerge(
+      Sketch.qRegisters(vals.filter(col("v") % 2 === 0), "lang", col("v")),
+      Sketch.qRegisters(vals.filter(col("v") % 2 =!= 0), "lang", col("v")),
+      "lang"))
+    assert(whole == halves)
+    assert(whole == regMap(Sketch.qRegisters(vals.repartition(7), "lang", col("v"))))
+    // estimates bracket the exact percentile within one sub-bucket:
+    // q_est <= q_exact and q_exact < q_est * (1 + 1/16) + 1
+    val audit = graft.ops.LlmQueries
+      .corpusQuantileSketch(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(audit.nonEmpty)
+    audit.foreach { case (lang, q, est, exact) =>
+      assert(est <= exact && exact <= est + est / 16 + 1,
+        s"$lang p$q: est $est vs exact $exact") }
   }
 
   test("hll rho law: leading-zero-bit extraction from the hex field (F49)") {
