@@ -57,12 +57,6 @@ object TextFns {
     else toks.sliding(n).map(_.mkString(" ")).toSet
   }
 
-  /** h60 reduced mod a 31-bit prime: products with <2^31 multipliers
-    * stay inside a signed 64-bit long (no overflow on either engine).
-    */
-  val P31 = 2147483647L
-  def h31(c: Column): Column = h60(c) % P31
-
   /** Whitespace tokenization (the synthetic corpus is single-space
     * separated; a `\s+` regex would be equivalent here).
     */

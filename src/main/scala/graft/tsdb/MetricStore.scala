@@ -16,16 +16,6 @@ object MetricStore {
 
   val DaySeconds = 86400L
 
-  /** Day-partitioned write of raw (path, ts, value) points. Repartition
-    * by day first so each partition directory gets one task's files,
-    * not numPartitions tiny ones.
-    */
-  def writeMetrics(metrics: DataFrame, dir: String): Unit =
-    metrics
-      .withColumn("day", col("ts") - col("ts") % DaySeconds)
-      .repartition(col("day"))
-      .write.partitionBy("day").mode("overwrite").parquet(dir)
-
   /** Materialize the whole archive cascade under `root/step=<s>/`,
     * each level day-partitioned and derived from the previous level,
     * plus the metric path index at `root/paths` (the finder tree's
