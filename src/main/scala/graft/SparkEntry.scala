@@ -113,6 +113,8 @@ object SparkEntry {
     "cgi_render_maxdp" -> ((s, dir) => T.cgiRenderMaxdp(s, dir)),
     "gfn_wrap_counter" -> ((s, dir) => T.gfnWrapCounter(s, dir)),
     "gfn_apply_by_node" -> ((s, dir) => T.gfnApplyByNode(s, dir)),
+    "gfn_generic_select" -> ((s, dir) => T.gfnGenericSelect(s, dir)),
+    "gfn_summarize_align" -> ((s, dir) => T.gfnSummarizeAlign(s, dir)),
     "gfn_aggregate_minmax" -> ((s, dir) => T.gfnAggregateMinmax(s, dir)),
     "gfn_group_nodes" -> ((s, dir) => T.gfnGroupNodes(s, dir)),
     "gfn_multiply_wildcards" -> ((s, dir) => T.gfnMultiplyWildcards(s, dir)),
@@ -3663,6 +3665,40 @@ object SparkEntry {
          |SELECT 'aggregateLine(' || fr.path || ',''avg'')' AS path, t,
          | round(m - 1e-9, 4) AS value
          |FROM fr JOIN keep ON fr.path = keep.path ORDER BY 1, 2""".stripMargin,
+    // C9: the generic selection pipeline — highest(5,"total") rank,
+    // fill-fraction gate (nn>0 AND nn >= 0.02·n, the single float
+    // compare both engines share), generic sortBy("stddev",true) on
+    // the shared moment formula, limit 2 by the rank tag; every stage
+    // ranks on round(,6) with the path tie-break
+    "gfn_generic_select" ->
+      s"""WITH $GfnFrameCte,
+         |st AS (SELECT path, sum(value) AS s FROM fr GROUP BY 1),
+         |top5 AS (SELECT path FROM (SELECT path,
+         |    row_number() OVER (ORDER BY round(s, 6) DESC NULLS LAST, path) AS rk FROM st)
+         |  WHERE rk <= 5),
+         |fill AS (SELECT path FROM (SELECT path, count(value) AS nn, count(*) AS n
+         |    FROM fr JOIN top5 USING (path) GROUP BY path)
+         |  WHERE nn > 0 AND CAST(nn AS DOUBLE) >= 0.02 * CAST(n AS DOUBLE)),
+         |sd AS (SELECT fr.path,
+         |    CASE WHEN count(value) > 0 THEN sqrt(greatest(0.0,
+         |      (sum(value*value) - sum(value)*sum(value)/count(value))
+         |        / count(value))) END AS s
+         |  FROM fr JOIN fill ON fr.path = fill.path GROUP BY 1),
+         |ord3 AS (SELECT path FROM (SELECT path,
+         |    row_number() OVER (ORDER BY round(s, 6) DESC NULLS LAST, path) AS rk FROM sd)
+         |  WHERE rk <= 2)
+         |SELECT fr.path, fr.t, round(fr.value - 1e-9, 4) AS value
+         |FROM fr JOIN ord3 ON fr.path = ord3.path ORDER BY 1, 2""".stripMargin,
+    // C9: summarize alignToFrom — buckets anchored at each series' own
+    // first grid point (t − (t − t0) % 25200), graphite's 4-arg naming
+    "gfn_summarize_align" ->
+      s"""WITH $GfnFrameCte,
+         |anchor AS (SELECT path, min(t) AS t0 FROM fr GROUP BY 1)
+         |SELECT 'summarize(' || fr.path || ', "7hour", "max", true)' AS path,
+         | fr.t - ((fr.t - anchor.t0) % 25200) AS t,
+         | round(max(value) - 1e-9, 4) AS value
+         |FROM fr JOIN anchor ON fr.path = anchor.path
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // C9: applyByNode — the template divideSeries(%.click,%.error)
     // evaluated per 2-node user prefix: dividend joined to its own
     // group's safeSum-collapsed divisor on (user, t); zero/absent

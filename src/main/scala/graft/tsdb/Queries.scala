@@ -780,6 +780,23 @@ object Queries {
     gfnEval(spark, dir,
       """applyByNode(vera.u1?.click,1,"divideSeries(%.click,%.error)")""")
 
+  /** C9au: the graphite-1.1 GENERIC selection pipeline — top-5 by
+    * per-series total, thin series dropped (non-null fill < 2% — drops 2 of the 5),
+    * most-variable first (generic sortBy over the one shared stat
+    * table, reverse=true), limit 2 (so the ordering is load-bearing in the output set). Every stage is a K-row stat +
+    * broadcast semi; the frame never sorts.
+    */
+  def gfnGenericSelect(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir,
+      """limit(sortBy(removeEmptySeries(highest(vera.u1?.click,5,"total"),0.02),"stddev",true),2)""")
+
+  /** C9av: summarize with alignToFrom=true — 7-hour buckets anchored
+    * at each series' own window start (a deliberately non-epoch
+    * interval, so aligned and plain summarize provably differ).
+    */
+  def gfnSummarizeAlign(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, """summarize(vera.u1?.click,"7hour","max",true)""")
+
   /** C9as: counter-wrap recovery — both maxValue forms over the same
     * per-series frame: every DECREASE whose current reading fits under
     * the 10000 ceiling reads as a wrap (delta = max − prev + curr + 1;

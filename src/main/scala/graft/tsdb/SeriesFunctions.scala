@@ -229,6 +229,36 @@ object SeriesFunctions {
     f.join(broadcast(ranked), Seq("path"))
   }
 
+  /** Graphite 1.1 `sortBy(seriesList[, func[, reverse]])` — the
+    * GENERIC ordering form the named sortBy* family specializes:
+    * ascending by the callback's per-series value (graphite's
+    * default), `reverse` flips. Same K-row rank-tag + broadcast shape;
+    * the callback comes from the one shared [[seriesStat]] table, so
+    * "total"/"stddev"/"count"/"range"/"current" all order here exactly
+    * as they select in highest/lowest.
+    */
+  def sortBySeries(f: DataFrame, func: String, reverse: Boolean): DataFrame =
+    sortBySeriesStat(f, seriesStat(func, "sortBy"), descending = reverse)
+
+  /** Graphite `removeEmptySeries(seriesList[, xFilesFactor])` — drop
+    * series with no data at all (the default), or whose non-null
+    * fraction falls below xff: the dashboard-hygiene filter that keeps
+    * a 500-series glob from rendering 400 empty lines. K-row
+    * (non-null, total) counts + broadcast semi; names untouched
+    * (graphite does not wrap here). The xff comparison is the single
+    * float expression `nn >= xff·n`, identical in both engines.
+    */
+  def removeEmptySeries(f: DataFrame, xff: Double = 0.0): DataFrame = {
+    require(xff >= 0.0 && xff <= 1.0,
+      s"removeEmptySeries: xFilesFactor must be in [0,1] (got $xff)")
+    val keep = f.groupBy(col("path"))
+      .agg(count(col("value")).as("nn"), count(lit(1)).as("n"))
+      .filter(col("nn") > 0 &&
+        col("nn").cast("double") >= lit(xff) * col("n").cast("double"))
+      .select(col("path"))
+    f.join(broadcast(keep), Seq("path"), "left_semi")
+  }
+
   /** Graphite `sortByMaxima`: series ordered by their maximum,
     * highest first.
     */
@@ -811,22 +841,48 @@ object SeriesFunctions {
     * `last` takes the latest NON-NULL point in the bucket; an all-gap
     * bucket is null. One map-side-combined aggregation.
     */
+  /** The ONE bucket-aggregate table summarize / smartSummarize /
+    * summarize-alignToFrom share (the canonAgg single-sourcing rule
+    * applied to the re-bucketing family; `last` needs the (t, value)
+    * pick, so it lives here rather than in aggExpr).
+    */
+  private def bucketAgg(func: String, ctx: String): Column = func match {
+    case "sum" => sum(col("value"))
+    case "avg" | "average" => avg(col("value"))
+    case "max" => max(col("value"))
+    case "min" => min(col("value"))
+    case "last" => max(when(col("value").isNotNull,
+      struct(col("t"), col("value")))).getField("value")
+    case other => throw new IllegalArgumentException(s"$ctx: unknown func '$other'")
+  }
+
   def summarize(f: DataFrame, intervalSec: Long, func: String,
                 intervalText: String): DataFrame = {
     require(intervalSec >= 1, s"summarize interval must be >= 1s (got $intervalSec)")
-    val agg: Column = func match {
-      case "sum" => sum(col("value"))
-      case "avg" | "average" => avg(col("value"))
-      case "max" => max(col("value"))
-      case "min" => min(col("value"))
-      case "last" => max(when(col("value").isNotNull,
-        struct(col("t"), col("value")))).getField("value")
-      case other => throw new IllegalArgumentException(s"summarize: unknown func '$other'")
-    }
     f.groupBy(col("path"), (col("t") - col("t") % intervalSec).as("t"))
-      .agg(agg.cast("double").as("value"))
+      .agg(bucketAgg(func, "summarize").cast("double").as("value"))
       .select(concat(lit("summarize("), col("path"),
         lit(s""", "$intervalText", "$func")""")).as("path"),
+        col("t"), col("value"))
+  }
+
+  /** Graphite `summarize(series, interval, func, alignToFrom=true)` —
+    * buckets aligned to the window start instead of the epoch grid:
+    * the same per-series-min(t) anchor as [[smartSummarize]] (the
+    * frame carries no fetch metadata, so the series' first grid point
+    * IS the window start — the documented contract), but named the
+    * way graphite names the 4-arg summarize form.
+    */
+  def summarizeAligned(f: DataFrame, intervalSec: Long, func: String,
+                       intervalText: String): DataFrame = {
+    require(intervalSec >= 1,
+      s"summarize: interval must be >= 1s (got $intervalSec)")
+    val t0 = min(col("t")).over(Window.partitionBy(col("path")))
+    f.withColumn("b", col("t") - pmod(col("t") - t0, lit(intervalSec)))
+      .groupBy(col("path"), col("b").as("t"))
+      .agg(bucketAgg(func, "summarize").cast("double").as("value"))
+      .select(concat(lit("summarize("), col("path"),
+        lit(s""", "$intervalText", "$func", true)""")).as("path"),
         col("t"), col("value"))
   }
 
@@ -910,19 +966,10 @@ object SeriesFunctions {
   def smartSummarize(f: DataFrame, intervalSec: Long, func: String,
                      intervalText: String): DataFrame = {
     require(intervalSec >= 1, s"smartSummarize interval must be >= 1s (got $intervalSec)")
-    val agg: Column = func match {
-      case "sum" => sum(col("value"))
-      case "avg" | "average" => avg(col("value"))
-      case "max" => max(col("value"))
-      case "min" => min(col("value"))
-      case "last" => max(when(col("value").isNotNull,
-        struct(col("t"), col("value")))).getField("value")
-      case other => throw new IllegalArgumentException(s"smartSummarize: unknown func '$other'")
-    }
     val t0 = min(col("t")).over(Window.partitionBy(col("path")))
     f.withColumn("b", col("t") - pmod(col("t") - t0, lit(intervalSec)))
       .groupBy(col("path"), col("b").as("t"))
-      .agg(agg.cast("double").as("value"))
+      .agg(bucketAgg(func, "smartSummarize").cast("double").as("value"))
       .select(concat(lit("smartSummarize("), col("path"),
         lit(s""", "$intervalText", "$func")""")).as("path"),
         col("t"), col("value"))
@@ -936,15 +983,25 @@ object SeriesFunctions {
     * by path for engine-stable selection. One aggregate over the frame
     * (K series rows) broadcast back — never a sort of the frame.
     */
+  /** Per-series stat table for the GENERIC selection/ordering
+    * functions (graphite 1.1 `highest`/`lowest`/`sortBy` take the
+    * callback by name): the shared [[aggExpr]] table (sum/total, avg,
+    * min, max, count, range, stddev — applied per series over time
+    * instead of per timestamp across series; the Column is the same)
+    * plus the position stats `current`/`last` that need the
+    * latest-non-null pick. ONE table, so the generic forms and the
+    * legacy named forms (highestCurrent, sortByTotal, ...) can't
+    * drift.
+    */
+  private def seriesStat(stat: String, ctx: String): Column = stat match {
+    case "current" | "last" => max(when(col("value").isNotNull,
+      struct(col("t"), col("value")))).getField("value")
+    case other => aggExpr(canonAgg(other, ctx))
+  }
+
   def highest(f: DataFrame, n: Int, stat: String): DataFrame = {
     require(n >= 1, s"highest: n must be >= 1 (got $n)")
-    val statAgg: Column = stat match {
-      case "current" => max(when(col("value").isNotNull,
-        struct(col("t"), col("value")))).getField("value")
-      case "average" => avg(col("value"))
-      case "max" => max(col("value"))
-      case other => throw new IllegalArgumentException(s"highest: unknown stat '$other'")
-    }
+    val statAgg: Column = seriesStat(stat, "highest")
     // rank on round(stat, 6): raw doubles could differ between engines
     // in the last ulp (accumulation order), and the path tie-break then
     // decides — the ANN-family ranking discipline
@@ -968,13 +1025,7 @@ object SeriesFunctions {
     */
   def lowest(f: DataFrame, n: Int, stat: String): DataFrame = {
     require(n >= 1, s"lowest: n must be >= 1 (got $n)")
-    val statAgg: Column = stat match {
-      case "current" => max(when(col("value").isNotNull,
-        struct(col("t"), col("value")))).getField("value")
-      case "average" => avg(col("value"))
-      case "min" => min(col("value"))
-      case other => throw new IllegalArgumentException(s"lowest: unknown stat '$other'")
-    }
+    val statAgg: Column = seriesStat(stat, "lowest")
     val ranked = f.groupBy(col("path")).agg(statAgg.as("s"))
       .select(col("path"), row_number().over(
         Window.orderBy(round(col("s"), 6).asc_nulls_last, col("path"))).as("rk"))

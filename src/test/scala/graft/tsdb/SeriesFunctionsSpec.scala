@@ -790,6 +790,45 @@ class SeriesFunctionsSpec extends SparkSpec {
     assert(vals(SeriesFunctions.keepLastValue(lead, 2)).head._3.isEmpty)
   }
 
+  test("generic highest/lowest/sortBy, removeEmptySeries, aligned summarize") {
+    val f = frame(
+      ("a", 0L, 1.0), ("a", 60L, 9.0), // total 10, stddev 4
+      ("b", 0L, 4.0), ("b", 60L, 4.0), // total 8, stddev 0
+      ("c", 0L, null), ("c", 60L, null), // empty
+      ("d", 0L, 2.0), ("d", 60L, null)) // total 2, fill 50%
+    // generic callbacks ride the ONE shared stat table
+    assert(vals(SeriesFunctions.highest(f, 1, "total")).map(_._1).distinct
+      == Seq("a"))
+    assert(vals(SeriesFunctions.highest(f, 2, "stddev")).map(_._1).distinct
+      == Seq("a", "b")) // stddev: a=4, b=0, d=0 (b beats d by path), c null
+    assert(vals(SeriesFunctions.lowest(f, 1, "max")).map(_._1).distinct
+      == Seq("d")) // maxima: d=2 < b=4 < a=9; null(c) last
+    // sortBy: ascending by default (graphite), reverse flips; the ord
+    // tag drives limit
+    assert(vals(SeriesFunctions.limitSeries(
+      SeriesFunctions.sortBySeries(f, "total", reverse = false), 1))
+      .map(_._1).distinct == Seq("d"))
+    assert(vals(SeriesFunctions.limitSeries(
+      SeriesFunctions.sortBySeries(f, "total", reverse = true), 1))
+      .map(_._1).distinct == Seq("a"))
+    // removeEmptySeries: default drops only the all-null series; an
+    // xff gate drops the half-filled one too
+    assert(vals(SeriesFunctions.removeEmptySeries(f)).map(_._1).distinct
+      == Seq("a", "b", "d"))
+    assert(vals(SeriesFunctions.removeEmptySeries(f, 0.6)).map(_._1).distinct
+      == Seq("a", "b"))
+    // summarize alignToFrom: buckets anchor at the series' own first
+    // point, not the epoch grid; graphite's 4-arg naming
+    val e = frame(("e", 100L, 1.0), ("e", 160L, 2.0), ("e", 220L, 4.0))
+    assert(vals(SeriesFunctions.summarizeAligned(e, 120L, "sum", "2min")) ==
+      Seq(("""summarize(e, "2min", "sum", true)""", 100L, Some(3.0)),
+        ("""summarize(e, "2min", "sum", true)""", 220L, Some(4.0))))
+    // the same call through the parser's 4-arg summarize form
+    val parsed = TargetExpr.eval(
+      parse("""summarize(e.*,"2min","sum",true)"""), _ => e)
+    assert(vals(parsed) == vals(SeriesFunctions.summarizeAligned(e, 120L, "sum", "2min")))
+  }
+
   test("applyByNode: per-group template, group-count-independent plan") {
     // hosts a/b carry err+total; host c has ONLY total — matched by
     // the template's %.total leg but absent from the input glob's
