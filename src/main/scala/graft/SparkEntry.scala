@@ -223,6 +223,8 @@ object SparkEntry {
     "corpus_quantile_incremental" -> ((s, dir) => L.corpusQuantileIncremental(s, dir)),
     "corpus_mix_plan" -> ((s, dir) => L.corpusMixPlan(s, dir)),
     "corpus_mix_apply" -> ((s, dir) => L.corpusMixApply(s, dir)),
+    "corpus_mix_temperature" -> ((s, dir) => L.corpusMixTemperature(s, dir)),
+    "corpus_mix_temperature_apply" -> ((s, dir) => L.corpusMixTemperatureApply(s, dir)),
     "stream_mix_gate" -> ((s, dir) => L.streamMixGate(s, dir)),
     "corpus_quality_buckets" -> ((s, dir) => L.corpusQualityBuckets(s, dir)),
     "corpus_report" -> ((s, dir) => L.corpusReport(s, dir)),
@@ -2540,6 +2542,35 @@ object SparkEntry {
     // is rendered from the same Seq, unlisted langs take the default
     // F35: token budgets → basis-point keep rates, all-integer
     // (DuckDB `//` floor-div replays Spark's explicit floor)
+    // F55: the temperature plan law replayed — sqrt (correctly-rounded
+    // in both engines) snapped to 1e-6 fixed point BEFORE the
+    // normalizer sum (integer, order-free), then pure // arithmetic
+    "corpus_mix_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        |sq AS (SELECT lang, n_docs,
+        |  CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1e6, 0) AS BIGINT) AS sq_fp FROM c),
+        |tot AS (SELECT sum(sq_fp) AS s_fp FROM sq)
+        |SELECT lang, n_docs, sq_fp,
+        | CAST((3000 * sq_fp) // s_fp AS BIGINT) AS picks,
+        | CAST(least(10000, (10000 * ((3000 * sq_fp) // s_fp)) // n_docs) AS BIGINT) AS rate_bp
+        |FROM sq CROSS JOIN tot ORDER BY 1""".stripMargin,
+    // F55b: plan → broadcast join → the F24 salted keep rule, with a
+    // planless stratum dropping at rate 0
+    "corpus_mix_temperature_apply" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        |sq AS (SELECT lang, n_docs,
+        |  CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1e6, 0) AS BIGINT) AS sq_fp FROM c),
+        |tot AS (SELECT sum(sq_fp) AS s_fp FROM sq),
+        |plan AS (SELECT lang,
+        |  CAST(least(10000, (10000 * ((3000 * sq_fp) // s_fp)) // n_docs) AS BIGINT) AS rate_bp
+        | FROM sq CROSS JOIN tot)
+        |SELECT d.doc_id, d.lang,
+        | ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)||'#sample'),1,15))::BIGINT % 10000 AS bucket,
+        | coalesce(p.rate_bp, 0) AS rate_bp,
+        | CASE WHEN ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)||'#sample'),1,15))::BIGINT % 10000
+        |        < coalesce(p.rate_bp, 0)
+        |      THEN 1::BIGINT ELSE 0::BIGINT END AS keep
+        |FROM documents d LEFT JOIN plan p USING (lang) ORDER BY d.doc_id""".stripMargin,
     "corpus_mix_plan" -> {
       import graft.ops.{LlmQueries => LQ}
       val caseSql = LQ.MixTargets.map { case (l, t) => s"WHEN '$l' THEN $t" }.mkString(" ")

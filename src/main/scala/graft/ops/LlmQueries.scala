@@ -922,6 +922,23 @@ object LlmQueries {
     * sampler, and the report shows kept docs / token mass per lang —
     * the full budget→sample loop a pipeline actually runs.
     */
+  /** F55: temperature-scaled mixture plan — α=1/2 exponentiated
+    * sampling over the per-lang doc counts at a 3000-doc budget; the
+    * published low-resource-upweighting recipe as a K-row plan.
+    */
+  val TemperatureBudget = 3000L
+  def corpusMixTemperature(spark: SparkSession, dir: String): DataFrame =
+    Sampling.mixPlanTemperature(Tables.documents(spark, dir), TemperatureBudget)
+
+  /** F55b: the plan applied WITHOUT a driver collect — the K-row plan
+    * broadcast-joins into the one F24 sampler projection.
+    */
+  def corpusMixTemperatureApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Sampling.sampleWithPlan(docs,
+      Sampling.mixPlanTemperature(docs, TemperatureBudget))
+  }
+
   def corpusMixApply(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val rates = Sampling.mixPlan(docs, MixTargets, MixDefaultTarget)

@@ -221,6 +221,63 @@ object Sampling {
     * target, rate, expected kept tokens = available·rate/10000) a
     * human signs off on before the sampler runs.
     */
+  /** F55: TEMPERATURE-scaled mixture plan — the multilingual
+    * pretraining recipe (XLM-R / mBERT exponentiated sampling): draw
+    * stratum i with probability ∝ p_i^α, α ∈ (0,1), so low-resource
+    * strata are upweighted without discarding the head (α=1 is plain
+    * proportional sampling — every stratum gets the SAME rate; α<1 is
+    * the whole point). Given per-stratum doc counts c_i and a total
+    * budget of T docs: q_i ∝ c_i^α, picks_i = T·q_i, rate_bp_i =
+    * min(10000, 10000·picks_i div c_i).
+    *
+    * α is fixed at 1/2 so the power is `sqrt` — correctly rounded
+    * IEEE in BOTH engines (pow(x, 0.5) carries no such guarantee) —
+    * and each sqrt snaps to a 1e-6 fixed-point BIGINT BEFORE the
+    * cross-stratum normalizer sum (the F23/F50 discipline: an integer
+    * sum is accumulation-order-free where a float sum of K sqrts is
+    * not), after which every derivation is integer div arithmetic.
+    * Bounds: c ≤ 1e12 ⇒ sq_fp ≤ 1e12; T ≤ 1e6 keeps T·sq_fp < 2^63.
+    * K-row output — the plan artifact the sampler freezes.
+    */
+  def mixPlanTemperature(docs: DataFrame, totalBudget: Long,
+                         strataCol: String = "lang"): DataFrame = {
+    require(totalBudget >= 0 && totalBudget <= 1000000L,
+      s"totalBudget in [0, 1e6] (got $totalBudget; the fixed-point bound)")
+    val counts = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("n_docs"))
+    val sq = counts.withColumn("sq_fp",
+      round(sqrt(col("n_docs").cast("double")) * 1e6, 0).cast("long"))
+    val tot = sq.agg(sum(col("sq_fp")).as("s_fp"))
+    sq.crossJoin(broadcast(tot))
+      .withColumn("picks", expr(s"${totalBudget}L * sq_fp div s_fp"))
+      .withColumn("rate_bp",
+        least(lit(10000L), expr("10000L * picks div n_docs")))
+      .select(col(strataCol), col("n_docs"), col("sq_fp"),
+        col("picks"), col("rate_bp"))
+      .orderBy(col(strataCol))
+  }
+
+  /** F55 apply: the F24 sampler driven by a PLAN TABLE instead of a
+    * literal rate list — the K-row plan broadcast-joins on the
+    * stratum, then the same salted bucket and pure-integer keep as
+    * [[sampleByStratum]] (a stratum absent from the plan drops, rate
+    * 0). This is how a computed plan (F35's or F55's) feeds the
+    * sampler WITHOUT a driver-side collect.
+    */
+  def sampleWithPlan(docs: DataFrame, plan: DataFrame,
+                     strataCol: String = "lang",
+                     idCol: String = "doc_id"): DataFrame = {
+    val bucket = graft.text.TextFns
+      .h60(concat(col(idCol).cast("string"), lit("#sample"))) % 10000L
+    docs.select(col(idCol), col(strataCol), bucket.as("bucket"))
+      .join(broadcast(plan.select(col(strataCol), col("rate_bp"))),
+        Seq(strataCol), "left")
+      .select(col(idCol), col(strataCol), col("bucket"),
+        coalesce(col("rate_bp"), lit(0L)).as("rate_bp"),
+        when(col("bucket") < coalesce(col("rate_bp"), lit(0L)), 1L)
+          .otherwise(0L).as("keep"))
+      .orderBy(col(idCol))
+  }
+
   def mixPlan(docs: DataFrame, targets: Seq[(String, Long)],
               defaultTarget: Long, strataCol: String = "lang"): DataFrame = {
     require(targets.forall(_._2 >= 0) && defaultTarget >= 0,

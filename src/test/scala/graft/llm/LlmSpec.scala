@@ -1169,6 +1169,36 @@ class LlmSpec extends SparkSpec {
     assert(out(0L)._3 > out(1L)._3)
   }
 
+  test("temperature mix: low-resource upweighting, plan-driven apply (F55)") {
+    import graft.ops.Sampling
+    // strata x:100 docs, y:400 docs, budget 100. α=1/2: sq_fp =
+    // 10e6 / 20e6, normalizer 30e6 → picks 33/66, rates 3300/1650 bp —
+    // the low-resource stratum samples at TWICE the high-resource rate
+    // (plain proportional sampling would give both the same rate)
+    val docs = ((0 until 100).map(i => (i.toLong, "x")) ++
+      (100 until 500).map(i => (i.toLong, "y"))).toDF("doc_id", "lang")
+    val plan = Sampling.mixPlanTemperature(docs, 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(plan.toSeq == Seq(
+      ("x", 100L, 10000000L, 33L, 3300L),
+      ("y", 400L, 20000000L, 66L, 1650L)))
+    // total expected picks ≤ budget (floor losses only)
+    assert(plan.map(_._4).sum <= 100L)
+    // plan-driven apply ≡ the literal-rate sampler on the same rates
+    val viaPlan = Sampling.sampleWithPlan(docs,
+      Sampling.mixPlanTemperature(docs, 100L)).collect().toSeq
+    val viaRates = Sampling.sampleByStratum(docs,
+      Seq("x" -> 3300, "y" -> 1650), defaultBp = 0).collect().toSeq
+    assert(viaPlan == viaRates)
+    // a stratum absent from the plan drops at rate 0
+    val extra = docs.unionByName(Seq((900L, "z")).toDF("doc_id", "lang"))
+    val gated = Sampling.sampleWithPlan(extra,
+      Sampling.mixPlanTemperature(docs, 100L))
+      .filter(col("lang") === "z").collect()
+    assert(gated.length == 1 && gated.head.getLong(4) == 0L)
+  }
+
   test("mix planning: budgets to rates, cap and exclusion; apply keeps accordingly (F35)") {
     import graft.ops.Sampling
     // hand-built corpus: en 20 tokens over 2 docs, de 6 tokens, zh 4
