@@ -225,6 +225,7 @@ object SparkEntry {
     "corpus_mix_apply" -> ((s, dir) => L.corpusMixApply(s, dir)),
     "corpus_mix_temperature" -> ((s, dir) => L.corpusMixTemperature(s, dir)),
     "corpus_mix_temperature_apply" -> ((s, dir) => L.corpusMixTemperatureApply(s, dir)),
+    "corpus_window_chunks" -> ((s, dir) => L.corpusWindowChunks(s, dir)),
     "stream_mix_gate" -> ((s, dir) => L.streamMixGate(s, dir)),
     "corpus_quality_buckets" -> ((s, dir) => L.corpusQualityBuckets(s, dir)),
     "corpus_report" -> ((s, dir) => L.corpusReport(s, dir)),
@@ -2542,6 +2543,21 @@ object SparkEntry {
     // is rendered from the same Seq, unlisted langs take the default
     // F35: token budgets → basis-point keep rates, all-integer
     // (DuckDB `//` floor-div replays Spark's explicit floor)
+    // F56: the chunking law replayed — K = 1 for n<=32 else
+    // 1 + ceil((n-32)/24) via //, window k = positions [24k, 24k+len),
+    // md5 over the space-joined slice as the byte-level witness
+    "corpus_window_chunks" ->
+      s"""WITH $TK,
+         |nn AS (SELECT doc_id, toks, len(toks) AS n FROM tk),
+         |kk AS (SELECT doc_id, toks, n,
+         |  CASE WHEN n <= 32 THEN 1 ELSE 1 + (n - 32 + 23) // 24 END AS nk FROM nn),
+         |w AS (SELECT doc_id, toks, n, unnest(range(nk)) AS k FROM kk)
+         |SELECT doc_id, CAST(k AS BIGINT) AS k,
+         | CAST(k * 24 AS BIGINT) AS start,
+         | CAST(least(32, n - k * 24) AS BIGINT) AS len,
+         | md5(array_to_string(
+         |   list_slice(toks, k*24 + 1, k*24 + least(32, n - k*24)), ' ')) AS chunk_md5
+         |FROM w ORDER BY 1, 2""".stripMargin,
     // F55: the temperature plan law replayed — sqrt (correctly-rounded
     // in both engines) snapped to 1e-6 fixed point BEFORE the
     // normalizer sum (integer, order-free), then pure // arithmetic

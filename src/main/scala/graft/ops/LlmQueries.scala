@@ -922,6 +922,16 @@ object LlmQueries {
     * sampler, and the report shows kept docs / token mass per lang —
     * the full budget→sample loop a pipeline actually runs.
     */
+  /** F56: sliding-window context chunking — 32-token windows, 8-token
+    * overlap (step 24): the training-example generator; map-only, one
+    * in-row explode, md5 content witness per chunk.
+    */
+  val ChunkWindow = 32
+  val ChunkOverlap = 8
+  def corpusWindowChunks(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.windowChunks(Tables.documents(spark, dir),
+      ChunkWindow, ChunkOverlap)
+
   /** F55: temperature-scaled mixture plan — α=1/2 exponentiated
     * sampling over the per-lang doc counts at a 3000-doc budget; the
     * published low-resource-upweighting recipe as a K-row plan.

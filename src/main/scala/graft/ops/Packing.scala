@@ -32,6 +32,48 @@ import graft.text.TextFns
   */
 object Packing {
 
+  /** F56: SLIDING-WINDOW context chunking — the training-example
+    * generator F27 doesn't cover (F27 lays whole docs into shards;
+    * this cuts ONE long document into fixed-length contexts with
+    * overlap, the HF `return_overflowing_tokens`/RAG-chunker shape):
+    * window k of a doc with n tokens covers token positions
+    * [k·step, min(k·step + w, n)) for k in [0, K), step = w − overlap,
+    * K = 1 for n ≤ w else 1 + ⌈(n−w)/step⌉ — so every token is
+    * covered, consecutive windows share exactly `overlap` tokens, and
+    * only the final window may run short. Pure integer arithmetic +
+    * an md5 of the window's joined tokens as the content witness, so
+    * the oracle replays every boundary and byte.
+    *
+    * Scale shape: MAP-ONLY — one in-row `sequence` explode per doc,
+    * no shuffle anywhere; output rows ≈ Σ n/step. At 100 TB this is
+    * the shape you want: chunking parallelizes embarrassingly and the
+    * plan stays one whole-stage-codegen pass over the scan.
+    */
+  def windowChunks(docs: DataFrame, window: Int, overlap: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1 (got $window)")
+    require(overlap >= 0 && overlap < window,
+      s"overlap in [0, window) (got $overlap for window $window)")
+    val step = window - overlap
+    val toks = TextFns.tokens(col("text"))
+    docs
+      .select(col("doc_id"), toks.as("toks"),
+        size(toks).cast("long").as("n"))
+      // integer ceil-division via `div` (Column `/` on longs widens to
+      // double silently — the F35 lesson)
+      .withColumn("nk", when(col("n") <= window, lit(1L))
+        .otherwise(lit(1L) + expr(s"(n - $window + ${step - 1}) div $step")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("nk") - 1)).as("k"))
+      .select(col("doc_id"), col("k"),
+        (col("k") * step).as("start"),
+        least(lit(window.toLong), col("n") - col("k") * step).as("len"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("k") * step + 1).cast("int"),
+            least(lit(window.toLong), col("n") - col("k") * step).cast("int"))))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("k"))
+  }
+
   def pack(docs: DataFrame, budget: Long, bucketBits: Int = 8): DataFrame = {
     require(budget > 0, s"token budget must be positive (got $budget)")
     require(bucketBits >= 1 && bucketBits <= 20, s"bucketBits in [1,20]")

@@ -1169,6 +1169,44 @@ class LlmSpec extends SparkSpec {
     assert(out(0L)._3 > out(1L)._3)
   }
 
+  test("window chunking: coverage, exact overlap, map-only plan (F56)") {
+    import graft.ops.Packing
+    // n=10, window 4, overlap 1 (step 3): K = 1+ceil(6/3) = 3, the
+    // last window ends exactly at n; short and exact-fit docs get one
+    val docs = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b"), (3L, "exactly four tokens here")).toDF("doc_id", "text")
+    val out = Packing.windowChunks(docs, 4, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 4L), (1L, 1L, 3L, 4L), (1L, 2L, 6L, 4L),
+      (2L, 0L, 0L, 2L), (3L, 0L, 0L, 4L)))
+    // a ragged tail: every token covered, consecutive windows share
+    // exactly `overlap` tokens, only the final window runs short
+    val eleven = Seq((9L, (0 until 11).map("w" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = Packing.windowChunks(eleven, 4, 1).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L),
+      (3L, 9L, 2L)))
+    assert(rows.last._2 + rows.last._3 == 11)
+    // zero overlap degenerates to plain fixed blocks
+    assert(Packing.windowChunks(eleven, 4, 0).collect()
+      .map(_.getLong(3)).toSeq == Seq(4L, 4L, 3L))
+    // identical windows hash identically, shifted ones don't — the
+    // content witness is the window text, not the position
+    val twin = Seq((1L, "x y z p q r"), (2L, "x y z p q r"))
+      .toDF("doc_id", "text")
+    val hs = Packing.windowChunks(twin, 4, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(4)).toMap
+    assert(hs((1L, 0L)) == hs((2L, 0L)) && hs((1L, 0L)) != hs((1L, 1L)))
+    // MAP-ONLY: chunking never shuffles (the final orderBy is the
+    // driver contract's range partitioning, not a hash exchange)
+    val plan = Packing.windowChunks(docs, 4, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"))
+    intercept[IllegalArgumentException](Packing.windowChunks(docs, 4, 4))
+  }
+
   test("temperature mix: low-resource upweighting, plan-driven apply (F55)") {
     import graft.ops.Sampling
     // strata x:100 docs, y:400 docs, budget 100. α=1/2: sq_fp =
