@@ -465,6 +465,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(3000))
   }
 
+  test("r8 family plan shapes: broadcasts everywhere, bounded exchanges") {
+    // C10: two fetch pipelines (3 exchanges each) + ONE consolidation
+    // aggregate — the budget costs one exchange, never one per series
+    val co = plan("gfn_consolidate")
+    assert(countOf(co, "Exchange hashpartitioning") == 7, co.take(3000))
+    assert(!co.contains("SortMergeJoin"), co.take(3000))
+    // the URL form: one fetch pipeline + the same single extra exchange
+    val cm = plan("cgi_render_maxdp")
+    assert(countOf(cm, "Exchange hashpartitioning") == 4, cm.take(3000))
+    // G19: ONE exchange total (the index max aggregate); the
+    // stream-static join itself broadcasts the K-row index
+    val ae = plan("stream_asof_enrich")
+    assert(countOf(ae, "Exchange hashpartitioning") == 1, ae.take(3000))
+    assert(ae.contains("BroadcastHashJoin") && !ae.contains("SortMergeJoin"),
+      ae.take(3000))
+    // F55b: counts + normalizer aggregates only; the plan table then
+    // BROADCASTS into the map-only sampler projection
+    val mt = plan("corpus_mix_temperature_apply")
+    assert(countOf(mt, "Exchange hashpartitioning") == 2, mt.take(3000))
+    assert(mt.contains("BroadcastHashJoin") && !mt.contains("SortMergeJoin"),
+      mt.take(3000))
+    // F54b: two half-sketches + the merge — three register-sized
+    // aggregates, NO join and no corpus-sized window (the estimate's
+    // windows run over the K-row register table)
+    val qi = plan("corpus_quantile_incremental")
+    assert(countOf(qi, "Exchange hashpartitioning") == 3, qi.take(3000))
+    assert(!qi.contains("Join"), qi.take(3000))
+  }
+
   test("no unbounded cartesian product in any driver query") {
     // broadcast nested-loop joins over bounded broadcasts (band index,
     // centroid codebook, query subset, 1-row bounds) are fine; a
