@@ -25,6 +25,8 @@ object SparkEntry {
     "events_asof" -> ((s, dir) => Relational.eventsAsof(s, dir)),
     "events_asof_tol" -> ((s, dir) => Relational.eventsAsofTol(s, dir)),
     "stream_asof_enrich" -> ((s, dir) => Relational.streamAsofEnrich(s, dir)),
+    "events_funnel" -> ((s, dir) => Relational.eventsFunnel(s, dir)),
+    "events_retention" -> ((s, dir) => Relational.eventsRetention(s, dir)),
     "events_interval_count" -> ((s, dir) => Relational.eventsIntervalCount(s, dir)),
     // A. Carbon ingest
     "carbon_parse" -> ((s, dir) => T.carbonParse(s, dir)),
@@ -4406,6 +4408,38 @@ object SparkEntry {
         | coalesce(asof_id, -1) AS asof_id, coalesce(asof_t, -1) AS asof_t,
         | coalesce(t - asof_t, -1) AS lag_s
         |FROM w WHERE isl = 1 ORDER BY event_id""".stripMargin,
+    // E8: the conversion funnel — three sequential conditional mins
+    // per user (view, click-at-or-after, purchase-at-or-after), -1
+    // sentinels, depth = completed steps
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |  event_type FROM events),
+        |s1 AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN t END) AS t1 FROM e GROUP BY 1),
+        |s2 AS (SELECT e.user_id,
+        |  min(CASE WHEN event_type = 'click' AND t >= t1 THEN t END) AS t2
+        | FROM e JOIN s1 USING (user_id) GROUP BY 1),
+        |s3 AS (SELECT e.user_id,
+        |  min(CASE WHEN event_type = 'purchase' AND t >= t2 THEN t END) AS t3
+        | FROM e JOIN s2 USING (user_id) GROUP BY 1)
+        |SELECT s1.user_id,
+        | coalesce(t1, -1) AS t_view, coalesce(t2, -1) AS t_click,
+        | coalesce(t3, -1) AS t_purchase,
+        | CAST((CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) +
+        |      (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) +
+        |      (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS depth
+        |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    // E9: the cohort retention matrix — epoch-week integer arithmetic,
+    // first-event cohort, distinct weekly activity, per-cell users
+    "events_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1)
+        |SELECT c.cohort, e.wk - c.cohort AS offset,
+        | CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // E7: keyless point-in-interval range join — the oracle states the
     // SEMANTICS as the plain BETWEEN theta-join; the Spark side's
     // bucketed equi-join must reproduce it row for row

@@ -161,6 +161,73 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** E8: conversion FUNNEL — the ordered-step query every product
+    * analytics stack runs (view → click → purchase, each step at or
+    * after the previous): t1 = first view, t2 = first click at-or-
+    * after t1, t3 = first purchase at-or-after t2, depth = completed
+    * steps. Three conditional-min windows over ONE user partitioning —
+    * the sequential dependency (t2 needs t1) is a second window pass
+    * over the SAME key, so the whole funnel costs one shuffle, not a
+    * self-join per step (the naive 3-way join shuffles the event
+    * table three times and explodes on active users). −1 sentinels as
+    * in [[eventsAsof]]; at-or-after is `>=` — a same-second
+    * view+click pair counts, the tie contract the spec pins.
+    */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnel(Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("long").as("t"),
+        col("event_type")))
+
+  /** The E8 core over a (user_id, t, event_type) frame. */
+  def funnel(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    e
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("t"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("t") >= col("t1"),
+          col("t"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("t") >= col("t2"),
+          col("t"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(first(col("t1")).as("v1"), first(col("t2")).as("v2"),
+        first(col("t3")).as("v3"))
+      .select(col("user_id"),
+        coalesce(col("v1"), lit(-1L)).as("t_view"),
+        coalesce(col("v2"), lit(-1L)).as("t_click"),
+        coalesce(col("v3"), lit(-1L)).as("t_purchase"),
+        (when(col("v1").isNotNull, 1L).otherwise(0L) +
+          when(col("v2").isNotNull, 1L).otherwise(0L) +
+          when(col("v3").isNotNull, 1L).otherwise(0L)).as("depth"))
+      .orderBy(col("user_id"))
+  }
+
+  /** E9: cohort RETENTION — the week-over-week comeback matrix: each
+    * user's cohort is the epoch-week of their FIRST event; for every
+    * (cohort, week-offset) cell, how many of the cohort's users were
+    * active that week. Two aggregates (first-event per user, distinct
+    * (user, week) activity) joined on user — both shuffles on the
+    * user key, co-partitionable; the output is a
+    * O(#cohorts × #offsets) matrix. Epoch-week = t div 604800 (pure
+    * integer; no calendar library to disagree cross-engine).
+    */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame =
+    retention(Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("cast(ts as long) div 604800").as("wk")))
+
+  /** The E9 core over a (user_id, wk) frame. */
+  def retention(e: DataFrame): DataFrame = {
+    val cohort = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    e.distinct()
+      .join(cohort, Seq("user_id"))
+      .groupBy(col("cohort"), (col("wk") - col("cohort")).as("offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort"), col("offset"))
+  }
+
   /** G19 support: the latest-right-row-per-key INDEX an
     * enrich-at-ingest join consumes (Flink's temporal-join build side
     * as a refreshable artifact). ONE max aggregate over the standing

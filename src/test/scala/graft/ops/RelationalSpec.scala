@@ -59,6 +59,45 @@ class RelationalSpec extends SparkSpec {
     assert(fast == brute)
   }
 
+  test("funnel: ordered steps, same-second ties, out-of-order events (E8)") {
+    // u1: full ordered funnel; u2: purchase BEFORE its click — the
+    // order matters, depth stops at 2; u3: view only; u4: view+click
+    // in the SAME second (>= ties count) but no purchase; u5: no view
+    // at all — clicks without a first view never start the funnel
+    val e = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      (2L, 10L, "view"), (2L, 40L, "click"), (2L, 20L, "purchase"),
+      (3L, 10L, "view"),
+      (4L, 10L, "view"), (4L, 10L, "click"),
+      (5L, 10L, "click"), (5L, 20L, "purchase"))
+      .toDF("user_id", "t", "event_type")
+    val out = Relational.funnel(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 10L, 20L, 30L, 3L),
+      (2L, 10L, 40L, -1L, 2L),
+      (3L, 10L, -1L, -1L, 1L),
+      (4L, 10L, 10L, -1L, 2L),
+      (5L, -1L, -1L, -1L, 0L)))
+    // one shuffle: the three sequential windows share the user key
+    val plan = Relational.funnel(e).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan.take(2000))
+  }
+
+  test("retention: cohorts by first week, comeback cells, dedup (E9)") {
+    // cohort 100: u1 active weeks 100,101,103 (plus a duplicate event
+    // in week 100 that must not double-count); u2 only week 100.
+    // cohort 101: u3 active 101 and 103.
+    val e = Seq((1L, 100L), (1L, 100L), (1L, 101L), (1L, 103L),
+      (2L, 100L), (3L, 101L), (3L, 103L)).toDF("user_id", "wk")
+    val out = Relational.retention(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (100L, 0L, 2L), (100L, 1L, 1L), (100L, 3L, 1L),
+      (101L, 0L, 1L), (101L, 2L, 1L)))
+  }
+
   test("latestIndex: tie rule, merge ≡ rebuild, enrich ≡ as-of on the split (G19)") {
     // the index keeps ONE row per key: max (t, id) — the E6 tie rule
     val a = Seq((1L, 100L, 10L), (1L, 200L, 20L), (2L, 300L, 30L),
