@@ -1242,6 +1242,23 @@ object SeriesFunctions {
     * window aggregate, all-null window → null — the movingSum shape
     * with `min`.
     */
+  /** Graphite 1.1 `movingWindow(seriesList, windowSize, func)` — the
+    * generic front-end the named moving* family specializes; pure
+    * dispatch, so the five windows can never drift from their named
+    * forms ("avg"/"average"/"median"/"sum"/"min"/"max", graphite's
+    * spellings).
+    */
+  def movingWindow(f: DataFrame, n: Int, func: String): DataFrame =
+    func match {
+      case "avg" | "average" => movingAverage(f, n)
+      case "sum" | "total" => movingSum(f, n)
+      case "min" => movingMin(f, n)
+      case "max" => movingMax(f, n)
+      case "median" => movingMedian(f, n)
+      case other =>
+        throw new IllegalArgumentException(s"movingWindow: unknown func '$other'")
+    }
+
   def movingMin(f: DataFrame, n: Int): DataFrame = {
     require(n >= 1, s"movingMin window must be >= 1 (got $n)")
     frame(f, wrap("movingMin", n.toString), col("t"),

@@ -401,6 +401,8 @@ object TargetExpr {
         case "offsetToZero" => arity(1); offsetToZero(series(0))
         case "movingSum" => arity(2); movingSum(series(0), intArg(1))
         case "movingMedian" => arity(2); movingMedian(series(0), intArg(1))
+        case "movingWindow" => arity(3)
+          movingWindow(series(0), intArg(1), str(2))
         case "weightedAverage" => arity(3)
           weightedAverage(series(0), series(1), intArg(2), self)
         case "grep" => arity(2); grep(series(0), str(1))

@@ -827,6 +827,17 @@ class SeriesFunctionsSpec extends SparkSpec {
     val parsed = TargetExpr.eval(
       parse("""summarize(e.*,"2min","sum",true)"""), _ => e)
     assert(vals(parsed) == vals(SeriesFunctions.summarizeAligned(e, 120L, "sum", "2min")))
+    // movingWindow is pure dispatch onto the named moving* family
+    val mf = frame(("m", 0L, 1.0), ("m", 60L, 5.0), ("m", 120L, 3.0))
+    for ((fn, named) <- Seq[(String, DataFrame => DataFrame)](
+      "average" -> (SeriesFunctions.movingAverage(_, 2)),
+      "sum" -> (SeriesFunctions.movingSum(_, 2)),
+      "min" -> (SeriesFunctions.movingMin(_, 2)),
+      "max" -> (SeriesFunctions.movingMax(_, 2)),
+      "median" -> (SeriesFunctions.movingMedian(_, 2))))
+      assert(vals(TargetExpr.eval(
+        parse(s"""movingWindow(m,2,"$fn")"""), _ => mf)) == vals(named(mf)),
+        fn)
   }
 
   test("applyByNode: per-group template, group-count-independent plan") {
