@@ -27,6 +27,7 @@ object SparkEntry {
     "stream_asof_enrich" -> ((s, dir) => Relational.streamAsofEnrich(s, dir)),
     "events_funnel" -> ((s, dir) => Relational.eventsFunnel(s, dir)),
     "events_retention" -> ((s, dir) => Relational.eventsRetention(s, dir)),
+    "stream_funnel" -> ((s, dir) => Relational.streamFunnel(s, dir)),
     "events_interval_count" -> ((s, dir) => Relational.eventsIntervalCount(s, dir)),
     // A. Carbon ingest
     "carbon_parse" -> ((s, dir) => T.carbonParse(s, dir)),
@@ -4429,6 +4430,30 @@ object SparkEntry {
         |      (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) +
         |      (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS depth
         |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    // G20: the streaming funnel's batch twin — the per-user state fold
+    // ≡ E8's window chain restricted to advanced funnels (depth ≥ 1,
+    // the emit-on-change rule); the oracle replays E8's SQL with that
+    // filter, proving the fold/window equivalence cross-engine
+    "stream_funnel" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |  event_type FROM events),
+        |s1 AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN t END) AS t1 FROM e GROUP BY 1),
+        |s2 AS (SELECT e.user_id,
+        |  min(CASE WHEN event_type = 'click' AND t >= t1 THEN t END) AS t2
+        | FROM e JOIN s1 USING (user_id) GROUP BY 1),
+        |s3 AS (SELECT e.user_id,
+        |  min(CASE WHEN event_type = 'purchase' AND t >= t2 THEN t END) AS t3
+        | FROM e JOIN s2 USING (user_id) GROUP BY 1)
+        |SELECT s1.user_id,
+        | coalesce(t1, -1) AS t_view, coalesce(t2, -1) AS t_click,
+        | coalesce(t3, -1) AS t_purchase,
+        | CAST((CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) +
+        |      (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) +
+        |      (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS depth
+        |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+        |WHERE t1 IS NOT NULL
         |ORDER BY user_id""".stripMargin,
     // E9: the cohort retention matrix — epoch-week integer arithmetic,
     // first-event cohort, distinct weekly activity, per-cell users

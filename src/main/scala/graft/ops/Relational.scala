@@ -204,6 +204,22 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** G20 batch twin: [[graft.streaming.CarbonStream.funnelStream]] on
+    * a batch Dataset (state starts empty per user, one "micro-batch" =
+    * the whole corpus), which is provably E8's window chain restricted
+    * to users whose funnel advanced at all (depth ≥ 1) — the oracle
+    * replays E8's SQL with that filter, so the hash match verifies the
+    * fold ≡ windows theorem cross-engine.
+    */
+  def streamFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("long").as("t"),
+        col("event_type")).as[(Long, Long, String)]
+    graft.streaming.CarbonStream.funnelStream(e).toDF()
+      .orderBy(col("user_id"))
+  }
+
   /** E9: cohort RETENTION — the week-over-week comeback matrix: each
     * user's cohort is the epoch-week of their FIRST event; for every
     * (cohort, week-offset) cell, how many of the cohort's users were

@@ -400,6 +400,55 @@ object CarbonStream {
         coalesce(col("seen0"), lit(0L)).as("seen"),
         when(col("seen0").isNull, 1L).otherwise(0L).as("fetch"))
 
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+  final case class FunnelUpdate(user_id: Long, t_view: Long, t_click: Long,
+                                t_purchase: Long, depth: Long)
+
+  /** G20: streaming conversion FUNNEL — E8's ordered-step law
+    * (view → click-at-or-after → purchase-at-or-after) held as
+    * per-user STATE in `flatMapGroupsWithState`: each micro-batch
+    * folds its user's events in (t, step-rank) order through the
+    * step rule (a view seeds t1, the first click ≥ t1 sets t2, the
+    * first purchase ≥ t2 sets t3; views sort before clicks before
+    * purchases at equal t so same-second chains complete — the E8 `>=`
+    * tie contract), emits one [[FunnelUpdate]] row whenever the
+    * user's funnel ADVANCED, and persists the three timestamps (24
+    * bytes/user) in the state store.
+    *
+    * MONOTONE by construction — the changeRelay arrival-order
+    * contract: a late-arriving view EARLIER than the seeded t1 never
+    * rewinds the funnel (the live pipeline answered conversion
+    * questions with what it had seen; the nightly E8 batch run is the
+    * corrector). On a single batch with empty state the fold is
+    * EXACTLY E8's window chain restricted to depth ≥ 1 users — the
+    * driver oracle's theorem.
+    */
+  def funnelStream(events: Dataset[(Long, Long, String)]): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    val rank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, it, state: GroupState[FunnelState]) =>
+          var s = if (state.exists) state.get else FunnelState(-1L, -1L, -1L)
+          val before = s
+          for ((_, t, tp) <- it.toArray
+              .sortBy(x => (x._2, rank.getOrElse(x._3, 3)))) {
+            if (tp == "view" && s.t1 < 0) s = s.copy(t1 = t)
+            if (tp == "click" && s.t2 < 0 && s.t1 >= 0 && t >= s.t1)
+              s = s.copy(t2 = t)
+            if (tp == "purchase" && s.t3 < 0 && s.t2 >= 0 && t >= s.t2)
+              s = s.copy(t3 = t)
+          }
+          state.update(s)
+          if (s != before)
+            Iterator.single(FunnelUpdate(uid, s.t1, s.t2, s.t3,
+              (if (s.t1 >= 0) 1L else 0L) + (if (s.t2 >= 0) 1L else 0L) +
+                (if (s.t3 >= 0) 1L else 0L)))
+          else Iterator.empty
+      }
+  }
+
   /** G19: streaming as-of ENRICHMENT — E6's union-and-carry is batch;
     * the production twin enriches AT INGEST: each arriving event
     * left-joins the latest right-side row for its key from the

@@ -373,6 +373,56 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming funnel: cross-batch state, monotone, emit-on-change (G20)") {
+    import graft.streaming.CarbonStream
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Long, String)]
+    val out = CarbonStream.funnelStream(source.toDS())
+    val query = out.toDF().writeStream
+      .format("memory").queryName("g20_funnel").outputMode("append").start()
+    def rows() = spark.table("g20_funnel").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    try {
+      // batch 1: u1 starts (view); u2's click without a view is a
+      // non-event — no emission at all
+      source.addData((1L, 10L, "view"), (2L, 5L, "click"))
+      query.processAllAvailable()
+      assert(rows() == Seq((1L, 10L, -1L, -1L, 1L)))
+      // batch 2: u1 advances (click at-or-after t1) — a SECOND row for
+      // the same user, the append-mode progress log
+      source.addData((1L, 20L, "click"))
+      query.processAllAvailable()
+      assert(rows().sortBy(r => (r._1, r._5)) == Seq(
+        (1L, 10L, -1L, -1L, 1L), (1L, 10L, 20L, -1L, 2L)))
+      // batch 3: a LATE view earlier than the seeded t1 never rewinds
+      // (monotone — arrival order, the changeRelay contract), and a
+      // purchase BETWEEN t1 and t2 does not complete the funnel
+      // (ordered-at-or-after is E8's law): state unchanged → no rows
+      source.addData((1L, 5L, "view"), (1L, 15L, "purchase"))
+      query.processAllAvailable()
+      assert(rows().length == 2)
+      // batch 4: the purchase at-or-after t2 completes it
+      source.addData((1L, 20L, "purchase"))
+      query.processAllAvailable()
+      assert(rows().sortBy(r => (r._1, r._5)).last == (1L, 10L, 20L, 20L, 3L))
+    } finally query.stop()
+    // single-batch fold ≡ E8's window chain on advanced funnels, incl.
+    // the same-second tie chain (view+click+purchase at one t)
+    val batch = Seq((7L, 10L, "view"), (7L, 10L, "click"),
+      (7L, 10L, "purchase"), (8L, 9L, "click"))
+      .toDF("user_id", "t", "event_type")
+    val viaFold = CarbonStream.funnelStream(
+      batch.as[(Long, Long, String)]).toDF().orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val viaWindows = graft.ops.Relational.funnel(batch)
+      .filter(org.apache.spark.sql.functions.col("depth") >= 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(viaFold == Seq((7L, 10L, 10L, 10L, 3L)) && viaFold == viaWindows)
+  }
+
   test("streaming as-of enrichment: static index, staleness, zero state (G19)") {
     import org.apache.spark.sql.functions.col
     import graft.streaming.CarbonStream
