@@ -389,6 +389,22 @@ object ScaleBench {
           graft.ops.Sketch.hllEstimate(
             graft.ops.Sketch.hllRegisters(tok, "slice", "token"), "slice")
         }),
+        // E8/E9 at scale: the funnel is three windows over ONE user
+        // shuffle (state per user is 3 numbers), retention two
+        // user-keyed aggregates — both must stay linear in the event
+        // count with no per-step re-shuffle
+        "events_funnel" -> (() => {
+          val ev = eventsFrame(spark, copies).select(col("user_id"),
+            col("t"),
+            when(col("typ") === 0L, "view").when(col("typ") === 1L, "click")
+              .when(col("typ") === 2L, "purchase").otherwise("other")
+              .as("event_type"))
+          graft.ops.Relational.funnel(ev)
+        }),
+        "events_retention" -> (() =>
+          graft.ops.Relational.retention(
+            eventsFrame(spark, copies).select(col("user_id"),
+              expr("t div 604800").as("wk")))),
         // F54 at scale: log-bucket quantile registers + estimate — one
         // map-side-combined count whose survivor set is ≤ ~64·16 rows
         // per slice at ANY corpus size (no global sort, no exact audit
