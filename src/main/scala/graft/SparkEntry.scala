@@ -204,6 +204,7 @@ object SparkEntry {
     "text_keywords" -> ((s, dir) => L.textKeywords(s, dir)),
     "text_boilerplate" -> ((s, dir) => L.textBoilerplate(s, dir)),
     "text_line_dedup" -> ((s, dir) => L.textLineDedup(s, dir)),
+    "text_novelty" -> ((s, dir) => L.textNovelty(s, dir)),
     "text_domains" -> ((s, dir) => L.textDomains(s, dir)),
     "text_gopher_rules" -> ((s, dir) => L.textGopherRules(s, dir)),
     "text_entropy" -> ((s, dir) => L.textEntropy(s, dir)),
@@ -2833,6 +2834,22 @@ object SparkEntry {
     // lines h60-hashed, per-line (df, min-doc) over per-doc-distinct
     // rows, cut everywhere but the min doc, md5 witness ordered by
     // position (the F16x oracle pattern one level up)
+    // F57: novelty = share of a doc's distinct 3-gram shingles with
+    // corpus df 1, in integer basis points; unshingleable docs read -1
+    "text_novelty" ->
+      s"""WITH $TK,
+         |$SHD,
+         |df AS (SELECT shingle, count(*) AS df FROM shd GROUP BY 1),
+         |per AS (SELECT s.doc_id,
+         |  count(*) AS n_shingles,
+         |  sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS n_novel
+         | FROM shd s JOIN df USING (shingle) GROUP BY 1)
+         |SELECT d.doc_id,
+         | CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles,
+         | CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+         | CAST(coalesce((10000 * n_novel) // n_shingles, -1) AS BIGINT) AS novelty_bp
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "text_line_dedup" -> {
       import graft.text.{Analysis => A}
       val lt = A.BoilerLineTokens

@@ -723,6 +723,10 @@ object LlmQueries {
     * and the corpus's own exact-dup documents duplicate whole chunk
     * sets; each repeated line survives only in its minimum doc.
     */
+  /** F57: per-doc corpus-relative novelty over 3-word shingles. */
+  def textNovelty(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Analysis.novelty(Tables.documents(spark, dir))
+
   def textLineDedup(spark: SparkSession, dir: String): DataFrame =
     Analysis.lineDedupScrub(
       Analysis.boilerPlanted(Tables.documents(spark, dir)), 2)

@@ -527,6 +527,43 @@ object Analysis {
       .orderBy(col("doc_id"))
   }
 
+  // ---- F57: corpus-relative novelty ----------------------------------
+
+  /** F57: per-document NOVELTY — the fraction of a document's distinct
+    * n-word shingles that appear NOWHERE else in the corpus (df == 1;
+    * the shingle table is per-doc-distinct, so df IS the document
+    * count). The memorization/contribution signal the intra-document
+    * repetition score (F8b) and the pairwise dedup families cannot
+    * give: a doc can be internally clean and still be 100% assembled
+    * from corpus boilerplate (novelty → 0), or near-duplicate-free and
+    * fully original (novelty → 10000 bp). Basis points by integer
+    * division — no float boundary. Docs too short to shingle report
+    * −1 (unknown, not zero — an unmeasurable doc is not "all
+    * boilerplate").
+    *
+    * Scale shape: ONE shingle shuffle for df + one shingle-keyed join
+    * back (both sides the same corpus-sized table, co-partitioned by
+    * the groupBy's own key) + a per-doc count aggregate. No pairwise
+    * work — this is the F1 scaling class on the shingle table.
+    */
+  def novelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    import graft.core.Caching._
+    val sh = graft.dedup.Dedup.docShingles(docs, n).cachedOnce
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val per = sh.join(df, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("10000 * n_novel div n_shingles").as("novelty_bp"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        coalesce(col("novelty_bp"), lit(-1L)).as("novelty_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- F38: global line-level deduplication ---------------------------
 
   /** F38: GLOBAL line dedup — the CCNet/RefinedWeb cross-document line

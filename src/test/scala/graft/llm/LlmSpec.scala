@@ -1169,6 +1169,31 @@ class LlmSpec extends SparkSpec {
     assert(out(0L)._3 > out(1L)._3)
   }
 
+  test("novelty: boilerplate assembly vs original text, short docs (F57)") {
+    import graft.text.Analysis
+    // doc 1 and 2 share their whole text (every shingle df 2 → novelty
+    // 0 for both); doc 3 is fully original (10000); doc 4 is half
+    // stitched from the shared text and half original; doc 5 too short
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps"),
+      (3L, "completely original content nobody else wrote"),
+      (4L, "the quick brown fox jumps entirely novel tail words here"),
+      (5L, "too short")).toDF("doc_id", "text")
+    val out = Analysis.novelty(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) == ((3L, 0L, 0L)))
+    assert(out(2L) == ((3L, 0L, 0L)))
+    assert(out(3L) == ((4L, 4L, 10000L)))
+    // doc 4: 8 shingles; "the quick brown", "quick brown fox",
+    // "brown fox jumps" have df 2 (docs 1/2 carry them too... df
+    // counts docs — they appear in 3 docs), the other 5 are unique
+    assert(out(4L) == ((8L, 5L, 10000L * 5 / 8)))
+    // unshingleable: -1, not 0 — unknown is not "all boilerplate"
+    assert(out(5L) == ((0L, 0L, -1L)))
+  }
+
   test("window chunking: coverage, exact overlap, map-only plan (F56)") {
     import graft.ops.Packing
     // n=10, window 4, overlap 1 (step 3): K = 1+ceil(6/3) = 3, the
