@@ -28,6 +28,7 @@ object SparkEntry {
     "events_funnel" -> ((s, dir) => Relational.eventsFunnel(s, dir)),
     "events_retention" -> ((s, dir) => Relational.eventsRetention(s, dir)),
     "stream_funnel" -> ((s, dir) => Relational.streamFunnel(s, dir)),
+    "events_attribution" -> ((s, dir) => Relational.eventsAttribution(s, dir)),
     "events_interval_count" -> ((s, dir) => Relational.eventsIntervalCount(s, dir)),
     // A. Carbon ingest
     "carbon_parse" -> ((s, dir) => T.carbonParse(s, dir)),
@@ -4448,6 +4449,23 @@ object SparkEntry {
         |      (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS depth
         |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    // E10: linear multi-touch attribution — per-purchase in-window
+    // click count, equal integer credit shares (10000 div n, remainder
+    // dropped), accumulated per click
+    "events_attribution" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type FROM events),
+        |cand AS (SELECT p.event_id AS p_id, c.event_id AS c_id,
+        |  p.user_id AS user_id
+        | FROM e p JOIN e c ON p.user_id = c.user_id
+        |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.t <= p.t AND c.t > p.t - 3600),
+        |pn AS (SELECT p_id, count(*) AS n FROM cand GROUP BY 1)
+        |SELECT c_id AS event_id, min(user_id) AS user_id,
+        | count(*) AS n_purchases,
+        | CAST(sum(10000 // n) AS BIGINT) AS credit_bp
+        |FROM cand JOIN pn USING (p_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // G20: the streaming funnel's batch twin — the per-user state fold
     // ≡ E8's window chain restricted to advanced funnels (depth ≥ 1,
     // the emit-on-change rule); the oracle replays E8's SQL with that

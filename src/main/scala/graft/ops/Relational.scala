@@ -204,6 +204,50 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** E10: LINEAR multi-touch ATTRIBUTION — the credit model E6's
+    * last-touch as-of can't express: every click in the hour BEFORE a
+    * purchase (same user, `p.t−3600 < c.t ≤ p.t`) shares that
+    * purchase's credit EQUALLY (credit_bp = 10000 div n per
+    * contributing click, the remainder deliberately dropped — integer
+    * basis points, no float splits); a click touched by several
+    * purchases accumulates. Purchases with no in-window click are
+    * unattributed (they appear in no row — the report is per CLICK).
+    *
+    * Scale shape: ONE user-keyed equi-join with the window as a
+    * residual range filter — candidates are bounded per user exactly
+    * as E6's carry is (a user's own activity), never corpus×corpus;
+    * then two narrow aggregates (per-purchase n, per-click credit
+    * sum).
+    */
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("long").as("t"), col("event_type"))
+    attribution(
+      e.filter(col("event_type") === "purchase").drop("event_type"),
+      e.filter(col("event_type") === "click").drop("event_type"), 3600L)
+  }
+
+  /** The E10 core: (purchases, clicks) with (user_id, event_id, t). */
+  def attribution(purchases: DataFrame, clicks: DataFrame,
+                  windowSec: Long): DataFrame = {
+    val cand = purchases.as("p")
+      .join(clicks.as("c"),
+        col("p.user_id") === col("c.user_id") &&
+          col("c.t") <= col("p.t") &&
+          col("c.t") > col("p.t") - windowSec)
+      .select(col("p.event_id").as("p_id"), col("c.event_id").as("c_id"),
+        col("p.user_id").as("user_id"))
+    val perPurchase = cand.groupBy(col("p_id"))
+      .agg(count(lit(1)).as("n"))
+    cand.join(perPurchase, "p_id")
+      .groupBy(col("c_id").as("event_id"))
+      .agg(first(col("user_id")).as("user_id"),
+        count(lit(1)).as("n_purchases"),
+        sum(expr("10000 div n")).as("credit_bp"))
+      .orderBy(col("event_id"))
+  }
+
   /** G20 batch twin: [[graft.streaming.CarbonStream.funnelStream]] on
     * a batch Dataset (state starts empty per user, one "micro-batch" =
     * the whole corpus), which is provably E8's window chain restricted

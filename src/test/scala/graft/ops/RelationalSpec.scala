@@ -85,6 +85,31 @@ class RelationalSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan.take(2000))
   }
 
+  test("attribution: equal integer shares, window edges, accumulation (E10)") {
+    // purchase 100 at t=100 has two in-window clicks (10 and 100 —
+    // the <= boundary counts, the > t-W boundary excludes t=40 at
+    // W=60); purchase 200 at t=130 touches click 21 only, so click 21
+    // accumulates from both purchases; user 2's click is isolated
+    val p = Seq((1L, 100L, 100L), (1L, 200L, 130L), (2L, 300L, 50L))
+      .toDF("user_id", "event_id", "t")
+    val c = Seq((1L, 20L, 40L), (1L, 21L, 100L), (1L, 22L, 10L),
+      (2L, 23L, 100L)).toDF("user_id", "event_id", "t")
+    // W=60: purchase 100 window (40, 100] → clicks 21 (t=100); click
+    // 22 (t=10) and 20 (t=40) are out; purchase 200 window (70, 130]
+    // → click 21 again; purchase 300 window (-10, 50] → click 23 is
+    // at t=100 > 50 → unattributed purchase, no row
+    val out = Relational.attribution(p, c, 60L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((21L, 1L, 2L, 20000L)))
+    // W=100: purchase 100's window (0, 100] holds clicks 20/21/22 →
+    // 3333 bp each (remainder dropped — integer shares); purchase
+    // 200's window (30, 130] holds 20/21 → 5000 each; accumulation
+    val rows = Relational.attribution(p, c, 100L).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (20L, 2L, 8333L), (21L, 2L, 8333L), (22L, 1L, 3333L)))
+  }
+
   test("retention: cohorts by first week, comeback cells, dedup (E9)") {
     // cohort 100: u1 active weeks 100,101,103 (plus a duplicate event
     // in week 100 that must not double-count); u2 only week 100.
