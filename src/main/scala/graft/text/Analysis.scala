@@ -489,6 +489,11 @@ object Analysis {
     */
   def boilerPlanted(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
+    // NOTE: the per-line slice below re-evaluates the outer `toks`
+    // split once per line (the dedupCdc lambda-capture effect), but
+    // here that is the FASTER shape — measured: the fold variant's
+    // per-token buffer churn costs 2× more than ~10 cheap re-splits
+    // (dedupCdc differed because md5-per-token dominated its re-walks)
     val nLines = ceil(size(toks).cast("double") / BoilerLineTokens).cast("int")
     val chunks = transform(sequence(lit(0), nLines - 1),
       i => concat_ws(" ",
