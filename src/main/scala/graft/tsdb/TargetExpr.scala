@@ -284,6 +284,8 @@ object TargetExpr {
           // fixed-window fetch closure degrades to relabel-only)
           timeShift(seriesShifted(0, delta), -delta, txt)
         case "consolidateBy" => arity(2); consolidateBy(series(0), str(1))
+        // graphite's documented alias: cumulative(s) ≡ consolidateBy(s,'sum')
+        case "cumulative" => arity(1); consolidateBy(series(0), "sum")
         case "summarize" =>
           require(args.length >= 2 && args.length <= 4,
             s"summarize: expected (series, interval[, func[, alignToFrom]]), got ${args.length} args")

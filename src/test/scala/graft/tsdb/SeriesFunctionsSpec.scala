@@ -943,6 +943,10 @@ class SeriesFunctionsSpec extends SparkSpec {
     assert(vals(SeriesFunctions.consolidate(a, 6)) == vals(a))
     // unknown consolidation functions fail loudly at tag time
     intercept[IllegalArgumentException](SeriesFunctions.consolidateBy(a, "median"))
+    // graphite's alias: cumulative(s) ≡ consolidateBy(s,'sum'),
+    // including the delegated name
+    assert(vals(TargetExpr.eval(parse("cumulative(a)"), _ => a)) ==
+      vals(SeriesFunctions.consolidateBy(a, "sum")))
   }
 
   test("multiplySeriesWithWildcards: reduced-name product, missing factor nulls") {
