@@ -389,6 +389,48 @@ object ScaleBench {
           graft.ops.Sketch.hllEstimate(
             graft.ops.Sketch.hllRegisters(tok, "slice", "token"), "slice")
         }),
+        // r8 additions: applyByNode must hold its plan as GROUPS grow
+        // (500·copies series = 500·copies divide groups — the
+        // once-per-prefix graphite evaluation would be linear in K
+        // plans; ours is one plan); window chunking is the map-only
+        // explode; enrich/attribution ride the bounded-per-user
+        // event-join shapes; novelty is the F1 class on shingles;
+        // the temperature-mix apply is a broadcast into a scan
+        "gfn_apply_by_node" -> (() => {
+          val fr = gfnFrame(spark, copies)
+            .select(concat(lit("h."), split(col("path"), "\\.")(1),
+              when(col("t") % 7200 === 0, lit(".err")).otherwise(lit(".total")))
+              .as("path"), col("t"), col("value"))
+          def fetchAt(glob: String, shift: Long) = {
+            val re = "^" + glob.replace(".", "\\.").replace("*", "[^.]+") + "$"
+            fr.filter(col("path").rlike(re))
+          }
+          graft.tsdb.TargetExpr.evalTargetAt(
+            """applyByNode(h.*.err,1,"divideSeries(%.err,%.total)")""",
+            fetchAt)
+        }),
+        "corpus_window_chunks" -> (() =>
+          graft.ops.Packing.windowChunks(docs, LlmQueries.ChunkWindow,
+            LlmQueries.ChunkOverlap)),
+        "stream_asof_enrich" -> (() => {
+          val ev = eventsFrame(spark, copies)
+          graft.streaming.CarbonStream.asofEnrichStream(
+            ev.filter(col("typ") === 2L).drop("typ"),
+            graft.ops.Relational.latestIndex(
+              ev.filter(col("typ") === 0L).drop("typ")))
+        }),
+        "events_attribution" -> (() => {
+          val ev = eventsFrame(spark, copies)
+          graft.ops.Relational.attribution(
+            ev.filter(col("typ") === 2L).drop("typ"),
+            ev.filter(col("typ") === 0L).drop("typ"), 3600L)
+        }),
+        "text_novelty" -> (() => graft.text.Analysis.novelty(docs)),
+        "corpus_mix_temperature" -> (() =>
+          graft.ops.Sampling.sampleWithPlan(docs.withColumn("lang",
+              (col("doc_id") % 5L).cast("string")),
+            graft.ops.Sampling.mixPlanTemperature(docs.withColumn("lang",
+              (col("doc_id") % 5L).cast("string")), 1000L))),
         // E8/E9 at scale: the funnel is three windows over ONE user
         // shuffle (state per user is 3 numbers), retention two
         // user-keyed aggregates — both must stay linear in the event
