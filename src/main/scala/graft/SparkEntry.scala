@@ -29,6 +29,7 @@ object SparkEntry {
     "events_retention" -> ((s, dir) => Relational.eventsRetention(s, dir)),
     "stream_funnel" -> ((s, dir) => Relational.streamFunnel(s, dir)),
     "events_attribution" -> ((s, dir) => Relational.eventsAttribution(s, dir)),
+    "stream_sessionize" -> ((s, dir) => Relational.streamSessionize(s, dir)),
     "events_interval_count" -> ((s, dir) => Relational.eventsIntervalCount(s, dir)),
     // A. Carbon ingest
     "carbon_parse" -> ((s, dir) => T.carbonParse(s, dir)),
@@ -4449,6 +4450,26 @@ object SparkEntry {
         |      (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS depth
         |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    // G21: session_window sessionization — Spark's session law
+    // replayed: a session's window is [start, last+gap] INCLUSIVE of
+    // its end for merging, so a gap of exactly 1800 s still MERGES
+    // (split only when diff > gap — the same boundary as E5's rule;
+    // the spec pins it against a planted exact-gap pair); session end
+    // = last event + gap
+    "stream_sessionize" ->
+      """WITH e AS (SELECT user_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+        |g AS (SELECT user_id, t,
+        |  CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800
+        |       THEN 1 ELSE 0 END AS ns
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |s AS (SELECT user_id, t,
+        |  sum(ns) OVER (PARTITION BY user_id ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM g)
+        |SELECT user_id, min(t) AS t0, max(t) + 1800 AS t1,
+        | count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin,
     // E10: linear multi-touch attribution — per-purchase in-window
     // click count, equal integer credit shares (10000 div n, remainder
     // dropped), accumulated per click

@@ -248,6 +248,14 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** G21 batch twin: native session_window sessionization over the
+    * event corpus at the E5 gap (1800 s) — same plan batch or stream.
+    */
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.CarbonStream
+      .sessionizeStream(Tables.events(spark, dir), 1800L)
+      .orderBy(col("user_id"), col("t0"))
+
   /** G20 batch twin: [[graft.streaming.CarbonStream.funnelStream]] on
     * a batch Dataset (state starts empty per user, one "micro-batch" =
     * the whole corpus), which is provably E8's window chain restricted

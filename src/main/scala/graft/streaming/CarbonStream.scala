@@ -400,6 +400,40 @@ object CarbonStream {
         coalesce(col("seen0"), lit(0L)).as("seen"),
         when(col("seen0").isNull, 1L).otherwise(0L).as("fetch"))
 
+  /** G21: SESSION-WINDOW sessionization — E5's gap rule as Spark's
+    * native `session_window` (the one stateful-aggregation primitive
+    * the G family hadn't exercised): per-user sessions grow while
+    * events arrive within `gapSec` of the session's end, the window
+    * end extends to last-event + gap, and in STREAMING mode the
+    * watermark both merges cross-batch partial sessions in the state
+    * store and finalizes a session once the watermark passes its end
+    * (append mode emits only CLOSED sessions — the semantics a
+    * sessionized export wants).
+    *
+    * Boundary contract (Spark's, measured and pinned by spec + the
+    * oracle): a session's window is inclusive of its end for merging
+    * — an event arriving at EXACTLY last+gap still merges; the split
+    * needs `diff > gap`, the same boundary as E5's `gap > 1800` rule.
+    * Timestamps truncate to whole epoch seconds first so both engines
+    * share the grid.
+    */
+  def sessionizeStream(events: DataFrame, gapSec: Long,
+                       watermark: String = "1 hour"): DataFrame = {
+    val base = events.select(col("user_id"),
+      timestamp_seconds(col("ts").cast("long")).as("event_time"))
+    val withWm =
+      if (base.isStreaming) base.withWatermark("event_time", watermark)
+      else base
+    withWm
+      .groupBy(col("user_id"),
+        session_window(col("event_time"), s"$gapSec seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").cast("long").as("t0"),
+        col("session_window.end").cast("long").as("t1"),
+        col("n_events"))
+  }
+
   final case class FunnelState(t1: Long, t2: Long, t3: Long)
   final case class FunnelUpdate(user_id: Long, t_view: Long, t_click: Long,
                                 t_purchase: Long, depth: Long)

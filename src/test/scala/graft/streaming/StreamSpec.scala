@@ -373,6 +373,50 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("session windows: cross-batch merge, watermark close, gap edge (G21)") {
+    import graft.streaming.CarbonStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Long)]
+    val out = CarbonStream.sessionizeStream(
+      source.toDF().toDF("user_id", "ts"), 60L, watermark = "0 seconds")
+    val query = out.writeStream.format("memory").queryName("g21_sess")
+      .outputMode("append").start()
+    try {
+      // batch 1 opens u1's session; batch 2 EXTENDS it across the
+      // batch boundary (170 lands inside [100, 190) — the state-store
+      // merge) and u2's far-future event advances the watermark past
+      // the session's end; batch 3 pushes the watermark so both close
+      source.addData((1L, 100L), (1L, 130L))
+      query.processAllAvailable()
+      source.addData((1L, 170L), (2L, 1000L))
+      query.processAllAvailable()
+      source.addData((2L, 5000L))
+      query.processAllAvailable()
+      val rows = spark.table("g21_sess").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // the cross-batch session closed as ONE window of 3 events with
+      // end = last + gap; u2's isolated event closed as a singleton
+      assert(rows.contains((1L, 100L, 230L, 3L)), rows)
+      assert(rows.contains((2L, 1000L, 1060L, 1L)), rows)
+    } finally query.stop()
+    // the boundary contract, batch mode (MEASURED, then pinned): an
+    // event at EXACTLY last+gap still MERGES (the window is inclusive
+    // of its end for merging — the same boundary as E5's `> gap`
+    // split); one tick beyond splits
+    val edge = CarbonStream.sessionizeStream(
+      Seq((9L, 100L), (9L, 160L)).toDF("user_id", "ts"), 60L)
+      .orderBy(col("t0")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(edge.toSeq == Seq((100L, 220L, 2L)))
+    val split = CarbonStream.sessionizeStream(
+      Seq((9L, 100L), (9L, 161L)).toDF("user_id", "ts"), 60L)
+      .orderBy(col("t0")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(split.toSeq == Seq((100L, 160L, 1L), (161L, 221L, 1L)))
+  }
+
   test("streaming funnel: cross-batch state, monotone, emit-on-change (G20)") {
     import graft.streaming.CarbonStream
     implicit val sqlCtx = spark.sqlContext
