@@ -120,6 +120,7 @@ object SparkEntry {
     "gfn_apply_by_node" -> ((s, dir) => T.gfnApplyByNode(s, dir)),
     "gfn_generic_select" -> ((s, dir) => T.gfnGenericSelect(s, dir)),
     "gfn_summarize_align" -> ((s, dir) => T.gfnSummarizeAlign(s, dir)),
+    "gfn_reduce_series" -> ((s, dir) => T.gfnReduceSeries(s, dir)),
     "gfn_aggregate_minmax" -> ((s, dir) => T.gfnAggregateMinmax(s, dir)),
     "gfn_group_nodes" -> ((s, dir) => T.gfnGroupNodes(s, dir)),
     "gfn_multiply_wildcards" -> ((s, dir) => T.gfnMultiplyWildcards(s, dir)),
@@ -3734,6 +3735,23 @@ object SparkEntry {
          |SELECT 'aggregateLine(' || fr.path || ',''avg'')' AS path, t,
          | round(m - 1e-9, 4) AS value
          |FROM fr JOIN keep ON fr.path = keep.path ORDER BY 1, 2""".stripMargin,
+    // C9: reduceSeries(mapSeries(...)) — series paired by suffix
+    // matcher at node 2 within each 2-node prefix, asPercent law
+    // (zero/absent denominator → null), result named by the prefix
+    "gfn_reduce_series" ->
+      s"""WITH $M,
+         |${gfnFrameCteNamed("^vera\\.u1[^.]\\.(click|view)$$", "a")},
+         |k AS (SELECT string_split(path, '.')[1] || '.' ||
+         |    string_split(path, '.')[2] AS gkey,
+         |  string_split(path, '.')[3] AS sfx, t, value FROM fra),
+         |ca AS (SELECT gkey, t, sum(value) AS av FROM k
+         |  WHERE sfx = 'click' GROUP BY 1, 2),
+         |cb AS (SELECT gkey, t, sum(value) AS bv FROM k
+         |  WHERE sfx = 'view' GROUP BY 1, 2)
+         |SELECT ca.gkey AS path, ca.t,
+         | round(CASE WHEN bv <> 0 THEN av / bv * 100 END - 1e-9, 4) AS value
+         |FROM ca LEFT JOIN cb ON ca.gkey = cb.gkey AND ca.t = cb.t
+         |ORDER BY 1, 2""".stripMargin,
     // C9: the generic selection pipeline — highest(5,"total") rank,
     // fill-fraction gate (nn>0 AND nn >= 0.02·n, the single float
     // compare both engines share), generic sortBy("stddev",true) on

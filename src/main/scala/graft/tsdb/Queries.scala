@@ -780,6 +780,14 @@ object Queries {
     gfnEval(spark, dir,
       """applyByNode(vera.u1?.click,1,"divideSeries(%.click,%.error)")""")
 
+  /** C9aw: the mapSeries/reduceSeries matcher-pairing idiom — per-user
+    * clicks as a percentage of views from one glob, series paired by
+    * suffix matchers at node 2, results named by the prefix.
+    */
+  def gfnReduceSeries(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir,
+      """reduceSeries(mapSeries(vera.u1?.{click,view},1),"asPercent",2,"click","view")""")
+
   /** C9au: the graphite-1.1 GENERIC selection pipeline — top-5 by
     * per-series total, thin series dropped (non-null fill < 2% — drops 2 of the 5),
     * most-variable first (generic sortBy over the one shared stat

@@ -240,6 +240,54 @@ object SeriesFunctions {
   def sortBySeries(f: DataFrame, func: String, reverse: Boolean): DataFrame =
     sortBySeriesStat(f, seriesStat(func, "sortBy"), descending = reverse)
 
+  /** Graphite `reduceSeries(mapSeries(seriesList, n), "func", n,
+    * *matchers)` — the matcher-pairing composition idiom (the
+    * documented per-host `asPercent(bytes_used, total_bytes)` recipe):
+    * series split at node `reduceNode` into (prefix = nodes before,
+    * suffix = nodes from there on); for every prefix, the series whose
+    * suffix equals matcher₁ combines with the matcher₂ one under
+    * `func` (asPercent / divideSeries / diffSeries — graphite's
+    * documented set), and the result is named BY THE PREFIX (graphite
+    * aliases the reduced series to the aggregated key so they nest).
+    * A prefix missing one side behaves as the func's null law
+    * (divide/percent → null, diff subtracts 0). One equi-join on
+    * (prefix, t) — plan size independent of the prefix count, the
+    * applyByNode discipline.
+    *
+    * `mapSeries` itself is the identity in the frame model — the
+    * grouping it declares is re-derived here from `reduceNode`, so the
+    * pair parses and composes exactly as graphite-web's, with the
+    * grouping applied once (the evaluator registers mapSeries as a
+    * pass-through).
+    */
+  def reduceSeries(f: DataFrame, func: String, reduceNode: Int,
+                   matchers: Seq[String]): DataFrame = {
+    require(reduceNode >= 1, s"reduceSeries: reduceNode must be >= 1 (got $reduceNode)")
+    require(matchers.length == 2,
+      s"reduceSeries: expected exactly 2 matchers (got ${matchers.length})")
+    val parts = split(col("path"), "\\.")
+    val prefix = array_join(slice(parts, 1, reduceNode), ".")
+    val suffix = array_join(
+      slice(parts, lit(reduceNode + 1),
+        greatest(size(parts) - reduceNode, lit(0))),
+      ".")
+    val keyed = f.select(prefix.as("gkey"), suffix.as("sfx"),
+      col("t"), col("value"))
+    val a = keyed.filter(col("sfx") === matchers(0))
+      .groupBy(col("gkey"), col("t")).agg(sum(col("value")).as("av"))
+    val b = keyed.filter(col("sfx") === matchers(1))
+      .groupBy(col("gkey"), col("t")).agg(sum(col("value")).as("bv"))
+    val v = func match {
+      case "divideSeries" => when(col("bv") =!= 0, col("av") / col("bv"))
+      case "asPercent" => when(col("bv") =!= 0, col("av") / col("bv") * 100.0)
+      case "diffSeries" => col("av") - coalesce(col("bv"), lit(0.0))
+      case other =>
+        throw new IllegalArgumentException(s"reduceSeries: unknown func '$other'")
+    }
+    a.join(b, Seq("gkey", "t"), "left")
+      .select(col("gkey").as("path"), col("t"), v.cast("double").as("value"))
+  }
+
   /** Graphite `removeEmptySeries(seriesList[, xFilesFactor])` — drop
     * series with no data at all (the default), or whose non-null
     * fraction falls below xff: the dashboard-hygiene filter that keeps

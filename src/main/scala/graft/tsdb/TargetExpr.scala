@@ -286,6 +286,13 @@ object TargetExpr {
         case "consolidateBy" => arity(2); consolidateBy(series(0), str(1))
         // graphite's documented alias: cumulative(s) ≡ consolidateBy(s,'sum')
         case "cumulative" => arity(1); consolidateBy(series(0), "sum")
+        // mapSeries declares the grouping reduceSeries re-derives from
+        // its reduceNode — identity in the frame model
+        case "mapSeries" => arity(2); intArg(1); series(0)
+        case "reduceSeries" =>
+          require(args.length == 5,
+            s"reduceSeries: expected (mapped, func, reduceNode, matcher1, matcher2), got ${args.length} args")
+          reduceSeries(series(0), str(1), intArg(2), Seq(str(3), str(4)))
         case "summarize" =>
           require(args.length >= 2 && args.length <= 4,
             s"summarize: expected (series, interval[, func[, alignToFrom]]), got ${args.length} args")

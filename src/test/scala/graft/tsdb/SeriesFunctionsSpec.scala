@@ -790,6 +790,26 @@ class SeriesFunctionsSpec extends SparkSpec {
     assert(vals(SeriesFunctions.keepLastValue(lead, 2)).head._3.isEmpty)
   }
 
+  test("reduceSeries: matcher pairing, null laws, prefix naming") {
+    val f = frame(
+      ("h.a.used", 0L, 1.0), ("h.a.total", 0L, 4.0),
+      ("h.b.used", 0L, 3.0), ("h.b.total", 0L, 0.0), // zero denominator
+      ("h.c.used", 0L, 5.0))                          // missing denominator
+    def run(fn: String) = vals(TargetExpr.eval(parse(
+      s"""reduceSeries(mapSeries(h.*.*,1),"$fn",2,"used","total")"""),
+      _ => f))
+    // divide: per-prefix ratio, zero/absent denominator → null,
+    // result named by the prefix
+    assert(run("divideSeries") == Seq(
+      ("h.a", 0L, Some(0.25)), ("h.b", 0L, None), ("h.c", 0L, None)))
+    assert(run("asPercent") == Seq(
+      ("h.a", 0L, Some(25.0)), ("h.b", 0L, None), ("h.c", 0L, None)))
+    // diff subtracts 0 for a missing subtrahend (the diffSeries law)
+    assert(run("diffSeries") == Seq(
+      ("h.a", 0L, Some(-3.0)), ("h.b", 0L, Some(3.0)), ("h.c", 0L, Some(5.0))))
+    intercept[IllegalArgumentException](run("multiply"))
+  }
+
   test("generic highest/lowest/sortBy, removeEmptySeries, aligned summarize") {
     val f = frame(
       ("a", 0L, 1.0), ("a", 60L, 9.0), // total 10, stddev 4
