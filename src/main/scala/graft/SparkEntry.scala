@@ -4525,7 +4525,8 @@ object SparkEntry {
         | coalesce(t3, -1) AS t_purchase,
         | CAST((CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) +
         |      (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) +
-        |      (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS depth
+        |      (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS depth,
+        | CAST(0 AS BIGINT) AS closed
         |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
         |WHERE t1 IS NOT NULL
         |ORDER BY user_id""".stripMargin,

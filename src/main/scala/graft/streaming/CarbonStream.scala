@@ -435,8 +435,14 @@ object CarbonStream {
   }
 
   final case class FunnelState(t1: Long, t2: Long, t3: Long)
+  /** `closed` = 1 only on a processing-time EXPIRY row (the terminal
+    * emission of an abandoned journey); every progress row and every
+    * batch-mode row carries 0 — batch has no clock, so expiry is a
+    * streaming-only concept and the batch twin's oracle pins the
+    * constant.
+    */
   final case class FunnelUpdate(user_id: Long, t_view: Long, t_click: Long,
-                                t_purchase: Long, depth: Long)
+                                t_purchase: Long, depth: Long, closed: Long)
 
   /** G20: streaming conversion FUNNEL — E8's ordered-step law
     * (view → click-at-or-after → purchase-at-or-after) held as
@@ -457,29 +463,50 @@ object CarbonStream {
     * EXACTLY E8's window chain restricted to depth ≥ 1 users — the
     * driver oracle's theorem.
     */
-  def funnelStream(events: Dataset[(Long, Long, String)]): Dataset[FunnelUpdate] = {
+  def funnelStream(events: Dataset[(Long, Long, String)],
+                   expireMs: Option[Long] = None): Dataset[FunnelUpdate] = {
     import events.sparkSession.implicits._
     val rank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    // production funnels EXPIRE abandoned journeys: with expireMs set,
+    // each update re-arms a processing-time timeout, and the timeout
+    // invocation emits the terminal `closed = 1` row and REMOVES the
+    // state — the state store holds only journeys touched within the
+    // horizon, instead of every user ever seen. Batch mode never
+    // times out (one invocation, no clock), so the batch twin and its
+    // oracle are unchanged by construction.
+    val timeoutConf =
+      if (expireMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    def depthOf(s: FunnelState): Long =
+      (if (s.t1 >= 0) 1L else 0L) + (if (s.t2 >= 0) 1L else 0L) +
+        (if (s.t3 >= 0) 1L else 0L)
     events.groupByKey(_._1)
       .flatMapGroupsWithState[FunnelState, FunnelUpdate](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (uid, it, state: GroupState[FunnelState]) =>
-          var s = if (state.exists) state.get else FunnelState(-1L, -1L, -1L)
-          val before = s
-          for ((_, t, tp) <- it.toArray
-              .sortBy(x => (x._2, rank.getOrElse(x._3, 3)))) {
-            if (tp == "view" && s.t1 < 0) s = s.copy(t1 = t)
-            if (tp == "click" && s.t2 < 0 && s.t1 >= 0 && t >= s.t1)
-              s = s.copy(t2 = t)
-            if (tp == "purchase" && s.t3 < 0 && s.t2 >= 0 && t >= s.t2)
-              s = s.copy(t3 = t)
-          }
-          state.update(s)
-          if (s != before)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
             Iterator.single(FunnelUpdate(uid, s.t1, s.t2, s.t3,
-              (if (s.t1 >= 0) 1L else 0L) + (if (s.t2 >= 0) 1L else 0L) +
-                (if (s.t3 >= 0) 1L else 0L)))
-          else Iterator.empty
+              depthOf(s), 1L))
+          } else {
+            var s = if (state.exists) state.get else FunnelState(-1L, -1L, -1L)
+            val before = s
+            for ((_, t, tp) <- it.toArray
+                .sortBy(x => (x._2, rank.getOrElse(x._3, 3)))) {
+              if (tp == "view" && s.t1 < 0) s = s.copy(t1 = t)
+              if (tp == "click" && s.t2 < 0 && s.t1 >= 0 && t >= s.t1)
+                s = s.copy(t2 = t)
+              if (tp == "purchase" && s.t3 < 0 && s.t2 >= 0 && t >= s.t2)
+                s = s.copy(t3 = t)
+            }
+            state.update(s)
+            expireMs.foreach(state.setTimeoutDuration)
+            if (s != before)
+              Iterator.single(FunnelUpdate(uid, s.t1, s.t2, s.t3,
+                depthOf(s), 0L))
+            else Iterator.empty
+          }
       }
   }
 

@@ -417,6 +417,40 @@ class StreamSpec extends SparkSpec {
     assert(split.toSeq == Seq((100L, 160L, 1L), (161L, 221L, 1L)))
   }
 
+  test("streaming funnel expiry: timeout emits terminal row, clears state (G20b)") {
+    import graft.streaming.CarbonStream
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Long, String)]
+    val out = CarbonStream.funnelStream(source.toDS(), expireMs = Some(1L))
+    val query = out.toDF().writeStream
+      .format("memory").queryName("g20b_funnel").outputMode("append").start()
+    def rows() = spark.table("g20b_funnel").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5))).toSeq
+    // With ProcessingTimeTimeout the query RUNS BATCHES CONTINUOUSLY
+    // (shouldRunAnotherBatch is unconditionally true), so
+    // processAllAvailable never quiesces — poll the sink instead.
+    def await(pred: => Boolean): Unit = {
+      val t0 = System.currentTimeMillis
+      while (!pred && System.currentTimeMillis - t0 < 30000) Thread.sleep(100)
+      assert(pred, rows())
+    }
+    try {
+      source.addData((1L, 10L, "view"))
+      await(rows().contains((1L, 10L, 1L, 0L))) // the progress row
+      // the armed 1 ms horizon passes; a continuous batch fires the
+      // timeout: the terminal closed=1 row with the final state
+      await(rows().contains((1L, 10L, 1L, 1L)))
+      // state was REMOVED: a later u1 click alone starts NOTHING, and
+      // a fresh view opens a NEW funnel seeded at the new timestamp
+      // (t_view 120, not the expired journey's 10)
+      source.addData((1L, 99L, "click"))
+      source.addData((1L, 120L, "view"))
+      await(rows().contains((1L, 120L, 1L, 0L)))
+      assert(!rows().exists(r => r._1 == 1L && r._2 == 10L && r._3 >= 2L),
+        rows())
+    } finally query.stop()
+  }
+
   test("streaming funnel: cross-batch state, monotone, emit-on-change (G20)") {
     import graft.streaming.CarbonStream
     implicit val sqlCtx = spark.sqlContext
