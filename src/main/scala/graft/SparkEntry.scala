@@ -228,6 +228,8 @@ object SparkEntry {
     "corpus_cardinality_incremental" -> ((s, dir) => L.corpusCardinalityIncremental(s, dir)),
     "corpus_quantile_sketch" -> ((s, dir) => L.corpusQuantileSketch(s, dir)),
     "corpus_quantile_incremental" -> ((s, dir) => L.corpusQuantileIncremental(s, dir)),
+    "corpus_heavy_hitters" -> ((s, dir) => L.corpusHeavyHitters(s, dir)),
+    "corpus_heavy_hitters_incremental" -> ((s, dir) => L.corpusHeavyHittersIncremental(s, dir)),
     "corpus_mix_plan" -> ((s, dir) => L.corpusMixPlan(s, dir)),
     "corpus_mix_apply" -> ((s, dir) => L.corpusMixApply(s, dir)),
     "corpus_mix_temperature" -> ((s, dir) => L.corpusMixTemperature(s, dir)),
@@ -4565,6 +4567,55 @@ object SparkEntry {
         |SELECT iv.interval_id, iv.t0, iv.t1, count(*) AS n_events
         |FROM iv JOIN e ON e.t BETWEEN iv.t0 AND iv.t1
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    // F58: the Count-Min law replayed — 4 md5-salted rows × 1024
+    // buckets of counter sums, candidates = exact per-lang top-10
+    // (count desc, token asc tie-break), estimate = min over rows;
+    // est ≥ exact by construction (collisions only add)
+    "corpus_heavy_hitters" ->
+      """WITH tok AS (SELECT lang AS slice,
+        |  unnest(string_split(lower(text), ' ')) AS token FROM documents),
+        |ex AS (SELECT slice, token, count(*) AS n_exact FROM tok GROUP BY 1, 2),
+        |cand AS (SELECT slice, token, n_exact FROM (
+        |  SELECT slice, token, n_exact, row_number() OVER (
+        |    PARTITION BY slice ORDER BY n_exact DESC, token) AS rk FROM ex)
+        | WHERE rk <= 10),
+        |rws AS (SELECT unnest([0, 1, 2, 3]) AS rw),
+        |regs AS (SELECT slice, rw,
+        |  ('0x'||substr(md5('#cms'||rw||'#'||token),1,15))::BIGINT % 1024 AS bucket,
+        |  count(*) AS cnt
+        | FROM tok CROSS JOIN rws GROUP BY 1, 2, 3),
+        |pr AS (SELECT c.slice, c.token, c.n_exact, rws.rw,
+        |  ('0x'||substr(md5('#cms'||rws.rw||'#'||c.token),1,15))::BIGINT % 1024 AS bucket
+        | FROM cand c CROSS JOIN rws)
+        |SELECT pr.slice AS lang, pr.token,
+        | CAST(min(coalesce(regs.cnt, 0)) AS BIGINT) AS cms_est,
+        | CAST(min(pr.n_exact) AS BIGINT) AS n_exact
+        |FROM pr LEFT JOIN regs ON pr.slice = regs.slice
+        |  AND pr.rw = regs.rw AND pr.bucket = regs.bucket
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // F58b: merge ≡ rebuild for counter sums — the oracle re-sketches
+    // the whole corpus; the Spark side only ever sums the halves
+    "corpus_heavy_hitters_incremental" ->
+      """WITH tok AS (SELECT lang AS slice,
+        |  unnest(string_split(lower(text), ' ')) AS token FROM documents),
+        |ex AS (SELECT slice, token, count(*) AS n_exact FROM tok GROUP BY 1, 2),
+        |cand AS (SELECT slice, token FROM (
+        |  SELECT slice, token, row_number() OVER (
+        |    PARTITION BY slice ORDER BY n_exact DESC, token) AS rk FROM ex)
+        | WHERE rk <= 10),
+        |rws AS (SELECT unnest([0, 1, 2, 3]) AS rw),
+        |regs AS (SELECT slice, rw,
+        |  ('0x'||substr(md5('#cms'||rw||'#'||token),1,15))::BIGINT % 1024 AS bucket,
+        |  count(*) AS cnt
+        | FROM tok CROSS JOIN rws GROUP BY 1, 2, 3),
+        |pr AS (SELECT c.slice, c.token, rws.rw,
+        |  ('0x'||substr(md5('#cms'||rws.rw||'#'||c.token),1,15))::BIGINT % 1024 AS bucket
+        | FROM cand c CROSS JOIN rws)
+        |SELECT pr.slice AS lang, pr.token,
+        | CAST(min(coalesce(regs.cnt, 0)) AS BIGINT) AS cms_est
+        |FROM pr LEFT JOIN regs ON pr.slice = regs.slice
+        |  AND pr.rw = regs.rw AND pr.bucket = regs.bucket
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // F54: the deterministic quantile-sketch law replayed end-to-end —
     // binary-string octave (no float log), integer sub-bucket, count
     // registers, cumulative-rank pick, bucket-lower-bound estimate;

@@ -1116,6 +1116,62 @@ object LlmQueries {
       .orderBy(col("lang"), col("q_bp"))
   }
 
+  /** F58: deterministic Count-Min heavy hitters — per-lang top-10
+    * tokens with their CMS estimates next to exact counts (the
+    * toy-scale accuracy audit; at 100 TB the candidate list comes
+    * from a hash sample and the EXACT column is the thing the sketch
+    * exists to avoid). est ≥ exact always — the one absolute CMS
+    * guarantee.
+    */
+  val CmsTopK = 10
+  def corpusHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Caching._
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, dir)
+      .select(col("lang").as("slice"),
+        explode(graft.text.TextFns.tokens(col("text"))).as("token"))
+      .cachedOnce
+    val exact = tok.groupBy(col("slice"), col("token"))
+      .agg(count(lit(1)).as("n_exact"))
+    val cand = exact.withColumn("rk", row_number().over(
+        Window.partitionBy(col("slice"))
+          .orderBy(col("n_exact").desc, col("token"))))
+      .filter(col("rk") <= CmsTopK).drop("rk")
+    Sketch.cmsEstimate(Sketch.cmsRegisters(tok, "slice", col("token")),
+        cand, "token")
+      .join(cand, Seq("slice", "token"))
+      .select(col("slice").as("lang"), col("token"),
+        col("cms_est"), col("n_exact"))
+      .orderBy(col("lang"), col("token"))
+  }
+
+  /** F58b: CMS merge ≡ rebuild — the Spark side estimates ONLY from
+    * the two halves' elementwise-summed tables; the oracle re-sketches
+    * from scratch (the F49b/F54b theorem's third instance).
+    */
+  def corpusHeavyHittersIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Caching._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    def tokOf(df: DataFrame) = df.select(col("lang").as("slice"),
+      explode(graft.text.TextFns.tokens(col("text"))).as("token"))
+    val tok = tokOf(docs).cachedOnce
+    val cand = tok.groupBy(col("slice"), col("token"))
+      .agg(count(lit(1)).as("n_exact"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("slice"))
+          .orderBy(col("n_exact").desc, col("token"))))
+      .filter(col("rk") <= CmsTopK).select(col("slice"), col("token"))
+    val merged = Sketch.cmsMerge(
+      Sketch.cmsRegisters(tokOf(docs.filter(col("doc_id") % 2 === 0)),
+        "slice", col("token")),
+      Sketch.cmsRegisters(tokOf(docs.filter(col("doc_id") % 2 =!= 0)),
+        "slice", col("token")))
+    Sketch.cmsEstimate(merged, cand, "token")
+      .select(col("slice").as("lang"), col("token"), col("cms_est"))
+      .orderBy(col("lang"), col("token"))
+  }
+
   /** F49b: INCREMENTAL cardinality maintenance — the property that
     * makes the sketch an operations win, as an oracle-checked row:
     * merging the standing corpus's registers with an arriving batch's

@@ -168,6 +168,65 @@ object Sketch {
           .as("q_est"))
   }
 
+  // ---- F58: deterministic Count-Min heavy-hitter sketch --------------
+
+  /** CMS depth (independent hash rows) and width (counters per row):
+    * point estimates over-count by ≤ εN with ε = e/CmsW per row and
+    * failure probability δ = e^−CmsD across the min — the classic
+    * Cormode-Muthukrishnan bounds, here with DETERMINISTIC md5-salted
+    * rows so both engines build bit-identical tables.
+    */
+  val CmsD = 4
+  val CmsW = 1024
+
+  /** F58 registers: the Count-Min table per slice — for each of CmsD
+    * salted hash rows, counts into CmsW buckets
+    * (h60('#cms⟨i⟩#' ++ value) mod CmsW). Counter sums are integer and
+    * order-free, so tables MERGE by elementwise addition (unlike
+    * Misra-Gries/SpaceSaving, whose result depends on stream order —
+    * unusable for a cross-engine oracle). ONE map-side-combined count
+    * aggregate; ≤ CmsD·CmsW rows per slice survive the combine.
+    */
+  def cmsRegisters(df: DataFrame, slice: String, value: Column): DataFrame =
+    df.select(col(slice).as("slice"), value.cast("string").as("v"))
+      .select(col("slice"), col("v"),
+        explode(array((0 until CmsD).map(lit(_)): _*)).as("row"))
+      .select(col("slice"), col("row"),
+        (graft.text.TextFns.h60(
+          concat(lit("#cms"), col("row").cast("string"), lit("#"), col("v")))
+          % CmsW).as("bucket"))
+      .groupBy(col("slice"), col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge two CMS tables: elementwise counter sums — merge ≡ direct
+    * by addition associativity (the F49b/F54b theorem, third instance).
+    */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("slice"), col("row"), col("bucket"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+
+  /** Point estimates for a candidate set: each candidate hashes into
+    * its CmsD buckets, joins the register table, and the MIN across
+    * rows is the estimate (never an under-count: every bucket holds
+    * the true count plus non-negative collisions — the one absolute
+    * CMS guarantee, pinned by spec). Candidates are K-row
+    * (broadcast); the register table is ≤ slices·CmsD·CmsW rows.
+    */
+  def cmsEstimate(regs: DataFrame, candidates: DataFrame,
+                  valueCol: String): DataFrame = {
+    val probes = candidates
+      .select(col("slice"), col(valueCol).cast("string").as("v"))
+      .select(col("slice"), col("v"),
+        explode(array((0 until CmsD).map(lit(_)): _*)).as("row"))
+      .select(col("slice"), col("v"), col("row"),
+        (graft.text.TextFns.h60(
+          concat(lit("#cms"), col("row").cast("string"), lit("#"), col("v")))
+          % CmsW).as("bucket"))
+    probes.join(regs, Seq("slice", "row", "bucket"), "left")
+      .groupBy(col("slice"), col("v").as(valueCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+
   /** Estimate per slice from registers: integer-exact harmonic-mean
     * denominator, one double division, Flajolet small-range branch.
     */

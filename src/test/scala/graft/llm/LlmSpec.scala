@@ -2247,6 +2247,40 @@ class LlmSpec extends SparkSpec {
     assert(w.values.exists(_._1 > 1L))
   }
 
+  test("count-min: never under-counts, merge ≡ direct, stable (F58)") {
+    import graft.ops.Sketch
+    val vals = Seq.fill(50)("hot") ++ Seq.fill(5)("warm") ++
+      (0 until 200).map("t" + _)
+    val df = vals.map(t => ("x", t)).toDF("slice", "v")
+    val regs = Sketch.cmsRegisters(df, "slice", col("v"))
+    val cand = Seq(("x", "hot"), ("x", "warm"), ("x", "absent"))
+      .toDF("slice", "v")
+    val est = Sketch.cmsEstimate(regs, cand, "v").collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    // the one ABSOLUTE guarantee: collisions only add, never subtract
+    assert(est("hot") >= 50L && est("warm") >= 5L && est("absent") >= 0L)
+    // 255 distinct values over 4×1024 counters: the hot estimate is
+    // within a few collisions of exact
+    assert(est("hot") <= 55L, est)
+    // merge ≡ direct: elementwise counter sums are bit-exact
+    def regMap(r: org.apache.spark.sql.DataFrame) = r.collect()
+      .map(x => (x.getString(0), x.getInt(1), x.getLong(2)) -> x.getLong(3))
+      .toMap
+    val whole = regMap(regs)
+    val halves = regMap(Sketch.cmsMerge(
+      Sketch.cmsRegisters(df.filter(length(col("v")) % 2 === 0), "slice", col("v")),
+      Sketch.cmsRegisters(df.filter(length(col("v")) % 2 =!= 0), "slice", col("v"))))
+    assert(whole == halves)
+    // order/partitioning-free
+    assert(whole == regMap(Sketch.cmsRegisters(df.repartition(7), "slice", col("v"))))
+    // the driver audit on the real corpus: est ≥ exact on every row
+    val audit = graft.ops.LlmQueries
+      .corpusHeavyHitters(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(audit.nonEmpty)
+    audit.foreach { case (t, e, x) => assert(e >= x, s"$t: $e < $x") }
+  }
+
   test("quantile sketch bucket law, merge ≡ direct, accuracy bound (F54)") {
     import graft.ops.Sketch
     // bucket arithmetic on hand-computed cases: e from the binary
