@@ -447,6 +447,15 @@ object ScaleBench {
           graft.ops.Relational.retention(
             eventsFrame(spark, copies).select(col("user_id"),
               expr("t div 604800").as("wk")))),
+        // F58 at scale: the CMS table — one map-side-combined count
+        // whose survivor set is ≤ 4·1024 rows per slice at any corpus
+        // size; wall time is the token explode (the hll/quantile shape)
+        "cms_sketch" -> (() => {
+          val tok = docs.select(
+            (col("doc_id") % 5L).cast("string").as("slice"),
+            explode(graft.text.TextFns.tokens(col("text"))).as("token"))
+          graft.ops.Sketch.cmsRegisters(tok, "slice", col("token"))
+        }),
         // F54 at scale: log-bucket quantile registers + estimate — one
         // map-side-combined count whose survivor set is ≤ ~64·16 rows
         // per slice at ANY corpus size (no global sort, no exact audit
