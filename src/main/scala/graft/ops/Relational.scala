@@ -178,29 +178,45 @@ object Relational {
       .select(col("user_id"), col("ts").cast("long").as("t"),
         col("event_type")))
 
-  /** The E8 core over a (user_id, t, event_type) frame. */
-  def funnel(e: DataFrame): DataFrame = {
+  /** The E8 core over a (user_id, t, event_type) frame — the 3-step
+    * specialization of [[funnelSteps]] (output columns t_view /
+    * t_click / t_purchase; the driver oracle is unchanged by
+    * construction).
+    */
+  def funnel(e: DataFrame): DataFrame =
+    funnelSteps(e, Seq("view", "click", "purchase"))
+
+  /** E8 generalized to an ARBITRARY ordered step list: step i's
+    * timestamp = the first `steps(i)` event at-or-after step i−1's
+    * (step 0 unconditioned). N sequential conditional-min windows
+    * still share ONE user partitioning — Spark plans them as one
+    * shuffle regardless of N (the E8 one-exchange pin holds at any
+    * depth, re-pinned for N=4 in the spec). Output columns
+    * `t_<step>` with −1 sentinels, plus depth.
+    */
+  def funnelSteps(e: DataFrame, steps: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(steps.nonEmpty, "funnelSteps: need at least one step")
+    require(steps.toSet.size == steps.length,
+      s"funnelSteps: duplicate step types in $steps")
     val w = Window.partitionBy(col("user_id"))
-    e
-      .withColumn("t1",
-        min(when(col("event_type") === "view", col("t"))).over(w))
-      .withColumn("t2",
-        min(when(col("event_type") === "click" && col("t") >= col("t1"),
-          col("t"))).over(w))
-      .withColumn("t3",
-        min(when(col("event_type") === "purchase" && col("t") >= col("t2"),
-          col("t"))).over(w))
-      .groupBy(col("user_id"))
-      .agg(first(col("t1")).as("v1"), first(col("t2")).as("v2"),
-        first(col("t3")).as("v3"))
-      .select(col("user_id"),
-        coalesce(col("v1"), lit(-1L)).as("t_view"),
-        coalesce(col("v2"), lit(-1L)).as("t_click"),
-        coalesce(col("v3"), lit(-1L)).as("t_purchase"),
-        (when(col("v1").isNotNull, 1L).otherwise(0L) +
-          when(col("v2").isNotNull, 1L).otherwise(0L) +
-          when(col("v3").isNotNull, 1L).otherwise(0L)).as("depth"))
+    var df = e
+    steps.zipWithIndex.foreach { case (st, i) =>
+      val cond =
+        if (i == 0) col("event_type") === st
+        else col("event_type") === st && col("t") >= col(s"s${i - 1}")
+      df = df.withColumn(s"s$i", min(when(cond, col("t"))).over(w))
+    }
+    val aggs = steps.indices.map(i => first(col(s"s$i")).as(s"v$i"))
+    val depth = steps.indices
+      .map(i => when(col(s"v$i").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("user_id") +:
+        steps.zipWithIndex.map { case (st, i) =>
+          coalesce(col(s"v$i"), lit(-1L)).as(s"t_$st")
+        } :+ depth.as("depth"): _*)
       .orderBy(col("user_id"))
   }
 

@@ -463,6 +463,56 @@ object CarbonStream {
     * EXACTLY E8's window chain restricted to depth ≥ 1 users — the
     * driver oracle's theorem.
     */
+  final case class FunnelUpdateN(user_id: Long, ts: Seq[Long],
+                                 depth: Long, closed: Long)
+
+  /** [[funnelStream]] generalized to an arbitrary ordered step list
+    * (the [[graft.ops.Relational.funnelSteps]] twin): per-user state
+    * is an N-long array, the fold rule is step i fires on the first
+    * `steps(i)` event at-or-after step i−1's timestamp (ties resolve
+    * by step rank, as in the 3-step form), emission and expiry follow
+    * the G20/G20b contracts. Single-batch ≡ funnelSteps at depth ≥ 1
+    * (the spec pins N=2 and N=4).
+    */
+  def funnelStreamSteps(events: Dataset[(Long, Long, String)],
+                        steps: Seq[String],
+                        expireMs: Option[Long] = None): Dataset[FunnelUpdateN] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty && steps.toSet.size == steps.length,
+      s"funnelStreamSteps: steps must be non-empty and distinct ($steps)")
+    val rank = steps.zipWithIndex.toMap
+    val timeoutConf =
+      if (expireMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], FunnelUpdateN](
+        OutputMode.Append, timeoutConf) {
+        (uid, it, state: GroupState[Array[Long]]) =>
+          def depthOf(a: Array[Long]): Long = a.count(_ >= 0).toLong
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(FunnelUpdateN(uid, s.toSeq, depthOf(s), 1L))
+          } else {
+            val s = if (state.exists) state.get.clone()
+                    else Array.fill(steps.length)(-1L)
+            val before = s.toSeq
+            for ((_, t, tp) <- it.toArray
+                .sortBy(x => (x._2, rank.getOrElse(x._3, steps.length)))) {
+              rank.get(tp).foreach { i =>
+                if (s(i) < 0 && (i == 0 || (s(i - 1) >= 0 && t >= s(i - 1))))
+                  s(i) = t
+              }
+            }
+            state.update(s)
+            expireMs.foreach(state.setTimeoutDuration)
+            if (s.toSeq != before)
+              Iterator.single(FunnelUpdateN(uid, s.toSeq, depthOf(s), 0L))
+            else Iterator.empty
+          }
+      }
+  }
+
   def funnelStream(events: Dataset[(Long, Long, String)],
                    expireMs: Option[Long] = None): Dataset[FunnelUpdate] = {
     import events.sparkSession.implicits._

@@ -85,6 +85,36 @@ class RelationalSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan.take(2000))
   }
 
+  test("funnelSteps: N-step generalization, one exchange at any depth (E8b)") {
+    val e = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"), (1L, 40L, "d"),
+      (2L, 10L, "a"), (2L, 5L, "b"), // b BEFORE a: order matters
+      (3L, 10L, "b")).toDF("user_id", "t", "event_type")
+    // N=2
+    val two = Relational.funnelSteps(e, Seq("a", "b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(two.toSeq == Seq(
+      (1L, 10L, 20L, 2L), (2L, 10L, -1L, 1L), (3L, -1L, -1L, 0L)))
+    // N=4 with the generic t_<step> naming
+    val four = Relational.funnelSteps(e, Seq("a", "b", "c", "d"))
+    assert(four.columns.toSeq ==
+      Seq("user_id", "t_a", "t_b", "t_c", "t_d", "depth"))
+    val r1 = four.collect().head
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3), r1.getLong(4),
+      r1.getLong(5)) == ((10L, 20L, 30L, 40L, 4L)))
+    // the 3-step driver shape IS the generalization (same columns)
+    assert(Relational.funnel(
+      Seq((1L, 1L, "view")).toDF("user_id", "t", "event_type"))
+      .columns.toSeq ==
+      Seq("user_id", "t_view", "t_click", "t_purchase", "depth"))
+    // the one-exchange pin holds at N=4, not just 3 (fresh frame: an
+    // executed AQE plan prints Final+Initial and double-counts)
+    val plan = Relational.funnelSteps(e, Seq("a", "b", "c", "d"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      plan.take(2000))
+  }
+
   test("attribution: equal integer shares, window edges, accumulation (E10)") {
     // purchase 100 at t=100 has two in-window clicks (10 and 100 —
     // the <= boundary counts, the > t-W boundary excludes t=40 at

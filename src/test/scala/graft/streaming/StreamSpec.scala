@@ -417,6 +417,41 @@ class StreamSpec extends SparkSpec {
     assert(split.toSeq == Seq((100L, 160L, 1L), (161L, 221L, 1L)))
   }
 
+  test("N-step streaming funnel: fold ≡ funnelSteps, cross-batch (G20c)") {
+    import graft.streaming.CarbonStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // single-batch fold ≡ the batch window chain at depth ≥ 1, N=4
+    val batch = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"),
+      (1L, 40L, "d"), (2L, 9L, "b")).toDF("user_id", "t", "event_type")
+    val viaFold = CarbonStream.funnelStreamSteps(
+      batch.as[(Long, Long, String)], Seq("a", "b", "c", "d")).collect()
+      .map(u => (u.user_id, u.ts, u.depth)).toSeq
+    assert(viaFold == Seq((1L, Seq(10L, 20L, 30L, 40L), 4L)))
+    val viaWindows = graft.ops.Relational
+      .funnelSteps(batch, Seq("a", "b", "c", "d"))
+      .filter(col("depth") >= 1).collect()
+      .map(r => (r.getLong(0), Seq(r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)), r.getLong(5))).toSeq
+    assert(viaFold == viaWindows)
+    // cross-batch N=2 progression through the state store
+    val source = MemoryStream[(Long, Long, String)]
+    val out = CarbonStream.funnelStreamSteps(source.toDS(), Seq("a", "b"))
+    val query = out.toDF().writeStream
+      .format("memory").queryName("g20c_funnel").outputMode("append").start()
+    try {
+      source.addData((5L, 10L, "a"))
+      query.processAllAvailable()
+      source.addData((5L, 20L, "b"))
+      query.processAllAvailable()
+      val rows = spark.table("g20c_funnel").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSeq
+        .sortBy(_._3)
+      assert(rows == Seq(
+        (5L, Seq(10L, -1L), 1L), (5L, Seq(10L, 20L), 2L)))
+    } finally query.stop()
+  }
+
   test("streaming funnel expiry: timeout emits terminal row, clears state (G20b)") {
     import graft.streaming.CarbonStream
     implicit val sqlCtx = spark.sqlContext
