@@ -513,6 +513,70 @@ object CarbonStream {
       }
   }
 
+  /** EVENT-TIME expiry for the N-step funnel — the replay/backfill-
+    * safe twin of G20b's processing-time horizon: a journey expires
+    * `expireSec` after its OWN last activity (by event time), so a
+    * backfill replayed at 100× speed expires journeys exactly where
+    * live processing would have, and a stalled consumer expires
+    * nothing spuriously. Requires the event-time watermark (the
+    * timeout fires when the watermark passes last-activity + horizon);
+    * the arm is guarded against the watermark having already passed
+    * (very-late stragglers re-arm at the watermark edge instead of
+    * throwing). STREAM-ONLY by nature — batch has no watermark; the
+    * batch twin is [[funnelStreamSteps]] without expiry (spec-only
+    * coverage, the G2 convention).
+    */
+  def funnelStreamEventTime(events: DataFrame, steps: Seq[String],
+                            expireSec: Long,
+                            watermark: String = "0 seconds"): Dataset[FunnelUpdateN] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty && steps.toSet.size == steps.length,
+      s"funnelStreamEventTime: steps must be non-empty and distinct ($steps)")
+    require(expireSec >= 1, s"expireSec must be >= 1 (got $expireSec)")
+    val rank = steps.zipWithIndex.toMap
+    // the watermarked column must SURVIVE into the stateful operator —
+    // a projection (or object map) that drops it strips the watermark
+    // and the analyzer rejects the event-time timeout, so the
+    // timestamp rides the grouped tuple itself
+    val wm = events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("t").cast("long").as("t"), col("event_type"),
+        timestamp_seconds(col("t")).as("event_time"))
+      .withWatermark("event_time", watermark)
+      .as[(Long, Long, String, java.sql.Timestamp)]
+    wm.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], FunnelUpdateN](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, it, state: GroupState[Array[Long]]) =>
+          def depthOf(a: Array[Long]): Long = a.count(_ >= 0).toLong
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(FunnelUpdateN(uid, s.toSeq, depthOf(s), 1L))
+          } else {
+            val s = if (state.exists) state.get.clone()
+                    else Array.fill(steps.length)(-1L)
+            val before = s.toSeq
+            var lastT = -1L
+            for ((_, t, tp, _) <- it.toArray
+                .sortBy(x => (x._2, rank.getOrElse(x._3, steps.length)))) {
+              lastT = math.max(lastT, t)
+              rank.get(tp).foreach { i =>
+                if (s(i) < 0 && (i == 0 || (s(i - 1) >= 0 && t >= s(i - 1))))
+                  s(i) = t
+              }
+            }
+            state.update(s)
+            val armMs = math.max((lastT + expireSec) * 1000L,
+              state.getCurrentWatermarkMs() + 1L)
+            state.setTimeoutTimestamp(armMs)
+            if (s.toSeq != before)
+              Iterator.single(FunnelUpdateN(uid, s.toSeq, depthOf(s), 0L))
+            else Iterator.empty
+          }
+      }
+  }
+
   def funnelStream(events: Dataset[(Long, Long, String)],
                    expireMs: Option[Long] = None): Dataset[FunnelUpdate] = {
     import events.sparkSession.implicits._

@@ -417,6 +417,43 @@ class StreamSpec extends SparkSpec {
     assert(split.toSeq == Seq((100L, 160L, 1L), (161L, 221L, 1L)))
   }
 
+  test("event-time funnel expiry: watermark-driven, replay-safe (G20d)") {
+    import graft.streaming.CarbonStream
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Long, String)]
+    // journeys expire 100 s of EVENT time after their last activity —
+    // the whole test is watermark-driven by data, zero wall-clock
+    val out = CarbonStream.funnelStreamEventTime(
+      source.toDF().toDF("user_id", "t", "event_type"),
+      Seq("view", "click"), expireSec = 100L)
+    val query = out.toDF().writeStream
+      .format("memory").queryName("g20d_funnel").outputMode("append").start()
+    def rows() = spark.table("g20d_funnel").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2),
+        r.getLong(3))).toSeq
+    try {
+      source.addData((1L, 1000L, "view")) // expiry armed at 1100
+      query.processAllAvailable()
+      // watermark 1000 < 1100: nothing expires even batches later
+      source.addData((2L, 1050L, "view"))
+      query.processAllAvailable()
+      assert(!rows().exists(_._4 == 1L), rows())
+      // an event at 2000 advances the watermark past both horizons;
+      // the NEXT batch's start watermark fires both expiries
+      source.addData((3L, 2000L, "view"))
+      query.processAllAvailable()
+      source.addData((3L, 2010L, "click"))
+      query.processAllAvailable()
+      val closed = rows().filter(_._4 == 1L).map(r => (r._1, r._2, r._3))
+      assert(closed.toSet == Set(
+        (1L, Seq(1000L, -1L), 1L), (2L, Seq(1050L, -1L), 1L)), rows())
+      // expired state is gone: a fresh u1 view opens a new journey
+      source.addData((1L, 3000L, "view"))
+      query.processAllAvailable()
+      assert(rows().contains((1L, Seq(3000L, -1L), 1L, 0L)), rows())
+    } finally query.stop()
+  }
+
   test("N-step streaming funnel: fold ≡ funnelSteps, cross-batch (G20c)") {
     import graft.streaming.CarbonStream
     import org.apache.spark.sql.functions.col
