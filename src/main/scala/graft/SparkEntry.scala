@@ -121,6 +121,7 @@ object SparkEntry {
     "gfn_generic_select" -> ((s, dir) => T.gfnGenericSelect(s, dir)),
     "gfn_summarize_align" -> ((s, dir) => T.gfnSummarizeAlign(s, dir)),
     "gfn_reduce_series" -> ((s, dir) => T.gfnReduceSeries(s, dir)),
+    "gfn_use_series_above" -> ((s, dir) => T.gfnUseSeriesAbove(s, dir)),
     "gfn_aggregate_minmax" -> ((s, dir) => T.gfnAggregateMinmax(s, dir)),
     "gfn_group_nodes" -> ((s, dir) => T.gfnGroupNodes(s, dir)),
     "gfn_multiply_wildcards" -> ((s, dir) => T.gfnMultiplyWildcards(s, dir)),
@@ -3737,6 +3738,18 @@ object SparkEntry {
          |SELECT 'aggregateLine(' || fr.path || ',''avg'')' AS path, t,
          | round(m - 1e-9, 4) AS value
          |FROM fr JOIN keep ON fr.path = keep.path ORDER BY 1, 2""".stripMargin,
+    // C9: useSeriesAbove — the qualifying CLICK series (max > 40 on
+    // the round-6 grid) have click→view applied to their names and
+    // the related VIEW series drawn
+    "gfn_use_series_above" ->
+      s"""WITH $M,
+         |${gfnFrameCteNamed("^vera\\.u1[^.]\\.click$$", "a")},
+         |${gfnFrameCteNamed("^vera\\.u1[^.]\\.view$$", "w")},
+         |q AS (SELECT path FROM (SELECT path, max(value) AS mx FROM fra GROUP BY 1)
+         |  WHERE round(mx, 6) > 40),
+         |qq AS (SELECT replace(path, 'click', 'view') AS path FROM q)
+         |SELECT frw.path, frw.t, round(frw.value - 1e-9, 4) AS value
+         |FROM frw JOIN qq ON frw.path = qq.path ORDER BY 1, 2""".stripMargin,
     // C9: reduceSeries(mapSeries(...)) — series paired by suffix
     // matcher at node 2 within each 2-node prefix, asPercent law
     // (zero/absent denominator → null), result named by the prefix

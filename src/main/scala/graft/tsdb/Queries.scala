@@ -780,6 +780,13 @@ object Queries {
     gfnEval(spark, dir,
       """applyByNode(vera.u1?.click,1,"divideSeries(%.click,%.error)")""")
 
+  /** C9ax: useSeriesAbove — users whose CLICK maximum clears the gate
+    * get their VIEW series drawn (search/replace on the qualifying
+    * names, ONE brace-glob fetch of the related metrics).
+    */
+  def gfnUseSeriesAbove(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, """useSeriesAbove(vera.u1?.click,40,"click","view")""")
+
   /** C9aw: the mapSeries/reduceSeries matcher-pairing idiom — per-user
     * clicks as a percentage of views from one glob, series paired by
     * suffix matchers at node 2, results named by the prefix.

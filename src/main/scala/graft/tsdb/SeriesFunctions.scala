@@ -162,14 +162,8 @@ object SeriesFunctions {
     * selection shape without the rank.
     */
   def filterByStat(f: DataFrame, stat: String, op: String, threshold: Double): DataFrame = {
-    val statAgg: Column = stat match {
-      case "average" => avg(col("value"))
-      case "max" => max(col("value"))
-      case "min" => min(col("value"))
-      case "current" => max(when(col("value").isNotNull,
-        struct(col("t"), col("value")))).getField("value")
-      case other => throw new IllegalArgumentException(s"filterByStat: unknown stat '$other'")
-    }
+    // the one shared stat table (the canonAgg single-sourcing rule)
+    val statAgg: Column = seriesStat(stat, "filterByStat")
     val cmp: Column = op match {
       case "above" => round(col("s"), 6) > threshold
       case "below" => round(col("s"), 6) < threshold

@@ -451,6 +451,29 @@ object TargetExpr {
           require(args.length >= 2,
             "multiplySeriesWithWildcards: need series + positions")
           multiplyWithWildcards(series(0), (1 until args.length).map(intArg))
+        case "useSeriesAbove" =>
+          // graphite: series whose MAX exceeds `value` have
+          // search→replace applied to their names and the RESULTING
+          // metrics fetched — the draw-response-time-for-busy-servers
+          // idiom, and (with applyByNode) the second function that
+          // fetches inside the pipeline. The qualifying list is
+          // K-row metadata (collected, as graphite itself does); the
+          // replaced paths fetch as ONE brace glob — a single scan,
+          // not K cascades.
+          arity(4)
+          val base = series(0)
+          val thresh = num(1)
+          val (search, replace) = (str(2), str(3))
+          val qualifying = base.groupBy(col("path"))
+            .agg(max(col("value")).as("mx"))
+            .filter(round(col("mx"), 6) > thresh)
+            .select(regexp_replace(col("path"), search, replace).as("p"))
+            .collect().map(_.getString(0)).distinct.sorted
+          qualifying.toList match {
+            case Nil => base.filter(lit(false)) // typed empty frame
+            case one :: Nil => fetchAt(one, shift)
+            case many => fetchAt(s"{${many.mkString(",")}}", shift)
+          }
         case "applyByNode" =>
           require(args.length == 3 || args.length == 4,
             s"applyByNode: expected (seriesList, nodeNum, template[, newName]), got ${args.length} args")

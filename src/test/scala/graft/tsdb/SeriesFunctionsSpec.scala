@@ -790,6 +790,27 @@ class SeriesFunctionsSpec extends SparkSpec {
     assert(vals(SeriesFunctions.keepLastValue(lead, 2)).head._3.isEmpty)
   }
 
+  test("useSeriesAbove: gate, name rewrite, related-metric fetch") {
+    val rows = frame(
+      ("s.a.reqs", 0L, 50.0), ("s.a.time", 0L, 0.9),
+      ("s.b.reqs", 0L, 5.0), ("s.b.time", 0L, 0.2),
+      ("s.c.reqs", 0L, 60.0)) // qualifies but has no related metric
+    def fetchAt(glob: String, shift: Long): DataFrame = {
+      val re = "^" + glob.replace(".", "\\.").replace("{", "(")
+        .replace("}", ")").replace(",", "|").replace("*", "[^.]+") + "$"
+      rows.filter(col("path").rlike(re))
+    }
+    // a and c clear the max>10 gate; only a's rewritten metric exists,
+    // so exactly its related series draws (the graphite idiom: plot
+    // response time for servers handling real traffic)
+    assert(vals(TargetExpr.evalTargetAt(
+      """useSeriesAbove(s.*.reqs,10,"reqs","time")""", fetchAt)) ==
+      Seq(("s.a.time", 0L, Some(0.9))))
+    // nobody qualifies → a typed empty frame, not an error
+    assert(TargetExpr.evalTargetAt(
+      """useSeriesAbove(s.*.reqs,1000,"reqs","time")""", fetchAt).count() == 0)
+  }
+
   test("reduceSeries: matcher pairing, null laws, prefix naming") {
     val f = frame(
       ("h.a.used", 0L, 1.0), ("h.a.total", 0L, 4.0),
