@@ -431,6 +431,25 @@ object ScaleBench {
               (col("doc_id") % 5L).cast("string")),
             graft.ops.Sampling.mixPlanTemperature(docs.withColumn("lang",
               (col("doc_id") % 5L).cast("string")), 1000L))),
+        // G21 at scale: native session_window over a growing event
+        // stream — one stateful-agg shuffle on the user key, session
+        // count bounded by events; must stay linear
+        "stream_sessionize" -> (() =>
+          graft.streaming.CarbonStream.sessionizeStream(
+            eventsFrame(spark, copies)
+              .select(col("user_id"), col("t").as("ts")), 1800L)),
+        // C13 at scale: reduceSeries is one (prefix, t) equi-join over
+        // the frame — prefix count grows with the series count but the
+        // plan is fixed
+        "gfn_reduce_series" -> (() => {
+          val fr = gfnFrame(spark, copies)
+            .select(concat(lit("h."), split(col("path"), "\\.")(1),
+              when(col("t") % 7200 === 0, lit(".used"))
+                .otherwise(lit(".total"))).as("path"),
+              col("t"), col("value"))
+          graft.tsdb.SeriesFunctions.reduceSeries(fr, "asPercent", 2,
+            Seq("used", "total"))
+        }),
         // E8/E9 at scale: the funnel is three windows over ONE user
         // shuffle (state per user is 3 numbers), retention two
         // user-keyed aggregates — both must stay linear in the event
