@@ -525,6 +525,14 @@ object CarbonStream {
     * throwing). STREAM-ONLY by nature — batch has no watermark; the
     * batch twin is [[funnelStreamSteps]] without expiry (spec-only
     * coverage, the G2 convention).
+    *
+    * The state array carries ONE extra slot: the journey's
+    * last-activity event time (so 8 B/user over the step slots).
+    * Without it, a late straggler that survives the watermark but is
+    * OLDER than the journey's prior activity would re-arm the horizon
+    * from the current batch's max alone and expire the journey
+    * early — the horizon must be monotone in the journey's true last
+    * activity, which only persisted state can witness across batches.
     */
   def funnelStreamEventTime(events: DataFrame, steps: Seq[String],
                             expireSec: Long,
@@ -544,34 +552,39 @@ object CarbonStream {
         timestamp_seconds(col("t")).as("event_time"))
       .withWatermark("event_time", watermark)
       .as[(Long, Long, String, java.sql.Timestamp)]
+    val n = steps.length
     wm.groupByKey(_._1)
       .flatMapGroupsWithState[Array[Long], FunnelUpdateN](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid, it, state: GroupState[Array[Long]]) =>
-          def depthOf(a: Array[Long]): Long = a.count(_ >= 0).toLong
+          // state layout: slots 0..n-1 = step timestamps, slot n =
+          // last-activity event time (persisted so the horizon is
+          // monotone across batches)
+          def depthOf(a: Array[Long]): Long = a.take(n).count(_ >= 0).toLong
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(FunnelUpdateN(uid, s.toSeq, depthOf(s), 1L))
+            Iterator.single(FunnelUpdateN(uid, s.take(n).toSeq, depthOf(s), 1L))
           } else {
             val s = if (state.exists) state.get.clone()
-                    else Array.fill(steps.length)(-1L)
-            val before = s.toSeq
-            var lastT = -1L
+                    else Array.fill(n + 1)(-1L)
+            val before = s.take(n).toSeq
+            var lastT = s(n)
             for ((_, t, tp, _) <- it.toArray
-                .sortBy(x => (x._2, rank.getOrElse(x._3, steps.length)))) {
+                .sortBy(x => (x._2, rank.getOrElse(x._3, n)))) {
               lastT = math.max(lastT, t)
               rank.get(tp).foreach { i =>
                 if (s(i) < 0 && (i == 0 || (s(i - 1) >= 0 && t >= s(i - 1))))
                   s(i) = t
               }
             }
+            s(n) = lastT
             state.update(s)
             val armMs = math.max((lastT + expireSec) * 1000L,
               state.getCurrentWatermarkMs() + 1L)
             state.setTimeoutTimestamp(armMs)
-            if (s.toSeq != before)
-              Iterator.single(FunnelUpdateN(uid, s.toSeq, depthOf(s), 0L))
+            if (s.take(n).toSeq != before)
+              Iterator.single(FunnelUpdateN(uid, s.take(n).toSeq, depthOf(s), 0L))
             else Iterator.empty
           }
       }

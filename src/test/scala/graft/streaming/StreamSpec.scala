@@ -454,6 +454,47 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("event-time funnel expiry: late straggler cannot rewind the horizon (G20d)") {
+    import graft.streaming.CarbonStream
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Long, String)]
+    // a 500 s watermark delay lets out-of-order events survive; the
+    // journey's horizon must stay anchored at its TRUE last activity
+    // (persisted in state), not the straggler batch's max event time
+    val out = CarbonStream.funnelStreamEventTime(
+      source.toDF().toDF("user_id", "t", "event_type"),
+      Seq("view", "click"), expireSec = 100L, watermark = "500 seconds")
+    val query = out.toDF().writeStream
+      .format("memory").queryName("g20d_straggler").outputMode("append").start()
+    def rows() = spark.table("g20d_straggler").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2),
+        r.getLong(3))).toSeq
+    try {
+      source.addData((1L, 1000L, "view")) // horizon = 1100; wm → 500
+      query.processAllAvailable()
+      // a straggler click at 600 survives the watermark (600 > 500)
+      // but is OLDER than u1's last activity: the horizon must remain
+      // 1100, not rewind to 700
+      source.addData((1L, 600L, "click"))
+      query.processAllAvailable()
+      // push the watermark to 1050 — past the rewound-to-700 horizon
+      // a buggy arm would have set, but short of the true 1100
+      source.addData((9L, 1550L, "view"))
+      query.processAllAvailable()
+      source.addData((9L, 1560L, "click")) // timeout check at wm 1050
+      query.processAllAvailable()
+      assert(!rows().exists(r => r._1 == 1L && r._4 == 1L), rows())
+      // now past 1100: u1 expires exactly where its own activity says
+      source.addData((9L, 2200L, "view")) // wm → 1700 next batch
+      query.processAllAvailable()
+      source.addData((9L, 2210L, "view"))
+      query.processAllAvailable()
+      val u1closed = rows().filter(r => r._1 == 1L && r._4 == 1L)
+      assert(u1closed.map(r => (r._2, r._3)) == Seq((Seq(1000L, -1L), 1L)),
+        rows())
+    } finally query.stop()
+  }
+
   test("N-step streaming funnel: fold ≡ funnelSteps, cross-batch (G20c)") {
     import graft.streaming.CarbonStream
     import org.apache.spark.sql.functions.col
