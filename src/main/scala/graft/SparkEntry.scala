@@ -116,12 +116,16 @@ object SparkEntry {
     "gfn_outside_avg" -> ((s, dir) => T.gfnOutsideAvg(s, dir)),
     "gfn_consolidate" -> ((s, dir) => T.gfnConsolidate(s, dir)),
     "cgi_render_maxdp" -> ((s, dir) => T.cgiRenderMaxdp(s, dir)),
+    "cgi_render_maxdp_archive" -> ((s, dir) => T.cgiRenderMaxdpArchive(s, dir)),
     "gfn_wrap_counter" -> ((s, dir) => T.gfnWrapCounter(s, dir)),
     "gfn_apply_by_node" -> ((s, dir) => T.gfnApplyByNode(s, dir)),
     "gfn_generic_select" -> ((s, dir) => T.gfnGenericSelect(s, dir)),
     "gfn_summarize_align" -> ((s, dir) => T.gfnSummarizeAlign(s, dir)),
     "gfn_reduce_series" -> ((s, dir) => T.gfnReduceSeries(s, dir)),
     "gfn_use_series_above" -> ((s, dir) => T.gfnUseSeriesAbove(s, dir)),
+    "tags_index" -> ((s, dir) => T.tagsIndex(s, dir)),
+    "gfn_series_by_tag" -> ((s, dir) => T.gfnSeriesByTag(s, dir)),
+    "gfn_alias_by_tags" -> ((s, dir) => T.gfnAliasByTags(s, dir)),
     "gfn_aggregate_minmax" -> ((s, dir) => T.gfnAggregateMinmax(s, dir)),
     "gfn_group_nodes" -> ((s, dir) => T.gfnGroupNodes(s, dir)),
     "gfn_multiply_wildcards" -> ((s, dir) => T.gfnMultiplyWildcards(s, dir)),
@@ -336,6 +340,27 @@ object SparkEntry {
     s"""$FetchCte,
        |fr AS (SELECT g.path, g.t, a2.value AS value
        |  FROM g LEFT JOIN a2 ON g.path = a2.path AND g.t = a2.bucket)""".stripMargin
+
+  /** The graphite-1.1 TAGGED namespace: the same event stream with the
+    * hierarchy moved into canonical sorted-order tags
+    * (`name;src=vera;user=uN`), values pre-shifted by -Eps (linear
+    * through the method=average cascade, the cgiEnv convention).
+    */
+  private val MT =
+    """mt AS (SELECT event_type || ';src=vera;user=u' || user_id AS path,
+      | CAST(floor(epoch(ts)) AS BIGINT) AS ts, value - 1e-9 AS value FROM events)""".stripMargin
+
+  /** The C15 fetch frame over `mt`: paths kept by `where`, the same
+    * 600s→3600s average cascade and dense hourly grid as GfnFrameCte.
+    */
+  private def taggedFrameCte(where: String): String =
+    s"""ft AS (SELECT * FROM mt WHERE $where),
+       |a1t AS (SELECT path, ts - ts%600 AS bucket, avg(value) AS value FROM ft GROUP BY 1,2),
+       |a2t AS (SELECT path, bucket - bucket%3600 AS bucket, avg(value) AS value FROM a1t GROUP BY 1,2),
+       |pt AS (SELECT DISTINCT path FROM ft),
+       |gt AS (SELECT pt.path, s.t FROM pt CROSS JOIN generate_series(1706097600, 1706659200, 3600) AS s(t)),
+       |frt AS (SELECT gt.path, gt.t, a2t.value AS value
+       |  FROM gt LEFT JOIN a2t ON gt.path = a2t.path AND gt.t = a2t.bucket)""".stripMargin
 
   /** A suffixed copy of the same frame chain for queries combining TWO
     * fetches (divideSeries) — every CTE name carries `id` so two
@@ -3750,6 +3775,36 @@ object SparkEntry {
          |qq AS (SELECT replace(path, 'click', 'view') AS path FROM q)
          |SELECT frw.path, frw.t, round(frw.value - 1e-9, 4) AS value
          |FROM frw JOIN qq ON frw.path = qq.path ORDER BY 1, 2""".stripMargin,
+    // C15a: the tag index over the tagged namespace — implicit name
+    // tag + one row per tag=value segment, K-row path metadata
+    "tags_index" ->
+      s"""WITH $MT,
+         |p AS (SELECT DISTINCT path FROM mt)
+         |SELECT path, tag, value FROM (
+         |  SELECT path, 'name' AS tag, string_split(path, ';')[1] AS value FROM p
+         |  UNION ALL SELECT path, 'src' AS tag, 'vera' AS value FROM p
+         |  UNION ALL SELECT path, 'user' AS tag,
+         |    regexp_extract(path, ';user=([^;]*)', 1) AS value FROM p)
+         |ORDER BY 1, 2""".stripMargin,
+    // C15b: seriesByTag — equality + anchored regex + not-equal over
+    // the tag index resolve to exactly {u10,u13}×{non-error events};
+    // the fetch replays the same two-level archive cascade
+    "gfn_series_by_tag" ->
+      s"""WITH $MT,
+         |${taggedFrameCte(
+             "regexp_matches(path, ';user=u1[03]$$') AND NOT regexp_matches(path, '^error;')")}
+         |SELECT path, t, round(value, 4) AS value
+         |FROM frt ORDER BY 1, 2""".stripMargin,
+    // C15c: aliasByTags('user','name') — the tagged selection renamed
+    // to its '.'-joined tag values
+    "gfn_alias_by_tags" ->
+      s"""WITH $MT,
+         |${taggedFrameCte(
+             "regexp_matches(path, ';user=u11$$') AND regexp_matches(path, '^(click|view);')")}
+         |SELECT regexp_extract(path, ';user=([^;]*)', 1) || '.' ||
+         |  string_split(path, ';')[1] AS path,
+         | t, round(value, 4) AS value
+         |FROM frt ORDER BY 1, 2""".stripMargin,
     // C9: reduceSeries(mapSeries(...)) — series paired by suffix
     // matcher at node 2 within each 2-node prefix, asPercent law
     // (zero/absent denominator → null), result named by the prefix
@@ -4258,6 +4313,31 @@ object SparkEntry {
          |bk AS (SELECT path, t, value,
          |  (rn - 1) // CAST(ceil(n / 24.0) AS BIGINT) AS b FROM tg),
          |cg AS (SELECT path, b, min(t) AS t, max(value) AS v FROM bk GROUP BY 1, 2)
+         |SELECT path AS target,
+         | strftime(make_timestamp(t*1000000), '%Y-%m-%d %H:%M:%S') AS ts_str,
+         | round(v, 4) AS value
+         |FROM cg ORDER BY 1, 2""".stripMargin,
+    // C8e: budget-aware archive selection — the same -Eps-shifted
+    // fetch cascaded ONE level further (86400s avg-of-avg, the level
+    // maxDataPoints=5 selects: 8 daily points ≥ 5 < 157 hourly), the
+    // daily grid from the day-quantized from, then default-average
+    // consolidation factor ceil(8/5)=2
+    "cgi_render_maxdp_archive" ->
+      s"""WITH $M,
+         |f AS (SELECT path, ts, value - 1e-9 AS value FROM m
+         |  WHERE regexp_matches(path, '^vera\\.u1[^.]\\.click$$')),
+         |a1 AS (SELECT path, ts - ts%600 AS bucket, avg(value) AS value FROM f GROUP BY 1,2),
+         |a2 AS (SELECT path, bucket - bucket%3600 AS bucket, avg(value) AS value FROM a1 GROUP BY 1,2),
+         |a3 AS (SELECT path, bucket - bucket%86400 AS bucket, avg(value) AS value FROM a2 GROUP BY 1,2),
+         |p AS (SELECT DISTINCT path FROM f),
+         |g AS (SELECT p.path, s.t FROM p CROSS JOIN generate_series(1706054400, 1706659200, 86400) AS s(t)),
+         |fr AS (SELECT g.path, g.t, a3.value AS value
+         |  FROM g LEFT JOIN a3 ON g.path = a3.path AND g.t = a3.bucket),
+         |tg AS (SELECT path, t, value,
+         |  row_number() OVER (PARTITION BY path ORDER BY t) AS rn,
+         |  count(*) OVER (PARTITION BY path) AS n FROM fr),
+         |cg AS (SELECT path, (rn - 1) // CAST(ceil(n / 5.0) AS BIGINT) AS b,
+         |  min(t) AS t, avg(value) AS v FROM tg GROUP BY 1, 2)
          |SELECT path AS target,
          | strftime(make_timestamp(t*1000000), '%Y-%m-%d %H:%M:%S') AS ts_str,
          | round(v, 4) AS value

@@ -69,6 +69,19 @@ object Tables {
       col("value").as("value")
     )
 
+  /** Graphite 1.1 TAGGED variant of the same stream: the metric name
+    * is the event type and the hierarchy moves into tags, written in
+    * the canonical sorted-tag order (`name;src=vera;user=uN`) so a tag
+    * set has exactly one path — the namespace the seriesByTag/
+    * aliasByTags queries select over.
+    */
+  def metricsTagged(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      concat(col("event_type"), lit(";src=vera;user=u"), col("user_id")).as("path"),
+      col("ts").cast("long").as("ts"),
+      col("value").as("value")
+    )
+
   /** Denser variant (5 paths instead of 750): rollup cascades and
     * xFilesFactor gates need buckets with multiple points to be
     * meaningful at sf0.01's event density.

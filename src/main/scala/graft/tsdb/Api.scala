@@ -48,20 +48,38 @@ object Api {
     // single fetch regex — each expansion would otherwise run its OWN
     // raw scan + archive cascade (an N-alternative target cost N
     // fetches); only dotted alternatives (rare) need real expansion
-    def fetchGlob(t: String, shiftSec: Long): DataFrame = {
+    // budget-aware archive selection reaches ONLY the plain-glob fetch
+    // (`budget` below): a bare target's pipeline is fetch→consolidate,
+    // so any archive with ≥ maxDataPoints points carries full answer
+    // resolution and the coarsest such level is read instead (6-60×
+    // less data per cascade step). A function pipeline's math runs on
+    // the native grid — movingAverage(3) means 3 NATIVE points — so
+    // expression targets keep the finest-archive fetch and the budget
+    // applies at render only (graphite's own order).
+    def fetchBudget(t: String, shiftSec: Long, budget: Option[Int]): DataFrame = {
       val globs = if (bracesNeedExpansion(t)) Glob.expandBraces(t) else Seq(t)
       globs.map(g =>
         Fetch.fetch(spark, metrics, g, spec, method, xff,
-          fromT + shiftSec, untilT + shiftSec, now))
+          fromT + shiftSec, untilT + shiftSec, now, budget))
         .reduce(_ unionByName _)
     }
+    def fetchGlob(t: String, shiftSec: Long): DataFrame =
+      fetchBudget(t, shiftSec, None)
+    // the tagged-query environment: the distinct-path universe (K-row
+    // metadata — seriesByTag's index derives from it) plus the
+    // path-list fetch; built lazily so glob-only renders never touch it
+    lazy val tagEnv = TargetExpr.TagEnv(
+      metrics.select(org.apache.spark.sql.functions.col("path")).distinct(),
+      (pd, shiftSec) => Fetch.fetchByPaths(spark, metrics, pd, spec,
+        method, xff, fromT + shiftSec, untilT + shiftSec, now))
     // a target containing '(' is a render-FUNCTION pipeline
     // (sumSeries/summarize/alias/…): parse and evaluate over the same
     // fetch — window-aware, so timeShift subtrees fetch their shifted
     // window; plain globs keep the direct path
     val evaluated = targets
-      .map(t => if (TargetExpr.isExpression(t)) TargetExpr.evalTargetAt(t, fetchGlob)
-                else fetchGlob(t, 0L))
+      .map(t => if (TargetExpr.isExpression(t))
+                  TargetExpr.evalTargetAt(t, fetchGlob, Some(tagEnv))
+                else fetchBudget(t, 0L, maxDataPoints))
       .reduce(_ unionByName _)
     // the render-time point budget: consolidation is the LAST step
     // before formatting, after every function has run (graphite's

@@ -23,7 +23,24 @@ object Fetch {
     * retention.
     */
   def select(spec: Seq[Retention.Archive], fromTime: Long, untilTime0: Long,
-             now: Long): Option[Clamped] = {
+             now: Long): Option[Clamped] =
+    select(spec, fromTime, untilTime0, now, None)
+
+  /** Budget-aware form: with `maxPoints` (the render's maxDataPoints),
+    * selection starts from the finest archive covering `from` (the
+    * plain rule) and then walks COARSER while the coarser archive
+    * still yields at least `maxPoints` grid points — the client asked
+    * for ≤ maxPoints, so any archive with ≥ that many points carries
+    * full answer resolution, and the coarsest such level is 6-60×
+    * less data per cascade step (the stored-archive scan reads that
+    * level directly — [[MetricStore.fetchStored]]). Never coarser
+    * than the budget: an archive with FEWER points than the budget
+    * would lose resolution the client paid for, so when even the
+    * finest covering archive is under budget it is kept unchanged
+    * (and render-time consolidation becomes the identity).
+    */
+  def select(spec: Seq[Retention.Archive], fromTime: Long, untilTime0: Long,
+             now: Long, maxPoints: Option[Int]): Option[Clamped] = {
     require(fromTime <= untilTime0, s"Invalid time interval: from $fromTime after until $untilTime0")
     def oldest(a: Retention.Archive): Long =
       (now - now % a.secondsPerPoint) - a.retention + a.secondsPerPoint
@@ -32,7 +49,15 @@ object Fetch {
     else {
       val from = math.max(fromTime, oldestTime)
       val until = math.min(untilTime0, now)
-      val archive = spec.find(a => oldest(a) <= from).getOrElse(spec.last)
+      val finest = spec.find(a => oldest(a) <= from).getOrElse(spec.last)
+      val archive = maxPoints.filter(_ > 0) match {
+        case Some(budget) =>
+          val window = until - from
+          spec.drop(spec.indexOf(finest)).reverse
+            .find(a => a.secondsPerPoint * budget.toLong <= window)
+            .getOrElse(finest)
+        case None => finest
+      }
       Some(Clamped(from, until, archive))
     }
   }
@@ -123,10 +148,11 @@ object Fetch {
 
   def fetch(spark: SparkSession, metrics: DataFrame, target: String,
             spec: Seq[Retention.Archive], method: String, xff: Double,
-            fromTime: Long, untilTime: Long, now: Long): DataFrame = {
+            fromTime: Long, untilTime: Long, now: Long,
+            maxPoints: Option[Int] = None): DataFrame = {
     val regex = Glob.queryToRegex(target, allowDeeper = false)
     val matched = metrics.filter(col("path").rlike(regex))
-    select(spec, fromTime, untilTime, now) match {
+    select(spec, fromTime, untilTime, now, maxPoints) match {
       case None => emptyFetch(spark)
       case Some(Clamped(from, until, archive)) =>
         val idx = spec.indexOf(archive)
@@ -138,6 +164,31 @@ object Fetch {
         // referenced once — no cache to pin.
         fetchDensePaths(matched.select(col("path")).distinct(), arch,
           archive.secondsPerPoint, from, until)
+    }
+  }
+
+  /** Fetch for an EXPLICIT path set (one `path` column) instead of a
+    * glob — the `seriesByTag` seam: the tag index resolves to a K-row
+    * path list (metadata), which broadcast-semi-joins against the scan,
+    * so selection cost never touches the datapoint side and the plan
+    * is ONE scan regardless of how many series matched (the same
+    * single-scan discipline as the brace-glob fetch). The dense grid's
+    * path set is the REQUESTED list itself: a known series returns
+    * all-null rows when the window is empty, exactly as a whisper file
+    * that exists (L_DataWhisper.lua:525-552).
+    */
+  def fetchByPaths(spark: SparkSession, metrics: DataFrame, paths: DataFrame,
+                   spec: Seq[Retention.Archive], method: String, xff: Double,
+                   fromTime: Long, untilTime: Long, now: Long,
+                   maxPoints: Option[Int] = None): DataFrame = {
+    val wanted = paths.select(col("path")).distinct()
+    val matched = metrics.join(broadcast(wanted), Seq("path"), "left_semi")
+    select(spec, fromTime, untilTime, now, maxPoints) match {
+      case None => emptyFetch(spark)
+      case Some(Clamped(from, until, archive)) =>
+        val idx = spec.indexOf(archive)
+        val arch = Rollup.archives(matched, spec.take(idx + 1), method, xff).last
+        fetchDensePaths(wanted, arch, archive.secondsPerPoint, from, until)
     }
   }
 }

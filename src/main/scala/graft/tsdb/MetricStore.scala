@@ -69,8 +69,9 @@ object MetricStore {
     * presentation (L_DataGraph.lua:221-230), not fetch semantics.
     */
   def fetchStored(spark: SparkSession, root: String, spec: Seq[Retention.Archive],
-                  target: String, fromTime: Long, untilTime: Long, now: Long): DataFrame =
-    Fetch.select(spec, fromTime, untilTime, now) match {
+                  target: String, fromTime: Long, untilTime: Long, now: Long,
+                  maxPoints: Option[Int] = None): DataFrame =
+    Fetch.select(spec, fromTime, untilTime, now, maxPoints) match {
       case None => Fetch.emptyFetch(spark)
       case Some(Fetch.Clamped(from, until, archive)) =>
         val step = archive.secondsPerPoint

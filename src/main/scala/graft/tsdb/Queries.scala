@@ -446,6 +446,19 @@ object Queries {
         "&from=2024-01-24T12:40:00&until=2024-01-31T00:00:00" +
         "&format=csv&maxDataPoints=24", Now)
 
+  /** C8e: budget-aware ARCHIVE selection — a plain-glob render whose
+    * maxDataPoints=5 budget is met by the 1-day archive (8 points ≥ 5
+    * < the 1-hour archive's 157): the fetch reads the coarsest level
+    * that still covers the budget (60× less data per cascade step on
+    * a stored-archive scan), then render consolidation closes the
+    * 8→5 gap (factor 2). Function-pipeline targets keep the native
+    * grid (Api.render's rule) — this is the bare-target fast path.
+    */
+  def cgiRenderMaxdpArchive(spark: SparkSession, dir: String): DataFrame =
+    Cgi.dispatch(spark, cgiEnv(spark, dir),
+      "/render?target=vera.u1%3F.click&from=2024-01-24T12:40:00" +
+        "&until=2024-01-31T00:00:00&format=csv&maxDataPoints=5", Now)
+
   /** C8b: /metrics/find with format=completer and an escaped glob;
     * trailing-slash script normalization on the way.
     */
@@ -877,6 +890,58 @@ object Queries {
     Cgi.dispatch(spark, cgiEnv(spark, dir),
       "/render?target=alias(maxSeries(vera.u1%3F.click),%27peak%27)" +
         "&from=2024-01-24T12:40:00&until=2024-01-31T00:00:00&format=csv", Now)
+
+  // ---- C15. Graphite 1.1 tagged series ----------------------------------
+
+  /** The tagged namespace's raw stream and distinct-path universe —
+    * `name;src=vera;user=uN` canonical sorted-tag paths (SURVEY §3's
+    * synthetic namespace moved into tags). Values pre-shifted by -Eps,
+    * the same average-linear tie guard as the dot-path fetch queries.
+    */
+  private def taggedMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.metricsTagged(spark, dir).withColumn("value", col("value") - Eps)
+
+  /** Evaluate a target over the TAGGED namespace with a full TagEnv —
+    * glob leaves and seriesByTag both route through the same archive
+    * cascade ([[gfnFetch]]'s spec) over the tagged stream.
+    */
+  private def taggedEval(spark: SparkSession, dir: String, target: String): DataFrame = {
+    val m = taggedMetrics(spark, dir)
+    val spec = Retention.parse("10m:1d,1h:7d,1d:60d")
+    def fetchAt(glob: String, shiftSec: Long): DataFrame =
+      Fetch.fetch(spark, m, glob, spec, "average", 0.0,
+        fetchFrom + shiftSec, Now + shiftSec, Now)
+    val env = TargetExpr.TagEnv(
+      m.select(col("path")).distinct(),
+      (pd, shiftSec) => Fetch.fetchByPaths(spark, m, pd, spec, "average",
+        0.0, fetchFrom + shiftSec, Now + shiftSec, Now))
+    TargetExpr.evalTargetAt(target, fetchAt, Some(env))
+      .select(col("path"), col("t"), round(col("value"), 4).as("value"))
+      .orderBy(col("path"), col("t"))
+  }
+
+  /** C15a: the (path, tag, value) tag index over the tagged universe —
+    * the K-row metadata table every seriesByTag resolves against
+    * (implicit `name` tag + one row per `tag=value` segment).
+    */
+  def tagsIndex(spark: SparkSession, dir: String): DataFrame =
+    Tags.tagIndex(Tables.metricsTagged(spark, dir).select(col("path")))
+      .orderBy(col("path"), col("tag"))
+
+  /** C15b: seriesByTag with an equality, an anchored regex, and a
+    * not-equal — resolved to a K-row path list on the tag index, then
+    * ONE semi-joined fetch through the archive cascade.
+    */
+  def gfnSeriesByTag(spark: SparkSession, dir: String): DataFrame =
+    taggedEval(spark, dir,
+      """seriesByTag('src=vera','user=~u1[03]$','name!=error')""")
+
+  /** C15c: aliasByTags over a tagged selection — series renamed to
+    * their '.'-joined tag values (user, then the implicit name tag).
+    */
+  def gfnAliasByTags(spark: SparkSession, dir: String): DataFrame =
+    taggedEval(spark, dir,
+      """aliasByTags(seriesByTag('src=vera','user=u11','name=~(click|view)$'),'user','name')""")
 
   // ---- D. dataMine bridge -----------------------------------------------
 

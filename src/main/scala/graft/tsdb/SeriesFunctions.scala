@@ -1111,6 +1111,16 @@ object SeriesFunctions {
     frame(f, regexp_replace(col("path"), search, replace),
       col("t"), col("value"))
 
+  /** Graphite 1.1 `aliasByTags(series, *tags)`: each series renamed to
+    * its tag VALUES joined with '.' (graphite routes aliasByTags
+    * through aliasByNode's tag branch, '.'-joined); `name` is the
+    * implicit metric-name tag, a missing tag contributes '' — map-only
+    * string extraction over the path column, the aliasByMetric shape.
+    */
+  def aliasByTags(f: DataFrame, tags: Seq[String]): DataFrame =
+    frame(f, concat_ws(".", tags.map(Tags.tagValueCol): _*),
+      col("t"), col("value"))
+
   // ---- pointwise null/math transforms: map-only, ride the fetch scan ----
 
   /** Graphite `transformNull(series, default)`: gaps become `default`

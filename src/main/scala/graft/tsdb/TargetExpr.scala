@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object TargetExpr {
 
+  /** Driver-list ceiling for the collect-path useSeriesAbove (the
+    * TagEnv path never collects). K-row metadata by design; the cap
+    * makes "K stayed small" a checked invariant instead of a hope.
+    */
+  val UseSeriesAboveMaxPaths = 1000
+
   sealed trait Arg
   final case class SeriesArg(e: Expr) extends Arg
   final case class NumArg(v: Double) extends Arg
@@ -144,6 +150,16 @@ object TargetExpr {
 
   // ---- evaluator ----
 
+  /** What `seriesByTag` needs beyond the glob-fetch closure: the
+    * distinct-path universe (the tag index derives from it — K-row
+    * metadata, the find-tree order) and a fetch for an explicit path
+    * list ([[Fetch.fetchByPaths]]'s broadcast-semi-join shape).
+    * Optional because only tagged queries need it; an evaluator
+    * without one fails loudly on `seriesByTag`.
+    */
+  final case class TagEnv(paths: DataFrame,
+                          fetchPaths: (DataFrame, Long) => DataFrame)
+
   /** Evaluate a target expression over `fetch` (glob → fetch frame).
     * Unknown functions and mis-typed arguments fail loudly — a silent
     * fallback would render an empty graph for a typo'd pipeline.
@@ -164,16 +180,16 @@ object TargetExpr {
     * 0)` must be the unshifted render-window fetch.
     */
   def evalAt(e: Expr, fetchAt: (String, Long) => DataFrame,
-             shift: Long): DataFrame = e match {
+             shift: Long, tagEnv: Option[TagEnv] = None): DataFrame = e match {
     case PathExpr(g) => fetchAt(g, shift)
     case call @ CallExpr(name, args) =>
       import SeriesFunctions._
       def series(i: Int): DataFrame = args(i) match {
-        case SeriesArg(s) => evalAt(s, fetchAt, shift)
+        case SeriesArg(s) => evalAt(s, fetchAt, shift, tagEnv)
         case other => badArg(call, i, "series", other)
       }
       def seriesShifted(i: Int, delta: Long): DataFrame = args(i) match {
-        case SeriesArg(s) => evalAt(s, fetchAt, shift + delta)
+        case SeriesArg(s) => evalAt(s, fetchAt, shift + delta, tagEnv)
         case other => badArg(call, i, "series", other)
       }
       def num(i: Int): Double = args(i) match {
@@ -451,28 +467,62 @@ object TargetExpr {
           require(args.length >= 2,
             "multiplySeriesWithWildcards: need series + positions")
           multiplyWithWildcards(series(0), (1 until args.length).map(intArg))
+        case "seriesByTag" =>
+          // graphite 1.1 tagged selection: every argument is one
+          // `tag OP spec` expression (=, !=, =~, !=~), ANDed. The tag
+          // index resolves them to a K-row path list BEFORE any
+          // datapoint scan (the C14 gate pattern), and fetchPaths
+          // broadcast-semi-joins that list against the scan — ONE scan
+          // regardless of how many series matched, and the plan never
+          // grows with the expression count.
+          require(args.nonEmpty,
+            "seriesByTag: at least one tag expression required")
+          val env = tagEnv.getOrElse(throw new IllegalArgumentException(
+            "seriesByTag: no tag environment — evaluate through " +
+              "Api.render or pass a TargetExpr.TagEnv"))
+          val matched = Tags.matchingPaths(env.paths, args.indices.map(str))
+          env.fetchPaths(matched, shift)
+        case "aliasByTags" =>
+          require(args.length >= 2,
+            "aliasByTags: need a series and at least one tag name")
+          aliasByTags(series(0), (1 until args.length).map(str))
         case "useSeriesAbove" =>
           // graphite: series whose MAX exceeds `value` have
           // search→replace applied to their names and the RESULTING
           // metrics fetched — the draw-response-time-for-busy-servers
           // idiom, and (with applyByNode) the second function that
-          // fetches inside the pipeline. The qualifying list is
-          // K-row metadata (collected, as graphite itself does); the
-          // replaced paths fetch as ONE brace glob — a single scan,
-          // not K cascades.
+          // fetches inside the pipeline. With a TagEnv the qualifying
+          // set stays a K-row FRAME end-to-end: fetchPaths semi-joins
+          // it against the scan — zero driver collect, one scan, no
+          // brace expansion. Without one, the list is collected (as
+          // graphite itself does) and fetched as ONE brace glob — a
+          // single scan when the replaced paths share the dotted
+          // shape — capped so a pathological glob can't build an
+          // unbounded driver-side list.
           arity(4)
           val base = series(0)
           val thresh = num(1)
           val (search, replace) = (str(2), str(3))
-          val qualifying = base.groupBy(col("path"))
+          val qualifyingDf = base.groupBy(col("path"))
             .agg(max(col("value")).as("mx"))
             .filter(round(col("mx"), 6) > thresh)
-            .select(regexp_replace(col("path"), search, replace).as("p"))
-            .collect().map(_.getString(0)).distinct.sorted
-          qualifying.toList match {
-            case Nil => base.filter(lit(false)) // typed empty frame
-            case one :: Nil => fetchAt(one, shift)
-            case many => fetchAt(s"{${many.mkString(",")}}", shift)
+            .select(regexp_replace(col("path"), search, replace).as("path"))
+            .distinct()
+          tagEnv match {
+            case Some(env) => env.fetchPaths(qualifyingDf, shift)
+            case None =>
+              val cap = UseSeriesAboveMaxPaths
+              val qualifying = qualifyingDf.limit(cap + 1)
+                .collect().map(_.getString(0)).sorted
+              require(qualifying.length <= cap,
+                s"useSeriesAbove: more than $cap qualifying series — " +
+                  "evaluate with a TagEnv (Api.render) for the " +
+                  "collect-free path, or narrow the input glob")
+              qualifying.toList match {
+                case Nil => base.filter(lit(false)) // typed empty frame
+                case one :: Nil => fetchAt(one, shift)
+                case many => fetchAt(s"{${many.mkString(",")}}", shift)
+              }
           }
         case "applyByNode" =>
           require(args.length == 3 || args.length == 4,
@@ -596,6 +646,14 @@ object TargetExpr {
   def evalTargetAt(target: String,
                    fetchAt: (String, Long) => DataFrame): DataFrame =
     evalAt(parse(target), fetchAt, 0L)
+
+  /** Tagged-capable form: `tagEnv` supplies the path universe and the
+    * path-list fetch `seriesByTag` (and the collect-free
+    * `useSeriesAbove`) resolve through.
+    */
+  def evalTargetAt(target: String, fetchAt: (String, Long) => DataFrame,
+                   tagEnv: Option[TagEnv]): DataFrame =
+    evalAt(parse(target), fetchAt, 0L, tagEnv)
 
   /** True when the target is a function pipeline rather than a plain
     * glob — the [[Api.render]] routing test (a bare glob never

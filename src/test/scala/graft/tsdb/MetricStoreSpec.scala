@@ -60,4 +60,45 @@ class MetricStoreSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("EqualTo(path,a.x.v)"))
   }
+
+  test("budget-aware archive selection: coarsest level covering maxDataPoints") {
+    val std = Retention.parse("10m:1d,1h:7d,1d:60d")
+    val now = 1706659200L
+    val from = 1706100000L // 6.5d back: finest covering = 1h
+    // no budget, or a budget the 1h archive already beats → 1h
+    assert(Fetch.select(std, from, now, now).get.archive.secondsPerPoint == 3600L)
+    assert(Fetch.select(std, from, now, now, Some(24)).get.archive.secondsPerPoint == 3600L)
+    assert(Fetch.select(std, from, now, now, Some(1000)).get.archive.secondsPerPoint == 3600L)
+    // budget 5 over a 6.5d window: the 1d archive still yields ≥5
+    // points → read 24× less
+    assert(Fetch.select(std, from, now, now, Some(5)).get.archive.secondsPerPoint == 86400L)
+    // never coarser than the finest covering archive allows: a window
+    // entirely inside the 10m archive's day stays at 10m for a big
+    // budget, but drops to 1h for a tiny one
+    val recent = now - 6 * 3600
+    assert(Fetch.select(std, recent, now, now, Some(100)).get.archive.secondsPerPoint == 600L)
+    assert(Fetch.select(std, recent, now, now, Some(3)).get.archive.secondsPerPoint == 3600L)
+    // non-positive budgets read as absent (the Cgi forgiveness)
+    assert(Fetch.select(std, from, now, now, Some(0)).get.archive.secondsPerPoint == 3600L)
+  }
+
+  test("budget-aware stored fetch reads the coarser level's parquet only") {
+    val now = 90120L
+    val from = 3780L // covered by 1m, window 86340s
+    // budget 5: the 10m level yields ~144 points ≥ 5 → scan step=600
+    val pruned = MetricStore.fetchStored(spark, root, spec, "a.*.v",
+      from, now, now, Some(5))
+    val files = pruned.inputFiles.filter(_.contains("step=")).toSeq
+    assert(files.nonEmpty && files.forall(_.contains("step=600")),
+      files.mkString("\n").take(500))
+    // and the budgeted grid is the coarser one
+    val ts = pruned.filter(col("path") === "a.x.v").orderBy("t")
+      .collect().map(_.getLong(1))
+    assert(ts.forall(_ % 600 == 0) && ts.length >= 5)
+    // without a budget the same window reads the fine level
+    val fine = MetricStore.fetchStored(spark, root, spec, "a.*.v", from, now, now)
+      .inputFiles.filter(_.contains("step=")).toSeq
+    assert(fine.nonEmpty && fine.forall(_.contains("step=60/")),
+      fine.mkString("\n").take(500))
+  }
 }
