@@ -195,6 +195,7 @@ object SparkEntry {
     "ann_hybrid_rrf" -> ((s, dir) => L.annHybridRrf(s, dir)),
     "ann_bm25" -> ((s, dir) => L.annBm25(s, dir)),
     "dedup_cdc" -> ((s, dir) => L.dedupCdc(s, dir)),
+    "dedup_cdc_bytes" -> ((s, dir) => L.dedupCdcBytes(s, dir)),
     "corpus_dsir" -> ((s, dir) => L.corpusDsir(s, dir)),
     "stream_dsir_gate" -> ((s, dir) => L.streamDsirGate(s, dir)),
     "ann_ivf_pq_trained" -> ((s, dir) => L.annIvfPqTrained(s, dir)),
@@ -2495,6 +2496,17 @@ object SparkEntry {
          |SELECT doc_id, chunk_idx, n_tokens, chunk_md5, CAST(df AS BIGINT) AS df, keep
          |FROM fin ORDER BY doc_id, chunk_idx""".stripMargin
     },
+    // F59: byte-level CDC dedup — the EXPECTED pairs are the planted
+    // construction itself (the F20 discipline): every %15==0 doc's 4 KB
+    // md5-keystream payload meets its insert variant (id + 4e7, 1-13
+    // bytes spliced near the front) at ≥ 50% shared chunk bytes after
+    // gear-hash resync — the unshared prefix is bounded by splice
+    // position + 64-byte hash window + the first post-splice boundary,
+    // far under 2 KB — while distinct keystreams share no 64-byte
+    // chunk; the oracle never hashes a byte
+    "dedup_cdc_bytes" ->
+      """SELECT doc_id AS x, doc_id + 40000000 AS y FROM documents
+        |WHERE doc_id % 15 = 0 ORDER BY 1, 2""".stripMargin,
     // F53: DSIR importance scoring — hashed-unigram target/raw
     // distributions with add-one smoothing, the per-bucket log-ratio
     // snapped to a 1e-6 fixed-point BIGINT so each document's sum is

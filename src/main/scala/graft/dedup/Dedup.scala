@@ -1632,4 +1632,136 @@ object Dedup {
         col("chunk_md5"), col("df"), col("keep"))
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
+
+  // ---- F59: byte-level CDC dedup ------------------------------------
+
+  /** Expected chunk length 2^maskBits bytes (gear-hash high-bit mask,
+    * [[graft.functions.CdcChunks]]); 6 → 64-byte chunks, the LBFS-ish
+    * granularity that keeps a 4 KB payload ~64 chunks.
+    */
+  val CdcBytesMaskBits = 6
+
+  /** Chunk-hash document-frequency cap: a chunk shared by more than
+    * this many payloads is boilerplate (a zero run, a format header)
+    * and is excluded from PAIR generation — the same df-cap discipline
+    * as every band join in this file; candidate volume stays
+    * ∝ payloads · cap, never quadratic in a hot chunk's df.
+    */
+  val CdcBytesMaxDf = 64
+
+  /** Planted byte-payload fixture (the ImageDedup planted-twin
+    * discipline): every doc_id % 3 == 0 document carries a 4 KB
+    * pseudo-random payload (an md5 keystream seeded by doc_id — no
+    * two originals share a single chunk), and every % 5 == 0 of those
+    * additionally plants an INSERT variant under id + 4e7: k =
+    * (id % 13) + 1 bytes spliced in at offset (id % 50) + 1. The
+    * variant shifts every downstream byte offset, which is exactly
+    * what byte-CDC must see through — so the expected near-dup pairs
+    * are pure id arithmetic and the oracle never hashes a byte.
+    */
+  val CdcBytesVariantOffset = 40000000L
+  val CdcBytesPayloadLen = 4096
+
+  /** Deterministic pseudo-random payload: len bytes of
+    * md5("cdc-pay-<id>-<block>") keystream — executor-side, never on
+    * the driver.
+    */
+  private[graft] def cdcPayload(id: Long, len: Int): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Byte](len)
+    var block = 0
+    var p = 0
+    while (p < len) {
+      d.reset()
+      val dig = d.digest(s"cdc-pay-$id-$block".getBytes("UTF-8"))
+      val n = math.min(16, len - p)
+      System.arraycopy(dig, 0, out, p, n)
+      p += n
+      block += 1
+    }
+    out
+  }
+
+  private[graft] def cdcInsertVariant(id: Long, base: Array[Byte]): Array[Byte] = {
+    val k = (id % 13).toInt + 1
+    val at = (id % 50).toInt + 1
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val ins = d.digest(s"cdc-ins-$id".getBytes("UTF-8")).take(k)
+    val out = new Array[Byte](base.length + k)
+    System.arraycopy(base, 0, out, 0, at)
+    System.arraycopy(ins, 0, out, at, k)
+    System.arraycopy(base, at, out, at + k, base.length - at)
+    out
+  }
+
+  /** (media_id, payload) rows for the planted fixture over `docs`. */
+  def cdcBytePayloads(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 0).select(col("doc_id"))
+      .as[Long]
+      .flatMap { id =>
+        val base = cdcPayload(id, CdcBytesPayloadLen)
+        val orig = Seq((id, base))
+        if (id % 5 == 0)
+          orig :+ (id + CdcBytesVariantOffset, cdcInsertVariant(id, base))
+        else orig
+      }
+      .toDF("media_id", "payload")
+  }
+
+  /** F59: byte-level CDC near-dup pairs — the storage-layer dedup F52
+    * runs on token arrays, at its REAL granularity: payload bytes.
+    * Each payload is chunked by the compiled gear-hash kernel in one
+    * pass ([[graft.functions.CdcChunks]] — the F52 lesson applied:
+    * never per-chunk lambdas), chunks join on (chunk_md5, length)
+    * under the df cap, and a pair is emitted when the shared bytes
+    * reach `minFrac` of the LARGER payload. Within-payload repeated
+    * chunks contribute min(count_x, count_y) matches (multiset
+    * semantics — a zero-run repeated 5× in x and 2× in y shares 2
+    * chunks, not 10 join rows double-counted).
+    *
+    * Scale shape: chunking is map-only compiled work riding the scan;
+    * the only shuffles are the (media_id, chunk_md5) combine and the
+    * chunk_md5-keyed equi-join whose per-key fan-out the df cap
+    * bounds — pair work ∝ chunks · cap, never payloads², the F3
+    * discipline. Chunk rows carry (id, md5, length) only — payload
+    * bytes never shuffle.
+    */
+  def dedupCdcBytes(spark: SparkSession, payloads: DataFrame,
+                    maskBits: Int = CdcBytesMaskBits,
+                    maxDf: Int = CdcBytesMaxDf,
+                    minFrac: Double = 0.5): DataFrame = {
+    require(minFrac > 0.0 && minFrac <= 1.0,
+      s"minFrac must be in (0,1] (got $minFrac)")
+    val ch = payloads.select(col("media_id"),
+        explode(graft.functions.CdcChunks.cdcChunks(col("payload"), maskBits)).as("c"))
+      .select(col("media_id"), col("c.chunk_md5").as("chunk_md5"),
+        col("c.length").as("len"))
+      .groupBy(col("media_id"), col("chunk_md5"), col("len"))
+      .agg(count(lit(1)).as("cnt"))
+      .cachedOnce
+    val totals = ch.groupBy(col("media_id"))
+      .agg(sum(col("len") * col("cnt")).as("total"))
+    // df cap over DISTINCT payloads carrying the chunk (boilerplate gate)
+    val rare = ch.groupBy(col("chunk_md5"), col("len"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("chunk_md5"), col("len"))
+    val keyed = ch.join(rare, Seq("chunk_md5", "len"))
+    val shared = keyed.select(col("chunk_md5"), col("len"),
+        col("media_id").as("x"), col("cnt").as("nx"))
+      .join(keyed.select(col("chunk_md5"), col("len"),
+        col("media_id").as("y"), col("cnt").as("ny")),
+        Seq("chunk_md5", "len"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y"))
+      .agg(sum(least(col("nx"), col("ny")) * col("len")).as("shared_bytes"))
+    shared
+      .join(totals.select(col("media_id").as("x"), col("total").as("tx")), Seq("x"))
+      .join(totals.select(col("media_id").as("y"), col("total").as("ty")), Seq("y"))
+      .filter(col("shared_bytes").cast("double") >=
+        lit(minFrac) * greatest(col("tx"), col("ty")).cast("double"))
+      .select(col("x"), col("y"))
+      .orderBy(col("x"), col("y"))
+  }
 }

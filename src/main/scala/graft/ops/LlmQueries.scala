@@ -43,6 +43,16 @@ object LlmQueries {
   def dedupCdc(spark: SparkSession, dir: String): DataFrame =
     Dedup.dedupCdc(spark, Tables.documents(spark, dir))
 
+  /** F59: byte-level CDC near-dup pairs over the planted binary-payload
+    * fixture — each % 15 == 0 document's payload meets its insert
+    * variant (every byte offset past the splice shifted) at ≥ 50%
+    * shared chunk bytes; distinct payloads are md5 keystreams sharing
+    * nothing, so the expected pairs are pure id arithmetic.
+    */
+  def dedupCdcBytes(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupCdcBytes(spark,
+      Dedup.cdcBytePayloads(spark, Tables.documents(spark, dir)))
+
   /** F53: DSIR importance scoring — the target distribution is the
     * F18 'val' split (hash-stable trusted slice), raw = the whole
     * corpus; the split-rule arithmetic is derived from SplitWeights so

@@ -84,7 +84,12 @@ object Api {
     // the render-time point budget: consolidation is the LAST step
     // before formatting, after every function has run (graphite's
     // renderView order) — the consolidateBy tag set anywhere in the
-    // pipeline rides the series name to here
+    // pipeline rides the series name to here. Deliberate divergence
+    // from graphite-web (pinned by the cgi_render_maxdp oracle): the
+    // budget applies uniformly to EVERY output format, csv included;
+    // graphite consolidates only on its json/image render paths and
+    // serves csv exports raw. One rule beats a per-format special
+    // case — a client that wants a raw csv omits maxDataPoints.
     val fetched = maxDataPoints
       .map(SeriesFunctions.consolidate(evaluated, _)).getOrElse(evaluated)
     format match {

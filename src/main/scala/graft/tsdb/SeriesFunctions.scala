@@ -243,8 +243,15 @@ object SeriesFunctions {
     * `func` (asPercent / divideSeries / diffSeries — graphite's
     * documented set), and the result is named BY THE PREFIX (graphite
     * aliases the reduced series to the aggregated key so they nest).
-    * A prefix missing one side behaves as the func's null law
-    * (divide/percent → null, diff subtracts 0). One equi-join on
+    * Missing-side law — deliberately ASYMMETRIC, matcher order is
+    * meaningful: a prefix missing the matcher₂ side behaves as the
+    * func's null law (divide/percent → null, diff subtracts 0); a
+    * prefix with NO matcher₁ series is DROPPED entirely (the result
+    * set is the matcher₁ side — there is no numerator to reduce).
+    * graphite-web's own reduceSeries passes a None placeholder into
+    * the reduce function in that case (an error, not a series), so
+    * the drop is this engine's defined replacement for graphite's
+    * undefined behavior — pinned by spec. One left equi-join on
     * (prefix, t) — plan size independent of the prefix count, the
     * applyByNode discipline.
     *

@@ -829,6 +829,18 @@ class SeriesFunctionsSpec extends SparkSpec {
     assert(run("diffSeries") == Seq(
       ("h.a", 0L, Some(-3.0)), ("h.b", 0L, Some(3.0)), ("h.c", 0L, Some(5.0))))
     intercept[IllegalArgumentException](run("multiply"))
+    // the missing-side law is ASYMMETRIC (documented): a prefix with
+    // only the matcher2 side is DROPPED — graphite's own reduceSeries
+    // feeds a None placeholder to the reduce function there (an
+    // error, not a series), so the drop is the defined replacement
+    val g = frame(
+      ("h.a.used", 0L, 1.0), ("h.a.total", 0L, 4.0),
+      ("h.z.total", 0L, 7.0)) // no h.z.used → no h.z row
+    def runG(fn: String) = vals(TargetExpr.eval(parse(
+      s"""reduceSeries(mapSeries(h.*.*,1),"$fn",2,"used","total")"""),
+      _ => g))
+    assert(runG("divideSeries") == Seq(("h.a", 0L, Some(0.25))))
+    assert(runG("diffSeries") == Seq(("h.a", 0L, Some(-3.0))))
   }
 
   test("generic highest/lowest/sortBy, removeEmptySeries, aligned summarize") {
