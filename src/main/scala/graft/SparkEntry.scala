@@ -126,6 +126,13 @@ object SparkEntry {
     "tags_index" -> ((s, dir) => T.tagsIndex(s, dir)),
     "gfn_series_by_tag" -> ((s, dir) => T.gfnSeriesByTag(s, dir)),
     "gfn_alias_by_tags" -> ((s, dir) => T.gfnAliasByTags(s, dir)),
+    "gfn_group_by_tags" -> ((s, dir) => T.gfnGroupByTags(s, dir)),
+    "gfn_filter_series" -> ((s, dir) => T.gfnFilterSeries(s, dir)),
+    "gfn_divide_lists" -> ((s, dir) => T.gfnDivideLists(s, dir)),
+    "gfn_agg_lists" -> ((s, dir) => T.gfnAggLists(s, dir)),
+    "gfn_scalar_sweep" -> ((s, dir) => T.gfnScalarSweep(s, dir)),
+    "gfn_window_generators" -> ((s, dir) => T.gfnWindowGenerators(s, dir)),
+    "gfn_cacti_style" -> ((s, dir) => T.gfnCactiStyle(s, dir)),
     "gfn_aggregate_minmax" -> ((s, dir) => T.gfnAggregateMinmax(s, dir)),
     "gfn_group_nodes" -> ((s, dir) => T.gfnGroupNodes(s, dir)),
     "gfn_multiply_wildcards" -> ((s, dir) => T.gfnMultiplyWildcards(s, dir)),
@@ -233,6 +240,8 @@ object SparkEntry {
     "corpus_cardinality_hll" -> ((s, dir) => L.corpusCardinalityHll(s, dir)),
     "corpus_cardinality_incremental" -> ((s, dir) => L.corpusCardinalityIncremental(s, dir)),
     "corpus_quantile_sketch" -> ((s, dir) => L.corpusQuantileSketch(s, dir)),
+    "stream_qsketch_gate" -> ((s, dir) => L.streamQsketchGate(s, dir)),
+    "stream_cms_gate" -> ((s, dir) => L.streamCmsGate(s, dir)),
     "corpus_quantile_incremental" -> ((s, dir) => L.corpusQuantileIncremental(s, dir)),
     "corpus_heavy_hitters" -> ((s, dir) => L.corpusHeavyHitters(s, dir)),
     "corpus_heavy_hitters_incremental" -> ((s, dir) => L.corpusHeavyHittersIncremental(s, dir)),
@@ -375,6 +384,57 @@ object SparkEntry {
        |g$id AS (SELECT p$id.path, s.t FROM p$id CROSS JOIN generate_series(1706097600, 1706659200, 3600) AS s(t)),
        |fr$id AS (SELECT g$id.path, g$id.t, a2$id.value AS value
        |  FROM g$id LEFT JOIN a2$id ON g$id.path = a2$id.path AND g$id.t = a2$id.bucket)""".stripMargin
+
+  /** The F54b/G22 shared oracle: the whole-corpus quantile-register
+    * law re-sketched from scratch in SQL — F54b's Spark side merges
+    * two halves' registers; G22's routes the batch table through the
+    * streaming gate's shared projection. Both must land on this.
+    */
+  private lazy val QuantileRegisterLawSql =
+    s"""WITH d AS (SELECT lang,
+       |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS v FROM documents),
+       |b AS (SELECT lang,
+       |  CASE WHEN v <= 0 THEN -1
+       |       ELSE (length(bin(v)) - 1) * 16 +
+       |            ((v - (CAST(1 AS BIGINT) << (length(bin(v)) - 1))) * 16)
+       |              // (CAST(1 AS BIGINT) << (length(bin(v)) - 1))
+       |  END AS qb FROM d),
+       |regs AS (SELECT lang, qb, count(*) AS cnt FROM b GROUP BY 1, 2),
+       |cum AS (SELECT lang, qb,
+       |  sum(cnt) OVER (PARTITION BY lang ORDER BY qb) AS cum,
+       |  sum(cnt) OVER (PARTITION BY lang) AS n FROM regs),
+       |qs AS (SELECT CAST(unnest([5000, 9000, 9900]) AS BIGINT) AS q_bp),
+       |hit AS (SELECT lang, q_bp, min(qb) AS qb FROM cum CROSS JOIN qs
+       |  WHERE cum > (q_bp * (n - 1)) // 10000 GROUP BY 1, 2)
+       |SELECT lang, q_bp,
+       | CAST(CASE WHEN qb < 0 THEN 0
+       |      ELSE (CAST(1 AS BIGINT) << (qb // 16)) +
+       |           ((qb % 16) * (CAST(1 AS BIGINT) << (qb // 16))) // 16
+       | END AS BIGINT) AS q_est FROM hit
+       |ORDER BY 1, 2""".stripMargin
+
+  /** The F58b/G23 shared oracle: the whole-corpus Count-Min law. */
+  private lazy val CmsRegisterLawSql =
+    """WITH tok AS (SELECT lang AS slice,
+      |  unnest(string_split(lower(text), ' ')) AS token FROM documents),
+      |ex AS (SELECT slice, token, count(*) AS n_exact FROM tok GROUP BY 1, 2),
+      |cand AS (SELECT slice, token FROM (
+      |  SELECT slice, token, row_number() OVER (
+      |    PARTITION BY slice ORDER BY n_exact DESC, token) AS rk FROM ex)
+      | WHERE rk <= 10),
+      |rws AS (SELECT unnest([0, 1, 2, 3]) AS rw),
+      |regs AS (SELECT slice, rw,
+      |  ('0x'||substr(md5('#cms'||rw||'#'||token),1,15))::BIGINT % 1024 AS bucket,
+      |  count(*) AS cnt
+      | FROM tok CROSS JOIN rws GROUP BY 1, 2, 3),
+      |pr AS (SELECT c.slice, c.token, rws.rw,
+      |  ('0x'||substr(md5('#cms'||rws.rw||'#'||c.token),1,15))::BIGINT % 1024 AS bucket
+      | FROM cand c CROSS JOIN rws)
+      |SELECT pr.slice AS lang, pr.token,
+      | CAST(min(coalesce(regs.cnt, 0)) AS BIGINT) AS cms_est
+      |FROM pr LEFT JOIN regs ON pr.slice = regs.slice
+      |  AND pr.rw = regs.rw AND pr.bucket = regs.bucket
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** The F53/G18 shared oracle: hashed-unigram DSIR scoring — the two
     * driver entries compute identical output by construction (shared
@@ -3817,6 +3877,100 @@ object SparkEntry {
          |  string_split(path, ';')[1] AS path,
          | t, round(value, 4) AS value
          |FROM frt ORDER BY 1, 2""".stripMargin,
+    // C16a: groupByTags('sum','src') — three users' series collapse
+    // under (name, src); SQL sum ignores nulls, all-null stays null
+    "gfn_group_by_tags" ->
+      s"""WITH $MT,
+         |${taggedFrameCte(
+             "regexp_matches(path, '^(click|view);') AND regexp_matches(path, ';user=u1[0-2]$$')")}
+         |SELECT string_split(path, ';')[1] || ';src=vera' AS path, t,
+         | round(sum(value), 4) AS value
+         |FROM frt GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // C16b: filterSeries(max, <=, 40) — the round-6 stat gate,
+    // complement of gfn_use_series_above's > gate over the same frame
+    "gfn_filter_series" ->
+      s"""WITH $GfnFrameCte,
+         |k AS (SELECT path FROM (SELECT path, max(value) AS mx FROM fr GROUP BY 1)
+         |  WHERE round(mx, 6) <= 40)
+         |SELECT fr.path, fr.t, round(fr.value - 1e-9, 4) AS value
+         |FROM fr JOIN k USING (path) ORDER BY 1, 2""".stripMargin,
+    // C16c: divideSeriesLists — sorted-name positional pairing, which
+    // on this namespace pairs each user's click with its own view
+    // (replayed as the user-prefix equi-join); zero/absent divisor null
+    "gfn_divide_lists" ->
+      s"""WITH $M,
+         |${gfnFrameCteNamed("^vera\\.u1[^.]\\.click$$", "a")},
+         |${gfnFrameCteNamed("^vera\\.u1[^.]\\.view$$", "w")}
+         |SELECT 'divideSeries(' || fra.path || ',' || frw.path || ')' AS path,
+         | fra.t, round(CASE WHEN frw.value <> 0 THEN fra.value / frw.value END - 1e-9, 4) AS value
+         |FROM fra JOIN frw
+         |  ON replace(fra.path, '.click', '') = replace(frw.path, '.view', '')
+         |  AND fra.t = frw.t
+         |ORDER BY 1, 2""".stripMargin,
+    // C16d: diffSeriesLists (missing side reads 0 unless both missing)
+    // + aggregateSeriesLists multiply (either side missing nulls)
+    "gfn_agg_lists" ->
+      s"""WITH $M,
+         |${gfnFrameCteNamed("^vera\\.u1[^.]\\.click$$", "a")},
+         |${gfnFrameCteNamed("^vera\\.u1[^.]\\.view$$", "w")},
+         |j AS (SELECT fra.path AS pa, frw.path AS pb, fra.t,
+         |    fra.value AS va, frw.value AS vb
+         |  FROM fra JOIN frw
+         |    ON replace(fra.path, '.click', '') = replace(frw.path, '.view', '')
+         |    AND fra.t = frw.t)
+         |SELECT path, t, value FROM (
+         |  SELECT 'diffSeries(' || pa || ',' || pb || ')' AS path, t,
+         |    round(CASE WHEN va IS NOT NULL OR vb IS NOT NULL
+         |      THEN coalesce(va, 0) - coalesce(vb, 0) END - 1e-9, 4) AS value FROM j
+         |  UNION ALL
+         |  SELECT 'multiplySeries(' || pa || ',' || pb || ')' AS path, t,
+         |    round(va * vb - 1e-9, 4) AS value FROM j)
+         |ORDER BY 1, 2""".stripMargin,
+    // C16e: the scalar sweep — round half-up (the documented
+    // banker's-rounding divergence), add, exp, sigmoid, logit's
+    // (0,1)-domain null law; names are the rendered call texts
+    "gfn_scalar_sweep" ->
+      s"""WITH $GfnFrameCte,
+         |u AS (SELECT t, value FROM fr WHERE path = 'vera.u11.click')
+         |SELECT path, t, value FROM (
+         |  SELECT 'round(add(vera.u11.click,5),1)' AS path, t,
+         |    round(round(value + 5, 1) - 1e-9, 4) AS value FROM u
+         |  UNION ALL SELECT 'exp(scale(vera.u11.click,0.01))', t,
+         |    round(exp(value * 0.01) - 1e-9, 4) FROM u
+         |  UNION ALL SELECT 'sigmoid(scale(vera.u11.click,0.01))', t,
+         |    round(1.0 / (1.0 + exp(-(value * 0.01))) - 1e-9, 4) FROM u
+         |  UNION ALL SELECT 'logit(scale(vera.u11.click,0.001))', t,
+         |    round(CASE WHEN value * 0.001 > 0 AND value * 0.001 < 1
+         |      THEN ln(value * 0.001 / (1 - value * 0.001)) END - 1e-9, 4) FROM u)
+         |ORDER BY 1, 2""".stripMargin,
+    // C16f: window generators — constantLine's 3-point construction
+    // (step = (until-from)/2 = 279600 over the 1706100000..1706659200
+    // render window), threshold's labeled line, time() on a 6h step
+    // ([from, until) exclusive end); no metric data fetched
+    "gfn_window_generators" ->
+      """SELECT path, t, value FROM (
+        |  SELECT '42.5' AS path, t, 42.5 AS value
+        |    FROM (VALUES (1706100000), (1706379600), (1706659200)) v(t)
+        |  UNION ALL SELECT 'limit', t, 95.0
+        |    FROM (VALUES (1706100000), (1706379600), (1706659200)) v(t)
+        |  UNION ALL SELECT 'tick', CAST(range AS BIGINT), CAST(range AS DOUBLE)
+        |    FROM range(1706100000, 1706659200, 21600))
+        |ORDER BY 1, 2""".stripMargin,
+    // C16g: cactiStyle — names carry Current:/Max:/Min: stats
+    // round(,2)-ed then %.2f-formatted (tie-free by construction);
+    // 'current' is the latest non-null (the lexicographic struct-max)
+    "gfn_cacti_style" ->
+      s"""WITH $GfnFrameCte,
+         |fc AS (SELECT * FROM fr WHERE regexp_matches(path, '^vera\\.u1[01]\\.click$$')),
+         |k AS (SELECT path,
+         |  round((max(CASE WHEN value IS NOT NULL THEN struct_pack(t := t, v := value) END)).v, 2) AS cur,
+         |  round(max(value), 2) AS mx, round(min(value), 2) AS mn
+         |  FROM fc GROUP BY 1)
+         |SELECT fc.path || ' Current:' || coalesce(printf('%.2f', k.cur), 'nan')
+         |  || ' Max:' || coalesce(printf('%.2f', k.mx), 'nan')
+         |  || ' Min:' || coalesce(printf('%.2f', k.mn), 'nan') AS path,
+         | fc.t, round(fc.value - 1e-9, 4) AS value
+         |FROM fc JOIN k USING (path) ORDER BY 1, 2""".stripMargin,
     // C9: reduceSeries(mapSeries(...)) — series paired by suffix
     // matcher at node 2 within each 2-node prefix, asPercent law
     // (zero/absent denominator → null), result named by the prefix
@@ -4700,27 +4854,11 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // F58b: merge ≡ rebuild for counter sums — the oracle re-sketches
     // the whole corpus; the Spark side only ever sums the halves
-    "corpus_heavy_hitters_incremental" ->
-      """WITH tok AS (SELECT lang AS slice,
-        |  unnest(string_split(lower(text), ' ')) AS token FROM documents),
-        |ex AS (SELECT slice, token, count(*) AS n_exact FROM tok GROUP BY 1, 2),
-        |cand AS (SELECT slice, token FROM (
-        |  SELECT slice, token, row_number() OVER (
-        |    PARTITION BY slice ORDER BY n_exact DESC, token) AS rk FROM ex)
-        | WHERE rk <= 10),
-        |rws AS (SELECT unnest([0, 1, 2, 3]) AS rw),
-        |regs AS (SELECT slice, rw,
-        |  ('0x'||substr(md5('#cms'||rw||'#'||token),1,15))::BIGINT % 1024 AS bucket,
-        |  count(*) AS cnt
-        | FROM tok CROSS JOIN rws GROUP BY 1, 2, 3),
-        |pr AS (SELECT c.slice, c.token, rws.rw,
-        |  ('0x'||substr(md5('#cms'||rws.rw||'#'||c.token),1,15))::BIGINT % 1024 AS bucket
-        | FROM cand c CROSS JOIN rws)
-        |SELECT pr.slice AS lang, pr.token,
-        | CAST(min(coalesce(regs.cnt, 0)) AS BIGINT) AS cms_est
-        |FROM pr LEFT JOIN regs ON pr.slice = regs.slice
-        |  AND pr.rw = regs.rw AND pr.bucket = regs.bucket
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "corpus_heavy_hitters_incremental" -> CmsRegisterLawSql,
+    // G23: the same whole-corpus CMS law, with the Spark side routed
+    // through the STREAMING gate's code path (shared cmsRegisters
+    // projection) — the G18 oracle-sharing convention
+    "stream_cms_gate" -> CmsRegisterLawSql,
     // F54: the deterministic quantile-sketch law replayed end-to-end —
     // binary-string octave (no float log), integer sub-bucket, count
     // registers, cumulative-rank pick, bucket-lower-bound estimate;
@@ -4760,28 +4898,11 @@ object SparkEntry {
     // estimates ONLY from the two halves' summed registers; the
     // oracle re-sketches the whole corpus from scratch; hash equality
     // is the theorem, cross-engine
-    "corpus_quantile_incremental" ->
-      s"""WITH d AS (SELECT lang,
-         |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS v FROM documents),
-         |b AS (SELECT lang,
-         |  CASE WHEN v <= 0 THEN -1
-         |       ELSE (length(bin(v)) - 1) * 16 +
-         |            ((v - (CAST(1 AS BIGINT) << (length(bin(v)) - 1))) * 16)
-         |              // (CAST(1 AS BIGINT) << (length(bin(v)) - 1))
-         |  END AS qb FROM d),
-         |regs AS (SELECT lang, qb, count(*) AS cnt FROM b GROUP BY 1, 2),
-         |cum AS (SELECT lang, qb,
-         |  sum(cnt) OVER (PARTITION BY lang ORDER BY qb) AS cum,
-         |  sum(cnt) OVER (PARTITION BY lang) AS n FROM regs),
-         |qs AS (SELECT CAST(unnest([5000, 9000, 9900]) AS BIGINT) AS q_bp),
-         |hit AS (SELECT lang, q_bp, min(qb) AS qb FROM cum CROSS JOIN qs
-         |  WHERE cum > (q_bp * (n - 1)) // 10000 GROUP BY 1, 2)
-         |SELECT lang, q_bp,
-         | CAST(CASE WHEN qb < 0 THEN 0
-         |      ELSE (CAST(1 AS BIGINT) << (qb // 16)) +
-         |           ((qb % 16) * (CAST(1 AS BIGINT) << (qb // 16))) // 16
-         | END AS BIGINT) AS q_est FROM hit
-         |ORDER BY 1, 2""".stripMargin,
+    "corpus_quantile_incremental" -> QuantileRegisterLawSql,
+    // G22: the same whole-corpus register law, with the Spark side
+    // routed through the STREAMING gate's code path (shared
+    // qRegisters projection) — the G18 oracle-sharing convention
+    "stream_qsketch_gate" -> QuantileRegisterLawSql,
     // F49: the deterministic HLL law replayed end-to-end — hex-string
     // rho extraction, BIGINT-exact register sums, the single-constant
     // raw estimate, the Flajolet linear-counting branch on the 1e-6

@@ -1155,6 +1155,45 @@ object LlmQueries {
       .orderBy(col("lang"), col("token"))
   }
 
+  /** G22 driver twin: quantile estimates computed THROUGH the
+    * streaming gate's code path ([[graft.streaming.CarbonStream
+    * .qsketchStream]] — the shared qRegisters projection) on the batch
+    * table; shares F54b's whole-corpus oracle (the G18 convention), so
+    * the hash match proves the stream projection obeys the register
+    * law cross-engine, and the StreamSpec twin proves batches sum into
+    * the same registers.
+    */
+  def streamQsketchGate(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.documents(spark, dir).select(col("lang"),
+      size(graft.text.TextFns.tokens(col("text"))).cast("long").as("v"))
+    Sketch.qEstimate(
+      graft.streaming.CarbonStream.qsketchStream(vals, "lang"),
+      "lang", QuantileQs)
+      .orderBy(col("lang"), col("q_bp"))
+  }
+
+  /** G23 driver twin: CMS estimates through the streaming gate's code
+    * path on the batch table — shares F58b's whole-corpus oracle.
+    */
+  def streamCmsGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Caching._
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, dir)
+      .select(col("lang").as("slice"),
+        explode(graft.text.TextFns.tokens(col("text"))).as("token"))
+      .cachedOnce
+    val cand = tok.groupBy(col("slice"), col("token"))
+      .agg(count(lit(1)).as("n_exact"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("slice"))
+          .orderBy(col("n_exact").desc, col("token"))))
+      .filter(col("rk") <= CmsTopK).select(col("slice"), col("token"))
+    Sketch.cmsEstimate(
+        graft.streaming.CarbonStream.cmsSketchStream(tok), cand, "token")
+      .select(col("slice").as("lang"), col("token"), col("cms_est"))
+      .orderBy(col("lang"), col("token"))
+  }
+
   /** F58b: CMS merge ≡ rebuild — the Spark side estimates ONLY from
     * the two halves' elementwise-summed tables; the oracle re-sketches
     * from scratch (the F49b/F54b theorem's third instance).

@@ -325,6 +325,38 @@ object CarbonStream {
   def gopherGateStream(docs: DataFrame): DataFrame =
     graft.text.Analysis.gopherRulesRows(docs)
 
+  /** G22: LIVE quantile registers at ingest — F54's log-bucket sketch
+    * maintained by Structured Streaming's stateful aggregation (the
+    * VERDICT r8 #7 round-trip): the same integer bucket projection
+    * ([[graft.ops.Sketch.qRegisters]], shared so stream and batch
+    * registers cannot drift) runs map-side per micro-batch, and the
+    * state store holds exactly the register table — one row per
+    * (slice, qb), ≤ ~64·QSub rows per slice FOREVER: the state IS the
+    * sketch, so it never grows with stream length, which is the whole
+    * point of sketching at ingest. Each micro-batch's partial counts
+    * SUM into the standing registers — a [[graft.ops.Sketch.qMerge]]
+    * per batch — so streamed registers equal a from-scratch batch
+    * sketch exactly (count-sum associativity, the F54b theorem
+    * streamed; spec-pinned cross-batch). complete/update output emits
+    * the refreshed registers; [[graft.ops.Sketch.qEstimate]] over the
+    * sink gives live p50/p99s between batches.
+    */
+  def qsketchStream(vals: DataFrame, slice: String): DataFrame =
+    graft.ops.Sketch.qRegisters(vals, slice, col("v"))
+
+  /** G23: LIVE heavy-hitter counters at ingest — F58's Count-Min table
+    * as the stream state: ≤ CmsD·CmsW rows per slice forever, each
+    * micro-batch elementwise-summing into the standing table
+    * ([[graft.ops.Sketch.cmsMerge]] streamed — addition
+    * associativity, so streamed counters equal the batch table
+    * exactly and the never-undercount guarantee carries over
+    * unchanged). The same register projection
+    * ([[graft.ops.Sketch.cmsRegisters]]) is the single source;
+    * candidates probe the sink with [[graft.ops.Sketch.cmsEstimate]].
+    */
+  def cmsSketchStream(tok: DataFrame): DataFrame =
+    graft.ops.Sketch.cmsRegisters(tok, "slice", col("token"))
+
   /** G13: in-flight mixture gating — the FROZEN F35 rate plan applied
     * AT INGEST: each arriving document gets its keep/drop verdict
     * under the batch-planned basis-point rates (the mixture plan is an

@@ -67,11 +67,25 @@ object Classifier {
     */
   private def bucket(tok: Column): Column = h60(tok) % Dim
 
-  /** Per-doc linear term z = bias + Σ_tokens ⌊(w[b]/n)·1e12⌉ / 1e12 as
-    * an in-row fold (map-only; the weights ride along as a literal
-    * array). `toks`/`n` are the token array and its length.
+  /** Per-doc linear term z = bias + Σ_tokens ⌊(w[b]/n)·1e12⌉ / 1e12 —
+    * the compiled [[graft.functions.ClassifierZ]] kernel (one codegen
+    * pass per document; the declarative `aggregate` HOF fold it
+    * replaces is interpreted — lambda bodies never enter whole-stage
+    * codegen, the F8b lesson — and profiled at ~3× the kernel on the
+    * G16 path, §6). `n` must be the token-array length (the kernel
+    * derives it internally; the parameter documents the contract).
+    * Arithmetic is bit-identical (same h60 bucket, same
+    * HALF_UP-on-shortest-repr rounding), spec-pinned kernel ≡ fold.
     */
-  private def zCol(toks: Column, n: Column, m: Model): Column = {
+  private def zCol(toks: Column, n: Column, m: Model): Column =
+    lit(m.bias) +
+      graft.functions.ClassifierZ.zFixed(toks, m.w).cast("double") / lit(1e12)
+
+  /** The declarative HOF form of the fold, kept as the kernel's
+    * cross-check twin (ClassifierSpec pins kernel ≡ fold on real and
+    * planted docs).
+    */
+  private[graft] def zColDeclarative(toks: Column, n: Column, m: Model): Column = {
     val warr = array(m.w.toSeq.map(lit): _*)
     val zs = aggregate(toks, lit(0L), (acc, t) =>
       acc + round(element_at(warr, (bucket(t)).cast("int") + 1) / n * lit(1e12))

@@ -72,13 +72,16 @@ object Api {
       metrics.select(org.apache.spark.sql.functions.col("path")).distinct(),
       (pd, shiftSec) => Fetch.fetchByPaths(spark, metrics, pd, spec,
         method, xff, fromT + shiftSec, untilT + shiftSec, now))
+    // the render window the generator functions (constantLine,
+    // threshold, identity, time) synthesize points over
+    val winEnv = TargetExpr.WindowEnv(spark, fromT, untilT)
     // a target containing '(' is a render-FUNCTION pipeline
     // (sumSeries/summarize/alias/…): parse and evaluate over the same
     // fetch — window-aware, so timeShift subtrees fetch their shifted
     // window; plain globs keep the direct path
     val evaluated = targets
       .map(t => if (TargetExpr.isExpression(t))
-                  TargetExpr.evalTargetAt(t, fetchGlob, Some(tagEnv))
+                  TargetExpr.evalTargetAt(t, fetchGlob, Some(tagEnv), Some(winEnv))
                 else fetchBudget(t, 0L, maxDataPoints))
       .reduce(_ unionByName _)
     // the render-time point budget: consolidation is the LAST step

@@ -943,6 +943,76 @@ object Queries {
     taggedEval(spark, dir,
       """aliasByTags(seriesByTag('src=vera','user=u11','name=~(click|view)$'),'user','name')""")
 
+  // ---- C16. graphite 1.1 parity sweep ------------------------------------
+
+  /** C16a: groupByTags — the tagged rollup: three users' click and
+    * view series collapse under (name, src) into `click;src=vera` /
+    * `view;src=vera`, per-timestamp sum (graphite's documented
+    * disk.used-by-datacenter idiom over this namespace).
+    */
+  def gfnGroupByTags(spark: SparkSession, dir: String): DataFrame =
+    taggedEval(spark, dir,
+      """groupByTags(seriesByTag('src=vera','name=~(click|view)$','user=~u1[0-2]$'),"sum",'src')""")
+
+  /** C16b: filterSeries — the generic six-operator stat gate; `<=` on
+    * the per-series max is exactly the complement of
+    * useSeriesAbove's `>` gate over the same frame (the shared
+    * seriesStat table can't drift between them).
+    */
+  def gfnFilterSeries(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, """filterSeries(vera.u1?.click,"max","<=",40)""")
+
+  /** C16c: divideSeriesLists — positional pairing by sorted name:
+    * the i-th click series over the i-th view series, which on this
+    * namespace pairs each user with itself (the per-user CTR without
+    * reduceSeries' matcher machinery).
+    */
+  def gfnDivideLists(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, "divideSeriesLists(vera.u1?.click,vera.u1?.view)")
+
+  /** C16d: the *SeriesLists family's null laws in one frame —
+    * diffSeriesLists (missing side reads 0 unless both missing) and
+    * the generic aggregateSeriesLists with multiply (either side
+    * missing nulls the product).
+    */
+  def gfnAggLists(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir,
+      "group(diffSeriesLists(vera.u1?.click,vera.u1?.view)," +
+        """aggregateSeriesLists(vera.u1?.click,vera.u1?.view,"multiply"))""")
+
+  /** C16e: the 1.1 scalar-transform sweep over one series — round
+    * (half-up, the documented banker's-rounding divergence), add,
+    * exp, sigmoid, and logit's (0,1)-domain null law.
+    */
+  def gfnScalarSweep(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir,
+      "group(round(add(vera.u11.click,5),1)," +
+        "exp(scale(vera.u11.click,0.01))," +
+        "sigmoid(scale(vera.u11.click,0.01))," +
+        "logit(scale(vera.u11.click,0.001)))")
+
+  /** C16f: the window generators — constantLine's 3-point construction
+    * (start/mid/end of the render window), threshold's labeled line,
+    * and time()'s timestamp series on a 6-hour step; none fetches a
+    * byte of metric data.
+    */
+  def gfnWindowGenerators(spark: SparkSession, dir: String): DataFrame = {
+    val env = TargetExpr.WindowEnv(spark, fetchFrom, Now)
+    TargetExpr.evalTargetAt(
+      """group(constantLine(42.5),threshold(95,"limit"),time("tick",21600))""",
+      gfnFetch(spark, dir), None, Some(env))
+      .select(col("path"), col("t"), round(col("value") - Eps, 4).as("value"))
+      .orderBy(col("path"), col("t"))
+  }
+
+  /** C16g: cactiStyle — the Cacti legend suffix: names carry
+    * `Current:/Max:/Min:` %.2f-formatted from the shared stat table
+    * (stats rounded to 2 decimals BEFORE formatting, so both engines
+    * format the identical double); values untouched.
+    */
+  def gfnCactiStyle(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, "cactiStyle(vera.u1{0,1}.click)")
+
   // ---- D. dataMine bridge -----------------------------------------------
 
   val dmT1 = 1704067200L

@@ -1395,10 +1395,14 @@ object SeriesFunctions {
   }
 
   /** Aggregate after REMOVING the given 0-based path nodes (Graphite
-    * `sumSeriesWithWildcards` / `averageSeriesWithWildcards`): series
-    * whose names differ only at the removed positions merge under the
-    * reduced name — groupByNode generalized to keep-all-but. One
-    * groupBy(name′, t), map-side combined.
+    * `sumSeriesWithWildcards` / `averageSeriesWithWildcards`, and the
+    * 1.1 generic `aggregateWithWildcards(seriesList, func, *positions)`
+    * front-end): series whose names differ only at the removed
+    * positions merge under the reduced name — groupByNode generalized
+    * to keep-all-but. The callback rides the one shared
+    * canonAgg/aggExpr table (single-sourcing — the same coverage as
+    * every grouped combiner). One groupBy(name′, t), map-side
+    * combined.
     */
   def aggWithWildcards(f: DataFrame, func: String, positions: Seq[Int]): DataFrame = {
     require(positions.nonEmpty && positions.forall(_ >= 0),
@@ -1406,14 +1410,9 @@ object SeriesFunctions {
     val parts = split(col("path"), "\\.")
     val reduced = array_join(
       filter(parts, (_, i) => !i.isin(positions.map(Int.box): _*)), ".")
-    val agg = func match {
-      case "sum" => sum(col("value"))
-      case "avg" => avg(col("value"))
-      case other => throw new IllegalArgumentException(s"aggWithWildcards: unknown func '$other'")
-    }
     f.select(reduced.as("path"), col("t"), col("value"))
       .groupBy(col("path"), col("t"))
-      .agg(agg.cast("double").as("value"))
+      .agg(aggExpr(canonAgg(func, "aggregateWithWildcards")).cast("double").as("value"))
   }
 
   /** The clamped discrete-rank pick over a sorted in-row list — the
@@ -1585,6 +1584,220 @@ object SeriesFunctions {
         .when(col("li").isNotNull &&
           coalesce(col("ni"), col("mx") + 1) - col("li") - 1 <= limit,
           col("hv")))
+  }
+
+  // ---- C16: graphite 1.1 parity sweep ------------------------------------
+
+  /** Graphite 1.1 `groupByTags(seriesList, func, *tags)` — the tagged
+    * twin of [[groupByNodes]]: series collapse under the canonical
+    * tagged path built from the REQUESTED tags (graphite's documented
+    * example: grouping disk.used by 'datacenter' yields
+    * `disk.used;datacenter=dc1`, `…;datacenter=dc2`), per-timestamp
+    * aggregate from the one shared canonAgg/aggExpr table. The output
+    * path always leads with the implicit `name` tag's value and
+    * appends the requested non-name tags in canonical sorted-tag
+    * order (the tagged-whisper write convention, so a group's path is
+    * unique); a missing tag contributes `;tag=` with an empty value —
+    * the missing-reads-as-'' law shared with the seriesByTag matchers.
+    * One map-side-combined groupBy(key, t): the key is a string
+    * extraction on the path column, so the plan is groupByNodes' plan
+    * — never per-group work.
+    */
+  def groupByTags(f: DataFrame, func: String, tags: Seq[String]): DataFrame = {
+    require(tags.nonEmpty, "groupByTags: need at least one tag")
+    val rest = tags.filter(_ != "name").distinct.sorted
+    val key = concat(Tags.tagValueCol("name") +:
+      rest.map(tg => concat(lit(";" + tg + "="), Tags.tagValueCol(tg))): _*)
+    f.select(key.as("path"), col("t"), col("value"))
+      .groupBy(col("path"), col("t"))
+      .agg(aggExpr(canonAgg(func, "groupByTags")).cast("double").as("value"))
+  }
+
+  /** Graphite 1.1 `filterSeries(seriesList, func, operator, threshold)`
+    * — the generic stat gate [[filterByStat]]'s above/below pair
+    * specializes: any callback from the shared [[seriesStat]] table,
+    * any of the six comparison operators. Comparisons on the round-6
+    * grid (the filterByStat engine-stability discipline). K-row stat
+    * table + broadcast semi-join, the selection-function shape.
+    */
+  def filterSeries(f: DataFrame, func: String, operator: String,
+                   threshold: Double): DataFrame = {
+    val statAgg: Column = seriesStat(func, "filterSeries")
+    val s = round(col("s"), 6)
+    val cmp: Column = operator match {
+      case "="  => s === threshold
+      case "!=" => s =!= threshold
+      case ">"  => s > threshold
+      case ">=" => s >= threshold
+      case "<"  => s < threshold
+      case "<=" => s <= threshold
+      case other => throw new IllegalArgumentException(
+        s"filterSeries: unknown operator '$other' (=, !=, >, >=, <, <=)")
+    }
+    val keep = f.groupBy(col("path")).agg(statAgg.as("s"))
+      .filter(cmp).select(col("path"))
+    f.join(broadcast(keep), Seq("path"), "left_semi")
+  }
+
+  /** Graphite `round(seriesList[, precision])`: values rounded to
+    * `precision` decimals. Deliberate divergence, documented: both
+    * this engine and the DuckDB oracle round HALF-UP (`round()` in
+    * Spark and DuckDB), where graphite-web inherits Python 3's
+    * banker's rounding — a tie at the last digit (rare on real
+    * metrics) rounds away from zero here, to-even there.
+    */
+  def roundSeries(f: DataFrame, precision: Int): DataFrame =
+    frame(f, wrap("round", precision.toString), col("t"),
+      round(col("value"), precision))
+
+  /** Graphite 1.1 `add(seriesList, constant)` — [[offset]]'s 1.1-era
+    * alias with its own wrapped name.
+    */
+  def addConstant(f: DataFrame, k: Double): DataFrame =
+    frame(f, wrap("add", fmtNum(k)), col("t"), col("value") + k)
+
+  /** Graphite 1.1 `exp(seriesList)`: e^v, map-only. */
+  def expSeries(f: DataFrame): DataFrame =
+    frame(f, wrap("exp", ""), col("t"), exp(col("value")))
+
+  /** Graphite 1.1 `sigmoid(seriesList)`: 1/(1+e^-v), map-only. */
+  def sigmoidSeries(f: DataFrame): DataFrame =
+    frame(f, wrap("sigmoid", ""), col("t"),
+      lit(1.0) / (lit(1.0) + exp(-col("value"))))
+
+  /** Graphite 1.1 `logit(seriesList)`: ln(v/(1−v)); points outside
+    * (0,1) null out — graphite catches the math error and emits None
+    * (logit(0) and logit(1) are ±∞).
+    */
+  def logitSeries(f: DataFrame): DataFrame =
+    frame(f, wrap("logit", ""), col("t"),
+      when(col("value") > 0.0 && col("value") < 1.0,
+        log(col("value") / (lit(1.0) - col("value")))))
+
+  /** Graphite `cactiStyle(seriesList)` — the Cacti-legend name suffix:
+    * each series renamed to `<path> Current:<c> Max:<mx> Min:<mn>`
+    * with the three stats %.2f-formatted from the shared
+    * [[seriesStat]] table ('current' = latest non-null). Stats are
+    * round(,2)-ed BEFORE formatting — the rounding happens in the
+    * engines' shared round() (the round-4 value discipline), and
+    * %.2f of an already-2-decimal double is tie-free, where Java's
+    * Formatter rounds HALF_UP and C-family printf half-even; an
+    * all-null series formats as `nan` (graphite's float('nan')
+    * rendering). Values untouched;
+    * K-row stat table broadcast back — naming only. The system/units
+    * variants (si scaling) are out of scope — callers wanting scaled
+    * legends compose `scale` upstream.
+    */
+  def cactiStyle(f: DataFrame): DataFrame = {
+    def fmt(c: Column): Column =
+      when(c.isNotNull, format_string("%.2f", round(c, 2))).otherwise(lit("nan"))
+    val tab = f.groupBy(col("path")).agg(
+      seriesStat("current", "cactiStyle").as("cur"),
+      max(col("value")).as("mx"), min(col("value")).as("mn"))
+    frame(f.join(broadcast(tab), Seq("path"), "left"),
+      concat(col("path"), lit(" Current:"), fmt(col("cur")),
+        lit(" Max:"), fmt(col("mx")), lit(" Min:"), fmt(col("mn"))),
+      col("t"), col("value"))
+  }
+
+  /** Positional pairing for the `*SeriesLists` family: the i-th series
+    * of each K-row list (BY SORTED NAME — graphite pairs by store
+    * order, which is not an order at all; name order is this engine's
+    * deterministic replacement, the limitSeries precedent) joined on
+    * (pair rank, t). List lengths must match — graphite raises too;
+    * the length check is two K-row metadata counts (graphite
+    * materializes both lists the same way). Returns
+    * (pa, pb, t, va, vb) with a FULL outer join on the grid so each
+    * func's null law applies symmetrically.
+    */
+  private def pairSeriesLists(a: DataFrame, b: DataFrame, ctx: String): DataFrame = {
+    val wOrd = Window.orderBy(col("path"))
+    val ra = a.select(col("path")).distinct()
+      .select(col("path").as("pa"), row_number().over(wOrd).as("rk"))
+    val rb = b.select(col("path")).distinct()
+      .select(col("path").as("pb"), row_number().over(wOrd).as("rk"))
+    val (na, nb) = (ra.count(), rb.count())
+    require(na == nb,
+      s"$ctx: series lists must be the same length (got $na vs $nb)")
+    val pairs = ra.join(rb, Seq("rk"))
+    val av = a.join(broadcast(pairs.select(col("pa"), col("rk"))), col("path") === col("pa"))
+      .select(col("rk"), col("t"), col("value").as("va"))
+    val bv = b.join(broadcast(pairs.select(col("pb"), col("rk"))), col("path") === col("pb"))
+      .select(col("rk"), col("t"), col("value").as("vb"))
+    av.join(bv, Seq("rk", "t"), "full_outer")
+      .join(broadcast(pairs), Seq("rk"))
+  }
+
+  /** Graphite 1.1 `aggregateSeriesLists(listA, listB, func)` plus its
+    * named aliases (`sumSeriesLists`, `diffSeriesLists`,
+    * `multiplySeriesLists`): the i-th series of each list combine
+    * pointwise under graphite's safe* null laws — sum/diff treat a
+    * missing side as 0 unless BOTH are missing (then null); multiply
+    * nulls when EITHER side is (safeMul). Output named
+    * `<func>Series(<a>,<b>)`, graphite's formatting.
+    */
+  def aggregateSeriesLists(a: DataFrame, b: DataFrame, func: String): DataFrame = {
+    val canon = func match {
+      case "sum" | "total" => "sum"
+      case "diff" => "diff"
+      case "multiply" => "multiply"
+      case other => throw new IllegalArgumentException(
+        s"aggregateSeriesLists: unknown func '$other' (sum, diff, multiply)")
+    }
+    val bothNull = col("va").isNull && col("vb").isNull
+    val v: Column = canon match {
+      case "sum" => when(!bothNull,
+        coalesce(col("va"), lit(0.0)) + coalesce(col("vb"), lit(0.0)))
+      case "diff" => when(!bothNull,
+        coalesce(col("va"), lit(0.0)) - coalesce(col("vb"), lit(0.0)))
+      case "multiply" => col("va") * col("vb")
+    }
+    pairSeriesLists(a, b, "aggregateSeriesLists")
+      .select(concat(lit(s"${canon}Series("), col("pa"), lit(","),
+        col("pb"), lit(")")).as("path"), col("t"), v.as("value"))
+  }
+
+  /** Graphite `divideSeriesLists(dividends, divisors)` — the
+    * positional-pairing twin of [[divideSeries]]: i-th dividend over
+    * i-th divisor, zero/absent divisor → null (the shared
+    * divide-by-zero rule), named `divideSeries(<a>,<b>)`.
+    */
+  def divideSeriesLists(a: DataFrame, b: DataFrame): DataFrame =
+    pairSeriesLists(a, b, "divideSeriesLists")
+      .select(concat(lit("divideSeries("), col("pa"), lit(","),
+        col("pb"), lit(")")).as("path"), col("t"),
+        when(col("vb") =!= 0, col("va") / col("vb")).as("value"))
+
+  // ---- window generators: series synthesized from the render window ----
+
+  /** Graphite `constantLine(value)`: three points — window start,
+    * midpoint, end (graphite's own 3-point construction, step =
+    * (until−from)/2 integer division) — named by the value's
+    * canonical text. Driver-side 3-row literal, the K-row metadata
+    * convention.
+    */
+  def constantLine(spark: org.apache.spark.sql.SparkSession, value: Double,
+                   fromT: Long, untilT: Long): DataFrame = {
+    require(untilT > fromT, s"constantLine: empty window [$fromT, $untilT)")
+    import spark.implicits._
+    val step = (untilT - fromT) / 2
+    Seq(fromT, fromT + step, fromT + 2 * step)
+      .map(t => (fmtNum(value), t, value)).toDF("path", "t", "value")
+  }
+
+  /** Graphite `time(name[, step])` (alias `timeFunction`) / and the
+    * basis for `identity(name)`: one series whose value at each grid
+    * point IS the timestamp, from window start exclusive of the end
+    * (graphite's while-loop bound), default step 60 s. Generated with
+    * `spark.range` — distributed, though the row count is
+    * window/step.
+    */
+  def timeFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+                   step: Long, fromT: Long, untilT: Long): DataFrame = {
+    require(step > 0, s"time: step must be positive (got $step)")
+    spark.range(fromT, untilT, step)
+      .select(lit(name).as("path"), col("id").as("t"),
+        col("id").cast("double").as("value"))
   }
 
   private[tsdb] def fmtNum(v: Double): String =

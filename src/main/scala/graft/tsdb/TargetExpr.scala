@@ -160,6 +160,17 @@ object TargetExpr {
   final case class TagEnv(paths: DataFrame,
                           fetchPaths: (DataFrame, Long) => DataFrame)
 
+  /** What the window-GENERATOR functions (`constantLine`, `threshold`,
+    * `identity`, `time`) need: they fetch nothing, so the fetch
+    * closure gives them no render window to synthesize points over.
+    * Optional because only generator targets need it; an evaluator
+    * without one fails loudly. Under a `timeShift` subtree the
+    * generators synthesize at the SHIFTED window (like a fetch) and
+    * the relabel brings them back — graphite's order.
+    */
+  final case class WindowEnv(spark: org.apache.spark.sql.SparkSession,
+                             fromT: Long, untilT: Long)
+
   /** Evaluate a target expression over `fetch` (glob → fetch frame).
     * Unknown functions and mis-typed arguments fail loudly — a silent
     * fallback would render an empty graph for a typo'd pipeline.
@@ -180,18 +191,23 @@ object TargetExpr {
     * 0)` must be the unshifted render-window fetch.
     */
   def evalAt(e: Expr, fetchAt: (String, Long) => DataFrame,
-             shift: Long, tagEnv: Option[TagEnv] = None): DataFrame = e match {
+             shift: Long, tagEnv: Option[TagEnv] = None,
+             winEnv: Option[WindowEnv] = None): DataFrame = e match {
     case PathExpr(g) => fetchAt(g, shift)
     case call @ CallExpr(name, args) =>
       import SeriesFunctions._
       def series(i: Int): DataFrame = args(i) match {
-        case SeriesArg(s) => evalAt(s, fetchAt, shift, tagEnv)
+        case SeriesArg(s) => evalAt(s, fetchAt, shift, tagEnv, winEnv)
         case other => badArg(call, i, "series", other)
       }
       def seriesShifted(i: Int, delta: Long): DataFrame = args(i) match {
-        case SeriesArg(s) => evalAt(s, fetchAt, shift + delta, tagEnv)
+        case SeriesArg(s) => evalAt(s, fetchAt, shift + delta, tagEnv, winEnv)
         case other => badArg(call, i, "series", other)
       }
+      def window(): WindowEnv = winEnv.getOrElse(throw new IllegalArgumentException(
+        s"$name: no window environment — evaluate through Api.render or " +
+          "pass a TargetExpr.WindowEnv (generator functions synthesize " +
+          "points over the render window)"))
       def num(i: Int): Double = args(i) match {
         case NumArg(v) => v
         case other => badArg(call, i, "number", other)
@@ -555,6 +571,61 @@ object TargetExpr {
               regexp_replace(lit(str(3)), lit("%"), col("gkey")).as("path"),
               col("t"), col("value"))
           else out.select(col("path"), col("t"), col("value"))
+        // ---- C16 parity sweep ----
+        case "groupByTags" =>
+          require(args.length >= 3,
+            "groupByTags: need series, func, and at least one tag")
+          groupByTags(series(0), str(1), (2 until args.length).map(str))
+        case "filterSeries" => arity(4)
+          filterSeries(series(0), str(1), str(2), num(3))
+        case "aggregateWithWildcards" =>
+          require(args.length >= 3,
+            "aggregateWithWildcards: need series, func, and at least one position")
+          aggWithWildcards(series(0), str(1), (2 until args.length).map(intArg))
+        case "divideSeriesLists" => arity(2)
+          divideSeriesLists(series(0), series(1))
+        case "aggregateSeriesLists" =>
+          require(args.length == 3 || args.length == 4,
+            s"aggregateSeriesLists: expected (listA, listB, func[, xFilesFactor]), got ${args.length} args")
+          aggregateSeriesLists(series(0), series(1), str(2))
+        case "sumSeriesLists" => arity(2)
+          aggregateSeriesLists(series(0), series(1), "sum")
+        case "diffSeriesLists" => arity(2)
+          aggregateSeriesLists(series(0), series(1), "diff")
+        case "multiplySeriesLists" => arity(2)
+          aggregateSeriesLists(series(0), series(1), "multiply")
+        case "round" =>
+          require(args.length == 1 || args.length == 2,
+            s"round: expected (series[, precision]), got ${args.length} args")
+          roundSeries(series(0), if (args.length == 2) intArg(1) else 0)
+        case "add" => arity(2); addConstant(series(0), num(1))
+        case "exp" => arity(1); expSeries(series(0))
+        case "sigmoid" => arity(1); sigmoidSeries(series(0))
+        case "logit" => arity(1); logitSeries(series(0))
+        case "cactiStyle" => arity(1); cactiStyle(series(0))
+        case "constantLine" => arity(1)
+          val w = window()
+          constantLine(w.spark, num(0), w.fromT + shift, w.untilT + shift)
+        case "threshold" =>
+          // (value[, label[, color]]) — constantLine renamed to the
+          // label; color is a display attribute with no data effect
+          // (accepted and dropped, the secondYAxis convention: the
+          // frame carries no style channel)
+          require(args.length >= 1 && args.length <= 3,
+            s"threshold: expected (value[, label[, color]]), got ${args.length} args")
+          val w = window()
+          val line = constantLine(w.spark, num(0), w.fromT + shift, w.untilT + shift)
+          if (args.length >= 2) SeriesFunctions.alias(line, str(1)) else line
+        case "identity" => arity(1)
+          val w = window()
+          timeFunction(w.spark, str(0), 60L, w.fromT + shift, w.untilT + shift)
+        case "time" | "timeFunction" =>
+          require(args.length == 1 || args.length == 2,
+            s"$name: expected (name[, step]), got ${args.length} args")
+          val w = window()
+          timeFunction(w.spark, str(0),
+            if (args.length == 2) intArg(1).toLong else 60L,
+            w.fromT + shift, w.untilT + shift)
         case other =>
           throw new IllegalArgumentException(s"unknown render function '$other' in '${self}'")
       }
@@ -649,11 +720,13 @@ object TargetExpr {
 
   /** Tagged-capable form: `tagEnv` supplies the path universe and the
     * path-list fetch `seriesByTag` (and the collect-free
-    * `useSeriesAbove`) resolve through.
+    * `useSeriesAbove`) resolve through; `winEnv` supplies the render
+    * window the generator functions synthesize over.
     */
   def evalTargetAt(target: String, fetchAt: (String, Long) => DataFrame,
-                   tagEnv: Option[TagEnv]): DataFrame =
-    evalAt(parse(target), fetchAt, 0L, tagEnv)
+                   tagEnv: Option[TagEnv],
+                   winEnv: Option[WindowEnv] = None): DataFrame =
+    evalAt(parse(target), fetchAt, 0L, tagEnv, winEnv)
 
   /** True when the target is a function pipeline rather than a plain
     * glob — the [[Api.render]] routing test (a bare glob never

@@ -2493,6 +2493,32 @@ class LlmSpec extends SparkSpec {
     assert(m.w.exists(_ != 0.0))
   }
 
+  test("quality classifier: compiled z kernel equals the declarative fold (F42/G16)") {
+    // the ClassifierZ codegen kernel replaced the interpreted
+    // `aggregate` HOF on the scoring/training hot path (§6 profile) —
+    // pin bit-equality on the real corpus plus edge rows (empty text
+    // → n=0 never divides; single token; negative weights exercising
+    // the HALF_UP-on-shortest-repr rounding both directions)
+    val C = graft.text.Classifier
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), graft.text.TextFns.tokens(col("text")).as("toks"))
+      .unionByName(Seq(
+        (9000001L, Seq.empty[String]), (9000002L, Seq("one")),
+        (9000003L, Seq("a", "b", "c", "a"))).toDF("doc_id", "toks"))
+    val w = Array.tabulate(C.Dim)(i => (i - 32) * 0.0315 / 7.0)
+    val m = C.Model(w, 0.125)
+    val n = size(col("toks")).cast("long")
+    val both = docs.select(col("doc_id"),
+      C.zColDeclarative(col("toks"), n, m).as("zd"),
+      (lit(m.bias) + graft.functions.ClassifierZ.zFixed(col("toks"), w)
+        .cast("double") / lit(1e12)).as("zk"))
+    assert(both.count() > 3)
+    // exact double equality row-for-row — the fixed-point claim
+    assert(both.filter(col("zd") =!= col("zk") ||
+      col("zd").isNull =!= col("zk").isNull).count() == 0)
+  }
+
   test("quality classifier: weights bit-stable under repartition (F42)") {
     val C = graft.text.Classifier
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")

@@ -979,6 +979,127 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("funnel expiry REMOVES state rows across a micro-batch (G20d state size)") {
+    import graft.streaming.CarbonStream
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Long, String)]
+    val out = CarbonStream.funnelStreamEventTime(
+      source.toDF().toDF("user_id", "t", "event_type"),
+      Seq("view", "click"), expireSec = 100L)
+    val query = out.toDF().writeStream
+      .format("memory").queryName("g20d_state").outputMode("append").start()
+    def stateRows(): Long =
+      query.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    try {
+      source.addData((1L to 5L).map(u => (u, 1000L, "view")): _*)
+      query.processAllAvailable()
+      assert(stateRows() == 5L) // five open journeys held
+      // one event at 2000 pushes the watermark past every horizon
+      // (1100): the expiry batch must REMOVE the five journeys, not
+      // just emit their terminal rows — the state store shrinks to
+      // the single live journey
+      source.addData((99L, 2000L, "view"))
+      query.processAllAvailable()
+      assert(stateRows() == 1L, s"state not evicted: ${stateRows()} rows")
+      // the eviction emitted the five closed rows (state left THROUGH
+      // the documented terminal emission, not silently)
+      assert(spark.table("g20d_state").filter($"closed" === 1L).count() == 5L)
+    } finally query.stop()
+  }
+
+  test("session close evicts state rows (G21 state size)") {
+    import graft.streaming.CarbonStream
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Long)]
+    val out = CarbonStream.sessionizeStream(
+      source.toDF().toDF("user_id", "ts"), gapSec = 100L,
+      watermark = "0 seconds")
+    val query = out.writeStream
+      .format("memory").queryName("g21_state").outputMode("append").start()
+    def stateRows(): Long =
+      query.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    try {
+      source.addData((1L, 1000L), (2L, 1010L), (1L, 1050L))
+      query.processAllAvailable()
+      val openRows = stateRows() // two open sessions held
+      assert(openRows == 2L, s"open sessions: $openRows")
+      // watermark far past both session ends + gap: both close, emit,
+      // and LEAVE the store; only the new session remains
+      source.addData((3L, 5000L))
+      query.processAllAvailable()
+      assert(stateRows() == 1L, s"state not evicted: ${stateRows()} rows")
+      assert(spark.table("g21_state").count() == 2L) // the closed pair emitted
+    } finally query.stop()
+  }
+
+  test("streaming quantile registers: batches sum into the batch sketch (G22)") {
+    import graft.streaming.CarbonStream
+    import graft.ops.Sketch
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(("en", 3L), ("en", 17L), ("de", 100L), ("en", 0L))
+    val b2 = Seq(("en", 17L), ("de", 5L), ("en", 1024L))
+    val source = MemoryStream[(String, Long)]
+    val out = CarbonStream.qsketchStream(source.toDF().toDF("lang", "v"), "lang")
+    val query = out.writeStream
+      .format("memory").queryName("g22_regs").outputMode("complete").start()
+    try {
+      source.addData(b1: _*)
+      query.processAllAvailable()
+      source.addData(b2: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("g22_regs").orderBy("lang", "qb").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      // the state store carried batch 1's registers into batch 2's
+      // sums: streamed == a from-scratch batch sketch of ALL rows
+      val batch = Sketch.qRegisters((b1 ++ b2).toDF("lang", "v"), "lang", $"v")
+        .orderBy("lang", "qb").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(streamed == batch)
+      // the state IS the sketch: rows ≤ distinct (slice, qb), never
+      // stream length — here 7 values collapse to ≤ 6 registers
+      assert(streamed.size <= 6)
+      // duplicate values share a register (two 17s → one cnt=2 row)
+      assert(streamed.exists { case (l, _, c) => l == "en" && c == 2L })
+      // live estimates read straight off the sink registers
+      val est = Sketch.qEstimate(spark.table("g22_regs"), "lang", Seq(5000))
+        .filter($"lang" === "de").collect().map(_.getLong(2)).toSeq
+      assert(est == Seq(5L)) // p50 of {5, 100} ranks to 5's bucket (2^2+..)
+    } finally query.stop()
+  }
+
+  test("streaming CMS counters: batches sum into the batch table (G23)") {
+    import graft.streaming.CarbonStream
+    import graft.ops.Sketch
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(("en", "the"), ("en", "the"), ("en", "fox"), ("de", "der"))
+    val b2 = Seq(("en", "the"), ("de", "der"), ("de", "die"))
+    val source = MemoryStream[(String, String)]
+    val out = CarbonStream.cmsSketchStream(source.toDF().toDF("slice", "token"))
+    val query = out.writeStream
+      .format("memory").queryName("g23_regs").outputMode("complete").start()
+    try {
+      source.addData(b1: _*)
+      query.processAllAvailable()
+      source.addData(b2: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("g23_regs").orderBy("slice", "row", "bucket")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+      val batch = Sketch.cmsRegisters((b1 ++ b2).toDF("slice", "token"),
+          "slice", $"token")
+        .orderBy("slice", "row", "bucket")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(streamed == batch)
+      // estimates off the streamed table keep the never-undercount law
+      val cand = Seq(("en", "the"), ("en", "fox"), ("de", "der"))
+        .toDF("slice", "token")
+      val estMap = Sketch.cmsEstimate(spark.table("g23_regs"), cand, "token")
+        .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+      assert(estMap(("en", "the")) >= 3L)
+      assert(estMap(("en", "fox")) >= 1L)
+      assert(estMap(("de", "der")) >= 2L)
+    } finally query.stop()
+  }
+
   test("streaming simhash dedup batch twin agrees on keepers (G4)") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),

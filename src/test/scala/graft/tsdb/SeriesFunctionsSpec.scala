@@ -843,6 +843,142 @@ class SeriesFunctionsSpec extends SparkSpec {
     assert(runG("diffSeries") == Seq(("h.a", 0L, Some(-3.0))))
   }
 
+  test("groupByTags: canonical tagged output path, missing-tag empty value") {
+    val f = frame(
+      ("cpu;dc=east;host=a", 0L, 1.0), ("cpu;dc=east;host=b", 0L, 3.0),
+      ("cpu;dc=west;host=c", 0L, 5.0), ("mem;host=d", 0L, 7.0))
+    val run = vals(evalTarget("""groupByTags(x.*,"sum","dc")""",
+      _ => f))
+    // name leads, requested tags append in sorted-tag order; the
+    // dc-less mem series groups under the empty value
+    assert(run == Seq(
+      ("cpu;dc=east", 0L, Some(4.0)), ("cpu;dc=west", 0L, Some(5.0)),
+      ("mem;dc=", 0L, Some(7.0))))
+    // 'name' among the requested tags dedups into the lead position;
+    // multi-tag requests sort canonically regardless of call order
+    val two = vals(evalTarget("""groupByTags(x.*,"max","host","dc","name")""",
+      _ => f))
+    assert(two.map(_._1) ==
+      Seq("cpu;dc=east;host=a", "cpu;dc=east;host=b", "cpu;dc=west;host=c",
+        "mem;dc=;host=d"))
+    intercept[IllegalArgumentException](evalTarget("""groupByTags(x.*,"sum")""", _ => f))
+  }
+
+  test("filterSeries: all six operators gate on the round-6 stat grid") {
+    val f = frame(("a", 0L, 1.0), ("a", 60L, 3.0),
+      ("b", 0L, 5.0), ("b", 60L, 7.0), ("c", 0L, null), ("c", 60L, null))
+    def run(op: String, th: Double) =
+      vals(evalTarget(s"""filterSeries(x.*,"average","$op",$th)""", _ => f))
+        .map(_._1).distinct
+    assert(run(">", 2) == Seq("b"))
+    assert(run(">=", 2) == Seq("a", "b"))
+    assert(run("<", 6) == Seq("a"))
+    assert(run("<=", 6) == Seq("a", "b"))
+    assert(run("=", 6) == Seq("b"))
+    assert(run("!=", 6) == Seq("a")) // all-null stat fails every test
+    intercept[IllegalArgumentException](run("~", 1))
+    // 'current' rides the shared seriesStat table (latest non-null)
+    assert(vals(evalTarget("""filterSeries(x.*,"current",">",4)""", _ => f))
+      .map(_._1).distinct == Seq("b"))
+  }
+
+  test("scalar sweep: round half-up, add, exp, sigmoid, logit domain law") {
+    val f = frame(("s", 0L, 0.25), ("s", 60L, -0.5), ("s", 120L, null),
+      ("s", 180L, 1.0))
+    assert(vals(evalTarget("add(s,2)", _ => f)) == Seq(
+      ("add(s,2)", 0L, Some(2.25)), ("add(s,2)", 60L, Some(1.5)),
+      ("add(s,2)", 120L, None), ("add(s,2)", 180L, Some(3.0))))
+    assert(vals(evalTarget("round(s,1)", _ => f)) == Seq(
+      ("round(s,1)", 0L, Some(0.3)), // 0.25 rounds HALF-UP (documented)
+      ("round(s,1)", 60L, Some(-0.5)), ("round(s,1)", 120L, None),
+      ("round(s,1)", 180L, Some(1.0))))
+    val sig = vals(evalTarget("sigmoid(s)", _ => f))
+    assert(math.abs(sig.head._3.get - 1.0 / (1.0 + math.exp(-0.25))) < 1e-12)
+    assert(sig(2)._3.isEmpty)
+    val ex = vals(evalTarget("exp(s)", _ => f))
+    assert(math.abs(ex.head._3.get - math.exp(0.25)) < 1e-12)
+    // logit: defined only on (0,1) — 0.25 maps, -0.5 and 1.0 null out
+    val lg = vals(evalTarget("logit(s)", _ => f))
+    assert(math.abs(lg.head._3.get - math.log(0.25 / 0.75)) < 1e-12)
+    assert(lg(1)._3.isEmpty && lg(2)._3.isEmpty && lg(3)._3.isEmpty)
+  }
+
+  test("aggregateWithWildcards rides the shared canonAgg table") {
+    val f = frame(("a.x.m", 0L, 1.0), ("a.y.m", 0L, 5.0))
+    assert(vals(evalTarget("""aggregateWithWildcards(a.*.m,"max",1)""", _ => f)) ==
+      Seq(("a.m", 0L, Some(5.0))))
+    assert(vals(evalTarget("""aggregateWithWildcards(a.*.m,"range",1)""", _ => f)) ==
+      Seq(("a.m", 0L, Some(4.0))))
+    intercept[IllegalArgumentException](
+      evalTarget("""aggregateWithWildcards(a.*.m,"nope",1)""", _ => f))
+  }
+
+  test("*SeriesLists: sorted-name pairing, per-func null laws, length guard") {
+    val a = frame(("n.1", 0L, 6.0), ("n.1", 60L, null), ("n.1", 120L, 4.0),
+      ("n.2", 0L, 10.0))
+    val b = frame(("d.1", 0L, 3.0), ("d.1", 60L, 5.0), ("d.1", 120L, 0.0),
+      ("d.2", 0L, 2.0))
+    def run(t: String) = vals(evalAt(parse(t), (g, _) =>
+      if (g == "A") a else b, 0L))
+    // divide: zero divisor null, null dividend null
+    assert(run("divideSeriesLists(A,B)") == Seq(
+      ("divideSeries(n.1,d.1)", 0L, Some(2.0)),
+      ("divideSeries(n.1,d.1)", 60L, None),
+      ("divideSeries(n.1,d.1)", 120L, None),
+      ("divideSeries(n.2,d.2)", 0L, Some(5.0))))
+    // diff: missing side reads 0; multiply: either missing nulls
+    assert(run("diffSeriesLists(A,B)").take(3) == Seq(
+      ("diffSeries(n.1,d.1)", 0L, Some(3.0)),
+      ("diffSeries(n.1,d.1)", 60L, Some(-5.0)),
+      ("diffSeries(n.1,d.1)", 120L, Some(4.0))))
+    assert(run("""aggregateSeriesLists(A,B,"multiply")""").take(2) == Seq(
+      ("multiplySeries(n.1,d.1)", 0L, Some(18.0)),
+      ("multiplySeries(n.1,d.1)", 60L, None)))
+    assert(run("sumSeriesLists(A,B)").head ==
+      ("sumSeries(n.1,d.1)", 0L, Some(9.0)))
+    // mismatched list lengths fail loudly (graphite raises too)
+    val short = frame(("d.1", 0L, 3.0))
+    intercept[IllegalArgumentException](
+      evalAt(parse("divideSeriesLists(A,B)"), (g, _) =>
+        if (g == "A") a else short, 0L).collect())
+  }
+
+  test("cactiStyle: Current/Max/Min suffix, all-null series reads nan") {
+    val f = frame(("a", 0L, 1.256), ("a", 60L, 3.0), ("a", 120L, null),
+      ("n", 0L, null), ("n", 60L, null), ("n", 120L, null))
+    val out = vals(evalTarget("cactiStyle(x.*)", _ => f))
+    // current = latest non-null (3.0 at t=60, not the t=120 gap)
+    assert(out.map(_._1).distinct == Seq(
+      "a Current:3.00 Max:3.00 Min:1.26",
+      "n Current:nan Max:nan Min:nan"))
+    // values untouched
+    assert(out.filter(_._1.startsWith("a")).map(_._3) ==
+      Seq(Some(1.256), Some(3.0), None))
+  }
+
+  test("window generators: constantLine 3 points, time grid, threshold label") {
+    val env = Some(WindowEnv(spark, 1000L, 2000L))
+    def run(t: String) = vals(evalAt(parse(t), (_, _) =>
+      frame(("x", 0L, 1.0)), 0L, None, env))
+    assert(run("constantLine(42.5)") == Seq(
+      ("42.5", 1000L, Some(42.5)), ("42.5", 1500L, Some(42.5)),
+      ("42.5", 2000L, Some(42.5))))
+    assert(run("""threshold(95,"limit")""").map(_._1).distinct == Seq("limit"))
+    assert(run("""time("tick",300)""") == Seq(
+      ("tick", 1000L, Some(1000.0)), ("tick", 1300L, Some(1300.0)),
+      ("tick", 1600L, Some(1600.0)), ("tick", 1900L, Some(1900.0))))
+    // identity = time at step 60; [from, until) exclusive end
+    assert(run("""identity("id")""").size == 17)
+    // under a timeShift subtree the generator synthesizes the SHIFTED
+    // window and relabels back onto the render grid (graphite's order)
+    assert(run("""timeShift(time("tick",500),"-500s")""") == Seq(
+      ("timeShift(tick,\"-500s\")", 1000L, Some(500.0)),
+      ("timeShift(tick,\"-500s\")", 1500L, Some(1000.0))))
+    // no WindowEnv → loud failure, the TagEnv convention
+    intercept[IllegalArgumentException](
+      evalTarget("constantLine(1)", _ => frame(("x", 0L, 1.0))))
+  }
+
   test("generic highest/lowest/sortBy, removeEmptySeries, aligned summarize") {
     val f = frame(
       ("a", 0L, 1.0), ("a", 60L, 9.0), // total 10, stddev 4
