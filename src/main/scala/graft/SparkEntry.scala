@@ -133,6 +133,9 @@ object SparkEntry {
     "gfn_scalar_sweep" -> ((s, dir) => T.gfnScalarSweep(s, dir)),
     "gfn_window_generators" -> ((s, dir) => T.gfnWindowGenerators(s, dir)),
     "gfn_cacti_style" -> ((s, dir) => T.gfnCactiStyle(s, dir)),
+    "gfn_display_pack" -> ((s, dir) => T.gfnDisplayPack(s, dir)),
+    "gfn_moving_time" -> ((s, dir) => T.gfnMovingTime(s, dir)),
+    "store_compact_fetch" -> ((s, dir) => T.storeCompactFetch(s, dir)),
     "gfn_aggregate_minmax" -> ((s, dir) => T.gfnAggregateMinmax(s, dir)),
     "gfn_group_nodes" -> ((s, dir) => T.gfnGroupNodes(s, dir)),
     "gfn_multiply_wildcards" -> ((s, dir) => T.gfnMultiplyWildcards(s, dir)),
@@ -3956,6 +3959,45 @@ object SparkEntry {
         |  UNION ALL SELECT 'tick', CAST(range AS BIGINT), CAST(range AS DOUBLE)
         |    FROM range(1706100000, 1706659200, 21600))
         |ORDER BY 1, 2""".stripMargin,
+    // B15: compaction is LOSSLESS — the compacted store's scan is the
+    // raw point set, bit-for-bit (file layout is the spec's claim)
+    "store_compact_fetch" ->
+      s"""WITH $M
+         |SELECT path, ts, round(value, 4) AS value
+         |FROM m ORDER BY 1, 2, 3""".stripMargin,
+    // C16i: string-interval moving windows — the trailing time-RANGE
+    // frame (t−14399 .. t), on the hourly grid ≡ 4 trailing points;
+    // names carry the QUOTED interval, graphite's string-windowSize
+    // rendering
+    "gfn_moving_time" ->
+      s"""WITH $GfnFrameCte,
+         |u AS (SELECT path, t, value FROM fr WHERE path = 'vera.u11.click'),
+         |wl AS (SELECT path, t,
+         |  avg(value) OVER w AS mavg,
+         |  list_sort(list_filter(list(value) OVER w, x -> x IS NOT NULL)) AS arr
+         |  FROM u WINDOW w AS (PARTITION BY path ORDER BY t
+         |    RANGE BETWEEN 14399 PRECEDING AND CURRENT ROW))
+         |SELECT path, t, value FROM (
+         |  SELECT 'movingAverage(' || path || ',"4hour")' AS path, t,
+         |    round(mavg - 1e-9, 4) AS value FROM wl
+         |  UNION ALL
+         |  SELECT 'movingMedian(' || path || ',"4hour")' AS path, t,
+         |    round(CASE WHEN len(arr) > 0 THEN
+         |      arr[greatest(1, least(len(arr), CAST(floor(0.5*(len(arr)+1)) AS INT)))]
+         |    END - 1e-9, 4) AS value FROM wl)
+         |ORDER BY 1, 2""".stripMargin,
+    // C16h: the display-option family — color/lineWidth/alpha identity
+    // (graphite sets style attributes without renaming), dashed/
+    // stacked/drawAsInfinite rename exactly as graphite-web; values
+    // untouched throughout
+    "gfn_display_pack" ->
+      s"""WITH $M,
+         |${gfnFrameCteNamed("^vera\\.u11\\.(click|view|error)$$", "a")}
+         |SELECT CASE WHEN path LIKE '%.click' THEN 'dashed(' || path || ', 10)'
+         |            WHEN path LIKE '%.view' THEN 'stacked(' || path || ')'
+         |            ELSE 'drawAsInfinite(' || path || ')' END AS path,
+         | t, round(value - 1e-9, 4) AS value
+         |FROM fra ORDER BY 1, 2""".stripMargin,
     // C16g: cactiStyle — names carry Current:/Max:/Min: stats
     // round(,2)-ed then %.2f-formatted (tie-free by construction);
     // 'current' is the latest non-null (the lexicographic struct-max)

@@ -487,6 +487,26 @@ object ScaleBench {
           graft.ops.Sketch.qEstimate(
             graft.ops.Sketch.qRegisters(vals, "slice", col("v")),
             "slice", LlmQueries.QuantileQs)
+        }),
+        // F59 at scale (r9): byte-CDC chunk dedup — payload synthesis
+        // (map-side md5 keystreams, ~4 KB per %3 doc) + the compiled
+        // one-pass chunker ride the scan; only (id, md5, len) rows
+        // shuffle and the df cap bounds per-key fan-out, so wall time
+        // must track the payload-byte volume (linear), never pairs.
+        // Replica ids shift by k·3e14 — a multiple of 15, so the
+        // fixture's %3/%15 classes are preserved per replica, every
+        // replica's keystreams are DISTINCT (ids differ → no
+        // cross-replica dup-mass), and the shift can never collide
+        // with the 4e7 variant offset (which the docs table's own
+        // ×-copies 1e7 shift would).
+        "dedup_cdc_bytes" -> (() => {
+          val cdcDocs = (0 until copies).map { k =>
+            if (k == 0) base.select(col("doc_id"))
+            else base.select(
+              (col("doc_id") + lit(k * 300000000000000L)).as("doc_id"))
+          }.reduce(_ unionByName _)
+          graft.dedup.Dedup.dedupCdcBytes(spark,
+            graft.dedup.Dedup.cdcBytePayloads(spark, cdcDocs))
         })
       ) ++ (if (copies <= 10) Seq[(String, () => DataFrame)](
         // codec cost alone (decode + twin re-encode/resize), then the

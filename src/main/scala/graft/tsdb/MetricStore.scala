@@ -59,6 +59,34 @@ object MetricStore {
     else exact
   }
 
+  /** Compact a day-partitioned point store (B15): streaming ingest
+    * ([[graft.streaming.CarbonStream.ingestSink]]) lands one parquet
+    * file per micro-batch per day — at a micro-batch every few seconds
+    * that is ~20k files/day/partition-dir, the classic streaming
+    * small-file problem that turns a pruned fetch into a
+    * metadata-listing storm at 100 TB. Each day's rows rewrite into
+    * ~one file (repartition BY the day column: a whole day hashes to
+    * one task), sorted by (path, ts) WITHIN files so parquet
+    * row-group min/max statistics prune the fetch's pushed
+    * StringStartsWith/EqualTo path predicates inside the day too —
+    * compaction buys back both the file count and intra-day IO.
+    *
+    * Writes to `dstDir` (a store cannot atomically overwrite itself —
+    * the swap is the caller's rename, the standard compact-and-swap);
+    * only days strictly BEFORE `beforeDay` move (CLOSED days — the day
+    * still receiving micro-batches keeps appending in `srcDir`, the
+    * watermark discipline). Lossless by construction: one shuffle, no
+    * aggregation — pinned by the driver oracle (compacted scan ≡ the
+    * raw point set) and the file-count spec.
+    */
+  def compactRaw(spark: SparkSession, srcDir: String, dstDir: String,
+                 beforeDay: Long = Long.MaxValue): Unit =
+    spark.read.parquet(srcDir)
+      .filter(col("day") < beforeDay)
+      .repartition(col("day"))
+      .sortWithinPartitions(col("day"), col("path"), col("ts"))
+      .write.partitionBy("day").mode("overwrite").parquet(dstDir)
+
   /** Fetch from the materialized store: archive selection as in
     * Fetch.select, then a pruned scan of just that archive level and
     * day range, then the dense grid join. The grid's path set comes

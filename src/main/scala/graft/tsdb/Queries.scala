@@ -1013,6 +1013,57 @@ object Queries {
   def gfnCactiStyle(spark: SparkSession, dir: String): DataFrame =
     gfnEval(spark, dir, "cactiStyle(vera.u1{0,1}.click)")
 
+  /** B15: small-file compaction of the streaming ingest store — the
+    * metric stream lands as FOUR per-"micro-batch" appends, each
+    * splintered across 8 tasks (the one-file-per-batch-per-day shape
+    * [[graft.streaming.CarbonStream.ingestSink]] accumulates), then
+    * [[MetricStore.compactRaw]] rewrites each closed day into ~one
+    * (path, ts)-sorted file; the scan of the COMPACTED store must
+    * return exactly the raw point set — losslessness is the contract
+    * (the file-count and sort-layout claims are MetricStoreSpec's).
+    * Write-once per process like the store/fixture queries.
+    */
+  def storeCompactFetch(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_compact_${ProcessHandle.current().pid()}",
+      dir.stripPrefix("/").replaceAll("[^A-Za-z0-9.]", "_")).toString
+    val marker = java.nio.file.Paths.get(root, "_GRAFT_COMPACT_OK")
+    if (!java.nio.file.Files.exists(marker)) {
+      val m = Tables.metrics(spark, dir)
+        .withColumn("day", col("ts") - col("ts") % MetricStore.DaySeconds)
+      for (k <- 0 until 4)
+        m.filter(col("ts") % 4 === k).repartition(8)
+          .write.partitionBy("day").mode("append").parquet(s"$root/raw")
+      MetricStore.compactRaw(spark, s"$root/raw", s"$root/compact")
+      java.nio.file.Files.writeString(marker, "ok")
+    }
+    spark.read.parquet(s"$root/compact")
+      .select(col("path"), col("ts"), round(col("value"), 4).as("value"))
+      .orderBy(col("path"), col("ts"), col("value"))
+  }
+
+  /** C16i: string-interval moving windows — the windowSize form
+    * Grafana's query editor emits (`movingAverage(x,"4hour")`): a
+    * trailing time-RANGE window (points in (t−4h, t]), which on the
+    * hourly grid is the int form's 4 trailing points; median rides the
+    * same range window with the clamped-rank pick.
+    */
+  def gfnMovingTime(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir,
+      """group(movingAverage(vera.u11.click,"4hour"),""" +
+        """movingMedian(vera.u11.click,"4hour"))""")
+
+  /** C16h: the display-option family — color/lineWidth/alpha are
+    * graphite's no-rename style setters (identity on the data
+    * surface), dashed/stacked/drawAsInfinite rename exactly as
+    * graphite-web does; values untouched throughout.
+    */
+  def gfnDisplayPack(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir,
+      """group(dashed(lineWidth(vera.u11.click,2),10),""" +
+        """stacked(color(vera.u11.view,"red")),""" +
+        """drawAsInfinite(alpha(vera.u11.error,0.5)))""")
+
   // ---- D. dataMine bridge -----------------------------------------------
 
   val dmT1 = 1704067200L

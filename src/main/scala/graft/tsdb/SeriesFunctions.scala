@@ -1318,6 +1318,40 @@ object SeriesFunctions {
         throw new IllegalArgumentException(s"movingWindow: unknown func '$other'")
     }
 
+  /** The moving* family with a TIME windowSize (`movingAverage(x,
+    * "10min")` — the form Grafana's query editor emits): a trailing
+    * RANGE window over the timestamp column, rangeBetween(−(sec−1), 0)
+    * = the points in (t−sec, t]. On the dense step-s grid this is
+    * exactly sec/s trailing points — the int form's reading — but
+    * expressed time-natively, so it needs no step metadata (the frame
+    * carries none, the C10 contract) and stays correct on
+    * consolidated/irregular grids. Names carry the QUOTED interval
+    * text, graphite's rendering for string windowSizes. Same window
+    * discipline as the int forms: aggregates ignore nulls, an all-null
+    * window is null, median is the sorted clamped-rank pick.
+    */
+  def movingWindowTime(f: DataFrame, sec: Long, text: String,
+                       func: String): DataFrame = {
+    require(sec >= 1, s"moving window interval must be >= 1s (got $sec)")
+    val w = byPath.rangeBetween(-(sec - 1), 0)
+    val (fn, v): (String, Column) = func match {
+      case "avg" | "average" => ("movingAverage", avg(col("value")).over(w))
+      case "sum" | "total" => ("movingSum", sum(col("value")).over(w))
+      case "min" => ("movingMin", min(col("value")).over(w))
+      case "max" => ("movingMax", max(col("value")).over(w))
+      case "median" =>
+        val arr = array_sort(collect_list(col("value")).over(w))
+        val cnt = size(arr)
+        val idx = greatest(lit(1), least(cnt,
+          floor(lit(0.5) * (cnt + 1)).cast("int")))
+        ("movingMedian", when(cnt > 0, element_at(arr, idx)))
+      case other =>
+        throw new IllegalArgumentException(
+          s"movingWindow: unknown func '$other'")
+    }
+    frame(f, wrap(fn, "\"" + text + "\""), col("t"), v)
+  }
+
   def movingMin(f: DataFrame, n: Int): DataFrame = {
     require(n >= 1, s"movingMin window must be >= 1 (got $n)")
     frame(f, wrap("movingMin", n.toString), col("t"),
@@ -1699,6 +1733,44 @@ object SeriesFunctions {
         lit(" Max:"), fmt(col("mx")), lit(" Min:"), fmt(col("mn"))),
       col("t"), col("value"))
   }
+
+  /** The DISPLAY-OPTION family (graphite's style channel): `color`,
+    * `lineWidth`, `alpha` set renderer attributes WITHOUT renaming in
+    * graphite-web, so here — where the frame deliberately carries no
+    * style channel (the secondYAxis doc) — they are argument-validated
+    * IDENTITY pass-throughs: the target PARSES and the data surface is
+    * exactly graphite's (values and names untouched). `dashed`,
+    * `stacked`, `drawAsInfinite` DO rename in graphite-web, and the
+    * wrapped name is the one place style survives this model, so they
+    * rename here identically (dashed's default length 5, graphite's
+    * `%g` ≈ fmtNum). All map-only.
+    */
+  def colorSeries(f: DataFrame, theColor: String): DataFrame = {
+    require(theColor.nonEmpty, "color: color must be non-empty")
+    f
+  }
+
+  def lineWidth(f: DataFrame, width: Double): DataFrame = {
+    require(width > 0, s"lineWidth: width must be positive (got $width)")
+    f
+  }
+
+  def alphaSeries(f: DataFrame, a: Double): DataFrame = {
+    require(a >= 0.0 && a <= 1.0, s"alpha: alpha must be in [0,1] (got $a)")
+    f
+  }
+
+  def dashed(f: DataFrame, dashLength: Double = 5.0): DataFrame = {
+    require(dashLength > 0, s"dashed: dashLength must be positive (got $dashLength)")
+    frame(f, concat(lit("dashed("), col("path"),
+      lit(s", ${fmtNum(dashLength)})")), col("t"), col("value"))
+  }
+
+  def stacked(f: DataFrame): DataFrame =
+    frame(f, wrap("stacked", ""), col("t"), col("value"))
+
+  def drawAsInfinite(f: DataFrame): DataFrame =
+    frame(f, wrap("drawAsInfinite", ""), col("t"), col("value"))
 
   /** Positional pairing for the `*SeriesLists` family: the i-th series
     * of each K-row list (BY SORTED NAME — graphite pairs by store

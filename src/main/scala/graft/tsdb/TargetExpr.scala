@@ -223,6 +223,19 @@ object TargetExpr {
       }
       def arity(n: Int): Unit = require(args.length == n,
         s"$name: expected $n arguments, got ${args.length} in '${render(call)}'")
+      // the moving* family's windowSize: an int POINT count or an
+      // interval STRING (graphite accepts both; Grafana emits strings)
+      def movingArg(call: CallExpr, i: Int, byPoints: Int => DataFrame,
+                    byTime: (Long, String) => DataFrame): DataFrame =
+        args(i) match {
+          case NumArg(v) =>
+            require(v == math.rint(v),
+              s"$name: windowSize must be an integer point count or an interval string (got $v)")
+            byPoints(v.toInt)
+          case StrArg(sv) =>
+            byTime(SeriesFunctions.parseInterval(sv), sv)
+          case other => badArg(call, i, "number or interval string", other)
+        }
       // an argument's canonical call text — the name fragment per-
       // operand wrappers (divideSeries, asPercent-of) embed per series
       def renderArg(a: Arg): String = a match {
@@ -296,7 +309,12 @@ object TargetExpr {
           if (args.length == 1) perSecond(series(0))
           else perSecond(series(0), num(1))
         case "integral" => arity(1); integral(series(0))
-        case "movingAverage" => arity(2); movingAverage(series(0), intArg(1))
+        // the moving* family accepts an int POINT count or an interval
+        // STRING ("10min" — Grafana's form) for windowSize; the string
+        // form is a time-range window (movingWindowTime)
+        case "movingAverage" => arity(2)
+          movingArg(call, 1, n => movingAverage(series(0), n),
+            (sec, txt) => movingWindowTime(series(0), sec, txt, "avg"))
         case "keepLastValue" =>
           require(args.length == 1 || args.length == 2,
             s"keepLastValue: expected (series[, limit]), got ${args.length} args")
@@ -440,17 +458,26 @@ object TargetExpr {
           diffSeries(series(0), series(1), renderArg(args(1)))
         case "multiplySeries" => arity(1); multiplySeries(series(0), self)
         case "offsetToZero" => arity(1); offsetToZero(series(0))
-        case "movingSum" => arity(2); movingSum(series(0), intArg(1))
-        case "movingMedian" => arity(2); movingMedian(series(0), intArg(1))
+        case "movingSum" => arity(2)
+          movingArg(call, 1, n => movingSum(series(0), n),
+            (sec, txt) => movingWindowTime(series(0), sec, txt, "sum"))
+        case "movingMedian" => arity(2)
+          movingArg(call, 1, n => movingMedian(series(0), n),
+            (sec, txt) => movingWindowTime(series(0), sec, txt, "median"))
         case "movingWindow" => arity(3)
-          movingWindow(series(0), intArg(1), str(2))
+          movingArg(call, 1, n => movingWindow(series(0), n, str(2)),
+            (sec, txt) => movingWindowTime(series(0), sec, txt, str(2)))
         case "weightedAverage" => arity(3)
           weightedAverage(series(0), series(1), intArg(2), self)
         case "grep" => arity(2); grep(series(0), str(1))
         case "exclude" => arity(2); exclude(series(0), str(1))
         case "limit" => arity(2); limitSeries(series(0), intArg(1))
-        case "movingMin" => arity(2); movingMin(series(0), intArg(1))
-        case "movingMax" => arity(2); movingMax(series(0), intArg(1))
+        case "movingMin" => arity(2)
+          movingArg(call, 1, n => movingMin(series(0), n),
+            (sec, txt) => movingWindowTime(series(0), sec, txt, "min"))
+        case "movingMax" => arity(2)
+          movingArg(call, 1, n => movingMax(series(0), n),
+            (sec, txt) => movingWindowTime(series(0), sec, txt, "max"))
         case "minimumBelow" => arity(2); filterByStat(series(0), "min", "below", num(1))
         case "interpolate" => arity(1); interpolate(series(0))
         case "timeSlice" => arity(3)
@@ -603,6 +630,22 @@ object TargetExpr {
         case "sigmoid" => arity(1); sigmoidSeries(series(0))
         case "logit" => arity(1); logitSeries(series(0))
         case "cactiStyle" => arity(1); cactiStyle(series(0))
+        case "color" => arity(2); colorSeries(series(0), str(1))
+        case "lineWidth" => arity(2); lineWidth(series(0), num(1))
+        case "alpha" => arity(2); alphaSeries(series(0), num(1))
+        case "dashed" =>
+          require(args.length == 1 || args.length == 2,
+            s"dashed: expected (series[, dashLength]), got ${args.length} args")
+          dashed(series(0), if (args.length == 2) num(1) else 5.0)
+        case "stacked" =>
+          // graphite's optional stackName is a render-group label with
+          // no data effect — accepted and dropped (the threshold-color
+          // convention)
+          require(args.length == 1 || args.length == 2,
+            s"stacked: expected (series[, stackName]), got ${args.length} args")
+          if (args.length == 2) str(1)
+          stacked(series(0))
+        case "drawAsInfinite" => arity(1); drawAsInfinite(series(0))
         case "constantLine" => arity(1)
           val w = window()
           constantLine(w.spark, num(0), w.fromT + shift, w.untilT + shift)

@@ -60,6 +60,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(2000))
   }
 
+  test("gfn_group_by_tags: one aggregation exchange on the extracted key, no join") {
+    // the C16 tagged rollup: the group key is a string extraction on
+    // the path column, so the plan is groupByNodes' — the fetch
+    // cascade's exchanges plus exactly ONE for the (key, t) aggregate,
+    // and the tag expressions never add a join (they filter the K-row
+    // path list before the scan)
+    val p = plan("gfn_group_by_tags")
+    val base = plan("gfn_series_by_tag")
+    assert(countOf(p, "Exchange hashpartitioning") ==
+      countOf(base, "Exchange hashpartitioning") + 1, p.take(3000))
+  }
+
+  test("gfn_divide_lists: K-row broadcast pairing, never a cartesian") {
+    // the *SeriesLists positional pairing: rank tables are K-row
+    // metadata broadcast against the frames — no SortMergeJoin of the
+    // datapoint sides, no CartesianProduct anywhere
+    val p = plan("gfn_divide_lists")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(countOf(p, "BroadcastHashJoin") >= 2, p.take(3000))
+  }
+
   test("text_repetition is map-only: no aggregation shuffle, no join") {
     val p = plan("text_repetition")
     // the per-row shingle arithmetic must never grow a shuffle (the

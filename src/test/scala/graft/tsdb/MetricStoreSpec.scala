@@ -46,6 +46,44 @@ class MetricStoreSpec extends SparkSpec {
     assert(!scanned.exists(_.contains("day=0")) || scanned.isEmpty)
   }
 
+  test("compactRaw: lossless, one file per day, sorted within, closed days only (B15)") {
+    // splinter 2 days of points across 3 appends × 4 tasks — the
+    // small-file shape a per-micro-batch streaming sink accumulates
+    val pts = (0L until 120L).map(i =>
+      (s"m.${i % 5}", i * 1200L, i.toDouble)).toDF("path", "ts", "value")
+      .withColumn("day", col("ts") - col("ts") % MetricStore.DaySeconds)
+    val raw = Files.createTempDirectory("graft-compact-raw").toString
+    for (k <- 0 until 3)
+      pts.filter((col("ts") / 1200L) % 3 === k).repartition(4)
+        .write.partitionBy("day").mode("append").parquet(raw)
+    def files(dir: String) = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("day="))
+      .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+      .toMap
+    assert(files(raw).values.forall(_ >= 3), files(raw).toString) // fragmented
+    val dst = Files.createTempDirectory("graft-compact-dst").toString
+    MetricStore.compactRaw(spark, raw, dst)
+    // one file per closed day
+    assert(files(dst).values.forall(_ == 1), files(dst).toString)
+    // lossless: the exact point multiset survives
+    val before = pts.select("path", "ts", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val after = spark.read.parquet(dst).select("path", "ts", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(after == before)
+    // sorted within files: each file's rows arrive in (path, ts) order
+    val day0 = new java.io.File(dst).listFiles()
+      .filter(_.getName.startsWith("day=")).head.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getPath
+    val inFile = spark.read.parquet(day0).select("path", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(inFile == inFile.sorted, inFile.take(10).toString)
+    // beforeDay gate: only closed days move
+    val dst2 = Files.createTempDirectory("graft-compact-dst2").toString
+    MetricStore.compactRaw(spark, raw, dst2, beforeDay = MetricStore.DaySeconds)
+    assert(files(dst2).keySet == Set("day=0"), files(dst2).toString)
+  }
+
   test("glob literal prefix reaches the scan as StringStartsWith") {
     val now = 90120L
     val plan = MetricStore.fetchStored(spark, root, spec, "a.*.v", 89940L, now, now)

@@ -956,6 +956,50 @@ class SeriesFunctionsSpec extends SparkSpec {
       Seq(Some(1.256), Some(3.0), None))
   }
 
+  test("moving* string windowSize: time-range window ≡ point window on dense grids") {
+    // 60s grid: "3min" must equal the 3-point form pointwise (values),
+    // names carry the quoted interval vs the bare count
+    val f = frame(("a", 0L, 2.0), ("a", 60L, null), ("a", 120L, 4.0),
+      ("a", 180L, 6.0), ("a", 240L, 8.0))
+    def v(t: String) = vals(evalTarget(t, _ => f)).map(x => (x._2, x._3))
+    assert(v("""movingAverage(a,"3min")""") == v("movingAverage(a,3)"))
+    assert(v("""movingSum(a,"3min")""") == v("movingSum(a,3)"))
+    assert(v("""movingMedian(a,"3min")""") == v("movingMedian(a,3)"))
+    assert(v("""movingWindow(a,"3min","max")""") == v("movingMax(a,3)"))
+    assert(vals(evalTarget("""movingMin(a,"2min")""", _ => f)).map(_._1).distinct
+      == Seq("movingMin(a,\"2min\")"))
+    // on an IRREGULAR grid the range window is time-true: at t=500 a
+    // "2min" window reaches back to 381+, seeing only the t=420 point
+    val g = frame(("b", 0L, 10.0), ("b", 420L, 4.0), ("b", 500L, 6.0))
+    assert(vals(evalTarget("""movingAverage(b,"2min")""", _ => g)).map(_._3) ==
+      Seq(Some(10.0), Some(4.0), Some(5.0)))
+    // a float windowSize is neither a point count nor an interval
+    intercept[IllegalArgumentException](evalTarget("movingAverage(a,2.5)", _ => f))
+  }
+
+  test("display-option family: no-rename setters identity, renamers exact") {
+    val f = frame(("a.b", 0L, 1.5), ("a.b", 60L, null))
+    // color/lineWidth/alpha: graphite sets style attributes without
+    // renaming — data surface is the identity
+    for (t <- Seq("""color(a.b,"red")""", "lineWidth(a.b,2)", "alpha(a.b,0.5)"))
+      assert(vals(evalTarget(t, _ => f)) ==
+        Seq(("a.b", 0L, Some(1.5)), ("a.b", 60L, None)), t)
+    // dashed/stacked/drawAsInfinite rename exactly as graphite-web
+    assert(vals(evalTarget("dashed(a.b)", _ => f)).map(_._1).distinct ==
+      Seq("dashed(a.b, 5)"))
+    assert(vals(evalTarget("dashed(a.b,2.5)", _ => f)).map(_._1).distinct ==
+      Seq("dashed(a.b, 2.5)"))
+    assert(vals(evalTarget("""stacked(a.b,"grp")""", _ => f)).map(_._1).distinct ==
+      Seq("stacked(a.b)"))
+    assert(vals(evalTarget("drawAsInfinite(a.b)", _ => f)) ==
+      Seq(("drawAsInfinite(a.b)", 0L, Some(1.5)),
+        ("drawAsInfinite(a.b)", 60L, None)))
+    // argument validation is loud
+    intercept[IllegalArgumentException](evalTarget("alpha(a.b,1.5)", _ => f))
+    intercept[IllegalArgumentException](evalTarget("lineWidth(a.b,0)", _ => f))
+    intercept[IllegalArgumentException](evalTarget("dashed(a.b,-1)", _ => f))
+  }
+
   test("window generators: constantLine 3 points, time grid, threshold label") {
     val env = Some(WindowEnv(spark, 1000L, 2000L))
     def run(t: String) = vals(evalAt(parse(t), (_, _) =>
