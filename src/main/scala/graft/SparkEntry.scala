@@ -136,6 +136,7 @@ object SparkEntry {
     "gfn_display_pack" -> ((s, dir) => T.gfnDisplayPack(s, dir)),
     "gfn_moving_time" -> ((s, dir) => T.gfnMovingTime(s, dir)),
     "store_compact_fetch" -> ((s, dir) => T.storeCompactFetch(s, dir)),
+    "gfn_xff_limit" -> ((s, dir) => T.gfnXffLimit(s, dir)),
     "gfn_aggregate_minmax" -> ((s, dir) => T.gfnAggregateMinmax(s, dir)),
     "gfn_group_nodes" -> ((s, dir) => T.gfnGroupNodes(s, dir)),
     "gfn_multiply_wildcards" -> ((s, dir) => T.gfnMultiplyWildcards(s, dir)),
@@ -3959,6 +3960,36 @@ object SparkEntry {
         |  UNION ALL SELECT 'tick', CAST(range AS BIGINT), CAST(range AS DOUBLE)
         |    FROM range(1706100000, 1706659200, 21600))
         |ORDER BY 1, 2""".stripMargin,
+    // C16j: xFilesFactor/limit arguments — the 3-arg aggregate's
+    // non-null-fraction gate, interpolate's bounded bridge (row-
+    // position gap arithmetic), aggregateLine over the shared stat
+    // table ('total' = sum painted at every grid point)
+    "gfn_xff_limit" ->
+      s"""WITH $GfnFrameCte,
+         |u AS (SELECT t, value FROM fr WHERE path = 'vera.u11.click'),
+         |ag AS (SELECT 'aggregate(vera.u1?.click,"sum",0.35)' AS path, t,
+         |  round(CASE WHEN count(value) >= 0.35 * count(*) THEN sum(value) END - 1e-9, 4) AS value
+         |  FROM fr GROUP BY t),
+         |ip0 AS (SELECT t, value, row_number() OVER (ORDER BY t) AS rn FROM u),
+         |ip1 AS (SELECT t, value,
+         |  last_value(value IGNORE NULLS) OVER wp AS pv,
+         |  max(CASE WHEN value IS NOT NULL THEN t END) OVER wp AS pt,
+         |  first_value(value IGNORE NULLS) OVER wn AS nv,
+         |  min(CASE WHEN value IS NOT NULL THEN t END) OVER wn AS nt,
+         |  max(CASE WHEN value IS NOT NULL THEN rn END) OVER wp AS li,
+         |  min(CASE WHEN value IS NOT NULL THEN rn END) OVER wn AS ni
+         |  FROM ip0 WINDOW
+         |   wp AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |   wn AS (ORDER BY t ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+         |ip AS (SELECT 'interpolate(vera.u11.click)' AS path, t,
+         |  round(CASE WHEN value IS NOT NULL THEN value
+         |    WHEN ni - li - 1 <= 2 THEN pv + (nv - pv) * (t - pt) / (nt - pt)
+         |  END - 1e-9, 4) AS value FROM ip1),
+         |al AS (SELECT 'aggregateLine(vera.u11.click,''total'')' AS path, t,
+         |  round((SELECT sum(value) FROM u) - 1e-9, 4) AS value FROM u)
+         |SELECT path, t, value FROM
+         | (SELECT * FROM ag UNION ALL SELECT * FROM ip UNION ALL SELECT * FROM al)
+         |ORDER BY 1, 2""".stripMargin,
     // B15: compaction is LOSSLESS — the compacted store's scan is the
     // raw point set, bit-for-bit (file layout is the spec's claim)
     "store_compact_fetch" ->

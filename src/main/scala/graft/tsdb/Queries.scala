@@ -1013,6 +1013,18 @@ object Queries {
   def gfnCactiStyle(spark: SparkSession, dir: String): DataFrame =
     gfnEval(spark, dir, "cactiStyle(vera.u1{0,1}.click)")
 
+  /** C16j: the xFilesFactor/limit arguments — aggregate's 3-arg form
+    * (a sum point emits only where ≥ 35% of the series are non-null),
+    * interpolate's bounded bridge (gaps of ≤ 2 nulls interpolate,
+    * longer outages stay broken), and aggregateLine through the full
+    * shared stat table ('total' — previously avg/min/max only).
+    */
+  def gfnXffLimit(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir,
+      """group(aggregate(vera.u1?.click,"sum",0.35),""" +
+        "interpolate(vera.u11.click,2)," +
+        """aggregateLine(vera.u11.click,"total"))""")
+
   /** B15: small-file compaction of the streaming ingest store — the
     * metric stream lands as FOUR per-"micro-batch" appends, each
     * splintered across 8 tasks (the one-file-per-batch-per-day shape

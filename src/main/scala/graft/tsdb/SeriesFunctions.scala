@@ -1373,16 +1373,44 @@ object SeriesFunctions {
     * non-null (t, value)), then pure per-row arithmetic — no join, one
     * path-keyed window shuffle like every sequence function.
     */
-  def interpolate(f: DataFrame): DataFrame = {
+  def interpolate(f: DataFrame): DataFrame = interpolateImpl(f, None)
+
+  /** `interpolate(seriesList, limit)` — graphite's bounded form: only
+    * gaps of at most `limit` CONSECUTIVE nulls bridge; longer outages
+    * stay broken (the keepLastValue(limit) rationale — interpolating
+    * across a dead host invents data). Gap length is row-position
+    * arithmetic (next non-null rn − last non-null rn − 1, the
+    * keepLastValue machinery); graphite keeps the unlimited name.
+    */
+  def interpolate(f: DataFrame, limit: Int): DataFrame = {
+    require(limit >= 1, s"interpolate: limit must be >= 1 (got $limit)")
+    interpolateImpl(f, Some(limit))
+  }
+
+  private def interpolateImpl(f: DataFrame, limit: Option[Int]): DataFrame = {
     val wp = byPath.rowsBetween(Window.unboundedPreceding, -1)
     val wn = byPath.rowsBetween(1, Window.unboundedFollowing)
+    val tagged = f.withColumn("rn", row_number().over(byPath))
     val pv = last(col("value"), ignoreNulls = true).over(wp)
     val pt = last(when(col("value").isNotNull, col("t")), ignoreNulls = true).over(wp)
     val nv = first(col("value"), ignoreNulls = true).over(wn)
     val nt = first(when(col("value").isNotNull, col("t")), ignoreNulls = true).over(wn)
-    frame(f, wrap("interpolate", ""), col("t"),
+    val bridged = pv + (nv - pv) * (col("t") - pt) / (nt - pt)
+    val gapOk = limit match {
+      case None => lit(true)
+      case Some(lim) =>
+        // run length from non-null ROW positions; a missing side
+        // (leading/trailing run) reads null → the gate fails → null,
+        // which the one-sided bridge arithmetic would yield anyway
+        val li = last(when(col("value").isNotNull, col("rn")),
+          ignoreNulls = true).over(wp)
+        val ni = first(when(col("value").isNotNull, col("rn")),
+          ignoreNulls = true).over(wn)
+        ni - li - 1 <= lim
+    }
+    frame(tagged, wrap("interpolate", ""), col("t"),
       when(col("value").isNotNull, col("value"))
-        .otherwise(pv + (nv - pv) * (col("t") - pt) / (nt - pt)))
+        .otherwise(when(gapOk, bridged)))
   }
 
   /** Keep only points with startT ≤ t ≤ endT (Graphite `timeSlice`;
@@ -1416,12 +1444,10 @@ object SeriesFunctions {
     * broadcast back onto the grid.
     */
   def aggregateLine(f: DataFrame, func: String): DataFrame = {
-    val agg = func match {
-      case "avg" | "average" => avg(col("value"))
-      case "min" => min(col("value"))
-      case "max" => max(col("value"))
-      case other => throw new IllegalArgumentException(s"aggregateLine: unknown func '$other'")
-    }
+    // the one shared stat table (canonAgg + current/last) — graphite
+    // 1.1 accepts any aggregate callback here, and single-sourcing
+    // means this entry point can't cover less than the others
+    val agg = seriesStat(func, "aggregateLine")
     val tab = f.groupBy(col("path")).agg(agg.as("lv"))
     frame(f.join(broadcast(tab), Seq("path"), "left"),
       concat(lit("aggregateLine("), col("path"), lit(s",'$func')")),
@@ -1515,6 +1541,27 @@ object SeriesFunctions {
     */
   def aggregateSeries(f: DataFrame, func: String, name: String): DataFrame =
     combine(f, canonAgg(func, "aggregate"), name)
+
+  /** Graphite 1.1 `aggregate(seriesList, func, xFilesFactor)` — the
+    * 3-arg form: a per-timestamp point emits only when the NON-NULL
+    * fraction across the input series clears xff (graphite's
+    * `xff(nonNull, total) >= xFilesFactor` gate — the render-level
+    * twin of B6's rollup xff). On the dense-grid frame contract,
+    * count(*) per timestamp IS the series count. Same single
+    * groupBy(t) as [[combine]], two extra count columns.
+    */
+  def aggregateSeriesXff(f: DataFrame, func: String, xff: Double,
+                         name: String): DataFrame = {
+    require(xff >= 0.0 && xff <= 1.0,
+      s"aggregate: xFilesFactor must be in [0,1] (got $xff)")
+    val agg = aggExpr(canonAgg(func, "aggregate"))
+    f.groupBy(col("t"))
+      .agg(agg.cast("double").as("v"),
+        count(col("value")).as("nn"), count(lit(1)).as("n"))
+      .select(lit(name).as("path"), col("t"),
+        when(col("nn").cast("double") >= lit(xff) * col("n"), col("v"))
+          .as("value"))
+  }
 
   /** Graphite `groupByNodes(seriesList, func, *nodes)` — the
     * multi-dimension rollup ([[groupByNode]] generalized): series
@@ -1783,11 +1830,17 @@ object SeriesFunctions {
     * func's null law applies symmetrically.
     */
   private def pairSeriesLists(a: DataFrame, b: DataFrame, ctx: String): DataFrame = {
+    import graft.core.Caching._
     val wOrd = Window.orderBy(col("path"))
+    // K-row rank tables, cached: the eager length check below
+    // materializes them once and the pairing joins reuse the same
+    // K rows instead of re-scanning each frame a second time
     val ra = a.select(col("path")).distinct()
       .select(col("path").as("pa"), row_number().over(wOrd).as("rk"))
+      .cachedOnce
     val rb = b.select(col("path")).distinct()
       .select(col("path").as("pb"), row_number().over(wOrd).as("rk"))
+      .cachedOnce
     val (na, nb) = (ra.count(), rb.count())
     require(na == nb,
       s"$ctx: series lists must be the same length (got $na vs $nb)")

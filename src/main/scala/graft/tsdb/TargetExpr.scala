@@ -479,7 +479,11 @@ object TargetExpr {
           movingArg(call, 1, n => movingMax(series(0), n),
             (sec, txt) => movingWindowTime(series(0), sec, txt, "max"))
         case "minimumBelow" => arity(2); filterByStat(series(0), "min", "below", num(1))
-        case "interpolate" => arity(1); interpolate(series(0))
+        case "interpolate" =>
+          require(args.length == 1 || args.length == 2,
+            s"interpolate: expected (series[, limit]), got ${args.length} args")
+          if (args.length == 1) interpolate(series(0))
+          else interpolate(series(0), intArg(1))
         case "timeSlice" => arity(3)
           timeSlice(series(0), num(1).toLong, num(2).toLong)
         case "scaleToSeconds" => arity(2); scaleToSeconds(series(0), intArg(1))
@@ -498,7 +502,13 @@ object TargetExpr {
         case "averageOutsidePercentile" => arity(2)
           averageOutsidePercentile(series(0), num(1))
         case "fallbackSeries" => arity(2); fallbackSeries(series(0), series(1))
-        case "aggregate" => arity(2); aggregateSeries(series(0), str(1), self)
+        case "aggregate" =>
+          // graphite 1.1: (seriesList, func[, xFilesFactor]) — the
+          // 3-arg form gates each point on the non-null fraction
+          require(args.length == 2 || args.length == 3,
+            s"aggregate: expected (series, func[, xFilesFactor]), got ${args.length} args")
+          if (args.length == 2) aggregateSeries(series(0), str(1), self)
+          else aggregateSeriesXff(series(0), str(1), num(2), self)
         case "groupByNodes" =>
           require(args.length >= 3,
             "groupByNodes: need series, func, and at least one node index")

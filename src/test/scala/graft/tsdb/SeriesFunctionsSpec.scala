@@ -956,6 +956,40 @@ class SeriesFunctionsSpec extends SparkSpec {
       Seq(Some(1.256), Some(3.0), None))
   }
 
+  test("aggregate xFilesFactor, interpolate limit, aggregateLine stat table") {
+    // xff: 2 series; t=0 both present (1.0), t=60 one present (0.5),
+    // t=120 neither (0.0)
+    val f = frame(("a", 0L, 2.0), ("a", 60L, 4.0), ("a", 120L, null),
+      ("b", 0L, 6.0), ("b", 60L, null), ("b", 120L, null))
+    def run(t: String) = vals(evalTarget(t, _ => f))
+    assert(run("""aggregate(x.*,"sum",0.6)""").map(_._3) ==
+      Seq(Some(8.0), None, None)) // 0.5 < 0.6 gates t=60
+    assert(run("""aggregate(x.*,"sum",0.5)""").map(_._3) ==
+      Seq(Some(8.0), Some(4.0), None)) // >= is inclusive
+    assert(run("""aggregate(x.*,"sum",0)""").map(_._3) ==
+      Seq(Some(8.0), Some(4.0), None)) // all-null stays null (SQL agg)
+    intercept[IllegalArgumentException](run("""aggregate(x.*,"sum",1.5)"""))
+    // interpolate limit: a 1-gap bridges, a 3-gap stays broken
+    val g = frame(("s", 0L, 0.0), ("s", 60L, null), ("s", 120L, 6.0),
+      ("s", 180L, null), ("s", 240L, null), ("s", 300L, null), ("s", 360L, 12.0))
+    assert(run2(g, "interpolate(s,2)").map(_._3) ==
+      Seq(Some(0.0), Some(3.0), Some(6.0), None, None, None, Some(12.0)))
+    // and the unlimited form still bridges everything interior
+    assert(run2(g, "interpolate(s)").map(_._3) ==
+      Seq(Some(0.0), Some(3.0), Some(6.0), Some(7.5), Some(9.0),
+        Some(10.5), Some(12.0)))
+    // aggregateLine rides the shared table: 'total' and 'last' work,
+    // unknown funcs stay loud
+    assert(run2(g, """aggregateLine(s,"total")""").map(_._3).distinct ==
+      Seq(Some(18.0)))
+    assert(run2(g, """aggregateLine(s,"last")""").map(_._3).distinct ==
+      Seq(Some(12.0)))
+    intercept[IllegalArgumentException](run2(g, """aggregateLine(s,"nope")"""))
+  }
+
+  private def run2(g: org.apache.spark.sql.DataFrame, t: String) =
+    vals(evalTarget(t, _ => g))
+
   test("moving* string windowSize: time-range window ≡ point window on dense grids") {
     // 60s grid: "3min" must equal the 3-point form pointwise (values),
     // names carry the quoted interval vs the bare count
