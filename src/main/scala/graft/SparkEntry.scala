@@ -126,6 +126,8 @@ object SparkEntry {
     "tags_index" -> ((s, dir) => T.tagsIndex(s, dir)),
     "gfn_series_by_tag" -> ((s, dir) => T.gfnSeriesByTag(s, dir)),
     "gfn_alias_by_tags" -> ((s, dir) => T.gfnAliasByTags(s, dir)),
+    "cgi_tags_autocomplete" -> ((s, dir) => T.cgiTagsAutocomplete(s, dir)),
+    "cgi_tags_values" -> ((s, dir) => T.cgiTagsValues(s, dir)),
     "gfn_group_by_tags" -> ((s, dir) => T.gfnGroupByTags(s, dir)),
     "gfn_filter_series" -> ((s, dir) => T.gfnFilterSeries(s, dir)),
     "gfn_divide_lists" -> ((s, dir) => T.gfnDivideLists(s, dir)),
@@ -3881,6 +3883,24 @@ object SparkEntry {
          |  string_split(path, ';')[1] AS path,
          | t, round(value, 4) AS value
          |FROM frt ORDER BY 1, 2""".stripMargin,
+    // C15d: /tags/autoComplete/tags — tag names over the expr-matched
+    // tagged universe (every series carries name/src/user)
+    "cgi_tags_autocomplete" ->
+      s"""WITH $MT,
+         |p AS (SELECT DISTINCT path FROM mt)
+         |SELECT DISTINCT tag FROM (
+         |  SELECT 'name' AS tag FROM p
+         |  UNION ALL SELECT 'src' FROM p
+         |  UNION ALL SELECT 'user' FROM p)
+         |ORDER BY tag LIMIT 100""".stripMargin,
+    // C15e: /tags/autoComplete/values — the user values on click
+    // series, u1-prefixed, first 5 in sorted order
+    "cgi_tags_values" ->
+      s"""WITH $MT,
+         |p AS (SELECT DISTINCT path FROM mt WHERE regexp_matches(path, '^click;'))
+         |SELECT DISTINCT regexp_extract(path, ';user=([^;]*)', 1) AS value
+         |FROM p WHERE regexp_extract(path, ';user=([^;]*)', 1) LIKE 'u1%'
+         |ORDER BY value LIMIT 5""".stripMargin,
     // C16a: groupByTags('sum','src') — three users' series collapse
     // under (name, src); SQL sum ignores nulls, all-null stays null
     "gfn_group_by_tags" ->

@@ -130,6 +130,18 @@ object Cgi {
           leavesOnly = first("leavesOnly").contains("1"))
       case "/metrics/index.json" =>
         Api.index(env.paths)
+      // graphite-web 1.1 tag autocomplete (beyond the reference's CGI,
+      // like seriesByTag itself): Grafana's tag browser calls these on
+      // every keystroke; repeated expr params accumulate (the target
+      // convention), limit defaults to graphite's 100
+      case "/tags/autoComplete/tags" =>
+        Tags.autoCompleteTags(env.paths, p.getOrElse("expr", Seq.empty),
+          first("tagPrefix"),
+          first("limit").flatMap(_.toIntOption).filter(_ >= 1).getOrElse(100))
+      case "/tags/autoComplete/values" =>
+        Tags.autoCompleteValues(env.paths, p.getOrElse("expr", Seq.empty),
+          required("tag"), first("valuePrefix"),
+          first("limit").flatMap(_.toIntOption).filter(_ >= 1).getOrElse(100))
       case "/render" =>
         // target is ALWAYS an array (graphite_cgi.lua:474); the
         // reference renders an EMPTY document for a target-less render —

@@ -943,6 +943,31 @@ object Queries {
     taggedEval(spark, dir,
       """aliasByTags(seriesByTag('src=vera','user=u11','name=~(click|view)$'),'user','name')""")
 
+  /** Storage context for the TAGGED CGI endpoints: the tagged
+    * namespace's stream and distinct-path universe.
+    */
+  private def cgiTaggedEnv(spark: SparkSession, dir: String): Cgi.Env = {
+    val m = taggedMetrics(spark, dir)
+    Cgi.Env(m, m.select(col("path")).distinct(),
+      Retention.parse("10m:1d,1h:7d,1d:60d"), "average", 0.0)
+  }
+
+  /** C15d: /tags/autoComplete/tags — the tag names over the series an
+    * expr selects, prefix-filtered (what Grafana's tag browser calls
+    * on every keystroke); K-row metadata end to end.
+    */
+  def cgiTagsAutocomplete(spark: SparkSession, dir: String): DataFrame =
+    Cgi.dispatch(spark, cgiTaggedEnv(spark, dir),
+      "/tags/autoComplete/tags?expr=src%3Dvera", Now)
+
+  /** C15e: /tags/autoComplete/values — the values of `user` on click
+    * series, prefix- and limit-bounded (limit 5 of the 10 matching).
+    */
+  def cgiTagsValues(spark: SparkSession, dir: String): DataFrame =
+    Cgi.dispatch(spark, cgiTaggedEnv(spark, dir),
+      "/tags/autoComplete/values?tag=user&expr=name%3Dclick&valuePrefix=u1&limit=5",
+      Now)
+
   // ---- C16. graphite 1.1 parity sweep ------------------------------------
 
   /** C16a: groupByTags — the tagged rollup: three users' click and

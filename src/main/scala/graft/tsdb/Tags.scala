@@ -119,6 +119,52 @@ object Tags {
       .filter(es.map(e => matchCol(e, tagValueCol(e.tag))).reduce(_ && _))
   }
 
+  // ---- autocomplete (the graphite-web 1.1 /tags/autoComplete API) ----
+
+  /** `/tags/autoComplete/tags`: the distinct tag names over the series
+    * matching `exprs` (empty exprs = the whole universe — graphite
+    * serves the unfiltered list for the tag-browser's first keystroke),
+    * prefix-filtered, sorted, first `limit` (graphite's default 100).
+    * K-row metadata end-to-end: the path list resolves BEFORE any
+    * datapoint table exists in the plan, and the index is one
+    * posexplode over it.
+    */
+  def autoCompleteTags(paths: DataFrame, exprs: Seq[String],
+                       tagPrefix: Option[String],
+                       limit: Int = 100): DataFrame = {
+    require(limit >= 1, s"autoComplete: limit must be >= 1 (got $limit)")
+    val base =
+      if (exprs.isEmpty) paths.select(col("path")).distinct()
+      else matchingPaths(paths, exprs)
+    val tags = tagIndex(base).select(col("tag")).distinct()
+    tagPrefix.filter(_.nonEmpty)
+      .map(p => tags.filter(col("tag").startsWith(p))).getOrElse(tags)
+      .orderBy(col("tag")).limit(limit)
+  }
+
+  /** `/tags/autoComplete/values`: the distinct VALUES of `tag` over
+    * the series matching `exprs`, prefix-filtered, sorted, first
+    * `limit` — what Grafana calls as the user types a tag value.
+    */
+  def autoCompleteValues(paths: DataFrame, exprs: Seq[String], tag: String,
+                         valuePrefix: Option[String],
+                         limit: Int = 100): DataFrame = {
+    require(limit >= 1, s"autoComplete: limit must be >= 1 (got $limit)")
+    require(tag.nonEmpty && !tag.contains(";"),
+      s"autoComplete: invalid tag name '$tag'")
+    val base =
+      if (exprs.isEmpty) paths.select(col("path")).distinct()
+      else matchingPaths(paths, exprs)
+    // extraction straight off the path column (the matcher discipline);
+    // series without the tag read '' and are excluded (graphite lists
+    // only values that exist)
+    val vals = base.select(tagValueCol(tag).as("value"))
+      .filter(col("value") =!= "").distinct()
+    valuePrefix.filter(_.nonEmpty)
+      .map(p => vals.filter(col("value").startsWith(p))).getOrElse(vals)
+      .orderBy(col("value")).limit(limit)
+  }
+
   // ---- tag-value extraction (aliasByTags) ----
 
   /** Regex-quote in the Java∩RE2 dialect (the F22/aliasSub discipline:

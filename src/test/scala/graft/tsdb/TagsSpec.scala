@@ -97,6 +97,31 @@ class TagsSpec extends SparkSpec {
   private def series(rows: (String, Long, java.lang.Double)*): DataFrame =
     rows.toDF("path", "t", "value")
 
+  test("autoComplete: tag names and values, expr/prefix/limit laws") {
+    def tags(exprs: Seq[String], pfx: Option[String], lim: Int = 100) =
+      Tags.autoCompleteTags(universe, exprs, pfx, lim)
+        .collect().map(_.getString(0)).toSeq
+    def values(exprs: Seq[String], tag: String, pfx: Option[String], lim: Int = 100) =
+      Tags.autoCompleteValues(universe, exprs, tag, pfx, lim)
+        .collect().map(_.getString(0)).toSeq
+    // no expr = the whole universe (the tag-browser's first keystroke
+    // — the seriesByTag universe guard deliberately does NOT apply)
+    assert(tags(Nil, None) == Seq("dc", "host", "name"))
+    // expr filter: only dc-tagged series contribute tags
+    assert(tags(Seq("dc=east"), None) == Seq("dc", "host", "name"))
+    // prefix + limit
+    assert(tags(Nil, Some("h")) == Seq("host"))
+    assert(tags(Nil, None, lim = 2) == Seq("dc", "host"))
+    // values: sorted distinct, missing-tag series excluded
+    assert(values(Nil, "host", None) == Seq("db1", "web1", "web2"))
+    assert(values(Seq("name=cpu"), "dc", None) == Seq("east", "west"))
+    assert(values(Nil, "host", Some("web"), lim = 1) == Seq("web1"))
+    // 'name' values work too (the implicit tag)
+    assert(values(Nil, "name", Some("disk")) == Seq("disk.used"))
+    intercept[IllegalArgumentException](values(Nil, "", None))
+    intercept[IllegalArgumentException](tags(Nil, None, lim = 0))
+  }
+
   test("aliasByTags: '.'-joined tag values, name tag, missing tag → ''") {
     val f = series(("cpu;dc=east;host=web1", 0L, 1.0), ("cpu;host=db1", 0L, 2.0))
     val named = SeriesFunctions.aliasByTags(f, Seq("host", "name"))
