@@ -209,6 +209,7 @@ object SparkEntry {
     "ann_bm25" -> ((s, dir) => L.annBm25(s, dir)),
     "dedup_cdc" -> ((s, dir) => L.dedupCdc(s, dir)),
     "dedup_cdc_bytes" -> ((s, dir) => L.dedupCdcBytes(s, dir)),
+    "stream_cdc_gate" -> ((s, dir) => L.streamCdcGate(s, dir)),
     "corpus_dsir" -> ((s, dir) => L.corpusDsir(s, dir)),
     "stream_dsir_gate" -> ((s, dir) => L.streamDsirGate(s, dir)),
     "ann_ivf_pq_trained" -> ((s, dir) => L.annIvfPqTrained(s, dir)),
@@ -2573,6 +2574,18 @@ object SparkEntry {
     "dedup_cdc_bytes" ->
       """SELECT doc_id AS x, doc_id + 40000000 AS y FROM documents
         |WHERE doc_id % 15 = 0 ORDER BY 1, 2""".stripMargin,
+    // G25: the byte-CDC ingest gate — variants (id+4e7) share ≥ tau of
+    // their stored original's chunk bytes after gear-hash resync →
+    // refused; novel keystreams (id+8e7) share nothing → admitted;
+    // the oracle never hashes a byte (the F59 discipline)
+    "stream_cdc_gate" ->
+      """SELECT media_id, keep FROM (
+        |  SELECT doc_id + 40000000 AS media_id, CAST(0 AS BIGINT) AS keep
+        |  FROM documents WHERE doc_id % 15 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 80000000, CAST(1 AS BIGINT)
+        |  FROM documents WHERE doc_id % 15 = 0)
+        |ORDER BY 1""".stripMargin,
     // F53: DSIR importance scoring — hashed-unigram target/raw
     // distributions with add-one smoothing, the per-bucket log-ratio
     // snapped to a 1e-6 fixed-point BIGINT so each document's sum is

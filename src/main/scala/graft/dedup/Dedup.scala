@@ -1709,6 +1709,69 @@ object Dedup {
       .toDF("media_id", "payload")
   }
 
+  /** Incoming fixture for the G25 ingest gate: every %15==0 doc sends
+    * its INSERT VARIANT (id + 4e7 — a near-dup of a stored payload,
+    * must be refused) and a NOVEL payload (id + 8e7, a fresh md5
+    * keystream sharing no 64-byte chunk with any stored one — must be
+    * admitted); expected verdicts are pure id arithmetic.
+    */
+  val CdcBytesNovelOffset = 80000000L
+
+  def cdcByteIncoming(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.filter(col("doc_id") % 15 === 0).select(col("doc_id"))
+      .as[Long]
+      .flatMap { id =>
+        val base = cdcPayload(id, CdcBytesPayloadLen)
+        Seq(
+          (id + CdcBytesVariantOffset, cdcInsertVariant(id, base)),
+          (id + CdcBytesNovelOffset,
+            cdcPayload(id + CdcBytesNovelOffset, CdcBytesPayloadLen)))
+      }
+      .toDF("media_id", "payload")
+  }
+
+  /** The standing CHUNK STORE's key set: distinct (chunk_md5, len)
+    * over the stored payloads — the refreshable artifact the G25
+    * ingest gate probes (the G14/G15 index discipline: rebuilt by the
+    * batch sweep, frozen between sweeps). ≤ bytes/2^maskBits rows —
+    * the dedup index a content-addressed store maintains anyway.
+    */
+  def cdcChunkIndex(payloads: DataFrame,
+                    maskBits: Int = CdcBytesMaskBits): DataFrame =
+    payloads.select(
+        explode(graft.functions.CdcChunks.cdcChunks(col("payload"), maskBits)).as("c"))
+      .select(col("c.chunk_md5").as("chunk_md5"), col("c.length").as("len"))
+      .distinct()
+
+  /** G25 batch form: per-payload ingest verdict against the frozen
+    * chunk index — each incoming payload chunks map-only (the
+    * compiled kernel riding the scan), every chunk OCCURRENCE probes
+    * the index (a store holding a chunk once dedups all its repeats,
+    * so occurrences count — no distinct on the probe side), and the
+    * verdict is the shared-byte fraction of the payload:
+    * frac ≥ tau → drop (keep = 0). The index side broadcasts; the
+    * only aggregation is the per-payload fraction — work ∝ incoming
+    * chunks, never the store.
+    */
+  def cdcGateRows(incoming: DataFrame, index: DataFrame,
+                  maskBits: Int = CdcBytesMaskBits,
+                  tau: Double = 0.5): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"cdcGateRows: tau must be in (0,1] (got $tau)")
+    val ch = incoming.select(col("media_id"),
+        explode(graft.functions.CdcChunks.cdcChunks(col("payload"), maskBits)).as("c"))
+      .select(col("media_id"), col("c.chunk_md5").as("chunk_md5"),
+        col("c.length").as("len"))
+    ch.join(broadcast(index.withColumn("hit", lit(1L))),
+        Seq("chunk_md5", "len"), "left")
+      .groupBy(col("media_id"))
+      .agg(sum(col("len")).as("total"),
+        sum(when(col("hit") === 1L, col("len")).otherwise(0L)).as("shared"))
+      .select(col("media_id"),
+        when(col("shared").cast("double") >= lit(tau) * col("total").cast("double"),
+          0L).otherwise(1L).as("keep"))
+  }
+
   /** F59: byte-level CDC near-dup pairs — the storage-layer dedup F52
     * runs on token arrays, at its REAL granularity: payload bytes.
     * Each payload is chunked by the compiled gear-hash kernel in one

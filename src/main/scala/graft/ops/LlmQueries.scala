@@ -53,6 +53,22 @@ object LlmQueries {
     Dedup.dedupCdcBytes(spark,
       Dedup.cdcBytePayloads(spark, Tables.documents(spark, dir)))
 
+  /** G25 driver twin: the byte-CDC ingest gate on the planted fixture
+    * — the standing store is the %3==0 originals' chunk index; each
+    * %15==0 doc sends its insert VARIANT (shares all but a bounded
+    * prefix of its stored original → refused) and a NOVEL keystream
+    * (shares nothing → admitted); expected verdicts are pure id
+    * arithmetic, the F59 oracle discipline.
+    */
+  def streamCdcGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val stored = Dedup.cdcBytePayloads(spark, docs)
+      .filter(col("media_id") < Dedup.CdcBytesVariantOffset)
+    graft.streaming.CarbonStream.cdcGateStream(
+        Dedup.cdcByteIncoming(spark, docs), Dedup.cdcChunkIndex(stored))
+      .orderBy(col("media_id"))
+  }
+
   /** F53: DSIR importance scoring — the target distribution is the
     * F18 'val' split (hash-stable trusted slice), raw = the whole
     * corpus; the split-rule arithmetic is derived from SplitWeights so

@@ -357,6 +357,24 @@ object CarbonStream {
   def cmsSketchStream(tok: DataFrame): DataFrame =
     graft.ops.Sketch.cmsRegisters(tok, "slice", col("token"))
 
+  /** G25: byte-CDC ingest dedup gate — F59 at the door (the G15
+    * image-phash discipline applied to raw payloads, and what extends
+    * the gate family to the binary side of the multimodal store):
+    * incoming payloads chunk map-only (the compiled
+    * [[graft.functions.CdcChunks]] kernel riding the scan), every
+    * chunk occurrence probes the FROZEN (chunk_md5, len) index the
+    * batch sweep maintains ([[graft.dedup.Dedup.cdcChunkIndex]] — the
+    * G14/G17 refreshable-artifact shape; a content-addressed store
+    * keeps this index anyway), and the verdict is the shared-byte
+    * fraction: ≥ tau of the payload already stored → refuse. The ONE
+    * shared projection ([[graft.dedup.Dedup.cdcGateRows]]) serves
+    * batch and stream, so verdicts cannot drift; per-payload
+    * aggregation only — work ∝ incoming chunks, never the store.
+    */
+  def cdcGateStream(incoming: DataFrame, index: DataFrame,
+                    tau: Double = 0.5): DataFrame =
+    graft.dedup.Dedup.cdcGateRows(incoming, index, tau = tau)
+
   /** G13: in-flight mixture gating — the FROZEN F35 rate plan applied
     * AT INGEST: each arriving document gets its keep/drop verdict
     * under the batch-planned basis-point rates (the mixture plan is an

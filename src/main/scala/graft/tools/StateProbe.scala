@@ -87,6 +87,25 @@ object StateProbe {
         } finally q.stop()
       }
 
+      // G22: quantile registers — the state IS the sketch: rows stay
+      // at the register bound (≤ ~64·16 per slice) no matter how many
+      // values stream through; the scale axis must NOT move state
+      locally {
+        val src = MemoryStream[(String, Long)]
+        val q = CarbonStream.qsketchStream(
+            src.toDF().toDF("lang", "v"), "lang")
+          .writeStream.format("noop").outputMode("update").start()
+        try {
+          for (k <- 0L to 2L) {
+            src.addData((0L until users).map(i =>
+              ("en", (i * 37 + k) % 100000 + 1)): _*)
+            q.processAllAvailable()
+          }
+          val (rows, bytes) = stateRows(q)
+          out += s"""{"probe":"qsketch_state","scale":$scale,"values":${3 * users},"state_rows":$rows,"state_bytes":$bytes}"""
+        } finally q.stop()
+      }
+
       // G21: session windows — watermark evicts closed sessions
       locally {
         val src = MemoryStream[(Long, Long)]

@@ -120,6 +120,38 @@ class ByteCdcSpec extends SparkSpec {
     assert(pairs == Seq((0L, 40000000L), (15L, 40000015L)))
   }
 
+  test("cdcGateRows: variant refused, novel admitted, tau boundary (G25)") {
+    val docs = (0L until 30L).map(id => (id, s"doc$id")).toDF("doc_id", "text")
+    val stored = Dedup.cdcBytePayloads(spark, docs)
+      .filter(col("media_id") < Dedup.CdcBytesVariantOffset)
+    val index = Dedup.cdcChunkIndex(stored)
+    val verdicts = Dedup.cdcGateRows(Dedup.cdcByteIncoming(spark, docs), index)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // %15==0 docs in [0,30): 0 and 15 — each sends a variant (refuse)
+    // and a novel (admit)
+    assert(verdicts == Seq(
+      (40000000L, 0L), (40000015L, 0L), (80000000L, 1L), (80000015L, 1L)))
+    // tau boundary: a payload whose stored half is boundary-aligned
+    // shares exactly its stored-prefix fraction — tau above admits,
+    // tau at-or-below refuses (>= is inclusive)
+    val seed = Dedup.cdcPayload(7L, 4096)
+    val ch = CdcChunks.chunksOf(seed, Mask)
+    val cutIdx = ch.indexWhere(c => c._1 + c._2 >= 2048)
+    val cut = (ch(cutIdx)._1 + ch(cutIdx)._2).toInt
+    val prefix = seed.take(cut) // stored, ends on a real boundary
+    val incoming = Seq((1L, prefix ++ Dedup.cdcPayload(99L, 4096 - cut)))
+      .toDF("media_id", "payload")
+    val idx2 = Dedup.cdcChunkIndex(Seq((0L, prefix)).toDF("media_id", "payload"))
+    val frac = cut.toDouble / 4096
+    def keepAt(tau: Double) = Dedup.cdcGateRows(incoming, idx2, tau = tau)
+      .collect().head.getLong(1)
+    // the boundary-purity law makes the shared fraction EXACTLY the
+    // prefix bytes (the suffix may straddle one chunk past the cut —
+    // allow the window's slack by testing clear of the edge)
+    assert(keepAt(math.min(1.0, frac - 0.05)) == 0L)
+    assert(keepAt(math.min(1.0, frac + 0.05)) == 1L)
+  }
+
   test("dedupCdcBytes: multiset chunk counts never over-count, df cap gates") {
     // x carries chunk block C three times, y once: shared = 1×len(C),
     // not 3 join rows. Build C as a whole standalone-chunking unit by

@@ -1032,6 +1032,42 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming byte-CDC ingest gate: frozen chunk index, stream ≡ batch (G25)") {
+    import graft.streaming.CarbonStream
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0L until 30L).map(id => (id, s"doc$id")).toDF("doc_id", "text")
+    val stored = Dedup.cdcBytePayloads(spark, docs)
+      .filter(col("media_id") < Dedup.CdcBytesVariantOffset)
+    val index = Dedup.cdcChunkIndex(stored).cache()
+    val incoming = Dedup.cdcByteIncoming(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toSeq
+    val source = MemoryStream[(Long, Array[Byte])]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    // the G6/upsertSink shape: the shared batch projection applied per
+    // micro-batch against the frozen index
+    val query = source.toDF().toDF("media_id", "payload").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= CarbonStream.cdcGateStream(batch, index)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        ()
+      }.start()
+    try {
+      source.addData(incoming.take(2): _*)
+      query.processAllAvailable()
+      source.addData(incoming.drop(2): _*) // verdicts are per-batch —
+      query.processAllAvailable()          // no cross-batch state
+      val batchTwin = Dedup.cdcGateRows(
+          Dedup.cdcByteIncoming(spark, docs), index)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got.sorted.toSeq == batchTwin)
+      // the planted law: variants refused, novels admitted
+      assert(got.toMap == Map(40000000L -> 0L, 40000015L -> 0L,
+        80000000L -> 1L, 80000015L -> 1L))
+    } finally query.stop()
+  }
+
   test("streaming quantile registers: batches sum into the batch sketch (G22)") {
     import graft.streaming.CarbonStream
     import graft.ops.Sketch
