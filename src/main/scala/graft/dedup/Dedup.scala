@@ -1750,9 +1750,16 @@ object Dedup {
     * the index (a store holding a chunk once dedups all its repeats,
     * so occurrences count — no distinct on the probe side), and the
     * verdict is the shared-byte fraction of the payload:
-    * frac ≥ tau → drop (keep = 0). The index side broadcasts; the
-    * only aggregation is the per-payload fraction — work ∝ incoming
-    * chunks, never the store.
+    * frac ≥ tau → drop (keep = 0). The probe is a plain equi-join on
+    * (chunk_md5, len) with the strategy LEFT TO CATALYST/AQE
+    * deliberately: at benchmark scale the index fits a broadcast; at
+    * store scale the index is ~bytes/2^maskBits rows (terabytes of
+    * md5s for a 100 TB store — never broadcastable), and the right
+    * plan is a shuffle-hash join against the (bucketed) store index
+    * with the bounded incoming side as the build side — forcing
+    * broadcast() here would pin the toy-scale plan. Only the
+    * per-payload fraction aggregates — work ∝ incoming chunks plus
+    * the index partitions their keys touch, never the whole store.
     */
   def cdcGateRows(incoming: DataFrame, index: DataFrame,
                   maskBits: Int = CdcBytesMaskBits,
@@ -1762,7 +1769,7 @@ object Dedup {
         explode(graft.functions.CdcChunks.cdcChunks(col("payload"), maskBits)).as("c"))
       .select(col("media_id"), col("c.chunk_md5").as("chunk_md5"),
         col("c.length").as("len"))
-    ch.join(broadcast(index.withColumn("hit", lit(1L))),
+    ch.join(index.withColumn("hit", lit(1L)),
         Seq("chunk_md5", "len"), "left")
       .groupBy(col("media_id"))
       .agg(sum(col("len")).as("total"),
