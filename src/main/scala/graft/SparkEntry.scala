@@ -139,6 +139,7 @@ object SparkEntry {
     "gfn_moving_time" -> ((s, dir) => T.gfnMovingTime(s, dir)),
     "store_compact_fetch" -> ((s, dir) => T.storeCompactFetch(s, dir)),
     "gfn_xff_limit" -> ((s, dir) => T.gfnXffLimit(s, dir)),
+    "store_conf_fetch" -> ((s, dir) => T.storeConfFetch(s, dir)),
     "gfn_aggregate_minmax" -> ((s, dir) => T.gfnAggregateMinmax(s, dir)),
     "gfn_group_nodes" -> ((s, dir) => T.gfnGroupNodes(s, dir)),
     "gfn_multiply_wildcards" -> ((s, dir) => T.gfnMultiplyWildcards(s, dir)),
@@ -4022,6 +4023,31 @@ object SparkEntry {
          |  round((SELECT sum(value) FROM u) - 1e-9, 4) AS value FROM u)
          |SELECT path, t, value FROM
          | (SELECT * FROM ag UNION ALL SELECT * FROM ip UNION ALL SELECT * FROM al)
+         |ORDER BY 1, 2""".stripMargin,
+    // B16: the schema-driven store — one glob spanning two rule
+    // groups: clicks replay THEIR cascade (raw→10m sum→1h sum, the
+    // matched rule) while every other event type takes the default
+    // (raw→1h avg); both answer on the same hourly grid here because
+    // both specs' covering archive at this window is 1h — the rules
+    // differ in METHOD and CASCADE DEPTH, which the values expose
+    "store_conf_fetch" ->
+      s"""WITH $M,
+         |fc AS (SELECT * FROM m WHERE regexp_matches(path, '^vera\\.u1[^.]\\.click$$')),
+         |c1 AS (SELECT path, ts - ts%600 AS b, sum(value) AS value FROM fc GROUP BY 1, 2),
+         |c2 AS (SELECT path, b - b%3600 AS b, sum(value) AS value FROM c1 GROUP BY 1, 2),
+         |pc AS (SELECT DISTINCT path FROM fc),
+         |gc AS (SELECT pc.path, s.t FROM pc CROSS JOIN generate_series(1706097600, 1706659200, 3600) AS s(t)),
+         |rc AS (SELECT gc.path, gc.t, c2.value AS value
+         |  FROM gc LEFT JOIN c2 ON gc.path = c2.path AND gc.t = c2.b),
+         |fd AS (SELECT * FROM m WHERE regexp_matches(path, '^vera\\.u1[^.]\\.')
+         |  AND NOT regexp_matches(path, '\\.click$$')),
+         |d1 AS (SELECT path, ts - ts%3600 AS b, avg(value) AS value FROM fd GROUP BY 1, 2),
+         |pd AS (SELECT DISTINCT path FROM fd),
+         |gd AS (SELECT pd.path, s.t FROM pd CROSS JOIN generate_series(1706097600, 1706659200, 3600) AS s(t)),
+         |rd AS (SELECT gd.path, gd.t, d1.value AS value
+         |  FROM gd LEFT JOIN d1 ON gd.path = d1.path AND gd.t = d1.b)
+         |SELECT path, t, round(value - 1e-9, 4) AS value
+         |FROM (SELECT * FROM rc UNION ALL SELECT * FROM rd)
          |ORDER BY 1, 2""".stripMargin,
     // B15: compaction is LOSSLESS — the compacted store's scan is the
     // raw point set, bit-for-bit (file layout is the spec's claim)

@@ -59,6 +59,71 @@ object MetricStore {
     else exact
   }
 
+  /** B16: the SCHEMA-DRIVEN store — the reference's carbon daemon
+    * creates each whisper file from its FIRST matching storage-schemas
+    * and storage-aggregation rules (L_DataCache.lua:55-76 via
+    * [[Conf.storageMatch]]; the single-spec [[writeArchives]] is the
+    * one-rule special case). The same conf tables drive the parquet
+    * store: paths partition into RULE GROUPS — the distinct
+    * (retentions, method, xff) combos the rule tables produce, K of
+    * them because confs are human-written — each group's cascade
+    * materializes under `root/grp=<i>/` by writeArchives with ITS
+    * parameters, and the top-level `root/paths` index carries
+    * (path, grp, retentions, agg_method, xff), so a fetch resolves a
+    * target's groups as K-row METADATA before any datapoint scan.
+    * Returns the combo table in group order (grp i = combos(i)).
+    */
+  def writeArchivesConf(metrics: DataFrame, schemas: Seq[Conf.SchemaEntry],
+                        aggs: Seq[Conf.AggEntry],
+                        root: String): Seq[(String, String, Double)] = {
+    val matched = Conf.storageMatch(col("path"), schemas, aggs)
+    val annotated = metrics.select(col("path"), col("ts"), col("value"),
+      matched(1), matched(2), matched(3)) // retentions, agg_method, xff
+    val combos = annotated.select(col("retentions"), col("agg_method"), col("xff"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .sortBy(c => (c._1, c._2, c._3)).toSeq
+    combos.zipWithIndex.foreach { case ((ret, method, xff), i) =>
+      val sub = annotated
+        .filter(col("retentions") === ret && col("agg_method") === method &&
+          col("xff") === xff)
+        .select(col("path"), col("ts"), col("value"))
+      writeArchives(sub, Retention.parse(ret), method, xff, s"$root/grp=$i")
+    }
+    val grpCol = combos.zipWithIndex.map { case ((ret, method, xff), i) =>
+      when(col("retentions") === ret && col("agg_method") === method &&
+        col("xff") === xff, lit(i))
+    }.reduce((a, b) => coalesce(a, b))
+    annotated.select(col("path"), col("retentions"), col("agg_method"),
+        col("xff")).distinct()
+      .withColumn("grp", grpCol)
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/paths")
+    combos
+  }
+
+  /** Fetch from the schema-driven store: the target's matching paths
+    * resolve their rule groups off the K-row index (metadata — the
+    * same list graphite derives from its file tree), then each group
+    * runs [[fetchStored]] under ITS retention spec (archive selection,
+    * pruned scan, dense grid over the group's own path set) and the
+    * groups union. Different groups legitimately answer on different
+    * grids — per-path retention IS per-path grids, whisper's own
+    * semantics (each .wsp carries its own archives).
+    */
+  def fetchStoredConf(spark: SparkSession, root: String, target: String,
+                      fromTime: Long, untilTime: Long, now: Long,
+                      maxPoints: Option[Int] = None): DataFrame = {
+    val combos = spark.read.parquet(s"$root/paths")
+      .filter(pathPredicate(target))
+      .select(col("grp"), col("retentions")).distinct()
+      .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    if (combos.isEmpty) Fetch.emptyFetch(spark)
+    else combos.map { case (grp, ret) =>
+      fetchStored(spark, s"$root/grp=$grp", Retention.parse(ret), target,
+        fromTime, untilTime, now, maxPoints)
+    }.reduce(_ unionByName _)
+  }
+
   /** Compact a day-partitioned point store (B15): streaming ingest
     * ([[graft.streaming.CarbonStream.ingestSink]]) lands one parquet
     * file per micro-batch per day — at a micro-batch every few seconds

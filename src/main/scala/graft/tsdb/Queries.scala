@@ -1079,6 +1079,48 @@ object Queries {
       .orderBy(col("path"), col("ts"), col("value"))
   }
 
+  /** B16: the schema-driven store — click series store under their own
+    * rule (10m:1d,1h:30d, method=sum) while everything else takes the
+    * default (1h:7d,1d:60d, average), exactly how a production
+    * storage-schemas.conf shapes a whisper tree; ONE glob spanning
+    * both groups fetches each series through ITS OWN cascade (clicks:
+    * raw→10m sum→1h sum; rest: raw→1h avg). Write-once per process
+    * like the store/fixture queries.
+    */
+  def storeConfFetch(spark: SparkSession, dir: String): DataFrame = {
+    val schemas = Conf.storageSchemas(
+      """[clicks]
+        |pattern = \.click$
+        |retentions = 10m:1d,1h:30d
+        |
+        |[everything]
+        |pattern = .*
+        |retentions = 1h:7d,1d:60d
+        |""".stripMargin)
+    val aggs = Conf.storageAggregation(
+      """[clicks]
+        |pattern = \.click$
+        |aggregationMethod = sum
+        |xFilesFactor = 0
+        |
+        |[everything]
+        |pattern = .*
+        |aggregationMethod = average
+        |xFilesFactor = 0
+        |""".stripMargin)
+    val root = java.nio.file.Paths.get(
+      "target", "graft_store_conf", dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      .toAbsolutePath.toString
+    val marker = java.nio.file.Paths.get(root, "_GRAFT_STORE_OK")
+    if (!java.nio.file.Files.exists(marker)) {
+      MetricStore.writeArchivesConf(Tables.metrics(spark, dir), schemas, aggs, root)
+      java.nio.file.Files.writeString(marker, "ok")
+    }
+    MetricStore.fetchStoredConf(spark, root, "vera.u1?.*", fetchFrom, Now, Now)
+      .select(col("path"), col("t"), round(col("value") - Eps, 4).as("value"))
+      .orderBy(col("path"), col("t"))
+  }
+
   /** C16i: string-interval moving windows — the windowSize form
     * Grafana's query editor emits (`movingAverage(x,"4hour")`): a
     * trailing time-RANGE window (points in (t−4h, t]), which on the

@@ -46,6 +46,56 @@ class MetricStoreSpec extends SparkSpec {
     assert(!scanned.exists(_.contains("day=0")) || scanned.isEmpty)
   }
 
+  test("schema-driven store: per-rule cascades, group resolution, one-rule ≡ global (B16)") {
+    val schemas = Conf.storageSchemas(
+      "[fast]\npattern = \\.v$\nretentions = 1m:1d,10m:30d\n" +
+        "[rest]\npattern = .*\nretentions = 10m:30d\n")
+    val aggs = Conf.storageAggregation(
+      "[sums]\npattern = \\.v$\naggregationMethod = sum\nxFilesFactor = 0\n" +
+        "[rest]\npattern = .*\naggregationMethod = average\nxFilesFactor = 0\n")
+    val pts = Seq(
+      // fast+sum rule: two points share the first 1m bucket (sum must
+      // fire), a third lands in its own — the 1m grid AND the sum
+      // method are both visible (a 10m fetch would fold all three)
+      ("a.x.v", 90000L, 2.0), ("a.x.v", 90030L, 4.0), ("a.x.v", 90060L, 10.0),
+      ("a.y.w", 90000L, 10.0), ("a.y.w", 90120L, 20.0)) // default avg rule
+      .toDF("path", "ts", "value")
+    val root = Files.createTempDirectory("graft-conf-store").toString
+    val combos = MetricStore.writeArchivesConf(pts, schemas, aggs, root)
+    // two rule groups, in sorted combo order
+    assert(combos == Seq(("10m:30d", "average", 0.0), ("1m:1d,10m:30d", "sum", 0.0)))
+    val now = 90180L
+    // a glob spanning both groups: each series answers through ITS
+    // rule — .v sums on the 1m grid, .w averages on the 10m grid
+    val out = MetricStore.fetchStoredConf(spark, root, "a.*.*", 89940L, now, now)
+      .filter(col("value").isNotNull).orderBy("path", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq(
+      ("a.x.v", 90000L, 6.0), ("a.x.v", 90060L, 10.0), // 1m archive, SUM in-bucket
+      ("a.y.w", 90000L, 15.0)))                         // 10m archive, avg(10,20)
+    // grids differ BY RULE: the .v series answers on the 1m grid
+    val grids = MetricStore.fetchStoredConf(spark, root, "a.*.*", 89940L, now, now)
+      .groupBy("path").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(grids("a.x.v") > grids("a.y.w")) // 60s steps vs 600s steps
+    // one-rule conf ≡ the global-spec store (writeArchives is the
+    // special case)
+    val oneRoot = Files.createTempDirectory("graft-conf-one").toString
+    MetricStore.writeArchivesConf(pts,
+      Conf.storageSchemas("[all]\npattern = .*\nretentions = 1m:1d,10m:30d\n"),
+      Conf.storageAggregation("[all]\npattern = .*\naggregationMethod = average\nxFilesFactor = 0\n"),
+      oneRoot)
+    val viaConf = MetricStore.fetchStoredConf(spark, oneRoot, "a.*.*", 89940L, now, now)
+      .orderBy("path", "t").collect().map(_.toSeq).toSeq
+    val globalRoot = Files.createTempDirectory("graft-conf-global").toString
+    MetricStore.writeArchives(pts, Retention.parse("1m:1d,10m:30d"), "average", 0.0, globalRoot)
+    val viaGlobal = MetricStore.fetchStored(spark, globalRoot,
+        Retention.parse("1m:1d,10m:30d"), "a.*.*", 89940L, now, now)
+      .orderBy("path", "t").collect().map(_.toSeq).toSeq
+    assert(viaConf == viaGlobal)
+    // a target matching nothing: the typed empty fetch
+    assert(MetricStore.fetchStoredConf(spark, root, "zz.*", 89940L, now, now).isEmpty)
+  }
+
   test("compactRaw: lossless, one file per day, sorted within, closed days only (B15)") {
     // splinter 2 days of points across 3 appends × 4 tasks — the
     // small-file shape a per-micro-batch streaming sink accumulates
