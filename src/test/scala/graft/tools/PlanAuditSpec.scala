@@ -60,6 +60,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(2000))
   }
 
+  test("store_conf_fetch: every rule group's scan keeps the pushed path prefix") {
+    // the schema-driven store must not lose the B8s pushdown: each
+    // group's archive scan carries the glob's literal prefix as a
+    // pushed StringStartsWith, and day partitions prune per group
+    val p = plan("store_conf_fetch")
+    assert(countOf(p, "StartsWith(path,vera.u1") >= 2, p.take(3000))
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("day#")), p.take(3000))
+  }
+
   test("gfn_group_by_tags: one aggregation exchange on the extracted key, no join") {
     // the C16 tagged rollup: the group key is a string extraction on
     // the path column, so the plan is groupByNodes' — the fetch
