@@ -56,6 +56,14 @@ object ScaleBench {
       (lit(1704067200L) + (col("id") * 267L) % 2678400L).as("t"),
       (col("id") % 5L).as("typ"))
 
+  /** Synthetic tagged namespace for the C15 rows: 50k·copies canonical
+    * `name;dc=…;host=…` paths, 20 dc values, unique hosts.
+    */
+  private def tagPaths(spark: SparkSession, copies: Int): DataFrame =
+    spark.range(50000L * copies).select(
+      concat(lit("cpu;dc=dc"), (col("id") % 20).cast("string"),
+        lit(";host=h"), col("id").cast("string")).as("path"))
+
   private def timeNoop(spark: SparkSession, mk: () => DataFrame): Double = {
     val times = scala.collection.mutable.ArrayBuffer[Double]()
     def converged: Boolean = {
@@ -488,6 +496,19 @@ object ScaleBench {
             graft.ops.Sketch.qRegisters(vals, "slice", col("v")),
             "slice", LlmQueries.QuantileQs)
         }),
+        // C15 at scale (r9): the tag layer over a 50k·copies-path
+        // tagged namespace — resolution, index build, and autocomplete
+        // are all one map-only pass over the path METADATA table (the
+        // datapoint side never appears), so wall time must track the
+        // path count linearly with no shuffle growth
+        "tags_resolve" -> (() =>
+          graft.tsdb.Tags.matchingPaths(tagPaths(spark, copies),
+            Seq("name=cpu", "dc=~dc1", "host!="))),
+        "tags_index_build" -> (() =>
+          graft.tsdb.Tags.tagIndex(tagPaths(spark, copies))),
+        "tags_autocomplete" -> (() =>
+          graft.tsdb.Tags.autoCompleteValues(tagPaths(spark, copies),
+            Seq("name=cpu"), "host", Some("h1"), 100)),
         // F59 at scale (r9): byte-CDC chunk dedup — payload synthesis
         // (map-side md5 keystreams, ~4 KB per %3 doc) + the compiled
         // one-pass chunker ride the scan; only (id, md5, len) rows
