@@ -79,10 +79,23 @@ object Api {
     // (sumSeries/summarize/alias/…): parse and evaluate over the same
     // fetch — window-aware, so timeShift subtrees fetch their shifted
     // window; plain globs keep the direct path
+    // ADVICE r9: archive selection changes VALUES, not just IO — the
+    // coarse archive holds STORED method-aggregates while graphite-web
+    // consolidates the finest covering archive at render time. The
+    // shortcut is therefore restricted to stores whose aggregation
+    // method matches the consolidation function the render will apply:
+    // a bare glob cannot carry a consolidateBy tag, so that function
+    // is the untagged default "average" — for any other store method
+    // the finest covering archive is fetched and the budget applies at
+    // render consolidation only (graphite's own order). average-store
+    // renders keep the shortcut: there the coarse level IS the
+    // two-stage average consolidation, documented and oracle-pinned
+    // (cgi_render_maxdp_archive).
+    val archiveBudget = if (method == "average") maxDataPoints else None
     val evaluated = targets
       .map(t => if (TargetExpr.isExpression(t))
                   TargetExpr.evalTargetAt(t, fetchGlob, Some(tagEnv), Some(winEnv))
-                else fetchBudget(t, 0L, maxDataPoints))
+                else fetchBudget(t, 0L, archiveBudget))
       .reduce(_ unionByName _)
     // the render-time point budget: consolidation is the LAST step
     // before formatting, after every function has run (graphite's

@@ -996,14 +996,17 @@ object Queries {
     gfnEval(spark, dir, "divideSeriesLists(vera.u1?.click,vera.u1?.view)")
 
   /** C16d: the *SeriesLists family's null laws in one frame —
-    * diffSeriesLists (missing side reads 0 unless both missing) and
-    * the generic aggregateSeriesLists with multiply (either side
-    * missing nulls the product).
+    * diffSeriesLists (missing side reads 0 unless both missing), the
+    * generic aggregateSeriesLists with multiply (either side missing
+    * nulls the product), and the 4-arg xFilesFactor form (r10, ADVICE
+    * r9): sum gated at 0.99 demands BOTH sides present, so exactly
+    * the mixed points diff keeps read null here.
     */
   def gfnAggLists(spark: SparkSession, dir: String): DataFrame =
     gfnEval(spark, dir,
       "group(diffSeriesLists(vera.u1?.click,vera.u1?.view)," +
-        """aggregateSeriesLists(vera.u1?.click,vera.u1?.view,"multiply"))""")
+        """aggregateSeriesLists(vera.u1?.click,vera.u1?.view,"multiply"),""" +
+        """aggregateSeriesLists(vera.u1?.click,vera.u1?.view,"sum",0.99))""")
 
   /** C16e: the 1.1 scalar-transform sweep over one series — round
     * (half-up, the documented banker's-rounding divergence), add,

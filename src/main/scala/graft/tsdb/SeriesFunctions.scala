@@ -1861,7 +1861,8 @@ object SeriesFunctions {
     * nulls when EITHER side is (safeMul). Output named
     * `<func>Series(<a>,<b>)`, graphite's formatting.
     */
-  def aggregateSeriesLists(a: DataFrame, b: DataFrame, func: String): DataFrame = {
+  def aggregateSeriesLists(a: DataFrame, b: DataFrame, func: String,
+                           xff: Option[Double] = None): DataFrame = {
     val canon = func match {
       case "sum" | "total" => "sum"
       case "diff" => "diff"
@@ -1869,13 +1870,25 @@ object SeriesFunctions {
       case other => throw new IllegalArgumentException(
         s"aggregateSeriesLists: unknown func '$other' (sum, diff, multiply)")
     }
+    xff.foreach(x => require(x >= 0.0 && x <= 1.0,
+      s"aggregateSeriesLists: xFilesFactor must be in [0,1] (got $x)"))
     val bothNull = col("va").isNull && col("vb").isNull
-    val v: Column = canon match {
+    val base: Column = canon match {
       case "sum" => when(!bothNull,
         coalesce(col("va"), lit(0.0)) + coalesce(col("vb"), lit(0.0)))
       case "diff" => when(!bothNull,
         coalesce(col("va"), lit(0.0)) - coalesce(col("vb"), lit(0.0)))
       case "multiply" => col("va") * col("vb")
+    }
+    // graphite 1.1's optional 4th argument gates each paired point on
+    // the non-null fraction (the aggregateSeriesXff rule at n = 2):
+    // the point emits only when nn >= xff·2 — a 0.99 gate demands both
+    // sides present (ADVICE r9: the argument changes output data, so
+    // silently ignoring it violated the fail-loudly rule)
+    val nn = col("va").isNotNull.cast("int") + col("vb").isNotNull.cast("int")
+    val v = xff match {
+      case Some(x) => when(nn.cast("double") >= lit(x) * lit(2.0), base)
+      case None => base
     }
     pairSeriesLists(a, b, "aggregateSeriesLists")
       .select(concat(lit(s"${canon}Series("), col("pa"), lit(","),

@@ -562,7 +562,18 @@ object TargetExpr {
             .select(regexp_replace(col("path"), search, replace).as("path"))
             .distinct()
           tagEnv match {
-            case Some(env) => env.fetchPaths(qualifyingDf, shift)
+            case Some(env) =>
+              // fetchPaths grids over the REQUESTED list (a known
+              // series keeps its all-null rows), so a replaced path
+              // naming a NONEXISTENT metric would emit a phantom
+              // all-null series — graphite (and the collect path
+              // below, whose brace glob matches only real metrics)
+              // drops it. Semi-join against the K-row path universe
+              // first: both code paths agree, and the join is
+              // K-row-metadata work (ADVICE r9).
+              val existing = qualifyingDf
+                .join(env.paths, Seq("path"), "left_semi")
+              env.fetchPaths(existing, shift)
             case None =>
               val cap = UseSeriesAboveMaxPaths
               val qualifying = qualifyingDf.limit(cap + 1)
@@ -624,7 +635,8 @@ object TargetExpr {
         case "aggregateSeriesLists" =>
           require(args.length == 3 || args.length == 4,
             s"aggregateSeriesLists: expected (listA, listB, func[, xFilesFactor]), got ${args.length} args")
-          aggregateSeriesLists(series(0), series(1), str(2))
+          aggregateSeriesLists(series(0), series(1), str(2),
+            if (args.length == 4) Some(num(3)) else None)
         case "sumSeriesLists" => arity(2)
           aggregateSeriesLists(series(0), series(1), "sum")
         case "diffSeriesLists" => arity(2)

@@ -52,6 +52,27 @@ class ApiSpec extends SparkSpec {
     assert(out.collect().nonEmpty)
   }
 
+  test("maxDataPoints archive shortcut only for average stores (ADVICE r9)") {
+    // window [1800, 3600), budget 3: the 10m archive's 4 grid points
+    // satisfy the budget, but its stored values are METHOD-aggregates —
+    // graphite-web would render-consolidate the finest (1m) archive with
+    // the untagged default function (average). The shortcut is therefore
+    // method-gated: an average store reads the 10m level (grid 1800,
+    // 2400, 3000, 3600 → factor-2 consolidation keeps 1800, 3000); a sum
+    // store keeps the 1m fetch (31 points → factor 11 keeps 1800, 2460,
+    // 3120) and the budget applies at render consolidation only.
+    val m = Seq(("a.x", 1810L, 1.0), ("a.x", 2405L, 3.0), ("a.x", 3010L, 5.0))
+      .toDF("path", "ts", "value")
+    def tsOf(method: String): Seq[String] =
+      Api.render(spark, m, Seq("a.x"), Some("1970-01-01T00:30:00"),
+        Some("1970-01-01T01:00:00"), "csv", spec, method, 0.0, now = 3600L,
+        svgOpts = None, maxDataPoints = Some(3))
+        .collect().map(_.getString(1)).toSeq
+    assert(tsOf("average") == Seq("1970-01-01 00:30:00", "1970-01-01 00:50:00"))
+    assert(tsOf("sum") == Seq("1970-01-01 00:30:00", "1970-01-01 00:41:00",
+      "1970-01-01 00:52:00"))
+  }
+
   test("stale window returns an empty series with the fetch schema, not a schemaless frame") {
     // fromTime > now → Fetch.select = None; the multi-target union and
     // the csv render must still resolve (path, t, value)

@@ -936,6 +936,18 @@ class SeriesFunctionsSpec extends SparkSpec {
       ("multiplySeries(n.1,d.1)", 60L, None)))
     assert(run("sumSeriesLists(A,B)").head ==
       ("sumSeries(n.1,d.1)", 0L, Some(9.0)))
+    // the 4-arg xFilesFactor form (ADVICE r9): 0.99 demands BOTH
+    // sides present — the t=60 mixed point sum keeps without a gate
+    // reads null here; 0.5 admits one-sided points again
+    assert(run("""aggregateSeriesLists(A,B,"sum",0.99)""").take(3) == Seq(
+      ("sumSeries(n.1,d.1)", 0L, Some(9.0)),
+      ("sumSeries(n.1,d.1)", 60L, None),
+      ("sumSeries(n.1,d.1)", 120L, Some(4.0))))
+    assert(run("""aggregateSeriesLists(A,B,"sum",0.5)""")(1) ==
+      ("sumSeries(n.1,d.1)", 60L, Some(5.0)))
+    // out-of-range xff fails loudly
+    intercept[IllegalArgumentException](
+      run("""aggregateSeriesLists(A,B,"sum",1.5)"""))
     // mismatched list lengths fail loudly (graphite raises too)
     val short = frame(("d.1", 0L, 3.0))
     intercept[IllegalArgumentException](

@@ -170,10 +170,15 @@ class TagsSpec extends SparkSpec {
   }
 
   test("useSeriesAbove: TagEnv path collects nothing; cap guards the collect path") {
-    // gate at 5: h6..h9 qualify; err names replace to out names
-    val rows = (0 until 10).flatMap(i => Seq(
-      (s"m.h$i.err", 0L, java.lang.Double.valueOf(i)),
-      (s"m.h$i.out", 0L, java.lang.Double.valueOf(100 + i))))
+    // gate at 5: h6..h9 qualify; err names replace to out names.
+    // h9's out metric does NOT exist: graphite drops a replaced path
+    // naming a nonexistent metric, so neither code path may emit a
+    // phantom all-null m.h9.out series (ADVICE r9 — the TagEnv path
+    // semi-joins the qualifying set against the path universe).
+    val rows = (0 until 10).flatMap(i =>
+      Seq((s"m.h$i.err", 0L, java.lang.Double.valueOf(i))) ++
+        (if (i == 9) Seq.empty
+         else Seq((s"m.h$i.out", 0L, java.lang.Double.valueOf(100 + i)))))
     val data = series(rows: _*)
     val env = TargetExpr.TagEnv(
       data.select(col("path")).distinct(),
@@ -184,7 +189,7 @@ class TagsSpec extends SparkSpec {
       """useSeriesAbove(m.*.err,5,"err","out")""", fetch, Some(env))
       .orderBy("path").collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
     assert(out == Seq(("m.h6.out", 106.0), ("m.h7.out", 107.0),
-      ("m.h8.out", 108.0), ("m.h9.out", 109.0)))
+      ("m.h8.out", 108.0)))
     // same answer through the collect path (no env)
     val collected = TargetExpr.evalTargetAt(
       """useSeriesAbove(m.*.err,5,"err","out")""", fetch, None)
