@@ -214,6 +214,8 @@ object SparkEntry {
     "corpus_dsir" -> ((s, dir) => L.corpusDsir(s, dir)),
     "stream_dsir_gate" -> ((s, dir) => L.streamDsirGate(s, dir)),
     "ann_ivf_pq_trained" -> ((s, dir) => L.annIvfPqTrained(s, dir)),
+    "ann_index_search" -> ((s, dir) => L.annIndexSearch(s, dir)),
+    "ann_index_refresh" -> ((s, dir) => L.annIndexRefresh(s, dir)),
     "ann_ivf_pq_residual" -> ((s, dir) => L.annIvfPqResidual(s, dir)),
     "ann_quantized" -> ((s, dir) => L.annQuantized(s, dir)),
     "ann_ivf_quantized" -> ((s, dir) => L.annIvfQuantized(s, dir)),
@@ -1013,6 +1015,62 @@ object SparkEntry {
 
   private lazy val PqTrainedFinalCte =
     s"b${graft.ops.LlmQueries.PqTrainIters}"
+
+  /** The complete F25h trained-IVFPQ search SQL, parameterized over the
+    * TRAINING corpus: `extraCtes` (may be empty) injects extra CTEs
+    * after `n`, and `trainSrc` names the CTE the coarse centroids and
+    * the product codebook train on — "n" is the plain F25h query;
+    * ann_index_refresh trains on a `base` subset while encode/probe
+    * still run over the whole corpus (the frozen-codebook extend law).
+    */
+  private def ivfPqTrainedSqlOver(trainSrc: String,
+                                  extraCtes: String = ""): String = {
+    import graft.ops.{LlmQueries => LQ}
+    val sd = 64 / LQ.PqSubspaces
+    s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),
+       |$extraCtes${pqTrainedBookCtesOver(trainSrc)},
+       |cents AS (SELECT vec_id AS cent_id, emb AS ce, nrm AS cn FROM $trainSrc
+       |  ORDER BY vec_id LIMIT ${LQ.IvfCentroids}),
+       |va AS (SELECT n.vec_id, c.cent_id,
+       |  row_number() OVER (PARTITION BY n.vec_id
+       |    ORDER BY round(list_dot_product(n.emb, c.ce)/(n.nrm*c.cn), 6) DESC, c.cent_id) AS ark
+       |  FROM n CROSS JOIN cents c),
+       |assigned AS (SELECT vec_id, cent_id FROM va WHERE ark = 1),
+       |qa AS (SELECT n.vec_id AS q_id, c.cent_id,
+       |  row_number() OVER (PARTITION BY n.vec_id
+       |    ORDER BY round(list_dot_product(n.emb, c.ce)/(n.nrm*c.cn), 6) DESC, c.cent_id) AS crk
+       |  FROM n CROSS JOIN cents c WHERE n.vec_id < ${LQ.AnnQueryMax}),
+       |probes AS (SELECT q_id, cent_id FROM qa WHERE crk <= ${LQ.IvfProbe}),
+       |codes AS (SELECT vec_id, s, j, cvec, cc FROM (
+       |  SELECT n.vec_id, b.s, b.j, b.cw AS cvec, b.cc,
+       |    row_number() OVER (PARTITION BY n.vec_id, b.s
+       |      ORDER BY round(b.cc - 2*list_dot_product(
+       |        n.emb[b.s*$sd+1 : b.s*$sd+$sd], b.cw), 6) ASC, b.j) AS ark
+       |  FROM n CROSS JOIN $PqTrainedFinalCte b) WHERE ark = 1),
+       |q AS (SELECT vec_id AS q_id, emb AS qe, nrm AS qn FROM n
+       |  WHERE vec_id < ${LQ.AnnQueryMax}),
+       |cand AS (SELECT p.q_id, a.vec_id
+       |  FROM assigned a JOIN probes p USING (cent_id)
+       |  WHERE a.vec_id <> p.q_id),
+       |terms AS (SELECT ca.q_id, ca.vec_id,
+       |    CAST(round(list_dot_product(
+       |      q.qe[cd.s*$sd+1 : cd.s*$sd+$sd], cd.cvec) * 1e6, 0) AS BIGINT) AS tl,
+       |    CAST(round(cd.cc * 1e6, 0) AS BIGINT) AS ccl
+       |  FROM cand ca JOIN codes cd ON cd.vec_id = ca.vec_id
+       |  JOIN q ON q.q_id = ca.q_id),
+       |agg AS (SELECT q_id, vec_id, sum(tl) AS sl, sum(ccl) AS scc
+       |  FROM terms GROUP BY 1, 2),
+       |scored AS (SELECT a.q_id, a.vec_id,
+       |  (a.sl / 1e6) / (q.qn * sqrt(a.scc / 1e6)) AS cos
+       |  FROM agg a JOIN q ON q.q_id = a.q_id),
+       |rk AS (SELECT q_id, vec_id, cos,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY round(cos,6) DESC, vec_id) AS rk
+       |  FROM scored)
+       |SELECT q_id, rk, vec_id, round(cos,4) AS cos FROM rk
+       |WHERE rk <= ${LQ.AnnK}
+       |ORDER BY q_id, rk""".stripMargin
+  }
 
   /** MinHash params / stopword dict rendered from the same Scala
     * constants the Spark plans use — single source of truth.
@@ -2278,55 +2336,19 @@ object SparkEntry {
     },
     // F25h: IVF + TRAINED PQ — ann_ivf_pq's routing/probe/ADC CTEs
     // verbatim, with the codeword table swapped for the F25g trained
-    // Lloyd chain (the shared PqTrainedBookCtes); only the codewords
+    // Lloyd chain (the shared trained-book CTEs); only the codewords
     // change, as in the Spark plan
-    "ann_ivf_pq_trained" -> {
-      import graft.ops.{LlmQueries => LQ}
-      val sd = 64 / LQ.PqSubspaces
-      s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
-         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),
-         |$PqTrainedBookCtes,
-         |cents AS (SELECT vec_id AS cent_id, emb AS ce, nrm AS cn FROM n
-         |  ORDER BY vec_id LIMIT ${LQ.IvfCentroids}),
-         |va AS (SELECT n.vec_id, c.cent_id,
-         |  row_number() OVER (PARTITION BY n.vec_id
-         |    ORDER BY round(list_dot_product(n.emb, c.ce)/(n.nrm*c.cn), 6) DESC, c.cent_id) AS ark
-         |  FROM n CROSS JOIN cents c),
-         |assigned AS (SELECT vec_id, cent_id FROM va WHERE ark = 1),
-         |qa AS (SELECT n.vec_id AS q_id, c.cent_id,
-         |  row_number() OVER (PARTITION BY n.vec_id
-         |    ORDER BY round(list_dot_product(n.emb, c.ce)/(n.nrm*c.cn), 6) DESC, c.cent_id) AS crk
-         |  FROM n CROSS JOIN cents c WHERE n.vec_id < ${LQ.AnnQueryMax}),
-         |probes AS (SELECT q_id, cent_id FROM qa WHERE crk <= ${LQ.IvfProbe}),
-         |codes AS (SELECT vec_id, s, j, cvec, cc FROM (
-         |  SELECT n.vec_id, b.s, b.j, b.cw AS cvec, b.cc,
-         |    row_number() OVER (PARTITION BY n.vec_id, b.s
-         |      ORDER BY round(b.cc - 2*list_dot_product(
-         |        n.emb[b.s*$sd+1 : b.s*$sd+$sd], b.cw), 6) ASC, b.j) AS ark
-         |  FROM n CROSS JOIN $PqTrainedFinalCte b) WHERE ark = 1),
-         |q AS (SELECT vec_id AS q_id, emb AS qe, nrm AS qn FROM n
-         |  WHERE vec_id < ${LQ.AnnQueryMax}),
-         |cand AS (SELECT p.q_id, a.vec_id
-         |  FROM assigned a JOIN probes p USING (cent_id)
-         |  WHERE a.vec_id <> p.q_id),
-         |terms AS (SELECT ca.q_id, ca.vec_id,
-         |    CAST(round(list_dot_product(
-         |      q.qe[cd.s*$sd+1 : cd.s*$sd+$sd], cd.cvec) * 1e6, 0) AS BIGINT) AS tl,
-         |    CAST(round(cd.cc * 1e6, 0) AS BIGINT) AS ccl
-         |  FROM cand ca JOIN codes cd ON cd.vec_id = ca.vec_id
-         |  JOIN q ON q.q_id = ca.q_id),
-         |agg AS (SELECT q_id, vec_id, sum(tl) AS sl, sum(ccl) AS scc
-         |  FROM terms GROUP BY 1, 2),
-         |scored AS (SELECT a.q_id, a.vec_id,
-         |  (a.sl / 1e6) / (q.qn * sqrt(a.scc / 1e6)) AS cos
-         |  FROM agg a JOIN q ON q.q_id = a.q_id),
-         |rk AS (SELECT q_id, vec_id, cos,
-         |  row_number() OVER (PARTITION BY q_id ORDER BY round(cos,6) DESC, vec_id) AS rk
-         |  FROM scored)
-         |SELECT q_id, rk, vec_id, round(cos,4) AS cos FROM rk
-         |WHERE rk <= ${LQ.AnnK}
-         |ORDER BY q_id, rk""".stripMargin
-    },
+    "ann_ivf_pq_trained" -> ivfPqTrainedSqlOver("n"),
+    // F60: the persisted/epoch-pinned index search is bit-equal to the
+    // in-session F25h by construction (shared Ann.ivfTopKPqOnIndex tail
+    // + lossless parquet round-trip), so the oracle is SHARED VERBATIM
+    // — the hash match is the save/load round-trip theorem cross-engine
+    "ann_index_search" -> ivfPqTrainedSqlOver("n"),
+    // F60b: extend ≡ rebuild-encode over the persisted form — the
+    // codebooks train on the BASE corpus only (the frozen-book law),
+    // while encode/probe/ADC run over the whole corpus
+    "ann_index_refresh" -> ivfPqTrainedSqlOver("base",
+      "base AS (SELECT * FROM n WHERE vec_id % 3 <> 0),\n"),
     // F25i: residual IVFPQ — residuals float-rounded from the
     // assignment, the trained chain over the residual CTE, ADC with
     // the q·c / ‖c‖² / c·cw cross terms all on the BIGINT grid
@@ -3947,6 +3969,8 @@ object SparkEntry {
          |ORDER BY 1, 2""".stripMargin,
     // C16d: diffSeriesLists (missing side reads 0 unless both missing)
     // + aggregateSeriesLists multiply (either side missing nulls)
+    // + the 4-arg xFilesFactor form (sum gated at 0.99: both sides
+    // must be present — nn >= 0.99·2)
     "gfn_agg_lists" ->
       s"""WITH $M,
          |${gfnFrameCteNamed("^vera\\.u1[^.]\\.click$$", "a")},
@@ -3962,7 +3986,12 @@ object SparkEntry {
          |      THEN coalesce(va, 0) - coalesce(vb, 0) END - 1e-9, 4) AS value FROM j
          |  UNION ALL
          |  SELECT 'multiplySeries(' || pa || ',' || pb || ')' AS path, t,
-         |    round(va * vb - 1e-9, 4) AS value FROM j)
+         |    round(va * vb - 1e-9, 4) AS value FROM j
+         |  UNION ALL
+         |  SELECT 'sumSeries(' || pa || ',' || pb || ')' AS path, t,
+         |    round(CASE WHEN (CASE WHEN va IS NOT NULL THEN 1 ELSE 0 END
+         |        + CASE WHEN vb IS NOT NULL THEN 1 ELSE 0 END) >= 0.99 * 2
+         |      THEN coalesce(va, 0) + coalesce(vb, 0) END - 1e-9, 4) AS value FROM j)
          |ORDER BY 1, 2""".stripMargin,
     // C16e: the scalar sweep — round half-up (the documented
     // banker's-rounding divergence), add, exp, sigmoid, logit's

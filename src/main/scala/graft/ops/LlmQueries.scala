@@ -645,6 +645,48 @@ object LlmQueries {
       IvfCentroids, IvfProbe, PqSubspaces, PqCodes, PqTrainIters, PqTrainBp)
   }
 
+  private def annIndexParams = graft.similarity.AnnIndex.Params(
+    IvfCentroids, IvfProbe, PqSubspaces, PqCodes, PqTrainIters, PqTrainBp)
+
+  private def annIndexRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-annidx").toString
+
+  /** F60: epoch-pinned search through the PERSISTED IVFPQ index — the
+    * full lifecycle in one query: build (train + encode + publish
+    * epoch 1), load via the ready-marker pointer, search through the
+    * parquet artifacts. Results are bit-equal to the in-session
+    * [[annIvfPqTrained]] (shared Ann.ivfTopKPqOnIndex tail + lossless
+    * float/byte parquet round-trip), so the F25h oracle is shared
+    * verbatim — the hash match IS the save/load round-trip theorem
+    * cross-engine.
+    */
+  def annIndexSearch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.AnnIndex
+    val e = Tables.embeddings(spark, dir)
+    val root = annIndexRoot()
+    AnnIndex.build(spark, e, annIndexParams, root)
+    val idx = AnnIndex.load(spark, root) // pins currentEpoch = 1
+    AnnIndex.search(e.filter(col("vec_id") < AnnQueryMax), idx, AnnK)
+  }
+
+  /** F60b: incremental REFRESH — build on the vec_id % 3 != 0 base
+    * (codebooks train on the base only), extend with the % 3 == 0
+    * delta (one assign+encode pass under the FROZEN epoch-1 books into
+    * a new segment), search through the published epoch 2. The oracle
+    * replays exactly that: centroids/book CTEs over the base, the
+    * encode/probe/ADC chain over the whole corpus — so the hash match
+    * proves extend ≡ rebuild-encode over the persisted form.
+    */
+  def annIndexRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.AnnIndex
+    val e = Tables.embeddings(spark, dir)
+    val root = annIndexRoot()
+    AnnIndex.build(spark, e.filter(col("vec_id") % 3 =!= 0), annIndexParams, root)
+    AnnIndex.extend(spark, root, e.filter(col("vec_id") % 3 === 0))
+    val idx = AnnIndex.load(spark, root) // pins currentEpoch = 2
+    AnnIndex.search(e.filter(col("vec_id") < AnnQueryMax), idx, AnnK)
+  }
+
   /** F25i: residual IVFPQ — the sub-quantizers encode x − centroid
     * (FAISS's IndexIVFPQ), trained by the same sampled Lloyd chain.
     */

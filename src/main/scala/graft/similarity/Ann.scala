@@ -1057,7 +1057,6 @@ object Ann {
   private def ivfTopKPqWithBook(queries: DataFrame, vecs: DataFrame, k: Int,
                                 nCentroids: Int, nProbe: Int,
                                 book: IndexedSeq[IndexedSeq[Array[Float]]]): DataFrame = {
-    val b = book.map(_.toArray).toArray
     // the index build is TWO independent corpus passes joined on
     // vec_id — the payload-free coarse argmax ([[coarseAssign]]: the
     // map-side-combined shuffle row is 16 bytes) and the map-only
@@ -1069,22 +1068,39 @@ object Ann {
     // per-row quantize costs about as much as the csim it rides with,
     // while the PQ kernel is ~30× that). The joined output
     // (vec_id, cent_id, pcode) is the IVFPQ index table a production
-    // build persists; the join reuses the aggregate's vec_id
-    // partitioning, so it costs one exchange on the 8-byte code side.
+    // build persists ([[graft.similarity.AnnIndex]] does exactly that);
+    // the join reuses the aggregate's vec_id partitioning, so it costs
+    // one exchange on the 8-byte code side.
     val cents = broadcast(initialCentroids(vecs, nCentroids))
     val assigned = coarseAssign(vecs, cents)
       .join(pqEncode(vecs, book), Seq("vec_id"))
+    ivfTopKPqOnIndex(queries, cents, assigned, k, nProbe, book)
+  }
+
+  /** The IVFPQ SEARCH tail over an explicit index — `cents` is the
+    * (cent_id, ce, cn) coarse codebook, `lists` the
+    * (vec_id, cent_id, pcode) inverted lists. Shared by the in-session
+    * builds above and [[AnnIndex]]'s persisted/epoch-pinned path, so a
+    * search through a saved index is bit-equal to the in-session one
+    * BY CONSTRUCTION (one scoring source, and every persisted column —
+    * float arrays, byte codes — round-trips parquet losslessly).
+    */
+  def ivfTopKPqOnIndex(queries: DataFrame, cents: DataFrame,
+                       lists: DataFrame, k: Int, nProbe: Int,
+                       book: IndexedSeq[IndexedSeq[Array[Float]]]): DataFrame = {
+    val b = book.map(_.toArray).toArray
+    val cb = broadcast(cents)
     val q = queries.select(col("vec_id").as("q_id"), col("embedding"),
       norm(col("embedding")).as("qn"),
       graft.functions.PqKernels.adcTab(col("embedding"), b).as("qtab"))
-    val qScored = q.crossJoin(cents)
+    val qScored = q.crossJoin(cb)
       .withColumn("csim", dot(col("embedding"), col("ce")) / (col("qn") * col("cn")))
     val qw = Window.partitionBy(col("q_id"))
       .orderBy(round(col("csim"), 6).desc, col("cent_id"))
     val probes = broadcast(qScored
       .withColumn("crk", row_number().over(qw)).filter(col("crk") <= nProbe)
       .select(col("q_id"), col("qtab"), col("qn"), col("cent_id")))
-    val scored = assigned.join(probes, Seq("cent_id"))
+    val scored = lists.join(probes, Seq("cent_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", adcCos(book))
     topK(scored, k)

@@ -1,0 +1,220 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** F60: the IVF+PQ index LIFECYCLE — persist / version / swap
+  * (VERDICT r9 #1). The F6/F25 family builds its artifacts in-session;
+  * a production ANN service instead LOADS a versioned index and swaps
+  * epochs: queries pin an epoch for their whole lifetime, a refresh
+  * publishes the next epoch, and nothing a reader holds ever mutates.
+  *
+  * On-disk layout under `root` (all parquet, all immutable once
+  * published):
+  *
+  * {{{
+  *   seg=<n>/                 inverted-list SEGMENT: (vec_id, cent_id,
+  *                            pcode) — written once, shared by every
+  *                            later epoch (the Lucene/FAISS segment
+  *                            model: an extend writes ONE new segment
+  *                            for the delta, never rewrites the corpus)
+  *   epoch=<e>/centroids/     coarse codebook (cent_id, ce)
+  *   epoch=<e>/codebook/      product codebook (s, j, cw)
+  *   epoch=<e>/segments/      manifest: the `seg` ids this epoch reads
+  *   _ready_epoch_<e>         0-byte marker, written LAST
+  * }}}
+  *
+  * The SWAP discipline is the marker file: an epoch exists only once
+  * its `_ready_epoch_<e>` marker does, and the marker is created (one
+  * atomic name-level operation) strictly after every artifact under
+  * `epoch=<e>/` is fully written. [[currentEpoch]] = max ready marker,
+  * so a reader either sees the old epoch or the complete new one —
+  * never a mix — and a build that dies mid-write leaves an invisible
+  * (retryable) partial dir. Ready epochs are never rewritten
+  * (enforced), so an epoch-pinned query is repeatable forever.
+  *
+  * Scale shape: centroids and codebook are K-row / m·kc-row bounded
+  * artifacts (the broadcast contract); the lists segments are the only
+  * corpus-sized piece, written repartitioned+sorted by cent_id so
+  * row-group stats cluster each inverted list. [[extend]]'s work is
+  * one assign+encode pass over the DELTA plus three bounded-table
+  * rewrites — corpus-size-independent, the F37 merge discipline.
+  */
+object AnnIndex {
+
+  /** Build parameters — the F25h surface. */
+  final case class Params(nCentroids: Int, nProbe: Int, m: Int, kc: Int,
+                          iters: Int, rateBp: Int)
+
+  /** A loaded, epoch-pinned index: everything a search needs, nothing
+    * mutable. `centroids` carries (cent_id, ce, cn); `lists` is the
+    * union of the epoch's segments.
+    */
+  final case class Loaded(epoch: Long, params: Params, centroids: DataFrame,
+                          book: IndexedSeq[IndexedSeq[Array[Float]]],
+                          lists: DataFrame)
+
+  private def hadoopFs(spark: SparkSession, root: String) = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def markerName(epoch: Long) = s"_ready_epoch_$epoch"
+
+  /** The live epoch: the highest published marker. Loud when none —
+    * an index root without a ready epoch is not an index.
+    */
+  def currentEpoch(spark: SparkSession, root: String): Long = {
+    val es = readyEpochs(spark, root)
+    require(es.nonEmpty, s"no ready epoch under $root — build() one first")
+    es.max
+  }
+
+  def readyEpochs(spark: SparkSession, root: String): Seq[Long] = {
+    val (fs, p) = hadoopFs(spark, root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName).toSeq
+      .collect { case n if n.startsWith("_ready_epoch_") =>
+        n.stripPrefix("_ready_epoch_").toLong }
+  }
+
+  private def isReady(spark: SparkSession, root: String, epoch: Long): Boolean =
+    readyEpochs(spark, root).contains(epoch)
+
+  private def publish(spark: SparkSession, root: String, epoch: Long): Unit = {
+    val (fs, p) = hadoopFs(spark, root)
+    val ok = fs.createNewFile(
+      new org.apache.hadoop.fs.Path(p, markerName(epoch)))
+    require(ok, s"epoch $epoch already published under $root")
+  }
+
+  private def segIds(spark: SparkSession, root: String): Seq[Long] = {
+    val (fs, p) = hadoopFs(spark, root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName).toSeq
+      .collect { case n if n.startsWith("seg=") => n.stripPrefix("seg=").toLong }
+  }
+
+  /** One assign+encode pass: the (vec_id, cent_id, pcode) inverted-list
+    * rows of `vecs` under a FROZEN (centroids, book) — the exact
+    * two-pass index build of the in-session IVFPQ path
+    * (Ann.ivfTopKPqWithBook), shared so a persisted segment can never
+    * encode differently than the in-session index does.
+    */
+  def encodeLists(vecs: DataFrame, centroids: DataFrame,
+                  book: IndexedSeq[IndexedSeq[Array[Float]]]): DataFrame =
+    Ann.coarseAssign(vecs, centroids)
+      .join(Ann.pqEncode(vecs, book), Seq("vec_id"))
+
+  private def writeSegment(lists: DataFrame, root: String, seg: Long): Unit =
+    lists
+      // cluster each inverted list: one shuffle on cent_id, rows sorted
+      // (cent_id, vec_id) within files so parquet row-group min/max
+      // stats isolate a probed list without reading its neighbors
+      .repartition(col("cent_id"))
+      .sortWithinPartitions(col("cent_id"), col("vec_id"))
+      .write.mode("overwrite").parquet(s"$root/seg=$seg")
+
+  private def writeEpochTables(spark: SparkSession, root: String, epoch: Long,
+                               params: Params, centroids: DataFrame,
+                               book: IndexedSeq[IndexedSeq[Array[Float]]],
+                               segs: Seq[Long]): Unit = {
+    require(!isReady(spark, root, epoch),
+      s"epoch $epoch is published and immutable under $root")
+    import spark.implicits._
+    val dir = s"$root/epoch=$epoch"
+    centroids.select(col("cent_id"), col("ce"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    val bookRows = for {
+      s <- book.indices; j <- book(s).indices
+    } yield (s, j, book(s)(j).toSeq)
+    bookRows.toDF("s", "j", "cw")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
+    // the manifest rides the params so load() needs no out-of-band
+    // configuration — an epoch is self-describing
+    segs.map(sg => (sg, params.nCentroids, params.nProbe, params.m,
+        params.kc, params.iters, params.rateBp))
+      .toDF("seg", "n_centroids", "n_probe", "m", "kc", "iters", "rate_bp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/segments")
+    publish(spark, root, epoch)
+  }
+
+  /** Full build: train the coarse + product codebooks on `vecs` (the
+    * F25h trained path), encode the corpus into segment 1, publish
+    * epoch 1. Returns the published epoch.
+    */
+  def build(spark: SparkSession, vecs: DataFrame, params: Params,
+            root: String): Long = {
+    require(readyEpochs(spark, root).isEmpty,
+      s"$root already holds a published index — use extend() or a new root")
+    val cents = Ann.initialCentroids(vecs, params.nCentroids)
+    val book = Ann.pqCodebookTrained(vecs, params.m, params.kc,
+      params.iters, params.rateBp)
+    writeSegment(encodeLists(vecs, cents, book), root, seg = 1L)
+    writeEpochTables(spark, root, epoch = 1L, params, cents, book, Seq(1L))
+    1L
+  }
+
+  /** Incremental refresh: encode ONLY `newVecs` under the live epoch's
+    * FROZEN codebooks into a new segment, publish epoch e+1 referencing
+    * the old segments plus the new one. Work ∝ the delta (one
+    * assign+encode pass + three bounded-table rewrites); readers
+    * pinned at epoch e are untouched — their segments and tables are
+    * immutable. Codebooks deliberately do NOT retrain here (the FAISS
+    * operational rule: retraining is a rebuild under a fresh root,
+    * because new codewords would silently re-key every existing
+    * segment).
+    */
+  def extend(spark: SparkSession, root: String, newVecs: DataFrame): Long = {
+    val e = currentEpoch(spark, root)
+    val idx = load(spark, root, Some(e))
+    val seg = segIds(spark, root).max + 1
+    writeSegment(encodeLists(newVecs, idx.centroids, idx.book), root, seg)
+    val oldSegs = loadManifest(spark, root, e)._2
+    writeEpochTables(spark, root, e + 1, idx.params, idx.centroids,
+      idx.book, oldSegs :+ seg)
+    e + 1
+  }
+
+  private def loadManifest(spark: SparkSession, root: String,
+                           epoch: Long): (Params, Seq[Long]) = {
+    val m = spark.read.parquet(s"$root/epoch=$epoch/segments").collect()
+    val h = m.head
+    (Params(h.getAs[Int]("n_centroids"), h.getAs[Int]("n_probe"),
+      h.getAs[Int]("m"), h.getAs[Int]("kc"), h.getAs[Int]("iters"),
+      h.getAs[Int]("rate_bp")),
+      m.map(_.getAs[Long]("seg")).toSeq.sorted)
+  }
+
+  /** Load an epoch (default: the live one). The codebook collects to
+    * the driver — m·kc rows, the bounded-codebook contract — and `cn`
+    * is recomputed with the same FloatDot norm the build used, so the
+    * loaded centroids are bit-identical to the in-session ones.
+    */
+  def load(spark: SparkSession, root: String,
+           epoch: Option[Long] = None): Loaded = {
+    val e = epoch.getOrElse(currentEpoch(spark, root))
+    require(isReady(spark, root, e), s"epoch $e is not published under $root")
+    val (params, segs) = loadManifest(spark, root, e)
+    val cents = spark.read.parquet(s"$root/epoch=$e/centroids")
+      .withColumn("cn", sqrt(graft.functions.FloatDot.dot(col("ce"), col("ce"))))
+    val bookRows = spark.read.parquet(s"$root/epoch=$e/codebook").collect()
+      .map(r => ((r.getAs[Int]("s"), r.getAs[Int]("j")),
+        r.getSeq[Float](r.fieldIndex("cw")).toArray)).toMap
+    val m = bookRows.keys.map(_._1).max + 1
+    val kc = bookRows.keys.map(_._2).max + 1
+    val book = (0 until m).map(s => (0 until kc).map(j => bookRows((s, j))))
+    val lists = segs.map(sg => spark.read.parquet(s"$root/seg=$sg"))
+      .reduce(_ unionByName _)
+    Loaded(e, params, cents, book, lists)
+  }
+
+  /** Search through a loaded, epoch-pinned index — the shared
+    * [[Ann.ivfTopKPqOnIndex]] tail, so results are bit-equal to the
+    * in-session [[Ann.ivfTopKPqTrained]] over the same corpus and
+    * params by construction.
+    */
+  def search(queries: DataFrame, idx: Loaded, k: Int): DataFrame =
+    Ann.ivfTopKPqOnIndex(queries, idx.centroids, idx.lists, k,
+      idx.params.nProbe, idx.book)
+}
