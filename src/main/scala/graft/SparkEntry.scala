@@ -138,6 +138,7 @@ object SparkEntry {
     "gfn_display_pack" -> ((s, dir) => T.gfnDisplayPack(s, dir)),
     "gfn_moving_time" -> ((s, dir) => T.gfnMovingTime(s, dir)),
     "store_compact_fetch" -> ((s, dir) => T.storeCompactFetch(s, dir)),
+    "store_maintained_fetch" -> ((s, dir) => T.storeMaintainedFetch(s, dir)),
     "gfn_xff_limit" -> ((s, dir) => T.gfnXffLimit(s, dir)),
     "store_conf_fetch" -> ((s, dir) => T.storeConfFetch(s, dir)),
     "gfn_aggregate_minmax" -> ((s, dir) => T.gfnAggregateMinmax(s, dir)),
@@ -4081,6 +4082,13 @@ object SparkEntry {
     // B15: compaction is LOSSLESS — the compacted store's scan is the
     // raw point set, bit-for-bit (file layout is the spec's claim)
     "store_compact_fetch" ->
+      s"""WITH $M
+         |SELECT path, ts, round(value, 4) AS value
+         |FROM m ORDER BY 1, 2, 3""".stripMargin,
+    // G26: streaming maintenance is LOSSLESS — the maintained read
+    // (cold compacted days + hot live tail) is the raw point multiset,
+    // the B15 law with the compaction driven from the ingest loop
+    "store_maintained_fetch" ->
       s"""WITH $M
          |SELECT path, ts, round(value, 4) AS value
          |FROM m ORDER BY 1, 2, 3""".stripMargin,

@@ -64,6 +64,74 @@ object CarbonStream {
       .start()
   }
 
+  /** G26: [[ingestSink]] WITH store maintenance — every micro-batch
+    * appends to the HOT day-partitioned store, then runs the
+    * compact-and-swap tick: days the stream has moved past (strictly
+    * before the store's max day) rewrite into the COLD store as one
+    * sorted file each and publish via an atomic directory rename,
+    * while the live day keeps appending in hot. Hot copies of
+    * previously-published days are reclaimed at the START of the next
+    * tick (the grace rule), so a reader concurrent with any tick sees
+    * each day in exactly one layout — old or new, never a mix
+    * (MetricStore.readMaintained resolves the day split once per
+    * plan). This is the piece whisper never needed: its ring files are
+    * update-in-place (L_DataWhisper.lua:331-354); a parquet stream
+    * sink instead accretes one file per micro-batch per day (B15).
+    */
+  def ingestSinkMaintained(lines: DataFrame, now: Long, hotDir: String,
+                           coldDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val parsed = parseLines(lines, now)
+      .withColumn("day",
+        col("ts") - col("ts") % graft.tsdb.MetricStore.DaySeconds)
+    parsed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        maintainTick(batch, hotDir, coldDir)
+      }
+      .start()
+  }
+
+  /** One maintenance micro-batch, shared verbatim by the
+    * `store_maintained_fetch` batch twin: append the batch's points to
+    * hot, reclaim hot copies of days EARLIER ticks published (any
+    * reader concurrent with those ticks has long resolved its plan),
+    * then compact every day strictly before the store's max day. The
+    * live-day watermark is the store-wide max (monotone — a late batch
+    * carrying only old points can never reopen a published day).
+    */
+  private[graft] def maintainTick(batch: DataFrame, hotDir: String,
+                                  coldDir: String): Unit = {
+    val spark = batch.sparkSession
+    val withDay =
+      if (batch.columns.contains("day")) batch
+      else batch.withColumn("day",
+        col("ts") - col("ts") % graft.tsdb.MetricStore.DaySeconds)
+    val b = withDay.select(col("path"), col("ts"), col("value"), col("day"))
+      .cache()
+    if (!b.isEmpty) {
+      // a published day is IMMUTABLE (that is what makes the rename
+      // swap and the deferred hot delete safe without a lock): a point
+      // arriving for one is refused loudly — the arbitrarily-late path
+      // is the G6 upsert store, whose merge is built for it. The check
+      // is K-row metadata (the batch's distinct days vs the cold
+      // listing), never a data scan.
+      val published = graft.tsdb.MetricStore.coldDays(spark, coldDir).toSet
+      val late = b.select(col("day").cast("long")).distinct()
+        .collect().map(_.getLong(0)).filter(published.contains).sorted
+      require(late.isEmpty,
+        s"maintainTick: batch carries points for published day(s) " +
+          s"${late.mkString(",")} — closed days are immutable; route " +
+          "late points through the upsert store (G6) or close days later")
+      b.write.mode("append").partitionBy("day").parquet(hotDir)
+      graft.tsdb.MetricStore.cleanupHot(spark, hotDir, coldDir)
+      val liveDay = spark.read.parquet(hotDir)
+        .agg(max(col("day").cast("long"))).head.getLong(0)
+      graft.tsdb.MetricStore.compactTick(spark, hotDir, coldDir, liveDay)
+    }
+    b.unpersist()
+  }
+
   final case class Point(path: String, ts: Long, value: Double)
 
   /** G6: streaming slot upsert into the day-partitioned MetricStore —

@@ -152,6 +152,102 @@ object MetricStore {
       .sortWithinPartitions(col("day"), col("path"), col("ts"))
       .write.partitionBy("day").mode("overwrite").parquet(dstDir)
 
+  // ---- G26: the MAINTAINED store — hot appends + cold compacted days
+
+  private def hadoopFs(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** The cold store's published day set — K-row metadata read off the
+    * directory names (one listing, never a data scan).
+    */
+  def coldDays(spark: SparkSession, coldDir: String): Seq[Long] = {
+    val (fs, p) = hadoopFs(spark, coldDir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName).toSeq
+      .collect { case n if n.startsWith("day=") => n.stripPrefix("day=").toLong }
+      .sorted
+  }
+
+  /** G26 maintenance tick: compact every CLOSED hot day (strictly
+    * before `beforeDay`, not yet cold) into the cold store. One
+    * [[compactRaw]]-shaped job writes the closed days into an
+    * underscore-prefixed staging dir (invisible to parquet listings),
+    * then each day PUBLISHES via one directory rename — atomic at the
+    * name level, so a concurrent reader sees a day's cold copy
+    * entirely or not at all, never a partial file set. The hot copy is
+    * NOT deleted here: a reader that resolved its day list before the
+    * rename is still scanning it — [[cleanupHot]] reclaims it on a
+    * LATER tick (the grace rule), which is what makes the swap safe
+    * without a lock. Work ∝ the closed days' rows (typically one day),
+    * never the store. Returns the days published.
+    */
+  def compactTick(spark: SparkSession, hotDir: String, coldDir: String,
+                  beforeDay: Long): Seq[Long] = {
+    val already = coldDays(spark, coldDir).toSet
+    val (fs, coldP) = hadoopFs(spark, coldDir)
+    val hot = spark.read.parquet(hotDir)
+    // partition values read back type-inferred from directory names
+    // (INT for small day buckets) — normalize to long
+    val days = hot.select(col("day").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+      .filter(d => d < beforeDay && !already.contains(d)).sorted
+    if (days.isEmpty) Seq.empty
+    else {
+      val staging = s"$coldDir/_staging"
+      hot.filter(col("day").isin(days.map(d => d: Any): _*))
+        .repartition(col("day"))
+        .sortWithinPartitions(col("day"), col("path"), col("ts"))
+        .write.partitionBy("day").mode("overwrite").parquet(staging)
+      fs.mkdirs(coldP)
+      days.foreach { d =>
+        val ok = fs.rename(
+          new org.apache.hadoop.fs.Path(s"$staging/day=$d"),
+          new org.apache.hadoop.fs.Path(s"$coldDir/day=$d"))
+        require(ok, s"compactTick: publishing day=$d failed (exists?)")
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      days
+    }
+  }
+
+  /** Reclaim hot copies of days the cold store has published. Run on a
+    * tick AFTER the one that compacted them (the grace rule): any
+    * reader concurrent with that earlier tick resolved its plan
+    * against a day list from before the publication and may still be
+    * scanning the hot copy. Returns the days deleted.
+    */
+  def cleanupHot(spark: SparkSession, hotDir: String, coldDir: String): Seq[Long] = {
+    val cold = coldDays(spark, coldDir).toSet
+    val (fs, hotP) = hadoopFs(spark, hotDir)
+    if (!fs.exists(hotP)) Seq.empty
+    else fs.listStatus(hotP).map(_.getPath).toSeq
+      .filter(p => p.getName.startsWith("day=") &&
+        cold.contains(p.getName.stripPrefix("day=").toLong))
+      .map { p => fs.delete(p, true); p.getName.stripPrefix("day=").toLong }
+      .sorted
+  }
+
+  /** One consistent scan of the maintained store: the cold copy wins
+    * for every published day, the hot copy serves the rest (the live
+    * day and any not-yet-compacted closed day). The day list resolves
+    * ONCE, here, so the frame this returns reads one layout per day
+    * for its whole lifetime — combined with the rename publication and
+    * the deferred hot delete, a read concurrent with a maintenance
+    * tick sees the old layout or the new one, never a mix.
+    */
+  def readMaintained(spark: SparkSession, hotDir: String,
+                     coldDir: String): DataFrame = {
+    val cold = coldDays(spark, coldDir)
+    val hotAll = spark.read.parquet(hotDir)
+      .select(col("path"), col("ts"), col("value"), col("day"))
+    if (cold.isEmpty) hotAll
+    else hotAll.filter(!col("day").isin(cold.map(d => d: Any): _*))
+      .unionByName(spark.read.parquet(coldDir)
+        .select(col("path"), col("ts"), col("value"), col("day")))
+  }
+
   /** Fetch from the materialized store: archive selection as in
     * Fetch.select, then a pruned scan of just that archive level and
     * day range, then the dense grid join. The grid's path set comes

@@ -1082,6 +1082,45 @@ object Queries {
       .orderBy(col("path"), col("ts"), col("value"))
   }
 
+  /** G26: the MAINTAINED store — the B15 compaction driven from the
+    * ingest loop: three simulated micro-batches append through
+    * CarbonStream.maintainTick (the exact foreachBatch body of
+    * ingestSinkMaintained), each tick compacting the days the stream
+    * has moved past into the cold store (atomic per-day rename
+    * publication) and reclaiming hot copies published by earlier
+    * ticks. The read is MetricStore.readMaintained — cold wins per
+    * published day, hot serves the live tail — and must equal the raw
+    * point multiset (lossless maintenance, the B15 oracle shared).
+    */
+  def storeMaintainedFetch(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_maintained_${ProcessHandle.current().pid()}",
+      dir.stripPrefix("/").replaceAll("[^A-Za-z0-9.]", "_")).toString
+    val marker = java.nio.file.Paths.get(root, "_GRAFT_MAINTAIN_OK")
+    if (!java.nio.file.Files.exists(marker)) {
+      val m = Tables.metrics(spark, dir)
+        .select(col("path"), col("ts"), col("value"))
+      // DAY-ORDERED arrival, the append sink's contract (a published
+      // day is immutable — late points take the G6 upsert store): each
+      // simulated micro-batch carries the next third of the calendar,
+      // whole days only
+      val dayCol = col("ts") - col("ts") % MetricStore.DaySeconds
+      val days = m.select(dayCol.as("day")).distinct().orderBy(col("day"))
+        .collect().map(_.getLong(0))
+      val cuts = Seq(days(days.length / 3), days(2 * days.length / 3))
+      val batches = Seq(
+        m.filter(dayCol < cuts(0)),
+        m.filter(dayCol >= cuts(0) && dayCol < cuts(1)),
+        m.filter(dayCol >= cuts(1)))
+      batches.foreach(b => graft.streaming.CarbonStream.maintainTick(
+        b, s"$root/hot", s"$root/cold"))
+      java.nio.file.Files.writeString(marker, "ok")
+    }
+    MetricStore.readMaintained(spark, s"$root/hot", s"$root/cold")
+      .select(col("path"), col("ts"), round(col("value"), 4).as("value"))
+      .orderBy(col("path"), col("ts"), col("value"))
+  }
+
   /** B16: the schema-driven store — click series store under their own
     * rule (10m:1d,1h:30d, method=sum) while everything else takes the
     * default (1h:7d,1d:60d, average), exactly how a production

@@ -156,6 +156,45 @@ class StreamSpec extends SparkSpec {
     assert(days.toSeq == Seq(0L, 86400L))
   }
 
+  test("maintained ingest: closed days compact while the live day appends (G26)") {
+    import graft.tsdb.MetricStore
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-maint").toString
+    val (hot, cold) = (s"$tmp/hot", s"$tmp/cold")
+    val source = MemoryStream[String]
+    val query = CarbonStream.ingestSinkMaintained(source.toDF().toDF("line"),
+      999L, hot, cold, s"$tmp/ckpt")
+    def dayDirs(dir: String) =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("day=")).map(_.getName).sorted.toSeq
+    try {
+      // batch 1: day 0 only — live, nothing closes
+      source.addData("a.x 1.0 100", "a.x 2.0 200")
+      query.processAllAvailable()
+      assert(dayDirs(cold).isEmpty)
+      // batch 2: day 1 appears — day 0 closes and publishes
+      source.addData("a.x 3.0 90000")
+      query.processAllAvailable()
+      assert(dayDirs(cold) == Seq("day=0"))
+      assert(dayDirs(hot).contains("day=0")) // grace: hot copy survives
+      // batch 3: day 2 — the earlier publication's hot copy reclaims,
+      // day 1 publishes
+      source.addData("a.y 4.0 180000")
+      query.processAllAvailable()
+      assert(dayDirs(cold) == Seq("day=0", "day=86400"))
+      assert(dayDirs(hot).toSet == Set("day=86400", "day=172800"))
+    } finally query.stop()
+    // published day: exactly one sorted file
+    assert(new java.io.File(s"$cold/day=0").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+    // the maintained read is the full point multiset, each point once
+    val got = MetricStore.readMaintained(spark, hot, cold)
+      .select("path", "ts", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(got == Seq(("a.x", 100L, 1.0), ("a.x", 200L, 2.0),
+      ("a.x", 90000L, 3.0), ("a.y", 180000L, 4.0)))
+  }
+
   test("production loop: stream ingest -> archive store -> pruned fetch") {
     import java.nio.file.Files
     import graft.tsdb.{Fetch, MetricStore, Retention}

@@ -134,6 +134,55 @@ class MetricStoreSpec extends SparkSpec {
     assert(files(dst2).keySet == Set("day=0"), files(dst2).toString)
   }
 
+  test("G26 maintained store: atomic day publication, reads never mix") {
+    val day = MetricStore.DaySeconds
+    // 3 days of points, splintered across 3 appends (the stream shape)
+    val pts = (0L until 90L).map(i => (s"m.${i % 3}", i * 2880L, i.toDouble))
+      .toDF("path", "ts", "value")
+      .withColumn("day", col("ts") - col("ts") % day)
+    val hot = Files.createTempDirectory("graft-maint-hot").toString
+    val cold = Files.createTempDirectory("graft-maint-cold").toString
+    for (k <- 0 until 3)
+      pts.filter(col("ts") % 3 === k).repartition(4)
+        .write.partitionBy("day").mode("append").parquet(hot)
+    def dayDirs(dir: String) = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("day=")).map(_.getName).sorted.toSeq
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.select("path", "ts", "value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val want = multiset(pts)
+    // tick: publish the two closed days; the live day stays hot-only
+    assert(MetricStore.compactTick(spark, hot, cold, 2 * day) == Seq(0L, day))
+    assert(dayDirs(cold) == Seq("day=0", s"day=$day"))
+    // grace: hot copies survive the publishing tick, so a reader that
+    // resolved its plan pre-publication still has its files — and a
+    // post-publication read takes the cold copy per day, each point
+    // exactly ONCE even while both copies exist (never a mix)
+    assert(dayDirs(hot).contains("day=0"))
+    assert(multiset(MetricStore.readMaintained(spark, hot, cold)) == want)
+    // published days are one sorted file each
+    val coldDay0 = new java.io.File(s"$cold/day=0").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(coldDay0.length == 1)
+    // a later tick is a no-op for published days; cleanup then
+    // reclaims the hot copies and the read is unchanged
+    assert(MetricStore.compactTick(spark, hot, cold, 2 * day).isEmpty)
+    assert(MetricStore.cleanupHot(spark, hot, cold) == Seq(0L, day))
+    assert(dayDirs(hot) == Seq(s"day=${2 * day}"))
+    assert(multiset(MetricStore.readMaintained(spark, hot, cold)) == want)
+    // a mid-write staging dir is invisible to readers (underscore
+    // prefix) and to the day pointer
+    new java.io.File(s"$cold/_staging/day=${3 * day}").mkdirs()
+    assert(MetricStore.coldDays(spark, cold) == Seq(0L, day))
+    assert(multiset(MetricStore.readMaintained(spark, hot, cold)) == want)
+    // published days are immutable: a late point for one is refused
+    // loudly at the ingest tick (the G6 upsert store is the late path)
+    intercept[IllegalArgumentException] {
+      graft.streaming.CarbonStream.maintainTick(
+        Seq(("m.0", 60L, 9.9)).toDF("path", "ts", "value"), hot, cold)
+    }
+  }
+
   test("glob literal prefix reaches the scan as StringStartsWith") {
     val now = 90120L
     val plan = MetricStore.fetchStored(spark, root, spec, "a.*.v", 89940L, now, now)
