@@ -52,6 +52,7 @@ object SparkEntry {
     "ts_info" -> ((s, dir) => T.info(s, dir)),
     "ts_upsert" -> ((s, dir) => T.upsert(s, dir)),
     "stream_upsert" -> ((s, dir) => T.streamUpsert(s, dir)),
+    "stream_upsert_replay" -> ((s, dir) => T.streamUpsertReplay(s, dir)),
     "carbon_e2e" -> ((s, dir) => T.carbonE2e(s, dir)),
     "carbon_e2e_conf" -> ((s, dir) => T.carbonE2eConf(s, dir)),
     "carbon_user_hook" -> ((s, dir) => T.carbonUserHook(s, dir)),
@@ -3397,6 +3398,9 @@ object SparkEntry {
     // G6: the streaming two-micro-batch merge converges to the same
     // store state as the batch upsert — shared oracle by design
     "stream_upsert" -> UpsertSql,
+    // G6x: replayed micro-batch is a no-op behind the txn marker —
+    // final store state is ts_upsert's, oracle shared verbatim
+    "stream_upsert_replay" -> UpsertSql,
     "carbon_e2e" -> CarbonE2eSql,
     // identical semantics with all rule sets parsed from Graphite conf
     // text (Conf.scala) — the conf encodes the same rules, so the

@@ -148,10 +148,41 @@ object CarbonStream {
       : org.apache.spark.sql.streaming.StreamingQuery =
     points.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[Point], _: Long) =>
-        mergeBatch(batch.toDF(), dir)
+      .foreachBatch { (batch: Dataset[Point], batchId: Long) =>
+        mergeBatchOnce(batch.toDF(), dir, batchId): Unit
       }
       .start()
+
+  /** Exactly-once wrapper around [[mergeBatch]] (VERDICT r9 #3): the
+    * store carries a per-batch TXN MARKER (`_txn/<batchId>`, an
+    * underscore dir parquet discovery ignores; one atomic file-create
+    * per committed batch, written strictly AFTER the merge commits).
+    * Structured Streaming replays a micro-batch id after a failure —
+    * foreachBatch is at-least-once — and without the marker the replay
+    * would re-run the whole merge: value-idempotent (last-write-wins),
+    * but a full dynamic-partition REWRITE of every touched day, i.e.
+    * new files for nothing. With it the replay is a no-op at the FILE
+    * level: the store's bytes are exactly those of the single
+    * successful run. The one remaining window — a crash after the
+    * merge, before the marker — replays into a merge whose
+    * last-write-wins fold converges to the identical values (the G6
+    * law), after which the marker lands; so observable state is
+    * exactly-once in every interleaving. Returns whether the merge ran.
+    */
+  private[graft] def mergeBatchOnce(batch: DataFrame, dir: String,
+                                    batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_txn/$batchId")
+    if (fs.exists(marker)) false
+    else {
+      mergeBatch(batch, dir)
+      fs.mkdirs(marker.getParent)
+      fs.createNewFile(marker)
+      true
+    }
+  }
 
   /** One micro-batch's merge, shared verbatim by the `stream_upsert`
     * batch twin: read ONLY the day partitions the batch touches
@@ -172,9 +203,13 @@ object CarbonStream {
     if (days.nonEmpty) {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // an existing-but-EMPTY dir (fresh temp store) has no schema to infer
+      // an existing-but-EMPTY dir (fresh temp store) has no schema to
+      // infer; underscore entries (the _txn markers) are invisible to
+      // parquet discovery and must not count as data
       val existing =
-        if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+        if (fs.exists(p) && fs.listStatus(p).exists(s =>
+            !s.getPath.getName.startsWith("_") &&
+              !s.getPath.getName.startsWith(".")))
           spark.read.parquet(dir)
             .filter(col("day").isin(days.map(d => d: Any): _*))
             .select(col("path"), col("ts"), col("value"))

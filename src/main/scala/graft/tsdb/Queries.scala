@@ -1279,6 +1279,26 @@ object Queries {
       .orderBy(col("path"), col("ts"), col("value"))
   }
 
+  /** G6x (r10): exactly-once under REPLAY — the same two micro-batches
+    * through the txn-marked mergeBatchOnce, with batch 1 replayed (the
+    * at-least-once delivery foreachBatch actually has after a
+    * failure): the marker makes the replay a file-level no-op, so the
+    * final store equals ts_upsert exactly — the oracle is shared
+    * verbatim, and the byte-level no-op is pinned in StreamSpec.
+    */
+  def streamUpsertReplay(spark: SparkSession, dir: String): DataFrame = {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_stream_upsert_replay").toString
+    val m = Tables.metrics(spark, dir).select(col("path"), col("ts"), col("value"))
+    val late = m.filter(col("ts") % 3 === 0).withColumn("value", col("value") * 2)
+    graft.streaming.CarbonStream.mergeBatchOnce(m, store, 0L)
+    graft.streaming.CarbonStream.mergeBatchOnce(late, store, 1L)
+    graft.streaming.CarbonStream.mergeBatchOnce(late, store, 1L) // replay
+    spark.read.parquet(store)
+      .select(col("path"), col("ts"), round(col("value"), 4).as("value"))
+      .orderBy(col("path"), col("ts"), col("value"))
+  }
+
   /** Rule set for the end-to-end pipeline: patterns match the
     * *rewritten* namespace (rewrite precedes schema match on ingest,
     * L_DataCache.lua:161-200).

@@ -156,6 +156,40 @@ class StreamSpec extends SparkSpec {
     assert(days.toSeq == Seq(0L, 86400L))
   }
 
+  test("exactly-once upsert: a replayed batch id is a file-level no-op (G6)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-eo").toString
+    def df(rows: (String, Long, Double)*) = rows.toDF("path", "ts", "value")
+    def snapshot: Seq[(String, Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).map(f =>
+        (f.getPath, f.length(), f.lastModified())).sortBy(_._1)
+    }
+    def values = spark.read.parquet(dir).select("path", "ts", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    assert(CarbonStream.mergeBatchOnce(
+      df(("a.x", 100L, 1.0), ("a.x", 160L, 2.0)), dir, 0L))
+    val incoming = df(("a.x", 100L, 9.0))
+    assert(CarbonStream.mergeBatchOnce(incoming, dir, 1L))
+    val committed = snapshot
+    val want = Seq(("a.x", 100L, 9.0), ("a.x", 160L, 2.0))
+    assert(values == want)
+    // replayed batch id: merge skipped, store BYTES untouched (same
+    // files, sizes, mtimes — no dynamic-partition rewrite)
+    assert(!CarbonStream.mergeBatchOnce(incoming, dir, 1L))
+    assert(snapshot == committed)
+    assert(values == want)
+    // the crash window (merge committed, marker lost): the replay
+    // re-merges and last-write-wins converges to identical VALUES —
+    // files legitimately rewrite, observable state is exactly-once
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_txn/1"), false)
+    assert(CarbonStream.mergeBatchOnce(incoming, dir, 1L))
+    assert(values == want)
+  }
+
   test("maintained ingest: closed days compact while the live day appends (G26)") {
     import graft.tsdb.MetricStore
     implicit val sqlCtx = spark.sqlContext
