@@ -125,6 +125,8 @@ object SparkEntry {
     "gfn_reduce_series" -> ((s, dir) => T.gfnReduceSeries(s, dir)),
     "gfn_use_series_above" -> ((s, dir) => T.gfnUseSeriesAbove(s, dir)),
     "tags_index" -> ((s, dir) => T.tagsIndex(s, dir)),
+    "tags_index_merge" -> ((s, dir) => T.tagsIndexMerge(s, dir)),
+    "tags_values_indexed" -> ((s, dir) => T.tagsValuesIndexed(s, dir)),
     "gfn_series_by_tag" -> ((s, dir) => T.gfnSeriesByTag(s, dir)),
     "gfn_alias_by_tags" -> ((s, dir) => T.gfnAliasByTags(s, dir)),
     "cgi_tags_autocomplete" -> ((s, dir) => T.cgiTagsAutocomplete(s, dir)),
@@ -3905,6 +3907,26 @@ object SparkEntry {
          |  UNION ALL SELECT path, 'user' AS tag,
          |    regexp_extract(path, ';user=([^;]*)', 1) AS value FROM p)
          |ORDER BY 1, 2""".stripMargin,
+    // C15f: merge == rebuild — the artifact built on the click subset
+    // then merged with the whole namespace holds exactly the
+    // from-scratch index rows (tags_index's SQL verbatim)
+    "tags_index_merge" ->
+      s"""WITH $MT,
+         |p AS (SELECT DISTINCT path FROM mt)
+         |SELECT path, tag, value FROM (
+         |  SELECT path, 'name' AS tag, string_split(path, ';')[1] AS value FROM p
+         |  UNION ALL SELECT path, 'src' AS tag, 'vera' AS value FROM p
+         |  UNION ALL SELECT path, 'user' AS tag,
+         |    regexp_extract(path, ';user=([^;]*)', 1) AS value FROM p)
+         |ORDER BY 1, 2""".stripMargin,
+    // C15g: the cgi_tags_values request served off the persisted
+    // artifact — same answer, same SQL
+    "tags_values_indexed" ->
+      s"""WITH $MT,
+         |p AS (SELECT DISTINCT path FROM mt WHERE regexp_matches(path, '^click;'))
+         |SELECT DISTINCT regexp_extract(path, ';user=([^;]*)', 1) AS value
+         |FROM p WHERE regexp_extract(path, ';user=([^;]*)', 1) LIKE 'u1%'
+         |ORDER BY value LIMIT 5""".stripMargin,
     // C15b: seriesByTag — equality + anchored regex + not-equal over
     // the tag index resolve to exactly {u10,u13}×{non-error events};
     // the fetch replays the same two-level archive cascade

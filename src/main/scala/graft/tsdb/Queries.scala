@@ -928,6 +928,38 @@ object Queries {
     Tags.tagIndex(Tables.metricsTagged(spark, dir).select(col("path")))
       .orderBy(col("path"), col("tag"))
 
+  /** C15f: the tag index as a REFRESHABLE ARTIFACT — built on the
+    * click subset, merged with the whole namespace (only genuinely-new
+    * paths append; a re-merge of known paths is a no-op): the persisted
+    * rows equal a from-scratch index, so the tags_index oracle is
+    * shared verbatim — merge ≡ rebuild cross-engine.
+    */
+  def tagsIndexMerge(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_tagindex").toString
+    val paths = Tables.metricsTagged(spark, dir).select(col("path"))
+    Tags.writeTagIndex(paths.filter(col("path").startsWith("click")), root)
+    Tags.mergeTagIndex(spark, root, paths)
+    spark.read.parquet(root)
+      .select(col("path"), col("tag"), col("value"))
+      .orderBy(col("path"), col("tag"))
+  }
+
+  /** C15g: autocomplete VALUES over the persisted index — the
+    * cgi_tags_values request served off the standing artifact instead
+    * of a per-session derivation (one K-row scan, map-only selection
+    * predicate on the index's own path column); same oracle.
+    */
+  def tagsValuesIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_tagindex_vals").toString
+    val paths = Tables.metricsTagged(spark, dir).select(col("path"))
+    Tags.writeTagIndex(paths.filter(col("path").startsWith("click")), root)
+    Tags.mergeTagIndex(spark, root, paths)
+    Tags.autoCompleteValuesIndexed(spark.read.parquet(root),
+      Seq("name=click"), "user", Some("u1"), 5)
+  }
+
   /** C15b: seriesByTag with an equality, an anchored regex, and a
     * not-equal — resolved to a K-row path list on the tag index, then
     * ONE semi-joined fetch through the archive cascade.

@@ -169,6 +169,36 @@ class TagsSpec extends SparkSpec {
       exchanges("seriesByTag('name=cpu','dc!=d0','host=~h.*','dc!=~x')"))
   }
 
+  test("tag index artifact: merge == rebuild, re-merge no-op, indexed autocomplete") {
+    val dir = java.nio.file.Files.createTempDirectory("tagidx").toString
+    val half = pathsDf("cpu;dc=east;host=web1", "disk.used")
+    Tags.writeTagIndex(half, dir)
+    // merge the full universe: only the three new paths append
+    assert(Tags.mergeTagIndex(spark, dir, universe) == 3L)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(rows(spark.read.parquet(dir)) == rows(Tags.tagIndex(universe)))
+    // a re-merge of known paths is a byte-level no-op
+    assert(Tags.mergeTagIndex(spark, dir, universe) == 0L)
+    assert(rows(spark.read.parquet(dir)) == rows(Tags.tagIndex(universe)))
+    // indexed autocomplete answers equal the in-session derivations
+    val idx = spark.read.parquet(dir)
+    def strs(df: DataFrame) = df.collect().map(_.getString(0)).toSeq
+    assert(strs(Tags.autoCompleteTagsIndexed(idx, Seq.empty, None)) ==
+      strs(Tags.autoCompleteTags(universe, Seq.empty, None)))
+    assert(strs(Tags.autoCompleteTagsIndexed(idx, Seq("dc=east"), Some("h"))) ==
+      strs(Tags.autoCompleteTags(universe, Seq("dc=east"), Some("h"))))
+    assert(strs(Tags.autoCompleteValuesIndexed(idx, Seq("name=cpu"), "dc", None)) ==
+      strs(Tags.autoCompleteValues(universe, Seq("name=cpu"), "dc", None)))
+    // missing-tag exclusion: db1 has no dc row in the index
+    assert(strs(Tags.autoCompleteValuesIndexed(idx, Seq.empty, "dc", None)) ==
+      Seq("east", "west"))
+    // the universe guard still applies through the indexed path
+    // (dc=~.* matches the empty value, so it requires nothing)
+    intercept[IllegalArgumentException](
+      Tags.autoCompleteTagsIndexed(idx, Seq("dc=~.*"), None).collect())
+  }
+
   test("useSeriesAbove: TagEnv path collects nothing; cap guards the collect path") {
     // gate at 5: h6..h9 qualify; err names replace to out names.
     // h9's out metric does NOT exist: graphite drops a replaced path
