@@ -28,6 +28,7 @@ object SparkEntry {
     "events_funnel" -> ((s, dir) => Relational.eventsFunnel(s, dir)),
     "events_retention" -> ((s, dir) => Relational.eventsRetention(s, dir)),
     "stream_funnel" -> ((s, dir) => Relational.streamFunnel(s, dir)),
+    "stream_funnel_horizon" -> ((s, dir) => Relational.streamFunnelHorizon(s, dir)),
     "events_attribution" -> ((s, dir) => Relational.eventsAttribution(s, dir)),
     "stream_sessionize" -> ((s, dir) => Relational.streamSessionize(s, dir)),
     "events_interval_count" -> ((s, dir) => Relational.eventsIntervalCount(s, dir)),
@@ -4924,6 +4925,42 @@ object SparkEntry {
         |      (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS depth
         |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    // G20d: the event-time horizon rule replayed deterministically —
+    // per-user gap split at > 86400 s (ALL event types advance
+    // last-activity, the stream fold's lastT), E8's conditional-min
+    // chain WITHIN each journey, one terminal closed=1 row per journey
+    // (depth-0 journeys included: expiry emits whatever state holds)
+    "stream_funnel_horizon" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |  event_type,
+        |  CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+        |    WHEN 'purchase' THEN 2 ELSE 3 END AS rk FROM events),
+        |g AS (SELECT user_id, t, event_type, rk,
+        |  CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 86400
+        |       THEN 1 ELSE 0 END AS nj
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, rk)),
+        |j AS (SELECT user_id, t, event_type,
+        |  sum(nj) OVER (PARTITION BY user_id ORDER BY t, rk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS jid
+        | FROM g),
+        |c1 AS (SELECT user_id, jid, min(t) AS jstart,
+        |  min(CASE WHEN event_type = 'view' THEN t END) AS t1
+        | FROM j GROUP BY 1, 2),
+        |c2 AS (SELECT j.user_id, j.jid,
+        |  min(CASE WHEN event_type = 'click' AND t >= t1 THEN t END) AS t2
+        | FROM j JOIN c1 USING (user_id, jid) GROUP BY 1, 2),
+        |c3 AS (SELECT j.user_id, j.jid,
+        |  min(CASE WHEN event_type = 'purchase' AND t >= t2 THEN t END) AS t3
+        | FROM j JOIN c2 USING (user_id, jid) GROUP BY 1, 2)
+        |SELECT c1.user_id, c1.jstart,
+        | coalesce(t1, -1) AS t_view, coalesce(t2, -1) AS t_click,
+        | coalesce(t3, -1) AS t_purchase,
+        | CAST((CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) +
+        |      (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) +
+        |      (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS depth,
+        | CAST(1 AS BIGINT) AS closed
+        |FROM c1 JOIN c2 USING (user_id, jid) JOIN c3 USING (user_id, jid)
+        |ORDER BY user_id, jstart""".stripMargin,
     // G21: session_window sessionization — Spark's session law
     // replayed: a session's window is [start, last+gap] INCLUSIVE of
     // its end for merging, so a gap of exactly 1800 s still MERGES

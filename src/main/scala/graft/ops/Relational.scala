@@ -288,6 +288,85 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** G20d batch twin (r10): the EVENT-TIME funnel expiry replayed
+    * DETERMINISTICALLY — the horizon rule as a batch fold in
+    * event-time order. In the stream, a journey expires when the
+    * GLOBAL watermark passes lastActivity + expireSec. The watermark
+    * only advances with traffic, so the canonical replay is the
+    * DENSE-STREAM LIMIT — watermark ≡ event time, the regime a
+    * production firehose actually operates in (and the one a sparse
+    * fixture can emulate with heartbeat ticks, as the StreamSpec
+    * theorem does): there the global condition reduces to the
+    * per-user gap rule — a journey whose next event arrives at
+    * t > lastActivity + expireSec (strictly; Spark fires a timeout
+    * when the watermark moves BEYOND the set timestamp) has expired
+    * before that event, and end-of-stream closes every open journey.
+    * On a SPARSE stream the watermark lags and journeys legitimately
+    * survive longer (event time stood still — expiring them would be
+    * wrong); that regime stays spec-covered, not oracled. So the
+    * replay = session-split each user's events at gaps > expireSec
+    * (ALL event types advance last-activity, as the stream fold's
+    * lastT does), run E8's conditional-min window chain WITHIN each
+    * journey, and emit one terminal closed=1 row per journey —
+    * depth-0 journeys included (the stream materializes state for
+    * every touched user and its expiry emits whatever state holds).
+    * Same plan class as E8: the split windows and the step chain all
+    * share ONE user shuffle.
+    */
+  def funnelHorizonReplay(e: DataFrame, steps: Seq[String],
+                          expireSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(steps.nonEmpty && steps.toSet.size == steps.length,
+      s"funnelHorizonReplay: steps must be non-empty and distinct ($steps)")
+    require(expireSec >= 1, s"expireSec must be >= 1 (got $expireSec)")
+    val rank = steps.zipWithIndex.tail
+      .foldLeft(when(col("event_type") === steps.head, 0)) {
+        case (acc, (st, i)) => acc.when(col("event_type") === st, i)
+      }.otherwise(steps.length)
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), rank)
+    val withJ = e
+      .withColumn("prev_t", lag(col("t"), 1).over(wOrd))
+      .withColumn("nj", when(col("prev_t").isNull ||
+        col("t") - col("prev_t") > expireSec, 1L).otherwise(0L))
+      .withColumn("jid", sum(col("nj"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+    val wj = Window.partitionBy(col("user_id"), col("jid"))
+    var df = withJ
+    steps.zipWithIndex.foreach { case (st, i) =>
+      val cond =
+        if (i == 0) col("event_type") === st
+        else col("event_type") === st && col("t") >= col(s"s${i - 1}")
+      df = df.withColumn(s"s$i", min(when(cond, col("t"))).over(wj))
+    }
+    val aggs = min(col("t")).as("jstart") +:
+      steps.indices.map(i => first(col(s"s$i")).as(s"v$i"))
+    val depth = steps.indices
+      .map(i => when(col(s"v$i").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.groupBy(col("user_id"), col("jid"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("user_id") +: col("jstart") +:
+        steps.zipWithIndex.map { case (st, i) =>
+          coalesce(col(s"v$i"), lit(-1L)).as(s"t_$st")
+        } :+ depth.as("depth") :+ lit(1L).as("closed"): _*)
+      .orderBy(col("user_id"), col("jstart"))
+  }
+
+  /** G20d driver query: the horizon replay over the event corpus at a
+    * 1-day horizon (≈1k journey splits at sf0.01, ~8 events per journey so the within-journey step chain is exercised) — the oracle
+    * replays the identical gap-split + per-journey window chain in
+    * SQL, giving the event-time expiry semantics the fold ≡ windows
+    * treatment G20 got (the stream ≡ replay side is pinned in
+    * StreamSpec over a one-event-per-batch MemoryStream drive).
+    */
+  def streamFunnelHorizon(spark: SparkSession, dir: String): DataFrame =
+    funnelHorizonReplay(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts").cast("long").as("t"),
+          col("event_type")),
+      Seq("view", "click", "purchase"), expireSec = 86400L)
+
   /** E9: cohort RETENTION — the week-over-week comeback matrix: each
     * user's cohort is the epoch-week of their FIRST event; for every
     * (cohort, week-offset) cell, how many of the cohort's users were

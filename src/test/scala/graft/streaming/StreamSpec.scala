@@ -527,6 +527,66 @@ class StreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("event-time funnel: dense-limit stream == horizon replay (G20d)") {
+    import graft.streaming.CarbonStream
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    // u1: full funnel then a fresh journey past the horizon; u2: a
+    // depth-0 journey (click with no view); u3: view+purchase (skipped
+    // step) then an order-violating second journey. Timestamps avoid
+    // the heartbeat grid and each other (an event at exactly the
+    // watermark would be dropped as late under delay 0 — a harness
+    // artifact, not semantics).
+    val evs = Seq(
+      (1L, 100L, "view"), (3L, 110L, "view"), (3L, 130L, "purchase"),
+      (2L, 150L, "click"), (1L, 200L, "click"), (1L, 300L, "purchase"),
+      (3L, 9010L, "click"), (3L, 9110L, "view"), (1L, 10010L, "view"))
+    val source = MemoryStream[(Long, Long, String)]
+    val out = CarbonStream.funnelStreamEventTime(
+      source.toDF().toDF("user_id", "t", "event_type"), steps,
+      expireSec = 1000L)
+    val query = out.toDF().writeStream
+      .format("memory").queryName("g20d_replay").outputMode("append").start()
+    try {
+      // the DENSE-STREAM limit the replay canonicalizes: heartbeat
+      // ticks every 500 s of event time keep the watermark tracking
+      // event time (a production firehose does this for free; on a
+      // sparse stream the watermark lags and journeys survive longer
+      // — correct event-time semantics, covered by the expiry specs
+      // above). One batch per event, in event-time order; trailing
+      // ticks close every open real journey.
+      val heartbeats = (0L to 11000L by 500L).map(t => (99L, t, "noise"))
+      val all = (evs ++ heartbeats).sortBy(_._2) :+
+        (99L, 999999L, "noise") :+ (99L, 1000999L, "noise")
+      all.foreach { e => source.addData(e); query.processAllAvailable() }
+      val streamClosed = spark.table("g20d_replay")
+        .filter("closed = 1 AND user_id <> 99")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).mkString(","), r.getLong(2)))
+        .sorted.toSeq
+      val replay = graft.ops.Relational.funnelHorizonReplay(
+        evs.toDF("user_id", "t", "event_type"), steps, expireSec = 1000L)
+        .collect()
+        .map(r => (r.getLong(0),
+          s"${r.getLong(2)},${r.getLong(3)},${r.getLong(4)}", r.getLong(5)))
+        .sorted.toSeq
+      assert(streamClosed == replay, s"stream=$streamClosed replay=$replay")
+      // and the replay's journeys are the expected ones
+      assert(replay == Seq(
+        (1L, "100,200,300", 3L), (1L, "10010,-1,-1", 1L),
+        (2L, "-1,-1,-1", 0L),
+        (3L, "110,-1,-1", 1L), (3L, "9110,-1,-1", 1L)))
+      // the split boundary is STRICT: a gap of exactly expireSec stays
+      // one journey, one tick more splits (Spark's "watermark beyond
+      // the set timestamp")
+      def journeys(gap: Long) = graft.ops.Relational.funnelHorizonReplay(
+        Seq((7L, 100L, "view"), (7L, 100L + gap, "click"))
+          .toDF("user_id", "t", "event_type"), steps, expireSec = 1000L)
+        .count()
+      assert(journeys(1000L) == 1L && journeys(1001L) == 2L)
+    } finally query.stop()
+  }
+
   test("event-time funnel expiry: late straggler cannot rewind the horizon (G20d)") {
     import graft.streaming.CarbonStream
     implicit val sqlCtx = spark.sqlContext
