@@ -4077,9 +4077,13 @@ object SparkEntry {
          |    WHEN ni - li - 1 <= 2 THEN pv + (nv - pv) * (t - pt) / (nt - pt)
          |  END - 1e-9, 4) AS value FROM ip1),
          |al AS (SELECT 'aggregateLine(vera.u11.click,''total'')' AS path, t,
-         |  round((SELECT sum(value) FROM u) - 1e-9, 4) AS value FROM u)
+         |  round((SELECT sum(value) FROM u) - 1e-9, 4) AS value FROM u),
+         |agc AS (SELECT 'aggregate(setXFilesFactor(vera.u1?.click,0.35),"sum")' AS path, t,
+         |  round(CASE WHEN count(value) >= 0.35 * count(*) THEN sum(value) END - 1e-9, 4) AS value
+         |  FROM fr GROUP BY t)
          |SELECT path, t, value FROM
-         | (SELECT * FROM ag UNION ALL SELECT * FROM ip UNION ALL SELECT * FROM al)
+         | (SELECT * FROM ag UNION ALL SELECT * FROM agc
+         |  UNION ALL SELECT * FROM ip UNION ALL SELECT * FROM al)
          |ORDER BY 1, 2""".stripMargin,
     // B16: the schema-driven store — one glob spanning two rule
     // groups: clicks replay THEIR cascade (raw→10m sum→1h sum, the

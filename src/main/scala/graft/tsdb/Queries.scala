@@ -1082,6 +1082,7 @@ object Queries {
   def gfnXffLimit(spark: SparkSession, dir: String): DataFrame =
     gfnEval(spark, dir,
       """group(aggregate(vera.u1?.click,"sum",0.35),""" +
+        """aggregate(setXFilesFactor(vera.u1?.click,0.35),"sum"),""" +
         "interpolate(vera.u11.click,2)," +
         """aggregateLine(vera.u11.click,"total"))""")
 

@@ -190,18 +190,28 @@ object TargetExpr {
     * window so every series aligns on the output grid. `fetchAt(glob,
     * 0)` must be the unshifted render-window fetch.
     */
+  /** Mutable per-evaluation xFilesFactor context — graphite's
+    * requestContext['xFilesFactor']: `setXFilesFactor` writes it while
+    * its subtree evaluates, and xff-consuming functions called WITHOUT
+    * an explicit factor (2-arg `aggregate`, 1-arg `removeEmptySeries`)
+    * read it. One instance per evalTargetAt call, so the context never
+    * leaks across targets.
+    */
+  final class XffCtx { var value: Option[Double] = None }
+
   def evalAt(e: Expr, fetchAt: (String, Long) => DataFrame,
              shift: Long, tagEnv: Option[TagEnv] = None,
-             winEnv: Option[WindowEnv] = None): DataFrame = e match {
+             winEnv: Option[WindowEnv] = None,
+             xffCtx: XffCtx = new XffCtx): DataFrame = e match {
     case PathExpr(g) => fetchAt(g, shift)
     case call @ CallExpr(name, args) =>
       import SeriesFunctions._
       def series(i: Int): DataFrame = args(i) match {
-        case SeriesArg(s) => evalAt(s, fetchAt, shift, tagEnv, winEnv)
+        case SeriesArg(s) => evalAt(s, fetchAt, shift, tagEnv, winEnv, xffCtx)
         case other => badArg(call, i, "series", other)
       }
       def seriesShifted(i: Int, delta: Long): DataFrame = args(i) match {
-        case SeriesArg(s) => evalAt(s, fetchAt, shift + delta, tagEnv, winEnv)
+        case SeriesArg(s) => evalAt(s, fetchAt, shift + delta, tagEnv, winEnv, xffCtx)
         case other => badArg(call, i, "series", other)
       }
       def window(): WindowEnv = winEnv.getOrElse(throw new IllegalArgumentException(
@@ -398,7 +408,12 @@ object TargetExpr {
         case "removeEmptySeries" =>
           require(args.length == 1 || args.length == 2,
             s"removeEmptySeries: expected (series[, xFilesFactor]), got ${args.length} args")
-          removeEmptySeries(series(0), if (args.length == 2) num(1) else 0.0)
+          // the 1-arg form reads the setXFilesFactor context (the
+          // subtree must evaluate FIRST — that is when the context is
+          // written), graphite's requestContext fallback; default 0
+          val resEmpty = series(0)
+          removeEmptySeries(resEmpty,
+            if (args.length == 2) num(1) else xffCtx.value.getOrElse(0.0))
         case "highestCurrent" => arity(2); highestCurrent(series(0), intArg(1))
         case "highestAverage" => arity(2); highestAverage(series(0), intArg(1))
         case "highestMax" => arity(2); highestMax(series(0), intArg(1))
@@ -504,11 +519,32 @@ object TargetExpr {
         case "fallbackSeries" => arity(2); fallbackSeries(series(0), series(1))
         case "aggregate" =>
           // graphite 1.1: (seriesList, func[, xFilesFactor]) — the
-          // 3-arg form gates each point on the non-null fraction
+          // 3-arg form gates each point on the non-null fraction; the
+          // 2-arg form reads the setXFilesFactor context (written
+          // while the subtree evaluates — hence series(0) first), and
+          // an explicit 3rd argument always beats the context
           require(args.length == 2 || args.length == 3,
             s"aggregate: expected (series, func[, xFilesFactor]), got ${args.length} args")
-          if (args.length == 2) aggregateSeries(series(0), str(1), self)
-          else aggregateSeriesXff(series(0), str(1), num(2), self)
+          val aggIn = series(0)
+          val ctxXff = if (args.length == 3) Some(num(2)) else xffCtx.value
+          ctxXff match {
+            case Some(x) => aggregateSeriesXff(aggIn, str(1), x, self)
+            case None => aggregateSeries(aggIn, str(1), self)
+          }
+        case "setXFilesFactor" | "xFilesFactor" =>
+          // graphite 1.1: sets the evaluation context's xFilesFactor
+          // (requestContext['xFilesFactor']) and returns the series
+          // UNCHANGED — no rename (graphite keeps names here; contrast
+          // consolidateBy, whose tag IS the display name). The write
+          // happens after the subtree evaluates, matching graphite's
+          // evaluation order (args first, then the call).
+          arity(2)
+          val sxf = series(0)
+          val xv = num(1)
+          require(xv >= 0.0 && xv <= 1.0,
+            s"$name: xFilesFactor must be in [0,1] (got $xv)")
+          xffCtx.value = Some(xv)
+          sxf
         case "groupByNodes" =>
           require(args.length >= 3,
             "groupByNodes: need series, func, and at least one node index")
@@ -791,7 +827,7 @@ object TargetExpr {
   def evalTargetAt(target: String, fetchAt: (String, Long) => DataFrame,
                    tagEnv: Option[TagEnv],
                    winEnv: Option[WindowEnv] = None): DataFrame =
-    evalAt(parse(target), fetchAt, 0L, tagEnv, winEnv)
+    evalAt(parse(target), fetchAt, 0L, tagEnv, winEnv, new XffCtx)
 
   /** True when the target is a function pipeline rather than a plain
     * glob — the [[Api.render]] routing test (a bare glob never

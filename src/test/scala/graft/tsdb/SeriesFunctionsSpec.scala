@@ -997,6 +997,27 @@ class SeriesFunctionsSpec extends SparkSpec {
     assert(run2(g, """aggregateLine(s,"last")""").map(_._3).distinct ==
       Seq(Some(12.0)))
     intercept[IllegalArgumentException](run2(g, """aggregateLine(s,"nope")"""))
+    // setXFilesFactor context plumbing (r10): the 2-arg aggregate
+    // reads the factor the subtree's setXFilesFactor wrote — identical
+    // to the explicit 3-arg form — and the series names are UNTOUCHED
+    // (graphite keeps names here; contrast consolidateBy)
+    val viaCtx = run("""aggregate(setXFilesFactor(x.*,0.6),"sum")""")
+    assert(viaCtx.map(_._3) == Seq(Some(8.0), None, None))
+    assert(viaCtx.map(_._1).distinct ==
+      Seq("""aggregate(setXFilesFactor(x.*,0.6),"sum")"""))
+    // alias, and the explicit 3rd argument beats the context
+    assert(run("""aggregate(xFilesFactor(x.*,0.6),"sum",0.5)""").map(_._3) ==
+      Seq(Some(8.0), Some(4.0), None))
+    // 1-arg removeEmptySeries reads the context too: at 0.6, series b
+    // (1/3 non-null) drops while a (2/3) survives
+    assert(run("""removeEmptySeries(setXFilesFactor(x.*,0.6))""")
+      .map(_._1).distinct == Seq("a"))
+    // setXFilesFactor alone renames nothing and changes no values
+    assert(run("""setXFilesFactor(x.*,0.6)""") == run("group(x.*)"))
+    // a fresh evaluation starts with an empty context: no gate
+    assert(run("""aggregate(x.*,"sum")""").map(_._3) ==
+      Seq(Some(8.0), Some(4.0), None))
+    intercept[IllegalArgumentException](run("""setXFilesFactor(x.*,1.5)"""))
   }
 
   private def run2(g: org.apache.spark.sql.DataFrame, t: String) =
