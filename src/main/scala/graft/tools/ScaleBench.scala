@@ -187,6 +187,22 @@ object ScaleBench {
               .select((col("doc_id") + lit(8000000000000L)).as("doc_id"),
                 col("text")),
             LlmQueries.MinhashMaxDf)),
+        // F37 wall-time evidence (VERDICT r9 #4): the standing index
+        // grows ×copies while the folded batch stays FIXED — merge
+        // work is one linear signature scan plus the touched cohort's
+        // re-key, so wall time must track the base's linear index
+        // build, never base×batch pairing (the one incremental family
+        // without a ScaleBench row until now)
+        "dedup_index_merge" -> (() => {
+          val (bSigs, bKeyed) = graft.dedup.Dedup.incrementalIndex(
+            spark, docs, LlmQueries.MinhashMaxDf)
+          graft.dedup.Dedup.indexMerge(spark, bSigs, bKeyed,
+            graft.dedup.Dedup.distinctSigs(
+              base.filter(col("doc_id") % LlmQueries.DecontamEvalMod === 0)
+                .select((col("doc_id") + lit(8000000000000L)).as("doc_id"),
+                  col("text"))),
+            LlmQueries.MinhashMaxDf)._2
+        }),
         "corpus_quality_buckets" -> (() =>
           graft.ops.Sampling.qualityBuckets(docs, LlmQueries.QualityBucketN)),
         // SemDeDup under the paper's discipline: K scales WITH the
