@@ -525,6 +525,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!qi.contains("Join"), qi.take(3000))
   }
 
+  test("r10 artifact surfaces: persisted-index search, maintained read, indexed autocomplete") {
+    // F60: search through the persisted epoch — the inverted-list
+    // parquet scan equi-joins the BROADCAST probe table (never a
+    // sort-merge/shuffled join against the corpus-sized lists), the
+    // ann_pq plan class over artifacts
+    val ai = plan("ann_index_search")
+    assert(ai.contains("BroadcastHashJoin"), ai.take(3000))
+    assert(!ai.contains("SortMergeJoin") && !ai.contains("ShuffledHashJoin"),
+      ai.take(3000))
+    // G26: the maintained read is a pure union of the two stores'
+    // scans — no join anywhere (the day split resolves as plan-time
+    // metadata, not a runtime anti-join)
+    val sm = plan("store_maintained_fetch")
+    assert(!sm.contains("Join"), sm.take(3000))
+    // C15f: autocomplete off the persisted index is ONE K-row scan +
+    // map-only selection predicate + one distinct exchange — no join,
+    // no re-derivation of the index
+    val tv = plan("tags_values_indexed")
+    assert(!tv.contains("Join"), tv.take(3000))
+    assert(countOf(tv, "Exchange hashpartitioning") == 1, tv.take(3000))
+  }
+
   test("no unbounded cartesian product in any driver query") {
     // broadcast nested-loop joins over bounded broadcasts (band index,
     // centroid codebook, query subset, 1-row bounds) are fine; a
