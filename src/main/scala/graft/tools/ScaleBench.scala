@@ -114,6 +114,18 @@ object ScaleBench {
               .cast("float")).as("embedding"))
       }.reduce(_ unionByName _).write.mode("overwrite").parquet(epath)
       val vecs = spark.read.parquet(epath)
+      // F60: the standing index artifact the lifecycle rows consume —
+      // built once per scale point (it IS the offline artifact; the
+      // timed rows measure serving and delta-encode, never the build);
+      // a leftover epoch from a previous run is reused (deterministic
+      // build over the same scaled corpus)
+      val annRoot = s"target/scalebench/x$copies/annidx"
+      if (graft.similarity.AnnIndex.readyEpochs(spark, annRoot).isEmpty)
+        graft.similarity.AnnIndex.build(spark, vecs,
+          graft.similarity.AnnIndex.Params(LlmQueries.IvfCentroids,
+            LlmQueries.IvfProbe, LlmQueries.PqSubspaces,
+            LlmQueries.PqCodes, LlmQueries.PqTrainIters,
+            math.max(1, LlmQueries.PqTrainBp / copies)), annRoot)
       // image-family corpus: replica offset 1e9 so scaled doc ids can
       // never collide with the planted-twin media offsets (2e7/3e7)
       val ipath = s"target/scalebench/x$copies/imgdocs.parquet"
@@ -294,6 +306,30 @@ object ScaleBench {
             LlmQueries.IvfProbe, LlmQueries.PqSubspaces,
             LlmQueries.PqCodes, LlmQueries.PqTrainIters,
             math.max(1, LlmQueries.PqTrainBp / copies))),
+        // F60 lifecycle rows (r10): the index is built ONCE per scale
+        // point (outside the timed section — it is the standing
+        // artifact); timed are (a) search through the persisted epoch
+        // as the corpus grows under fixed codebooks — the resident-
+        // index serving cost, must track list length linearly like
+        // ann_ivf_pq — and (b) the delta ENCODE that dominates
+        // extend(): a FIXED batch against the frozen books, which must
+        // stay FLAT as the standing corpus grows (work ∝ delta, the
+        // F37 claim for the vector side)
+        "ann_index_search" -> (() => {
+          val root = s"target/scalebench/x$copies/annidx"
+          val idx = graft.similarity.AnnIndex.load(spark, root)
+          graft.similarity.AnnIndex.search(
+            vecs.filter(col("vec_id") < LlmQueries.AnnQueryMax),
+            idx, LlmQueries.AnnK)
+        }),
+        "ann_index_encode_delta" -> (() => {
+          val root = s"target/scalebench/x$copies/annidx"
+          val idx = graft.similarity.AnnIndex.load(spark, root)
+          graft.similarity.AnnIndex.encodeLists(
+            ebase.select((col("vec_id") + lit(900000000L)).as("vec_id"),
+              col("embedding")),
+            idx.centroids, idx.book)
+        }),
         // C9 additions: the percentile flat-line (per-series value
         // window + K-row broadcast-back) and the variance selector
         // (K-row stat + broadcast semi) — both must stay flat-ish as
