@@ -176,6 +176,69 @@ object AnnIndex {
     e + 1
   }
 
+  /** Segment COMPACTION — the Lucene merge step: a long-running index
+    * accretes one segment per [[extend]]; this re-clusters the live
+    * epoch's lists into ONE segment and publishes it as epoch+1 under
+    * the same codebooks. Lossless by construction (one repartition, no
+    * aggregation — spec-pinned bit-equal search); readers pinned at
+    * older epochs keep their segment set, because compaction never
+    * deletes anything — [[vacuum]] reclaims space separately, under an
+    * explicit retention choice.
+    */
+  def compactSegments(spark: SparkSession, root: String): Long = {
+    val e = currentEpoch(spark, root)
+    val idx = load(spark, root, Some(e))
+    val seg = segIds(spark, root).max + 1
+    writeSegment(idx.lists, root, seg)
+    writeEpochTables(spark, root, e + 1, idx.params, idx.centroids,
+      idx.book, Seq(seg))
+    e + 1
+  }
+
+  /** Epoch RETENTION: delete every published epoch older than the
+    * newest `keep`, then every segment no surviving epoch references.
+    * The deletion order is reader-safe: epoch markers vanish FIRST
+    * (new loads can no longer pin a doomed epoch), then the epoch
+    * tables, then orphaned segments — a reader that pinned a doomed
+    * epoch before the vacuum may fail mid-scan, which is the
+    * documented contract of every retention system (pin + finish
+    * within the retention window). Returns (epochs, segments) deleted.
+    */
+  def vacuum(spark: SparkSession, root: String,
+             keep: Int = 2): (Seq[Long], Seq[Long]) = {
+    require(keep >= 1, s"vacuum: keep must be >= 1 (got $keep)")
+    val (fs, p) = hadoopFs(spark, root)
+    val epochs = readyEpochs(spark, root).sorted
+    val doomed = epochs.dropRight(keep)
+    doomed.foreach { e =>
+      fs.delete(new org.apache.hadoop.fs.Path(p, markerName(e)), false)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/epoch=$e"), true)
+    }
+    val live = epochs.takeRight(keep)
+      .flatMap(e => loadManifest(spark, root, e)._2).toSet
+    val orphans = segIds(spark, root).filterNot(live.contains).sorted
+    orphans.foreach(sg =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/seg=$sg"), true))
+    (doomed, orphans)
+  }
+
+  /** Streaming index maintenance — the G14/G17 standing-artifact
+    * discipline for the vector side: every micro-batch of new vectors
+    * [[extend]]s the live epoch (one delta encode + one segment + one
+    * epoch publish per batch; queries keep reading whatever epoch they
+    * pinned). An empty batch publishes nothing.
+    */
+  def extendSink(vecs: DataFrame, root: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.cache()
+        if (!b.isEmpty) extend(b.sparkSession, root, b): Unit
+        b.unpersist(): Unit
+      }
+      .start()
+
   private def loadManifest(spark: SparkSession, root: String,
                            epoch: Long): (Params, Seq[Long]) = {
     val m = spark.read.parquet(s"$root/epoch=$epoch/segments").collect()

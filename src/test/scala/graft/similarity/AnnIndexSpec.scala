@@ -77,6 +77,61 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.load(spark, root).lists.count() == e.count())
   }
 
+  test("compact + vacuum: lossless merge, retention-safe reclaim") {
+    val root = freshRoot()
+    val third = (k: Int) => e.filter(col("vec_id") % 3 === k)
+    AnnIndex.build(spark, third(0), params, root)
+    AnnIndex.extend(spark, root, third(1))
+    AnnIndex.extend(spark, root, third(2))
+    val e3 = AnnIndex.load(spark, root)
+    assert(e3.epoch == 3L)
+    val q = e.filter(col("vec_id") < 5)
+    val before = collected(AnnIndex.search(q, e3, k = 3))
+    // compaction merges three segments into one; search is bit-equal
+    assert(AnnIndex.compactSegments(spark, root) == 4L)
+    val e4 = AnnIndex.load(spark, root)
+    assert(e4.lists.inputFiles.length < e3.lists.inputFiles.length)
+    assert(collected(AnnIndex.search(q, e4, k = 3)) == before)
+    // the pre-compaction epoch is still pinnable (compact deletes nothing)
+    assert(collected(AnnIndex.search(q,
+      AnnIndex.load(spark, root, Some(3L)), k = 3)) == before)
+    // vacuum keep=1: epochs 1-3 and their now-orphaned segments go;
+    // the live epoch survives untouched and old pins fail loudly
+    val (epochsGone, segsGone) = AnnIndex.vacuum(spark, root, keep = 1)
+    assert(epochsGone == Seq(1L, 2L, 3L) && segsGone == Seq(1L, 2L, 3L))
+    assert(AnnIndex.currentEpoch(spark, root) == 4L)
+    assert(collected(AnnIndex.search(q, AnnIndex.load(spark, root), k = 3))
+      == before)
+    intercept[IllegalArgumentException](AnnIndex.load(spark, root, Some(3L)))
+  }
+
+  test("streaming extend: per-batch epochs, pinned readers unaffected") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = freshRoot()
+    AnnIndex.build(spark, e.filter(col("vec_id") % 3 === 0), params, root)
+    val rows = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val q = AnnIndex.extendSink(
+      source.toDF().toDF("vec_id", "embedding")
+        .selectExpr("vec_id", "cast(embedding as array<float>) as embedding"),
+      root, java.nio.file.Files.createTempDirectory("annidx-ck").toString)
+    try {
+      source.addData(rows.filter(_._1 % 3 == 1).toSeq: _*)
+      q.processAllAvailable()
+      assert(AnnIndex.currentEpoch(spark, root) == 2L)
+      source.addData(rows.filter(_._1 % 3 == 2).toSeq: _*)
+      q.processAllAvailable()
+      assert(AnnIndex.currentEpoch(spark, root) == 3L)
+    } finally q.stop()
+    // the streamed index holds every vector exactly once, and equals
+    // the batch-extended form (encode is deterministic per row)
+    val idx = AnnIndex.load(spark, root)
+    assert(idx.lists.count() == e.count())
+    assert(idx.lists.select("vec_id").distinct().count() == e.count())
+  }
+
   test("swap discipline: partial epochs invisible, published ones immutable") {
     val root = freshRoot()
     // no ready epoch → loud
