@@ -229,6 +229,44 @@ class StreamSpec extends SparkSpec {
       ("a.x", 90000L, 3.0), ("a.y", 180000L, 4.0)))
   }
 
+  test("production loop over the MAINTAINED store: ingest+compact -> archives -> fetch (G26)") {
+    import java.nio.file.Files
+    import graft.tsdb.{Fetch, MetricStore, Retention}
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-e2e-maint").toString
+    val source = MemoryStream[String]
+    // 1. stream lines through the MAINTAINED sink — day 0 compacts to
+    //    cold when day 1 appears; the live day keeps appending in hot
+    val q = CarbonStream.ingestSinkMaintained(source.toDF().toDF("line"),
+      999L, s"$tmp/hot", s"$tmp/cold", s"$tmp/ckpt")
+    try {
+      source.addData("a.x 1.0 100", "a.x 3.0 160")
+      q.processAllAvailable()
+      source.addData("a.y 5.0 90000")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(MetricStore.coldDays(spark, s"$tmp/cold") == Seq(0L))
+    // 2. the archive cascade derives from the MAINTAINED read (cold +
+    //    hot in one frame) — same downstream pipeline as the raw loop
+    val spec = Retention.parse("1m:1d,1d:30d")
+    val raw = MetricStore.readMaintained(spark, s"$tmp/hot", s"$tmp/cold")
+      .select("path", "ts", "value")
+    MetricStore.writeArchives(raw, spec, "average", 0.0, s"$tmp/store")
+    // 3. the pruned stored fetch equals the in-plan fetch over the
+    //    maintained read — compaction is invisible to the query layer
+    val now = 300L
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("path", "t").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getDouble(2))).toSeq
+    val got = rows(MetricStore.fetchStored(spark, s"$tmp/store", spec,
+      "a.*", 60L, now, now))
+    assert(got == rows(Fetch.fetch(spark, raw, "a.*", spec, "average", 0.0,
+      60L, now, now)))
+    // both compacted (a.x, day 0) and live (a.y, day 1) metrics answer
+    assert(got.map(_._1).distinct.sorted == Seq("a.x", "a.y"))
+  }
+
   test("production loop: stream ingest -> archive store -> pruned fetch") {
     import java.nio.file.Files
     import graft.tsdb.{Fetch, MetricStore, Retention}
