@@ -138,6 +138,7 @@ object SparkEntry {
     "gfn_agg_lists" -> ((s, dir) => T.gfnAggLists(s, dir)),
     "gfn_scalar_sweep" -> ((s, dir) => T.gfnScalarSweep(s, dir)),
     "gfn_window_generators" -> ((s, dir) => T.gfnWindowGenerators(s, dir)),
+    "gfn_alias_query" -> ((s, dir) => T.gfnAliasQuery(s, dir)),
     "gfn_cacti_style" -> ((s, dir) => T.gfnCactiStyle(s, dir)),
     "gfn_display_pack" -> ((s, dir) => T.gfnDisplayPack(s, dir)),
     "gfn_moving_time" -> ((s, dir) => T.gfnMovingTime(s, dir)),
@@ -4049,8 +4050,25 @@ object SparkEntry {
         |  UNION ALL SELECT 'limit', t, 95.0
         |    FROM (VALUES (1706100000), (1706379600), (1706659200)) v(t)
         |  UNION ALL SELECT 'tick', CAST(range AS BIGINT), CAST(range AS DOUBLE)
-        |    FROM range(1706100000, 1706659200, 21600))
+        |    FROM range(1706100000, 1706659200, 21600)
+        |  UNION ALL SELECT 'deploy', t, 1.0
+        |    FROM (VALUES (1706184000), (1706184001)) v(t))
         |ORDER BY 1, 2""".stripMargin,
+    // C9az: aliasQuery — each click series renamed by its VIEW
+    // sibling's last non-null value on the shared hourly cascade;
+    // names may collide (graphite loses identity), so the value rides
+    // the ordering with Spark's NULLS FIRST; %d truncates toward zero
+    // off the round(,6) stat grid
+    "gfn_alias_query" ->
+      s"""WITH $M,
+         |${gfnFrameCteNamed("^vera\\.u[0124]\\.click$$$$", "c")},
+         |${gfnFrameCteNamed("^vera\\.u[0124]\\.view$$$$", "w")},
+         |lv AS (SELECT path AS rq, arg_max(value, t) AS lv
+         |  FROM frw WHERE value IS NOT NULL GROUP BY 1)
+         |SELECT printf('views last=%d', CAST(trunc(round(l.lv, 6)) AS BIGINT)) AS path,
+         |  c.t, round(c.value - 1e-9, 4) AS value
+         |FROM frc c JOIN lv l ON replace(c.path, '.click', '.view') = l.rq
+         |ORDER BY 1, 2, 3 NULLS FIRST""".stripMargin,
     // C16j: xFilesFactor/limit arguments — the 3-arg aggregate's
     // non-null-fraction gate, interpolate's bounded bridge (row-
     // position gap arithmetic), aggregateLine over the shared stat

@@ -1068,11 +1068,27 @@ object Queries {
   def gfnWindowGenerators(spark: SparkSession, dir: String): DataFrame = {
     val env = TargetExpr.WindowEnv(spark, fetchFrom, Now)
     TargetExpr.evalTargetAt(
-      """group(constantLine(42.5),threshold(95,"limit"),time("tick",21600))""",
+      """group(constantLine(42.5),threshold(95,"limit"),time("tick",21600),""" +
+        """verticalLine("2024-01-25T12:00:00","deploy","blue"))""",
       gfnFetch(spark, dir), None, Some(env))
       .select(col("path"), col("t"), round(col("value") - Eps, 4).as("value"))
       .orderBy(col("path"), col("t"))
   }
+
+  /** C9az (r10): aliasQuery — each click series' name regex-rewrites
+    * to its VIEW sibling, whose last non-null value formats into the
+    * new name (the legend-carries-the-current-total idiom; the third
+    * pipeline function that fetches, after applyByNode and
+    * useSeriesAbove). Names may collide by design (graphite's
+    * aliasQuery loses identity), so the ordering carries the value as
+    * a tie-break — NULLS FIRST on both engines.
+    */
+  def gfnAliasQuery(spark: SparkSession, dir: String): DataFrame =
+    TargetExpr.evalTargetAt(
+      """aliasQuery(vera.u{0,1,2,4}.click,"\.click$",".view","views last=%d")""",
+      gfnFetch(spark, dir))
+      .select(col("path"), col("t"), round(col("value") - Eps, 4).as("value"))
+      .orderBy(col("path"), col("t"), col("value"))
 
   /** C16g: cactiStyle — the Cacti legend suffix: names carry
     * `Current:/Max:/Min:` %.2f-formatted from the shared stat table

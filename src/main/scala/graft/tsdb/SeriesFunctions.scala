@@ -1938,6 +1938,24 @@ object SeriesFunctions {
         col("id").cast("double").as("value"))
   }
 
+  /** Graphite `verticalLine(ts[, label[, color]])`: a time MARKER —
+    * two 1.0 points at [ts, ts+1] (graphite's TimeSeries(start=ts,
+    * end=ts, step=1, [1.0, 1.0])), named by the label. The timestamp
+    * must lie INSIDE the render window — graphite raises "timestamp
+    * exists before start of range" / "after end" — so a dashboard
+    * whose marker scrolled out of view fails loudly instead of
+    * silently drawing nothing.
+    */
+  def verticalLine(spark: org.apache.spark.sql.SparkSession, ts: Long,
+                   label: String, fromT: Long, untilT: Long): DataFrame = {
+    require(ts >= fromT,
+      s"verticalLine(): timestamp $ts exists before start of range ($fromT)")
+    require(ts <= untilT,
+      s"verticalLine(): timestamp $ts exists after end of range ($untilT)")
+    import spark.implicits._
+    Seq((label, ts, 1.0), (label, ts + 1, 1.0)).toDF("path", "t", "value")
+  }
+
   private[tsdb] def fmtNum(v: Double): String =
     if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
     else String.format(java.util.Locale.ROOT, "%s", Double.box(v))

@@ -727,9 +727,95 @@ object TargetExpr {
           timeFunction(w.spark, str(0),
             if (args.length == 2) intArg(1).toLong else 60L,
             w.fromT + shift, w.untilT + shift)
+        case "verticalLine" =>
+          // (ts[, label[, color]]) — the time marker; ts takes the
+          // render time grammar (relative or ISO), must fall inside
+          // the render window (graphite raises — a marker that
+          // scrolled out of view fails loudly); color is a display
+          // attribute, accepted and dropped (the threshold convention).
+          // Under timeShift the marker synthesizes at the SHIFTED
+          // window and relabels back, exactly like a fetch.
+          require(args.length >= 1 && args.length <= 3,
+            s"verticalLine: expected (ts[, label[, color]]), got ${args.length} args")
+          val w = window()
+          val tsArg = str(0)
+          val ts = TimeParse.getTime(tsArg, w.untilT).getOrElse(
+            throw new IllegalArgumentException(
+              s"verticalLine: unparseable timestamp '$tsArg'"))
+          verticalLine(w.spark,
+            ts + shift, if (args.length >= 2) str(1) else "vertical_line",
+            w.fromT + shift, w.untilT + shift)
+        case "aliasQuery" =>
+          // graphite 1.1 (seriesList, search, replace, newName): each
+          // series' name regex-rewrites into a SECOND query whose last
+          // non-null value formats into the series' new name — the
+          // legend-carries-the-current-total idiom, and (with
+          // applyByNode/useSeriesAbove) the third function that
+          // fetches inside the pipeline. The C14 discipline verbatim:
+          // rewritten names are a K-row metadata list; with a TagEnv
+          // the lookup fetch is one collect-free semi-joined scan,
+          // without one a capped collect + ONE brace glob. A rewritten
+          // query with no data fails loudly (graphite raises too).
+          arity(4)
+          aliasQuery(series(0), str(1), str(2), str(3), tagEnv,
+            g => fetchAt(g, shift), shift)
         case other =>
           throw new IllegalArgumentException(s"unknown render function '$other' in '${self}'")
       }
+  }
+
+  /** aliasQuery's lookup-and-format core. The rewritten names are
+    * K-row METADATA (the C14 rule): with a TagEnv the lookup is one
+    * collect-free semi-joined fetch; without one, a capped collect +
+    * one brace glob. Rewrites must name exact metrics — a rewrite with
+    * no data (nonexistent metric, or a glob that can't equal any
+    * concrete path) fails loudly, which is graphite's own raise. The
+    * looked-up LAST non-null value formats into `newName` (exactly one
+    * % conversion; %d truncates to integer as python's does).
+    */
+  private def aliasQuery(base: DataFrame, search: String, replace: String,
+                         newName: String, tagEnv: Option[TagEnv],
+                         fetchGlob: String => DataFrame,
+                         shift: Long): DataFrame = {
+    val convs = "%(?:[0-9.+-]*)([dfgs])".r.findAllMatchIn(newName).toSeq
+    require(convs.length == 1,
+      s"aliasQuery: newName must carry exactly one % conversion (got '$newName')")
+    val conv = convs.head.group(1)
+    val reqs = base.select(col("path")).distinct()
+      .withColumn("rq", regexp_replace(col("path"), search, replace))
+    val fetched = tagEnv match {
+      case Some(env) => env.fetchPaths(reqs.select(col("rq").as("path")), shift)
+      case None =>
+        val cap = UseSeriesAboveMaxPaths
+        val rqs = reqs.select(col("rq")).distinct().limit(cap + 1)
+          .collect().map(_.getString(0)).sorted
+        require(rqs.nonEmpty, "aliasQuery: empty series list")
+        require(rqs.length <= cap,
+          s"aliasQuery: more than $cap rewritten queries — evaluate " +
+            "with a TagEnv (Api.render) for the collect-free path")
+        if (rqs.length == 1) fetchGlob(rqs.head)
+        else fetchGlob(s"{${rqs.mkString(",")}}")
+    }
+    val looked = fetched.filter(col("value").isNotNull)
+      .groupBy(col("path"))
+      .agg(max_by(col("value"), col("t")).as("lv"))
+      .select(col("path").as("rq"), col("lv"))
+    // graphite raises on an empty lookup; the check is K-row metadata
+    val missing = reqs.join(looked, Seq("rq"), "left_anti")
+      .select(col("rq")).limit(5).collect().map(_.getString(0))
+    require(missing.isEmpty,
+      s"aliasQuery: no data for rewritten query '${missing.mkString("', '")}'")
+    // the formatted stat rides the round(,6) grid first (the
+    // filterByStat/cactiStyle discipline: both engines format the
+    // identical double); %d truncates toward zero, python's rule
+    val lvc = round(col("lv"), 6)
+    val fmtCol = conv match {
+      case "d" => format_string(newName, lvc.cast("long"))
+      case _ => format_string(newName, lvc)
+    }
+    base.join(broadcast(reqs), Seq("path"))
+      .join(broadcast(looked), Seq("rq"))
+      .select(fmtCol.as("path"), col("t"), col("value"))
   }
 
   // ---- applyByNode: per-node-group template evaluation ----

@@ -1088,6 +1088,51 @@ class SeriesFunctionsSpec extends SparkSpec {
     // no WindowEnv → loud failure, the TagEnv convention
     intercept[IllegalArgumentException](
       evalTarget("constantLine(1)", _ => frame(("x", 0L, 1.0))))
+    // verticalLine (r10): two 1.0 points at [ts, ts+1], named by the
+    // label (default vertical_line), color accepted-and-dropped;
+    // the timestamp must parse and must sit INSIDE the window
+    assert(run("""verticalLine("1970-01-01T00:20:00","deploy","blue")""") ==
+      Seq(("deploy", 1200L, Some(1.0)), ("deploy", 1201L, Some(1.0))))
+    assert(run("""verticalLine("1970-01-01T00:20:00")""").map(_._1).distinct ==
+      Seq("vertical_line"))
+    intercept[IllegalArgumentException](
+      run("""verticalLine("1970-01-01T00:10:00")""")) // before start
+    intercept[IllegalArgumentException](
+      run("""verticalLine("1970-01-01T01:00:00")""")) // after end
+    intercept[IllegalArgumentException](
+      run("""verticalLine("no-such-time")"""))
+  }
+
+  test("aliasQuery: second fetch, %d format, loud on empty lookup (r10)") {
+    // clicks rename by the view sibling's LAST non-null value; the
+    // collect path (no TagEnv) and the TagEnv path must agree
+    val f = frame(
+      ("m.a.click", 0L, 5.0), ("m.a.click", 60L, 7.0),
+      ("m.a.view", 0L, 41.9), ("m.a.view", 60L, null),
+      ("m.b.click", 0L, 2.0),
+      ("m.b.view", 0L, 10.0), ("m.b.view", 60L, 12.5))
+    val fetch = (g: String, _: Long) =>
+      f.filter(col("path").rlike(Glob.queryToRegex(g, allowDeeper = false)))
+    def run(t: String, env: Option[TargetExpr.TagEnv]) =
+      vals(TargetExpr.evalAt(TargetExpr.parse(t), fetch, 0L, env))
+    val t = """aliasQuery(m.*.click,"\.click$",".view","last=%d")"""
+    val noEnv = run(t, None)
+    // a: last view = 41.9 at t=0 (t=60 is a gap) → 41; b: 12.5 → 12
+    assert(noEnv == Seq(
+      ("last=12", 0L, Some(2.0)),
+      ("last=41", 0L, Some(5.0)), ("last=41", 60L, Some(7.0))))
+    val env = TargetExpr.TagEnv(
+      f.select(col("path")).distinct(),
+      (pd, _) => f.join(broadcast(pd), Seq("path"), "left_semi"))
+    assert(run(t, Some(env)) == noEnv)
+    // %f formats too; exactly one conversion required
+    assert(run("""aliasQuery(m.b.click,"\.click$",".view","v=%.1f")""", None)
+      .map(_._1).distinct == Seq("v=12.5"))
+    intercept[IllegalArgumentException](
+      run("""aliasQuery(m.b.click,"\.click$",".view","plain")""", None))
+    // a rewrite with no data fails loudly (graphite raises)
+    intercept[IllegalArgumentException](
+      run("""aliasQuery(m.a.click,"\.click$",".nope","x=%d")""", None))
   }
 
   test("generic highest/lowest/sortBy, removeEmptySeries, aligned summarize") {
