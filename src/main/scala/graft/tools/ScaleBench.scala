@@ -136,7 +136,40 @@ object ScaleBench {
       }.reduce(_ unionByName _).write.mode("overwrite").parquet(ipath)
       val imgDocs = spark.read.parquet(ipath)
 
+      // G26 read-side evidence (r10): the same point set in the
+      // splintered streaming-sink layout (8 appends × 8 tasks per day
+      // = ~64 files/day) and in the maintained layout (closed days one
+      // sorted file each in cold + the live day in hot) — built once
+      // per scale point, outside the timed section; the timed families
+      // below scan each layout through the same aggregate, so the
+      // delta IS the small-file listing/open overhead compaction buys
+      // back
+      val mroot = s"target/scalebench/x$copies/maintstore"
+      if (!new java.io.File(s"$mroot/_OK").exists) {
+        val pts = spark.range(100000L * copies).select(
+            concat(lit("m."), (col("id") % 50).cast("string")).as("path"),
+            (col("id") * 26L % (30L * 86400L)).as("ts"),
+            col("id").cast("double").as("value"))
+          .withColumn("day", col("ts") - col("ts") % 86400L)
+        for (k <- 0 until 8; dst <- Seq("splintered", "hot"))
+          pts.filter(col("ts") % 8 === k).repartition(8)
+            .write.partitionBy("day").mode("append").parquet(s"$mroot/$dst")
+        graft.tsdb.MetricStore.compactTick(spark, s"$mroot/hot",
+          s"$mroot/cold", 29L * 86400L)
+        graft.tsdb.MetricStore.cleanupHot(spark, s"$mroot/hot", s"$mroot/cold")
+        new java.io.File(s"$mroot/_OK").createNewFile()
+      }
+
       val families: Seq[(String, () => DataFrame)] = Seq(
+        "store_read_splintered" -> (() =>
+          spark.read.parquet(s"$mroot/splintered")
+            .groupBy(col("path")).agg(count(lit(1)).as("n"),
+              sum(col("value")).as("s"))),
+        "store_read_maintained" -> (() =>
+          graft.tsdb.MetricStore.readMaintained(spark, s"$mroot/hot",
+            s"$mroot/cold")
+            .groupBy(col("path")).agg(count(lit(1)).as("n"),
+              sum(col("value")).as("s"))),
         "dedup_ngram_jaccard_capped" -> (() =>
           graft.dedup.Dedup.ngramJaccardCapped(docs,
             LlmQueries.JaccardTau, LlmQueries.JaccardMaxDf)),
