@@ -222,6 +222,7 @@ object SparkEntry {
     "ann_ivf_pq_trained" -> ((s, dir) => L.annIvfPqTrained(s, dir)),
     "ann_index_search" -> ((s, dir) => L.annIndexSearch(s, dir)),
     "ann_index_refresh" -> ((s, dir) => L.annIndexRefresh(s, dir)),
+    "ann_index_compacted" -> ((s, dir) => L.annIndexCompacted(s, dir)),
     "ann_ivf_pq_residual" -> ((s, dir) => L.annIvfPqResidual(s, dir)),
     "ann_quantized" -> ((s, dir) => L.annQuantized(s, dir)),
     "ann_ivf_quantized" -> ((s, dir) => L.annIvfQuantized(s, dir)),
@@ -2354,6 +2355,10 @@ object SparkEntry {
     // codebooks train on the BASE corpus only (the frozen-book law),
     // while encode/probe/ADC run over the whole corpus
     "ann_index_refresh" -> ivfPqTrainedSqlOver("base",
+      "base AS (SELECT * FROM n WHERE vec_id % 3 <> 0),\n"),
+    // F60c: compact+vacuum are lossless/non-semantic, so the full
+    // maintenance cycle answers exactly as the refresh — shared SQL
+    "ann_index_compacted" -> ivfPqTrainedSqlOver("base",
       "base AS (SELECT * FROM n WHERE vec_id % 3 <> 0),\n"),
     // F25i: residual IVFPQ — residuals float-rounded from the
     // assignment, the trained chain over the residual CTE, ADC with

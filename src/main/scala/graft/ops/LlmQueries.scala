@@ -706,6 +706,29 @@ object LlmQueries {
     AnnIndex.search(e.filter(col("vec_id") < AnnQueryMax), idx, AnnK)
   }
 
+  /** F60c: the FULL maintenance cycle under the gate — build on the
+    * base, extend with the delta, compact the two segments into one,
+    * vacuum everything but the live epoch — then search. Compaction
+    * and vacuum are lossless/non-semantic by construction, so the
+    * answer IS ann_index_refresh's: the oracle is shared verbatim,
+    * and the hash match proves the whole
+    * publish→extend→compact→vacuum chain preserves search results
+    * cross-engine.
+    */
+  def annIndexCompacted(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.AnnIndex
+    val e = Tables.embeddings(spark, dir)
+    val root = annIndexRootOnce("annidx_compact", dir) { r =>
+      AnnIndex.build(spark, e.filter(col("vec_id") % 3 =!= 0),
+        annIndexParams, r)
+      AnnIndex.extend(spark, r, e.filter(col("vec_id") % 3 === 0))
+      AnnIndex.compactSegments(spark, r)
+      AnnIndex.vacuum(spark, r, keep = 1): Unit
+    }
+    val idx = AnnIndex.load(spark, root) // the compacted+vacuumed epoch 3
+    AnnIndex.search(e.filter(col("vec_id") < AnnQueryMax), idx, AnnK)
+  }
+
   /** F25i: residual IVFPQ — the sub-quantizers encode x − centroid
     * (FAISS's IndexIVFPQ), trained by the same sampled Lloyd chain.
     */
