@@ -240,12 +240,36 @@ object MetricStore {
   def readMaintained(spark: SparkSession, hotDir: String,
                      coldDir: String): DataFrame = {
     val cold = coldDays(spark, coldDir)
-    val hotAll = spark.read.parquet(hotDir)
-      .select(col("path"), col("ts"), col("value"), col("day"))
-    if (cold.isEmpty) hotAll
-    else hotAll.filter(!col("day").isin(cold.map(d => d: Any): _*))
-      .unionByName(spark.read.parquet(coldDir)
-        .select(col("path"), col("ts"), col("value"), col("day")))
+    // a hot store with no day dirs (brand-new store, or a paused
+    // stream whose closed days all compacted) has no schema to infer —
+    // the maintained read must still answer from cold (or be typed
+    // empty), not throw
+    val (fs, hotP) = hadoopFs(spark, hotDir)
+    val hotHasDays = fs.exists(hotP) &&
+      fs.listStatus(hotP).exists(_.getPath.getName.startsWith("day="))
+    def coldAll = spark.read.parquet(coldDir)
+      .select(col("path"), col("ts"), col("value"), col("day").cast("long").as("day"))
+    if (!hotHasDays) {
+      if (cold.nonEmpty) coldAll
+      else spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("path",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("day",
+            org.apache.spark.sql.types.LongType))))
+    } else {
+      val hotAll = spark.read.parquet(hotDir)
+        .select(col("path"), col("ts"), col("value"),
+          col("day").cast("long").as("day"))
+      if (cold.isEmpty) hotAll
+      else hotAll.filter(!col("day").isin(cold.map(d => d: Any): _*))
+        .unionByName(coldAll)
+    }
   }
 
   /** Fetch from the materialized store: archive selection as in

@@ -181,6 +181,14 @@ class MetricStoreSpec extends SparkSpec {
       graft.streaming.CarbonStream.maintainTick(
         Seq(("m.0", 60L, 9.9)).toDF("path", "ts", "value"), hot, cold)
     }
+    // a hot store with no day dirs (fresh store / every closed day
+    // compacted) still answers from cold — never a schema-inference
+    // throw; a fully-empty store reads as typed empty
+    val hotEmpty = Files.createTempDirectory("graft-maint-hotempty").toString
+    assert(multiset(MetricStore.readMaintained(spark, hotEmpty, cold)) ==
+      multiset(spark.read.parquet(cold)))
+    val coldEmpty = Files.createTempDirectory("graft-maint-coldempty").toString
+    assert(MetricStore.readMaintained(spark, hotEmpty, coldEmpty).isEmpty)
   }
 
   test("glob literal prefix reaches the scan as StringStartsWith") {
