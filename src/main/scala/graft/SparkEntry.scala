@@ -88,6 +88,7 @@ object SparkEntry {
     "gfn_npercentile" -> ((s, dir) => T.gfnNPercentile(s, dir)),
     "gfn_stdev" -> ((s, dir) => T.gfnStdev(s, dir)),
     "gfn_sort_maxima" -> ((s, dir) => T.gfnSortMaxima(s, dir)),
+    "gfn_sort_natural" -> ((s, dir) => T.gfnSortNatural(s, dir)),
     "gfn_percent_const" -> ((s, dir) => T.gfnPercentConst(s, dir)),
     "gfn_divide_list" -> ((s, dir) => T.gfnDivideList(s, dir)),
     "gfn_most_deviant" -> ((s, dir) => T.gfnMostDeviant(s, dir)),
@@ -3663,6 +3664,21 @@ object SparkEntry {
          |  FROM st) WHERE rk <= 2)
          |SELECT f.path, f.t, round(f.value - 1e-9, 4) AS value
          |FROM fr f JOIN top USING (path) ORDER BY 1, 2""".stripMargin,
+    // C9ob: natural name sort — the padded-digit-run key replayed
+    // (chr(1)-inserted split, RE2-portable), u1,u2,u10 survive limit 3
+    "gfn_sort_natural" ->
+      s"""WITH $M,
+         |${gfnFrameCteNamed("^vera\\.u(1|2|10|11)\\.click$$$$", "n")},
+         |nk AS (SELECT path, array_to_string(list_transform(
+         |    string_split(regexp_replace(path, '([0-9]+)',
+         |      chr(1) || '\\1' || chr(1), 'g'), chr(1)),
+         |    t -> CASE WHEN regexp_matches(t, '^[0-9]+$$')
+         |      THEN lpad(t, 20, '0') ELSE t END), '') AS k
+         |  FROM (SELECT DISTINCT path FROM frn)),
+         |top AS (SELECT path FROM (SELECT path,
+         |    row_number() OVER (ORDER BY k, path) AS rk FROM nk) WHERE rk <= 3)
+         |SELECT f.path, f.t, round(f.value - 1e-9, 4) AS value
+         |FROM frn f JOIN top USING (path) ORDER BY 1, 2""".stripMargin,
     // C9p: asPercent against a constant total — pure map-only scaling
     "gfn_percent_const" ->
       s"""WITH $GfnFrameCte

@@ -577,6 +577,14 @@ object Queries {
   def gfnSortMaxima(spark: SparkSession, dir: String): DataFrame =
     gfnEval(spark, dir, "limit(sortByMaxima(vera.u1?.click),2)")
 
+  /** C9ob (r10): sortByName's natural mode — digit runs compare
+    * numerically, so the first three of {u1,u2,u10,u11} are u1,u2,u10
+    * (lexicographic order would pick u1,u10,u11); the oracle replays
+    * the identical padded-digit-run key.
+    */
+  def gfnSortNatural(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, "limit(sortByName(vera.u{1,2,10,11}.click,true),3)")
+
   /** C9p: asPercent with a constant total — map-only share-of-budget
     * scaling.
     */

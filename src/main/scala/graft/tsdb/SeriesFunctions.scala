@@ -328,13 +328,30 @@ object SeriesFunctions {
   def sortByTotal(f: DataFrame): DataFrame =
     sortBySeriesStat(f, sum(col("value")), descending = true)
 
-  /** Graphite `sortByName`: natural path order — the rank tag makes
-    * the order explicit for `limit`/legend consumers.
+  /** Graphite `sortByName(seriesList[, natural[, reverse]])`: series
+    * in name order — the rank tag makes the order explicit for
+    * `limit`/legend consumers. `natural=true` compares digit runs
+    * NUMERICALLY ("s2" before "s10", graphite's re.split('(\\d+)')
+    * int-vs-str key): the sort key lpads every digit run to 20 chars
+    * (inserted-separator split — RE2-portable, no lookarounds — so the
+    * DuckDB oracle replays the identical key), making plain string
+    * order equal natural order; digits sort before letters (ASCII),
+    * and the raw path tie-breaks keys that collide under padding
+    * ("s02" vs "s2").
     */
-  def sortByName(f: DataFrame): DataFrame = {
+  def sortByName(f: DataFrame, natural: Boolean = false,
+                 reverse: Boolean = false): DataFrame = {
+    val key =
+      if (!natural) col("path")
+      else array_join(transform(
+        split(regexp_replace(col("path"), "([0-9]+)", "\u0001$1\u0001"),
+          "\u0001"),
+        t => when(t.rlike("^[0-9]+$"), lpad(t, 20, "0")).otherwise(t)), "")
+    val w = Window.orderBy(
+      (if (reverse) Seq(key.desc, col("path").desc)
+       else Seq(key.asc, col("path").asc)): _*)
     val ranked = f.select(col("path")).distinct()
-      .select(col("path"),
-        row_number().over(Window.orderBy(col("path"))).as("ord"))
+      .select(col("path"), row_number().over(w).as("ord"))
     f.join(broadcast(ranked), Seq("path"))
   }
 

@@ -437,7 +437,18 @@ object TargetExpr {
         case "sortByMaxima" => arity(1); sortByMaxima(series(0))
         case "sortByMinima" => arity(1); sortByMinima(series(0))
         case "sortByTotal" => arity(1); sortByTotal(series(0))
-        case "sortByName" => arity(1); sortByName(series(0))
+        case "sortByName" =>
+          // (seriesList[, natural[, reverse]]) — natural compares
+          // digit runs numerically (s2 before s10), graphite 1.1's arg
+          require(args.length >= 1 && args.length <= 3,
+            s"sortByName: expected (series[, natural[, reverse]]), got ${args.length} args")
+          def boolAt(i: Int): Boolean =
+            if (args.length <= i) false
+            else args(i) match {
+              case BoolArg(b) => b
+              case other => badArg(call, i, "boolean", other)
+            }
+          sortByName(series(0), boolAt(1), boolAt(2))
         case "currentBelow" => arity(2); filterByStat(series(0), "current", "below", num(1))
         case "averageAbove" => arity(2); filterByStat(series(0), "average", "above", num(1))
         case "averageBelow" => arity(2); filterByStat(series(0), "average", "below", num(1))

@@ -552,6 +552,21 @@ class SeriesFunctionsSpec extends SparkSpec {
     // sum ties (a,b at 10) break by path
     assert(ordOf(SeriesFunctions.sortByTotal(f)) == Seq(("a", 1), ("b", 2), ("c", 3)))
     assert(ordOf(SeriesFunctions.sortByName(f)) == Seq(("a", 1), ("b", 2), ("c", 3)))
+    // natural mode (r10): digit runs compare numerically — s2 before
+    // s10 — while plain mode is lexicographic; reverse flips; padded
+    // key collisions ("s02" vs "s2") tie-break on the raw path
+    val g = frame(("s2", 0L, 1.0), ("s10", 0L, 1.0), ("s1.x", 0L, 1.0),
+      ("s02", 0L, 1.0))
+    assert(ordOf(SeriesFunctions.sortByName(g)).map(_._1) ==
+      Seq("s02", "s1.x", "s10", "s2"))
+    assert(ordOf(SeriesFunctions.sortByName(g, natural = true)).map(_._1) ==
+      Seq("s1.x", "s02", "s2", "s10"))
+    assert(ordOf(SeriesFunctions.sortByName(g, natural = true,
+      reverse = true)).map(_._1) == Seq("s10", "s2", "s02", "s1.x"))
+    // the parsed form accepts the bool args
+    assert(vals(evalTarget("limit(sortByName(s.*,true),1)", _ =>
+      frame(("s.y2", 0L, 1.0), ("s.y10", 0L, 2.0))))
+      .map(_._1).distinct == Seq("s.y2"))
     // limit(sortByMinima, 2) keeps the two LOWEST-minimum series and
     // restores the frame contract (no ord column)
     val lim = SeriesFunctions.limitSeries(SeriesFunctions.sortByMinima(f), 2)
