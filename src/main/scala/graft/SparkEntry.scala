@@ -141,6 +141,7 @@ object SparkEntry {
     "gfn_window_generators" -> ((s, dir) => T.gfnWindowGenerators(s, dir)),
     "gfn_alias_query" -> ((s, dir) => T.gfnAliasQuery(s, dir)),
     "gfn_cacti_style" -> ((s, dir) => T.gfnCactiStyle(s, dir)),
+    "gfn_legend_value" -> ((s, dir) => T.gfnLegendValue(s, dir)),
     "gfn_display_pack" -> ((s, dir) => T.gfnDisplayPack(s, dir)),
     "gfn_moving_time" -> ((s, dir) => T.gfnMovingTime(s, dir)),
     "store_compact_fetch" -> ((s, dir) => T.storeCompactFetch(s, dir)),
@@ -4210,6 +4211,22 @@ object SparkEntry {
          |  || ' Min:' || coalesce(printf('%.2f', k.mn), 'nan') AS path,
          | fc.t, round(fc.value - 1e-9, 4) AS value
          |FROM fc JOIN k USING (path) ORDER BY 1, 2""".stripMargin,
+    // C16g2: legendValue — the generic legend suffix off the shared
+    // stat table; round(,2) before %.2f so the format step is tie-free
+    // in both engines (the cactiStyle discipline); avg/max/total
+    "gfn_legend_value" ->
+      s"""WITH $GfnFrameCte,
+         |st AS (SELECT path, avg(value) AS a, max(value) AS mx,
+         |  sum(value) AS tt FROM fr GROUP BY 1)
+         |SELECT f.path || ' (avg: ' ||
+         |    CASE WHEN s.a IS NULL THEN 'None' ELSE printf('%.2f', round(s.a, 2)) END ||
+         |  ') (max: ' ||
+         |    CASE WHEN s.mx IS NULL THEN 'None' ELSE printf('%.2f', round(s.mx, 2)) END ||
+         |  ') (total: ' ||
+         |    CASE WHEN s.tt IS NULL THEN 'None' ELSE printf('%.2f', round(s.tt, 2)) END ||
+         |  ')' AS path, f.t, round(f.value - 1e-9, 4) AS value
+         |FROM fr f LEFT JOIN st s ON f.path = s.path
+         |ORDER BY 1, 2""".stripMargin,
     // C9: reduceSeries(mapSeries(...)) — series paired by suffix
     // matcher at node 2 within each 2-node prefix, asPercent law
     // (zero/absent denominator → null), result named by the prefix

@@ -1098,6 +1098,13 @@ object Queries {
       .select(col("path"), col("t"), round(col("value") - Eps, 4).as("value"))
       .orderBy(col("path"), col("t"), col("value"))
 
+  /** C16g2 (r10): legendValue — cactiStyle's generic sibling: one
+    * " (type: value)" suffix per requested stat off the shared stat
+    * table, round(,2)-then-%.2f on both engines, all-null reads None.
+    */
+  def gfnLegendValue(spark: SparkSession, dir: String): DataFrame =
+    gfnEval(spark, dir, """legendValue(vera.u1?.click,"avg","max","total")""")
+
   /** C16g: cactiStyle — the Cacti legend suffix: names carry
     * `Current:/Max:/Min:` %.2f-formatted from the shared stat table
     * (stats rounded to 2 decimals BEFORE formatting, so both engines

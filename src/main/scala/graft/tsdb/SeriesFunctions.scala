@@ -1798,6 +1798,37 @@ object SeriesFunctions {
       col("t"), col("value"))
   }
 
+  /** Graphite `legendValue(seriesList, *valueTypes)` — names gain one
+    * " (type: value)" suffix per requested stat, the OTHER Grafana
+    * legend idiom (cactiStyle's generic sibling): stats ride the
+    * shared [[seriesStat]] table (avg/total/min/max/last/…, graphite's
+    * spellings via canonAgg), formatted with the cactiStyle discipline
+    * — round(,2) BEFORE %.2f so the format step is tie-free in both
+    * engines (the documented divergence from graphite's raw
+    * str(float)) — and an all-null stat reads "None", graphite's
+    * text. The 'si'/'binary' unit systems are rejected loudly: unit
+    * scaling is a renderer concern this frame model doesn't carry
+    * (the secondYAxis doc).
+    */
+  def legendValue(f: DataFrame, valueTypes: Seq[String]): DataFrame = {
+    require(valueTypes.nonEmpty, "legendValue: need at least one valueType")
+    require(!valueTypes.exists(v => v == "si" || v == "binary"),
+      "legendValue: unit systems (si/binary) are not supported — " +
+        "unit scaling is a renderer concern")
+    val aggs = valueTypes.zipWithIndex.map { case (vt, i) =>
+      seriesStat(vt, "legendValue").as(s"v$i")
+    }
+    val tab = f.groupBy(col("path")).agg(aggs.head, aggs.tail: _*)
+    def fmt(c: Column): Column =
+      when(c.isNotNull, format_string("%.2f", round(c, 2))).otherwise(lit("None"))
+    val name = valueTypes.zipWithIndex.foldLeft(col("path")) {
+      case (acc, (vt, i)) =>
+        concat(acc, lit(s" ($vt: "), fmt(col(s"v$i")), lit(")"))
+    }
+    frame(f.join(broadcast(tab), Seq("path"), "left"),
+      name, col("t"), col("value"))
+  }
+
   /** The DISPLAY-OPTION family (graphite's style channel): `color`,
     * `lineWidth`, `alpha` set renderer attributes WITHOUT renaming in
     * graphite-web, so here — where the frame deliberately carries no

@@ -699,6 +699,10 @@ object TargetExpr {
         case "sigmoid" => arity(1); sigmoidSeries(series(0))
         case "logit" => arity(1); logitSeries(series(0))
         case "cactiStyle" => arity(1); cactiStyle(series(0))
+        case "legendValue" =>
+          require(args.length >= 2,
+            "legendValue: need a series and at least one valueType")
+          legendValue(series(0), (1 until args.length).map(str))
         case "color" => arity(2); colorSeries(series(0), str(1))
         case "lineWidth" => arity(2); lineWidth(series(0), num(1))
         case "alpha" => arity(2); alphaSeries(series(0), num(1))

@@ -983,6 +983,24 @@ class SeriesFunctionsSpec extends SparkSpec {
       Seq(Some(1.256), Some(3.0), None))
   }
 
+  test("legendValue: per-stat suffixes, None for all-null, si rejected (r10)") {
+    val f = frame(("a", 0L, 1.256), ("a", 60L, 3.0), ("a", 120L, null),
+      ("n", 0L, null), ("n", 60L, null))
+    val out = vals(evalTarget("""legendValue(x.*,"avg","max","total")""", _ => f))
+    assert(out.map(_._1).distinct.sorted == Seq(
+      "a (avg: 2.13) (max: 3.00) (total: 4.26)",
+      "n (avg: None) (max: None) (total: None)"))
+    // values untouched; 'last' rides the position stat
+    assert(out.filter(_._1.startsWith("a")).map(_._3) ==
+      Seq(Some(1.256), Some(3.0), None))
+    assert(vals(evalTarget("""legendValue(x.*,"last")""", _ => f))
+      .map(_._1).distinct.sorted.head == "a (last: 3.00)")
+    intercept[IllegalArgumentException](
+      evalTarget("""legendValue(x.*,"avg","si")""", _ => f))
+    intercept[IllegalArgumentException](
+      evalTarget("""legendValue(x.*)""", _ => f))
+  }
+
   test("aggregate xFilesFactor, interpolate limit, aggregateLine stat table") {
     // xff: 2 series; t=0 both present (1.0), t=60 one present (0.5),
     // t=120 neither (0.0)
