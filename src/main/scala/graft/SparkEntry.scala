@@ -27,6 +27,7 @@ object SparkEntry {
     "stream_asof_enrich" -> ((s, dir) => Relational.streamAsofEnrich(s, dir)),
     "events_funnel" -> ((s, dir) => Relational.eventsFunnel(s, dir)),
     "events_retention" -> ((s, dir) => Relational.eventsRetention(s, dir)),
+    "events_transitions" -> ((s, dir) => Relational.eventsTransitions(s, dir)),
     "stream_funnel" -> ((s, dir) => Relational.streamFunnel(s, dir)),
     "stream_funnel_horizon" -> ((s, dir) => Relational.streamFunnelHorizon(s, dir)),
     "events_attribution" -> ((s, dir) => Relational.eventsAttribution(s, dir)),
@@ -5041,6 +5042,17 @@ object SparkEntry {
         |SELECT user_id, min(t) AS t0, max(t) + 1800 AS t1,
         | count(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin,
+    // E11: journey transitions — consecutive-pair counts per user in
+    // (t, event_id) order (the id tie-break pins same-second pairs)
+    "events_transitions" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type FROM events),
+        |p AS (SELECT event_type AS to_type,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY t, event_id) AS from_type FROM e)
+        |SELECT from_type, to_type, count(*) AS n FROM p
+        |WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // E10: linear multi-touch attribution — per-purchase in-window
     // click count, equal integer credit shares (10000 div n, remainder
     // dropped), accumulated per click

@@ -367,6 +367,27 @@ object Relational {
           col("event_type")),
       Seq("view", "click", "purchase"), expireSec = 86400L)
 
+  /** E11 (r10): user-journey TRANSITIONS — the next-step matrix every
+    * Sankey/flow visualization aggregates: for each consecutive event
+    * pair within a user's (t, event_id)-ordered stream (the id
+    * tie-break makes same-second ordering deterministic cross-engine),
+    * count (from_type, to_type). ONE lag window over the user shuffle
+    * + one narrow aggregate; output O(#types²).
+    */
+  def eventsTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("long").as("t"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** E9: cohort RETENTION — the week-over-week comeback matrix: each
     * user's cohort is the epoch-week of their FIRST event; for every
     * (cohort, week-offset) cell, how many of the cohort's users were

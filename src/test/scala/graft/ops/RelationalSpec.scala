@@ -140,6 +140,24 @@ class RelationalSpec extends SparkSpec {
       (20L, 2L, 8333L), (21L, 2L, 8333L), (22L, 1L, 3333L)))
   }
 
+  test("transitions: per-user consecutive pairs, id tie-break, no cross-user pair (E11)") {
+    import org.apache.spark.sql.expressions.Window
+    // u1: view→click→click; u2: purchase only (no pair); the t=100 tie
+    // between id 1 and 2 orders by event_id
+    val e = Seq(
+      (1L, 1L, 100L, "view"), (1L, 2L, 100L, "click"), (1L, 3L, 200L, "click"),
+      (2L, 4L, 50L, "purchase"))
+      .toDF("user_id", "event_id", "t", "event_type")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val out = e.withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(("click", "click", 1L), ("view", "click", 1L)))
+  }
+
   test("retention: cohorts by first week, comeback cells, dedup (E9)") {
     // cohort 100: u1 active weeks 100,101,103 (plus a duplicate event
     // in week 100 that must not double-count); u2 only week 100.
