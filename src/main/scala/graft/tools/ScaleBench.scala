@@ -146,13 +146,17 @@ object ScaleBench {
       // back
       val mroot = s"target/scalebench/x$copies/maintstore"
       if (!new java.io.File(s"$mroot/_OK").exists) {
+        // split the appends on id (ts = id*26 is always even, so a ts%8
+        // split would leave the odd appends empty and halve the
+        // documented ~64 files/day small-file pressure)
         val pts = spark.range(100000L * copies).select(
+            col("id"),
             concat(lit("m."), (col("id") % 50).cast("string")).as("path"),
             (col("id") * 26L % (30L * 86400L)).as("ts"),
             col("id").cast("double").as("value"))
           .withColumn("day", col("ts") - col("ts") % 86400L)
         for (k <- 0 until 8; dst <- Seq("splintered", "hot"))
-          pts.filter(col("ts") % 8 === k).repartition(8)
+          pts.filter(col("id") % 8 === k).drop("id").repartition(8)
             .write.partitionBy("day").mode("append").parquet(s"$mroot/$dst")
         graft.tsdb.MetricStore.compactTick(spark, s"$mroot/hot",
           s"$mroot/cold", 29L * 86400L)

@@ -196,7 +196,11 @@ object MetricStore {
     if (days.isEmpty) Seq.empty
     else {
       val staging = s"$coldDir/_staging"
+      // project to the point columns: the maintained sink's hot layout
+      // carries an ingest_batch partition (replay idempotence) that
+      // must not leak into the cold store's data columns
       hot.filter(col("day").isin(days.map(d => d: Any): _*))
+        .select(col("path"), col("ts"), col("value"), col("day"))
         .repartition(col("day"))
         .sortWithinPartitions(col("day"), col("path"), col("ts"))
         .write.partitionBy("day").mode("overwrite").parquet(staging)
@@ -239,6 +243,31 @@ object MetricStore {
     */
   def readMaintained(spark: SparkSession, hotDir: String,
                      coldDir: String): DataFrame = {
+    val base = readMaintainedBase(spark, hotDir, coldDir)
+    // LATE overlay: points that arrived after their day published merge
+    // into `<hot>/_late` (the G6 upsert store — CarbonStream
+    // .maintainTick's late path). Whisper slot semantics are
+    // last-write-wins, and the late row is by construction the newest
+    // write for its slot, so the late copy displaces the base copy per
+    // (path, ts). Late arrivals are rare by contract, so the key set
+    // broadcasts — one map-side anti-join, never a corpus shuffle.
+    val late = s"$hotDir/_late"
+    val (fs, lp) = hadoopFs(spark, late)
+    val lateHasDays = fs.exists(lp) &&
+      fs.listStatus(lp).exists(_.getPath.getName.startsWith("day="))
+    if (!lateHasDays) base
+    else {
+      val lateDf = spark.read.parquet(late)
+        .select(col("path"), col("ts"), col("value"),
+          col("day").cast("long").as("day"))
+      base.join(broadcast(lateDf.select(col("path"), col("ts"))),
+          Seq("path", "ts"), "left_anti")
+        .unionByName(lateDf)
+    }
+  }
+
+  private def readMaintainedBase(spark: SparkSession, hotDir: String,
+                                 coldDir: String): DataFrame = {
     val cold = coldDays(spark, coldDir)
     // a hot store with no day dirs (brand-new store, or a paused
     // stream whose closed days all compacted) has no schema to infer —

@@ -1157,13 +1157,21 @@ object Queries {
 
   /** G26: the MAINTAINED store — the B15 compaction driven from the
     * ingest loop: three simulated micro-batches append through
-    * CarbonStream.maintainTick (the exact foreachBatch body of
+    * CarbonStream.maintainTickOnce (the exact foreachBatch body of
     * ingestSinkMaintained), each tick compacting the days the stream
     * has moved past into the cold store (atomic per-day rename
     * publication) and reclaiming hot copies published by earlier
-    * ticks. The read is MetricStore.readMaintained — cold wins per
-    * published day, hot serves the live tail — and must equal the raw
-    * point multiset (lossless maintenance, the B15 oracle shared).
+    * ticks. LATE arrival is part of the drive (VERDICT r10 #2): a
+    * deterministic slice of the FIRST third's points is held back and
+    * delivered with the LAST batch — by then their days are published,
+    * so the tick routes them through the `_late` upsert store instead
+    * of crashing; the read folds them back in last-write-wins. A
+    * committed batch id is then REPLAYED (foreachBatch at-least-once)
+    * and must be a no-op. The read is MetricStore.readMaintained —
+    * cold wins per published day, hot serves the live tail, late
+    * overlays per slot — and must STILL equal the raw point multiset
+    * (lossless maintenance under late arrival and replay, the B15
+    * oracle shared).
     */
   def storeMaintainedFetch(spark: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
@@ -1173,20 +1181,27 @@ object Queries {
     if (!java.nio.file.Files.exists(marker)) {
       val m = Tables.metrics(spark, dir)
         .select(col("path"), col("ts"), col("value"))
-      // DAY-ORDERED arrival, the append sink's contract (a published
-      // day is immutable — late points take the G6 upsert store): each
+      // DAY-ORDERED arrival except the held-back stragglers: each
       // simulated micro-batch carries the next third of the calendar,
       // whole days only
       val dayCol = col("ts") - col("ts") % MetricStore.DaySeconds
       val days = m.select(dayCol.as("day")).distinct().orderBy(col("day"))
         .collect().map(_.getLong(0))
       val cuts = Seq(days(days.length / 3), days(2 * days.length / 3))
+      val heldBack = dayCol < cuts(0) && col("ts") % 7 === 3
       val batches = Seq(
-        m.filter(dayCol < cuts(0)),
+        m.filter(dayCol < cuts(0) && !(col("ts") % 7 === 3)),
         m.filter(dayCol >= cuts(0) && dayCol < cuts(1)),
-        m.filter(dayCol >= cuts(1)))
-      batches.foreach(b => graft.streaming.CarbonStream.maintainTick(
-        b, s"$root/hot", s"$root/cold"))
+        m.filter((dayCol >= cuts(1)) || heldBack))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        graft.streaming.CarbonStream.maintainTickOnce(
+          b, s"$root/hot", s"$root/cold", i.toLong): Unit
+      }
+      // the replayed committed batch must skip (marker) — the oracle
+      // below would catch any double-append it let through
+      require(!graft.streaming.CarbonStream.maintainTickOnce(
+        batches(1), s"$root/hot", s"$root/cold", 1L),
+        "maintainTickOnce: replayed committed batch was not skipped")
       java.nio.file.Files.writeString(marker, "ok")
     }
     MetricStore.readMaintained(spark, s"$root/hot", s"$root/cold")

@@ -148,10 +148,28 @@ object Tags {
     val known = spark.read.parquet(dir).select(col("path")).distinct()
     val fresh = newPaths.select(col("path")).distinct()
       .join(known, Seq("path"), "left_anti")
-      .cache()
-    val n = fresh.count()
-    if (n > 0) tagIndex(fresh).write.mode("append").parquet(dir)
-    fresh.unpersist()
+    // STAGE-then-MOVE, never append-while-reading: the anti-join's plan
+    // scans `dir`, so a direct append into `dir` would race its own
+    // input if the plan ever recomputes (cache eviction, executor
+    // loss). The delta lands in an underscore staging dir (invisible to
+    // parquet discovery of `dir`), fully materialized, then each part
+    // file publishes by rename — name-level metadata ops, the
+    // compactTick swap discipline.
+    val staging = s"$dir/_staging"
+    tagIndex(fresh).write.mode("overwrite").parquet(staging)
+    val n = spark.read.parquet(staging).select(col("path")).distinct().count()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (n > 0) {
+      fs.listStatus(new org.apache.hadoop.fs.Path(staging)).toSeq
+        .filter(_.getPath.getName.startsWith("part-"))
+        .foreach { f =>
+          val ok = fs.rename(f.getPath,
+            new org.apache.hadoop.fs.Path(dir, f.getPath.getName))
+          require(ok, s"mergeTagIndex: publishing ${f.getPath.getName} failed")
+        }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     n
   }
 

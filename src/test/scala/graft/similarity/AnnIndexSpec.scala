@@ -132,6 +132,62 @@ class AnnIndexSpec extends SparkSpec {
     assert(idx.lists.select("vec_id").distinct().count() == e.count())
   }
 
+  test("replayed batch id: segment set and epoch chain unchanged, search identical") {
+    val root = freshRoot()
+    val base = e.filter(col("vec_id") % 3 =!= 0)
+    val delta = e.filter(col("vec_id") % 3 === 0)
+    AnnIndex.build(spark, base, params, root)
+    assert(AnnIndex.extendOnce(delta, root, batchId = 7L))
+    def state = (
+      new java.io.File(root).listFiles().map(_.getName).sorted.toSeq,
+      AnnIndex.readyEpochs(spark, root).sorted)
+    val committed = state
+    val q = e.filter(col("vec_id") < 5)
+    val before = collected(AnnIndex.search(q, AnnIndex.load(spark, root), k = 3))
+    // foreachBatch at-least-once: the replayed id is skipped whole —
+    // no new segment, no new epoch, results identical
+    assert(!AnnIndex.extendOnce(delta, root, batchId = 7L))
+    assert(state == committed)
+    assert(collected(AnnIndex.search(q, AnnIndex.load(spark, root), k = 3))
+      == before)
+    // every vector exactly once (the lists.count == corpus.count
+    // invariant a replayed re-encode would break)
+    val idx = AnnIndex.load(spark, root)
+    assert(idx.lists.count() == e.count())
+    assert(idx.lists.select("vec_id").distinct().count() == e.count())
+  }
+
+  test("composed maintenance: long batch chain keeps segments and epochs bounded") {
+    val root = freshRoot()
+    val n = e.count()
+    val slice = (k: Int) => e.filter(col("vec_id") % 12 === k)
+    AnnIndex.build(spark, slice(0), params, root)
+    // 11 micro-batches with compact-every-3 + vacuum-keep-2 — the G26
+    // loop pattern applied to F60
+    for (k <- 1 until 12)
+      assert(AnnIndex.extendOnce(slice(k), root, k.toLong,
+        compactEvery = 3, vacuumKeep = 2))
+    // bounded steady state: the live epoch reads ≤ compactEvery
+    // segments, retention keeps ≤ vacuumKeep epochs, and the on-disk
+    // segment set is only what surviving epochs reference
+    val idx = AnnIndex.load(spark, root)
+    assert(idx.lists.inputFiles.nonEmpty)
+    val liveSegs = new java.io.File(root).listFiles()
+      .count(_.getName.startsWith("seg="))
+    assert(AnnIndex.readyEpochs(spark, root).size <= 2)
+    assert(liveSegs <= 3 + 1, s"live segments: $liveSegs") // ≤ K live + ≤1 shared tail
+    // lossless throughout: every vector exactly once, search equals a
+    // maintenance-free chain over the same corpus
+    assert(idx.lists.count() == n)
+    assert(idx.lists.select("vec_id").distinct().count() == n)
+    val q = e.filter(col("vec_id") < 5)
+    val plain = freshRoot()
+    AnnIndex.build(spark, slice(0), params, plain)
+    for (k <- 1 until 12) AnnIndex.extend(spark, plain, slice(k))
+    assert(collected(AnnIndex.search(q, AnnIndex.load(spark, root), k = 3)) ==
+      collected(AnnIndex.search(q, AnnIndex.load(spark, plain), k = 3)))
+  }
+
   test("swap discipline: partial epochs invisible, published ones immutable") {
     val root = freshRoot()
     // no ready epoch → loud

@@ -190,6 +190,51 @@ class StreamSpec extends SparkSpec {
     assert(values == want)
   }
 
+  test("maintained tick: replayed committed batch is a file-level no-op; crash window converges (G26)") {
+    import graft.tsdb.MetricStore
+    val tmp = java.nio.file.Files.createTempDirectory("graft-maint-eo").toString
+    val (hot, cold) = (s"$tmp/hot", s"$tmp/cold")
+    def df(rows: (String, Long, Double)*) = rows.toDF("path", "ts", "value")
+    def snapshot(dir: String): Seq[(String, Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).map(f =>
+        (f.getPath, f.length(), f.lastModified())).sortBy(_._1)
+    }
+    def values = MetricStore.readMaintained(spark, hot, cold)
+      .select("path", "ts", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    // batch 0: days 0+1 — day 0 publishes; batch 1: day 2 — day 1
+    // publishes, day 0's hot copy reclaims
+    assert(CarbonStream.maintainTickOnce(
+      df(("a.x", 100L, 1.0), ("a.x", 90000L, 2.0)), hot, cold, 0L))
+    val b1 = df(("a.x", 180000L, 3.0))
+    assert(CarbonStream.maintainTickOnce(b1, hot, cold, 1L))
+    val committed = (snapshot(hot), snapshot(cold))
+    val want = values
+    // replayed committed batch id: tick skipped, store BYTES untouched
+    assert(!CarbonStream.maintainTickOnce(b1, hot, cold, 1L))
+    assert((snapshot(hot), snapshot(cold)) == committed)
+    assert(values == want)
+    // crash window (tick done, marker lost): the replayed tick re-runs
+    // — the hot append overwrites ITS OWN ingest_batch partition
+    // (file-level idempotent modulo fresh part names), cold is
+    // untouched, and observable values converge exactly
+    val fs = new org.apache.hadoop.fs.Path(hot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$hot/_txn/1"), false)
+    assert(CarbonStream.maintainTickOnce(b1, hot, cold, 1L))
+    assert(snapshot(cold) == committed._2)
+    assert(values == want)
+    // crash window where the lost tick had PUBLISHED the batch's days:
+    // the replay routes those points through the late store and the
+    // last-write-wins overlay converges — still no duplicates
+    fs.delete(new org.apache.hadoop.fs.Path(s"$hot/_txn/1"), false)
+    assert(CarbonStream.maintainTickOnce(
+      b1.unionByName(df(("a.x", 90060L, 4.0))), hot, cold, 1L))
+    assert(values == (want :+ ("a.x", 90060L, 4.0)).sorted)
+  }
+
   test("maintained ingest: closed days compact while the live day appends (G26)") {
     import graft.tsdb.MetricStore
     implicit val sqlCtx = spark.sqlContext

@@ -534,11 +534,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(ai.contains("BroadcastHashJoin"), ai.take(3000))
     assert(!ai.contains("SortMergeJoin") && !ai.contains("ShuffledHashJoin"),
       ai.take(3000))
-    // G26: the maintained read is a pure union of the two stores'
-    // scans — no join anywhere (the day split resolves as plan-time
-    // metadata, not a runtime anti-join)
+    // G26: the maintained read is a union of the two stores' scans
+    // (the day split resolves as plan-time metadata) plus — since the
+    // r11 late path — at most ONE broadcast anti-join against the
+    // K-row late-key set: never a shuffled/sort-merge join against
+    // the corpus-sized stores
     val sm = plan("store_maintained_fetch")
-    assert(!sm.contains("Join"), sm.take(3000))
+    assert(!sm.contains("SortMergeJoin") && !sm.contains("ShuffledHashJoin"),
+      sm.take(3000))
+    assert(sm.contains("BroadcastHashJoin") &&
+      countOf(sm, "Join") <= countOf(sm, "BroadcastHashJoin"), sm.take(3000))
     // C15f: autocomplete off the persisted index is ONE K-row scan +
     // map-only selection predicate + one distinct exchange — no join,
     // no re-derivation of the index
