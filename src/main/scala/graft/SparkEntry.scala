@@ -39,6 +39,7 @@ object SparkEntry {
     "schema_match" -> ((s, dir) => T.schemaMatch(s, dir)),
     "watch_translate" -> ((s, dir) => T.watchTranslate(s, dir)),
     "watch_translate_conf" -> ((s, dir) => T.watchTranslateConf(s, dir)),
+    "conf_rules" -> ((s, dir) => T.confRules(s, dir)),
     // B. Whisper TSDB core
     "ts_rollup_avg" -> ((s, dir) => T.rollup(s, dir, "average")),
     "ts_rollup_sum" -> ((s, dir) => T.rollup(s, dir, "sum")),
@@ -70,6 +71,7 @@ object SparkEntry {
     "render_csv" -> ((s, dir) => T.renderCsv(s, dir)),
     "render_json" -> ((s, dir) => T.renderJson(s, dir)),
     "render_svg" -> ((s, dir) => T.renderSvg(s, dir)),
+    "render_svg_struct" -> ((s, dir) => T.renderSvgStruct(s, dir)),
     "cgi_render_csv" -> ((s, dir) => T.cgiRenderCsv(s, dir)),
     "cgi_find" -> ((s, dir) => T.cgiFind(s, dir)),
     "cgi_expand" -> ((s, dir) => T.cgiExpand(s, dir)),
@@ -287,6 +289,10 @@ object SparkEntry {
     "stream_keywords" -> ((s, dir) => L.streamKeywords(s, dir)),
     "multimodal_pipeline" -> ((s, dir) =>
       graft.multimodal.BinaryPipeline.pipelineSummary(s, graft.core.Tables.documents(s, dir))),
+    "multimodal_dims" -> ((s, dir) =>
+      graft.multimodal.BinaryPipeline.pipelineDims(s, graft.core.Tables.documents(s, dir))),
+    "multimodal_frames" -> ((s, dir) =>
+      graft.multimodal.BinaryPipeline.pipelineFrames(s, graft.core.Tables.documents(s, dir))),
     "audio_frames" -> ((s, dir) =>
       graft.multimodal.Audio.frameFeatures(s, graft.core.Tables.documents(s, dir)))
   )
@@ -3413,6 +3419,50 @@ object SparkEntry {
     // G6x: replayed micro-batch is a no-op behind the txn marker —
     // final store state is ts_upsert's, oracle shared verbatim
     "stream_upsert_replay" -> UpsertSql,
+    // A6: the parsed conf rule tables vs a VALUES literal of the
+    // expected parses of the reference's own Configuration files
+    // (the same tables ConfSpec pins field-by-field; rewrite-rules
+    // .conf.example is all comments, so zero rewrite rows IS the
+    // correct parse)
+    "conf_rules" ->
+      """SELECT * FROM (VALUES
+        | ('agg',CAST(0 AS BIGINT),'max','\.max$','max','0.0000'),
+        | ('agg',CAST(1 AS BIGINT),'min','\.min$','min','0.0000'),
+        | ('agg',CAST(2 AS BIGINT),'sum','\.sum$','sum','0.0000'),
+        | ('agg',CAST(3 AS BIGINT),'avg','\.average$','average','0.0000'),
+        | ('agg',CAST(4 AS BIGINT),'last','\.last$','last','0.0000'),
+        | ('agg',CAST(5 AS BIGINT),'Alarm',':Alarm','sum','0.0000'),
+        | ('agg',CAST(6 AS BIGINT),'Security',':Security','sum','0.0000'),
+        | ('agg',CAST(7 AS BIGINT),'DoorLock',':DoorLock','sum','0.0000'),
+        | ('agg',CAST(8 AS BIGINT),'Ping',':Ping','max','0.0000'),
+        | ('agg',CAST(9 AS BIGINT),'KWH','\.KWH','last','0.0000'),
+        | ('agg',CAST(10 AS BIGINT),'Power','\.Watts','average','0.0000'),
+        | ('agg',CAST(11 AS BIGINT),'Battery','\.BatteryLevel','last','0.0000'),
+        | ('agg',CAST(12 AS BIGINT),'Temperature',':Temperature','average','0.0000'),
+        | ('agg',CAST(13 AS BIGINT),'Humidity',':Humidity','average','0.0000'),
+        | ('agg',CAST(14 AS BIGINT),'Light',':Light','average','0.0000'),
+        | ('agg',CAST(15 AS BIGINT),'Generic',':Generic','average','0.0000'),
+        | ('schema',CAST(0 AS BIGINT),'Alarm',':Alarm','1s:1m,1m:1d,5m:7d,1h:90d,6h:1y,1d:5y',''),
+        | ('schema',CAST(1 AS BIGINT),'Security',':Security','1s:1m,1m:1d,5m:7d,1h:90d,6h:1y,1d:5y',''),
+        | ('schema',CAST(2 AS BIGINT),'DoorLock',':DoorLock','1s:1m,1m:1d,5m:7d,1h:90d,6h:1y,1d:5y',''),
+        | ('schema',CAST(3 AS BIGINT),'Ping',':Ping','1s:1m,1m:1d,5m:7d,1h:90d,6h:1y,1d:5y',''),
+        | ('schema',CAST(4 AS BIGINT),'KWH','\.KWH','20m:30d,3h:1y,1d:10y',''),
+        | ('schema',CAST(5 AS BIGINT),'Power','\.Watts','20m:30d,3h:1y,1d:10y',''),
+        | ('schema',CAST(6 AS BIGINT),'Battery','Battery','1d:5y',''),
+        | ('schema',CAST(7 AS BIGINT),'Temperature',':Temperature','10m:7d,1h:30d,3h:1y,1d:10y',''),
+        | ('schema',CAST(8 AS BIGINT),'Humidity',':Humidity','10m:7d,1h:30d,3h:1y,1d:10y',''),
+        | ('schema',CAST(9 AS BIGINT),'Light',':Light','10m:7d,1h:30d,3h:1y,1d:10y',''),
+        | ('schema',CAST(10 AS BIGINT),'Generic',':Generic','10m:7d,1h:30d,3h:1y,1d:10y',''),
+        | ('schema',CAST(11 AS BIGINT),'day','\.d$','1m:1d',''),
+        | ('schema',CAST(12 AS BIGINT),'2day','\.2$','2m:2d',''),
+        | ('schema',CAST(13 AS BIGINT),'week','\.w$','5m:7d',''),
+        | ('schema',CAST(14 AS BIGINT),'month','\.m$','20m:30d',''),
+        | ('schema',CAST(15 AS BIGINT),'quarter','\.q$','1h:90d',''),
+        | ('schema',CAST(16 AS BIGINT),'year','\.y$','6h:1y',''),
+        | ('translation',CAST(-1 AS BIGINT),'*.urn:micasaverde-com:serviceId:HVAC_OperatingState1.ModeState','Cooling','-1',''),
+        | ('translation',CAST(-1 AS BIGINT),'*.urn:micasaverde-com:serviceId:HVAC_OperatingState1.ModeState','Heating','1',''),
+        | ('translation',CAST(-1 AS BIGINT),'*.urn:micasaverde-com:serviceId:HVAC_OperatingState1.ModeState','Idle','0','')) AS t(kind, ord, name, pattern, v1, v2)
+        |ORDER BY kind, ord, name, pattern, v1""".stripMargin,
     "carbon_e2e" -> CarbonE2eSql,
     // identical semantics with all rule sets parsed from Graphite conf
     // text (Conf.scala) — the conf encodes the same rules, so the
@@ -3510,6 +3560,57 @@ object SparkEntry {
          | round(a2.value - 1e-9,4) AS value
          |FROM g LEFT JOIN a2 ON g.path = a2.path AND g.t = a2.bucket
          |ORDER BY 1, 2""".stripMargin,
+    // C6s-struct: the SVG document's polylines re-derived from the
+    // DATA — method=last fetch, hold fill, staircase dup expansion,
+    // global-bounds scaling to the 600x500/m=40 viewport; coordinates
+    // as round(.,1) doubles (both engines HALF_UP on the exact binary
+    // value — never printf strings, whose midpoint rounding differs)
+    "render_svg_struct" ->
+      s"""WITH ${fetchCteAgg(
+              "(max(struct_pack(t := ts, v := value))).v",
+              "(max(struct_pack(t := bucket, v := value))).v")},
+         |held AS (SELECT g.path, g.t, last_value(a2.value IGNORE NULLS) OVER (
+         |  PARTITION BY g.path ORDER BY g.t
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+         |  FROM g LEFT JOIN a2 ON g.path = a2.path AND g.t = a2.bucket),
+         |pts AS (SELECT path, CAST(t AS DOUBLE) AS t,
+         |    CAST(value AS DOUBLE) AS value, 1 AS ord
+         |  FROM held WHERE value IS NOT NULL),
+         |dups AS (SELECT path, t, pv AS value, 0 AS ord FROM (
+         |  SELECT path, t, lag(value) OVER (PARTITION BY path ORDER BY t) AS pv
+         |  FROM pts) d WHERE pv IS NOT NULL),
+         |allp AS (SELECT * FROM pts UNION ALL SELECT * FROM dups),
+         |b AS (SELECT min(t) AS t0, max(t) AS t1,
+         |  min(value) AS v0, max(value) AS v1 FROM allp),
+         |sc AS (SELECT p.path, p.t, p.ord,
+         |  40 + (p.t - b.t0) / greatest(b.t1 - b.t0, 1e-9) * 520 AS x,
+         |  460 - (p.value - b.v0) / greatest(b.v1 - b.v0, 1e-9) * 420 AS y
+         |  FROM allp p CROSS JOIN b)
+         |SELECT path,
+         |  CAST(row_number() OVER (PARTITION BY path ORDER BY t, ord) - 1
+         |    AS BIGINT) AS idx,
+         |  round(x, 1) AS x, round(y, 1) AS y
+         |FROM sc ORDER BY path, idx""".stripMargin,
+    // F12-dims: decoded dimensions after the 16x16 resize are pure
+    // functions of doc_id for a CORRECT decode chain — the oracle
+    // derives them from documents alone, proving per-row the real
+    // codec round-trip ran (image: 16/16/3; fallback: -1)
+    "multimodal_dims" ->
+      """SELECT doc_id AS media_id,
+        | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |   WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        | CAST(CASE WHEN doc_id % 3 = 0 THEN 16 ELSE -1 END AS BIGINT) AS width,
+        | CAST(CASE WHEN doc_id % 3 = 0 THEN 16 ELSE -1 END AS BIGINT) AS height,
+        | CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE -1 END AS BIGINT) AS channels
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // F12-frames: sampled frame indices per video media (every 2nd of
+    // n_frames = doc_id%30+1) — sequence semantics, DuckDB-derivable
+    "multimodal_frames" ->
+      """SELECT doc_id AS media_id,
+        | CAST(doc_id % 30 + 1 AS BIGINT) AS n_frames,
+        | CAST(unnest(range(0, doc_id % 30 + 1, 2)) AS BIGINT) AS frame_idx
+        |FROM documents WHERE doc_id % 3 = 2
+        |ORDER BY media_id, frame_idx""".stripMargin,
     // C9a: sumSeries + alias — per-timestamp sum across the fetched
     // series (SQL sum ignores nulls, all-null stays null — graphite
     // safeSum), renamed by the alias literal

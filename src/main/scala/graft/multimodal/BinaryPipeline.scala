@@ -238,6 +238,33 @@ object BinaryPipeline {
     * happened. The whole per-record chain is shuffle-free; the only
     * exchanges are the two final per-kind aggregations.
     */
+  /** F12-dims: the DECODE CHAIN's per-media numeric tail as oracled
+    * rows (VERDICT r10 #6) — resize(16×16) → batched decode → the
+    * decoded dimensions. For image media the values can only be
+    * (16, 16, 3) if the codec really re-encoded and re-decoded the
+    * raster; the fallback path is pinned at -1. All three columns are
+    * pure functions of doc_id for a correct pipeline, so DuckDB can
+    * derive the expected table from `documents` alone — the oracle
+    * proves per-row that the real decode ran.
+    */
+  def pipelineDims(spark: SparkSession, docs: DataFrame): DataFrame =
+    decodeFeatures(resize(mediaTable(spark, docs), 16, 16)).toDF()
+      .select(col("media_id"), col("kind"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("channels").cast("long").as("channels"))
+      .orderBy(col("media_id"))
+
+  /** F12-frames: the frame-sampling plumbing as oracled rows — video
+    * media explode to their sampled frame indices (0, 2, …); counts
+    * and indices are pure functions of doc_id, DuckDB-derivable.
+    */
+  def pipelineFrames(spark: SparkSession, docs: DataFrame): DataFrame =
+    frameSample(mediaTable(spark, docs), every = 2)
+      .select(col("media_id"), col("n_frames").cast("long").as("n_frames"),
+        col("frame_idx").cast("long").as("frame_idx"))
+      .orderBy(col("media_id"), col("frame_idx"))
+
   def pipelineSummary(spark: SparkSession, docs: DataFrame): DataFrame = {
     val media = mediaTable(spark, docs)
     val feats = decodeFeatures(resize(media, 16, 16))

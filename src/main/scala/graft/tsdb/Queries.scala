@@ -411,6 +411,70 @@ object Queries {
         fetchFrom, Now, Now),
       method = "last", title = Some("vera.u1?.click"))
 
+  /** C6s-struct: the STRUCTURAL oracle over the rendered SVG document
+    * (VERDICT r10 #6) — parse every polyline back out of the finished
+    * document into (series, point-index, x, y) rows: series from the
+    * polyline's `<title>`, coordinates from its `points` attribute.
+    * The DuckDB oracle re-derives the same rows from the DATA — the
+    * method=last hold-filled fetch, the staircase duplicate-point
+    * expansion, and the global-bounds coordinate scaling — so a hash
+    * match proves the document encodes exactly the points the render
+    * semantics demand. Coordinates compare as round(·,1) doubles
+    * (both engines HALF_UP on the exact binary value), never as
+    * printf strings (C's %.1f is round-half-even on midpoint doubles
+    * like x.25, Java's is HALF_UP — strings would flake on exact
+    * quarter coordinates).
+    */
+  def renderSvgStruct(spark: SparkSession, dir: String): DataFrame =
+    renderSvg(spark, dir)
+      .select(explode(expr(
+        """regexp_extract_all(svg,
+          |'<polyline[^>]*points="[^"]*"><title>[^<]*</title>', 0)"""
+          .stripMargin.replace("\n", " "))).as("el"))
+      .select(
+        regexp_extract(col("el"), "<title>([^<]*)</title>", 1).as("path"),
+        split(regexp_extract(col("el"), "points=\"([^\"]*)\"", 1), " ").as("pts"))
+      .select(col("path"), posexplode(col("pts")).as(Seq("idx", "pt")))
+      .select(col("path"), col("idx").cast("long").as("idx"),
+        split(col("pt"), ",").getItem(0).cast("double").as("x"),
+        split(col("pt"), ",").getItem(1).cast("double").as("y"))
+      .orderBy(col("path"), col("idx"))
+
+  /** A6: the parsed conf RULE TABLES as rows (VERDICT r10 #8) — the
+    * reference's own Configuration files (storage-schemas,
+    * storage-aggregation, DataTranslation, rewrite-rules.conf.example)
+    * through the Conf parsers, one row per rule in file order. The
+    * DuckDB oracle is a VALUES literal of the expected tables — the
+    * same parses ConfSpec pins field-by-field, now hash-gated.
+    * Columns: v1 = retentions | aggregationMethod | translation-to |
+    * rewrite replacement; v2 = xFilesFactor (aggregation only, 4dp
+    * string to keep one column type).
+    */
+  def confRules(spark: SparkSession, dir: String): DataFrame = {
+    def ref(name: String): String =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/root/reference/Configuration", name)), "UTF-8")
+    val schemas = Conf.storageSchemas(ref("storage-schemas.conf"))
+      .zipWithIndex.map { case (r, i) =>
+        ("schema", i.toLong, r.name, r.pattern, r.retentions, "") }
+    val aggs = Conf.storageAggregation(ref("storage-aggregation.conf"))
+      .zipWithIndex.map { case (r, i) =>
+        ("agg", i.toLong, r.name, r.pattern, r.aggregationMethod,
+          f"${r.xFilesFactor}%.4f") }
+    val (pre, post) = Conf.rewriteRules(ref("rewrite-rules.conf.example"))
+    val rw = (pre.map(("rewrite_pre", _)) ++ post.map(("rewrite_post", _)))
+      .zipWithIndex.map { case ((kind, r), i) =>
+        (kind, i.toLong, "", r.pattern, r.replacement, "") }
+    val trans = Conf.translation(ref("DataTranslation.conf")).toSeq
+      .flatMap { case (tag, table) => table.toSeq.map { case (from, to) =>
+        ("translation", -1L, tag, from, to, "") } }
+      .sortBy(t => (t._3, t._4))
+    import spark.implicits._
+    (schemas ++ aggs ++ rw ++ trans)
+      .toDF("kind", "ord", "name", "pattern", "v1", "v2")
+      .orderBy("kind", "ord", "name", "pattern", "v1")
+  }
+
   // ---- C8. graphite_cgi URL dispatch (library transport surface) --------
 
   /** Storage context for the CGI e2e queries. The render variant's

@@ -16,6 +16,22 @@ class MultimodalSpec extends SparkSpec {
     (0L, "hello world"), (1L, "abc"), (2L, "0123456789abcdef"), (3L, "xyz")
   ).toDF("doc_id", "text")
 
+  test("pipeline dims: decoded 16/16/3 for images, -1 markers on the fallback path") {
+    val got = pipelineDims(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      (0L, "image", 16L, 16L, 3L), (1L, "audio", -1L, -1L, -1L),
+      (2L, "video", -1L, -1L, -1L), (3L, "image", 16L, 16L, 3L)))
+  }
+
+  test("pipeline frames: video media explode to every-2nd frame indices") {
+    val got = pipelineFrames(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 2 is video with n_frames = 2%30+1 = 3 → indices 0, 2
+    assert(got == Seq((2L, 3L, 0L), (2L, 3L, 2L)))
+  }
+
   test("media table derives typed metadata; image payloads are real encoded images") {
     val m = mediaTable(spark, docs).collect().sortBy(_.media_id)
     assert(m.map(_.kind).toSeq == Seq("image", "audio", "video", "image"))

@@ -154,6 +154,32 @@ class ApiSpec extends SparkSpec {
     assert(seriesPoints(stair, "a.x") == 5)
   }
 
+  test("svg struct extraction: per-series rows recover the staircase geometry") {
+    // the C6s-struct driver query's parse, pinned on the tiny fixture:
+    // per-polyline title + coordinate pairs come back as rows, the
+    // staircase invariant (2n-1 points per series) holds, and x is
+    // monotone within a series
+    val doc = Api.render(spark, metrics, "a.*",
+      Some("1970-01-01T00:00:00"), Some("1970-01-01T00:02:00"), "svg",
+      spec, "last", 0.0, now = 120L)
+    import org.apache.spark.sql.functions._
+    val got = doc
+      .select(explode(expr(
+        """regexp_extract_all(svg, '<polyline[^>]*points="[^"]*"><title>[^<]*</title>', 0)""")).as("el"))
+      .select(regexp_extract(col("el"), "<title>([^<]*)</title>", 1).as("path"),
+        split(regexp_extract(col("el"), "points=\"([^\"]*)\"", 1), " ").as("pts"))
+      .select(col("path"), posexplode(col("pts")).as(Seq("idx", "pt")))
+      .select(col("path"), col("idx"),
+        split(col("pt"), ",").getItem(0).cast("double").as("x"),
+        split(col("pt"), ",").getItem(1).cast("double").as("y"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    // a.x: 3 grid points (t=120 hold-filled) → 2*3-1 = 5 staircase pairs
+    assert(got.count(_._1 == "a.x") == 5)
+    val xs = got.filter(_._1 == "a.x").sortBy(_._2).map(_._3)
+    assert(xs.toSeq == xs.sorted.toSeq && xs.head == 40.0)
+    assert(got.forall(p => p._3 >= 40.0 && p._4 <= 460.0))
+  }
+
   test("svg options: area fill, yMax clip, alias, legend") {
     val fetched = Fetch.fetch(spark, metrics, "a.*", spec, "average", 0.0,
       0L, 120L, 200L)

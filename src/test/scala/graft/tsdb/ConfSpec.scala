@@ -187,4 +187,17 @@ class ConfSpec extends SparkSpec {
     assert(s.map(_.name) == Seq("a", "default"))
     assert(s(1).params == Seq("y" -> "2"))
   }
+
+  test("conf_rules row emission: one row per parsed rule, file order preserved (A6)") {
+    // the driver query behind the A6 oracle — kinds and counts match
+    // the field-by-field pins above; rewrite-rules.conf.example is all
+    // comments, so ZERO rewrite rows is the correct parse
+    val rows = Queries.confRules(spark, "unused").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val byKind = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byKind == Map("schema" -> 17, "agg" -> 16, "translation" -> 3))
+    // ord preserves file order inside a kind
+    assert(rows.filter(_._1 == "schema").sortBy(_._2).take(2).map(_._3).toSeq
+      == Seq("Alarm", "Security"))
+  }
 }
