@@ -149,6 +149,7 @@ object SparkEntry {
     "gfn_moving_time" -> ((s, dir) => T.gfnMovingTime(s, dir)),
     "store_compact_fetch" -> ((s, dir) => T.storeCompactFetch(s, dir)),
     "store_maintained_fetch" -> ((s, dir) => T.storeMaintainedFetch(s, dir)),
+    "store_retention_fetch" -> ((s, dir) => T.storeRetentionFetch(s, dir)),
     "gfn_xff_limit" -> ((s, dir) => T.gfnXffLimit(s, dir)),
     "store_conf_fetch" -> ((s, dir) => T.storeConfFetch(s, dir)),
     "gfn_aggregate_minmax" -> ((s, dir) => T.gfnAggregateMinmax(s, dir)),
@@ -227,6 +228,7 @@ object SparkEntry {
     "ann_ivf_pq_trained" -> ((s, dir) => L.annIvfPqTrained(s, dir)),
     "ann_index_search" -> ((s, dir) => L.annIndexSearch(s, dir)),
     "ann_index_refresh" -> ((s, dir) => L.annIndexRefresh(s, dir)),
+    "ann_index_deleted" -> ((s, dir) => L.annIndexDeleted(s, dir)),
     "ann_index_compacted" -> ((s, dir) => L.annIndexCompacted(s, dir)),
     "ann_ivf_pq_residual" -> ((s, dir) => L.annIvfPqResidual(s, dir)),
     "ann_quantized" -> ((s, dir) => L.annQuantized(s, dir)),
@@ -1040,7 +1042,8 @@ object SparkEntry {
     * still run over the whole corpus (the frozen-codebook extend law).
     */
   private def ivfPqTrainedSqlOver(trainSrc: String,
-                                  extraCtes: String = ""): String = {
+                                  extraCtes: String = "",
+                                  candWhere: String = ""): String = {
     import graft.ops.{LlmQueries => LQ}
     val sd = 64 / LQ.PqSubspaces
     s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
@@ -1068,7 +1071,7 @@ object SparkEntry {
        |  WHERE vec_id < ${LQ.AnnQueryMax}),
        |cand AS (SELECT p.q_id, a.vec_id
        |  FROM assigned a JOIN probes p USING (cent_id)
-       |  WHERE a.vec_id <> p.q_id),
+       |  WHERE a.vec_id <> p.q_id$candWhere),
        |terms AS (SELECT ca.q_id, ca.vec_id,
        |    CAST(round(list_dot_product(
        |      q.qe[cd.s*$sd+1 : cd.s*$sd+$sd], cd.cvec) * 1e6, 0) AS BIGINT) AS tl,
@@ -2369,6 +2372,12 @@ object SparkEntry {
     // maintenance cycle answers exactly as the refresh — shared SQL
     "ann_index_compacted" -> ivfPqTrainedSqlOver("base",
       "base AS (SELECT * FROM n WHERE vec_id % 3 <> 0),\n"),
+    // F60d: the delete cycle — codebooks trained on the FULL corpus
+    // (deletes never retrain), queries the full set, but tombstoned
+    // ids are excluded from the CANDIDATE side: a deleted vector must
+    // never appear in anyone's top-k, before or after the purge
+    "ann_index_deleted" -> ivfPqTrainedSqlOver("n",
+      candWhere = " AND a.vec_id % 17 <> 0"),
     // F25i: residual IVFPQ — residuals float-rounded from the
     // assignment, the trained chain over the residual CTE, ADC with
     // the q·c / ‖c‖² / c·cw cross terms all on the BIGINT grid
@@ -4259,12 +4268,26 @@ object SparkEntry {
          |SELECT path, ts, round(value, 4) AS value
          |FROM m ORDER BY 1, 2, 3""".stripMargin,
     // G26: streaming maintenance is LOSSLESS — the maintained read
-    // (cold compacted days + hot live tail) is the raw point multiset,
-    // the B15 law with the compaction driven from the ingest loop
+    // (cold compacted days + hot live tail + late overlay) is the raw
+    // point multiset, the B15 law with the compaction driven from the
+    // ingest loop — now under held-back LATE delivery and a REPLAYED
+    // batch id too (r11)
     "store_maintained_fetch" ->
       s"""WITH $M
          |SELECT path, ts, round(value, 4) AS value
          |FROM m ORDER BY 1, 2, 3""".stripMargin,
+    // G26r: retention ageing is EXACT at day granularity — after
+    // vacuuming days before the first third's cut, the maintained
+    // read is the raw points at-or-after the horizon; the cutoff is
+    // derived in SQL exactly as the query derives it (the
+    // (len/3)-th distinct day, 0-based)
+    "store_retention_fetch" ->
+      s"""WITH $M,
+         |d AS (SELECT DISTINCT ts - ts%86400 AS day FROM m),
+         |c AS (SELECT day AS cutoff FROM d ORDER BY day
+         |  LIMIT 1 OFFSET (SELECT count(*)//3 FROM d))
+         |SELECT path, ts, round(value, 4) AS value FROM m, c
+         |WHERE ts - ts%86400 >= c.cutoff ORDER BY 1, 2, 3""".stripMargin,
     // C16i: string-interval moving windows — the trailing time-RANGE
     // frame (t−14399 .. t), on the hourly grid ≡ 4 trailing points;
     // names carry the QUOTED interval, graphite's string-windowSize

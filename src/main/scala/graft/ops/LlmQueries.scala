@@ -729,6 +729,29 @@ object LlmQueries {
     AnnIndex.search(e.filter(col("vec_id") < AnnQueryMax), idx, AnnK)
   }
 
+  /** F60d: the DELETE cycle under the gate — build on the full corpus,
+    * tombstone every vec_id % 17 == 0 (the delete epoch: same segments
+    * + codebooks + a tombstone table; readers pinned at epoch 1 keep
+    * the full index), compact (physical purge, empty tombstones) —
+    * then search. The oracle is the F25h chain with the deleted ids
+    * excluded from the CANDIDATE side only (codebooks still trained on
+    * the full corpus — deletes never retrain, the frozen-book law;
+    * queries stay the full set: searching WITH a deleted vector's
+    * embedding is legal, finding it is not).
+    */
+  def annIndexDeleted(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.AnnIndex
+    val e = Tables.embeddings(spark, dir)
+    val root = annIndexRootOnce("annidx_delete", dir) { r =>
+      AnnIndex.build(spark, e, annIndexParams, r)
+      AnnIndex.delete(spark, r,
+        e.filter(col("vec_id") % 17 === 0).select(col("vec_id")))
+      AnnIndex.compactSegments(spark, r): Unit
+    }
+    val idx = AnnIndex.load(spark, root) // the purged epoch 3
+    AnnIndex.search(e.filter(col("vec_id") < AnnQueryMax), idx, AnnK)
+  }
+
   /** F25i: residual IVFPQ — the sub-quantizers encode x − centroid
     * (FAISS's IndexIVFPQ), trained by the same sampled Lloyd chain.
     */

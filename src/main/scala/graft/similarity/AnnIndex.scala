@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
   *   epoch=<e>/centroids/     coarse codebook (cent_id, ce)
   *   epoch=<e>/codebook/      product codebook (s, j, cw)
   *   epoch=<e>/segments/      manifest: the `seg` ids this epoch reads
-  *   _ready_epoch_<e>         0-byte marker, written LAST
+  *   epoch=<e>/tombstones/    deleted vec_ids (absent = none)
+  *   _ready_epoch_<e>         0-byte marker, written LAST (streaming
+  *                            publishes suffix it with __txn_<batchId>)
   * }}}
   *
   * The SWAP discipline is the marker file: an epoch exists only once
@@ -48,7 +50,8 @@ object AnnIndex {
 
   /** A loaded, epoch-pinned index: everything a search needs, nothing
     * mutable. `centroids` carries (cent_id, ce, cn); `lists` is the
-    * union of the epoch's segments.
+    * LIVE view — the union of the epoch's segments minus its
+    * tombstoned vec_ids.
     */
   final case class Loaded(epoch: Long, params: Params, centroids: DataFrame,
                           book: IndexedSeq[IndexedSeq[Array[Float]]],
@@ -138,11 +141,23 @@ object AnnIndex {
       .sortWithinPartitions(col("cent_id"), col("vec_id"))
       .write.mode("overwrite").parquet(s"$root/seg=$seg")
 
+  /** Tombstoned vec_ids of a published epoch — absent dir = none
+    * (epochs published before a delete read as delete-free).
+    */
+  private def rawTombstones(spark: SparkSession, root: String,
+                            epoch: Long): Option[DataFrame] = {
+    val dir = s"$root/epoch=$epoch/tombstones"
+    val (fs, p) = hadoopFs(spark, dir)
+    if (fs.exists(p)) Some(spark.read.parquet(dir).select(col("vec_id")))
+    else None
+  }
+
   private def writeEpochTables(spark: SparkSession, root: String, epoch: Long,
                                params: Params, centroids: DataFrame,
                                book: IndexedSeq[IndexedSeq[Array[Float]]],
                                segs: Seq[Long],
-                               txn: Option[Long] = None): Unit = {
+                               txn: Option[Long] = None,
+                               tombstones: Option[DataFrame] = None): Unit = {
     require(!isReady(spark, root, epoch),
       s"epoch $epoch is published and immutable under $root")
     import spark.implicits._
@@ -160,6 +175,8 @@ object AnnIndex {
         params.kc, params.iters, params.rateBp))
       .toDF("seg", "n_centroids", "n_probe", "m", "kc", "iters", "rate_bp")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/segments")
+    tombstones.foreach(_.select(col("vec_id")).distinct()
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/tombstones"))
     publish(spark, root, epoch, txn)
   }
 
@@ -197,7 +214,36 @@ object AnnIndex {
     writeSegment(encodeLists(newVecs, idx.centroids, idx.book), root, seg)
     val oldSegs = loadManifest(spark, root, e)._2
     writeEpochTables(spark, root, e + 1, idx.params, idx.centroids,
-      idx.book, oldSegs :+ seg, txn)
+      idx.book, oldSegs :+ seg, txn,
+      tombstones = rawTombstones(spark, root, e)) // carried forward
+    e + 1
+  }
+
+  /** DELETE vectors — the remaining lifecycle verb (a production index
+    * must forget: takedowns, re-crawled replacements, GDPR). A delete
+    * is a TOMBSTONE epoch: epoch e+1 references the SAME segments and
+    * codebooks plus a (vec_id) tombstone table (old set ∪ `ids`);
+    * [[load]] applies it as one broadcast anti-join, so a deleted
+    * vector vanishes from every later epoch's search while readers
+    * pinned at e keep their answers (the immutability law holds —
+    * nothing a reader holds ever mutates). Physical removal is
+    * [[compactSegments]]'s job: it rewrites the LIVE view (already
+    * tombstone-filtered) and publishes with an EMPTY tombstone set —
+    * exactly Lucene's delete→merge discipline. Tombstones are bounded
+    * by the deletes between compactions (the broadcast contract);
+    * re-adding a deleted vec_id requires a compaction first — the
+    * tombstone hides every occurrence of the id.
+    */
+  def delete(spark: SparkSession, root: String, ids: DataFrame,
+             txn: Option[Long] = None): Long = {
+    val e = currentEpoch(spark, root)
+    val idx = load(spark, root, Some(e))
+    val (params, segs) = loadManifest(spark, root, e)
+    val merged = rawTombstones(spark, root, e)
+      .map(_.unionByName(ids.select(col("vec_id"))))
+      .getOrElse(ids.select(col("vec_id")))
+    writeEpochTables(spark, root, e + 1, params, idx.centroids, idx.book,
+      segs, txn, tombstones = Some(merged))
     e + 1
   }
 
@@ -350,7 +396,14 @@ object AnnIndex {
     val book = (0 until m).map(s => (0 until kc).map(j => bookRows((s, j))))
     val lists = segs.map(sg => spark.read.parquet(s"$root/seg=$sg"))
       .reduce(_ unionByName _)
-    Loaded(e, params, cents, book, lists)
+    // the LIVE view: tombstoned ids vanish via one broadcast anti-join
+    // (bounded by deletes-since-compaction); compactSegments therefore
+    // physically purges them, because it rewrites exactly this frame
+    val live = rawTombstones(spark, root, e) match {
+      case Some(t) => lists.join(broadcast(t), Seq("vec_id"), "left_anti")
+      case None => lists
+    }
+    Loaded(e, params, cents, book, live)
   }
 
   /** Search through a loaded, epoch-pinned index — the shared

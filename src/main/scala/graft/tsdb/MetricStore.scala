@@ -233,6 +233,33 @@ object MetricStore {
       .sorted
   }
 
+  /** RETENTION ageing for the maintained store — whisper's
+    * maxRetention semantics on parquet (L_DataWhisper.lua: the ring
+    * buffer OVERWRITES slots older than the archive's horizon, so old
+    * points simply cease to exist; a day-partitioned store instead
+    * grows forever unless someone drops the old days). Applies the
+    * horizon at DAY granularity: every cold, hot, and late-store day
+    * dir strictly before `beforeDay` deletes — name-level metadata
+    * ops off the directory listings, never a data scan, exactly the
+    * [[graft.similarity.AnnIndex.vacuum]] shape for the metric side.
+    * Readers concurrent with the vacuum follow the same retention
+    * contract as every such system: pin + finish within the horizon.
+    * Returns the days dropped (deduplicated across stores).
+    */
+  def retentionVacuum(spark: SparkSession, hotDir: String, coldDir: String,
+                      beforeDay: Long): Seq[Long] = {
+    def dropOld(dir: String): Seq[Long] = {
+      val (fs, p) = hadoopFs(spark, dir)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).map(_.getPath).toSeq
+        .filter(q => q.getName.startsWith("day=") &&
+          q.getName.stripPrefix("day=").toLong < beforeDay)
+        .map { q => fs.delete(q, true); q.getName.stripPrefix("day=").toLong }
+    }
+    (dropOld(coldDir) ++ dropOld(hotDir) ++ dropOld(s"$hotDir/_late"))
+      .distinct.sorted
+  }
+
   /** One consistent scan of the maintained store: the cold copy wins
     * for every published day, the hot copy serves the rest (the live
     * day and any not-yet-compacted closed day). The day list resolves

@@ -1273,6 +1273,44 @@ object Queries {
       .orderBy(col("path"), col("ts"), col("value"))
   }
 
+  /** G26r: RETENTION ageing over the maintained store — whisper's
+    * maxRetention law (old slots cease to exist) driven as a
+    * maintenance verb: the same three-tick ingest as
+    * [[storeMaintainedFetch]] under its own root, then
+    * MetricStore.retentionVacuum drops every day strictly before the
+    * first third's cut, and the maintained read must equal the raw
+    * points AT OR AFTER the horizon — ageing is exact at day
+    * granularity, drops nothing newer, keeps nothing older.
+    */
+  def storeRetentionFetch(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_retention_${ProcessHandle.current().pid()}",
+      dir.stripPrefix("/").replaceAll("[^A-Za-z0-9.]", "_")).toString
+    val marker = java.nio.file.Paths.get(root, "_GRAFT_RETAIN_OK")
+    val m = Tables.metrics(spark, dir)
+      .select(col("path"), col("ts"), col("value"))
+    val dayCol = col("ts") - col("ts") % MetricStore.DaySeconds
+    val days = m.select(dayCol.as("day")).distinct().orderBy(col("day"))
+      .collect().map(_.getLong(0))
+    val cutoff = days(days.length / 3)
+    if (!java.nio.file.Files.exists(marker)) {
+      val cuts = Seq(days(days.length / 3), days(2 * days.length / 3))
+      val batches = Seq(
+        m.filter(dayCol < cuts(0)),
+        m.filter(dayCol >= cuts(0) && dayCol < cuts(1)),
+        m.filter(dayCol >= cuts(1)))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        graft.streaming.CarbonStream.maintainTickOnce(
+          b, s"$root/hot", s"$root/cold", i.toLong): Unit
+      }
+      MetricStore.retentionVacuum(spark, s"$root/hot", s"$root/cold", cutoff)
+      java.nio.file.Files.writeString(marker, "ok")
+    }
+    MetricStore.readMaintained(spark, s"$root/hot", s"$root/cold")
+      .select(col("path"), col("ts"), round(col("value"), 4).as("value"))
+      .orderBy(col("path"), col("ts"), col("value"))
+  }
+
   /** B16: the schema-driven store — click series store under their own
     * rule (10m:1d,1h:30d, method=sum) while everything else takes the
     * default (1h:7d,1d:60d, average), exactly how a production

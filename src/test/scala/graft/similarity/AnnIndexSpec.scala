@@ -188,6 +188,39 @@ class AnnIndexSpec extends SparkSpec {
       collected(AnnIndex.search(q, AnnIndex.load(spark, plain), k = 3)))
   }
 
+  test("delete: tombstones hide vectors, pinned readers keep them, compaction purges") {
+    val root = freshRoot()
+    AnnIndex.build(spark, e, params, root)
+    val doomed = e.filter(col("vec_id") % 17 === 0).select(col("vec_id"))
+    val nDoomed = doomed.count()
+    assert(AnnIndex.delete(spark, root, doomed) == 2L)
+    // live view: every tombstoned id gone, everything else intact
+    val idx2 = AnnIndex.load(spark, root)
+    assert(idx2.lists.count() == e.count() - nDoomed)
+    assert(idx2.lists.filter(col("vec_id") % 17 === 0).isEmpty)
+    // a deleted vector appears in NO search result
+    val q = e.filter(col("vec_id") < 5)
+    val got = AnnIndex.search(q, idx2, k = 3)
+    assert(got.filter(col("vec_id") % 17 === 0).isEmpty)
+    // the pinned epoch-1 reader still has the full index (immutability)
+    assert(AnnIndex.load(spark, root, Some(1L)).lists.count() == e.count())
+    // compaction purges physically: epoch 3 has no tombstone table,
+    // same live rows, identical search
+    val before = collected(got)
+    assert(AnnIndex.compactSegments(spark, root) == 3L)
+    assert(!new java.io.File(s"$root/epoch=3/tombstones").exists)
+    val idx3 = AnnIndex.load(spark, root)
+    assert(idx3.lists.count() == e.count() - nDoomed)
+    assert(collected(AnnIndex.search(q, idx3, k = 3)) == before)
+    // deletes ACCUMULATE across epochs until a compaction
+    AnnIndex.delete(spark, root,
+      e.filter(col("vec_id") % 17 === 1).select(col("vec_id")))
+    val idx4 = AnnIndex.load(spark, root)
+    assert(idx4.lists.filter(col("vec_id") % 17 === 1).isEmpty)
+    assert(idx4.lists.count() ==
+      e.filter(col("vec_id") % 17 =!= 1).count() - nDoomed)
+  }
+
   test("swap discipline: partial epochs invisible, published ones immutable") {
     val root = freshRoot()
     // no ready epoch → loud

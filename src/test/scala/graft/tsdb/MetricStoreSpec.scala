@@ -194,6 +194,16 @@ class MetricStoreSpec extends SparkSpec {
       Seq(("m.0", 60L, 9.9), ("m.0", 0L, 7.7)).toDF("path", "ts", "value"),
       hot, cold, batchId = 100L)
     assert(multiset(MetricStore.readMaintained(spark, hot, cold)) == wantLate)
+    // RETENTION ageing (whisper maxRetention): dropping days before a
+    // horizon is exact at day granularity — late-store days age too,
+    // days at/after the horizon survive untouched
+    assert(MetricStore.retentionVacuum(spark, hot, cold, day) == Seq(0L))
+    assert(dayDirs(cold) == Seq(s"day=$day"))
+    val wantAged = wantLate.filter(_._2 >= day)
+    assert(multiset(MetricStore.readMaintained(spark, hot, cold)) == wantAged)
+    // idempotent: a second vacuum at the same horizon drops nothing
+    assert(MetricStore.retentionVacuum(spark, hot, cold, day).isEmpty)
+    assert(multiset(MetricStore.readMaintained(spark, hot, cold)) == wantAged)
     // a hot store with no day dirs (fresh store / every closed day
     // compacted) still answers from cold — never a schema-inference
     // throw; a fully-empty store reads as typed empty
