@@ -22,6 +22,7 @@ object SparkEntry {
     "q5_multijoin" -> ((s, dir) => Relational.q5MultiJoin(s, dir)),
     "topk_window" -> ((s, dir) => Relational.topkWindow(s, dir)),
     "event_sessionize" -> ((s, dir) => Relational.eventSessionize(s, dir)),
+    "event_sessionize_presplit" -> ((s, dir) => Relational.eventSessionizePresplit(s, dir)),
     "events_asof" -> ((s, dir) => Relational.eventsAsof(s, dir)),
     "events_asof_tol" -> ((s, dir) => Relational.eventsAsofTol(s, dir)),
     "stream_asof_enrich" -> ((s, dir) => Relational.streamAsofEnrich(s, dir)),
@@ -350,6 +351,19 @@ object SparkEntry {
        |      UNION ALL SELECT path, ts, value, 1 AS src FROM inc)
        |SELECT path, ts, round((max(struct_pack(s := src, v := value))).v, 4) AS value
        |FROM u GROUP BY 1,2 ORDER BY 1,2,3""".stripMargin
+
+  private val SessionizeSql =
+    """WITH e AS (
+      | SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+      | FROM events),
+      |g AS (
+      | SELECT user_id,
+      |  t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap
+      | FROM e)
+      |SELECT user_id,
+      | CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+      | count(*) AS n_events
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
   private def rollupOracle(valueExpr: String): String =
     s"""WITH $M
@@ -5039,18 +5053,10 @@ object SparkEntry {
         | FROM orders) t
         |WHERE rk <= 2
         |ORDER BY o_custkey, rk""".stripMargin,
-    "event_sessionize" ->
-      """WITH e AS (
-        | SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
-        | FROM events),
-        |g AS (
-        | SELECT user_id,
-        |  t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap
-        | FROM e)
-        |SELECT user_id,
-        | CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
-        | count(*) AS n_events
-        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "event_sessionize" -> SessionizeSql,
+    // E5-presplit: the hot-key-safe (user, day) pre-split twin is
+    // provably the same answer — oracle shared verbatim (the theorem)
+    "event_sessionize_presplit" -> SessionizeSql,
     // E6: as-of join — the same union-and-carry law in window SQL
     // (NOT DuckDB's native ASOF JOIN: its equal-timestamp tie rule is
     // unstated; this CTE chain pins ours exactly — right-before-left

@@ -546,6 +546,54 @@ object Relational {
       .orderBy(col("interval_id"))
   }
 
+  /** E5-presplit: the HOT-KEY mitigation for the per-user window
+    * family as a real operator (SURVEY §6's documented contract, now
+    * code): sessionize with the sort partitioned by (user, DAY)
+    * instead of user alone — a bot user owning 20% of a 100 TB stream
+    * is no longer one task's sort; each of its days is. The
+    * cross-midnight seam is repaired by a SECOND pass over the
+    * per-day SESSION rows (bounded: ≤ active days per user, never
+    * events): a day's first session CONTINUES the previous day-row's
+    * last when the boundary gap is within `gapSec`, and
+    * n_sessions = Σ in-day starts − Σ boundary merges — a 3-day
+    * spanning session counts 3 starts and 2 merges, one session.
+    * Provably ≡ the plain per-user rule (the driver oracle is E5's,
+    * shared verbatim): an in-day break is the same gap test, and a
+    * boundary break compares exactly the two events the plain sort
+    * would have made adjacent.
+    */
+  def sessionCountsPresplit(e: DataFrame, gapSec: Long = 1800): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withDay = e.withColumn("day", col("t") - col("t") % 86400L)
+    val wd = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("t"), col("event_id"))
+    val daily = withDay
+      .withColumn("gap", col("t") - lag(col("t"), 1).over(wd))
+      .withColumn("ns",
+        when(col("gap").isNull || col("gap") > gapSec, 1L).otherwise(0L))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("ns")).as("n_start"), min(col("t")).as("t0"),
+        max(col("t")).as("t1"), count(lit(1)).as("n_events"))
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    daily
+      .withColumn("prev_t1", lag(col("t1"), 1).over(wu))
+      .withColumn("merged", when(col("prev_t1").isNotNull &&
+        col("t0") - col("prev_t1") <= gapSec, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg((sum(col("n_start")) - sum(col("merged"))).as("n_sessions"),
+        sum(col("n_events")).as("n_events"))
+  }
+
+  /** The E5 query through [[sessionCountsPresplit]] — same answer,
+    * hot-key-safe plan; the oracle is E5's, shared verbatim.
+    */
+  def eventSessionizePresplit(spark: SparkSession, dir: String): DataFrame =
+    sessionCountsPresplit(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("long").as("t")))
+      .orderBy(col("user_id"))
+
   /** E5: sessionize the event stream — lag window per user, session
     * break at >30 min gaps, one session count row per user.
     */

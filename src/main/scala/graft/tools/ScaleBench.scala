@@ -647,6 +647,14 @@ object ScaleBench {
           graft.streaming.CarbonStream.sessionizeStream(
             hotUserEvents(spark, copies)
               .select(col("user_id"), col("t").as("ts")), 1800L)),
+        // the mitigation A/B: the SAME hot corpus through the (user,
+        // day) pre-split operator — the bot's events spread over 31
+        // day-partitions, the seam repair is a window over per-day
+        // SESSION rows (bounded), and the answer is provably the
+        // plain rule's (oracle shared)
+        "hotuser_sessionize_presplit" -> (() =>
+          graft.ops.Relational.sessionCountsPresplit(
+            hotUserEvents(spark, copies))),
         "hotuser_funnel" -> (() =>
           graft.ops.Relational.funnel(hotUserEvents(spark, copies)
             .select(col("user_id"), col("t"), eventTypeCol))),

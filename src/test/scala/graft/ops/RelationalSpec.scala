@@ -115,6 +115,41 @@ class RelationalSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("presplit sessionize == plain per-user rule, incl. midnight seams (E5-presplit)") {
+    val day = 86400L
+    // user 1: one session across a midnight + an isolated later one;
+    // user 2: boundary gap JUST over the limit (1801 s) splits;
+    // user 3: exact 1800 s boundary gap merges (the <= contract);
+    // user 4: the chain arithmetic — 4 in-day starts, 2 boundary
+    // merges (both midnights), an in-day split inside the middle day
+    // → 2 sessions
+    val e = Seq(
+      (1L, day - 300L, 100L), (1L, day + 300L, 101L),
+      (1L, day + 50000L, 102L),
+      (2L, 3 * day - 1L, 200L), (2L, 3 * day + 1800L, 201L),
+      (3L, 4 * day - 900L, 300L), (3L, 4 * day + 900L, 301L),
+      (4L, 5 * day - 100L, 400L), (4L, 5 * day + 100L, 401L),
+      (4L, 6 * day - 100L, 402L), (4L, 6 * day + 100L, 403L)
+    ).toDF("user_id", "t", "event_id")
+    val got = Relational.sessionCountsPresplit(e).orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 3L), (2L, 2L, 2L), (3L, 1L, 2L),
+      (4L, 2L, 4L)))
+    // the theorem on the real corpus: presplit ≡ the plain rule
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_id"), col("ts").cast("long").as("t"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val plain = ev
+      .withColumn("gap", col("t") - lag(col("t"), 1).over(w))
+      .withColumn("ns", when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("ns")).as("n_sessions"), count(lit(1)).as("n_events"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows(Relational.sessionCountsPresplit(ev)) == rows(plain))
+  }
+
   test("attribution: equal integer shares, window edges, accumulation (E10)") {
     // purchase 100 at t=100 has two in-window clicks (10 and 100 —
     // the <= boundary counts, the > t-W boundary excludes t=40 at

@@ -550,6 +550,15 @@ class PlanAuditSpec extends SparkSpec {
     val tv = plan("tags_values_indexed")
     assert(!tv.contains("Join"), tv.take(3000))
     assert(countOf(tv, "Exchange hashpartitioning") == 1, tv.take(3000))
+    // r11 F60d: the delete cycle's search — tombstones applied as
+    // broadcast joins only, never a shuffled join against the lists
+    val ad = plan("ann_index_deleted")
+    assert(!ad.contains("SortMergeJoin") && !ad.contains("ShuffledHashJoin"),
+      ad.take(3000))
+    // r11 G26r: after retention ageing (late store vacuumed too) the
+    // maintained read is back to the join-free union of scans
+    val sr = plan("store_retention_fetch")
+    assert(!sr.contains("Join"), sr.take(3000))
   }
 
   test("no unbounded cartesian product in any driver query") {
