@@ -41,6 +41,8 @@ object SparkEntry {
     "watch_translate" -> ((s, dir) => T.watchTranslate(s, dir)),
     "watch_translate_conf" -> ((s, dir) => T.watchTranslateConf(s, dir)),
     "conf_rules" -> ((s, dir) => T.confRules(s, dir)),
+    "carbon_aggregate" -> ((s, dir) => T.carbonAggregate(s, dir)),
+    "stream_aggregate" -> ((s, dir) => T.streamAggregate(s, dir)),
     // B. Whisper TSDB core
     "ts_rollup_avg" -> ((s, dir) => T.rollup(s, dir, "average")),
     "ts_rollup_sum" -> ((s, dir) => T.rollup(s, dir, "sum")),
@@ -3486,6 +3488,34 @@ object SparkEntry {
         | ('translation',CAST(-1 AS BIGINT),'*.urn:micasaverde-com:serviceId:HVAC_OperatingState1.ModeState','Heating','1',''),
         | ('translation',CAST(-1 AS BIGINT),'*.urn:micasaverde-com:serviceId:HVAC_OperatingState1.ModeState','Idle','0','')) AS t(kind, ord, name, pattern, v1, v2)
         |ORDER BY kind, ord, name, pattern, v1""".stripMargin,
+    // A8: carbon-aggregator — each rule is match + template rename +
+    // (path, bucket) fold; kind = the 3rd node the <kind> field captures
+    "carbon_aggregate" ->
+      s"""WITH $M,
+         |mm AS (SELECT path, split_part(path, '.', 3) AS kind, ts, value
+         |  FROM m WHERE regexp_matches(path, '^vera\\.[^.]+\\.[^.]+$$')),
+         |r1 AS (SELECT 'vera.all.' || kind AS path, ts - ts%600 AS bucket,
+         |  round(sum(value) - 1e-9, 4) AS value, count(*) AS npoints
+         |  FROM mm GROUP BY 1, 2),
+         |r2 AS (SELECT 'stats.' || kind || '.mean' AS path,
+         |  ts - ts%3600 AS bucket, round(avg(value) - 1e-9, 4) AS value,
+         |  count(*) AS npoints FROM mm GROUP BY 1, 2),
+         |r3 AS (SELECT 'stats.' || kind || '.n' AS path,
+         |  ts - ts%3600 AS bucket,
+         |  round(CAST(count(value) AS DOUBLE) - 1e-9, 4) AS value,
+         |  count(*) AS npoints FROM mm GROUP BY 1, 2)
+         |SELECT * FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+         |  UNION ALL SELECT * FROM r3) t
+         |ORDER BY 1, 2""".stripMargin,
+    // G27: the streaming twin runs ONE rule through the epoch-aligned
+    // window — the r1 fold alone
+    "stream_aggregate" ->
+      s"""WITH $M,
+         |mm AS (SELECT path, split_part(path, '.', 3) AS kind, ts, value
+         |  FROM m WHERE regexp_matches(path, '^vera\\.[^.]+\\.[^.]+$$'))
+         |SELECT 'vera.all.' || kind AS path, ts - ts%600 AS bucket,
+         |  round(sum(value) - 1e-9, 4) AS value, count(*) AS npoints
+         |FROM mm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "carbon_e2e" -> CarbonE2eSql,
     // identical semantics with all rule sets parsed from Graphite conf
     // text (Conf.scala) — the conf encodes the same rules, so the

@@ -79,7 +79,8 @@ object CarbonStream {
     * sink instead accretes one file per micro-batch per day (B15).
     */
   def ingestSinkMaintained(lines: DataFrame, now: Long, hotDir: String,
-                           coldDir: String, checkpoint: String)
+                           coldDir: String, checkpoint: String,
+                           retentionDays: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val parsed = parseLines(lines, now)
       .withColumn("day",
@@ -87,7 +88,7 @@ object CarbonStream {
     parsed.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        maintainTickOnce(batch, hotDir, coldDir, batchId): Unit
+        maintainTickOnce(batch, hotDir, coldDir, batchId, retentionDays): Unit
       }
       .start()
   }
@@ -112,14 +113,15 @@ object CarbonStream {
     * ran.
     */
   private[graft] def maintainTickOnce(batch: DataFrame, hotDir: String,
-                                      coldDir: String, batchId: Long): Boolean = {
+                                      coldDir: String, batchId: Long,
+                                      retentionDays: Int = 0): Boolean = {
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(hotDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(s"$hotDir/_txn/$batchId")
     if (fs.exists(marker)) false
     else {
-      maintainTick(batch, hotDir, coldDir, batchId)
+      maintainTick(batch, hotDir, coldDir, batchId, retentionDays)
       fs.mkdirs(marker.getParent)
       fs.createNewFile(marker)
       true
@@ -153,7 +155,8 @@ object CarbonStream {
     * day-partitioned append store.
     */
   private[graft] def maintainTick(batch: DataFrame, hotDir: String,
-                                  coldDir: String, batchId: Long): Unit = {
+                                  coldDir: String, batchId: Long,
+                                  retentionDays: Int = 0): Unit = {
     val spark = batch.sparkSession
     val withDay =
       if (batch.columns.contains("day")) batch
@@ -181,6 +184,15 @@ object CarbonStream {
         val liveDay = spark.read.parquet(hotDir)
           .agg(max(col("day").cast("long"))).head.getLong(0)
         graft.tsdb.MetricStore.compactTick(spark, hotDir, coldDir, liveDay)
+        // whisper's maxRetention, live: with a horizon configured the
+        // tick ages out days the store has moved past — the full ring
+        // behavior (append at the head, compact the middle, drop the
+        // tail) in ONE maintenance loop. Idempotent (a replayed tick
+        // re-deletes nothing), monotone in liveDay.
+        if (retentionDays > 0)
+          graft.tsdb.MetricStore.retentionVacuum(spark, hotDir, coldDir,
+            liveDay - retentionDays.toLong *
+              graft.tsdb.MetricStore.DaySeconds): Unit
       }
     }
     b.unpersist()

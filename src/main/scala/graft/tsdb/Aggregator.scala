@@ -1,0 +1,127 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** carbon-aggregator — the stage the reference explicitly stubs
+  * ("there's no aggregation stage (yet)" / "carbon-aggregator code
+  * would go here", /root/reference/L_DataCache.lua:121,170) while
+  * already shipping its conf surface (aggregation-rules.conf.example
+  * and the [pre]/[post] rewrite passes that bracket it). Semantics per
+  * graphite's published config-carbon documentation: each rule
+  *
+  * {{{ output_template (frequency) = method input_pattern }}}
+  *
+  * captures every received metric matching `input_pattern` (`<field>`
+  * names one dot-free node and is referenceable from the output
+  * template; `*` matches one node anonymously), buckets matches every
+  * `frequency` seconds, folds them with `method`
+  * (sum/avg/min/max/count), and emits the aggregate under the filled
+  * `output_template`. A metric may feed several rules; metrics
+  * matching no rule simply pass through around the aggregator.
+  *
+  * Spark shape: each rule is one scan-pushed rlike filter + a map-only
+  * regexp_replace path rewrite + one (path, bucket) groupBy — the
+  * rollup plan class keyed by the DERIVED name; K rules (conf-sized)
+  * union. The same compiled (regex, replacement) pair drives batch and
+  * stream, so twins cannot drift.
+  */
+object Aggregator {
+
+  /** Compile a rule's input pattern to an anchored Java regex (one
+    * capture group per `<field>`, `*` anonymous) and its output
+    * template to the $-indexed replacement string.
+    */
+  private[tsdb] def compile(r: Conf.AggregationRule): (String, String) = {
+    val sb = new StringBuilder("^")
+    val names = scala.collection.mutable.ArrayBuffer[String]()
+    val p = r.pattern
+    var i = 0
+    while (i < p.length) {
+      p(i) match {
+        case '<' =>
+          val j = p.indexOf('>', i)
+          require(j > i, s"unclosed <field> in pattern '${r.pattern}'")
+          names += p.substring(i + 1, j)
+          sb.append("([^.]+)")
+          i = j + 1
+        case '*' =>
+          sb.append("[^.]+")
+          i += 1
+        case c =>
+          sb.append(java.util.regex.Pattern.quote(c.toString))
+          i += 1
+      }
+    }
+    sb.append("$")
+    val idx = names.zipWithIndex.toMap
+    val repl = raw"<([^>]+)>".r.replaceAllIn(r.output, m =>
+      java.util.regex.Matcher.quoteReplacement("$" +
+        (idx.getOrElse(m.group(1), throw new IllegalArgumentException(
+          s"output field <${m.group(1)}> not in pattern '${r.pattern}'")) + 1)))
+    (sb.toString, repl)
+  }
+
+  /** The aggregator's fold — graphite's method vocabulary for this
+    * stage (sum/avg/min/max/count; storage-aggregation's `last` is a
+    * WRITE-side method and deliberately absent here, as upstream).
+    */
+  private[tsdb] def methodExpr(method: String, valCol: Column): Column =
+    method match {
+      case "sum" => sum(valCol)
+      case "avg" => avg(valCol)
+      case "min" => min(valCol)
+      case "max" => max(valCol)
+      case "count" => count(valCol)
+      case other => throw new IllegalArgumentException(
+        s"Unrecognized aggregation-rules method '$other'")
+    }
+
+  /** One rule's matched points, renamed and bucketed — the shared
+    * pre-aggregation projection (batch and stream both group THIS).
+    */
+  private def ruleRows(points: DataFrame, r: Conf.AggregationRule): DataFrame = {
+    val (re, repl) = compile(r)
+    points
+      .filter(col("path").rlike(re))
+      .select(regexp_replace(col("path"), re, repl).as("path"),
+        (col("ts") - col("ts") % r.frequency).as("bucket"),
+        col("ts"), col("value"))
+  }
+
+  /** Batch aggregation over (path, ts, value) points: every rule's
+    * aggregate series, unioned. `count` aggregates are emitted as
+    * doubles so the union's value column stays one type.
+    */
+  def aggregate(points: DataFrame, rules: Seq[Conf.AggregationRule]): DataFrame = {
+    require(rules.nonEmpty, "aggregation-rules: need at least one rule")
+    rules.map { r =>
+      ruleRows(points, r)
+        .groupBy(col("path"), col("bucket"))
+        .agg(methodExpr(r.method, col("value")).cast("double").as("value"),
+          count(lit(1)).as("npoints"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Streaming twin for ONE rule (the per-rule deployment shape):
+    * watermarked event-time window of the rule's frequency over the
+    * SAME [[ruleRows]] projection — window() starts are epoch-aligned,
+    * so emitted buckets equal the batch aggregate's exactly. Works
+    * over a batch frame too (no watermark), which IS the spec's twin.
+    */
+  def aggregateStream(points: DataFrame, rule: Conf.AggregationRule,
+                      watermark: String = "1 hour"): DataFrame = {
+    val rows = ruleRows(points, rule)
+      .withColumn("event_time", timestamp_seconds(col("ts")))
+    val withWm =
+      if (rows.isStreaming) rows.withWatermark("event_time", watermark)
+      else rows
+    withWm
+      .groupBy(col("path"),
+        window(col("event_time"), s"${rule.frequency} seconds"))
+      .agg(methodExpr(rule.method, col("value")).cast("double").as("value"),
+        count(lit(1)).as("npoints"))
+      .select(col("path"), col("window.start").cast("long").as("bucket"),
+        col("value"), col("npoints"))
+  }
+}

@@ -115,6 +115,25 @@ object Conf {
     (acc("pre").toSeq, acc("post").toSeq)
   }
 
+  /** aggregation-rules.conf (carbon-aggregator — the stage the
+    * reference stubs at L_DataCache.lua:121,170 while shipping this
+    * file's .example): each non-comment line is
+    * `output_template (frequency) = method input_pattern` per
+    * graphite's config-carbon docs. Consumed by
+    * [[graft.tsdb.Aggregator]].
+    */
+  final case class AggregationRule(output: String, frequency: Long,
+                                   method: String, pattern: String)
+  private val AggRuleRe = """^\s*(\S+)\s*\((\d+)\)\s*=\s*(\S+)\s+(\S+).*$""".r
+  def aggregationRules(text: String): Seq[AggregationRule] =
+    text.linesIterator.flatMap {
+      case l if l.matches("""^\s*#.*""") => None
+      case AggRuleRe(out, freq, method, pat) =>
+        Some(AggregationRule(out.filter(_ >= ' '), freq.toLong, method,
+          pat.filter(_ >= ' ')))
+      case _ => None
+    }.toSeq
+
   /** DataTranslation.conf → per-series symbolic lookup tables: section
     * name is the (wildcarded) series tag, entries map symbolic values to
     * codes (L_DataWatcher.lua:152-156,313-316).

@@ -1273,6 +1273,37 @@ object Queries {
       .orderBy(col("path"), col("ts"), col("value"))
   }
 
+  /** A8: carbon-aggregator — the stage the reference stubs
+    * (L_DataCache.lua:121,170) run with graphite's published rule
+    * semantics over the vera namespace: a sum roll-across-users per
+    * event kind at 10 min, plus hourly mean and count stats series —
+    * the example scheme from aggregation-rules.conf.example
+    * instantiated on this corpus's naming.
+    */
+  def carbonAggregate(spark: SparkSession, dir: String): DataFrame = {
+    val rules = Conf.aggregationRules(
+      """# reference example scheme, vera naming
+        |vera.all.<kind> (600) = sum vera.*.<kind>
+        |stats.<kind>.mean (3600) = avg vera.*.<kind>
+        |stats.<kind>.n (3600) = count vera.*.<kind>
+        |""".stripMargin)
+    Aggregator.aggregate(Tables.metrics(spark, dir), rules)
+      .select(col("path"), col("bucket"),
+        round(col("value") - Eps, 4).as("value"), col("npoints"))
+      .orderBy(col("path"), col("bucket"))
+  }
+
+  /** G27: the aggregator's streaming twin — one rule through the
+    * epoch-aligned event-time window; the batch run of the same
+    * function IS this query, so the oracle is the rule's batch SQL.
+    */
+  def streamAggregate(spark: SparkSession, dir: String): DataFrame =
+    Aggregator.aggregateStream(Tables.metrics(spark, dir),
+      Conf.aggregationRules("vera.all.<kind> (600) = sum vera.*.<kind>").head)
+      .select(col("path"), col("bucket"),
+        round(col("value") - Eps, 4).as("value"), col("npoints"))
+      .orderBy(col("path"), col("bucket"))
+
   /** G26r: RETENTION ageing over the maintained store — whisper's
     * maxRetention law (old slots cease to exist) driven as a
     * maintenance verb: the same three-tick ingest as

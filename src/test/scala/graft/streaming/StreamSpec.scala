@@ -274,6 +274,33 @@ class StreamSpec extends SparkSpec {
       ("a.x", 90000L, 3.0), ("a.y", 180000L, 4.0)))
   }
 
+  test("maintained sink with retention: old days age out as the stream advances (G26r)") {
+    import graft.tsdb.MetricStore
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-maint-ret").toString
+    val (hot, cold) = (s"$tmp/hot", s"$tmp/cold")
+    val day = MetricStore.DaySeconds
+    val source = MemoryStream[String]
+    val q = CarbonStream.ingestSinkMaintained(source.toDF().toDF("line"),
+      999L, hot, cold, s"$tmp/ckpt", retentionDays = 1)
+    def dayDirs(dir: String) =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("day=")).map(_.getName).sorted.toSeq
+    try {
+      for (d <- 0 to 3) {
+        source.addData(s"a.x ${d + 1}.0 ${d * day + 60}")
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // live day 3, horizon = live − 1 day: days 0 and 1 aged out of
+    // cold; day 2 published and retained; day 3 live in hot
+    assert(dayDirs(cold) == Seq(s"day=${2 * day}"))
+    val got = MetricStore.readMaintained(spark, hot, cold)
+      .select("path", "ts", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(got == Seq(("a.x", 2 * day + 60, 3.0), ("a.x", 3 * day + 60, 4.0)))
+  }
+
   test("production loop over the MAINTAINED store: ingest+compact -> archives -> fetch (G26)") {
     import java.nio.file.Files
     import graft.tsdb.{Fetch, MetricStore, Retention}
