@@ -42,6 +42,7 @@ object SparkEntry {
     "watch_translate_conf" -> ((s, dir) => T.watchTranslateConf(s, dir)),
     "conf_rules" -> ((s, dir) => T.confRules(s, dir)),
     "carbon_aggregate" -> ((s, dir) => T.carbonAggregate(s, dir)),
+    "carbon_aggregate_e2e" -> ((s, dir) => T.carbonAggregateE2e(s, dir)),
     "stream_aggregate" -> ((s, dir) => T.streamAggregate(s, dir)),
     // B. Whisper TSDB core
     "ts_rollup_avg" -> ((s, dir) => T.rollup(s, dir, "average")),
@@ -3507,6 +3508,22 @@ object SparkEntry {
          |SELECT * FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
          |  UNION ALL SELECT * FROM r3) t
          |ORDER BY 1, 2""".stripMargin,
+    // A8b: pre-rewrite -> aggregate -> post-rewrite, the reference's
+    // own bracket placement (L_DataCache.lua:81-88)
+    "carbon_aggregate_e2e" ->
+      s"""WITH $M,
+         |pre AS (SELECT CASE WHEN regexp_matches(path, '^vera\\.u')
+         |  THEN regexp_replace(path, '^vera\\.u', 'vera.user')
+         |  ELSE path END AS path, ts, value FROM m),
+         |mm AS (SELECT split_part(path, '.', 3) AS kind, ts, value FROM pre
+         |  WHERE regexp_matches(path, '^vera\\.[^.]+\\.[^.]+$$')),
+         |ag AS (SELECT 'vera.all.' || kind AS path, ts - ts%600 AS bucket,
+         |  round(sum(value) - 1e-9, 4) AS value, count(*) AS npoints
+         |  FROM mm GROUP BY 1, 2)
+         |SELECT CASE WHEN regexp_matches(path, '\\.click$$')
+         |  THEN regexp_replace(path, '\\.click$$', '.clicks')
+         |  ELSE path END AS path, bucket, value, npoints
+         |FROM ag ORDER BY 1, 2""".stripMargin,
     // G27: the streaming twin runs ONE rule through the epoch-aligned
     // window — the r1 fold alone
     "stream_aggregate" ->

@@ -662,6 +662,20 @@ object ScaleBench {
           graft.ops.Relational.funnelHorizonReplay(hotUserEvents(spark, copies)
             .select(col("user_id"), col("t"), eventTypeCol),
             Seq("view", "click", "purchase"), 3600L)),
+        // A8 at scale: two aggregation rules over a growing metric
+        // stream — per rule one pushed filter + map-only rename + one
+        // (path, bucket) groupBy; must stay linear like the rollups
+        "carbon_aggregate" -> (() => {
+          val ev = eventsFrame(spark, copies)
+          graft.tsdb.Aggregator.aggregate(
+            ev.select(concat(lit("vera.u"), col("user_id"),
+                lit(".k"), col("typ").cast("string")).as("path"),
+              col("t").as("ts"), col("event_id").cast("double").as("value")),
+            graft.tsdb.Conf.aggregationRules(
+              """vera.all.<kind> (600) = sum vera.*.<kind>
+                |stats.<kind>.mean (3600) = avg vera.*.<kind>
+                |""".stripMargin))
+        }),
         // F58 at scale: the CMS table — one map-side-combined count
         // whose survivor set is ≤ 4·1024 rows per slice at any corpus
         // size; wall time is the token explode (the hll/quantile shape)

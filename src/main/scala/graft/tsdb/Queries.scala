@@ -1293,6 +1293,32 @@ object Queries {
       .orderBy(col("path"), col("bucket"))
   }
 
+  /** A8b: the aggregator BRACKETED by the rewrite passes, exactly as
+    * the reference's comments place them ("[pre] rules are applied to
+    * metric names as soon as they are received; post rules are applied
+    * after aggregation has taken place", L_DataCache.lua:81-88): pre
+    * renames the incoming u-users to user-users, the sum rule
+    * aggregates across them, post renames the AGGREGATE series —
+    * the carbon-aggregator pipeline end-to-end.
+    */
+  def carbonAggregateE2e(spark: SparkSession, dir: String): DataFrame = {
+    val (pre, post) = Conf.rewriteRules(
+      """[pre]
+        |^vera\.u = vera.user
+        |[post]
+        |\.click$ = .clicks
+        |""".stripMargin)
+    val rules = Conf.aggregationRules(
+      "vera.all.<kind> (600) = sum vera.*.<kind>")
+    val m = Tables.metrics(spark, dir)
+      .select(Carbon.rewrite(col("path"), pre).as("path"),
+        col("ts"), col("value"))
+    Aggregator.aggregate(m, rules)
+      .select(Carbon.rewrite(col("path"), post).as("path"), col("bucket"),
+        round(col("value") - Eps, 4).as("value"), col("npoints"))
+      .orderBy(col("path"), col("bucket"))
+  }
+
   /** G27: the aggregator's streaming twin — one rule through the
     * epoch-aligned event-time window; the batch run of the same
     * function IS this query, so the oracle is the rule's batch SQL.

@@ -150,6 +150,32 @@ class RelationalSpec extends SparkSpec {
     assert(rows(Relational.sessionCountsPresplit(ev)) == rows(plain))
   }
 
+  test("presplit ≡ plain on seeded random corpora clustered at midnights (E5p)") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(42)
+    def plainCounts(ev: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      ev.withColumn("gap", col("t") - lag(col("t"), 1).over(w))
+        .withColumn("ns",
+          when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("ns")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    for (trial <- 1 to 3) {
+      // timestamps cluster within ±1 h of day boundaries, so boundary
+      // merges, near-boundary splits, and multi-day stretches all occur
+      val evs = (1 to 400).map { i =>
+        val u = rnd.nextInt(8).toLong
+        val t = rnd.nextInt(4) * 86400L + rnd.nextInt(7201).toLong
+        (u, t + 82800L, (trial * 1000 + i).toLong)
+      }.toDF("user_id", "t", "event_id")
+      assert(rows(Relational.sessionCountsPresplit(evs)) == rows(plainCounts(evs)),
+        s"trial $trial diverged")
+    }
+  }
+
   test("attribution: equal integer shares, window edges, accumulation (E10)") {
     // purchase 100 at t=100 has two in-window clicks (10 and 100 —
     // the <= boundary counts, the > t-W boundary excludes t=40 at
