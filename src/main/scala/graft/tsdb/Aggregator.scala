@@ -79,11 +79,19 @@ object Aggregator {
 
   /** One rule's matched points, renamed and bucketed — the shared
     * pre-aggregation projection (batch and stream both group THIS).
+    * Regexes don't push to parquet, but a rule pattern's LITERAL
+    * PREFIX does (StringStartsWith — the MetricStore.pathPredicate
+    * trick), so a rule over `vera.*` never reads other namespaces' IO
+    * at 100 TB.
     */
   private def ruleRows(points: DataFrame, r: Conf.AggregationRule): DataFrame = {
     val (re, repl) = compile(r)
+    val litPrefix = r.pattern.takeWhile(c => c != '<' && c != '*')
+    val matches =
+      if (litPrefix.isEmpty) col("path").rlike(re)
+      else col("path").startsWith(litPrefix) && col("path").rlike(re)
     points
-      .filter(col("path").rlike(re))
+      .filter(matches)
       .select(regexp_replace(col("path"), re, repl).as("path"),
         (col("ts") - col("ts") % r.frequency).as("bucket"),
         col("ts"), col("value"))
