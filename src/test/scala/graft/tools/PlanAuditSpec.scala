@@ -559,6 +559,14 @@ class PlanAuditSpec extends SparkSpec {
     // maintained read is back to the join-free union of scans
     val sr = plan("store_retention_fetch")
     assert(!sr.contains("Join"), sr.take(3000))
+    // r11 A8: the aggregator plan is join-free (rename + fold only),
+    // and the rule's literal-prefix conjunct is present — here path is
+    // DERIVED (concat over events), so it evaluates as a cheap filter;
+    // over a stored path table the same conjunct pushes to parquet as
+    // StringStartsWith (the pathPredicate pin covers that case)
+    val ca = plan("carbon_aggregate")
+    assert(ca.toLowerCase.contains("startswith"), ca.take(3000))
+    assert(!ca.contains("Join"), ca.take(3000))
   }
 
   test("no unbounded cartesian product in any driver query") {
