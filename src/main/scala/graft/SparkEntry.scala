@@ -44,6 +44,7 @@ object SparkEntry {
     "carbon_aggregate" -> ((s, dir) => T.carbonAggregate(s, dir)),
     "carbon_aggregate_e2e" -> ((s, dir) => T.carbonAggregateE2e(s, dir)),
     "stream_aggregate" -> ((s, dir) => T.streamAggregate(s, dir)),
+    "stream_aggregate_multi" -> ((s, dir) => T.streamAggregateMulti(s, dir)),
     // B. Whisper TSDB core
     "ts_rollup_avg" -> ((s, dir) => T.rollup(s, dir, "average")),
     "ts_rollup_sum" -> ((s, dir) => T.rollup(s, dir, "sum")),
@@ -342,6 +343,28 @@ object SparkEntry {
        | count(*) AS npoints
        |FROM ruled GROUP BY path, ts - ts%step, agg_method
        |ORDER BY 1,2""".stripMargin
+
+  /** A8 aggregator oracle — shared by carbon_aggregate (batch) and
+    * stream_aggregate_multi (the whole conf in one streaming query,
+    * run over a batch frame: branch-per-rule ≡ the batch fold).
+    */
+  private lazy val CarbonAggregateSql =
+    s"""WITH $M,
+       |mm AS (SELECT path, split_part(path, '.', 3) AS kind, ts, value
+       |  FROM m WHERE regexp_matches(path, '^vera\\.[^.]+\\.[^.]+$$')),
+       |r1 AS (SELECT 'vera.all.' || kind AS path, ts - ts%600 AS bucket,
+       |  round(sum(value) - 1e-9, 4) AS value, count(*) AS npoints
+       |  FROM mm GROUP BY 1, 2),
+       |r2 AS (SELECT 'stats.' || kind || '.mean' AS path,
+       |  ts - ts%3600 AS bucket, round(avg(value) - 1e-9, 4) AS value,
+       |  count(*) AS npoints FROM mm GROUP BY 1, 2),
+       |r3 AS (SELECT 'stats.' || kind || '.n' AS path,
+       |  ts - ts%3600 AS bucket,
+       |  round(CAST(count(value) AS DOUBLE) - 1e-9, 4) AS value,
+       |  count(*) AS npoints FROM mm GROUP BY 1, 2)
+       |SELECT * FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+       |  UNION ALL SELECT * FROM r3) t
+       |ORDER BY 1, 2""".stripMargin
 
   /** B11 slot-overwrite oracle — shared by ts_upsert and the G6
     * streaming twin (two sequential last-write-wins merges compose to
@@ -3491,23 +3514,11 @@ object SparkEntry {
         |ORDER BY kind, ord, name, pattern, v1""".stripMargin,
     // A8: carbon-aggregator — each rule is match + template rename +
     // (path, bucket) fold; kind = the 3rd node the <kind> field captures
-    "carbon_aggregate" ->
-      s"""WITH $M,
-         |mm AS (SELECT path, split_part(path, '.', 3) AS kind, ts, value
-         |  FROM m WHERE regexp_matches(path, '^vera\\.[^.]+\\.[^.]+$$')),
-         |r1 AS (SELECT 'vera.all.' || kind AS path, ts - ts%600 AS bucket,
-         |  round(sum(value) - 1e-9, 4) AS value, count(*) AS npoints
-         |  FROM mm GROUP BY 1, 2),
-         |r2 AS (SELECT 'stats.' || kind || '.mean' AS path,
-         |  ts - ts%3600 AS bucket, round(avg(value) - 1e-9, 4) AS value,
-         |  count(*) AS npoints FROM mm GROUP BY 1, 2),
-         |r3 AS (SELECT 'stats.' || kind || '.n' AS path,
-         |  ts - ts%3600 AS bucket,
-         |  round(CAST(count(value) AS DOUBLE) - 1e-9, 4) AS value,
-         |  count(*) AS npoints FROM mm GROUP BY 1, 2)
-         |SELECT * FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
-         |  UNION ALL SELECT * FROM r3) t
-         |ORDER BY 1, 2""".stripMargin,
+    "carbon_aggregate" -> CarbonAggregateSql,
+    // G27m: the whole 3-rule conf as ONE streaming query — over a batch
+    // frame each branch IS its rule's batch fold, so the oracle is
+    // carbon_aggregate's verbatim
+    "stream_aggregate_multi" -> CarbonAggregateSql,
     // A8b: pre-rewrite -> aggregate -> post-rewrite, the reference's
     // own bracket placement (L_DataCache.lua:81-88)
     "carbon_aggregate_e2e" ->

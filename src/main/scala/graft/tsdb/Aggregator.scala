@@ -46,7 +46,9 @@ object Aggregator {
           sb.append("([^.]+)")
           i = j + 1
         case '*' =>
-          sb.append("[^.]+")
+          // carbon's RuleManager translates * to [^.]* (zero or more
+          // non-dot chars) — `foo.x*.bar` must match `foo.x.bar`
+          sb.append("[^.]*")
           i += 1
         case c =>
           sb.append(java.util.regex.Pattern.quote(c.toString))
@@ -55,11 +57,22 @@ object Aggregator {
     }
     sb.append("$")
     val idx = names.zipWithIndex.toMap
-    val repl = raw"<([^>]+)>".r.replaceAllIn(r.output, m =>
-      java.util.regex.Matcher.quoteReplacement("$" +
-        (idx.getOrElse(m.group(1), throw new IllegalArgumentException(
-          s"output field <${m.group(1)}> not in pattern '${r.pattern}'")) + 1)))
-    (sb.toString, repl)
+    // the replacement string splices quoted LITERAL segments around the
+    // $n group refs — a literal `$` or `\` in the output template must
+    // reach regexp_replace escaped, not as replacement syntax
+    val refRe = raw"<([^>]+)>".r
+    val rb = new StringBuilder
+    var last = 0
+    for (m <- refRe.findAllMatchIn(r.output)) {
+      rb.append(java.util.regex.Matcher.quoteReplacement(
+        r.output.substring(last, m.start)))
+      rb.append("$" + (idx.getOrElse(m.group(1),
+        throw new IllegalArgumentException(
+          s"output field <${m.group(1)}> not in pattern '${r.pattern}'")) + 1))
+      last = m.end
+    }
+    rb.append(java.util.regex.Matcher.quoteReplacement(r.output.substring(last)))
+    (sb.toString, rb.toString)
   }
 
   /** The aggregator's fold — graphite's method vocabulary for this
@@ -103,6 +116,13 @@ object Aggregator {
     */
   def aggregate(points: DataFrame, rules: Seq[Conf.AggregationRule]): DataFrame = {
     require(rules.nonEmpty, "aggregation-rules: need at least one rule")
+    // carbon keeps ONE buffer per output metric; two rules whose
+    // templates collide would instead emit duplicate (path, bucket)
+    // rows here with no defined fold across methods — refuse the conf
+    // up front (the same check a carbon operator gets from its logs)
+    require(rules.map(_.output).distinct.size == rules.size,
+      s"aggregation-rules: duplicate output templates in " +
+        rules.map(_.output).mkString("[", ", ", "]"))
     rules.map { r =>
       ruleRows(points, r)
         .groupBy(col("path"), col("bucket"))
@@ -131,5 +151,24 @@ object Aggregator {
         count(lit(1)).as("npoints"))
       .select(col("path"), col("window.start").cast("long").as("bucket"),
         col("value"), col("npoints"))
+  }
+
+  /** The WHOLE conf in one streaming query — a real carbon-aggregator
+    * daemon runs every rule at once, not one process per rule: K
+    * [[aggregateStream]] windowed aggregates union inside one plan
+    * (Spark runs multiple stateful operators in one append-mode query;
+    * each rule keeps its own window width and state, exactly K
+    * per-metric buffer sets). Same duplicate-template guard as the
+    * batch [[aggregate]]; over a batch frame this IS the batch
+    * aggregate rule-for-rule, which is the driver oracle's theorem.
+    */
+  def aggregateStreamMulti(points: DataFrame,
+                           rules: Seq[Conf.AggregationRule],
+                           watermark: String = "1 hour"): DataFrame = {
+    require(rules.nonEmpty, "aggregation-rules: need at least one rule")
+    require(rules.map(_.output).distinct.size == rules.size,
+      s"aggregation-rules: duplicate output templates in " +
+        rules.map(_.output).mkString("[", ", ", "]"))
+    rules.map(aggregateStream(points, _, watermark)).reduce(_ unionByName _)
   }
 }

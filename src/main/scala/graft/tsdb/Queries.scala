@@ -1330,6 +1330,23 @@ object Queries {
         round(col("value") - Eps, 4).as("value"), col("npoints"))
       .orderBy(col("path"), col("bucket"))
 
+  /** G27m: the WHOLE conf as one streaming query — a real
+    * carbon-aggregator daemon runs every rule at once; K windowed
+    * aggregates union in one plan (multiple stateful operators, each
+    * rule its own state). Over the batch frame each branch is its
+    * rule's batch fold, so the oracle is carbon_aggregate's verbatim.
+    */
+  def streamAggregateMulti(spark: SparkSession, dir: String): DataFrame =
+    Aggregator.aggregateStreamMulti(Tables.metrics(spark, dir),
+      Conf.aggregationRules(
+        """vera.all.<kind> (600) = sum vera.*.<kind>
+          |stats.<kind>.mean (3600) = avg vera.*.<kind>
+          |stats.<kind>.n (3600) = count vera.*.<kind>
+          |""".stripMargin))
+      .select(col("path"), col("bucket"),
+        round(col("value") - Eps, 4).as("value"), col("npoints"))
+      .orderBy(col("path"), col("bucket"))
+
   /** G26r: RETENTION ageing over the maintained store — whisper's
     * maxRetention law (old slots cease to exist) driven as a
     * maintenance verb: the same three-tick ingest as

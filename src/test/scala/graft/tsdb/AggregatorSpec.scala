@@ -45,6 +45,27 @@ class AggregatorSpec extends SparkSpec {
       Aggregator.methodExpr("median", col("v")))
   }
 
+  test("pattern compile: * matches ZERO or more (carbon [^.]*); literal $ and \\ in templates") {
+    // carbon's RuleManager compiles * to [^.]* — foo.x*.req matches foo.x.req
+    val (re, _) = Aggregator.compile(Conf.AggregationRule(
+      "prod.all.req", 60L, "sum", "prod.x*.req"))
+    assert("prod.x.req".matches(re) && "prod.xyz.req".matches(re))
+    assert(!"prod.y.req".matches(re))
+    // a literal $ or \ in the output template is replacement TEXT, not
+    // group-ref / escape syntax
+    val (re2, repl2) = Aggregator.compile(Conf.AggregationRule(
+      raw"price$$.\total.<app>", 60L, "sum", "cost.<app>.usd"))
+    assert("cost.www.usd".replaceAll(re2, repl2) == raw"price$$.\total.www")
+  }
+
+  test("aggregate: duplicate output templates refuse loudly") {
+    val dup = Seq(
+      Conf.AggregationRule("vera.all.<kind>", 600L, "sum", "vera.*.<kind>"),
+      Conf.AggregationRule("vera.all.<kind>", 600L, "avg", "vera.*.<kind>"))
+    intercept[IllegalArgumentException](Aggregator.aggregate(pts, dup))
+    intercept[IllegalArgumentException](Aggregator.aggregateStreamMulti(pts, dup))
+  }
+
   private val pts = Seq(
     // two users' clicks in one 600 s bucket, one in the next
     ("vera.u1.click", 10L, 1.0), ("vera.u2.click", 20L, 2.0),
@@ -96,5 +117,41 @@ class AggregatorSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
     assert(streamed == Seq(("vera.all.click", 0L, 3.0, 2L),
       ("vera.all.click", 600L, 4.0, 1L), ("vera.all.view", 0L, 8.0, 1L)))
+  }
+
+  test("multi-rule stream: the whole conf in ONE query, cross-batch, == batch fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val rules = Conf.aggregationRules(
+      """vera.all.<kind> (600) = sum vera.*.<kind>
+        |stats.<kind>.n (600) = count vera.*.<kind>
+        |""".stripMargin)
+    val source = MemoryStream[(String, Long, Double)]
+    // K parallel stateful aggregations in ONE query needs append mode
+    // (Spark's multiple-stateful-operators support); append emits only
+    // CLOSED windows, so a final far-future point per kind drives the
+    // per-branch watermarks past every bucket under test
+    val q = Aggregator.aggregateStreamMulti(
+      source.toDF().toDF("path", "ts", "value"), rules,
+      watermark = "0 seconds")
+      .writeStream.format("memory").queryName("agg_multi_sink")
+      .outputMode("append").start()
+    try {
+      source.addData(("vera.u1.click", 10L, 1.0), ("vera.u1.view", 15L, 8.0))
+      q.processAllAvailable()
+      source.addData(("vera.u2.click", 20L, 2.0), ("vera.u1.click", 610L, 4.0),
+        ("other.u1.click", 10L, 99.0))
+      q.processAllAvailable()
+      source.addData(("vera.u1.click", 7300L, 0.0), ("vera.u1.view", 7300L, 0.0))
+      q.processAllAvailable()
+      q.processAllAvailable() // let the no-data watermark batch flush
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("path", "bucket").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val streamed = rows(spark.table("agg_multi_sink")).filter(_._2 < 7200L)
+    val all = pts.unionByName(Seq(("vera.u1.click", 7300L, 0.0),
+      ("vera.u1.view", 7300L, 0.0)).toDF("path", "ts", "value"))
+    val batch = rows(Aggregator.aggregate(all, rules)).filter(_._2 < 7200L)
+    assert(streamed == batch && streamed.nonEmpty)
   }
 }
