@@ -155,6 +155,7 @@ object SparkEntry {
     "store_compact_fetch" -> ((s, dir) => T.storeCompactFetch(s, dir)),
     "store_maintained_fetch" -> ((s, dir) => T.storeMaintainedFetch(s, dir)),
     "store_retention_fetch" -> ((s, dir) => T.storeRetentionFetch(s, dir)),
+    "store_report" -> ((s, dir) => T.storeReportQuery(s, dir)),
     "gfn_xff_limit" -> ((s, dir) => T.gfnXffLimit(s, dir)),
     "store_conf_fetch" -> ((s, dir) => T.storeConfFetch(s, dir)),
     "gfn_aggregate_minmax" -> ((s, dir) => T.gfnAggregateMinmax(s, dir)),
@@ -4360,6 +4361,30 @@ object SparkEntry {
          |  LIMIT 1 OFFSET (SELECT count(*)//3 FROM d))
          |SELECT path, ts, round(value, 4) AS value FROM m, c
          |WHERE ts - ts%86400 >= c.cutoff ORDER BY 1, 2, 3""".stripMargin,
+    // G28: the store report's day/row counts are pure functions of the
+    // fixture's routing — after 3 day-ordered ticks with the fold
+    // draining late: cold = every day before the max (on-time + folded
+    // late rows), hot = the live tail plus the 3rd tick's grace copies
+    // (days >= the 2/3 cut, plus the max day before that cut), late =
+    // (0, 0) by construction
+    "store_report" ->
+      s"""WITH $M,
+         |d AS (SELECT DISTINCT ts - ts%86400 AS day FROM m),
+         |mx AS (SELECT max(day) AS dmax FROM d),
+         |c1 AS (SELECT day AS cut1 FROM d ORDER BY day
+         |  LIMIT 1 OFFSET (SELECT 2*count(*)//3 FROM d)),
+         |l2 AS (SELECT max(day) AS lday FROM d, c1 WHERE day < cut1),
+         |pts AS (SELECT path, ts, value, ts - ts%86400 AS day FROM m)
+         |SELECT 'cold' AS section,
+         |  (SELECT count(*) FROM d, mx WHERE day < dmax) AS n_days,
+         |  (SELECT count(*) FROM pts, mx WHERE day < dmax) AS n_rows
+         |UNION ALL
+         |SELECT 'hot',
+         |  (SELECT count(*) FROM d, c1, l2 WHERE day >= cut1 OR day = lday),
+         |  (SELECT count(*) FROM pts, c1, l2 WHERE day >= cut1 OR day = lday)
+         |UNION ALL
+         |SELECT 'late', 0, 0
+         |ORDER BY 1""".stripMargin,
     // C16i: string-interval moving windows — the trailing time-RANGE
     // frame (t−14399 .. t), on the hourly grid ≡ 4 trailing points;
     // names carry the QUOTED interval, graphite's string-windowSize

@@ -162,7 +162,16 @@ object CarbonStream {
       if (batch.columns.contains("day")) batch
       else batch.withColumn("day",
         col("ts") - col("ts") % graft.tsdb.MetricStore.DaySeconds)
-    val b = withDay.select(col("path"), col("ts"), col("value"), col("day"))
+    // whisper's archive-range rule at the door: a point older than the
+    // PERSISTED retention horizon is rejected, never stored — without
+    // this, a very-late point for an aged-out day (whose dir the
+    // vacuum deleted, so no listing remembers it) would be classified
+    // on-time and resurrect a day older than the horizon
+    val horizon = graft.tsdb.MetricStore.readHorizon(spark, coldDir)
+    val inRange =
+      if (horizon == 0L) withDay
+      else withDay.filter(col("day") >= horizon)
+    val b = inRange.select(col("path"), col("ts"), col("value"), col("day"))
       .cache()
     if (!b.isEmpty) {
       val published = graft.tsdb.MetricStore.coldDays(spark, coldDir).toSet
@@ -181,8 +190,11 @@ object CarbonStream {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("day", "ingest_batch").parquet(hotDir)
         graft.tsdb.MetricStore.cleanupHot(spark, hotDir, coldDir)
-        val liveDay = spark.read.parquet(hotDir)
-          .agg(max(col("day").cast("long"))).head.getLong(0)
+        // the live-day watermark is a directory-name fact (the
+        // MetricStore.dayDirs listing) — never a data scan of the hot
+        // tail, which at 100 TB is the live day of the whole fleet
+        // re-read per micro-batch
+        val liveDay = graft.tsdb.MetricStore.dayDirs(spark, hotDir).max
         graft.tsdb.MetricStore.compactTick(spark, hotDir, coldDir, liveDay)
         // whisper's maxRetention, live: with a horizon configured the
         // tick ages out days the store has moved past — the full ring
@@ -194,6 +206,11 @@ object CarbonStream {
             liveDay - retentionDays.toLong *
               graft.tsdb.MetricStore.DaySeconds): Unit
       }
+      // drain the late store into cold (LWW per slot, staged swap):
+      // after this, `_late` holds only days whose merge hasn't run —
+      // the read path's broadcast overlay is bounded by construction,
+      // and at steady state it short-circuits away entirely
+      graft.tsdb.MetricStore.lateFoldTick(spark, hotDir, coldDir): Unit
     }
     b.unpersist()
   }

@@ -159,16 +159,24 @@ object MetricStore {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  /** The cold store's published day set — K-row metadata read off the
-    * directory names (one listing, never a data scan).
+  /** The day set of ANY day-partitioned store — K-row metadata read off
+    * the directory names (one listing, never a data scan). This is the
+    * watermark/pointer primitive everywhere: the cold published set,
+    * the hot live-day watermark, and the late store's unfolded days all
+    * derive from names, so no maintenance decision ever pays a data
+    * scan of the store it maintains.
     */
-  def coldDays(spark: SparkSession, coldDir: String): Seq[Long] = {
-    val (fs, p) = hadoopFs(spark, coldDir)
+  def dayDirs(spark: SparkSession, dir: String): Seq[Long] = {
+    val (fs, p) = hadoopFs(spark, dir)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).map(_.getPath.getName).toSeq
       .collect { case n if n.startsWith("day=") => n.stripPrefix("day=").toLong }
       .sorted
   }
+
+  /** The cold store's published day set. */
+  def coldDays(spark: SparkSession, coldDir: String): Seq[Long] =
+    dayDirs(spark, coldDir)
 
   /** G26 maintenance tick: compact every CLOSED hot day (strictly
     * before `beforeDay`, not yet cold) into the cold store. One
@@ -248,6 +256,10 @@ object MetricStore {
     */
   def retentionVacuum(spark: SparkSession, hotDir: String, coldDir: String,
                       beforeDay: Long): Seq[Long] = {
+    // persist the horizon FIRST (before any delete): a vacuum that dies
+    // mid-pass must still forbid a very-late point from resurrecting a
+    // half-aged day as on-time on the next tick
+    writeHorizon(spark, coldDir, beforeDay)
     def dropOld(dir: String): Seq[Long] = {
       val (fs, p) = hadoopFs(spark, dir)
       if (!fs.exists(p)) Seq.empty
@@ -258,6 +270,128 @@ object MetricStore {
     }
     (dropOld(coldDir) ++ dropOld(hotDir) ++ dropOld(s"$hotDir/_late"))
       .distinct.sorted
+  }
+
+  /** The PERSISTED retention horizon — `_horizon_<day>` markers under
+    * the cold root (atomic name-level creation, the `_ready_epoch`
+    * discipline). Without it, retention is only as durable as the day
+    * dirs it deleted: a very-late point for an aged-out day would be
+    * classified ON-TIME by the next tick (its day is in no listing)
+    * and resurrect a day older than the horizon until the next vacuum.
+    * [[graft.streaming.CarbonStream.maintainTick]] drops sub-horizon
+    * points at the door instead — whisper's own rule (a timestamp
+    * beyond maxRetention is rejected at update, L_DataWhisper.lua's
+    * archive-range check).
+    */
+  def readHorizon(spark: SparkSession, coldDir: String): Long = {
+    val (fs, p) = hadoopFs(spark, coldDir)
+    if (!fs.exists(p)) 0L
+    else {
+      val hs = fs.listStatus(p).map(_.getPath.getName)
+        .collect { case n if n.startsWith("_horizon_") =>
+          n.stripPrefix("_horizon_").toLong }
+      if (hs.isEmpty) 0L else hs.max
+    }
+  }
+
+  private def writeHorizon(spark: SparkSession, coldDir: String,
+                           beforeDay: Long): Unit = {
+    val old = readHorizon(spark, coldDir)
+    if (beforeDay > old) {
+      val (fs, p) = hadoopFs(spark, coldDir)
+      fs.mkdirs(p)
+      fs.createNewFile(new org.apache.hadoop.fs.Path(p, s"_horizon_$beforeDay"))
+      if (old > 0L)
+        fs.delete(new org.apache.hadoop.fs.Path(p, s"_horizon_$old"), false): Unit
+    }
+  }
+
+  /** Drain the LATE store into cold — the tick that turns
+    * [[readMaintained]]'s by-contract K-row late bound into a
+    * by-construction one (VERDICT r11 #1): for each published day
+    * holding late rows, merge cold + late last-write-wins per
+    * (path, ts) (the G6 fold — the late row is the newest write for
+    * its slot), stage the merged day under `_foldstage` (underscore:
+    * invisible to readers), swap it in (move the old cold day out,
+    * one rename in), and drop the late copies. After the fold the late
+    * store holds ONLY days whose merge hasn't run yet — under a fleet
+    * with a permanently clock-skewed source, reads stay one bounded
+    * tick behind instead of paying an ever-growing broadcast.
+    *
+    * Crash-safe at every point: the staged day is the write-ahead copy
+    * of the merge, so a fold that dies between the move-out and the
+    * publish leaves `_foldstage/day=d` complete and `day=d` absent —
+    * the NEXT tick's recovery pass finishes the rename (and until it
+    * runs, readers miss only that one day, the same pin-and-finish
+    * window every retention system documents); a fold that dies with
+    * both copies present re-merges (LWW converges); a fold that dies
+    * after the publish but before the late delete re-merges already-
+    * merged rows (idempotent). Returns the days folded.
+    */
+  def lateFoldTick(spark: SparkSession, hotDir: String,
+                   coldDir: String): Seq[Long] = {
+    val lateDir = s"$hotDir/_late"
+    val stage = s"$coldDir/_foldstage"
+    val (fs, _) = hadoopFs(spark, coldDir)
+    // recovery pass: finish any publish a prior fold died before
+    dayDirs(spark, stage).foreach { d =>
+      val stageP = new org.apache.hadoop.fs.Path(s"$stage/day=$d")
+      val coldP = new org.apache.hadoop.fs.Path(s"$coldDir/day=$d")
+      if (!fs.exists(coldP)) {
+        require(fs.rename(stageP, coldP), s"lateFoldTick: recovery of day=$d failed")
+        fs.delete(new org.apache.hadoop.fs.Path(s"$lateDir/day=$d"), true): Unit
+      } else fs.delete(stageP, true): Unit // stale stage, cold copy intact
+    }
+    val published = coldDays(spark, coldDir).toSet
+    val folded = dayDirs(spark, lateDir).filter(published.contains)
+    folded.foreach { d =>
+      val stageP = new org.apache.hadoop.fs.Path(s"$stage/day=$d")
+      val coldP = new org.apache.hadoop.fs.Path(s"$coldDir/day=$d")
+      val lateP = new org.apache.hadoop.fs.Path(s"$lateDir/day=$d")
+      val merged = Rollup.upsert(
+        spark.read.parquet(coldP.toString).select(col("path"), col("ts"), col("value")),
+        spark.read.parquet(lateP.toString).select(col("path"), col("ts"), col("value")))
+      merged.coalesce(1)
+        .sortWithinPartitions(col("path"), col("ts"))
+        .write.mode("overwrite").parquet(stageP.toString)
+      fs.delete(coldP, true)
+      require(fs.rename(stageP, coldP), s"lateFoldTick: publishing day=$d failed")
+      fs.delete(lateP, true)
+    }
+    val stageRoot = new org.apache.hadoop.fs.Path(stage)
+    if (fs.exists(stageRoot)) fs.delete(stageRoot, true): Unit
+    folded
+  }
+
+  /** Maintained-store OBSERVABILITY (VERDICT r11 #7): one row per
+    * section — hot, cold, late — with day count, row count, and file
+    * count, so the failure modes the maintenance loop guards against
+    * (late accumulation, small-file regrowth, a stuck compactor) are
+    * VISIBLE as numbers before they degrade reads. The late section's
+    * steady state is (0, 0, 0) once [[lateFoldTick]] runs in the tick;
+    * growth there means a clock-skewed source is outrunning the fold.
+    * Day and row counts are data-derivable (the driver oracle
+    * recomputes them from the source routing); file counts are
+    * filesystem facts the spec pins.
+    */
+  def storeReport(spark: SparkSession, hotDir: String,
+                  coldDir: String): DataFrame = {
+    import spark.implicits._
+    def section(name: String, dir: String): (String, Long, Long, Long) = {
+      val days = dayDirs(spark, dir)
+      val (fs, _) = hadoopFs(spark, dir)
+      val nFiles = days.map { d =>
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$dir/day=$d"), true)
+        var n = 0L
+        while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+        n
+      }.sum
+      val nRows = if (days.isEmpty) 0L else spark.read.parquet(dir).count()
+      (name, days.size.toLong, nRows, nFiles)
+    }
+    Seq(section("cold", coldDir), section("hot", hotDir),
+      section("late", s"$hotDir/_late"))
+      .toDF("section", "n_days", "n_rows", "n_files")
   }
 
   /** One consistent scan of the maintained store: the cold copy wins

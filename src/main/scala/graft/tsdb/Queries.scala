@@ -1237,7 +1237,13 @@ object Queries {
     * (lossless maintenance under late arrival and replay, the B15
     * oracle shared).
     */
-  def storeMaintainedFetch(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared G26 fixture: a 3-tick maintained ingest (day-ordered
+    * thirds, held-back late stragglers delivered last, one replayed
+    * committed batch) under a write-once-per-process root. Serves
+    * [[storeMaintainedFetch]] (the lossless read) and
+    * [[storeReportQuery]] (the observability rows over the same store).
+    */
+  private def maintainedRoot(spark: SparkSession, dir: String): String = {
     val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft_maintained_${ProcessHandle.current().pid()}",
       dir.stripPrefix("/").replaceAll("[^A-Za-z0-9.]", "_")).toString
@@ -1268,9 +1274,30 @@ object Queries {
         "maintainTickOnce: replayed committed batch was not skipped")
       java.nio.file.Files.writeString(marker, "ok")
     }
+    root
+  }
+
+  def storeMaintainedFetch(spark: SparkSession, dir: String): DataFrame = {
+    val root = maintainedRoot(spark, dir)
     MetricStore.readMaintained(spark, s"$root/hot", s"$root/cold")
       .select(col("path"), col("ts"), round(col("value"), 4).as("value"))
       .orderBy(col("path"), col("ts"), col("value"))
+  }
+
+  /** G28: maintained-store observability — the per-section
+    * (days, rows) report over the SAME fixture store, so the fold's
+    * by-construction bound is a CHECKED number: late must read
+    * (0, 0) after the tick's drain, cold must hold every closed day's
+    * rows (on-time AND folded late), hot exactly the live tail plus
+    * the last tick's grace copies. File counts are filesystem facts
+    * the spec pins ([[MetricStore.storeReport]] returns them; this
+    * projection keeps the SQL-derivable columns).
+    */
+  def storeReportQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = maintainedRoot(spark, dir)
+    MetricStore.storeReport(spark, s"$root/hot", s"$root/cold")
+      .select(col("section"), col("n_days"), col("n_rows"))
+      .orderBy(col("section"))
   }
 
   /** A8: carbon-aggregator — the stage the reference stubs

@@ -214,6 +214,106 @@ class MetricStoreSpec extends SparkSpec {
     assert(MetricStore.readMaintained(spark, hotEmpty, coldEmpty).isEmpty)
   }
 
+  test("late fold: sustained lateness drains into cold, read goes join-free (r11 #1)") {
+    val day = MetricStore.DaySeconds
+    val hot = Files.createTempDirectory("graft-fold-hot").toString
+    val cold = Files.createTempDirectory("graft-fold-cold").toString
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.select("path", "ts", "value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    def lateDays = MetricStore.dayDirs(spark, s"$hot/_late")
+    // tick 0: two days on-time — day 0 publishes, day 1 stays live
+    graft.streaming.CarbonStream.maintainTick(
+      Seq(("m", 0L, 1.0), ("m", 60L, 2.0), ("m", day, 3.0))
+        .toDF("path", "ts", "value"), hot, cold, 0L)
+    assert(MetricStore.coldDays(spark, cold) == Seq(0L))
+    // SUSTAINED lateness: every subsequent batch carries a late point
+    // for published day 0 (one new slot, one overwrite) alongside the
+    // advancing live edge — the clock-skewed-source scenario
+    var want = Seq(("m", 0L, 1.0), ("m", 60L, 2.0), ("m", day, 3.0))
+    for (k <- 1 to 4) {
+      val lateTs = 120L + k
+      graft.streaming.CarbonStream.maintainTick(
+        Seq(("m", lateTs, k.toDouble),         // late: day 0 is published
+          ("m", 60L, 10.0 + k),                // late: overwrites slot 60
+          ("m", (k + 1) * day, 5.0))           // on-time: new live day
+          .toDF("path", "ts", "value"), hot, cold, k.toLong)
+      want = want.filterNot(p => p._2 == 60L) ++
+        Seq(("m", lateTs, k.toDouble), ("m", 60L, 10.0 + k), ("m", (k + 1) * day, 5.0))
+      // the fold ran IN the tick: no unfolded late day survives it
+      assert(lateDays.isEmpty, s"tick $k left unfolded late days: $lateDays")
+      assert(multiset(MetricStore.readMaintained(spark, hot, cold)) == want.sorted)
+    }
+    // after the fold the overlay short-circuits away: join-free plan
+    val plan = MetricStore.readMaintained(spark, hot, cold)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), plan)
+    // published day 0 is still ONE file (the fold rewrites, not appends)
+    assert(new java.io.File(s"$cold/day=0").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+    // CRASH RECOVERY: simulate a fold that died between move-out and
+    // publish — stage holds the merged day, cold copy missing; the next
+    // tick's recovery pass finishes the rename
+    val fs = new org.apache.hadoop.fs.Path(cold)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = multiset(MetricStore.readMaintained(spark, hot, cold))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$cold/_foldstage"))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$cold/day=0"),
+      new org.apache.hadoop.fs.Path(s"$cold/_foldstage/day=0")))
+    assert(MetricStore.lateFoldTick(spark, hot, cold).isEmpty) // recovery only
+    assert(MetricStore.coldDays(spark, cold).contains(0L))
+    assert(multiset(MetricStore.readMaintained(spark, hot, cold)) == before)
+  }
+
+  test("retention horizon persists: an aged-out day cannot resurrect (ADVICE r11)") {
+    val day = MetricStore.DaySeconds
+    val hot = Files.createTempDirectory("graft-hor-hot").toString
+    val cold = Files.createTempDirectory("graft-hor-cold").toString
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.select("path", "ts", "value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    graft.streaming.CarbonStream.maintainTick(
+      Seq(("m", 0L, 1.0), ("m", day, 2.0), ("m", 2 * day, 3.0))
+        .toDF("path", "ts", "value"), hot, cold, 0L)
+    assert(MetricStore.retentionVacuum(spark, hot, cold, day) == Seq(0L))
+    assert(MetricStore.readHorizon(spark, cold) == day)
+    // a very-late point for the aged-out day 0: its dir is gone from
+    // every listing, so without the persisted horizon the tick would
+    // classify it ON-TIME and resurrect the day — it must be dropped
+    graft.streaming.CarbonStream.maintainTick(
+      Seq(("m", 30L, 9.9), ("m", 2 * day + 60L, 4.0))
+        .toDF("path", "ts", "value"), hot, cold, 1L)
+    assert(MetricStore.dayDirs(spark, hot).forall(_ >= day))
+    assert(multiset(MetricStore.readMaintained(spark, hot, cold)) ==
+      Seq(("m", day, 2.0), ("m", 2 * day, 3.0), ("m", 2 * day + 60L, 4.0)).sorted)
+    // a later, larger horizon supersedes (marker is monotone max)
+    MetricStore.retentionVacuum(spark, hot, cold, 2 * day)
+    assert(MetricStore.readHorizon(spark, cold) == 2 * day)
+  }
+
+  test("store report: day/row/file counts per section, late drains to zero (r11 #7)") {
+    val day = MetricStore.DaySeconds
+    val hot = Files.createTempDirectory("graft-rep-hot").toString
+    val cold = Files.createTempDirectory("graft-rep-cold").toString
+    graft.streaming.CarbonStream.maintainTick(
+      Seq(("m", 0L, 1.0), ("m", 60L, 2.0), ("m", day, 3.0))
+        .toDF("path", "ts", "value"), hot, cold, 0L)
+    graft.streaming.CarbonStream.maintainTick(
+      Seq(("m", 30L, 9.0), ("m", 2 * day, 4.0)) // one late, one on-time
+        .toDF("path", "ts", "value"), hot, cold, 1L)
+    val rep = MetricStore.storeReport(spark, hot, cold)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // cold: days 0 and `day` published; day 0 carries the folded late
+    // point → 3 rows
+    assert(rep("cold")._1 == 2 && rep("cold")._2 == 4)
+    // late drained by the tick's fold
+    assert(rep("late") == ((0L, 0L, 0L)))
+    // hot: the live day plus the grace copy of the day tick 1 published
+    assert(rep("hot")._1 == 2 && rep("hot")._2 == 2)
+    assert(rep("cold")._3 >= 2) // at least one file per published day
+  }
+
   test("glob literal prefix reaches the scan as StringStartsWith") {
     val now = 90120L
     val plan = MetricStore.fetchStored(spark, root, spec, "a.*.v", 89940L, now, now)
