@@ -27,6 +27,7 @@ object SparkEntry {
     "events_asof_tol" -> ((s, dir) => Relational.eventsAsofTol(s, dir)),
     "stream_asof_enrich" -> ((s, dir) => Relational.streamAsofEnrich(s, dir)),
     "events_funnel" -> ((s, dir) => Relational.eventsFunnel(s, dir)),
+    "events_funnel_presplit" -> ((s, dir) => Relational.eventsFunnelPresplit(s, dir)),
     "events_retention" -> ((s, dir) => Relational.eventsRetention(s, dir)),
     "events_transitions" -> ((s, dir) => Relational.eventsTransitions(s, dir)),
     "stream_funnel" -> ((s, dir) => Relational.streamFunnel(s, dir)),
@@ -378,6 +379,30 @@ object SparkEntry {
        |      UNION ALL SELECT path, ts, value, 1 AS src FROM inc)
        |SELECT path, ts, round((max(struct_pack(s := src, v := value))).v, 4) AS value
        |FROM u GROUP BY 1,2 ORDER BY 1,2,3""".stripMargin
+
+  /** E8 funnel oracle — shared by events_funnel and
+    * events_funnel_presplit (the hot-key-safe (user, day) pre-split
+    * stitches to the identical answer).
+    */
+  private val FunnelSql =
+    """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+      |  event_type FROM events),
+      |s1 AS (SELECT user_id,
+      |  min(CASE WHEN event_type = 'view' THEN t END) AS t1 FROM e GROUP BY 1),
+      |s2 AS (SELECT e.user_id,
+      |  min(CASE WHEN event_type = 'click' AND t >= t1 THEN t END) AS t2
+      | FROM e JOIN s1 USING (user_id) GROUP BY 1),
+      |s3 AS (SELECT e.user_id,
+      |  min(CASE WHEN event_type = 'purchase' AND t >= t2 THEN t END) AS t3
+      | FROM e JOIN s2 USING (user_id) GROUP BY 1)
+      |SELECT s1.user_id,
+      | coalesce(t1, -1) AS t_view, coalesce(t2, -1) AS t_click,
+      | coalesce(t3, -1) AS t_purchase,
+      | CAST((CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) +
+      |      (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) +
+      |      (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS depth
+      |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+      |ORDER BY user_id""".stripMargin
 
   private val SessionizeSql =
     """WITH e AS (
@@ -5180,25 +5205,11 @@ object SparkEntry {
     // E8: the conversion funnel — three sequential conditional mins
     // per user (view, click-at-or-after, purchase-at-or-after), -1
     // sentinels, depth = completed steps
-    "events_funnel" ->
-      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
-        |  event_type FROM events),
-        |s1 AS (SELECT user_id,
-        |  min(CASE WHEN event_type = 'view' THEN t END) AS t1 FROM e GROUP BY 1),
-        |s2 AS (SELECT e.user_id,
-        |  min(CASE WHEN event_type = 'click' AND t >= t1 THEN t END) AS t2
-        | FROM e JOIN s1 USING (user_id) GROUP BY 1),
-        |s3 AS (SELECT e.user_id,
-        |  min(CASE WHEN event_type = 'purchase' AND t >= t2 THEN t END) AS t3
-        | FROM e JOIN s2 USING (user_id) GROUP BY 1)
-        |SELECT s1.user_id,
-        | coalesce(t1, -1) AS t_view, coalesce(t2, -1) AS t_click,
-        | coalesce(t3, -1) AS t_purchase,
-        | CAST((CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) +
-        |      (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) +
-        |      (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS depth
-        |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
-        |ORDER BY user_id""".stripMargin,
+    "events_funnel" -> FunnelSql,
+    // E8p: the (user, day) pre-split + suffix-splice stitch is
+    // provably the plain conditional-min chain — the oracle is E8's
+    // verbatim (the equivalence theorem, cross-engine)
+    "events_funnel_presplit" -> FunnelSql,
     // G20d: the event-time horizon rule replayed deterministically —
     // per-user gap split at > 86400 s (ALL event types advance
     // last-activity, the stream fold's lastT), E8's conditional-min

@@ -584,9 +584,83 @@ object Relational {
         sum(col("n_events")).as("n_events"))
   }
 
-  /** The E5 query through [[sessionCountsPresplit]] — same answer,
-    * hot-key-safe plan; the oracle is E5's, shared verbatim.
+  /** E8-presplit: the hot-key mitigation for the FUNNEL family
+    * (VERDICT r11 #4 — §6's steepest hot-user row was the funnel's).
+    * The plain [[funnelSteps]] sorts ALL of a user's events in one
+    * task; here the conditional-min chain runs per (user, DAY), and a
+    * SECOND bounded pass (≤ active days per user, never events) stitches
+    * days in order.
+    *
+    * Why a per-day summary suffices: days partition time, so when the
+    * cross-day fold reaches day d with steps 0..j−1 already filled from
+    * EARLIER days, every event in d is at-or-after those timestamps —
+    * the day's contribution is exactly the in-day funnel over the step
+    * SUFFIX starting at j, from scratch. Each day therefore carries the
+    * N(N+1)/2 suffix-funnel values s(j,i) = "first steps(i) at-or-after
+    * s(j,i−1), chain seeded at steps(j)" (all over ONE (user, day)
+    * window partitioning — one shuffle), and the per-user fold walks
+    * day rows in day order applying the suffix whose index is the
+    * first unfilled step. The chain property (s(j,i) is set only if
+    * s(j,i−1) is) makes each branch a whole-array splice. In-day
+    * behavior is [[funnelSteps]] restricted to the day, and a step
+    * filled in an earlier day conditions later days by `t >= prev`
+    * trivially (strict day ordering) — so presplit ≡ plain for every
+    * input, and the driver oracle is E8's, shared verbatim.
     */
+  def funnelPresplit(e: DataFrame, steps: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(steps.nonEmpty, "funnelPresplit: need at least one step")
+    require(steps.toSet.size == steps.length,
+      s"funnelPresplit: duplicate step types in $steps")
+    val n = steps.length
+    val withDay = e.withColumn("day", col("t") - col("t") % 86400L)
+    val wd = Window.partitionBy(col("user_id"), col("day"))
+    var df = withDay
+    for (j <- 0 until n; i <- j until n) {
+      val cond =
+        if (i == j) col("event_type") === steps(i)
+        else col("event_type") === steps(i) && col("t") >= col(s"s${j}_${i - 1}")
+      df = df.withColumn(s"s${j}_$i", min(when(cond, col("t"))).over(wd))
+    }
+    val sCols = for (j <- 0 until n; i <- j until n) yield s"s${j}_$i"
+    val aggs = sCols.map(c => first(coalesce(col(c), lit(-1L))).as(c))
+    val daily = df.groupBy(col("user_id"), col("day"))
+      .agg(aggs.head, aggs.tail: _*)
+    // the stitch: day rows sorted by day (struct sort — day leads),
+    // folded with the suffix-splice rule; per-user state is N longs
+    val dayStruct = struct(col("day") +: sCols.map(col): _*)
+    val perUser = daily.groupBy(col("user_id"))
+      .agg(array_sort(collect_list(dayStruct)).as("days"))
+    val init = array((0 until n).map(_ => lit(-1L)): _*)
+    val folded = aggregate(col("days"), init, (acc, d) => {
+      val filled = size(filter(acc, x => x >= 0L))
+      // branch j: steps 0..j−1 keep acc, steps j..N−1 splice the day's
+      // suffix-j funnel (chain property keeps unreachable slots −1)
+      val branches = (0 until n).map { j =>
+        array((0 until n).map { i =>
+          if (i < j) element_at(acc, i + 1) else d(s"s${j}_$i")
+        }: _*)
+      }
+      branches.zipWithIndex
+        .foldLeft(when(filled === n, acc)) { case (w, (b, j)) =>
+          w.when(filled === j, b)
+        }.otherwise(acc)
+    })
+    perUser.withColumn("folded", folded)
+      .select(col("user_id") +:
+        steps.zipWithIndex.map { case (st, i) =>
+          element_at(col("folded"), i + 1).as(s"t_$st")
+        } :+ size(filter(col("folded"), x => x >= 0L)).cast("long").as("depth"): _*)
+      .orderBy(col("user_id"))
+  }
+
+  /** The E8 query through [[funnelPresplit]] — same answer, hot-key-
+    * safe plan; the oracle is E8's, shared verbatim.
+    */
+  def eventsFunnelPresplit(spark: SparkSession, dir: String): DataFrame =
+    funnelPresplit(Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("long").as("t"),
+        col("event_type")), Seq("view", "click", "purchase"))
   def eventSessionizePresplit(spark: SparkSession, dir: String): DataFrame =
     sessionCountsPresplit(
       Tables.events(spark, dir)

@@ -176,6 +176,62 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("presplit funnel == plain conditional-min chain, incl. cross-day seams (E8p)") {
+    val day = 86400L
+    // user 1: view day0, click day1, purchase day2 (every step crosses
+    //   a seam — the suffix-splice path at j=0,1,2);
+    // user 2: click BEFORE the first view (earlier day — must not
+    //   count), then view+click+purchase same later day;
+    // user 3: view only (depth 1 across the fold);
+    // user 4: same-second view+click+purchase in one day (tie
+    //   contract) after a decoy purchase the day before;
+    // user 5: no view at all, clicks+purchases everywhere (depth 0)
+    val e = Seq(
+      (1L, 100L, "view"), (1L, day + 100L, "click"), (1L, 2 * day + 100L, "purchase"),
+      (2L, 100L, "click"), (2L, day + 50L, "view"), (2L, day + 60L, "click"),
+      (2L, day + 60L, "purchase"),
+      (3L, 2 * day, "view"),
+      (4L, 100L, "purchase"), (4L, day + 7L, "view"), (4L, day + 7L, "click"),
+      (4L, day + 7L, "purchase"),
+      (5L, 100L, "click"), (5L, day + 100L, "purchase")
+    ).toDF("user_id", "t", "event_type")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val got = rows(Relational.funnelPresplit(e, Seq("view", "click", "purchase")))
+    assert(got == rows(Relational.funnel(e)))
+    assert(got == Seq(
+      (1L, 100L, day + 100L, 2 * day + 100L, 3L),
+      (2L, day + 50L, day + 60L, day + 60L, 3L),
+      (3L, 2 * day, -1L, -1L, 1L),
+      (4L, day + 7L, day + 7L, day + 7L, 3L),
+      (5L, -1L, -1L, -1L, 0L)))
+    // the theorem on the real corpus
+    val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("ts").cast("long").as("t"), col("event_type"))
+    assert(rows(Relational.funnelPresplit(ev, Seq("view", "click", "purchase")))
+      == rows(Relational.funnel(ev)))
+  }
+
+  test("presplit funnel ≡ plain on seeded random corpora at midnights (E8p)") {
+    val rnd = new scala.util.Random(1234)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val types = Array("view", "click", "purchase", "scroll")
+    for (trial <- 1 to 3) {
+      // cluster near day boundaries so step chains straddle seams;
+      // `scroll` is a non-step decoy the funnel must ignore
+      val evs = (1 to 400).map { _ =>
+        val u = rnd.nextInt(8).toLong
+        val t = rnd.nextInt(4) * 86400L + 82800L + rnd.nextInt(7201).toLong
+        (u, t, types(rnd.nextInt(4)))
+      }.toDF("user_id", "t", "event_type")
+      assert(rows(Relational.funnelPresplit(evs, Seq("view", "click", "purchase")))
+        == rows(Relational.funnel(evs)), s"trial $trial diverged")
+    }
+  }
+
   test("attribution: equal integer shares, window edges, accumulation (E10)") {
     // purchase 100 at t=100 has two in-window clicks (10 and 100 —
     // the <= boundary counts, the > t-W boundary excludes t=40 at
