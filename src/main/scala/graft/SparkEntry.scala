@@ -237,6 +237,7 @@ object SparkEntry {
     "ann_index_refresh" -> ((s, dir) => L.annIndexRefresh(s, dir)),
     "ann_index_deleted" -> ((s, dir) => L.annIndexDeleted(s, dir)),
     "ann_index_compacted" -> ((s, dir) => L.annIndexCompacted(s, dir)),
+    "ann_index_cutover" -> ((s, dir) => L.annIndexCutover(s, dir)),
     "ann_ivf_pq_residual" -> ((s, dir) => L.annIvfPqResidual(s, dir)),
     "ann_quantized" -> ((s, dir) => L.annQuantized(s, dir)),
     "ann_ivf_quantized" -> ((s, dir) => L.annIvfQuantized(s, dir)),
@@ -2429,6 +2430,11 @@ object SparkEntry {
     // + lossless parquet round-trip), so the oracle is SHARED VERBATIM
     // — the hash match is the save/load round-trip theorem cross-engine
     "ann_index_search" -> ivfPqTrainedSqlOver("n"),
+    // F60e: after the rebuild cutover the alias serves the fresh
+    // full-corpus build — the F25h oracle verbatim; gen 1's
+    // base-trained codebooks would mis-rank, so the hash match proves
+    // the alias followed the cutover
+    "ann_index_cutover" -> ivfPqTrainedSqlOver("n"),
     // F60b: extend ≡ rebuild-encode over the persisted form — the
     // codebooks train on the BASE corpus only (the frozen-book law),
     // while encode/probe/ADC run over the whole corpus

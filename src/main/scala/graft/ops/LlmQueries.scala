@@ -752,6 +752,33 @@ object LlmQueries {
     AnnIndex.search(e.filter(col("vec_id") < AnnQueryMax), idx, AnnK)
   }
 
+  /** F60e: REBUILD CUTOVER — the lifecycle verb extend() deliberately
+    * lacks (retraining under a live root would re-key every segment):
+    * generation 1 builds on the % 3 != 0 base and publishes through the
+    * alias; the corpus then shifts (the full set), so a REBUILD trains
+    * fresh codebooks under a NEW root and cuts over — one atomic
+    * marker creation; readers pinned to gen 1 keep their root
+    * untouched. loadCurrent follows the alias to the rebuilt index,
+    * whose search over the full corpus is exactly the fresh full-build
+    * (build is deterministic), so the F25h/ann_index_search oracle is
+    * shared verbatim — the hash match proves the alias followed the
+    * cutover (gen 1's base-trained books would mis-rank).
+    */
+  def annIndexCutover(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.AnnIndex
+    val e = Tables.embeddings(spark, dir)
+    val alias = annIndexRootOnce("annidx_cutover", dir) { a =>
+      AnnIndex.build(spark, e.filter(col("vec_id") % 3 =!= 0),
+        annIndexParams, s"$a/roots/r1")
+      AnnIndex.cutover(spark, a, s"$a/roots/r1")
+      // the rebuild: fresh root, retrained codebooks, full corpus
+      AnnIndex.build(spark, e, annIndexParams, s"$a/roots/r2")
+      AnnIndex.cutover(spark, a, s"$a/roots/r2"): Unit
+    }
+    val idx = AnnIndex.loadCurrent(spark, alias) // follows gen 2
+    AnnIndex.search(e.filter(col("vec_id") < AnnQueryMax), idx, AnnK)
+  }
+
   /** F25i: residual IVFPQ — the sub-quantizers encode x − centroid
     * (FAISS's IndexIVFPQ), trained by the same sampled Lloyd chain.
     */

@@ -406,6 +406,102 @@ object AnnIndex {
     Loaded(e, params, cents, book, live)
   }
 
+  // ---- REBUILD CUTOVER (VERDICT r11 #3): the root-level alias.
+  //
+  // extend() never retrains codebooks (the FAISS rule: new codewords
+  // would silently re-key every existing segment), so the prescribed
+  // remedy for codebook drift is a REBUILD under a fresh root — but a
+  // reader holds a root path, so without a pointer a retrain needs
+  // client coordination. The alias is that pointer, one level up from
+  // the epoch markers and under the same discipline:
+  //
+  //   <alias>/gen_<g>     the generation's index ROOT path (UTF-8),
+  //                       fully written and closed FIRST
+  //   <alias>/_cur_<g>    0-byte marker, created LAST (atomic name-level
+  //                       creation — the generation exists only once its
+  //                       marker does)
+  //
+  // loadCurrent follows max-published-gen → root → load(root): a reader
+  // sees the old generation or the complete new one, never a partial.
+  // A cutover is ONE marker creation; the old root stays untouched, so
+  // every reader pinned to it (via its own epoch markers) is unaffected
+  // until vacuumAlias reclaims it after a grace period.
+
+  private def aliasGens(spark: SparkSession, alias: String): Seq[Long] = {
+    val (fs, p) = hadoopFs(spark, alias)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName).toSeq
+      .collect { case n if n.startsWith("_cur_") => n.stripPrefix("_cur_").toLong }
+      .sorted
+  }
+
+  private def genRoot(spark: SparkSession, alias: String, g: Long): String = {
+    val (fs, _) = hadoopFs(spark, alias)
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$alias/gen_$g"))
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 4096, false)
+      new String(bytes.toByteArray, "UTF-8").trim
+    } finally in.close()
+  }
+
+  /** Publish `root` as the alias's next generation — the cutover.
+    * `root` must already hold a ready epoch (cut over to a half-built
+    * index and every loadCurrent dies). Returns the generation.
+    */
+  def cutover(spark: SparkSession, alias: String, root: String): Long = {
+    require(readyEpochs(spark, root).nonEmpty,
+      s"cutover: $root holds no ready epoch — build() it first")
+    val (fs, p) = hadoopFs(spark, alias)
+    fs.mkdirs(p)
+    val g = aliasGens(spark, alias).lastOption.getOrElse(0L) + 1
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$alias/gen_$g"), false)
+    try out.write(root.getBytes("UTF-8")) finally out.close()
+    require(fs.createNewFile(new org.apache.hadoop.fs.Path(s"$alias/_cur_$g")),
+      s"cutover: generation $g already published under $alias")
+    g
+  }
+
+  /** The alias's live root — max published generation's pointer. */
+  def currentRoot(spark: SparkSession, alias: String): String = {
+    val gs = aliasGens(spark, alias)
+    require(gs.nonEmpty, s"no published generation under $alias — cutover() first")
+    genRoot(spark, alias, gs.max)
+  }
+
+  /** Load through the alias: the live generation's live epoch. The
+    * returned index is pinned as ever — a cutover (or a vacuum of a
+    * NEWER generation's predecessors, after grace) never mutates it.
+    */
+  def loadCurrent(spark: SparkSession, alias: String,
+                  epoch: Option[Long] = None): Loaded =
+    load(spark, currentRoot(spark, alias), epoch)
+
+  /** Generation RETENTION: drop every published generation older than
+    * the newest `keep`, deleting each doomed generation's marker first
+    * (new loads can no longer follow it), then its pointer, then its
+    * ROOT — the whole retired index. Run a grace period after cutover,
+    * exactly [[vacuum]]'s contract one level up. A root still referenced
+    * by a surviving generation is never deleted (re-cutover to the same
+    * root is legal). Returns the generations dropped.
+    */
+  def vacuumAlias(spark: SparkSession, alias: String,
+                  keep: Int = 2): Seq[Long] = {
+    require(keep >= 1, s"vacuumAlias: keep must be >= 1 (got $keep)")
+    val (fs, _) = hadoopFs(spark, alias)
+    val gs = aliasGens(spark, alias)
+    val doomed = gs.dropRight(keep)
+    val liveRoots = gs.takeRight(keep).map(genRoot(spark, alias, _)).toSet
+    doomed.foreach { g =>
+      val root = genRoot(spark, alias, g)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$alias/_cur_$g"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$alias/gen_$g"), false)
+      if (!liveRoots.contains(root))
+        fs.delete(new org.apache.hadoop.fs.Path(root), true): Unit
+    }
+    doomed
+  }
+
   /** Search through a loaded, epoch-pinned index — the shared
     * [[Ann.ivfTopKPqOnIndex]] tail, so results are bit-equal to the
     * in-session [[Ann.ivfTopKPqTrained]] over the same corpus and

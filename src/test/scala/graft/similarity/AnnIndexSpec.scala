@@ -235,4 +235,40 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.currentEpoch(spark, root) == 1L)
     intercept[IllegalArgumentException](AnnIndex.load(spark, root, Some(7L)))
   }
+
+  test("rebuild cutover: alias follows the swap, concurrent readers keep their root") {
+    val alias = freshRoot()
+    val base = e.filter(col("vec_id") % 3 =!= 0)
+    // no published generation → loud; cutover to a rootless dir → loud
+    intercept[IllegalArgumentException](AnnIndex.currentRoot(spark, alias))
+    intercept[IllegalArgumentException](
+      AnnIndex.cutover(spark, alias, s"$alias/roots/none"))
+    AnnIndex.build(spark, base, params, s"$alias/roots/r1")
+    assert(AnnIndex.cutover(spark, alias, s"$alias/roots/r1") == 1L)
+    assert(AnnIndex.currentRoot(spark, alias) == s"$alias/roots/r1")
+    // a reader pins gen 1 (the base-trained index)...
+    val pinned = AnnIndex.loadCurrent(spark, alias)
+    val q = e.filter(col("vec_id") < 5)
+    val beforeCut = collected(AnnIndex.search(q, pinned, k = 3))
+    // ...the corpus shifts; a REBUILD retrains under a fresh root and
+    // cuts over — one marker creation, the old root untouched
+    AnnIndex.build(spark, e, params, s"$alias/roots/r2")
+    assert(AnnIndex.cutover(spark, alias, s"$alias/roots/r2") == 2L)
+    // the pinned reader's answers are bit-identical across the cutover
+    assert(collected(AnnIndex.search(q, pinned, k = 3)) == beforeCut)
+    // a fresh loadCurrent follows the alias to the rebuilt index — the
+    // full fresh build, exactly
+    val current = AnnIndex.loadCurrent(spark, alias)
+    val fresh = collected(Ann.ivfTopKPqTrained(q, e, 3,
+      params.nCentroids, params.nProbe, params.m, params.kc,
+      params.iters, params.rateBp))
+    assert(collected(AnnIndex.search(q, current, k = 3)) == fresh)
+    // generation retention: vacuum keeps the newest, deletes gen 1's
+    // marker, pointer, and whole root
+    assert(AnnIndex.vacuumAlias(spark, alias, keep = 1) == Seq(1L))
+    assert(AnnIndex.currentRoot(spark, alias) == s"$alias/roots/r2")
+    assert(!new java.io.File(s"$alias/roots/r1").exists)
+    assert(collected(AnnIndex.search(q,
+      AnnIndex.loadCurrent(spark, alias), k = 3)) == fresh)
+  }
 }
