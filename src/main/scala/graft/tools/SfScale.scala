@@ -26,10 +26,18 @@ import org.apache.spark.sql.functions._
 object SfScale {
 
   private val Rot = "aeiounrstl"
+  // the second translation axis (disjoint consonants): replica k
+  // rotates Rot by k mod 10 and Rot2 by k / 10, so the (r1, r2) pair
+  // is unique per k — without it, k = 10, 20, … would wrap to r = 0
+  // and be byte-identical to the source, silently reintroducing the
+  // exact-dup mass this fixture exists to avoid (ADVICE r11)
+  private val Rot2 = "bcdfghmpwy"
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: SfScale <srcDir> <dstDir> <copies>")
     val (src, dst, copies) = (args(0), args(1), args(2).toInt)
+    require(copies <= Rot.length * Rot2.length,
+      s"SfScale: copies must be <= ${Rot.length * Rot2.length} to stay decorrelated")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -44,9 +52,11 @@ object SfScale {
       if (k == 0) docs
       else {
         val r = k % Rot.length
+        val r2 = (k / Rot.length) % Rot2.length
         val to = Rot.drop(r) + Rot.take(r)
+        val to2 = Rot2.drop(r2) + Rot2.take(r2)
         docs.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
-          translate(col("text"), Rot, to).as("text"),
+          translate(translate(col("text"), Rot, to), Rot2, to2).as("text"),
           col("lang"), col("source"), col("n_chars"))
       }
     }.reduce(_ unionByName _)
