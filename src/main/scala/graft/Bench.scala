@@ -34,6 +34,11 @@ object Bench {
     // SPARK_GRAFT_ONLY=a,b,c restricts to named queries (dev loops)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // SPARK_GRAFT_MAX_SAMPLES caps repeat samples (default 5) — the
+    // sf1 honesty pass runs the whole surface at 10× data, where the
+    // standard convergence loop would cost hours for numbers that only
+    // feed a ratio table
+    val maxSamples = sys.env.getOrElse("SPARK_GRAFT_MAX_SAMPLES", "5").toInt
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val failed = scala.collection.mutable.ArrayBuffer[String]()
@@ -45,8 +50,9 @@ object Bench {
         val s = times.drop(1).sorted
         s.size >= 2 && s(1) <= s(0) * 1.10
       }
-      while (!broken && times.size < 5 &&
-             (times.size < 2 || (budgetNs > 0 && !converged))) {
+      while (!broken && times.size < maxSamples &&
+             (times.size < math.min(2, maxSamples) ||
+               (budgetNs > 0 && !converged))) {
         val t0 = System.nanoTime()
         // a failing query must be VISIBLE and excluded — timing the
         // exception path would report a healthy-looking near-zero

@@ -658,6 +658,15 @@ object ScaleBench {
         "hotuser_funnel" -> (() =>
           graft.ops.Relational.funnel(hotUserEvents(spark, copies)
             .select(col("user_id"), col("t"), eventTypeCol))),
+        // the funnel mitigation A/B (VERDICT r11 #4): the SAME hot
+        // corpus through the (user, day) pre-split + suffix-splice
+        // stitch — the bot's conditional-min chains run per day, the
+        // stitch folds per-day AGGREGATE rows (bounded), answer
+        // provably the plain chain's (oracle shared)
+        "hotuser_funnel_presplit" -> (() =>
+          graft.ops.Relational.funnelPresplit(hotUserEvents(spark, copies)
+            .select(col("user_id"), col("t"), eventTypeCol),
+            Seq("view", "click", "purchase"))),
         "hotuser_funnel_horizon" -> (() =>
           graft.ops.Relational.funnelHorizonReplay(hotUserEvents(spark, copies)
             .select(col("user_id"), col("t"), eventTypeCol),
