@@ -535,15 +535,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!ai.contains("SortMergeJoin") && !ai.contains("ShuffledHashJoin"),
       ai.take(3000))
     // G26: the maintained read is a union of the two stores' scans
-    // (the day split resolves as plan-time metadata) plus — since the
-    // r11 late path — at most ONE broadcast anti-join against the
-    // K-row late-key set: never a shuffled/sort-merge join against
-    // the corpus-sized stores
+    // (the day split resolves as plan-time metadata) and — since the
+    // r12 lateFoldTick drains `_late` into cold inside the tick — the
+    // late overlay short-circuits away entirely at steady state: the
+    // read plan is JOIN-FREE again (the r11 verdict's #1 done
+    // criterion). The transient non-empty-late case (at most one
+    // broadcast anti-join, never shuffled) is pinned in
+    // MetricStoreSpec's sustained-lateness test.
     val sm = plan("store_maintained_fetch")
-    assert(!sm.contains("SortMergeJoin") && !sm.contains("ShuffledHashJoin"),
-      sm.take(3000))
-    assert(sm.contains("BroadcastHashJoin") &&
-      countOf(sm, "Join") <= countOf(sm, "BroadcastHashJoin"), sm.take(3000))
+    assert(!sm.contains("Join"), sm.take(3000))
     // C15f: autocomplete off the persisted index is ONE K-row scan +
     // map-only selection predicate + one distinct exchange — no join,
     // no re-derivation of the index

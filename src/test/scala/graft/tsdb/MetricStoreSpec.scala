@@ -244,7 +244,20 @@ class MetricStoreSpec extends SparkSpec {
       assert(lateDays.isEmpty, s"tick $k left unfolded late days: $lateDays")
       assert(multiset(MetricStore.readMaintained(spark, hot, cold)) == want.sorted)
     }
-    // after the fold the overlay short-circuits away: join-free plan
+    // TRANSIENT late (merged but not yet folded — the mid-tick window):
+    // the overlay is ONE broadcast anti-join on the K-row key set,
+    // never a shuffled join against the stores
+    graft.streaming.CarbonStream.mergeBatch(
+      Seq(("m", 45L, 7.0)).toDF("path", "ts", "value"), s"$hot/_late")
+    val planLate = MetricStore.readMaintained(spark, hot, cold)
+      .queryExecution.executedPlan.toString
+    assert(planLate.contains("BroadcastHashJoin"), planLate.take(3000))
+    assert(!planLate.contains("SortMergeJoin") &&
+      !planLate.contains("ShuffledHashJoin"), planLate.take(3000))
+    // the fold drains it; the overlay short-circuits away: join-free
+    assert(MetricStore.lateFoldTick(spark, hot, cold) == Seq(0L))
+    want = want :+ (("m", 45L, 7.0))
+    assert(multiset(MetricStore.readMaintained(spark, hot, cold)) == want.sorted)
     val plan = MetricStore.readMaintained(spark, hot, cold)
       .queryExecution.optimizedPlan.toString
     assert(!plan.toLowerCase.contains("join"), plan)
