@@ -28,6 +28,17 @@ import org.apache.spark.sql.functions._
   */
 object BinaryPipeline {
 
+  // ImageIO defaults to a DISK-backed stream cache: every decode wraps
+  // its ByteArrayInputStream in a FileCacheImageInputStream (one temp
+  // file created, written and deleted PER IMAGE) and every encode does
+  // the same on the output side. All payloads here are in-memory byte
+  // arrays, so the file cache is pure syscall overhead — and under a
+  // 32-thread local executor the temp-dir becomes a contention point.
+  // Memory-cached streams produce byte-identical codec results
+  // (optimization r12, guide §1.2 per-task work). JVM-global; runs once
+  // per executor JVM when the first task touches this object.
+  ImageIO.setUseCache(false)
+
   /** One media object: opaque payload + typed metadata. */
   final case class MediaRecord(
       media_id: Long, kind: String, payload: Array[Byte],

@@ -50,24 +50,24 @@ object Curation {
   private def curateCore(spark: SparkSession, docs: DataFrame,
                          minScore: Double, minTokens: Int, keepLang: String,
                          maxHamming: Int, maxDf: Int): DataFrame = {
-    val q = Analysis.quality(docs).select(col("doc_id"), col("n_tokens"), col("score"))
-    val l = Analysis.langId(spark, docs).select(col("doc_id"), col("pred_lang"))
-    // every cached/reused intermediate is NARROW (ids + flags) — the
-    // text column is never cached; each stage that needs it re-reads
-    // the column-pruned scan, which is the only shape that survives a
-    // 100 TB corpus (gates: 2 longs + 2 booleans per doc)
-    val gates = q.join(l, "doc_id")
-      .select(col("doc_id"),
-        // null score/n_tokens (null-text doc) FAILS quality — a null
-        // gate would skip every CASE arm below and mislabel the doc
-        // ('kept' even, when the language gate happens to pass)
-        coalesce(col("score") >= minScore && col("n_tokens") >= minTokens,
-          lit(false)).as("q_pass"),
-        coalesce(col("pred_lang") === keepLang, lit(false)).as("l_pass"))
+    // stages 1+2 are per-row functions of text: ONE scan computes both
+    // gate booleans (Analysis.withGateCols) — r12: the previous shape
+    // joined TWO corpus-wide projections (quality ⋈ langId on doc_id)
+    // and then joined the text back against the narrow gate table; both
+    // joins disappear (guide §2.4 — a per-row predicate never needs a
+    // shuffle). Every cached/reused intermediate stays NARROW (ids +
+    // flags) — the text column is never cached; each stage that needs
+    // it re-reads the column-pruned scan, the only shape that survives
+    // a 100 TB corpus (gates: 1 long + 2 booleans per doc).
+    val staged = Analysis.withGateCols(docs, minScore, minTokens, keepLang)
+    val gates = staged.select(col("doc_id"), col("q_pass"), col("l_pass"))
       .cachedOnce
-    // gate-survivor keeper: min doc_id per content hash
-    val sv = docs.select(col("doc_id"), col("text"))
-      .join(gates.filter(col("q_pass") && col("l_pass")).select(col("doc_id")), "doc_id")
+    // gate-survivor keeper: min doc_id per content hash. The gate is
+    // re-evaluated per-row on the survivor scan instead of joining the
+    // cached gate table back onto text — recomputing two token-array
+    // aggregates per row is far cheaper at any scale than shuffling
+    // the corpus text by doc_id.
+    val sv = staged.filter(col("q_pass") && col("l_pass"))
       .select(col("doc_id"), md5(col("text")).as("content_md5"))
     val keepers = sv.groupBy(col("content_md5")).agg(min(col("doc_id")).as("keep_id"))
     // consumed twice (near-dup input + final reason join): 2 longs/doc

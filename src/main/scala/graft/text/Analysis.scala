@@ -117,6 +117,30 @@ object Analysis {
         col("reason"))
   }
 
+  /** F14 stages 1+2 as per-row BOOLEAN gate columns: (doc_id, text,
+    * q_pass, l_pass) in ONE corpus scan — the same signals as
+    * [[qualityGateRows]] (scoreSignals + the stopword-argmax language),
+    * kept as booleans so [[graft.ops.Curation]] can both filter
+    * survivors per-row and project the narrow (doc_id, q_pass, l_pass)
+    * gate table WITHOUT joining two scans of the corpus on doc_id
+    * (optimization r12: the old quality⋈langId join shuffled two
+    * corpus-wide projections to compute two per-row functions).
+    * Null score/n_tokens (null-text doc) FAILS quality — a null gate
+    * would mislabel the doc (the [[qualityGateRows]] rule).
+    */
+  private[graft] def withGateCols(docs: DataFrame, minScore: Double,
+                                  minTokens: Int, keepLang: String): DataFrame = {
+    val (nTokens, score) = scoreSignals
+    val staged = docs.select(
+      col("doc_id") +: col("text") +: nTokens.as("n_tokens") +:
+        score.as("score") +: langHitCols(tokens(col("text"))): _*)
+    val (pred, _) = langArgmax
+    staged.select(col("doc_id"), col("text"),
+      coalesce(col("score") >= minScore && col("n_tokens") >= minTokens,
+        lit(false)).as("q_pass"),
+      coalesce(pred === keepLang, lit(false)).as("l_pass"))
+  }
+
   /** F8b: within-document repetition — the duplicate n-gram fraction
     * from the Gopher/MassiveText-style quality rule family, over 2- and
     * 3-word shingles: rep_k = 1 − distinct_k / total_k with
@@ -766,23 +790,38 @@ object Analysis {
     * and drop from the output by construction.
     */
   def lmScoreBigram(docs: DataFrame, vocabV: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
     val voc = vocab(docs, vocabV).select(col("token"), lit(1L).as("inv"))
-    val tok = docs.select(col("doc_id"),
-      posexplode(tokens(col("text"))).as(Seq("pos", "token")))
-    val mapped = tok.join(broadcast(voc), Seq("token"), "left")
-      .select(col("doc_id"), col("pos"),
-        // UNK bucket = U+0001 (DuckDB chr(1)): outside any space-split
-        // token alphabet, and non-empty (double spaces make "" a real
-        // token)
-        when(col("inv").isNull, lit("\u0001")).otherwise(col("token")).as("w1"))
+    // adjacent pairs are built IN-ROW from the token array (r12: the
+    // previous shape posexploded to a per-token stream and ran a
+    // lead() window over (doc_id, pos) — a full sort+exchange of the
+    // query's largest intermediate, for an adjacency the token array
+    // already encodes; guide §2.4). The UNK collapse maps each pair
+    // side through the same broadcast vocab join, so the transition
+    // stream reaches its first real shuffle (the (w1, w2) count)
+    // without ever being exchanged.
+    val pairs = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) AS t1, element_at(toks, i + 1) AS t2))")).as("p"))
+      .select(col("doc_id"), col("p.t1").as("t1"), col("p.t2").as("t2"))
+    // UNK bucket = U+0001 (DuckDB chr(1)): outside any space-split
+    // token alphabet, and non-empty (double spaces make "" a real
+    // token)
+    def unk(c: org.apache.spark.sql.Column,
+            inv: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(inv.isNull, lit("\u0001")).otherwise(c)
     // the narrow (doc_id, w1, w2) transition stream feeds three plan
     // references (pair counts + the scoring join) — cache it, not the
-    // tokenize/window work upstream
-    val bi = mapped
-      .select(col("doc_id"), col("w1"), lead(col("w1"), 1).over(w).as("w2"))
-      .filter(col("w2").isNotNull)
+    // tokenize work upstream
+    val bi = pairs
+      .join(broadcast(voc.select(col("token").as("t1"), col("inv").as("i1"))),
+        Seq("t1"), "left")
+      .join(broadcast(voc.select(col("token").as("t2"), col("inv").as("i2"))),
+        Seq("t2"), "left")
+      .select(col("doc_id"), unk(col("t1"), col("i1")).as("w1"),
+        unk(col("t2"), col("i2")).as("w2"))
       .cachedOnce
     val cbi = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
     // history counts derive from the BOUNDED count table, not the
