@@ -856,14 +856,24 @@ object Dedup {
       .cachedOnce
     // re-run the standard keying pipeline restricted to the cohort:
     // within a touched bucket the cohort holds ALL members, so cohort
-    // dfs equal global dfs at every level
-    val bjk = for (b <- 0 until minhashNBands; j <- 0 to n) yield
-      struct(lit(b).as("band"), lit(j).as("j"), minhashKeyCol(b, j).as("key"))
+    // dfs equal global dfs at every level. Keys are built for ONLY the
+    // row's own band via a CaseWhen over the 4 band values (r12:
+    // CaseWhen evaluates just the matched arm, so each cohort row pays
+    // 10 md5 keys instead of materializing all 40 (band, j, key)
+    // structs and filtering 3/4 of them away post-explode — the md5
+    // keying is this stage's dominant CPU).
+    val perBand = (0 until minhashNBands).map { b =>
+      array((0 to n).map(j =>
+        struct(lit(j).as("j"), minhashKeyCol(b, j).as("key"))): _*)
+    }
+    val bandKeys = (1 until minhashNBands).foldLeft(
+      when(col("band") === 0, perBand(0))) { (acc, b) =>
+      acc.when(col("band") === b, perBand(b))
+    }
     val exploded = cohort
-      .select(col("sk"), col("band"), explode(array(bjk: _*)).as("bjk"))
-      .filter(col("bjk.band") === col("band"))
-      .select(col("sk"), col("band"), col("bjk.j").as("j"),
-        col("bjk.key").as("key"))
+      .select(col("sk"), col("band"), explode(bandKeys).as("jk"))
+      .select(col("sk"), col("band"), col("jk.j").as("j"),
+        col("jk.key").as("key"))
     val dfs = exploded.groupBy(col("band"), col("j"), col("key"))
       .agg(count(lit(1)).as("df"))
     val cohortKeyed = exploded.join(dfs, Seq("band", "j", "key"))

@@ -1297,7 +1297,7 @@ object LlmQueries {
         Window.partitionBy(col("slice"))
           .orderBy(col("n_exact").desc, col("token"))))
       .filter(col("rk") <= CmsTopK).drop("rk")
-    Sketch.cmsEstimate(Sketch.cmsRegisters(tok, "slice", col("token")),
+    Sketch.cmsEstimate(Sketch.cmsRegistersBatch(tok, "slice", col("token")),
         cand, "token")
       .join(cand, Seq("slice", "token"))
       .select(col("slice").as("lang"), col("token"),
@@ -1362,9 +1362,9 @@ object LlmQueries {
           .orderBy(col("n_exact").desc, col("token"))))
       .filter(col("rk") <= CmsTopK).select(col("slice"), col("token"))
     val merged = Sketch.cmsMerge(
-      Sketch.cmsRegisters(tokOf(docs.filter(col("doc_id") % 2 === 0)),
+      Sketch.cmsRegistersBatch(tokOf(docs.filter(col("doc_id") % 2 === 0)),
         "slice", col("token")),
-      Sketch.cmsRegisters(tokOf(docs.filter(col("doc_id") % 2 =!= 0)),
+      Sketch.cmsRegistersBatch(tokOf(docs.filter(col("doc_id") % 2 =!= 0)),
         "slice", col("token")))
     Sketch.cmsEstimate(merged, cand, "token")
       .select(col("slice").as("lang"), col("token"), col("cms_est"))

@@ -198,6 +198,33 @@ object Sketch {
       .groupBy(col("slice"), col("row"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** [[cmsRegisters]] for BATCH sweeps: count occurrences per
+    * (slice, value) FIRST (map-side combined), so the CmsD salted md5s
+    * run once per DISTINCT value instead of once per occurrence — the
+    * hashing was the stage's dominant CPU (4 md5 + hex-conv per token
+    * occurrence at sf0.1), and the register table is the identical
+    * elementwise sum either way (guide §2.3, aggregate before you
+    * shuffle; count-sum associativity — the same theorem cmsMerge
+    * rests on). Kept SEPARATE from [[cmsRegisters]] because the
+    * streaming twin must stay a single aggregation: Structured
+    * Streaming rejects chained stateful aggregates, and the G23 state
+    * contract is "the state IS the ≤ CmsD·CmsW register table" — a
+    * pre-aggregation there would grow state with vocabulary. The
+    * G23 spec pins streamed ≡ batch registers, so the two shapes
+    * cannot drift silently.
+    */
+  def cmsRegistersBatch(df: DataFrame, slice: String, value: Column): DataFrame =
+    df.select(col(slice).as("slice"), value.cast("string").as("v"))
+      .groupBy(col("slice"), col("v")).agg(count(lit(1)).as("vc"))
+      .select(col("slice"), col("vc"), col("v"),
+        explode(array((0 until CmsD).map(lit(_)): _*)).as("row"))
+      .select(col("slice"), col("row"), col("vc"),
+        (graft.text.TextFns.h60(
+          concat(lit("#cms"), col("row").cast("string"), lit("#"), col("v")))
+          % CmsW).as("bucket"))
+      .groupBy(col("slice"), col("row"), col("bucket"))
+      .agg(sum(col("vc")).cast("long").as("cnt"))
+
   /** Merge two CMS tables: elementwise counter sums — merge ≡ direct
     * by addition associativity (the F49b/F54b theorem, third instance).
     */

@@ -2273,6 +2273,11 @@ class LlmSpec extends SparkSpec {
     assert(whole == halves)
     // order/partitioning-free
     assert(whole == regMap(Sketch.cmsRegisters(df.repartition(7), "slice", col("v"))))
+    // r12: the batch pre-aggregated variant (hash per DISTINCT value,
+    // weight by occurrence count) builds the BIT-IDENTICAL register
+    // table — count-sum associativity, the cmsMerge theorem applied
+    // within one sweep
+    assert(whole == regMap(Sketch.cmsRegistersBatch(df, "slice", col("v"))))
     // the driver audit on the real corpus: est ≥ exact on every row
     val audit = graft.ops.LlmQueries
       .corpusHeavyHitters(spark, "/root/testdata/sf0.001")
