@@ -509,6 +509,32 @@ object Dedup {
   private[graft] def minhashSigKey: org.apache.spark.sql.Column =
     minhashKeyCol(0, minhashWidenLevels)
 
+  /** The level-`lvl` key for band `band`, recomputed from the row's own
+    * `mh`: a nested CaseWhen over the 4×10 (band, level) schedule —
+    * only the matched arm's md5 evaluates. Lets the capped-keying
+    * aggregate carry min(LEVEL) (a long — HashAggregate with map-side
+    * combine) instead of min(struct(j, key)), which forces
+    * SortAggregate (struct buffers aren't hash-aggregable) and made the
+    * keying stage sort its widest intermediate twice (r12, guide §2.3).
+    * Key values are unchanged: key = f(mh, band, j) is pure, and within
+    * a (sk, band) group j is unique, so min(struct) ≡ key(min j).
+    */
+  private def minhashKeyAt(bandCol: org.apache.spark.sql.Column,
+                           lvlCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // the slot lists are NESTED PREFIXES (minhashKeySlots(b, j) =
+    // minhashKeySlots(b, 9).take(3 + j)), so one dynamic slice of the
+    // band's full 12-slot list replaces a 4×10-arm md5 CaseWhen (whose
+    // codegen size measurably outweighed the aggregate win at sf0.1)
+    def slotArrFor(b: Int) = array(
+      minhashKeySlots(b, minhashWidenLevels)
+        .map(i => element_at(col("mh"), i + 1).cast("string")): _*)
+    val slotArr = (1 until minhashNBands).foldLeft(
+      when(bandCol === 0, slotArrFor(0))) {
+      (acc, b) => acc.when(bandCol === b, slotArrFor(b))
+    }
+    md5(concat_ws(",", slice(slotArr, lit(1), lvlCol + lit(3))))
+  }
+
   /** Per-(sig, band) bucket keys with progressive df-capped widening —
     * [[cappedBandKeys]] transplanted to the MinHash family (VERDICT r5
     * #1). Input is DISTINCT signatures (sk, mh); a band bucket holding
@@ -529,20 +555,21 @@ object Dedup {
     val bjk = for (b <- 0 until minhashNBands; j <- 0 to n) yield
       struct(lit(b).as("band"), lit(j).as("j"), minhashKeyCol(b, j).as("key"))
     val exploded = sigs
-      .select(col("sk"), explode(array(bjk: _*)).as("bjk"))
-      .select(col("sk"), col("bjk.band").as("band"), col("bjk.j").as("j"),
-        col("bjk.key").as("key"))
+      .select(col("sk"), col("mh"), explode(array(bjk: _*)).as("bjk"))
+      .select(col("sk"), col("mh"), col("bjk.band").as("band"),
+        col("bjk.j").as("j"), col("bjk.key").as("key"))
     val dfs = exploded.groupBy(col("band"), col("j"), col("key"))
       .agg(count(lit(1)).as("df"))
     // slot-list refinement is monotone (level-j agreement implies
-    // level-(j−1) agreement) and level n has df = 1, so the min struct
-    // IS "the first level that fits" and always exists
+    // level-(j−1) agreement) and level n has df = 1, so the min LEVEL
+    // with df ≤ cap IS "the first level that fits" and always exists.
+    // min over the long level hash-aggregates with a map-side combine;
+    // the chosen level's key is recomputed from mh ([[minhashKeyAt]])
     exploded.join(dfs, Seq("band", "j", "key"))
-      .groupBy(col("sk"), col("band"))
-      .agg(min(when(col("df") <= maxDf, struct(col("j"), col("key")))).as("lk"))
-      .select(col("sk"), col("band"),
-        col("lk").getField("j").cast("long").as("lvl"),
-        col("lk").getField("key").as("bkey"))
+      .groupBy(col("sk"), col("mh"), col("band"))
+      .agg(min(when(col("df") <= maxDf, col("j"))).as("lvl0"))
+      .select(col("sk"), col("band"), col("lvl0").cast("long").as("lvl"),
+        minhashKeyAt(col("band"), col("lvl0")).as("bkey"))
   }
 
   /** Candidate signature pairs (s1 < s2 by sig key) from the df-capped
@@ -595,7 +622,7 @@ object Dedup {
   def minhashBucketStats(spark: SparkSession, docs: DataFrame,
                          maxDf: Int): DataFrame = {
     val sig = cachedSigTable(docs)
-    val keyed = cappedMinhashKeys(sig.select("sk", "mh").dropDuplicates("sk"), maxDf)
+    val keyed = cappedMinhashKeys(sig.select("sk", "mh").distinct(), maxDf)
     keyed.groupBy(col("band"), col("lvl"), col("bkey"))
       .agg(count(lit(1)).as("df"))
       .groupBy(col("band"), col("lvl"))
@@ -610,7 +637,7 @@ object Dedup {
     * [[minhashLshCapped]] body, shared with [[minhashJaccardEst]]).
     */
   private def minhashCappedPairs(sig: DataFrame, maxDf: Int): DataFrame = {
-    val sigPairs = cappedMinhashSigPairs(sig.select("sk", "mh").dropDuplicates("sk"), maxDf)
+    val sigPairs = cappedMinhashSigPairs(sig.select("sk", "mh").distinct(), maxDf)
     val crossPairs = sigPairs
       .join(sig.as("m1"), col("s1") === col("m1.sk"))
       .join(sig.as("m2"), col("s2") === col("m2.sk"))
@@ -664,7 +691,7 @@ object Dedup {
     */
   def minhashClusters(spark: SparkSession, docs: DataFrame, maxDf: Int): DataFrame = {
     val sig = cachedSigTable(docs)
-    val sigPairs = cappedMinhashSigPairs(sig.select("sk", "mh").dropDuplicates("sk"), maxDf)
+    val sigPairs = cappedMinhashSigPairs(sig.select("sk", "mh").distinct(), maxDf)
     // groups: referenced by the rep joins and the final assignment
     val groups = sig.groupBy(col("sk")).agg(min(col("doc_id")).as("rep")).cachedOnce
     val oriented = sigPairs
@@ -750,7 +777,7 @@ object Dedup {
         min(when(col("is_base") === 0, col("doc_id"))).as("min_inc"))
       .cachedOnce
     val keyed = cappedMinhashKeys(
-      sig.select("sk", "mh").dropDuplicates("sk"), maxDf).cachedOnce
+      sig.select("sk", "mh").distinct(), maxDf).cachedOnce
     // the left side carries ONLY incoming-bearing signatures — base
     // sigs meet the join solely as right-side bucket members, so
     // base×base pairs are never generated
@@ -792,16 +819,21 @@ object Dedup {
   def incrementalIndex(spark: SparkSession, base: DataFrame,
                        maxDf: Int): (DataFrame, DataFrame) = {
     val sig = cachedSigTable(base)
-    val dsig = sig.select("sk", "mh").dropDuplicates("sk").cachedOnce
+    val dsig = sig.select("sk", "mh").distinct().cachedOnce
     (dsig, cappedMinhashKeys(dsig, maxDf).cachedOnce)
   }
 
   /** The distinct (sk, mh) signature table of a document set — the
     * portable currency of the incremental family (index sigs, F37
-    * merge batches).
+    * merge batches). `distinct()` over BOTH columns, not
+    * dropDuplicates("sk"): sk is the md5 of all 12 slots, so it
+    * determines mh, and a no-buffer hash-aggregate distinct replaces
+    * the first(array) SortAggregate dropDuplicates plans (r12 — the
+    * same equivalence every `select("sk", "mh").distinct()` in this
+    * file rests on).
     */
   def distinctSigs(docs: DataFrame): DataFrame =
-    cachedSigTable(docs).select(col("sk"), col("mh")).dropDuplicates("sk")
+    cachedSigTable(docs).select(col("sk"), col("mh")).distinct()
 
   /** F37: standing-index REFRESH — fold a new batch's signatures into
     * the capped-key index WITHOUT a full rebuild, closing the
@@ -833,7 +865,7 @@ object Dedup {
                  maxDf: Int): (DataFrame, DataFrame) = {
     require(maxDf >= 1, s"maxDf must be >= 1 (got $maxDf)")
     val n = minhashWidenLevels
-    val fresh = newSigs.select(col("sk"), col("mh")).dropDuplicates("sk")
+    val fresh = newSigs.select(col("sk"), col("mh")).distinct()
       .join(baseSigs.select(col("sk")), Seq("sk"), "left_anti")
       .cachedOnce
     val mergedSigs = baseSigs.select(col("sk"), col("mh"))
@@ -871,17 +903,18 @@ object Dedup {
       acc.when(col("band") === b, perBand(b))
     }
     val exploded = cohort
-      .select(col("sk"), col("band"), explode(bandKeys).as("jk"))
-      .select(col("sk"), col("band"), col("jk.j").as("j"),
+      .select(col("sk"), col("mh"), col("band"), explode(bandKeys).as("jk"))
+      .select(col("sk"), col("mh"), col("band"), col("jk.j").as("j"),
         col("jk.key").as("key"))
     val dfs = exploded.groupBy(col("band"), col("j"), col("key"))
       .agg(count(lit(1)).as("df"))
+    // min LEVEL (long, hash-aggregable) + key recomputation from mh —
+    // the [[cappedMinhashKeys]] shape (min(struct) forces SortAggregate)
     val cohortKeyed = exploded.join(dfs, Seq("band", "j", "key"))
-      .groupBy(col("sk"), col("band"))
-      .agg(min(when(col("df") <= maxDf, struct(col("j"), col("key")))).as("lk"))
-      .select(col("sk"), col("band"),
-        col("lk").getField("j").cast("long").as("lvl"),
-        col("lk").getField("key").as("bkey"))
+      .groupBy(col("sk"), col("mh"), col("band"))
+      .agg(min(when(col("df") <= maxDf, col("j"))).as("lvl0"))
+      .select(col("sk"), col("band"), col("lvl0").cast("long").as("lvl"),
+        minhashKeyAt(col("band"), col("lvl0")).as("bkey"))
     val mergedKeyed = baseKeyed
       .join(cohort.select(col("sk"), col("band")).distinct(),
         Seq("sk", "band"), "left_anti")
@@ -1226,6 +1259,19 @@ object Dedup {
     (base +: exts).mkString("(", " | ", ")")
   }
 
+  /** The level-`lvl` widened key recomputed from the row's `simhash`
+    * and `band` columns — the simhash twin of [[minhashKeyAt]], for the
+    * same reason: aggregating min(LEVEL) hash-aggregates where
+    * min(struct(j, key)) forces a SortAggregate. Keys are nested
+    * prefixes in BIT space (extension chunk c occupies bits
+    * 15+5c..19+5c, so k_j = k_9 & (2^(15+5j)−1)): one level-9 key and
+    * one dynamic mask, pure integer arithmetic, no CaseWhen.
+    */
+  private def simhashKeyAt(lvlCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    expr(simhashKeyExpr(simhashWidenLevels))
+      .bitwiseAND(call_function("shiftleft", lit(1L),
+        (lvlCol * 5 + lit(15)).cast("int")) - 1)
+
   /** Per-(sig, band) bucket keys with progressive df-capped widening
     * (VERDICT r2 #1). A band bucket holding more than `maxDf` DISTINCT
     * signatures is re-keyed with 5 more simhash bits, repeatedly, until
@@ -1260,14 +1306,14 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
     // bucket refinement is monotone (k_j = mask(k_{j+1}), so df never
     // grows with j) and level n is a per-band bijection of the full
-    // simhash (df = 1 over DISTINCT sigs), so min(when(df ≤ cap,
-    // struct(j, key))) IS "the first level that fits" and always exists
+    // simhash (df = 1 over DISTINCT sigs), so min(when(df ≤ cap, j))
+    // IS "the first level that fits" and always exists; the chosen
+    // level's key is recomputed from (simhash, band) ([[simhashKeyAt]])
     exploded.join(dfs, Seq("band", "j", "key"))
       .groupBy(col("simhash"), col("band"))
-      .agg(min(when(col("df") <= maxDf, struct(col("j"), col("key")))).as("lk"))
-      .select(col("simhash"), col("band"),
-        col("lk").getField("j").cast("long").as("lvl"),
-        col("lk").getField("key").as("bkey"))
+      .agg(min(when(col("df") <= maxDf, col("j"))).as("lvl0"))
+      .select(col("simhash"), col("band"), col("lvl0").cast("long").as("lvl"),
+        simhashKeyAt(col("lvl0")).as("bkey"))
   }
 
   /** Candidate signature pairs (s1 < s2, hamming ≤ maxHamming) from the
@@ -1463,12 +1509,13 @@ object Dedup {
           .as(Seq("j", "key")))
     val dfs = exploded.groupBy(col("band"), col("j"), col("key"))
       .agg(count(lit(1)).as("df"))
+    // min LEVEL (long, hash-aggregable) + key recomputation — the
+    // [[cappedBandKeys]] shape (min(struct) forces SortAggregate)
     val cohortKeyed = exploded.join(dfs, Seq("band", "j", "key"))
       .groupBy(col("simhash"), col("band"))
-      .agg(min(when(col("df") <= maxDf, struct(col("j"), col("key")))).as("lk"))
-      .select(col("simhash"), col("band"),
-        col("lk").getField("j").cast("long").as("lvl"),
-        col("lk").getField("key").as("bkey"))
+      .agg(min(when(col("df") <= maxDf, col("j"))).as("lvl0"))
+      .select(col("simhash"), col("band"), col("lvl0").cast("long").as("lvl"),
+        simhashKeyAt(col("lvl0")).as("bkey"))
     val mergedKeyed = baseKeyed
       .join(cohort, Seq("simhash", "band"), "left_anti")
       .unionByName(cohortKeyed)

@@ -1402,6 +1402,45 @@ class LlmSpec extends SparkSpec {
     assert(capped.subsetOf(raw))
   }
 
+  test("capped keying recomputes the chosen level's key exactly (r12 hash-agg shape)") {
+    // r12: the keying aggregate carries min(LEVEL) (hash-aggregable)
+    // and recomputes the level's key from the signature afterward —
+    // this pins the recomputation against the schedule's definition
+    // (md5 over the level's slot prefix / the level's widened-bits
+    // expression) on fixtures where widening actually engages
+    val rnd = new scala.util.Random(42)
+    val adv = (0L until 300L).map { i =>
+      (i, Seq.fill(12)("t" + rnd.nextInt(6)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val distinctSigs = Dedup.minhashSigRows(adv)
+      .select(col("mh"), Dedup.minhashSigKey.as("sk"))
+      .dropDuplicates("sk")
+    val keyed = Dedup.cappedMinhashKeys(distinctSigs, maxDf = 4)
+      .join(distinctSigs, Seq("sk"))
+    assert(keyed.filter(col("lvl") > 0).count() > 0) // widening engaged
+    def expectedKey(b: Int, j: Int) = md5(concat_ws(",",
+      Dedup.minhashKeySlots(b, j)
+        .map(i => element_at(col("mh"), i + 1).cast("string")): _*))
+    val mismatched = keyed.filter(
+      (for (b <- 0 until Dedup.minhashNBands; j <- 0 to Dedup.minhashWidenLevels)
+        yield col("band") === b && col("lvl") === j &&
+          col("bkey") =!= expectedKey(b, j)).reduce(_ || _)).count()
+    assert(mismatched == 0L, s"$mismatched minhash keys diverge from the schedule")
+    // simhash twin (the bit-mask prefix recomputation)
+    val rnd2 = new scala.util.Random(7)
+    val lows = Array(0x1234L, 0x777L, 0x2AAAL)
+    val sigs = (0 until 500).map { _ =>
+      lows(rnd2.nextInt(3)) | ((rnd2.nextLong() & 0x7FFFL) << 45)
+    }.distinct.toDF("simhash")
+    val skeyed = Dedup.cappedBandKeys(spark, sigs, maxDf = 4)
+    assert(skeyed.filter(col("lvl") > 0).count() > 0)
+    val smismatched = skeyed.filter(
+      (0 to Dedup.simhashWidenLevels).map(j =>
+        col("lvl") === j && col("bkey") =!= expr(Dedup.simhashKeyExpr(j)))
+        .reduce(_ || _)).count()
+    assert(smismatched == 0L, s"$smismatched simhash keys diverge from the schedule")
+  }
+
   test("capped minhash recall vs exact on real documents (F3c)") {
     val d = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val exact = Dedup.minhashLsh(spark, d)
