@@ -71,7 +71,16 @@ object Bench {
         // the previous sample's cache — and a 52-query session must not
         // accumulate executor storage (VERDICT r2 cache hygiene)
         spark.catalog.clearCache()
+        // RDD-level persists are not covered by catalog.clearCache
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       }
+      // single-JVM contamination fix (VERDICT r12 #2): 277 queries in one
+      // JVM accumulate heap garbage (broadcasts, codegen classes, fixture
+      // frames) that inflates LATER queries' timed samples by up to 10×
+      // (dedup_incremental: 8 s isolated vs 45–160 s mid-run, 352 s GC).
+      // A full GC between queries — outside every timed region — gives
+      // each query the same clean-heap start an isolated run would.
+      System.gc()
       if (broken) { failed += name; None } else Some(name -> times.toSeq)
     }
     val results = samples.map { case (n, ts) => n -> ts.min }
@@ -113,6 +122,16 @@ object Bench {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), full + "\n")
     println(compact)
+    // driver-parseable summary (VERDICT r12 #1): at 277 queries the
+    // per-query line above is ~6 kB and the driver's 2000-byte stdout
+    // tail truncates it from the FRONT, so `parsed` came back null for
+    // two rounds. The FINAL stdout line is therefore a compact summary
+    // guaranteed to fit the tail whole (per-query mins stay on the line
+    // above and, with all samples, in target/bench.json). Additions to
+    // output only — the timing methodology is unchanged.
+    val summary =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"failed":$fl,"sf":"$sfName","cpus":$cpus,"queries_file":"target/bench.json"}"""
+    println(summary)
     spark.stop()
   }
 }
