@@ -77,4 +77,54 @@ object ClassifierZ {
   /** The fixed-point linear term over a token-array column. */
   def zFixed(toks: Column, w: Array[Double]): Column =
     ColumnBridge.toColumn(ClassifierZ(ColumnBridge.toExpression(toks), w))
+
+  /** [[compute]] over a PRE-HASHED bucket-count vector
+    * ([[ClassifierBuckets]]) instead of the token array: every
+    * occurrence of a bucket-b token folds the SAME rounded long, so
+    * Σ_occurrences ≡ Σ_b counts[b]·⌊(w[b]/n)·1e12⌉ exactly (n = Σ
+    * counts = the token-array length — tokens() never emits nulls).
+    * Lets GD training hash each document once at cache build instead
+    * of once per iteration; spec-pinned bit-identical to [[compute]].
+    */
+  def computeFromCounts(cnts: ArrayData, w: Array[Double]): Long = {
+    val dim = w.length
+    var n = 0L
+    var i = 0
+    while (i < dim) { n += cnts.getLong(i); i += 1 }
+    var acc = 0L
+    if (n > 0L) {
+      i = 0
+      while (i < dim) {
+        val c = cnts.getLong(i)
+        if (c != 0L)
+          acc += c * BigDecimal.valueOf(w(i) / n * 1e12)
+            .setScale(0, RoundingMode.HALF_UP).longValue()
+        i += 1
+      }
+    }
+    acc
+  }
+
+  /** The fixed-point linear term over a bucket-count column. */
+  def zFixedCounts(cnts: Column, w: Array[Double]): Column =
+    ColumnBridge.toColumn(ClassifierZCounts(ColumnBridge.toExpression(cnts), w))
+}
+
+/** [[ClassifierZ]]'s twin over the [[ClassifierBuckets]] count vector
+  * (see [[ClassifierZ.computeFromCounts]]).
+  */
+case class ClassifierZCounts(child: Expression, w: Array[Double]) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    ClassifierZ.computeFromCounts(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("clsW", w, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ClassifierZ.computeFromCounts($c, $wRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ClassifierZCounts =
+    copy(child = newChild)
 }

@@ -1208,13 +1208,21 @@ object LlmQueries {
     import graft.core.Caching._
     val tok = Tables.documents(spark, dir)
       .select(col("lang"), explode(graft.text.TextFns.tokens(col("text"))).as("token"))
+    // ONE distinct (lang, token) pass feeds the registers AND both
+    // exact counts (count over distinct rows ≡ countDistinct): the
+    // corpus is tokenized once, not three times, and the two register
+    // md5 derivations run once per DISTINCT token instead of once per
+    // occurrence (guide §2.3 — the cmsRegistersBatch trade; max is
+    // duplicate-blind, so the registers are bit-identical)
+    val dTok = tok.distinct().cachedOnce
     // ≤ 5 langs × 256 registers — the bounded sketch artifact, cached
     // because both the per-lang estimates and the merged '*' row read it
-    val regs = Sketch.hllRegisters(tok, "lang", "token").cachedOnce
-    val perLang = tok
-      .groupBy(col("lang")).agg(countDistinct(col("token")).as("n_exact"))
+    val regs = Sketch.hllRegistersDistinct(dTok, "lang", "token").cachedOnce
+    val perLang = dTok
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_exact"))
       .join(Sketch.hllEstimate(regs, "lang"), Seq("lang"))
-    val star = tok.agg(countDistinct(col("token")).as("n_exact"))
+    val star = dTok.select(col("token")).distinct()
+      .agg(count(lit(1)).as("n_exact"))
       .withColumn("lang", lit("*"))
       .join(Sketch.hllEstimate(
         Sketch.hllMergeAll(regs, "*", "lang"), "lang"), Seq("lang"))
@@ -1384,12 +1392,15 @@ object LlmQueries {
     val docs = Tables.documents(spark, dir)
     def tokOf(df: DataFrame) = df.select(col("lang"),
       explode(graft.text.TextFns.tokens(col("text"))).as("token"))
+    // distinct-first batch variant (guide §2.3): each sketch hashes
+    // distinct (lang, token) pairs, not occurrences — registers are
+    // bit-identical (max is duplicate-blind)
     val merged = Sketch
-      .hllRegisters(tokOf(docs.filter(col("doc_id") % 2 === 0)), "lang", "token")
+      .hllRegistersBatch(tokOf(docs.filter(col("doc_id") % 2 === 0)), "lang", "token")
       .unionByName(Sketch
-        .hllRegisters(tokOf(docs.filter(col("doc_id") % 2 =!= 0)), "lang", "token"))
+        .hllRegistersBatch(tokOf(docs.filter(col("doc_id") % 2 =!= 0)), "lang", "token"))
       .groupBy(col("lang"), col("bucket")).agg(max(col("register")).as("register"))
-    val full = Sketch.hllRegisters(tokOf(docs), "lang", "token")
+    val full = Sketch.hllRegistersBatch(tokOf(docs), "lang", "token")
     Sketch.hllEstimate(merged, "lang").withColumnRenamed("hll_est", "est_merged")
       .join(Sketch.hllEstimate(full, "lang")
         .withColumnRenamed("hll_est", "est_full"), Seq("lang"))

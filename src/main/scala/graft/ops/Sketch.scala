@@ -82,6 +82,42 @@ object Sketch {
       .groupBy(col(slice), col("bucket"))
       .agg(max(col("rho")).as("register"))
 
+  /** [[hllRegisters]] over a frame whose (slice, value) rows are
+    * ALREADY DISTINCT — the F49 instance of the cmsRegistersBatch trade
+    * (guide §2.3, aggregate before you shuffle): batch consumers dedup
+    * (slice, value) first (a map-side-combined aggregate whose shuffle
+    * is bounded by per-partition vocabulary), then run the two md5
+    * derivations once per DISTINCT value instead of once per
+    * occurrence. The register table is bit-identical: register =
+    * max(rho) per (slice, bucket), and max over occurrences ≡ max over
+    * distinct values (duplicates cannot change a max — simpler than the
+    * CMS count-sum theorem). The one md5 is SHARED by bucket and rho
+    * (bucket = hex 1..2, rho = hex 3..15 of the same digest), where
+    * [[hllRegisters]] relies on codegen subexpression elimination.
+    * Kept separate from [[hllRegisters]] for the same reason as
+    * [[cmsRegistersBatch]]: a streaming consumer must stay a single
+    * aggregation (chained stateful aggregates are illegal).
+    */
+  def hllRegistersBatch(df: DataFrame, slice: String, value: String): DataFrame =
+    hllRegistersDistinct(df.select(col(slice), col(value)).distinct(), slice, value)
+
+  /** The post-distinct tail of [[hllRegistersBatch]] — callers that
+    * already hold a DISTINCT (slice, value) frame (e.g. one shared with
+    * an exact countDistinct) skip the redundant exchange. Input rows
+    * MUST be distinct per (slice, value); duplicates would not change
+    * the result (max is duplicate-blind) but would re-pay the hashing
+    * this variant exists to avoid.
+    */
+  def hllRegistersDistinct(distinctDf: DataFrame, slice: String,
+                           value: String): DataFrame =
+    distinctDf
+      .select(col(slice), md5(col(value)).as("__hll_h"))
+      .select(col(slice),
+        conv(substring(col("__hll_h"), 1, 2), 16, 10).cast("long").as("bucket"),
+        rhoFromField(substring(col("__hll_h"), 3, 13)).as("rho"))
+      .groupBy(col(slice), col("bucket"))
+      .agg(max(col("rho")).as("register"))
+
   /** Union of sketches = register max across slices — the
     * associativity that makes the sketch a 100 TB operator (daily
     * sketches fold into monthly without rescanning).

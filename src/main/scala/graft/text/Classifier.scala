@@ -116,19 +116,38 @@ object Classifier {
     */
   def train(docs: DataFrame, label: Column,
             iters: Int = Iters, eta: Double = Eta): Model = {
-    val base = baseOf(docs, label).cachedOnce
+    // hash each document ONCE: the cached base carries the Dim-slot
+    // bucket-count vector (graft.functions.ClassifierBuckets — the same
+    // h60-mod-Dim rule), and every iteration's z and gradient are
+    // count-weighted folds over it. Exact by the fixed-point identity:
+    // every occurrence of a bucket-b token contributes the SAME rounded
+    // long, so Σ_occurrences ≡ counts[b]·⌊·⌉ term by term (spec-pinned
+    // kernel ≡ per-token fold; r13, guide §1.2 per-task work — the
+    // per-iteration md5 pass over every token was the family's
+    // dominant CPU and grew linearly with the iteration count).
+    val base = docs.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.ClassifierBuckets.counts(tokens(col("text")), Dim)
+          .as("bcnt"),
+        size(tokens(col("text"))).cast("long").as("n"),
+        label.cast("double").as("y"))
+      .cachedOnce
     val nDocs = base.count()
     val nD = nDocs * 1e9
     val w = Array.fill(Dim)(0.0)
     var bias = 0.0
     for (_ <- 0 until iters) {
       val perDoc = base
-        .withColumn("z", zCol(col("toks"), col("n"), Model(w.clone(), bias)))
+        .withColumn("z", lit(bias) +
+          graft.functions.ClassifierZ.zFixedCounts(col("bcnt"), w.clone())
+            .cast("double") / lit(1e12))
         .withColumn("err", sigmoid(col("z")) - col("y"))
       val grads = perDoc
-        .select(explode(col("toks")).as("tok"), col("err"), col("n"))
-        .select(bucket(col("tok")).cast("int").as("b"),
-          round(col("err") / col("n") * lit(1e9)).cast("long").as("fx"))
+        .select(col("err"), col("n"), posexplode(col("bcnt")).as(Seq("b", "c")))
+        .filter(col("c") > 0L)
+        .select(col("b").cast("int").as("b"),
+          (col("c") * round(col("err") / col("n") * lit(1e9)).cast("long"))
+            .as("fx"))
         .unionAll(perDoc.select(lit(-1).as("b"),
           round(col("err") * lit(1e9)).cast("long").as("fx")))
         .groupBy(col("b")).agg(sum(col("fx")).as("s"))

@@ -2416,6 +2416,13 @@ class LlmSpec extends SparkSpec {
     val plain = regs.collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(reparts == plain)
+    // r13: the distinct-first batch variant (hash each DISTINCT
+    // (slice, value) once) builds the BIT-IDENTICAL register table —
+    // max is duplicate-blind (the cmsRegistersBatch theorem's simpler
+    // twin)
+    val batch = Sketch.hllRegistersBatch(tok, "lang", "token")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(batch == plain)
     // buckets live in [0, 256)
     assert(plain.keys.forall { case (_, b) => b >= 0L && b < 256L })
   }
@@ -2556,11 +2563,24 @@ class LlmSpec extends SparkSpec {
     val both = docs.select(col("doc_id"),
       C.zColDeclarative(col("toks"), n, m).as("zd"),
       (lit(m.bias) + graft.functions.ClassifierZ.zFixed(col("toks"), w)
-        .cast("double") / lit(1e12)).as("zk"))
+        .cast("double") / lit(1e12)).as("zk"),
+      // r13: the bucket-count path (hash once, fold counts) must be the
+      // same longs — every occurrence of a bucket-b token folds the
+      // SAME rounded term, so Σ_occ ≡ counts[b]·term exactly
+      (lit(m.bias) + graft.functions.ClassifierZ.zFixedCounts(
+        graft.functions.ClassifierBuckets.counts(col("toks"), C.Dim), w)
+        .cast("double") / lit(1e12)).as("zc"))
     assert(both.count() > 3)
     // exact double equality row-for-row — the fixed-point claim
     assert(both.filter(col("zd") =!= col("zk") ||
       col("zd").isNull =!= col("zk").isNull).count() == 0)
+    assert(both.filter(col("zc") =!= col("zk") ||
+      col("zc").isNull =!= col("zk").isNull).count() == 0)
+    // and the count vector itself: Σ counts = token count per row
+    val cs = docs.select(size(col("toks")).cast("long").as("n"),
+      graft.functions.ClassifierBuckets.counts(col("toks"), C.Dim).as("c"))
+      .select(col("n"), aggregate(col("c"), lit(0L), (a, x) => a + x).as("s"))
+    assert(cs.filter(col("n") =!= col("s")).count() == 0)
   }
 
   test("quality classifier: weights bit-stable under repartition (F42)") {
