@@ -32,6 +32,9 @@ object Verify {
       // per-query cache lifecycle (VERDICT r2 cache hygiene): drop
       // cached intermediates so the 52-query session doesn't accumulate
       spark.catalog.clearCache()
+      // localCheckpoint persists live at the RDD level, outside the
+      // catalog — drop those too or the 277-query session accumulates
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // end-of-run summary so a broken query can't hide mid-scroll
     if (failed.nonEmpty)

@@ -94,7 +94,8 @@ object Api {
     val archiveBudget = if (method == "average") maxDataPoints else None
     val evaluated = targets
       .map(t => if (TargetExpr.isExpression(t))
-                  TargetExpr.evalTargetAt(t, fetchGlob, Some(tagEnv), Some(winEnv))
+                  TargetExpr.evalTargetAt(t, TargetExpr.memoFetch(fetchGlob),
+                    Some(tagEnv), Some(winEnv))
                 else fetchBudget(t, 0L, archiveBudget))
       .reduce(_ unionByName _)
     // the render-time point budget: consolidation is the LAST step

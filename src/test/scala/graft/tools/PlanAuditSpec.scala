@@ -16,8 +16,15 @@ class PlanAuditSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    // cachedOnce registrations from previously-built queries would be
+    // plan-substituted into this query's executedPlan (InMemoryRelation
+    // prints its cached plan, double-counting exchanges) — pin each
+    // query's shape as a fresh session would plan it, the way
+    // Bench/Verify run them (clearCache between queries)
+    spark.catalog.clearCache()
     graft.SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+  }
 
   private def countOf(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
@@ -442,7 +449,9 @@ class PlanAuditSpec extends SparkSpec {
     assert(!dl.contains("SortMergeJoin"), dl.take(3000))
     // asPercent(const) is pure map work over the fetch frame: exactly
     // the fetch's own 3 hash exchanges (two rollup aggregations + the
-    // grid build), nothing added by the percent stage
+    // grid build), nothing added by the percent stage — single-fetch
+    // targets keep their exact pre-memoFetch plan (r13: the memo only
+    // materializes a fetch on its SECOND reference)
     val pc = plan("gfn_percent_const")
     assert(!pc.contains("SortMergeJoin"), pc.take(3000))
     assert(countOf(pc, "Exchange hashpartitioning") == 3, pc.take(3000))
@@ -499,6 +508,7 @@ class PlanAuditSpec extends SparkSpec {
   test("r8 family plan shapes: broadcasts everywhere, bounded exchanges") {
     // C10: two fetch pipelines (3 exchanges each) + ONE consolidation
     // aggregate — the budget costs one exchange, never one per series
+    // (each glob fetches once, so the r13 memoFetch leaves both inline)
     val co = plan("gfn_consolidate")
     assert(countOf(co, "Exchange hashpartitioning") == 7, co.take(3000))
     assert(!co.contains("SortMergeJoin"), co.take(3000))
